@@ -1,0 +1,334 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md §1).
+
+Builds the Common-Crawl-style ``documents`` table
+``(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)``
+that the extraction pipeline reads. Everything is driven by
+``random.Random(seed)`` — same seed, same bytes — because the corpus is the
+byte-identity surface shared by the oracle and the Spark pipeline.
+
+Row mix (FIXTURES.md §1): skewed Zipf-ish host distribution (exercises the
+salted-key partitioning), ~15% embedded-PDF payloads (exercises the fallback
+leg), ~2% junk/low-alpha payloads (usability gate), ~1% empty/corrupt
+(poison rows), doctype-shaped main content (PAN / GST / UDYAM / unsupported)
+with entity linkage groups so the validation joins R1-R12 get PASS, FAIL,
+WARNING and SKIPPED cases, plus duplicate-PAN rows for the duplicate-id
+groupBy check.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+import string
+
+from .oracle.pdf_stub import make_synthetic_pdf
+
+DEFAULT_SEED = 42
+
+_UPPER = string.ascii_uppercase
+_NAME_WORDS = [
+    "STELLAR", "NOVA", "APEX", "ORION", "ZENITH", "VERTEX", "PRIME", "DELTA",
+    "ATLAS", "COSMIC", "EVEREST", "FALCON", "GRANITE", "HORIZON", "IVORY",
+    "JUPITER", "KINETIC", "LUMINA", "MERIDIAN", "NEXUS", "OPAL", "PINNACLE",
+    "QUANTUM", "RADIANT", "SUMMIT", "TITAN", "UNITY", "VALIANT", "WESTERN",
+]
+_PERSON_FIRST = ["RAMESH", "SURESH", "MAHESH", "DINESH", "RAKESH", "NARESH",
+                 "KAMLESH", "HITESH", "JIGNESH", "BHAVESH"]
+_PERSON_LAST = ["PATEL", "SHARMA", "MEHTA", "SHAH", "DESAI", "JOSHI", "TRIVEDI",
+                "PANDYA", "VYAS", "BHATT"]
+_STATES = [("24", "GUJARAT", "Gujarat"), ("27", "MAHARASHTRA", "Maharashtra"),
+           ("29", "KARNATAKA", "Karnataka"), ("33", "TAMIL NADU", "Tamil Nadu"),
+           ("07", "DELHI", "Delhi")]
+_CITIES = ["AHMEDABAD", "MUMBAI", "PUNE", "SURAT", "VADODARA", "RAJKOT",
+           "BENGALURU", "CHENNAI", "DELHI", "GANDHINAGAR"]
+_CONSTITUTIONS = ["Private Limited Company", "Public Limited Company",
+                  "Partnership", "Proprietorship", "Limited Liability Partnership"]
+_LANGS = ["en", "en", "en", "en", "en", "en", "en", "en", "es", "de", "fr", "zh"]
+_BOILER_LINKS = ["Home", "About Us", "Products", "Contact", "Careers", "News",
+                 "Privacy Policy", "Terms of Service", "Sitemap", "Login"]
+_FILLER_WORDS = ("the quick brown fox jumps over lazy dog while autumn leaves "
+                 "drift across quiet village roads and merchants trade spices "
+                 "grain cloth near the old stone bridge every market morning").split()
+
+
+def _zipf_hosts(rng: random.Random, n_hosts: int = 40) -> list:
+    """Skewed host pool: host i has weight ~ 1/(i+1) (Zipf-ish)."""
+    hosts = [f"host{i:02d}.example.com" for i in range(n_hosts)]
+    weights = [1.0 / (i + 1) for i in range(n_hosts)]
+    return hosts, weights
+
+
+def _make_pan(rng: random.Random, holder: str) -> str:
+    """PAN with the 4th char drawn from the holder-type map
+    (`/root/reference/project/core/extractors/pan_card.py:12-24`)."""
+    letters = "".join(rng.choice(_UPPER) for _ in range(5))
+    letters = letters[:3] + holder + letters[4]
+    return letters + f"{rng.randrange(10000):04d}" + rng.choice(_UPPER)
+
+
+def _make_gstin(rng: random.Random, pan: str, state_code: str) -> str:
+    """GSTIN whose chars 3-12 equal the PAN (checksum-consistency target)."""
+    return state_code + pan + "1Z" + rng.choice(_UPPER + string.digits)
+
+
+def _make_entity(rng: random.Random, eid: int) -> dict:
+    state_code, state_upper, state_title = rng.choice(_STATES)
+    holder = rng.choice(["C", "C", "C", "P", "F", "L", "T", "H"])
+    pan = _make_pan(rng, holder)
+    if holder == "P":
+        name = f"{rng.choice(_PERSON_FIRST)} KUMAR {rng.choice(_PERSON_LAST)}"
+    else:
+        name = f"{rng.choice(_NAME_WORDS)} {rng.choice(_NAME_WORDS)} PRIVATE LIMITED"
+    day, month, year = rng.randrange(1, 29), rng.randrange(1, 13), rng.randrange(1995, 2024)
+    return {
+        "eid": eid,
+        "holder": holder,
+        "pan": pan,
+        "gstin": _make_gstin(rng, pan, state_code),
+        "udyam": f"UDYAM-{state_upper[:2]}-{rng.randrange(100):02d}-{rng.randrange(10**7):07d}",
+        "name": name,
+        "state_upper": state_upper,
+        "state_title": state_title,
+        "city": rng.choice(_CITIES),
+        "pin": f"{rng.randrange(360001, 396001)}",
+        "inc_date": f"{day:02d}/{month:02d}/{year}",
+        "constitution": rng.choice(_CONSTITUTIONS),
+        "mobile": f"{rng.randrange(6, 10)}{rng.randrange(10**9):09d}",
+        "email": f"contact{eid}@example.com",
+    }
+
+
+# ---------------------------------------------------------------------------
+# Doctype body generators — each returns the main-content LINES.
+# ---------------------------------------------------------------------------
+
+def pan_body(rng: random.Random, e: dict, variant: int) -> list:
+    lines = [
+        "INCOME TAX DEPARTMENT GOVT. OF INDIA",
+        "PERMANENT ACCOUNT NUMBER CARD",
+    ]
+    if e["holder"] == "P" and variant % 3 == 2:
+        # name BEFORE the PAN token — exercises the reverse-scan fallback
+        # (`pan_card.py:73-84`).
+        lines += [e["name"], e["pan"]]
+    else:
+        lines += [e["pan"], e["name"]]
+    lines += [
+        "DATE OF INCORPORATION" if e["holder"] != "P" else "DATE OF BIRTH",
+        e["inc_date"],
+    ]
+    if variant % 4 == 3:
+        lines.append("SIGNATURE NOT VERIFIED")
+    return lines
+
+
+def gst_body(rng: random.Random, e: dict, variant: int, n_extra_places: int) -> list:
+    lines = [
+        "Form GST REG-06",
+        "Registration Certificate",
+        f"Registration Number : {e['gstin']}",
+        "1.",
+        "Legal Name",
+        e["name"].title() if variant % 5 == 4 else e["name"],
+        "2.",
+        "Trade Name",
+        f"{e['name'].split()[0]} TRADERS",
+        "3.",
+        "Constitution of Business",
+        e["constitution"],
+        "4.",
+        "Address of Principal Place of",
+        "Business",
+        f"Building No./Flat No.: B-{rng.randrange(1, 99)}",
+        f"Name of Premises/Building: {rng.choice(_NAME_WORDS).title()} Tower",
+        f"Road/Street: {rng.choice(_NAME_WORDS).title()} Road",
+        f"City/Town/Village: {e['city'].title()}",
+        f"District: {e['city'].title()}",
+        f"State: {e['state_title']}",
+        f"PIN Code: {e['pin']}",
+        "5.",
+        "Date of Liability",
+        "01/07/2017",
+        f"Total Number of Additional Places of Business in the State: {n_extra_places}",
+        "9.",
+        f"{e['state_title']} Goods and Services Tax Act, 2017",
+    ]
+    if n_extra_places > 0:
+        lines += ["Annexure A", "Details of Additional Places of Business"]
+        for k in range(n_extra_places):
+            lines += [
+                f"{k + 1}",
+                f"Plot No {rng.randrange(1, 500)}, {rng.choice(_NAME_WORDS).title()} Road,",
+                f"{e['city'].title()}, {e['state_title']}, {e['pin']}",
+            ]
+    return lines
+
+
+def udyam_body(rng: random.Random, e: dict, variant: int) -> list:
+    ifsc = "".join(rng.choice(_UPPER) for _ in range(4)) + "0" + f"{rng.randrange(10**6):06d}"
+    acct = f"{rng.randrange(10**11, 10**12)}"
+    year0 = 2020 + variant % 3
+    commence = e["inc_date"] if variant % 4 == 0 else f"01/0{1 + variant % 9}/{year0}"
+    lines = [
+        "UDYAM REGISTRATION CERTIFICATE",
+        f"UDYAM REGISTRATION NUMBER {e['udyam']}",
+        f"NAME OF ENTERPRISE : {e['name']}",
+        f"PAN {e['pan']}",
+        "ENTERPRISE TYPE CLASSIFICATION",
+        f"1 {year0}-{(year0 + 1) % 100:02d} MICRO 15/07/{year0}",
+        f"2 {year0 + 1}-{(year0 + 2) % 100:02d} SMALL 20/07/{year0 + 1}",
+        "EMPLOYMENT DETAILS MALE FEMALE OTHER TOTAL "
+        f"{rng.randrange(5, 50)} {rng.randrange(1, 30)} {rng.randrange(0, 3)} {rng.randrange(10, 80)}",
+        "UNIT(S) DETAILS",
+        f"1 M/S {e['name'].split(' PRIVATE')[0]} FLAT : {rng.randrange(1, 99)} "
+        f"{rng.choice(_NAME_WORDS)} HOUSE {rng.choice(_CITIES)} {rng.choice(_NAME_WORDS)} "
+        f"{rng.choice(_NAME_WORDS)} ROAD {e['pin']} {e['state_upper']} {e['city']}",
+        "OFFICIAL ADDRESS OF ENTERPRISE",
+        f"FLAT/DOOR/BLOCK NO. {rng.randrange(1, 99)}-A "
+        f"NAME OF PREMISES/BUILDING {rng.choice(_NAME_WORDS)} HOUSE "
+        f"VILLAGE/TOWN {e['city']} BLOCK {rng.choice(_NAME_WORDS)} "
+        f"ROAD/STREET/LANE {rng.choice(_NAME_WORDS)} ROAD CITY {e['city']} "
+        f"STATE {e['state_upper']} DISTRICT {e['city']} , PIN : {e['pin']}",
+        f"MOBILE {e['mobile']} EMAIL : {e['email'].upper()}",
+        f"DATE OF INCORPORATION {e['inc_date']}",
+        f"DATE OF COMMENCEMENT {commence}",
+        "BANK DETAILS BANK NAME IFS CODE BANK ACCOUNT NUMBER "
+        f"{rng.choice(_NAME_WORDS)} BANK {ifsc} {acct}",
+        "NATIONAL INDUSTRY CLASSIFICATION CODE(S)",
+        "1 23 - MANUFACTURE OF OTHER NON-METALLIC PRODUCTS "
+        "2393 - MANUFACTURE OF CERAMIC PRODUCTS "
+        "23931 - MANUFACTURE OF CERAMIC ARTICLES MANUFACTURING",
+    ]
+    return lines
+
+
+def unsupported_body(rng: random.Random) -> list:
+    """No-extractor doctype (Aadhaar/GPCB analogue)."""
+    return [
+        "CONSENT ORDER UNDER THE WATER ACT",
+        " ".join(rng.choice(_FILLER_WORDS) for _ in range(18)),
+        " ".join(rng.choice(_FILLER_WORDS) for _ in range(18)),
+        f"Order number {rng.randrange(10**6)} issued for record keeping purposes",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# HTML wrapping — boilerplate chrome around a main-content block.
+# ---------------------------------------------------------------------------
+
+def wrap_html(rng: random.Random, title: str, body_lines: list) -> str:
+    nav = " ".join(f'<a href="/{w.lower().replace(" ", "-")}">{w}</a>'
+                   for w in rng.sample(_BOILER_LINKS, 6))
+    related = " ".join(f'<a href="/doc/{rng.randrange(10**6)}">Document {i}</a>'
+                       for i in range(1, 7))
+    main = "<br>\n".join(body_lines)
+    footer = " ".join(f'<a href="/{w.lower()}">{w}</a>' for w in rng.sample(_BOILER_LINKS, 4))
+    return (
+        "<html><head><title>" + title + "</title>"
+        "<script>var t=1;</script><style>body{margin:0}</style></head>\n"
+        "<body>\n"
+        f"<nav>{nav}</nav>\n"
+        f'<header><div class="brand">Portal</div></header>\n'
+        f'<div class="sidebar">{related}</div>\n'
+        "<div class=\"short\">Ad</div>\n"
+        f'<article class="main-content">\n{main}\n</article>\n'
+        f"<footer>{footer} &copy; 2025</footer>\n"
+        "</body></html>"
+    )
+
+
+def junk_payload(rng: random.Random) -> bytes:
+    """Low-alpha payload that fails the usability gate (F1)."""
+    digits = " ".join(str(rng.randrange(10**6)) for _ in range(30))
+    return f"<html><body><div class='main'>{digits}</div></body></html>".encode()
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly
+# ---------------------------------------------------------------------------
+
+def generate_rows(n_rows: int, seed: int = DEFAULT_SEED) -> list:
+    """Deterministic list of row dicts (url, warc_ts, html, text, lang)."""
+    rng = random.Random(seed)
+    hosts, weights = _zipf_hosts(rng)
+    base_ts = _dt.datetime(2025, 1, 1)
+
+    # Entity pool: ~1 entity per 3 rows; ~5% duplicate-PAN pairs.
+    n_entities = max(4, n_rows // 3)
+    entities = [_make_entity(rng, i) for i in range(n_entities)]
+    for i in range(0, n_entities // 20 or 1):
+        # duplicate-id rows: same PAN, conflicting name (FIXTURES.md §1).
+        a, b = rng.randrange(n_entities), rng.randrange(n_entities)
+        if a != b:
+            entities[b]["pan"] = entities[a]["pan"]
+
+    rows = []
+    for i in range(n_rows):
+        host = rng.choices(hosts, weights=weights, k=1)[0]
+        e = entities[i % n_entities]
+        variant = i
+        roll = rng.random()
+        lang = rng.choice(_LANGS)
+        ts = base_ts + _dt.timedelta(seconds=rng.randrange(365 * 24 * 3600))
+
+        if roll < 0.01:  # corrupt/empty poison rows
+            payload = b"" if rng.random() < 0.5 else b"\x00\xff\xfe<not html"
+            body_text = ""
+            kind = "corrupt"
+        elif roll < 0.03:  # junk/low-alpha
+            payload = junk_payload(rng)
+            body_text = ""
+            kind = "junk"
+        else:
+            r2 = rng.random()
+            if r2 < 0.28:
+                body, kind = pan_body(rng, e, variant), "pan"
+            elif r2 < 0.56:
+                n_extra = rng.choice([0, 0, 1, 2, 3])
+                # Entity-linkage conflicts: ~15% of GST docs carry a
+                # mismatching name, ~10% a conflicting PIN (rule FAIL cases).
+                e_gst = dict(e)
+                cr = rng.random()
+                if cr < 0.15:
+                    e_gst["name"] = f"{rng.choice(_NAME_WORDS)} MISMATCH PRIVATE LIMITED"
+                elif cr < 0.25:
+                    e_gst["pin"] = f"{rng.randrange(500001, 560001)}"
+                body, kind = gst_body(rng, e_gst, variant, n_extra), "gst"
+            elif r2 < 0.80:
+                body, kind = udyam_body(rng, e, variant), "udyam"
+            else:
+                body, kind = unsupported_body(rng), "other"
+
+            if rng.random() < 0.15:  # embedded-PDF fallback leg
+                junk_page = "| 123 456 789 000 111 |"  # fails per-page gate
+                pages = [junk_page, "\n".join(body)]
+                payload = make_synthetic_pdf(pages)
+                body_text = " ".join(["\n".join(body)])
+            else:
+                payload = wrap_html(rng, f"Document {i}", body).encode("utf-8")
+                body_text = "\n".join(body)
+
+        rows.append({
+            "url": f"https://{host}/{kind}/{i:08d}",
+            "warc_ts": ts,
+            "html": payload,
+            "text": body_text if rng.random() < 0.5 else "",
+            "lang": lang,
+        })
+    return rows
+
+
+def generate_corpus(n_rows: int, seed: int = DEFAULT_SEED):
+    """Corpus as a pandas DataFrame (parquet-ready)."""
+    import pandas as pd
+
+    return pd.DataFrame(generate_rows(n_rows, seed))
+
+
+def write_corpus(path: str, n_rows: int, seed: int = DEFAULT_SEED) -> str:
+    """Write the corpus to parquet at ``path`` and return the path."""
+    df = generate_corpus(n_rows, seed)
+    # Spark rejects TIMESTAMP(NANOS); coerce to microseconds on write.
+    df.to_parquet(path, index=False, coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
+    return path

@@ -1,0 +1,187 @@
+"""Main-content extraction from raw HTML (the graft's analogue of the
+reference's PDF text scan, operator S1 in SURVEY.md §2.1).
+
+The reference reads document text with PyMuPDF and gates it for usability
+(`/root/reference/project/core/pdf_text.py:4-16`,
+`core/extractor.py:34-48`). For Common-Crawl-style pages the equivalent
+problem is boilerplate stripping: separate the main content from nav/header/
+footer chrome. We use the classic text-density + link-density block scoring
+of Readability/Boilerpipe (public heuristics), implemented from scratch on
+the stdlib ``html.parser`` so it is pure Python and byte-deterministic.
+
+Algorithm
+---------
+1. Stream-parse the HTML into a flat list of *blocks*: a block is the text
+   accumulated between block-level tag boundaries (``p div section article
+   li td h1..h6 pre blockquote table ul ol`` …). ``<br>`` starts a new line
+   inside the current block. ``script/style/noscript/template/svg/head``
+   content is dropped entirely.
+2. Per block, track: total text chars, chars that occur inside ``<a>``
+   (anchor text), and whether the block sits inside a boilerplate container
+   (``nav header footer aside form``).
+3. Score: a block is *content* iff
+     - it is not inside a boilerplate container, and
+     - its stripped text has >= MIN_BLOCK_CHARS characters, and
+     - its link density (anchor chars / total chars) <= MAX_LINK_DENSITY.
+4. The extracted text is the kept blocks' lines joined with ``"\\n"``; each
+   line has runs of whitespace collapsed to single spaces and is stripped.
+
+All thresholds are module constants so the Spark pipeline and this oracle
+can never disagree. The function is total: any bytes/str input returns a
+(possibly empty) string — parse errors yield the text salvaged so far
+(exception isolation per SURVEY.md §4 "rule error ⇒ SKIPPED").
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+MIN_BLOCK_CHARS = 25
+MAX_LINK_DENSITY = 0.33
+
+# Tags whose open OR close flushes the current block.
+BLOCK_TAGS = frozenset(
+    """p div section article main li td th h1 h2 h3 h4 h5 h6 pre blockquote
+       table tr ul ol dl dt dd figure figcaption fieldset address hr
+       body html""".split()
+)
+# Content inside these containers is boilerplate chrome.
+BOILERPLATE_CONTAINERS = frozenset("nav header footer aside form".split())
+# Content inside these is dropped entirely.
+DROP_TAGS = frozenset("script style noscript template svg head title".split())
+
+_WS_CHARS = " \t\r\n\f\v"
+
+
+def _collapse_ws(s: str) -> str:
+    return " ".join(s.split())
+
+
+class _BlockParser(HTMLParser):
+    """Accumulates (lines, n_chars, link_chars, boilerplate) block records."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[dict] = []
+        self._lines: list[str] = []
+        self._buf: list[str] = []
+        self._chars = 0
+        self._link_chars = 0
+        self._drop_depth = 0
+        self._anchor_depth = 0
+        self._boiler_depth = 0
+
+    # -- block lifecycle ---------------------------------------------------
+    def _end_line(self) -> None:
+        line = _collapse_ws("".join(self._buf))
+        self._buf = []
+        if line:
+            self._lines.append(line)
+
+    def _flush_block(self) -> None:
+        self._end_line()
+        if self._lines:
+            text = "\n".join(self._lines)
+            self.blocks.append(
+                {
+                    "text": text,
+                    "n_chars": self._chars,
+                    "link_chars": self._link_chars,
+                    "boilerplate": self._boiler_depth > 0,
+                }
+            )
+        self._lines = []
+        self._chars = 0
+        self._link_chars = 0
+
+    # -- parser callbacks ----------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if tag == "br":
+            self._end_line()
+            return
+        if tag in BLOCK_TAGS or tag in BOILERPLATE_CONTAINERS:
+            self._flush_block()
+        if tag in BOILERPLATE_CONTAINERS:
+            self._boiler_depth += 1
+        if tag == "a":
+            self._anchor_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if tag in BLOCK_TAGS or tag in BOILERPLATE_CONTAINERS:
+            self._flush_block()
+        if tag in BOILERPLATE_CONTAINERS:
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+        if tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag == "br":
+            self._end_line()
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth:
+            return
+        self._buf.append(data)
+        n = len(data.strip(_WS_CHARS))
+        self._chars += n
+        if self._anchor_depth:
+            self._link_chars += n
+
+
+def segment_blocks(html: str) -> list[dict]:
+    """Parse HTML into scored block records (step 1-2 above)."""
+    parser = _BlockParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass  # salvage whatever was parsed; poison input costs one row
+    parser._flush_block()
+    return parser.blocks
+
+
+def block_is_content(block: dict) -> bool:
+    """Text-density + link-density keep rule (step 3 above)."""
+    if block["boilerplate"]:
+        return False
+    text = block["text"].strip()
+    if len(text) < MIN_BLOCK_CHARS:
+        return False
+    n = block["n_chars"]
+    if n <= 0:
+        return False
+    return (block["link_chars"] / n) <= MAX_LINK_DENSITY
+
+
+def extract_main_text(html: str | bytes | None) -> str:
+    """HTML -> main-content plain text (golden surface; byte-identity target).
+
+    Accepts bytes (decoded utf-8, errors replaced) or str. Returns the kept
+    blocks joined with newlines; empty string for unusable input.
+    """
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    if not html:
+        return ""
+    blocks = segment_blocks(html)
+    kept = [b["text"] for b in blocks if block_is_content(b)]
+    return "\n".join(kept)
+
+
+def block_stats(html: str | bytes | None) -> tuple[int, int]:
+    """(blocks_kept, blocks_dropped) — extraction-metric counters (G5)."""
+    if html is None:
+        return (0, 0)
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    blocks = segment_blocks(html)
+    kept = sum(1 for b in blocks if block_is_content(b))
+    return kept, len(blocks) - kept
