@@ -41,6 +41,7 @@ EXTRACTION_SCHEMA = StructType([
     StructField("document_type", StringType(), False),
     StructField("extracted_text", StringType(), False),
     StructField("fields_json", StringType(), False),
+    StructField("tables_json", StringType(), False),
     StructField("missing_fields", ArrayType(StringType(), False), False),
     StructField("entity_pan", StringType(), False),
     StructField("entity_gstin", StringType(), False),

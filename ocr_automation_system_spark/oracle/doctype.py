@@ -109,6 +109,7 @@ def empty_record(url: str, status: str, error: str = "") -> dict:
         "document_type": "UNKNOWN",
         "extracted_text": "",
         "fields_json": "{}",
+        "tables_json": "{}",
         "missing_fields": [],
         "entity_pan": "",
         "entity_gstin": "",
@@ -167,6 +168,7 @@ def extract_document(url: str, payload: bytes | None) -> dict:
             "document_type": doc_type,
             "extracted_text": text,
             "fields_json": canonical_json(fields),
+            "tables_json": canonical_json(result.get("tables", {})),
             "missing_fields": list(result.get("missing_fields", [])),
             "entity_pan": keys["pan"],
             "entity_gstin": keys["gstin"],

@@ -1,0 +1,182 @@
+"""Validation-stage tests: adapters (A1-A8), rules (R1-R12), report (G1-G3),
+duplicate-id and checksum checks, over the synthetic corpus."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_automation_system_spark.operators.adapters import (
+    adapt_gst, adapt_pan, adapt_udyam, build_entities,
+    checksum_consistency_check, duplicate_id_check,
+)
+from ocr_automation_system_spark.operators.extract import extract_documents
+from ocr_automation_system_spark.operators.report import entity_info, entity_report
+from ocr_automation_system_spark.operators.rules import run_rules
+
+
+@pytest.fixture(scope="module")
+def results(spark, corpus_path):
+    df = extract_documents(spark.read.parquet(corpus_path))
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def entities(results):
+    df = build_entities(results)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def validation(entities):
+    df = run_rules(entities, as_of="2026-01-01")
+    df.cache().count()
+    return df
+
+
+class TestAdapters:
+    def test_pan_adapter_normalizes(self, results):
+        rows = adapt_pan(results).collect()
+        assert len(rows) > 10
+        for r in rows:
+            assert r.pan == r.pan.upper()
+            # A1 canonicalization: no punctuation, no M/S prefix
+            assert "/" not in r.legal_name
+            assert not r.legal_name.startswith("M/S")
+
+    def test_gst_pan_derivation(self, results):
+        for r in adapt_gst(results).collect():
+            if len(r.gst_number) == 15:
+                assert r.pan == r.gst_number[2:12].upper()
+
+    def test_udyam_enterprise_type_top1_by_year(self, results):
+        rows = adapt_udyam(results).collect()
+        assert len(rows) > 10
+        # corpus always writes MICRO (year N) then SMALL (year N+1):
+        # latest-year-wins must choose SMALL (O1, `udyam_adapter.py:85-99`)
+        typed = [r.enterprise_type for r in rows if r.enterprise_type]
+        assert typed and all(t == "SMALL" for t in typed)
+
+    def test_udyam_factories_nested(self, results):
+        rows = adapt_udyam(results).collect()
+        with_units = [r for r in rows if r.factory_addresses]
+        assert with_units
+        fac = with_units[0].factory_addresses[0]
+        assert fac.pin.isdigit() and len(fac.pin) == 6
+        assert fac.unit_name.startswith("M/S")
+
+    def test_entity_join_full_outer(self, results, entities):
+        # every PAN key from any doctype must appear exactly once
+        keys = [r.entity_key for r in entities.select("entity_key").collect()]
+        assert len(keys) == len(set(keys))
+        n_any = (
+            results.filter(F.col("entity_pan") != "")
+            .select("entity_pan").distinct().count()
+        )
+        assert len(keys) == n_any
+
+
+class TestRules:
+    ALL_RULES = {
+        "NAME_MATCH_PAN_GST", "NAME_MATCH_PAN_UDYAM", "NAME_MATCH_GST_UDYAM",
+        "PAN_MATCH_GST", "PAN_MATCH_UDYAM", "ADDR_GST_PRINCIPAL_UDYAM_OFFICE",
+        "PIN_MATCH_GST_UDYAM", "ADDR_GST_ADDITIONAL_UDYAM_FACTORY",
+        "CONSTITUTION_GST_UDYAM", "INCORPORATION_DATE_PAN_UDYAM",
+        "ENTITY_AGE_CHECK", "INCORPORATION_VS_COMMENCEMENT",
+    }
+
+    def test_twelve_rules_per_entity(self, entities, validation):
+        n_entities = entities.count()
+        assert validation.count() == 12 * n_entities
+        got = {r.rule_id for r in validation.select("rule_id").distinct().collect()}
+        assert got == self.ALL_RULES
+
+    def test_all_statuses_exercised(self, validation):
+        statuses = {r.status for r in validation.select("status").distinct().collect()}
+        assert statuses == {"PASS", "FAIL", "WARNING", "SKIPPED"}
+
+    def test_pan_match_gst_passes_for_linked_entities(self, validation):
+        # GSTIN embeds the PAN by construction, so R4 never FAILs
+        r4 = validation.filter(F.col("rule_id") == "PAN_MATCH_GST")
+        assert r4.filter(F.col("status") == "FAIL").count() == 0
+        assert r4.filter(F.col("status") == "PASS").count() > 0
+
+    def test_name_mismatch_entities_fail(self, validation):
+        # corpus injects ~15% GST name mismatches
+        r1 = validation.filter(F.col("rule_id") == "NAME_MATCH_PAN_GST")
+        assert r1.filter(F.col("status") == "FAIL").count() > 0
+
+    def test_pin_conflicts_fail(self, validation):
+        r7 = validation.filter(F.col("rule_id") == "PIN_MATCH_GST_UDYAM")
+        counts = {r.status: r.n for r in
+                  r7.groupBy("status").agg(F.count("*").alias("n")).collect()}
+        assert counts.get("PASS", 0) > 0
+        assert counts.get("FAIL", 0) > 0  # injected PIN conflicts
+
+    def test_missing_docs_skip_not_fail(self, entities):
+        # entity with only a PAN doc: every GST/UDYAM rule must SKIP
+        only_pan = entities.filter(
+            F.col("gst_doc").isNull() & F.col("udyam_doc").isNull()
+            & F.col("pan_doc").isNotNull()
+        )
+        if only_pan.count() == 0:
+            pytest.skip("corpus has no PAN-only entity this seed")
+        res = run_rules(only_pan)
+        non_skipped = res.filter(F.col("status") != "SKIPPED")
+        assert non_skipped.count() == 0
+
+    def test_entity_age_deterministic_as_of(self, entities):
+        a = run_rules(entities, as_of="2026-01-01").filter(F.col("rule_id") == "ENTITY_AGE_CHECK")
+        b = run_rules(entities, as_of="2026-01-01").filter(F.col("rule_id") == "ENTITY_AGE_CHECK")
+        assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+    def test_commencement_warning_when_equal(self, validation):
+        r12 = validation.filter(F.col("rule_id") == "INCORPORATION_VS_COMMENCEMENT")
+        assert r12.filter(F.col("status") == "WARNING").count() > 0
+
+    def test_disabled_rules_filter(self, entities):
+        res = run_rules(entities, disabled_rules={"ENTITY_AGE_CHECK"})
+        assert res.filter(F.col("rule_id") == "ENTITY_AGE_CHECK").count() == 0
+
+    def test_severity_filter(self, entities):
+        res = run_rules(entities, severity_filter="CRITICAL")
+        sevs = {r.severity for r in res.select("severity").distinct().collect()}
+        assert sevs == {"CRITICAL"}
+
+
+class TestReport:
+    def test_summary_counts_add_up(self, validation):
+        rep = entity_report(validation).collect()
+        for r in rep:
+            assert r.passed + r.failed + r.warnings + r.skipped == r.total_rules
+            assert r.total_rules == 12
+
+    def test_overall_status_cascade(self, validation):
+        rep = entity_report(validation)
+        crit = rep.filter(F.col("critical_failures") > 0)
+        assert all(r.overall_status == "FAILED (Critical issues found)"
+                   for r in crit.collect())
+        clean = rep.filter((F.col("failed") == 0) & (F.col("warnings") == 0))
+        assert all(r.overall_status == "PASSED" for r in clean.collect())
+
+    def test_entity_info_coalesce(self, entities):
+        info = entity_info(entities).collect()
+        assert all(r.name for r in info)
+        assert any(r.gst_number != "N/A" for r in info)
+
+
+class TestCrossDocChecks:
+    def test_duplicate_id_conflicts_found(self, results):
+        dup = duplicate_id_check(results)
+        # corpus plants duplicate-PAN entities with conflicting names
+        assert dup.filter(F.col("is_conflict")).count() > 0
+
+    def test_checksum_join(self, results):
+        chk = checksum_consistency_check(results)
+        rows = chk.collect()
+        assert rows
+        for r in rows:
+            assert r.derived_pan == r.gstin[2:12]
+        # both outcomes of the derived-key join must be exercised
+        matched = sum(r.pan_doc_exists for r in rows)
+        assert 0 < matched < len(rows)
