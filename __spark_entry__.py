@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator (SURVEY.md §2 + the
+corpus-curation extensions) as (spark, sf_dir) -> DataFrame callables;
+``oracle_sql()`` gives the DuckDB-runnable ANSI-SQL twin for each
+SQL-expressible one. The implementations live in
+``ocr_automation_system_spark/queries.py``; this file is the thin contract
+shim so the package stays importable on executors via --py-files.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ocr_automation_system_spark.queries import REGISTRY  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the corpus-curation document profile over sf0.001 —
+    usability gate + language ID + quality scoring + token counting +
+    dedup fingerprint in one narrow whole-stage-codegen pass."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions import text as T
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.is_text_usable(txt).alias("usable"),
+        T.lang_id(txt).alias("lang_pred"),
+        F.round(T.quality_score(txt), 2).alias("quality"),
+        T.ws_token_count(txt).alias("ws_tokens"),
+        T.bpe_token_count(txt).alias("bpe_tokens"),
+        T.content_hash(txt).alias("content_hash"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator (SURVEY.md §2 checklist)."""
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins; pipeline/multimodal queries (binary-payload semantics)
+    are intentionally absent -> rows-only checks."""
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,84 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and the extraction
+pipeline over the deterministic synthetic html corpus, then prints::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall seconds across headline queries; ``queries`` holds
+per-query seconds plus ``extraction_docs_per_sec`` (the north-rule
+throughput figure). Run ``scripts/scaling_bench.py`` for the two-level
+(local[8] vs local[32]) scaling-efficiency protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ocr_automation_system_spark.queries import REGISTRY, corpus_for  # noqa: E402
+from ocr_automation_system_spark.operators.extract import extract_documents  # noqa: E402
+from ocr_automation_system_spark.session import build_session  # noqa: E402
+
+#: Headline queries: one per operator family, the shuffle-heavy ones included.
+HEADLINE = (
+    "usability_gate", "field_extract_chain", "quality_scores", "lang_id",
+    "dedup_exact_groups", "minhash_lsh_pairs", "simhash_near_pairs",
+    "embedding_topk", "embedding_lsh_topk", "embedding_near_dup_pairs",
+    "entity_join_shape", "report_summary", "duplicate_id_groups",
+    "checksum_existence_join", "topk_per_group",
+    "window_agg_events", "sessionize_events",
+    "pipeline_validation", "pipeline_entity_reports",
+)
+
+
+def _count(df) -> int:
+    # count() forces full execution of every operator in the plan without
+    # collecting payloads to the driver.
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn, _sql = REGISTRY[name]
+        t0 = time.perf_counter()
+        _count(fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # North-rule throughput: docs/sec through the full extraction operator
+    # (two-pass html+pdf legs, mapInPandas), measured on a warmed JVM.
+    corpus = corpus_for(spark, sf_dir)
+    n_docs = corpus.count()
+    _count(extract_documents(corpus))  # warm Python workers
+    t0 = time.perf_counter()
+    _count(extract_documents(corpus))
+    ext_s = time.perf_counter() - t0
+    timings["extraction_sec"] = round(ext_s, 3)
+    timings["extraction_docs_per_sec"] = round(n_docs / ext_s, 1)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Deduplication operators for corpus curation.
+
+Four tiers, cheapest first — the standard web-corpus dedup ladder:
+
+1. **Exact** — md5 groupBy (one shuffle on the hash key; map-side partial
+   agg; uniform keys so no skew).
+2. **MinHash + LSH** — shingle -> banded min-hash -> band-bucket self-join.
+   Candidate generation never goes quadratic: the join key is
+   ``(band_index, band_signature)`` so only same-bucket docs meet, and the
+   bucket cardinality is bounded by the corpus's true near-dup structure.
+3. **SimHash** — 32-bit signatures; Hamming-adjacent buckets via 4x8-bit
+   block keys (two signatures within Hamming distance 3 share at least one
+   of 4 blocks — pigeonhole), then exact Hamming check on candidates.
+4. **Exact-verify** — n-gram Jaccard on LSH candidates only.
+
+At 10^12 rows every stage is a hash-partitioned shuffle on a derived key;
+AQE coalesces the (mostly tiny) buckets. Nothing here touches Python —
+whole-stage codegen end to end (see `functions/text.py` for the column
+builders shared with the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import (
+    MINHASH_P, content_hash, minhash_value, shingle_hashes, shingles,
+    simhash32,
+)
+from .util import ensure_parallelism
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact-dup groups: (content_hash, n_docs, keep_doc_id=min id, doc_ids).
+
+    The canonical keep-one-per-group primitive: a single groupBy shuffle.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"), content_hash(F.col(text_col)).alias("content_hash")
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.array_join(F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ",")
+             .alias("doc_ids"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of every exact-dup group (min_by —
+    no window needed, one aggregation)."""
+    h = df.withColumn("_h", content_hash(F.col(text_col)))
+    keep = h.groupBy("_h").agg(F.min(F.col(id_col)).alias(id_col)).drop("_h")
+    return df.join(keep, id_col, "left_semi")
+
+
+_EMPTY_BAND_SIG = f"{MINHASH_P}|{MINHASH_P}"
+
+
+def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """(doc_id, band, sig) — the LSH index table, banding ``rows_per_band``
+    min-hashes per band (b=4, r=2 default: P[candidate] = 1-(1-j^2)^4, so
+    weakly-similar pairs don't flood the band join the way r=1 banding
+    does). Docs with < n tokens carry the sentinel signature and are
+    dropped from candidate generation.
+
+    Three-step projection on purpose: the base-hash array (one md5 per
+    shingle) is materialized in its own Project, so the n_hashes min-hash
+    expressions referencing it don't each re-run tokenize->shingle->md5
+    (CollapseProject refuses to inline a non-cheap expression referenced
+    more than once)."""
+    n_hashes = bands * rows_per_band
+    df = ensure_parallelism(df)
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(shingles(F.col(text_col), n)).alias("hs"),
+    )
+    sigs = hashed.select(
+        "doc_id",
+        *[minhash_value(F.col("hs"), i).alias(f"m{i}") for i in range(n_hashes)],
+    )
+    band_strs = [
+        F.concat_ws("|", *[
+            F.col(f"m{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ])
+        for b in range(bands)
+    ]
+    return (
+        sigs.select("doc_id", F.posexplode(F.array(*band_strs)).alias("band", "sig"))
+        .filter(F.col("sig") != _EMPTY_BAND_SIG)
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing >= 1 minhash band.
+
+    Self-equi-join on (band, sig): the only shuffle is hash-partitioned on
+    the band signature — never a cross join. A pathological bucket (giant
+    cluster of identical docs) is exactly the AQE skew-join case; at corpus
+    scale add a bucket-size cap filter before the join if needed.
+    """
+    bt = minhash_bands(df, id_col, text_col, n, bands, rows_per_band)
+    a, b = bt.alias("a"), bt.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3, bands: int = 4,
+                        rows_per_band: int = 2,
+                        threshold: float = 0.0) -> DataFrame:
+    """LSH candidates verified with exact n-gram Jaccard.
+
+    Join the (small) candidate-pair set back to the shingle table twice —
+    both joins are on doc ids (uniform), the Jaccard itself is an array
+    intersection per row. Returns (doc_a, doc_b, jaccard)."""
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+    pairs = lsh_candidate_pairs(df, id_col, text_col, n, bands, rows_per_band)
+    j = (
+        pairs
+        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.size(F.array_intersect("sh_a", "sh_b"))
+             / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard"),
+        )
+    )
+    if threshold > 0.0:
+        j = j.filter(F.col("jaccard") >= threshold)
+    return j
+
+
+def simhash_table(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) 32-bit signatures. Two-step projection: the vote
+    fold lands in its own Project (non-cheap, referenced 32x downstream)
+    so CollapseProject materializes it once per row."""
+    from .text import simhash_from_votes, simhash_votes
+
+    votes = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), simhash_votes(F.col(text_col)).alias("v"))
+    return votes.select("doc_id", simhash_from_votes(F.col("v")).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash within ``max_hamming`` bits.
+
+    Pigeonhole blocking: split the 32-bit signature into 4 bytes; any two
+    signatures within Hamming distance 3 agree on >= 1 full byte, so the
+    self-join key is (block_index, block_value) — linear-ish candidate
+    generation, then an exact popcount filter via bit ops."""
+    st = simhash_table(df, id_col, text_col)
+    blocks = st.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), 8 * k).bitwiseAND(F.lit(255))
+            for k in range(4)
+        ])).alias("block", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, ["block", "block_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("a.simhash").alias("sim_a"),
+                F.col("b.doc_id").alias("doc_b"), F.col("b.simhash").alias("sim_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

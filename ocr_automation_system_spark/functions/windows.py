@@ -1,0 +1,61 @@
+"""Windowed / sessionized aggregation over the ``events`` table.
+
+The reference has no streaming surface (SURVEY.md §2.10); these are the
+batch windowed-aggregation shapes whose Structured-Streaming twins live in
+``streaming/``. Kept oracle-checkable: tumbling windows are
+``date_trunc``-keyed groupBys, sessionization is the classic
+gap-and-cumsum window-function idiom (one shuffle on user_id)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def tumbling_window_agg(events: DataFrame, every: str = "day") -> DataFrame:
+    """Per (window_start, event_type): count + rounded sum(value)."""
+    return (
+        events.groupBy(
+            F.date_trunc(every, "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # Exact decimal summation -> double: deterministic under any
+            # partitioning/combine order (plain double sums are not).
+            F.sum(F.col("value").cast("decimal(20,8)")).cast("double").alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session windows per user: a new session starts when the gap from the
+    previous event exceeds ``gap_minutes``. Returns one row per session:
+    (user_id, session_id, n_events, session_start, session_end).
+
+    Plan: one shuffle on user_id; both window functions reuse the same
+    partitioning (no second exchange)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; hop through LTZ.
+    # Session TZ is pinned to UTC (session.py) so NTZ->LTZ is the identity,
+    # matching DuckDB's epoch() on naive timestamps.
+    secs = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess = (
+        events
+        .withColumn("_new", is_new)
+        .withColumn("session_id", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(20,8)")).cast("double").alias("session_value"),
+        )
+    )

@@ -84,7 +84,12 @@ def extract_documents(documents: DataFrame, two_pass: bool = True) -> DataFrame:
     narrow maps over the same scan (Catalyst reuses the scan via DSv2 or
     re-reads with the pushed filter — either way no shuffle).
     """
-    source = documents.select("url", "html")
+    from ..functions.util import ensure_parallelism
+
+    # Split-starved local inputs (one parquet row group) would pin the whole
+    # mapInPandas pass to one core; at production scale the Iceberg scan has
+    # >> cores splits and this is a no-op.
+    source = ensure_parallelism(documents.select("url", "html"))
     if not two_pass:
         return source.mapInPandas(_extract_batches, schema=EXTRACTION_SCHEMA)
 

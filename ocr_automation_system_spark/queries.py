@@ -1,0 +1,853 @@
+"""Query registry: every operator exposed through ``__spark_entry__``.
+
+Each entry pairs a Spark DataFrame implementation (built on ``functions/``
+and ``operators/``) with the equivalent ANSI SQL the DuckDB oracle runs on
+the same parquet tables. Column names and numeric types are aligned on both
+sides because the driver's comparator hashes values after sorting columns
+by name.
+
+Determinism rules applied throughout (SURVEY.md §7):
+
+* double sums go through exact ``decimal(20,8)`` accumulation, then cast to
+  double — identical results under any partitioning/combine order;
+* every hash is ``md5`` hex (byte-identical string in Spark and DuckDB);
+* min-hashes use the *lexicographic* min of md5 digests (md5 is uniform, so
+  string-min is a valid min-hash and needs no int conversion);
+* ties in top-k break on the id column;
+* regex patterns restrict to syntax with identical semantics in Java regex
+  (Spark) and RE2 (DuckDB): character classes, alternation, bounded counts
+  — no backrefs, no lookaround, no ``\\p{L}``.
+
+Queries whose semantics are not SQL-expressible (the full extraction
+pipeline over the binary html corpus, multimodal plumbing) are registered
+without oracle SQL — the driver records rows-only checks for those, and
+their byte-level correctness is covered by ``tests/test_pipeline_byte_identity.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import dedup as D
+from .functions import similarity as S
+from .functions import text as T
+from .functions import windows as W
+from .functions.multimodal import extract_media_metadata, media_type_summary
+from .operators.adapters import (
+    build_entities, checksum_consistency_check, duplicate_id_check,
+    normalize_name,
+)
+from .operators.extract import extract_documents, extraction_metrics
+from .operators.report import entity_report
+from .operators.rules import run_rules
+from .sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect, deterministic twins of functions/text)
+# ---------------------------------------------------------------------------
+
+def _sql_clean(txt: str) -> str:
+    return (f"trim(regexp_replace(regexp_replace({txt}, "
+            f"'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'), "
+            f"'[ \\t]+', ' ', 'g'))")
+
+
+def _sql_toks(txt: str) -> str:
+    return (f"CASE WHEN trim(lower({txt})) = '' THEN CAST([] AS VARCHAR[]) "
+            f"ELSE regexp_split_to_array(trim(lower({txt})), '\\s+') END")
+
+
+def _sql_alpha_ratio(t: str) -> str:
+    return (f"CASE WHEN length({t}) > 0 THEN "
+            f"length(regexp_replace({t}, '[^A-Za-z]', '', 'g')) * 1.0 / length({t}) "
+            f"ELSE 0.0 END")
+
+
+def _sql_shingles(toks: str, n: int = 3) -> str:
+    return (f"list_distinct(CASE WHEN len({toks}) >= {n} THEN "
+            f"list_transform(range(1, len({toks}) - {n - 2}), "
+            f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')) "
+            f"ELSE CAST([] AS VARCHAR[]) END)")
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE)))")
+
+
+def _sql_norm(a: str) -> str:
+    return (f"sqrt(list_sum(list_transform({a}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (f"CASE WHEN {_sql_norm(a)} * {_sql_norm(b)} > 0 THEN "
+            f"{_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}) ELSE 0.0 END")
+
+
+def _sql_sign_bucket(vec: str, n_bits: int = 8) -> str:
+    terms = " + ".join(
+        f"CASE WHEN CAST(({vec})[{i + 1}] AS DOUBLE) > 0 "
+        f"THEN {1 << (n_bits - 1 - i)} ELSE 0 END"
+        for i in range(n_bits)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _sql_simhash_from_ds() -> str:
+    """32-bit SimHash over a pre-materialized digest list column ``ds``
+    (twin of functions.text.simhash_votes + simhash_from_votes)."""
+    hexhi = "('8','9','a','b','c','d','e','f')"
+    bits = []
+    for j in range(32):
+        votes = (f"coalesce(list_sum(list_transform(ds, "
+                 f"d -> CASE WHEN substr(d, {j + 1}, 1) IN {hexhi} "
+                 f"THEN 1 ELSE -1 END)), 0)")
+        bits.append(f"CASE WHEN {votes} > 0 THEN CAST({1 << (31 - j)} AS BIGINT) "
+                    f"ELSE CAST(0 AS BIGINT) END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _sql_simhash_table(toks: str) -> str:
+    """CTE body producing (doc_id, simhash); the digest list is
+    MATERIALIZED so tokenization+md5 run once, not once per bit."""
+    return (f"WITH ds_t AS MATERIALIZED (SELECT doc_id, "
+            f"list_transform(list_distinct({toks}), t -> md5(t)) AS ds "
+            f"FROM documents) "
+            f"SELECT doc_id, {_sql_simhash_from_ds()} AS simhash FROM ds_t")
+
+
+_EXACT_SUM = "CAST(sum(CAST({col} AS DECIMAL(20,8))) AS DOUBLE)"
+
+
+def _dec_sum(col: str):
+    """Spark twin of _EXACT_SUM."""
+    return F.sum(F.col(col).cast("decimal(20,8)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis queries (documents table)
+# ---------------------------------------------------------------------------
+
+def q_usability_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 usability gate (`core/extractor.py:34-48`) over documents.text."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("trim_len"),
+        F.round(T.alpha_ratio(t), 6).alias("alpha_ratio"),
+        T.is_text_usable(F.col("text")).alias("usable"),
+    )
+
+
+SQL_USABILITY_GATE = f"""
+SELECT doc_id,
+       CAST(length(trim(text)) AS BIGINT) AS trim_len,
+       round({_sql_alpha_ratio('trim(text)')}, 6) AS alpha_ratio,
+       (length(trim(text)) >= 50 AND {_sql_alpha_ratio('trim(text)')} >= 0.4) AS usable
+FROM documents
+"""
+
+
+def q_field_extract_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2-style first-match-wins fallback chains (`pan_card.py:102-118`)
+    + P29 missing-fields accounting, over documents.text."""
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+
+    def chain(*patterns):
+        return F.coalesce(
+            *[F.nullif(F.regexp_extract(txt, p, 1), F.lit("")) for p in patterns],
+            F.lit(""),
+        )
+
+    kw = chain(r"\b(spark|window|stream)\b", r"\b(table|row)\b")
+    num = chain(r"\b([0-9]{3,})\b", r"\b([0-9]+)\b")
+    pan_like = F.coalesce(
+        F.nullif(F.regexp_extract(txt, "[A-Z]{5}[0-9]{4}[A-Z]", 0), F.lit("")),
+        F.lit(""),
+    )
+    missing = F.concat_ws(
+        ",",
+        F.when(kw == "", F.lit("kw")),
+        F.when(num == "", F.lit("num")),
+        F.when(pan_like == "", F.lit("pan_like")),
+    )
+    return docs.select(
+        "doc_id", kw.alias("kw"), num.alias("num"),
+        pan_like.alias("pan_like"), missing.alias("missing_fields"),
+    )
+
+
+SQL_FIELD_EXTRACT_CHAIN = r"""
+SELECT doc_id,
+  coalesce(nullif(regexp_extract(text, '\b(spark|window|stream)\b', 1), ''),
+           nullif(regexp_extract(text, '\b(table|row)\b', 1), ''), '') AS kw,
+  coalesce(nullif(regexp_extract(text, '\b([0-9]{3,})\b', 1), ''),
+           nullif(regexp_extract(text, '\b([0-9]+)\b', 1), ''), '') AS num,
+  coalesce(nullif(regexp_extract(text, '[A-Z]{5}[0-9]{4}[A-Z]', 0), ''), '') AS pan_like,
+  concat_ws(',',
+    CASE WHEN coalesce(nullif(regexp_extract(text, '\b(spark|window|stream)\b', 1), ''),
+                       nullif(regexp_extract(text, '\b(table|row)\b', 1), ''), '') = ''
+         THEN 'kw' END,
+    CASE WHEN coalesce(nullif(regexp_extract(text, '\b([0-9]{3,})\b', 1), ''),
+                       nullif(regexp_extract(text, '\b([0-9]+)\b', 1), ''), '') = ''
+         THEN 'num' END,
+    CASE WHEN coalesce(nullif(regexp_extract(text, '[A-Z]{5}[0-9]{4}[A-Z]', 0), ''), '') = ''
+         THEN 'pan_like' END) AS missing_fields
+FROM documents
+"""
+
+
+def q_text_cleanup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P33/P34 cleanup chain (`gst_certi.py:705-711`) fingerprinted by md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(T.clean_text(F.col("text"))).alias("clean_md5"),
+        F.length(T.clean_text(F.col("text"))).cast("long").alias("clean_len"),
+    )
+
+
+SQL_TEXT_CLEANUP_HASH = f"""
+SELECT doc_id, md5({_sql_clean('text')}) AS clean_md5,
+       CAST(length({_sql_clean('text')}) AS BIGINT) AS clean_len
+FROM documents
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+  CAST(len({_sql_toks('text')}) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(T.stopword_ratio(txt), 6).alias("stopword_ratio"),
+        F.round(T.punct_ratio(txt), 6).alias("punct_ratio"),
+        F.round(T.mean_word_length(txt), 6).alias("mean_word_len"),
+        F.round(T.quality_score(txt), 2).alias("quality"),
+    )
+
+
+_SQL_TOKS = _sql_toks("text")
+_SQL_STOPS = "('the','a','an','of','and','to','in','is','that','for')"
+_SQL_SW_RATIO = (f"CASE WHEN len({_SQL_TOKS}) > 0 THEN "
+                 f"len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_STOPS})) * 1.0 "
+                 f"/ len({_SQL_TOKS}) ELSE 0.0 END")
+_SQL_MWL = (f"CASE WHEN len({_SQL_TOKS}) > 0 THEN "
+            f"coalesce(list_sum(list_transform({_SQL_TOKS}, t -> length(t))), 0) * 1.0 "
+            f"/ len({_SQL_TOKS}) ELSE 0.0 END")
+SQL_QUALITY_SCORES = f"""
+SELECT doc_id,
+  round({_SQL_SW_RATIO}, 6) AS stopword_ratio,
+  round(CASE WHEN length(text) > 0 THEN
+        length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)
+        ELSE 0.0 END, 6) AS punct_ratio,
+  round({_SQL_MWL}, 6) AS mean_word_len,
+  round(
+    (CASE WHEN length(text) >= 200 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN {_sql_alpha_ratio('text')} >= 0.6 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN {_SQL_MWL} >= 3.0 AND {_SQL_MWL} <= 10.0 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN {_SQL_SW_RATIO} >= 0.05 THEN 0.25 ELSE 0.0 END), 2) AS quality
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+def _sql_lang_score(words) -> str:
+    lst = ",".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_SQL_TOKS}, t -> t IN ({lst})))"
+
+
+_LANG_CASES = " ".join(
+    f"WHEN {_sql_lang_score(words)} > 0 AND {_sql_lang_score(words)} = "
+    f"greatest({', '.join(_sql_lang_score(w2) for _, w2 in T.LANG_PROFILES)}) "
+    f"THEN '{lang}'"
+    for lang, words in T.LANG_PROFILES
+)
+SQL_LANG_ID = f"""
+SELECT doc_id, lang, CASE {_LANG_CASES} ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.content_hash(F.col("text")).alias("content_hash"),
+        T.winnow_fingerprint(F.col("text")).alias("winnow_min"),
+    )
+
+
+_SQL_CLEAN_TOKS = _sql_toks(_sql_clean("text"))
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, md5({_sql_clean('text')}) AS content_hash,
+  list_min(list_transform({_sql_shingles(_SQL_CLEAN_TOKS)}, s -> md5(s))) AS winnow_min
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup queries (documents table)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_duplicates(docs)
+
+
+SQL_DEDUP_EXACT_GROUPS = f"""
+SELECT md5({_sql_clean('text')}) AS content_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(b=4, r=2) LSH band join + exact n-gram Jaccard verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.ngram_jaccard_pairs(docs, n=3, bands=4, rows_per_band=2)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+_SQL_SH = _sql_shingles(_SQL_CLEAN_TOKS)
+_MP = T.MINHASH_P
+_SQL_MINHASH_SIGS = ",\n    ".join(
+    f"coalesce(list_min(list_transform(hm, h -> "
+    f"({T.MINHASH_A[i]} * h + {T.MINHASH_C[i]}) % {_MP})), {_MP}) AS m{i}"
+    for i in range(8)
+)
+_SQL_BAND_ROWS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat(CAST(m{2 * b} AS VARCHAR), '|', "
+    f"CAST(m{2 * b + 1} AS VARCHAR)) AS sig FROM sigs"
+    for b in range(4)
+)
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH hs AS MATERIALIZED (
+  SELECT doc_id, list_transform({_SQL_SH},
+    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {_MP}) AS hm
+  FROM documents
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+    {_SQL_MINHASH_SIGS}
+  FROM hs
+),
+bands AS ({_SQL_BAND_ROWS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.sig <> '{_MP}|{_MP}' AND a.doc_id < b.doc_id
+),
+sh AS MATERIALIZED (SELECT doc_id, {_SQL_SH} AS sh FROM documents)
+SELECT c.doc_a, c.doc_b,
+  round(len(list_intersect(x.sh, y.sh)) * 1.0
+        / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+"""
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_table(docs)
+
+
+SQL_SIMHASH_SIGNATURES = _sql_simhash_table(_SQL_CLEAN_TOKS)
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, max_hamming=3)
+
+
+SQL_SIMHASH_NEAR_PAIRS = f"""
+WITH ds_t AS MATERIALIZED (SELECT doc_id,
+       list_transform(list_distinct({_SQL_CLEAN_TOKS}), t -> md5(t)) AS ds
+       FROM documents),
+st AS MATERIALIZED (SELECT doc_id, {_sql_simhash_from_ds()} AS simhash FROM ds_t),
+blocks AS (
+  SELECT doc_id, simhash, CAST(r.k AS INTEGER) AS block,
+         (simhash >> CAST(8 * r.k AS INTEGER)) & 255 AS block_val
+  FROM st, range(0, 4) r(k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                  b.doc_id AS doc_b, b.simhash AS sim_b
+  FROM blocks a JOIN blocks b ON a.block = b.block AND a.block_val = b.block_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity queries (embeddings table)
+# ---------------------------------------------------------------------------
+
+def _query_vec_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec_df(spark, sf_dir)
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(S.cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+SQL_EMBEDDING_TOPK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_sql_cosine('e.embedding', 'qe')}, 6) AS cos_sim
+FROM embeddings e, q
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
+
+
+def q_embedding_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_bucket_stats(emb, n_bits=8)
+
+
+SQL_EMBEDDING_LSH_BUCKET_STATS = f"""
+SELECT {_sql_sign_bucket('embedding')} AS bucket,
+       count(*) AS n_vecs, min(vec_id) AS min_vec_id
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10: only the query's LSH bucket is scored."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec_df(spark, sf_dir)
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(S.sign_bucket(F.col("embedding"), 8) == S.sign_bucket(F.col("qe"), 8))
+        .select("vec_id",
+                F.round(S.cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"))
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+SQL_EMBEDDING_LSH_TOPK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_sql_cosine('e.embedding', 'qe')}, 6) AS cos_sim
+FROM embeddings e, q
+WHERE {_sql_sign_bucket('e.embedding')} = {_sql_sign_bucket('qe')}
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within LSH buckets (cosine >= 0.3 —
+    threshold is a parameter; 0.3 exercises the op on this corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(emb, threshold=0.3, n_bits=8)
+
+
+SQL_EMBEDDING_NEAR_DUP_PAIRS = f"""
+WITH t AS (SELECT vec_id, embedding AS vec, {_sql_sign_bucket('embedding')} AS bucket
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_sql_cosine('a.vec', 'b.vec')}, 6) AS cos_sim
+FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_sql_cosine('a.vec', 'b.vec')}, 6) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational legs (TPC-H-ish tables) — the validation-join shapes
+# ---------------------------------------------------------------------------
+
+def q_name_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 join-key canonicalization (`base_adapter.py:44-69`) on customer."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey", normalize_name(F.col("c_name")).alias("norm_name"),
+    )
+
+
+SQL_NAME_NORMALIZE = r"""
+SELECT c_custkey,
+  trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(upper(trim(c_name)), '^(M/S\.?\s*|MESSRS\.?\s*|SHRI\s+|SMT\.?\s*)', '', 'g'),
+      '[^A-Z0-9 ]', '', 'g'),
+    '\s+', ' ', 'g')) AS norm_name
+FROM customer
+"""
+
+
+def q_entity_join_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 entity-join shape (`engine.py:47-71`): full-outer join of a
+    dimension with a pre-aggregated fact leg; absent side -> NULL struct
+    (here: coalesced defaults)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum("o_totalprice").alias("total_spend"),
+    )
+    j = cust.join(agg, cust["c_custkey"] == agg["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("entity_key"),
+        F.coalesce(F.col("c_name"), F.lit("")).alias("name"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("total_spend"), F.lit(0.0)).alias("total_spend"),
+    )
+
+
+SQL_ENTITY_JOIN_SHAPE = f"""
+WITH agg AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         {_EXACT_SUM.format(col='o_totalprice')} AS total_spend
+  FROM orders GROUP BY 1)
+SELECT coalesce(c.c_custkey, a.o_custkey) AS entity_key,
+       coalesce(c.c_name, '') AS name,
+       CAST(coalesce(a.n_orders, 0) AS BIGINT) AS n_orders,
+       coalesce(a.total_spend, 0.0) AS total_spend
+FROM customer c FULL OUTER JOIN agg a ON c.c_custkey = a.o_custkey
+"""
+
+
+def q_rule_status_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1-R12 rule shape: when-cascade with SKIPPED guards over a joined
+    entity row (`rules/base_rule.py:115-135` skip semantics)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    j = cust.join(agg, cust["c_custkey"] == agg["o_custkey"], "left_outer")
+    status = (
+        F.when(F.col("n_orders").isNull(), F.lit("SKIPPED"))
+        .when((F.col("c_acctbal") < 0) & (F.col("n_orders") > 5), F.lit("FAIL"))
+        .when(F.col("c_acctbal") < 0, F.lit("WARNING"))
+        .otherwise(F.lit("PASS"))
+    )
+    return j.select(
+        F.col("c_custkey").alias("entity_key"),
+        status.alias("status"),
+        F.lit("ACCTBAL_VS_ACTIVITY").alias("rule_id"),
+    )
+
+
+SQL_RULE_STATUS_CASCADE = """
+WITH agg AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+SELECT c.c_custkey AS entity_key,
+  CASE WHEN a.n_orders IS NULL THEN 'SKIPPED'
+       WHEN c.c_acctbal < 0 AND a.n_orders > 5 THEN 'FAIL'
+       WHEN c.c_acctbal < 0 THEN 'WARNING'
+       ELSE 'PASS' END AS status,
+  'ACCTBAL_VS_ACTIVITY' AS rule_id
+FROM customer c LEFT JOIN agg a ON c.c_custkey = a.o_custkey
+"""
+
+
+def q_report_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 conditional-count aggregation + overall-status cascade
+    (`report_generator.py:222-251`), per customer over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy(F.col("o_custkey").alias("entity_key")).agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_fulfilled"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+    )
+    overall = (
+        F.when(F.col("n_fulfilled") == F.col("total_orders"), F.lit("COMPLETE"))
+        .when(F.col("n_fulfilled") > 0, F.lit("PARTIAL"))
+        .when(F.col("n_open") > 0, F.lit("OPEN"))
+        .otherwise(F.lit("PENDING"))
+    )
+    rate = F.round(F.col("n_fulfilled") * 100.0 / F.col("total_orders"), 1)
+    return agg.withColumn("overall_status", overall).withColumn("fulfilled_rate", rate)
+
+
+SQL_REPORT_SUMMARY = """
+SELECT o_custkey AS entity_key,
+  count(*) AS total_orders,
+  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_fulfilled,
+  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
+  CASE WHEN count(CASE WHEN o_orderstatus = 'F' THEN 1 END) = count(*) THEN 'COMPLETE'
+       WHEN count(CASE WHEN o_orderstatus = 'F' THEN 1 END) > 0 THEN 'PARTIAL'
+       WHEN count(CASE WHEN o_orderstatus = 'O' THEN 1 END) > 0 THEN 'OPEN'
+       ELSE 'PENDING' END AS overall_status,
+  round(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) * 100.0 / count(*), 1) AS fulfilled_rate
+FROM orders GROUP BY 1
+"""
+
+
+def q_duplicate_id_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-id groupBy shape (north_star check) on documents:
+    sources claiming conflicting langs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
+        )
+        .withColumn("is_conflict", F.col("n_langs") > 1)
+    )
+
+
+SQL_DUPLICATE_ID_GROUPS = """
+SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+       count(DISTINCT lang) > 1 AS is_conflict
+FROM documents GROUP BY 1
+"""
+
+
+def q_checksum_existence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4-shaped derived-key existence join (`pan_rules.py:11-56`): does the
+    key derived from one document exist as a primary document? Broadcast-
+    eligible dimension side."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    derived = orders.select(
+        "o_orderkey", (F.col("o_custkey") * 2).alias("derived_key"),
+    )
+    keys = cust.select(F.col("c_custkey").alias("k")).distinct()
+    return (
+        derived.join(F.broadcast(keys), derived["derived_key"] == keys["k"], "left_outer")
+        .select("o_orderkey", "derived_key", F.col("k").isNotNull().alias("key_exists"))
+    )
+
+
+SQL_CHECKSUM_EXISTENCE_JOIN = """
+SELECT o.o_orderkey, o.o_custkey * 2 AS derived_key,
+       (c.c_custkey IS NOT NULL) AS key_exists
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey * 2 = c.c_custkey
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 top-1-per-group (`udyam_adapter.py:85-99`): latest order per
+    customer via window row_number."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("latest_orderkey"),
+                F.col("o_orderdate").alias("latest_orderdate"))
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_orderdate
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+"""
+
+
+def q_top20_slice_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 per-group cap (`gst_certi.py:1230` ``[:20]``): first 20 order keys
+    per customer in key order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    top = orders.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    return top.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("o_orderkey")),
+                        lambda x: x.cast("string")), ",").alias("order_keys"),
+    )
+
+
+SQL_TOP20_SLICE_PER_GROUP = """
+WITH r AS (SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+           FROM orders)
+SELECT o_custkey, count(*) AS n_kept,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
+FROM r WHERE rn <= 20 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windowed / sessionized aggregation (events table)
+# ---------------------------------------------------------------------------
+
+def q_window_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_window_agg(load_table(spark, sf_dir, "events"))
+
+
+SQL_WINDOW_AGG_EVENTS = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+       count(*) AS n_events,
+       {_EXACT_SUM.format(col='value')} AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+SQL_SESSIONIZE_EVENTS = f"""
+WITH x AS (
+  SELECT event_id, user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+y AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       {_EXACT_SUM.format(col='value')} AS session_value
+FROM y GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pipeline queries over the synthetic html corpus (rows-only checks: the
+# binary-payload extraction semantics are not ANSI-SQL-expressible; their
+# byte-level correctness gate is tests/test_pipeline_byte_identity.py)
+# ---------------------------------------------------------------------------
+
+_CORPUS_ROWS = {"sf0.001": 400, "sf0.01": 1200, "sf0.1": 4000}
+
+
+def corpus_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic corpus sized by scale factor, cached on disk."""
+    from .corpus import write_corpus
+
+    n = _CORPUS_ROWS.get(os.path.basename(sf_dir.rstrip("/")), 400)
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_corpus_{n}.parquet")
+    if not os.path.exists(path):
+        write_corpus(path, n)
+    return spark.read.parquet(path)
+
+
+def q_pipeline_extractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = extract_documents(corpus_for(spark, sf_dir))
+    return res.drop("extracted_text", "fields_json", "tables_json")
+
+
+def q_pipeline_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = extract_documents(corpus_for(spark, sf_dir))
+    return run_rules(build_entities(res), as_of="2026-01-01")
+
+
+def q_pipeline_entity_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = extract_documents(corpus_for(spark, sf_dir))
+    rep = entity_report(run_rules(build_entities(res), as_of="2026-01-01"))
+    return rep.drop("matches", "mismatches")
+
+
+def q_pipeline_duplicate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_id_check(extract_documents(corpus_for(spark, sf_dir)))
+
+
+def q_pipeline_checksum_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return checksum_consistency_check(extract_documents(corpus_for(spark, sf_dir)))
+
+
+def q_pipeline_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extraction_metrics(extract_documents(corpus_for(spark, sf_dir)))
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = extract_media_metadata(corpus_for(spark, sf_dir))
+    return meta.drop("feature")
+
+
+def q_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_type_summary(extract_media_metadata(corpus_for(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+#: name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict = {
+    # text analysis
+    "usability_gate": (q_usability_gate, SQL_USABILITY_GATE),
+    "field_extract_chain": (q_field_extract_chain, SQL_FIELD_EXTRACT_CHAIN),
+    "text_cleanup_hash": (q_text_cleanup_hash, SQL_TEXT_CLEANUP_HASH),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    # dedup
+    "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH_SIGNATURES),
+    "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR_PAIRS),
+    # similarity search
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_lsh_bucket_stats": (q_embedding_lsh_bucket_stats, SQL_EMBEDDING_LSH_BUCKET_STATS),
+    "embedding_lsh_topk": (q_embedding_lsh_topk, SQL_EMBEDDING_LSH_TOPK),
+    "embedding_near_dup_pairs": (q_embedding_near_dup_pairs, SQL_EMBEDDING_NEAR_DUP_PAIRS),
+    # relational / validation shapes
+    "name_normalize": (q_name_normalize, SQL_NAME_NORMALIZE),
+    "entity_join_shape": (q_entity_join_shape, SQL_ENTITY_JOIN_SHAPE),
+    "rule_status_cascade": (q_rule_status_cascade, SQL_RULE_STATUS_CASCADE),
+    "report_summary": (q_report_summary, SQL_REPORT_SUMMARY),
+    "duplicate_id_groups": (q_duplicate_id_groups, SQL_DUPLICATE_ID_GROUPS),
+    "checksum_existence_join": (q_checksum_existence_join, SQL_CHECKSUM_EXISTENCE_JOIN),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "top20_slice_per_group": (q_top20_slice_per_group, SQL_TOP20_SLICE_PER_GROUP),
+    # windowed / sessionized
+    "window_agg_events": (q_window_agg_events, SQL_WINDOW_AGG_EVENTS),
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
+    # extraction pipeline over the html corpus (rows-only)
+    "pipeline_extractions": (q_pipeline_extractions, None),
+    "pipeline_validation": (q_pipeline_validation, None),
+    "pipeline_entity_reports": (q_pipeline_entity_reports, None),
+    "pipeline_duplicate_ids": (q_pipeline_duplicate_ids, None),
+    "pipeline_checksum_checks": (q_pipeline_checksum_checks, None),
+    "pipeline_lineage_metrics": (q_pipeline_lineage_metrics, None),
+    # multimodal plumbing (rows-only)
+    "media_metadata": (q_media_metadata, None),
+    "media_census": (q_media_census, None),
+}

@@ -1,0 +1,70 @@
+"""Guard the __spark_entry__ driver contract: entry() runs, queries() and
+oracle_sql() agree, and a representative subset of oracle-checked queries
+matches DuckDB exactly at sf0.001 (the full sweep is
+scripts/compare_oracle.py; the per-round driver runs it at sf0.01)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.001"
+
+spec = importlib.util.spec_from_file_location(
+    "spark_entry", os.path.join(REPO, "__spark_entry__.py"))
+entry_mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry_mod)
+
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+from compare_oracle import canon  # noqa: E402
+
+from ocr_automation_system_spark.sources.catalog import TABLE_NAMES  # noqa: E402
+
+SUBSET = [
+    "usability_gate", "token_counts", "doc_fingerprint",
+    "dedup_exact_groups", "minhash_lsh_pairs", "simhash_signatures",
+    "embedding_topk", "embedding_lsh_bucket_stats",
+    "entity_join_shape", "report_summary", "topk_per_group",
+    "sessionize_events",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    rows = df.limit(5).collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"doc_id", "usable", "quality", "content_hash"}
+
+
+def test_registry_consistency():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 30
+    assert set(oracles) <= set(qs)
+    # every oracle-less query is one of the binary-corpus pipeline ops
+    for name in set(qs) - set(oracles):
+        assert name.startswith(("pipeline_", "media_")), name
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    sp = qs[name](spark, SF_DIR).toPandas()
+    du = duck.execute(oracles[name]).df()
+    assert len(sp) == len(du), f"rowcount {len(sp)} != {len(du)}"
+    assert sorted(sp.columns) == sorted(du.columns)
+    a, b = canon(sp), canon(du)
+    assert a.equals(b), f"value mismatch for {name}"
