@@ -1,0 +1,96 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (SURVEY.md §2.10) and the north rule is a
+resumable batch job — but a production corpus grows continuously, so the
+engine exposes streaming twins of its batch operators:
+
+* ``stream_documents`` — file-source stream over a documents directory
+  (new parquet drops = new WARC crawls), running the SAME two-pass
+  extraction operator; checkpointing gives exactly-once sink semantics,
+  the streaming analogue of the batch bucket manifest (plans/resume.py).
+* ``windowed_event_counts`` — watermarked tumbling-window aggregation over
+  an event stream (twin of ``functions.windows.tumbling_window_agg``);
+  late rows beyond the watermark are dropped instead of recomputing
+  closed windows.
+* ``sessionize_stream`` — session windows via the built-in
+  ``session_window`` operator (gap-based), the streaming twin of the
+  lag/cumsum batch sessionizer.
+
+All transformations are the shared batch column expressions — one
+definition, two execution modes — which is exactly why the engine is
+DataFrame-first."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import EXTRACTION_SCHEMA, _extract_batches, is_pdf_payload_col
+
+DOCUMENTS_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def stream_documents(spark: SparkSession, input_dir: str,
+                     max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source document stream: each micro-batch is a set of newly
+    landed parquet files (a crawl drop)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def streaming_extraction(documents: DataFrame) -> DataFrame:
+    """Two-pass extraction on a stream. Same mapInPandas body as batch;
+    the leg split is a stateless filter so it streams unchanged."""
+    source = documents.select("url", "html")
+    is_pdf = F.coalesce(is_pdf_payload_col("html"), F.lit(False))
+    html_leg = source.filter(~is_pdf).mapInPandas(_extract_batches, EXTRACTION_SCHEMA)
+    pdf_leg = source.filter(is_pdf).mapInPandas(_extract_batches, EXTRACTION_SCHEMA)
+    return html_leg.unionByName(pdf_leg)
+
+
+def write_extraction_stream(results: DataFrame, output_dir: str,
+                            checkpoint_dir: str):
+    """Exactly-once parquet sink: the checkpoint tracks committed source
+    files the way the batch manifest tracks committed buckets."""
+    return (
+        results.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 day",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type. State for a
+    window is dropped once the watermark passes its end — bounded state at
+    unbounded input, the streaming requirement batch never has."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,8)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user via the native session_window operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,8)")).cast("double").alias("session_value"),
+        )
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events", "session_value")
+    )

@@ -1,0 +1,164 @@
+"""Unit tests for the corpus-curation operator library (functions/):
+dedup ladder, similarity search, text analysis, multimodal plumbing.
+Adversarial inputs: empty text, short docs, exact dups, poison payloads."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_automation_system_spark.functions import dedup as D
+from ocr_automation_system_spark.functions import similarity as S
+from ocr_automation_system_spark.functions import text as T
+from ocr_automation_system_spark.functions.multimodal import (
+    extract_media_metadata, sample_frames, sniff_mime,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river bend today"),   # near dup of 0
+        (3, "completely different content about spark shuffle partitions and joins"),
+        (4, ""),                                                                        # empty
+        (5, "xy"),                                                                      # < n tokens
+        (6, "1234 5678 !!!"),                                                           # low quality
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# -- dedup --------------------------------------------------------------------
+
+def test_exact_duplicates_groups(docs):
+    groups = {r["keep_doc_id"]: r for r in D.exact_duplicates(docs).collect()}
+    assert groups[0]["n_docs"] == 2 and groups[0]["doc_ids"] == "0,1"
+    assert sum(r["n_docs"] for r in groups.values()) == 7
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in D.dedup_exact(docs).collect())
+    assert kept == [0, 2, 3, 4, 5, 6]
+
+
+def test_lsh_finds_near_dup_pair(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs).collect()}
+    assert pairs[(0, 1)] == 1.0            # exact dup -> jaccard 1
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5   # near dup survives banding
+    assert (0, 3) not in pairs             # unrelated never a candidate
+
+
+def test_short_and_empty_docs_never_join(docs):
+    bands = D.minhash_bands(docs)
+    ids = {r["doc_id"] for r in bands.collect()}
+    assert 4 not in ids and 5 not in ids
+
+
+def test_simhash_near_pairs_and_hamming(docs):
+    st = {r["doc_id"]: r["simhash"] for r in D.simhash_table(docs).collect()}
+    assert st[0] == st[1]                  # identical text -> identical sig
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in D.simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(0, 1)] == 0
+    if (0, 2) in pairs:                    # one-word change stays close
+        assert pairs[(0, 2)] <= 8
+
+
+# -- similarity ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, -0.1, 0.0, 0.0]),   # close to 0, same sign bucket
+        (2, [-1.0, 0.0, 0.0, 0.0]),   # opposite
+        (3, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (4, [0.0, 0.0, 0.0, 0.0]),    # zero vector
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    return df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+
+def test_cosine_topk_order(vecs):
+    top = [r["vec_id"] for r in S.cosine_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()]
+    assert top == [0, 1, 3]
+
+
+def test_zero_vector_scores_zero(vecs):
+    rows = {r["vec_id"]: r["cos_sim"]
+            for r in S.cosine_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=5).collect()}
+    assert rows[4] == 0.0 and rows[2] == -1.0
+
+
+def test_lsh_bucket_restricts_candidates(vecs):
+    top = [r["vec_id"] for r in S.lsh_topk(vecs, [1.0, 0.0, 0.0, 0.0],
+                                           k=5, n_bits=4).collect()]
+    assert 0 in top and 1 in top
+    assert 2 not in top                   # opposite sign bucket pruned
+
+
+def test_near_dup_pairs_cosine(vecs):
+    pairs = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+             for r in S.cosine_near_dup_pairs(vecs, threshold=0.9, n_bits=4).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.99
+
+
+# -- text analysis ------------------------------------------------------------
+
+def test_quality_and_tokens(docs):
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).alias("ws"),
+        T.bpe_token_count(F.col("text")).alias("bpe"),
+        F.round(T.quality_score(F.col("text")), 2).alias("q"),
+        T.lang_id(F.col("text")).alias("lang"),
+    ).collect()}
+    assert out[4]["ws"] == 0 and out[4]["bpe"] == 0
+    assert out[0]["ws"] == 14
+    assert out[0]["lang"] == "en" and out[4]["lang"] == "und"
+    assert out[0]["q"] > out[6]["q"]
+
+
+def test_fingerprint_stability(docs):
+    fp = docs.select("doc_id", T.content_hash(F.col("text")).alias("h"),
+                     T.winnow_fingerprint(F.col("text")).alias("w")).collect()
+    by_id = {r["doc_id"]: r for r in fp}
+    assert by_id[0]["h"] == by_id[1]["h"]
+    assert by_id[0]["w"] == by_id[1]["w"]
+    assert by_id[0]["h"] != by_id[3]["h"]
+    assert by_id[4]["w"] is None          # no shingles -> no winnow print
+
+
+# -- multimodal ---------------------------------------------------------------
+
+def test_sniff_and_metadata(spark):
+    rows = [
+        ("png", b"\x89PNG\r\n\x1a\n" + b"x" * 64),
+        ("jpg", b"\xff\xd8\xff\xe0" + b"y" * 64),
+        ("pdf", b"%PDF-1.4 " + b"z" * 64),
+        ("trunc", b"\x89PNG"),           # poison: too short to decode
+        ("none", b""),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    meta = {r["media_id"]: r for r in extract_media_metadata(df).collect()}
+    assert meta["png"]["mime"] == "image/png" and meta["png"]["status"] == "ok"
+    assert meta["jpg"]["mime"] == "image/jpeg"
+    assert meta["pdf"]["mime"] == "application/pdf"
+    assert meta["trunc"]["status"].startswith("error:")   # row-level, no task failure
+    assert meta["none"]["n_bytes"] == 0
+    assert len(meta["png"]["feature"]) == 8
+
+
+def test_frame_sampling_fanout(spark):
+    df = spark.createDataFrame([("v", b"f" * 10000)], ["url", "html"])
+    frames = sample_frames(df, every_n_bytes=4096, max_frames=8).collect()
+    assert [f["frame_index"] for f in frames] == [0, 1, 2]
+    assert sum(len(f["frame_bytes"]) for f in frames) == 10000
+
+
+def test_sniff_mime_table():
+    assert sniff_mime(b"RIFF1234WAVEfmt") == "audio/wav"
+    assert sniff_mime(b"RIFF1234AVI ") == "application/octet-stream"
+    assert sniff_mime(b"") == "application/octet-stream"

@@ -1,0 +1,74 @@
+"""Kill/resume semantics for the checkpointed extraction (SURVEY.md §7
+step 6): completed buckets are never recomputed, a resumed run converges to
+exactly the uninterrupted output, and lineage manifests account for every
+row."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ocr_automation_system_spark.operators.extract import extract_documents
+from ocr_automation_system_spark.plans.resume import (
+    committed_buckets, lineage_summary, read_extractions,
+    run_resumable_extraction,
+)
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def docs(spark, corpus_path):
+    return spark.read.parquet(corpus_path)
+
+
+def _sorted_rows(df):
+    return sorted(
+        (r["url"], r["doc_status"], r["document_type"], r["extracted_text"],
+         r["fields_json"]) for r in df.collect()
+    )
+
+
+def test_interrupted_then_resumed_equals_uninterrupted(spark, docs, tmp_path):
+    out = str(tmp_path / "run")
+
+    # "Kill" after 3 buckets.
+    first = run_resumable_extraction(spark, docs, out, N_BUCKETS, max_buckets=3)
+    assert first["ran"] == [0, 1, 2]
+    assert committed_buckets(out, N_BUCKETS) == {0, 1, 2}
+
+    manifests = {
+        b: os.path.getmtime(os.path.join(out, "_manifest", f"bucket_{b:05d}.json"))
+        for b in first["ran"]
+    }
+
+    # Resume: only the missing buckets run; committed ones are skipped.
+    second = run_resumable_extraction(spark, docs, out, N_BUCKETS)
+    assert second["skipped"] == [0, 1, 2]
+    assert second["ran"] == [3, 4, 5, 6, 7]
+    for b, mtime in manifests.items():
+        assert os.path.getmtime(
+            os.path.join(out, "_manifest", f"bucket_{b:05d}.json")) == mtime, \
+            f"bucket {b} was recomputed"
+
+    # Byte-equal to an uninterrupted single-pass run.
+    resumed = read_extractions(spark, out)
+    direct = extract_documents(docs)
+    assert _sorted_rows(resumed) == _sorted_rows(direct)
+
+
+def test_lineage_accounts_for_every_row(spark, docs, tmp_path):
+    out = str(tmp_path / "run2")
+    run_resumable_extraction(spark, docs, out, n_buckets=4)
+    summary = lineage_summary(out, 4)
+    assert summary["total_rows"] == docs.count()
+    assert set(summary["buckets"]) == {0, 1, 2, 3}
+
+
+def test_rerun_is_idempotent(spark, docs, tmp_path):
+    out = str(tmp_path / "run3")
+    run_resumable_extraction(spark, docs, out, n_buckets=4)
+    third = run_resumable_extraction(spark, docs, out, n_buckets=4)
+    assert third["ran"] == [] and third["skipped"] == [0, 1, 2, 3]
+    assert read_extractions(spark, out).count() == docs.count()
