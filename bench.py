@@ -49,6 +49,12 @@ def main() -> None:
     spark = build_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Spin up the Python worker pool once so per-query timings measure the
+    # operators, not the one-time fork+import of N workers.
+    warm = spark.range(spark.sparkContext.defaultParallelism * 10) \
+        .repartition(spark.sparkContext.defaultParallelism)
+    warm.mapInPandas(lambda it: it, "id long").count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -299,7 +299,16 @@ def generate_rows(n_rows: int, seed: int = DEFAULT_SEED) -> list:
             else:
                 body, kind = unsupported_body(rng), "other"
 
-            if rng.random() < 0.15:  # embedded-PDF fallback leg
+            pdf_roll = rng.random()
+            if pdf_roll < 0.04:
+                # Scanned-style PDF: every page is a short fragment (< 50
+                # chars, fails the per-page gate) so the OCR fallback leg
+                # (S2/S3/F3) fires and re-recognizes all pages.
+                joined = "\n".join(body)
+                pages = [joined[i:i + 40] for i in range(0, len(joined), 40)]
+                payload = make_synthetic_pdf(pages)
+                body_text = ""
+            elif pdf_roll < 0.15:  # embedded-PDF text leg
                 junk_page = "| 123 456 789 000 111 |"  # fails per-page gate
                 pages = [junk_page, "\n".join(body)]
                 payload = make_synthetic_pdf(pages)

@@ -1,8 +1,16 @@
-"""Shared plan helpers."""
+"""Shared plan helpers: split-starvation rebalance + skew-key salting.
+
+Salting (north rule: "salted keys for skewed hosts"): when one join/group
+key carries a disproportionate share of rows (a mega-host in a web corpus),
+a hash shuffle sends all of it to one reducer. AQE's skew-join splitting
+handles the *join* case at runtime (enabled in session.py); the utilities
+here are the explicit, plan-level form for when AQE can't apply — skewed
+aggregations with high-cardinality accumulators, or non-AQE engines."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -20,3 +28,50 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def with_salt(df: DataFrame, n_salt: int = 16, salt_col: str = "_salt") -> DataFrame:
+    """Row-varying salt in [0, n_salt): spreads one hot key over n_salt
+    reducers. Deterministic within a run (partition id + per-partition
+    row id), which is all salting needs — the salt never outlives the
+    shuffle it shapes."""
+    return df.withColumn(
+        salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).cast("int"))
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
+                how: str = "inner", n_salt: int = 16) -> DataFrame:
+    """Equi-join resilient to skew in ``big``'s key distribution.
+
+    The big (skewed) side gets a row-varying salt; the small side is
+    replicated n_salt times via explode, so every (key, salt) bucket pairs
+    up. Shuffle key becomes (key, salt) — a hot key now spans n_salt
+    reducers instead of one. Cost: |small| * n_salt rows on one side, the
+    standard trade. Prefer broadcast when small fits; prefer AQE skew-join
+    when it applies; use this when neither does."""
+    keys = [on] if isinstance(on, str) else list(on)
+    big_s = with_salt(big, n_salt)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    joined = big_s.join(small_s, keys + ["_salt"], how)
+    return joined.drop("_salt")
+
+
+def salted_agg(df: DataFrame, group_col: str, aggs: dict[str, Column],
+               n_salt: int = 16) -> DataFrame:
+    """Two-phase aggregation over a skewed group key: phase 1 groups by
+    (key, salt) — the hot key's rows split across n_salt reducers — and
+    phase 2 re-combines the tiny per-salt partials. Spark's map-side
+    partial aggregation already covers algebraic aggs (count/sum/min/max);
+    this helps when per-group state is heavy (collect_list, count_distinct)
+    and map-side combine can't shrink it.
+
+    ``aggs``: name -> phase-1 aggregation column; phase 2 re-combines with
+    sum() for counts/sums (caller handles non-additive aggs separately)."""
+    phase1 = (
+        with_salt(df, n_salt)
+        .groupBy(group_col, "_salt")
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+    )
+    return phase1.groupBy(group_col).agg(
+        *[F.sum(name).alias(name) for name in aggs])

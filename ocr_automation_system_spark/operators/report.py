@@ -76,6 +76,32 @@ def entity_info(entities: DataFrame) -> DataFrame:
     )
 
 
+def format_report(report_row, entity_row=None) -> str:
+    """S6 console sink (`report_generator.py:148-220`): pretty-print ONE
+    collected entity-report row. Driver-side presentation over an already-
+    aggregated row — never a data-plane operator (SURVEY.md §2.1)."""
+    r = report_row.asDict() if hasattr(report_row, "asDict") else dict(report_row)
+    lines = ["=" * 60, "CROSS-DOCUMENT VERIFICATION REPORT", "=" * 60]
+    if entity_row is not None:
+        e = entity_row.asDict() if hasattr(entity_row, "asDict") else dict(entity_row)
+        lines += [f"Entity: {e.get('name', 'N/A')}",
+                  f"PAN: {e.get('pan', 'N/A')}  GSTIN: {e.get('gst_number', 'N/A')}  "
+                  f"Udyam: {e.get('udyam_number', 'N/A')}", "-" * 60]
+    lines += [
+        f"Overall: {r['overall_status']}   Pass rate: {r['pass_rate']}",
+        f"Rules: {r['total_rules']}  PASS={r['passed']}  FAIL={r['failed']}  "
+        f"WARN={r['warnings']}  SKIP={r['skipped']}  "
+        f"critical_failures={r['critical_failures']}",
+    ]
+    for title, key in (("MISMATCHES", "mismatches"), ("MATCHES", "matches")):
+        items = [m for m in (r.get(key) or []) if m]
+        if items:
+            lines.append(f"--- {title} ---")
+            lines += [f"  * {m}" for m in items]
+    lines.append("=" * 60)
+    return "\n".join(lines)
+
+
 def status_ordered(validation_results: DataFrame) -> DataFrame:
     """O4 (`report_generator.py:201-215`): presentation ordering
     FAIL -> WARNING -> PASS -> SKIPPED via a status-rank map."""

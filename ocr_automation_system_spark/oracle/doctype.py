@@ -26,6 +26,7 @@ import re
 from .gate import is_text_usable
 from .gst import extract_gst_fields
 from .html_extract import block_is_content, extract_main_text, segment_blocks
+from .ocr_stub import ocr_pages
 from .pan import extract_pan_fields
 from .pdf_stub import extract_pdf_pages, is_pdf_payload
 from .udyam import extract_udyam_fields
@@ -136,12 +137,17 @@ def extract_document(url: str, payload: bytes | None) -> dict:
             if usable:
                 source_leg = "pdf"
                 text = " ".join(p["text"] for p in usable)
+                if not is_text_usable(text):
+                    return empty_record(url, DOC_STATUS_UNUSABLE, "pdf text failed gate")
             else:
-                # OCR fallback leg (F2): the expensive pass over ALL pages.
+                # OCR fallback leg (F2): the expensive pass re-recognizes
+                # ALL pages (S2/S3 + F3 confidence filter in ocr_stub). The
+                # reference does NOT re-gate OCR output
+                # (`core/extractor.py:69-78` returns the records as-is).
                 source_leg = "ocr"
-                text = " ".join(p["text"] for p in pages)
-            if not is_text_usable(text):
-                return empty_record(url, DOC_STATUS_UNUSABLE, "pdf text failed gate")
+                text = " ".join(p["text"] for p in ocr_pages(pages))
+                if not text.strip():
+                    return empty_record(url, DOC_STATUS_UNUSABLE, "ocr produced no text")
         else:
             source_leg = "html"
             html = bytes(payload).decode("utf-8", errors="replace")

@@ -244,6 +244,25 @@ def normalize_constitution(value: str) -> str:
     return ""
 
 
+#: P17 whitelist (`gst_certi.py:517-521`) — distinct from the P15 chain:
+#: pass-through on substring hit, '' otherwise. Reference caller
+#: `_validate_and_clean_fields` is dead code (SURVEY.md §3 EP2), so the
+#: live path never invokes this; kept for inventory completeness.
+_VALID_CONSTITUTION_TYPES = (
+    "proprietorship", "private limited", "public limited", "partnership",
+    "llp", "society", "trust", "huf", "company",
+    "limited liability partnership",
+)
+
+
+def validate_constitution(constitution: str) -> str:
+    """P17: pass-through iff the value contains a whitelisted type."""
+    low = constitution.lower()
+    if any(t in low for t in _VALID_CONSTITUTION_TYPES):
+        return constitution
+    return ""
+
+
 def extract_constitution(text: str) -> str:
     """P14: section-marker / header walk, then a direct regex fallback."""
     lines = text.split("\n")

@@ -708,6 +708,21 @@ FROM r WHERE rn <= 20 GROUP BY 1
 """
 
 
+def q_salted_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (skew pattern) — semantically a plain
+    GROUP BY, which is exactly what the oracle checks: the salt must never
+    change results, only the shuffle shape."""
+    from .functions.util import salted_agg
+
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    return salted_agg(docs, "source", {"n_docs": F.count(F.lit(1))}, n_salt=8)
+
+
+SQL_SALTED_SOURCE_AGG = """
+SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Windowed / sessionized aggregation (events table)
 # ---------------------------------------------------------------------------
@@ -767,32 +782,61 @@ def corpus_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_EXTRACTION_CACHE: dict = {}
+
+
+def extractions_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction results over the synthetic corpus, persisted once per
+    (session, sf). The downstream entity join consumes the result three
+    times (one branch per doctype adapter) and several pipeline queries
+    share it — without the persist every branch would re-run the
+    mapInPandas extraction pass. Mirrors the production pipeline, which
+    writes extractions to a table and reads it back (plans/pipeline.py)."""
+    key = (id(spark), sf_dir)
+    df = _EXTRACTION_CACHE.get(key)
+    if df is None:
+        df = extract_documents(corpus_for(spark, sf_dir)).persist()
+        _EXTRACTION_CACHE[key] = df
+    return df
+
+
 def q_pipeline_extractions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    res = extract_documents(corpus_for(spark, sf_dir))
+    res = extractions_for(spark, sf_dir)
     return res.drop("extracted_text", "fields_json", "tables_json")
 
 
 def q_pipeline_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    res = extract_documents(corpus_for(spark, sf_dir))
+    res = extractions_for(spark, sf_dir)
     return run_rules(build_entities(res), as_of="2026-01-01")
 
 
 def q_pipeline_entity_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
-    res = extract_documents(corpus_for(spark, sf_dir))
+    res = extractions_for(spark, sf_dir)
     rep = entity_report(run_rules(build_entities(res), as_of="2026-01-01"))
     return rep.drop("matches", "mismatches")
 
 
 def q_pipeline_duplicate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return duplicate_id_check(extract_documents(corpus_for(spark, sf_dir)))
+    return duplicate_id_check(extractions_for(spark, sf_dir))
 
 
 def q_pipeline_checksum_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return checksum_consistency_check(extract_documents(corpus_for(spark, sf_dir)))
+    return checksum_consistency_check(extractions_for(spark, sf_dir))
 
 
 def q_pipeline_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extraction_metrics(extract_documents(corpus_for(spark, sf_dir)))
+    return extraction_metrics(extractions_for(spark, sf_dir))
+
+
+def q_pipeline_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host doc counts over the Zipf-skewed corpus via the explicit
+    salted two-phase aggregation (north rule: salted keys for skewed
+    hosts). The hot host's rows split across salt buckets in phase 1."""
+    from .functions.util import salted_agg
+
+    hosts = corpus_for(spark, sf_dir).select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"))
+    return salted_agg(hosts, "host", {"n_docs": F.count(F.lit(1))}, n_salt=8)
 
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,6 +881,7 @@ REGISTRY: dict = {
     "checksum_existence_join": (q_checksum_existence_join, SQL_CHECKSUM_EXISTENCE_JOIN),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "top20_slice_per_group": (q_top20_slice_per_group, SQL_TOP20_SLICE_PER_GROUP),
+    "salted_source_agg": (q_salted_source_agg, SQL_SALTED_SOURCE_AGG),
     # windowed / sessionized
     "window_agg_events": (q_window_agg_events, SQL_WINDOW_AGG_EVENTS),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
@@ -847,6 +892,7 @@ REGISTRY: dict = {
     "pipeline_duplicate_ids": (q_pipeline_duplicate_ids, None),
     "pipeline_checksum_checks": (q_pipeline_checksum_checks, None),
     "pipeline_lineage_metrics": (q_pipeline_lineage_metrics, None),
+    "pipeline_host_stats": (q_pipeline_host_stats, None),
     # multimodal plumbing (rows-only)
     "media_metadata": (q_media_metadata, None),
     "media_census": (q_media_census, None),
