@@ -62,8 +62,11 @@ def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
     """LSH bucket id: sign bits of the first ``n_bits`` dimensions packed
     into an int. Axis-aligned hyperplanes — deterministic and oracle-
     replicable; swap for seeded random planes at production scale."""
+    # try_element_at: a vector shorter than n_bits dims yields NULL (-> bit
+    # 0) instead of a task-killing index error; matches the SQL oracle's
+    # out-of-range list access returning NULL.
     bits = [
-        F.when(F.element_at(_d(vec), i + 1) > 0,
+        F.when(F.try_element_at(_d(vec), F.lit(i + 1)) > 0,
                F.lit(2 ** (n_bits - 1 - i)).cast("long")).otherwise(F.lit(0).cast("long"))
         for i in range(n_bits)
     ]

@@ -183,9 +183,12 @@ def adapt_udyam(results: DataFrame) -> DataFrame:
     )
     addr = F.col("f.official_address")
     # O1 — `_get_current_enterprise_type` (`udyam_adapter.py:85-99`):
-    # latest classification_year wins.
-    enterprise_type = F.element_at(
-        F.reverse(F.array_sort(F.col("t.classification_history"))), 1
+    # latest classification_year wins. try_element_at: a doc whose
+    # classification table didn't survive extraction (e.g. OCR-leg line
+    # drops) has an EMPTY array — plain element_at would throw task-killing
+    # INVALID_ARRAY_INDEX, violating the poison-row contract.
+    enterprise_type = F.try_element_at(
+        F.reverse(F.array_sort(F.col("t.classification_history"))), F.lit(1)
     )["enterprise_type"]
     factories = F.transform(
         F.col("t.units_details"),

@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): the extraction surface is TOTAL.
+
+The engine's poison-row contract (`verification_engine/engine.py:105-114`
+re-expressed at SURVEY.md §4) demands that NO input — random bytes, broken
+HTML, truncated PDFs, adversarial unicode — ever raises out of
+``extract_document``: a bad row costs one record, never a Spark task.
+These fuzz tests are the direct evidence."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ocr_automation_system_spark.corpus import generate_rows
+from ocr_automation_system_spark.oracle.doctype import extract_document
+from ocr_automation_system_spark.oracle.gst import extract_gst_fields
+from ocr_automation_system_spark.oracle.html_extract import extract_main_text
+from ocr_automation_system_spark.oracle.pan import extract_pan_fields
+from ocr_automation_system_spark.oracle.textnorm import normalize_text
+from ocr_automation_system_spark.oracle.udyam import extract_udyam_fields
+
+RECORD_KEYS = {
+    "url", "doc_status", "source_leg", "document_type", "extracted_text",
+    "fields_json", "tables_json", "missing_fields", "entity_pan",
+    "entity_gstin", "entity_udyam", "entity_name", "entity_date",
+    "entity_pin", "blocks_kept", "blocks_dropped", "error",
+}
+
+FUZZ = settings(max_examples=200, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow])
+
+
+@given(st.binary(max_size=4096))
+@FUZZ
+def test_extract_document_total_on_bytes(payload):
+    rec = extract_document("https://fuzz.example/x", payload)
+    assert set(rec) == RECORD_KEYS
+    assert rec["doc_status"] in ("ok", "unusable", "poison")
+    assert isinstance(rec["extracted_text"], str)
+
+
+@given(st.binary(max_size=2048).map(lambda b: b"%PDF" + b))
+@FUZZ
+def test_extract_document_total_on_pdfish_bytes(payload):
+    """Anything with the PDF magic routes to the PDF/OCR leg and still
+    never raises (real-PDF parse without fitz -> poison row, not a crash)."""
+    rec = extract_document("https://fuzz.example/pdf", payload)
+    assert rec["doc_status"] in ("ok", "unusable", "poison")
+
+
+@given(st.text(max_size=2048))
+@FUZZ
+def test_html_extract_total_on_text(html):
+    assert isinstance(extract_main_text(html), str)
+
+
+@given(st.text(max_size=2000))
+@FUZZ
+def test_field_extractors_total(text):
+    for fn in (extract_pan_fields, extract_gst_fields, extract_udyam_fields):
+        out = fn(text)
+        assert isinstance(out, dict) and "fields" in out
+    assert isinstance(normalize_text(text), str)
+
+
+def test_adversarial_html_cases():
+    cases = {
+        "unclosed": "<div><p>" + "unterminated paragraph text flows here " * 3,
+        "comments": "<!-- <p>ghost</p> --><p>" + "real visible content stays put " * 2 + "</p>",
+        "nested_boiler": ("<nav><div><p>" + "nav link soup text " * 5 + "</p></div></nav>"
+                          "<article><p>" + "the actual article body text " * 3 + "</p></article>"),
+        "entities": "<p>" + "caf&eacute; &amp; cr&egrave;me content line " * 2 + "</p>",
+        "cdata_script": "<script>var x = '<p>fake</p>';</script><p>" + "visible after script " * 3 + "</p>",
+    }
+    out = {k: extract_main_text(v) for k, v in cases.items()}
+    assert "unterminated paragraph" in out["unclosed"]
+    assert "ghost" not in out["comments"] and "real visible" in out["comments"]
+    assert "nav link soup" not in out["nested_boiler"]
+    assert "actual article body" in out["nested_boiler"]
+    assert "café" in out["entities"]
+    assert "fake" not in out["cdata_script"] and "visible after" in out["cdata_script"]
+
+
+def test_corpus_rows_never_poison_unexpectedly():
+    """Every synthetic corpus row lands in ok/unusable — poison is reserved
+    for genuinely undecodable payloads, which the generator does not emit."""
+    for r in generate_rows(500, seed=99):
+        rec = extract_document(r["url"], r["html"])
+        assert rec["doc_status"] in ("ok", "unusable"), (r["url"], rec["error"])
