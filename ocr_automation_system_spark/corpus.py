@@ -247,8 +247,13 @@ def junk_payload(rng: random.Random) -> bytes:
 # Corpus assembly
 # ---------------------------------------------------------------------------
 
-def generate_rows(n_rows: int, seed: int = DEFAULT_SEED) -> list:
-    """Deterministic list of row dicts (url, warc_ts, html, text, lang)."""
+def generate_rows(n_rows: int, seed: int = DEFAULT_SEED,
+                  payload_scale: int = 1) -> list:
+    """Deterministic list of row dicts (url, warc_ts, html, text, lang).
+
+    ``payload_scale > 1`` pads every non-PDF body with filler paragraphs
+    (~scale x the default ~1.5KB page) to exercise production-sized
+    (~100KB) payloads — Arrow batch memory, JVM<->Python transfer cost."""
     rng = random.Random(seed)
     hosts, weights = _zipf_hosts(rng)
     base_ts = _dt.datetime(2025, 1, 1)
@@ -314,6 +319,11 @@ def generate_rows(n_rows: int, seed: int = DEFAULT_SEED) -> list:
                 payload = make_synthetic_pdf(pages)
                 body_text = " ".join(["\n".join(body)])
             else:
+                if payload_scale > 1:
+                    body = body + [
+                        " ".join(rng.choice(_FILLER_WORDS) for _ in range(25))
+                        for _ in range(14 * (payload_scale - 1))
+                    ]
                 payload = wrap_html(rng, f"Document {i}", body).encode("utf-8")
                 body_text = "\n".join(body)
 
@@ -327,16 +337,18 @@ def generate_rows(n_rows: int, seed: int = DEFAULT_SEED) -> list:
     return rows
 
 
-def generate_corpus(n_rows: int, seed: int = DEFAULT_SEED):
+def generate_corpus(n_rows: int, seed: int = DEFAULT_SEED,
+                    payload_scale: int = 1):
     """Corpus as a pandas DataFrame (parquet-ready)."""
     import pandas as pd
 
-    return pd.DataFrame(generate_rows(n_rows, seed))
+    return pd.DataFrame(generate_rows(n_rows, seed, payload_scale))
 
 
-def write_corpus(path: str, n_rows: int, seed: int = DEFAULT_SEED) -> str:
+def write_corpus(path: str, n_rows: int, seed: int = DEFAULT_SEED,
+                 payload_scale: int = 1) -> str:
     """Write the corpus to parquet at ``path`` and return the path."""
-    df = generate_corpus(n_rows, seed)
+    df = generate_corpus(n_rows, seed, payload_scale)
     # Spark rejects TIMESTAMP(NANOS); coerce to microseconds on write.
     df.to_parquet(path, index=False, coerce_timestamps="us",
                   allow_truncated_timestamps=True)

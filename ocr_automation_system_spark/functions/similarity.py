@@ -97,19 +97,27 @@ def lsh_bucket_stats(embeddings: DataFrame, n_bits: int = 8,
 
 
 def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
-             n_bits: int = 8, id_col: str = "vec_id",
+             n_bits: int = 8, probe_hamming: int = 0, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k: score only the query's LSH bucket.
+    """ANN top-k: score only LSH buckets within ``probe_hamming`` bits of
+    the query's bucket.
 
-    The bucket predicate is a plain column filter — partition-pruned when
-    the index table is partitioned by bucket. Recall < 1 by construction;
-    raise recall with multi-probe (flip one bit) at the same plan shape."""
+    ``probe_hamming=0`` probes exactly one bucket (fastest, lowest recall);
+    ``=1`` is classic multi-probe — the query bucket plus its n_bits
+    single-bit-flip neighbors, trading (n_bits+1)x candidates for recall.
+    The predicate stays a plain column filter (popcount of an XOR) —
+    partition-prunable when the index table is partitioned by bucket."""
     q = [float(x) for x in query_vec]
     q_bucket = sum(2 ** (n_bits - 1 - i) for i in range(n_bits) if q[i] > 0)
     qcol = F.array(*[F.lit(x) for x in q])
+    bucket = sign_bucket(F.col(vec_col), n_bits)
+    if probe_hamming <= 0:
+        pred = bucket == F.lit(q_bucket)
+    else:
+        pred = F.bit_count(bucket.bitwiseXOR(F.lit(q_bucket))) <= probe_hamming
     scored = (
         embeddings
-        .filter(sign_bucket(F.col(vec_col), n_bits) == F.lit(q_bucket))
+        .filter(pred)
         .select(F.col(id_col).alias("vec_id"),
                 F.round(cosine(F.col(vec_col), qcol), 6).alias("cos_sim"))
     )

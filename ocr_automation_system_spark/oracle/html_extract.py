@@ -128,14 +128,18 @@ class _BlockParser(HTMLParser):
         if self._drop_depth:
             return
         self._buf.append(data)
-        n = len(data.strip(_WS_CHARS))
+        # Non-whitespace count: invariant to how the tokenizer chunks data
+        # runs (len(strip()) would count inner spaces, making the density
+        # score depend on parser chunking).
+        n = len(data) - sum(data.count(c) for c in _WS_CHARS)
         self._chars += n
         if self._anchor_depth:
             self._link_chars += n
 
 
-def segment_blocks(html: str) -> list[dict]:
-    """Parse HTML into scored block records (step 1-2 above)."""
+def _segment_blocks_htmlparser(html: str) -> list[dict]:
+    """Reference implementation on stdlib HTMLParser — kept as the A/B
+    check for the fast scanner below (tests assert byte-equal output)."""
     parser = _BlockParser()
     try:
         parser.feed(html)
@@ -144,6 +148,79 @@ def segment_blocks(html: str) -> list[dict]:
         pass  # salvage whatever was parsed; poison input costs one row
     parser._flush_block()
     return parser.blocks
+
+
+# -- fast regex scanner -------------------------------------------------------
+# HTMLParser is pure-Python per-callback dispatch: ~1.3 MB/s/core on
+# production-sized (~100KB) pages, which makes it the engine's hot-path
+# bottleneck. This scanner walks the same token stream with one C-level
+# finditer + raw-text skips for script/style, feeding the identical block
+# state machine — same blocks, byte for byte (test_fast_segmenter_ab).
+
+import re as _re
+from html import unescape as _unescape
+
+_TOKEN_RE = _re.compile(
+    r"<!--.*?(?:-->|$)"                       # comments (unterminated: to EOF)
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"             # CDATA sections
+    r"|<[!?][^>]*>?"                          # doctype / processing instr.
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)"       # tag open: (1)=/, (2)=name
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"      # attrs (quoted '>' safe)
+    r"(/?)>",                                 # (4) self-closing slash
+    _re.S,
+)
+#: script/style content is raw text until the matching close tag
+#: (HTMLParser CDATA_CONTENT_ELEMENTS).
+_RAWTEXT_TAGS = ("script", "style")
+
+
+def _fast_segment(html: str) -> list[dict]:
+    sink = _BlockParser()
+    lower = None  # lazily built lowercase copy for raw-text close search
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TOKEN_RE.search(html, pos)
+        if m is None:
+            sink.handle_data(_unescape(html[pos:]))
+            break
+        if m.start() > pos:
+            sink.handle_data(_unescape(html[pos:m.start()]))
+        pos = m.end()
+        name = m.group(2)
+        if name is None:
+            continue  # comment / doctype / CDATA — no state change
+        tag = name.lower()
+        if m.group(1):  # end tag
+            sink.handle_endtag(tag)
+        elif m.group(4):  # self-closing
+            sink.handle_startendtag(tag, ())
+        else:
+            sink.handle_starttag(tag, ())
+            if tag in _RAWTEXT_TAGS:
+                if lower is None:
+                    lower = html.lower()
+                close = lower.find("</" + tag, pos)
+                if close == -1:  # unterminated raw text: swallow to EOF
+                    pos = n
+                else:
+                    # content is dropped (script/style are DROP_TAGS);
+                    # advance past the close tag's '>'
+                    gt = lower.find(">", close)
+                    sink.handle_endtag(tag)
+                    pos = n if gt == -1 else gt + 1
+    sink._flush_block()
+    return sink.blocks
+
+
+def segment_blocks(html: str) -> list[dict]:
+    """Parse HTML into scored block records (step 1-2 above)."""
+    try:
+        return _fast_segment(html)
+    except Exception:
+        # Defensive: any scanner bug degrades to the stdlib parser rather
+        # than poisoning the row.
+        return _segment_blocks_htmlparser(html)
 
 
 def block_is_content(block: dict) -> bool:

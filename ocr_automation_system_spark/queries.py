@@ -477,6 +477,31 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """
 
 
+def q_embedding_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: the query bucket plus all Hamming-1 neighbor
+    buckets — (n_bits+1)x the candidates of single-probe for recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec_df(spark, sf_dir)
+    bucket = S.sign_bucket(F.col("embedding"), 8)
+    q_bucket = S.sign_bucket(F.col("qe"), 8)
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.bit_count(bucket.bitwiseXOR(q_bucket)) <= 1)
+        .select("vec_id",
+                F.round(S.cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"))
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+SQL_EMBEDDING_LSH_TOPK_MULTIPROBE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_sql_cosine('e.embedding', 'qe')}, 6) AS cos_sim
+FROM embeddings e, q
+WHERE bit_count(xor({_sql_sign_bucket('e.embedding')}, {_sql_sign_bucket('qe')})) <= 1
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
+
+
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within LSH buckets (cosine >= 0.3 —
     threshold is a parameter; 0.3 exercises the op on this corpus)."""
@@ -871,6 +896,8 @@ REGISTRY: dict = {
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_lsh_bucket_stats": (q_embedding_lsh_bucket_stats, SQL_EMBEDDING_LSH_BUCKET_STATS),
     "embedding_lsh_topk": (q_embedding_lsh_topk, SQL_EMBEDDING_LSH_TOPK),
+    "embedding_lsh_topk_multiprobe": (q_embedding_lsh_topk_multiprobe,
+                                      SQL_EMBEDDING_LSH_TOPK_MULTIPROBE),
     "embedding_near_dup_pairs": (q_embedding_near_dup_pairs, SQL_EMBEDDING_NEAR_DUP_PAIRS),
     # relational / validation shapes
     "name_normalize": (q_name_normalize, SQL_NAME_NORMALIZE),

@@ -99,6 +99,18 @@ def test_lsh_bucket_restricts_candidates(vecs):
     assert 2 not in top                   # opposite sign bucket pruned
 
 
+def test_multiprobe_widens_candidates(vecs):
+    """probe_hamming=1 adds single-bit-flip neighbor buckets: the zero and
+    opposite vectors (buckets 0b0000 / query 0b1000, Hamming 1) appear."""
+    single = {r["vec_id"] for r in
+              S.lsh_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=5, n_bits=4).collect()}
+    multi = {r["vec_id"] for r in
+             S.lsh_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=5, n_bits=4,
+                        probe_hamming=1).collect()}
+    assert 2 not in single and 2 in multi
+    assert single <= multi
+
+
 def test_near_dup_pairs_cosine(vecs):
     pairs = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
              for r in S.cosine_near_dup_pairs(vecs, threshold=0.9, n_bits=4).collect()}
