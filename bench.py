@@ -32,6 +32,7 @@ HEADLINE = (
     "embedding_topk", "embedding_lsh_topk", "embedding_near_dup_pairs",
     "entity_join_shape", "report_summary", "duplicate_id_groups",
     "checksum_existence_join", "topk_per_group",
+    "pricing_summary", "top_revenue_orders", "region_nation_rollup",
     "window_agg_events", "sessionize_events",
     "pipeline_validation", "pipeline_entity_reports",
 )

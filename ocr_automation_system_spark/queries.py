@@ -733,6 +733,136 @@ FROM r WHERE rn <= 20 GROUP BY 1
 """
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: the canonical
+    wide-aggregation plan (map-side partial agg -> single exchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,8)")
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              * (1 + F.col("l_tax"))).cast("decimal(20,8)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity").alias("sum_qty"),
+            _dec_sum("l_extendedprice").alias("sum_base_price"),
+            # Round the exact decimal to 2 BEFORE the double cast: the raw
+            # 8-decimal sum carries 17+ significant digits, where Spark's
+            # BigDecimal->double and DuckDB's numerator/10^scale conversions
+            # can disagree by 1 ULP; at 2 decimals the conversion is exact-
+            # rounding territory for both.
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+  {_EXACT_SUM.format(col='l_quantity')} AS sum_qty,
+  {_EXACT_SUM.format(col='l_extendedprice')} AS sum_base_price,
+  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,8))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,8))), 2) AS DOUBLE) AS sum_charge,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY 1, 2
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way join (dim filter -> fact -> fact) + agg +
+    top-k. Customer/orders sides are broadcast-eligible; top-k is
+    TakeOrdered, never a full sort."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,8)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT l.l_orderkey,
+  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,8))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with zero orders (left_anti — the NOT EXISTS
+    plan shape; broadcast-eligible build side)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_suppliers_with_bigparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join: suppliers having shipped any line of a size>=40 part
+    (left_semi — the EXISTS plan shape)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    shipped = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]) \
+        .select("l_suppkey").distinct()
+    return (
+        sup.join(shipped, sup["s_suppkey"] == shipped["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+SQL_SUPPLIERS_WITH_BIGPARTS = """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_size >= 40 AND l.l_suppkey = s.s_suppkey)
+"""
+
+
+def q_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup: region -> nation -> customer counts with two
+    broadcast joins (tiny dims) and exact decimal balances."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             _dec_sum("c_acctbal").alias("total_acctbal"))
+    )
+
+
+SQL_REGION_NATION_ROLLUP = f"""
+SELECT r.r_name, n.n_name, count(*) AS n_customers,
+  {_EXACT_SUM.format(col='c.c_acctbal')} AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+
 def q_salted_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation (skew pattern) — semantically a plain
     GROUP BY, which is exactly what the oracle checks: the salt must never
@@ -909,6 +1039,11 @@ REGISTRY: dict = {
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "top20_slice_per_group": (q_top20_slice_per_group, SQL_TOP20_SLICE_PER_GROUP),
     "salted_source_agg": (q_salted_source_agg, SQL_SALTED_SOURCE_AGG),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "suppliers_with_bigparts": (q_suppliers_with_bigparts, SQL_SUPPLIERS_WITH_BIGPARTS),
+    "region_nation_rollup": (q_region_nation_rollup, SQL_REGION_NATION_ROLLUP),
     # windowed / sessionized
     "window_agg_events": (q_window_agg_events, SQL_WINDOW_AGG_EVENTS),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
