@@ -81,6 +81,56 @@ def windowed_event_counts(events: DataFrame, window: str = "1 day",
     )
 
 
+HOST_STATE_SCHEMA = "n_docs long, n_ok long, n_unusable long"
+HOST_OUTPUT_SCHEMA = ("host string, n_docs long, n_ok long, n_unusable long, "
+                      "unusable_ratio double")
+
+
+def host_quality_monitor(extraction_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-host
+    running extraction-quality counters over the document stream.
+
+    A crawl-quality circuit breaker is the canonical stateful need the
+    built-in windowed aggs can't express: state must accumulate FOREVER
+    per host (no window close), emitting an updated quality row per
+    micro-batch. State is one tiny counter struct per host — bounded by
+    host cardinality, not stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, batches, state):
+        n_docs = n_ok = n_unusable = 0
+        if state.exists:
+            n_docs, n_ok, n_unusable = state.get
+        for pdf in batches:
+            n_docs += len(pdf)
+            n_ok += int((pdf["doc_status"] == "ok").sum())
+            n_unusable += int((pdf["doc_status"] == "unusable").sum())
+        state.update((n_docs, n_ok, n_unusable))
+        yield pd.DataFrame([{
+            "host": key[0], "n_docs": n_docs, "n_ok": n_ok,
+            "n_unusable": n_unusable,
+            "unusable_ratio": round(n_unusable / n_docs, 6) if n_docs else 0.0,
+        }])
+
+    with_host = extraction_stream.withColumn(
+        "host", F.regexp_extract("url", r"https://([^/]+)/", 1))
+    return (
+        with_host.groupBy("host")
+        .applyInPandasWithState(
+            update,
+            outputStructType=HOST_OUTPUT_SCHEMA,
+            stateStructType=HOST_STATE_SCHEMA,
+            # append: emitted rows are treated as final (required by
+            # file sinks); the function emits one running-total row per
+            # (host, micro-batch), so downstream readers take the row with
+            # the max n_docs per host as current.
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
                       watermark: str = "1 hour") -> DataFrame:
     """Session windows per user via the native session_window operator."""

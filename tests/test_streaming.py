@@ -56,6 +56,46 @@ def test_stream_matches_batch_and_resumes(spark, doc_dir, tmp_path):
     assert sorted(map(key, got2.collect())) == sorted(map(key, batch.collect()))
 
 
+def test_host_quality_monitor_stateful(spark, doc_dir, tmp_path):
+    """applyInPandasWithState accumulates per-host counters ACROSS
+    micro-batches: after a second drop, counts cover both drops and match
+    a batch-computed groupBy over the full input."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.streaming.stream import host_quality_monitor
+
+    d, full = doc_dir
+    out, ckpt = str(tmp_path / "hq_out"), str(tmp_path / "hq_ckpt")
+    full.iloc[120:].to_parquet(os.path.join(d, "drop2.parquet"), index=False,
+                               coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    monitored = host_quality_monitor(
+        streaming_extraction(stream_documents(spark, d, max_files_per_trigger=1)))
+    q = (monitored.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    # last emitted row per host = final running totals
+    rows = spark.read.parquet(out)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("host").orderBy(F.col("n_docs").desc())
+    finals = {r["host"]: (r["n_docs"], r["n_ok"], r["n_unusable"])
+              for r in rows.withColumn("rn", F.row_number().over(w))
+                            .filter("rn = 1").collect()}
+
+    batch = extract_documents(spark.read.parquet(d)).withColumn(
+        "host", F.regexp_extract("url", r"https://([^/]+)/", 1))
+    expected = {r["host"]: (r["n"], r["ok"], r["un"]) for r in
+                batch.groupBy("host").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(F.when(F.col("doc_status") == "ok", 1)).alias("ok"),
+                    F.count(F.when(F.col("doc_status") == "unusable", 1)).alias("un"),
+                ).collect()}
+    assert finals == expected
+    assert sum(v[0] for v in finals.values()) == 200
+
+
 def test_windowed_counts_match_batch_twin(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     # Batch twin groups on date_trunc; run the streaming aggregation in
