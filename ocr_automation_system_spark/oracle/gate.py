@@ -15,12 +15,30 @@ from __future__ import annotations
 MIN_USABLE_CHARS = 50
 MIN_ALPHA_RATIO = 0.4
 
+_ASCII_LETTERS = b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+
+def _count_alpha(text: str) -> int:
+    """Count of chars where ``str.isalpha()`` is True — C-speed fast path.
+
+    For ASCII text (the overwhelming case) isalpha is exactly [A-Za-z], so
+    deleting those bytes and diffing lengths gives the count via two
+    C-level calls instead of a per-character Python loop (the profiled #1
+    hot spot on ~100KB pages: 3.5s of a 6.3s batch). Non-ASCII falls back
+    to the exact per-char check, so Unicode-letter semantics (\\p{L}) are
+    preserved byte-for-byte."""
+    try:
+        b = text.encode("ascii")
+    except UnicodeEncodeError:
+        return sum(map(str.isalpha, text))
+    return len(b) - len(b.translate(None, _ASCII_LETTERS))
+
 
 def alpha_ratio(text: str) -> float:
     """Fraction of characters that are Unicode letters (0.0 for empty)."""
     if not text:
         return 0.0
-    return sum(c.isalpha() for c in text) / max(len(text), 1)
+    return _count_alpha(text) / max(len(text), 1)
 
 
 def is_text_usable(text: str) -> bool:

@@ -63,6 +63,15 @@ def test_field_extractors_total(text):
     assert isinstance(normalize_text(text), str)
 
 
+@given(st.text(max_size=500))
+@FUZZ
+def test_alpha_ratio_fast_path_exact(text):
+    """The C-level alpha counter must equal the per-char isalpha loop on
+    any input (ASCII fast path + Unicode fallback)."""
+    from ocr_automation_system_spark.oracle.gate import _count_alpha
+    assert _count_alpha(text) == sum(c.isalpha() for c in text)
+
+
 def test_adversarial_html_cases():
     cases = {
         "unclosed": "<div><p>" + "unterminated paragraph text flows here " * 3,
