@@ -25,6 +25,11 @@ from .oracle.pdf_stub import make_synthetic_pdf
 
 DEFAULT_SEED = 42
 
+#: bump whenever generation logic changes — cache filenames embed it so a
+#: stale /tmp corpus from an older generator can never shadow the current
+#: semantics (the corpus is the shared byte-identity surface).
+CORPUS_VERSION = 3
+
 _UPPER = string.ascii_uppercase
 _NAME_WORDS = [
     "STELLAR", "NOVA", "APEX", "ORION", "ZENITH", "VERTEX", "PRIME", "DELTA",

@@ -38,12 +38,16 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     Plan: one shuffle on user_id; both window functions reuse the same
     partitioning (no second exchange)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # TIMESTAMP_NTZ has no direct long cast in Spark 4; hop through LTZ.
-    # Session TZ is pinned to UTC (session.py) so NTZ->LTZ is the identity,
-    # matching DuckDB's epoch() on naive timestamps.
-    secs = F.col("ts").cast("timestamp_ltz").cast("long")
-    gap = secs - F.lag(secs).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    # Interval arithmetic, not epoch subtraction: TIMESTAMP_NTZ -> LTZ ->
+    # long would route through the session timezone, where a DST boundary
+    # inside a session shifts the gap by an hour in non-UTC sessions.
+    # ts > prev + INTERVAL is calendar-true and timezone-independent —
+    # identical to DuckDB's naive-timestamp comparison.
+    prev = F.lag(F.col("ts")).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr(f"INTERVAL {gap_minutes * 60} SECONDS")),
+        1).otherwise(0)
     sess = (
         events
         .withColumn("_new", is_new)

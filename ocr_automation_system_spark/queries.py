@@ -741,7 +741,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
               * (1 + F.col("l_tax"))).cast("decimal(20,8)")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
+        # timestamp_ntz literal: the parquet column is NTZ; an LTZ literal
+        # would coerce the comparison through the (driver-controlled)
+        # session timezone and flip boundary rows vs the naive oracle.
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dec_sum("l_quantity").alias("sum_qty"),
@@ -926,12 +929,36 @@ FROM y GROUP BY 1, 2
 _CORPUS_ROWS = {"sf0.001": 400, "sf0.01": 1200, "sf0.1": 4000}
 
 
+_SHIPPED: set = set()
+
+
+def _ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship the package zip to executor Python workers once per session.
+
+    The driver harness owns its SparkSession (not built via
+    ``session.build_session``) and may run from any cwd — without this,
+    workers unpickling the mapInPandas closures can't import the package."""
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    _SHIPPED.add(key)
+    try:
+        from .session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added, or a session mode where it's unnecessary
+
+
 def corpus_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic corpus sized by scale factor, cached on disk."""
-    from .corpus import write_corpus
+    from .corpus import CORPUS_VERSION, write_corpus
+
+    _ensure_package_shipped(spark)
 
     n = _CORPUS_ROWS.get(os.path.basename(sf_dir.rstrip("/")), 400)
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_corpus_{n}.parquet")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_corpus_v{CORPUS_VERSION}_{n}.parquet")
     if not os.path.exists(path):
         write_corpus(path, n)
     return spark.read.parquet(path)

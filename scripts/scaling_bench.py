@@ -85,10 +85,10 @@ def main() -> int:
         return 0
 
     sys.path.insert(0, REPO)
-    from ocr_automation_system_spark.corpus import write_corpus
+    from ocr_automation_system_spark.corpus import CORPUS_VERSION, write_corpus
 
     corpus_path = os.path.join(tempfile.gettempdir(),
-                               f"scaling_corpus_{args.rows}.parquet")
+                               f"scaling_corpus_v{CORPUS_VERSION}_{args.rows}.parquet")
     if not os.path.exists(corpus_path):
         print(f"generating {args.rows}-row corpus ...", file=sys.stderr)
         write_corpus(corpus_path, args.rows)
