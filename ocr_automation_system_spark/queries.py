@@ -881,6 +881,46 @@ SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
 """
 
 
+def q_json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: JSON field pulled out of events.props
+    (the S4 JSON-source shape applied as a column extraction)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        F.coalesce(k, F.lit("")).alias("k_str"),
+        F.coalesce(k.cast("long"), F.lit(-1)).alias("k_num"),
+        k.isNull().alias("k_missing"),
+    )
+
+
+SQL_JSON_FIELD_EXTRACT = """
+SELECT event_id,
+  coalesce(json_extract_string(props, '$.k'), '') AS k_str,
+  coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_num,
+  json_extract_string(props, '$.k') IS NULL AS k_missing
+FROM events
+"""
+
+
+def q_source_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map profile (exact median via NumPy) — the
+    oracle checks the pandas path against SQL order statistics."""
+    from .functions.grouped import source_length_profile
+
+    _ensure_package_shipped(spark)
+    return source_length_profile(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_LENGTH_PROFILE = """
+SELECT source, count(*) AS n_docs,
+  round(avg(n_chars), 6) AS mean_chars,
+  CAST(median(n_chars) AS DOUBLE) AS median_chars,
+  max(n_chars) AS max_chars
+FROM documents GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Windowed / sessionized aggregation (events table)
 # ---------------------------------------------------------------------------
@@ -1071,6 +1111,8 @@ REGISTRY: dict = {
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "suppliers_with_bigparts": (q_suppliers_with_bigparts, SQL_SUPPLIERS_WITH_BIGPARTS),
     "region_nation_rollup": (q_region_nation_rollup, SQL_REGION_NATION_ROLLUP),
+    "json_field_extract": (q_json_field_extract, SQL_JSON_FIELD_EXTRACT),
+    "source_length_profile": (q_source_length_profile, SQL_SOURCE_LENGTH_PROFILE),
     # windowed / sessionized
     "window_agg_events": (q_window_agg_events, SQL_WINDOW_AGG_EVENTS),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
