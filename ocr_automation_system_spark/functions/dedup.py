@@ -101,7 +101,8 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+                        bands: int = 4, rows_per_band: int = 2,
+                        cache_index: bool = False) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing >= 1 minhash band.
 
     Self-equi-join on (band, sig): the only shuffle is hash-partitioned on
@@ -110,6 +111,12 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     scale add a bucket-size cap filter before the join if needed.
     """
     bt = minhash_bands(df, id_col, text_col, n, bands, rows_per_band)
+    if cache_index:
+        # Both self-join sides read the same band table; without a persist
+        # each side re-runs tokenize->shingle->hash over the corpus. At
+        # production scale the index is WRITTEN once as a table instead —
+        # this is the in-session equivalent (tiny: ~bands rows per doc).
+        bt = bt.persist()
     a, b = bt.alias("a"), bt.alias("b")
     return (
         a.join(b, ["band", "sig"])
@@ -121,8 +128,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3, bands: int = 4,
-                        rows_per_band: int = 2,
-                        threshold: float = 0.0) -> DataFrame:
+                        rows_per_band: int = 2, threshold: float = 0.0,
+                        cache_index: bool = False) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard.
 
     Join the (small) candidate-pair set back to the shingle table twice —
@@ -130,7 +137,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     intersection per row. Returns (doc_a, doc_b, jaccard)."""
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh"))
-    pairs = lsh_candidate_pairs(df, id_col, text_col, n, bands, rows_per_band)
+    if cache_index:
+        sh = sh.persist()  # joined twice (doc_a and doc_b sides)
+    pairs = lsh_candidate_pairs(df, id_col, text_col, n, bands, rows_per_band,
+                                cache_index)
     j = (
         pairs
         .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")

@@ -339,7 +339,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(b=4, r=2) LSH band join + exact n-gram Jaccard verify."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        D.ngram_jaccard_pairs(docs, n=3, bands=4, rows_per_band=2)
+        D.ngram_jaccard_pairs(docs, n=3, bands=4, rows_per_band=2,
+                              cache_index=True)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
