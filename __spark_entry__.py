@@ -50,6 +50,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins; pipeline/multimodal queries (binary-payload semantics)
-    are intentionally absent -> rows-only checks."""
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    """DuckDB twins for every query. The pipeline/multimodal queries run
+    against precomputed twin parquet artifacts (see
+    ``ocr_automation_system_spark/oracle/twin.py``): the extraction stage is
+    recomputed serially with the pure-Python oracle, and the SQL implements
+    the relational stages (adapters/join/rules/report/checks) independently.
+    Rendering materializes the artifacts for the driver's sf0.01 corpus."""
+    from ocr_automation_system_spark.queries import rendered_oracle_sql
+
+    return rendered_oracle_sql("/root/testdata/sf0.01")

@@ -30,6 +30,7 @@ HEADLINE = (
     "usability_gate", "field_extract_chain", "quality_scores", "lang_id",
     "dedup_exact_groups", "minhash_lsh_pairs", "simhash_near_pairs",
     "embedding_topk", "embedding_lsh_topk", "embedding_near_dup_pairs",
+    "embedding_rp_near_dup_pairs", "embedding_multitable_topk",
     "entity_join_shape", "report_summary", "duplicate_id_groups",
     "checksum_existence_join", "topk_per_group",
     "pricing_summary", "top_revenue_orders", "region_nation_rollup",

@@ -8,9 +8,11 @@ Four tiers, cheapest first — the standard web-corpus dedup ladder:
    Candidate generation never goes quadratic: the join key is
    ``(band_index, band_signature)`` so only same-bucket docs meet, and the
    bucket cardinality is bounded by the corpus's true near-dup structure.
-3. **SimHash** — 32-bit signatures; Hamming-adjacent buckets via 4x8-bit
-   block keys (two signatures within Hamming distance 3 share at least one
-   of 4 blocks — pigeonhole), then exact Hamming check on candidates.
+3. **SimHash** — 64-bit signatures (two 32-bit halves); Hamming-adjacent
+   buckets via 4x16-bit block keys (two signatures within Hamming distance
+   3 share at least one of 4 blocks — pigeonhole; 65,536 keys per block so
+   buckets stay bounded at 10^9+ docs), then exact Hamming check on
+   candidates, with a bucket-occupancy cap before the self-join.
 4. **Exact-verify** — n-gram Jaccard on LSH candidates only.
 
 At 10^12 rows every stage is a hash-partitioned shuffle on a derived key;
@@ -26,16 +28,20 @@ from pyspark.sql import functions as F
 
 from .text import (
     MINHASH_P, content_hash, minhash_value, shingle_hashes, shingles,
-    simhash32,
 )
 from .util import ensure_parallelism
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     max_sample_ids: int = 100) -> DataFrame:
     """Exact-dup groups: (content_hash, n_docs, keep_doc_id=min id, doc_ids).
 
     The canonical keep-one-per-group primitive: a single groupBy shuffle.
+    ``doc_ids`` is a SAMPLE capped at ``max_sample_ids`` (O2-style slice):
+    an unbounded collect_list on a mega-dup group (a boilerplate page
+    duplicated 10^8 times) would materialize the whole id list in one
+    reducer. ``n_docs`` stays exact.
     """
     hashed = df.select(
         F.col(id_col).alias("doc_id"), content_hash(F.col(text_col)).alias("content_hash")
@@ -45,7 +51,9 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("keep_doc_id"),
-            F.array_join(F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ",")
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list(F.col("doc_id").cast("string"))),
+                        1, max_sample_ids), ",")
              .alias("doc_ids"),
         )
     )
@@ -60,7 +68,11 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id",
     return df.join(keep, id_col, "left_semi")
 
 
-_EMPTY_BAND_SIG = f"{MINHASH_P}|{MINHASH_P}"
+def _empty_band_sig(rows_per_band: int) -> str:
+    """Sentinel band signature of a doc with no shingles (every min-hash is
+    the MINHASH_P sentinel) — computed from rows_per_band so non-default
+    band shapes still filter empty docs out of candidate generation."""
+    return "|".join([str(MINHASH_P)] * rows_per_band)
 
 
 def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -77,6 +89,10 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     (CollapseProject refuses to inline a non-cheap expression referenced
     more than once)."""
     n_hashes = bands * rows_per_band
+    from .text import MINHASH_A
+    assert n_hashes <= len(MINHASH_A), (
+        f"bands*rows_per_band={n_hashes} exceeds the {len(MINHASH_A)} "
+        f"universal-hash parameter pairs in text.MINHASH_A/MINHASH_C")
     df = ensure_parallelism(df)
     hashed = df.select(
         F.col(id_col).alias("doc_id"),
@@ -95,7 +111,7 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     ]
     return (
         sigs.select("doc_id", F.posexplode(F.array(*band_strs)).alias("band", "sig"))
-        .filter(F.col("sig") != _EMPTY_BAND_SIG)
+        .filter(F.col("sig") != _empty_band_sig(rows_per_band))
     )
 
 
@@ -158,41 +174,76 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_table(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) 32-bit signatures. Two-step projection: the vote
-    fold lands in its own Project (non-cheap, referenced 32x downstream)
-    so CollapseProject materializes it once per row."""
-    from .text import simhash_from_votes, simhash_votes
+    """(doc_id, sim_hi, sim_lo) 64-bit signatures stored as two 32-bit
+    halves (see ``text.simhash_lo_from_votes`` for why two halves beat one
+    packed int64 cross-engine). Two-step projection: the vote fold lands
+    in its own Project (non-cheap, referenced 64x downstream) so
+    CollapseProject materializes it once per row."""
+    from .text import simhash_from_votes, simhash_lo_from_votes, simhash_votes
 
     votes = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), simhash_votes(F.col(text_col)).alias("v"))
-    return votes.select("doc_id", simhash_from_votes(F.col("v")).alias("simhash"))
+    return votes.select(
+        "doc_id",
+        simhash_from_votes(F.col("v")).alias("sim_hi"),
+        simhash_lo_from_votes(F.col("v")).alias("sim_lo"),
+    )
+
+
+def simhash_blocks(st: DataFrame) -> DataFrame:
+    """Signature table -> (doc_id, sim_hi, sim_lo, block, block_val) with
+    4 x 16-bit pigeonhole blocks (Manku et al. layout).
+
+    16-bit blocks give 65,536 join keys per block index (vs 256 for byte
+    blocks) — the difference between bounded buckets and a quadratic
+    bucket self-join at 10^9+ docs."""
+    return st.select(
+        "doc_id", "sim_hi", "sim_lo",
+        F.posexplode(F.array(
+            F.shiftrightunsigned(F.col("sim_hi"), 16),
+            F.col("sim_hi").bitwiseAND(F.lit(65535)),
+            F.shiftrightunsigned(F.col("sim_lo"), 16),
+            F.col("sim_lo").bitwiseAND(F.lit(65535)),
+        )).alias("block", "block_val"),
+    )
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash within ``max_hamming`` bits.
+                       text_col: str = "text", max_hamming: int = 3,
+                       max_bucket: int | None = 100_000) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash within ``max_hamming`` bits.
 
-    Pigeonhole blocking: split the 32-bit signature into 4 bytes; any two
-    signatures within Hamming distance 3 agree on >= 1 full byte, so the
-    self-join key is (block_index, block_value) — linear-ish candidate
-    generation, then an exact popcount filter via bit ops."""
+    Pigeonhole blocking: any two signatures within Hamming distance 3
+    agree on >= 1 of the 4 16-bit blocks, so the self-join key is
+    (block_index, block_value) — linear-ish candidate generation, then an
+    exact popcount filter via bit ops on the two halves.
+
+    ``max_bucket`` caps bucket occupancy BEFORE the self-join: a
+    pathological bucket of B identical-signature docs costs B^2 candidate
+    rows, so a boilerplate page duplicated 10^8 times would otherwise
+    detonate the join. Dropping over-full buckets loses recall only among
+    docs that near-collide with >max_bucket others — at that multiplicity
+    they're exact-dedup territory (run ``exact_duplicates`` first)."""
     st = simhash_table(df, id_col, text_col)
-    blocks = st.select(
-        "doc_id", "simhash",
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("simhash"), 8 * k).bitwiseAND(F.lit(255))
-            for k in range(4)
-        ])).alias("block", "block_val"),
-    )
+    blocks = simhash_blocks(st)
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("block", "block_val")
+        blocks = (blocks.withColumn("_bn", F.count(F.lit(1)).over(w))
+                  .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(b, ["block", "block_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("a.simhash").alias("sim_a"),
-                F.col("b.doc_id").alias("doc_b"), F.col("b.simhash").alias("sim_b"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("a.sim_hi").alias("hi_a"), F.col("a.sim_lo").alias("lo_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("b.sim_hi").alias("hi_b"), F.col("b.sim_lo").alias("lo_b"))
         .distinct()
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    hamming = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+               + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)

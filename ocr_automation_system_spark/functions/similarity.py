@@ -58,10 +58,14 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
 
 
-def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
+def sign_bucket(vec: Column, n_bits: int = 16) -> Column:
     """LSH bucket id: sign bits of the first ``n_bits`` dimensions packed
-    into an int. Axis-aligned hyperplanes — deterministic and oracle-
-    replicable; swap for seeded random planes at production scale."""
+    into an int. Axis-aligned hyperplanes — the cheapest oracle-replicable
+    bucketing; ``hyperplanes``/``plane_bucket`` below are the seeded
+    random-plane variant for corpus scale (also oracle-replicable: the
+    planes are deterministic literals). Default 16 bits = 65,536 buckets;
+    raise with corpus size (~20 bits at 10^9+ vectors) so per-bucket
+    occupancy stays bounded."""
     # try_element_at: a vector shorter than n_bits dims yields NULL (-> bit
     # 0) instead of a task-killing index error; matches the SQL oracle's
     # out-of-range list access returning NULL.
@@ -76,20 +80,63 @@ def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
     return out
 
 
-def lsh_bucket_table(embeddings: DataFrame, n_bits: int = 8,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def hyperplanes(n_bits: int, dim: int, seed: int = 0) -> list[list[float]]:
+    """Seeded deterministic random hyperplanes (Charikar sign-LSH).
+
+    Gaussian components rounded to 6 decimals so the literal values parse
+    to identical doubles in Spark and DuckDB — the random-plane bucketing
+    stays fully oracle-replicable."""
+    import random
+
+    rng = random.Random(seed)
+    return [[round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)]
+            for _ in range(n_bits)]
+
+
+def plane_dot(vec: Column, plane: list[float]) -> Column:
+    """<vec, plane> with missing dims contributing 0 (short vectors never
+    error — same contract as sign_bucket's try_element_at). Left-to-right
+    accumulation, bit-identical to a flat a1+a2+... sum in SQL."""
+    lits = F.array(*[F.lit(p) for p in plane])
+    prods = F.zip_with(_d(vec), lits,
+                       lambda x, y: F.coalesce(x * y, F.lit(0.0)))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def plane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign of <vec, planes[i]>."""
+    n_bits = len(planes)
+    out = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        out = out + F.when(plane_dot(vec, plane) > 0,
+                           F.lit(2 ** (n_bits - 1 - i)).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def _bucket_expr(vec: Column, n_bits: int, planes: list | None) -> Column:
+    return plane_bucket(vec, planes) if planes is not None \
+        else sign_bucket(vec, n_bits)
+
+
+def lsh_bucket_table(embeddings: DataFrame, n_bits: int = 16,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     planes: list | None = None) -> DataFrame:
     """The ANN index: (vec_id, bucket). Persist hash-partitioned by bucket."""
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        _bucket_expr(F.col(vec_col), n_bits, planes).alias("bucket"),
     )
 
 
-def lsh_bucket_stats(embeddings: DataFrame, n_bits: int = 8,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Bucket occupancy — the skew diagnostic for the ANN index."""
+def lsh_bucket_stats(embeddings: DataFrame, n_bits: int = 16,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     planes: list | None = None) -> DataFrame:
+    """Bucket occupancy — the skew diagnostic for the ANN index. Feed its
+    max(n_vecs) into the ``max_bucket`` cap of ``cosine_near_dup_pairs``
+    when tuning for a new corpus."""
     return (
-        lsh_bucket_table(embeddings, n_bits, id_col, vec_col)
+        lsh_bucket_table(embeddings, n_bits, id_col, vec_col, planes)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"),
              F.min("vec_id").alias("min_vec_id"))
@@ -108,7 +155,9 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     The predicate stays a plain column filter (popcount of an XOR) —
     partition-prunable when the index table is partitioned by bucket."""
     q = [float(x) for x in query_vec]
-    q_bucket = sum(2 ** (n_bits - 1 - i) for i in range(n_bits) if q[i] > 0)
+    # mirror sign_bucket's try_element_at: dims beyond len(q) are 0-bits
+    q_bucket = sum(2 ** (n_bits - 1 - i)
+                   for i in range(min(n_bits, len(q))) if q[i] > 0)
     qcol = F.array(*[F.lit(x) for x in q])
     bucket = sign_bucket(F.col(vec_col), n_bits)
     if probe_hamming <= 0:
@@ -124,16 +173,64 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
 
 
+def lsh_topk_multitable(embeddings: DataFrame, query_vec: list[float],
+                        k: int = 10, n_tables: int = 4, n_bits: int = 16,
+                        seed: int = 0, dim: int | None = None,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Multi-table random-hyperplane ANN top-k (the standard recall fix for
+    single-table LSH): T independent plane sets; a vector is a candidate if
+    it matches the query's bucket in ANY table.
+
+    Expressed as ONE narrow scan with an OR of per-table bucket equalities
+    — no union of T subqueries, no shuffle before the TakeOrdered(k). At
+    production scale the T bucket ids are precomputed index columns and
+    this predicate partition-prunes per table."""
+    q = [float(x) for x in query_vec]
+    d = dim if dim is not None else len(q)
+    qcol = F.array(*[F.lit(x) for x in q])
+    pred = None
+    for t in range(n_tables):
+        planes = hyperplanes(n_bits, d, seed=seed + t)
+        q_bucket = sum(
+            2 ** (n_bits - 1 - i)
+            for i, plane in enumerate(planes)
+            if sum(a * b for a, b in zip(q, plane)) > 0)
+        p = plane_bucket(F.col(vec_col), planes) == F.lit(q_bucket)
+        pred = p if pred is None else (pred | p)
+    scored = (
+        embeddings.filter(pred)
+        .select(F.col(id_col).alias("vec_id"),
+                F.round(cosine(F.col(vec_col), qcol), 6).alias("cos_sim"))
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
+
+
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
-                          n_bits: int = 8, id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
+                          n_bits: int = 16, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          planes: list | None = None,
+                          max_bucket: int | None = 100_000) -> DataFrame:
     """Embedding near-dup pairs: same-LSH-bucket candidates with cosine >=
     threshold. The self-join shuffles on the bucket key only; the quadratic
     blowup is confined to individual buckets (AQE skew-split if one bucket
-    is pathological)."""
+    is pathological).
+
+    ``max_bucket`` drops over-occupied buckets BEFORE the self-join (a
+    B-row bucket costs B^2 candidates; tune the cap from
+    ``lsh_bucket_stats``). ``planes`` switches bucketing to seeded random
+    hyperplanes (``hyperplanes``) — the production mode for embeddings
+    whose leading dims aren't informative."""
     t = embeddings.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col).alias("vec"),
-                          sign_bucket(F.col(vec_col), n_bits).alias("bucket"))
+                          _bucket_expr(F.col(vec_col), n_bits, planes)
+                          .alias("bucket"))
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("bucket")
+        t = (t.withColumn("_bn", F.count(F.lit(1)).over(w))
+             .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     a, b = t.alias("a"), t.alias("b")
     return (
         a.join(b, "bucket")

@@ -230,44 +230,68 @@ def winnow_fingerprint(text: Column, n: int = 3) -> Column:
     return F.array_min(F.transform(shingles(text, n), F.md5))
 
 
+#: hex digits whose nibble has bit 3 set (nibble & 8) — drives sim_hi
 _HEX_HI = ("8", "9", "a", "b", "c", "d", "e", "f")
+#: hex digits whose nibble has bit 2 set (nibble & 4) — drives sim_lo
+_HEX_MID = ("4", "5", "6", "7", "c", "d", "e", "f")
 
 
 def simhash_votes(text: Column) -> Column:
-    """32 SimHash vote counters accumulated in ONE fold over the token
+    """64 SimHash vote counters accumulated in ONE fold over the token
     digest array (single tokenization + one md5 per distinct token).
 
-    Token hash = md5 hex (32 nibbles); bit j of a token is 1 iff hex digit
-    j >= '8' (top bit of the nibble); the counter is sum(+1/-1) — standard
-    SimHash. Keep this struct in its own Project (see
-    ``dedup.simhash_table``) so downstream field accesses don't re-inline
-    the fold."""
+    Token hash = md5 hex (32 nibbles), widened to 64 bits by taking TWO
+    bits per nibble (Manku et al. 64-bit layout): bit j (j<32) is the
+    nibble-j top bit (digit >= '8'), bit 32+j is nibble-j bit 2. The
+    counter is sum(+1/-1) — standard SimHash. Keep this struct in its own
+    Project (see ``dedup.simhash_table``) so downstream field accesses
+    don't re-inline the fold."""
     toks = F.array_distinct(ws_tokens(clean_text(text)))
     digests = F.transform(toks, F.md5)
-    names = [f"v{j}" for j in range(32)]
+    names = [f"v{j}" for j in range(64)]
     init = F.struct(*[F.lit(0).cast("long").alias(nm) for nm in names])
 
     def merge(acc, d):
-        return F.struct(*[
-            (acc[nm] + F.when(F.substring(d, j + 1, 1).isin(*_HEX_HI),
-                              F.lit(1)).otherwise(F.lit(-1))).alias(nm)
-            for j, nm in enumerate(names)
-        ])
+        fields = []
+        for j, nm in enumerate(names):
+            cls = _HEX_HI if j < 32 else _HEX_MID
+            fields.append(
+                (acc[nm] + F.when(F.substring(d, j % 32 + 1, 1).isin(*cls),
+                                  F.lit(1)).otherwise(F.lit(-1))).alias(nm))
+        return F.struct(*fields)
 
     return F.aggregate(digests, init, merge)
 
 
-def simhash_from_votes(votes: Column) -> Column:
-    """Vote struct -> 32-bit signature: bit j set iff votes[j] > 0."""
+def _pack_votes(votes: Column, offset: int) -> Column:
     out = F.lit(0).cast("long")
     for j in range(32):
-        out = out + F.when(votes[f"v{j}"] > 0, F.lit(2 ** (31 - j)).cast("long")) \
+        out = out + F.when(votes[f"v{offset + j}"] > 0,
+                           F.lit(2 ** (31 - j)).cast("long")) \
                      .otherwise(F.lit(0).cast("long"))
     return out
 
 
+def simhash_from_votes(votes: Column) -> Column:
+    """Vote struct -> sim_hi (bits 0-31; identical to the legacy 32-bit
+    SimHash). Kept for compatibility with existing tests/fixtures."""
+    return _pack_votes(votes, 0)
+
+
+def simhash_lo_from_votes(votes: Column) -> Column:
+    """Vote struct -> sim_lo (bits 32-63 of the 64-bit signature).
+
+    The 64-bit signature is the (sim_hi, sim_lo) pair, deliberately stored
+    as two non-negative 32-bit values instead of one packed int64: bit 63
+    of a packed long flips the sign, and signed shift/overflow semantics
+    differ between engines (Spark ANSI longs vs DuckDB BIGINT) — two
+    halves keep every value positive and every shift well-defined in both,
+    with hamming = bit_count(hi^hi') + bit_count(lo^lo')."""
+    return _pack_votes(votes, 32)
+
+
 def simhash32(text: Column) -> Column:
-    """Convenience composition for single-expression use (tests, small
-    data). For table-scale use ``dedup.simhash_table`` — its two-step
-    projection evaluates the vote fold once per row instead of 32x."""
+    """Legacy 32-bit signature (== sim_hi of the 64-bit pair). For
+    table-scale use ``dedup.simhash_table`` — its two-step projection
+    evaluates the vote fold once per row instead of 32x."""
     return simhash_from_votes(simhash_votes(text))

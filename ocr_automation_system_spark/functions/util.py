@@ -9,23 +9,59 @@ aggregations with high-cardinality accumulators, or non-AQE engines."""
 
 from __future__ import annotations
 
+import math
+import os
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Estimate the scan's split count from file metadata WITHOUT forcing a
+    plan->RDD conversion (``df.rdd`` materializes the RDD lineage on the
+    driver per query — the crutch this replaces).
+
+    Returns None (= leave the plan alone) for non-file sources and for
+    remote storage paths: a production Iceberg/parquet scan on an object
+    store is assumed well-split (it yields >> cores splits by
+    maxPartitionBytes), so the rebalance is a no-op there by construction.
+    """
+    files = df.inputFiles()
+    if not files:
+        return None
+    raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes",
+                                   "134217728")
+    m = re.match(r"(\d+)", str(raw))
+    max_bytes = int(m.group(1)) if m else 134217728
+    splits = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        path = re.sub(r"^file:(//)?", "", f)
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return None
+        splits += max(1, math.ceil(size / max_bytes))
+    return splits
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin rebalance IFF the plan has fewer partitions than cores.
+    """Round-robin rebalance IFF the scan is split-starved.
 
     CPU-bound row-wise operators (shingling, hashing, extraction UDFs) are
     throttled to the scan's split count; a small parquet file is one
     non-splittable row group, so on local[32] it would run on 1 core. At
     production scale the Iceberg scan yields >> cores splits and this is a
-    no-op — the repartition only fires on split-starved inputs, costing one
-    narrow-input shuffle that the downstream stages amortize immediately.
+    no-op — the repartition only fires on split-starved local file inputs,
+    costing one narrow-input shuffle that the downstream stages amortize
+    immediately.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = _estimated_scan_splits(df)
+    if est is not None and est < target:
         return df.repartition(target)
     return df
 

@@ -103,6 +103,23 @@ def extract_documents(documents: DataFrame, two_pass: bool = True) -> DataFrame:
     return html_leg.unionByName(pdf_leg)
 
 
+def extraction_metrics_by_leg(results: DataFrame) -> DataFrame:
+    """G5 (deterministic form): extraction-metric counters grouped by
+    (source_leg, doc_status) — partitioning-independent, so the DuckDB
+    oracle twin can hash-check it (`pipeline_sql.SQL_PIPELINE_LINEAGE_METRICS`).
+    The per-partition variant below is the lineage-sink shape used by the
+    resume machinery (`plans/resume.py`)."""
+    return (
+        results.groupBy("source_leg", "doc_status")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("blocks_kept").alias("blocks_kept"),
+            F.sum("blocks_dropped").alias("blocks_dropped"),
+            F.sum(F.size("missing_fields")).alias("missing_field_hits"),
+        )
+    )
+
+
 def extraction_metrics(results: DataFrame) -> DataFrame:
     """G5: per-partition extraction-metric counters (blocks kept/dropped,
     gate failures, poison rows) — the lineage/metrics sink rows required by

@@ -1,0 +1,134 @@
+"""Oracle twin artifacts for the binary-payload pipeline queries.
+
+The driver's DuckDB comparator can only check queries whose inputs it can
+read with SQL. The extraction pipeline's input is the synthetic html corpus
+(BINARY payloads), and its first stage is per-document Python — not
+SQL-expressible. To still get hard rows+schema+hash driver checks for the
+pipeline queries, this module precomputes the *extraction stage* with the
+pure-Python oracle (`oracle.doctype.extract_document`) run SERIALLY — no
+Spark — and writes the expected rows to a parquet "twin" table. The
+DuckDB oracle SQL for the downstream relational stages (adapters → entity
+join → rules → report, duplicate-id / checksum / lineage aggregations) then
+runs against the twin parquet as an independent SQL implementation of those
+stages (`queries.py` `SQL_PIPELINE_*`).
+
+What this does and doesn't prove:
+
+* the relational stages get a true dual implementation (DuckDB SQL vs Spark
+  DataFrame ops) — full differential coverage;
+* the extraction stage's *Spark plumbing* (two-pass leg split, Arrow batch
+  transfer, schema mapping, partitioning) is checked against a serial run
+  of the same oracle function — the same property
+  `tests/test_pipeline_byte_identity.py` asserts, now surfaced through the
+  driver's hash gate;
+* reference parity of the oracle functions themselves is covered separately
+  by the extractor fixture tests (`tests/test_oracle_extractors.py`).
+
+Everything is cached in the system temp dir keyed by (corpus version, twin
+version, row count) so a stale artifact can never shadow changed semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+#: bump whenever twin generation logic changes.
+TWIN_VERSION = 1
+
+from ..corpus import CORPUS_VERSION, generate_rows, write_corpus
+
+
+def corpus_path(n_rows: int) -> str:
+    """Same path layout as ``queries.corpus_for`` — shared artifact."""
+    return os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_corpus_v{CORPUS_VERSION}_{n_rows}.parquet")
+
+
+def twin_extractions_path(n_rows: int) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_twin_extract_v{CORPUS_VERSION}_{TWIN_VERSION}_{n_rows}.parquet")
+
+
+def twin_media_path(n_rows: int) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_twin_media_v{CORPUS_VERSION}_{TWIN_VERSION}_{n_rows}.parquet")
+
+
+def _write_twin_extractions(path: str, rows: list) -> None:
+    import pandas as pd
+
+    from .doctype import extract_document
+
+    records = [extract_document(r["url"], r["html"]) for r in rows]
+    df = pd.DataFrame.from_records(records)
+    # contract surface: the array column is serialized (driver comparator
+    # sorts every column; pandas can't sort lists)
+    df["missing_fields"] = df["missing_fields"].map(",".join)
+    for c in ("blocks_kept", "blocks_dropped"):
+        df[c] = df[c].astype("int32")
+    df.to_parquet(path, index=False)
+
+
+def _write_twin_media(path: str, rows: list) -> None:
+    import pandas as pd
+
+    from ..functions.multimodal import _decode_dims, sniff_mime
+
+    out = []
+    for r in rows:
+        payload = bytes(r["html"]) if r["html"] is not None else b""
+        rec = {
+            "media_id": r["url"], "status": "ok",
+            "mime": sniff_mime(payload), "n_bytes": len(payload),
+            "sha1": hashlib.sha1(payload).hexdigest(),
+            "width": -1, "height": -1,
+        }
+        try:
+            rec["width"], rec["height"] = _decode_dims(payload)
+        except Exception as exc:
+            rec["status"] = f"error:{type(exc).__name__}"
+        out.append(rec)
+    df = pd.DataFrame(out)
+    # q_media_metadata coalesces NULL dims to -1 and casts to long at the
+    # contract surface so neither side carries nullable-int dtypes.
+    for c in ("width", "height"):
+        df[c] = df[c].astype("int64")
+    df["n_bytes"] = df["n_bytes"].astype("int64")
+    df.to_parquet(path, index=False)
+
+
+def ensure_twins(n_rows: int) -> dict:
+    """Idempotently materialize corpus + twin parquets; return their paths."""
+    paths = {
+        "corpus": corpus_path(n_rows),
+        "twin_extractions": twin_extractions_path(n_rows),
+        "twin_media": twin_media_path(n_rows),
+    }
+    if not os.path.exists(paths["corpus"]):
+        write_corpus(paths["corpus"], n_rows)
+    need = [k for k in ("twin_extractions", "twin_media")
+            if not os.path.exists(paths[k])]
+    if need:
+        rows = generate_rows(n_rows)
+        if "twin_extractions" in need:
+            _write_twin_extractions(paths["twin_extractions"], rows)
+        if "twin_media" in need:
+            _write_twin_media(paths["twin_media"], rows)
+    return paths
+
+
+def render_sql(sql: str, n_rows: int) -> str:
+    """Substitute twin-artifact path placeholders into oracle SQL (and make
+    sure the artifacts exist — generation is pure Python, seconds at test
+    scale)."""
+    if "__TWIN_" not in sql and "__CORPUS__" not in sql:
+        return sql
+    paths = ensure_twins(n_rows)
+    return (sql
+            .replace("__TWIN_EXTRACTIONS__", paths["twin_extractions"])
+            .replace("__TWIN_MEDIA__", paths["twin_media"])
+            .replace("__CORPUS__", paths["corpus"]))

@@ -1,0 +1,478 @@
+"""DuckDB SQL twins for the extraction-pipeline contract queries.
+
+The extraction stage itself is per-document Python over BINARY payloads (not
+SQL-expressible); its expected output is precomputed serially by
+``oracle.twin`` into a parquet artifact (placeholder
+``__TWIN_EXTRACTIONS__``, substituted by ``oracle.twin.render_sql``). The
+SQL here is an *independent relational implementation* of everything
+downstream of extraction — adapters (A1-A7), entity join (A8), validation
+rules (R1-R12), report aggregation (G1-G2), duplicate-id / checksum /
+lineage checks — mirroring ``operators/adapters.py``, ``operators/rules.py``
+and ``operators/report.py`` expression by expression.
+
+Notes on cross-engine determinism (same contract as ``queries.py``):
+* string comparisons are binary in both engines (no collation);
+* DuckDB ``sum(INTEGER)`` returns HUGEINT — every sum is cast back to
+  BIGINT to match Spark's LongType;
+* date parsing guards with a strict ``^\\d{2}/\\d{2}/\\d{4}$`` regex so
+  DuckDB's lenient ``%d`` (1-2 digits) can't diverge from Spark's strict
+  ``dd`` pattern;
+* Spark ``round(double, 1)`` (HALF_UP) and DuckDB ``round(double, 1)``
+  agree unless the scaled value is an exact binary .5 — impossible for
+  ``days/365.25`` ages (tested in ``tests/test_pipeline_oracle_sql.py``).
+"""
+
+from __future__ import annotations
+
+TWIN = "read_parquet('__TWIN_EXTRACTIONS__')"
+TWIN_MEDIA = "read_parquet('__TWIN_MEDIA__')"
+CORPUS = "read_parquet('__CORPUS__')"
+
+
+# ---------------------------------------------------------------------------
+# Shared scalar fragments (adapters A1-A4)
+# ---------------------------------------------------------------------------
+
+def _norm_name(x: str) -> str:
+    """A1 (`operators/adapters.py:89`)."""
+    return (r"trim(regexp_replace(regexp_replace(regexp_replace("
+            r"upper(trim(" + x + r")), "
+            r"'^(M/S\.?\s*|MESSRS\.?\s*|SHRI\s+|SMT\.?\s*)', '', 'g'), "
+            r"'[^A-Z0-9 ]', '', 'g'), '\s+', ' ', 'g'))")
+
+
+def _norm_date(x: str) -> str:
+    return f"regexp_replace(trim({x}), '[-.]', '/', 'g')"
+
+
+def _j(field: str) -> str:
+    """fields_json scalar ('' for missing/invalid — from_json semantics)."""
+    return f"coalesce(json_extract_string(fj, '$.{field}'), '')"
+
+
+def _fne(*exprs: str) -> str:
+    """A4 first-nonempty: coalesce(nullif(upper(trim(x)),'')..., '')."""
+    parts = ", ".join(f"nullif(upper(trim({e})), '')" for e in exprs)
+    return f"coalesce({parts}, '')"
+
+
+def _full_address(cleaned: list) -> str:
+    """concat_ws(', ', non-empty values) over already-cleaned fragments."""
+    parts = ", ".join(f"nullif({c}, '')" for c in cleaned)
+    return f"concat_ws(', ', {parts})"
+
+
+def _contains_any(up: str, variants: list) -> str:
+    return " OR ".join(f"contains({up}, '{v}')" for v in variants)
+
+
+_CONSTITUTION_CHAIN = [
+    ("PRIVATE LIMITED", ["PRIVATE LIMITED", "PVT LTD", "PRIVATE LTD",
+                         "PRIVATE LIMITED COMPANY"]),
+    ("PUBLIC LIMITED", ["PUBLIC LIMITED", "PUBLIC LTD", "PUBLIC LIMITED COMPANY"]),
+    ("LLP", ["LLP", "LIMITED LIABILITY PARTNERSHIP"]),
+    ("PARTNERSHIP", ["PARTNERSHIP", "PARTNERSHIP FIRM"]),
+    ("PROPRIETORSHIP", ["PROPRIETORSHIP", "SOLE PROPRIETORSHIP", "PROPRIETOR"]),
+    ("HUF", ["HUF", "HINDU UNDIVIDED FAMILY"]),
+    ("TRUST", ["TRUST"]),
+    ("SOCIETY", ["SOCIETY"]),
+    ("AOP", ["AOP", "ASSOCIATION OF PERSONS"]),
+    ("BOI", ["BOI", "BODY OF INDIVIDUALS"]),
+]
+
+
+def _normalize_constitution(x: str) -> str:
+    """P16 twin (`adapters.py:229`): '' for empty input, canonical category
+    on keyword hit, upper(trim(input)) otherwise."""
+    up = f"upper(trim({x}))"
+    whens = "\n    ".join(
+        f"WHEN {_contains_any(up, variants)} THEN '{canon}'"
+        for canon, variants in _CONSTITUTION_CHAIN
+    )
+    return (f"CASE WHEN {x} IS NULL OR trim({x}) = '' THEN ''\n"
+            f"    {whens}\n    ELSE {up} END")
+
+
+_INFER_CHAIN = [
+    ("PRIVATE LIMITED", ["PRIVATE LIMITED", "PVT LTD", "PVT. LTD.", "PRIVATE LTD"]),
+    ("PUBLIC LIMITED", ["PUBLIC LIMITED", "PUBLIC LTD"]),
+    ("LLP", ["LLP", "LIMITED LIABILITY PARTNERSHIP"]),
+    ("PARTNERSHIP", ["PARTNERSHIP"]),
+]
+
+
+def _infer_constitution(name: str) -> str:
+    """R9 inference twin (`rules.py:152`): upper(coalesce(name,'')), 4
+    ordered keyword groups, '' when uninferable."""
+    up = f"upper(coalesce({name}, ''))"
+    whens = "\n    ".join(
+        f"WHEN {_contains_any(up, variants)} THEN '{canon}'"
+        for canon, variants in _INFER_CHAIN
+    )
+    return f"CASE {whens}\n    ELSE '' END"
+
+
+# ---------------------------------------------------------------------------
+# Adapter + entity-join CTEs (A5-A8)
+# ---------------------------------------------------------------------------
+
+_UNITS_STRUCT = '[{"pin":"VARCHAR"}]'
+_CLS_STRUCT = ('[{"sno":"VARCHAR","classification_year":"VARCHAR",'
+               '"enterprise_type":"VARCHAR","classification_date":"VARCHAR"}]')
+
+# GST principal address: reference key <- fields_json source
+_GST_ADDR = [
+    ("flat_no", "building_flat_no"), ("building", "premises_name"),
+    ("road", "road_street"), ("locality", "locality"), ("city", "city"),
+    ("district", "district"), ("state", "state"), ("pin", "pin_code"),
+]
+# Udyam registered address
+_UD_ADDR = [
+    ("flat_no", "flat_no"), ("building", "building"), ("road", "road"),
+    ("locality", "village_town"), ("city", "city"), ("district", "district"),
+    ("state", "state"), ("pin", "pin"),
+]
+
+
+def _addr_cols(mapping: list, prefix: str, json_root: str) -> str:
+    cols = []
+    cleaned = []
+    for key, src in mapping:
+        e = _fne(f"json_extract_string(fj, '$.{json_root}.{src}')")
+        cleaned.append(e)
+        cols.append(f"{e} AS {prefix}_{key}")
+    cols.append(f"{_full_address(cleaned)} AS {prefix}_full")
+    return ",\n    ".join(cols)
+
+
+_ENTITY_CTES = f"""
+res AS (SELECT * FROM {TWIN}),
+pan_a AS (
+  SELECT url AS pan_url,
+    upper(trim({_j('pan')})) AS pan,
+    {_norm_name(_j('name'))} AS legal_name,
+    {_norm_date(_j('incorporation_date'))} AS incorporation_date,
+    {_j('name')} AS raw_name
+  FROM (SELECT url, CASE WHEN json_valid(fields_json) THEN fields_json END AS fj
+        FROM res WHERE document_type = 'PAN')
+),
+gst_a AS (
+  SELECT url AS gst_url,
+    {_norm_name(_j('name'))} AS legal_name,
+    {_j('gst_number')} AS gst_number,
+    upper(substr({_j('gst_number')}, 3, 10)) AS pan,
+    {_normalize_constitution("json_extract_string(fj, '$.constitution_of_business')")} AS constitution,
+    {_addr_cols(_GST_ADDR, 'g', 'principal_address')},
+    {_j('additional_place_of_business')} AS additional_places,
+    {_j('name')} AS raw_name
+  FROM (SELECT url, CASE WHEN json_valid(fields_json) THEN fields_json END AS fj
+        FROM res WHERE document_type = 'GST_CERTIFICATE')
+),
+udyam_a AS (
+  SELECT url AS udyam_url,
+    {_norm_name(_j('enterprise_name'))} AS legal_name,
+    upper(trim({_j('pan')})) AS pan,
+    {_j('udyam_number')} AS udyam_number,
+    {_norm_date(_j('incorporation_date'))} AS incorporation_date,
+    {_norm_date(_j('commencement_date'))} AS commencement_date,
+    {_addr_cols(_UD_ADDR, 'u', 'official_address')},
+    coalesce(list_transform(
+        json_transform(tj -> '$.units_details', '{_UNITS_STRUCT}'),
+        x -> upper(trim(coalesce(x.pin, '')))), []) AS factory_pins,
+    coalesce(
+      list_reverse(list_sort(
+        json_transform(tj -> '$.classification_history', '{_CLS_STRUCT}')
+      ))[1].enterprise_type, '') AS enterprise_type,
+    {_j('enterprise_name')} AS raw_name
+  FROM (SELECT url,
+          CASE WHEN json_valid(fields_json) THEN fields_json END AS fj,
+          CASE WHEN json_valid(tables_json) THEN tables_json END AS tj
+        FROM res WHERE document_type = 'UDYAM')
+),
+pan_1 AS (SELECT * FROM pan_a WHERE pan <> ''
+          QUALIFY row_number() OVER (PARTITION BY pan ORDER BY pan_url) = 1),
+gst_1 AS (SELECT * FROM gst_a WHERE pan <> ''
+          QUALIFY row_number() OVER (PARTITION BY pan ORDER BY gst_url) = 1),
+udyam_1 AS (SELECT * FROM udyam_a WHERE pan <> ''
+            QUALIFY row_number() OVER (PARTITION BY pan ORDER BY udyam_url) = 1),
+ent AS (
+  SELECT coalesce(p.pan, g.pan, u.pan) AS entity_key,
+    p.pan_url IS NOT NULL AS has_pan,
+    g.gst_url IS NOT NULL AS has_gst,
+    u.udyam_url IS NOT NULL AS has_ud,
+    p.legal_name AS p_name, p.pan AS p_pan,
+    p.incorporation_date AS p_incdate,
+    g.legal_name AS g_name, g.pan AS g_pan, g.constitution AS g_const,
+    g.g_pin, g.g_city, g.g_district, g.g_state, g.g_locality, g.g_full,
+    g.additional_places AS g_additional,
+    u.legal_name AS u_name, u.pan AS u_pan,
+    u.incorporation_date AS u_incdate, u.commencement_date AS u_comdate,
+    u.u_pin, u.u_city, u.u_district, u.u_state, u.u_locality, u.u_full,
+    u.factory_pins, u.raw_name AS u_rawname
+  FROM pan_1 p
+  FULL JOIN gst_1 g ON p.pan = g.pan
+  FULL JOIN udyam_1 u ON coalesce(p.pan, g.pan) = u.pan
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Rules R1-R12 as UNION ALL branches over ent
+# ---------------------------------------------------------------------------
+
+def _rule(rule_id: str, severity: str, docs: list, case_sql: str) -> str:
+    return (f"SELECT entity_key, '{rule_id}' AS rule_id, r.status, r.message,\n"
+            f"  '{severity}' AS severity, '{','.join(docs)}' AS source_docs\n"
+            f"FROM (SELECT entity_key, {case_sql} AS r FROM ent)")
+
+
+def _row(status: str, message_sql: str) -> str:
+    return f"{{'status': '{status}', 'message': {message_sql}}}"
+
+
+def _name_eq(a_has, b_has, a_name, b_name, a_label, b_label) -> str:
+    return f"""CASE
+  WHEN NOT {a_has} OR NOT {b_has}
+    THEN {_row('SKIPPED', f"'Skipped: Missing {a_label} or {b_label} data'")}
+  WHEN trim({a_name}) = '' OR trim({b_name}) = ''
+    THEN {_row('SKIPPED', "'Skipped: Name field missing in one or both documents'")}
+  WHEN {a_name} = {b_name}
+    THEN {_row('PASS', f"'{a_label} name matches {b_label} name'")}
+  ELSE {_row('FAIL', f"'{a_label} name does NOT match {b_label} name'")}
+END"""
+
+
+def _pan_eq(a_has, b_has, a_pan, b_pan, a_label, b_label) -> str:
+    return f"""CASE
+  WHEN NOT {a_has} OR NOT {b_has}
+    THEN {_row('SKIPPED', f"'Skipped: Missing {a_label} or {b_label} data'")}
+  WHEN trim({a_pan}) = '' OR trim({b_pan}) = ''
+    THEN {_row('SKIPPED', "'Skipped: PAN missing in one or both documents'")}
+  WHEN {a_pan} = {b_pan}
+    THEN {_row('PASS', f"'PAN matches: ' || {a_pan}")}
+  ELSE {_row('FAIL', f"'{a_label} PAN does NOT match {b_label}'")}
+END"""
+
+
+_ADDR_FIELDS = ["pin", "city", "district", "state", "locality"]
+_ADDR_SCORE = " + ".join(
+    f"(CASE WHEN g_{f} <> '' AND u_{f} <> '' AND g_{f} = u_{f} THEN 1 ELSE 0 END)"
+    for f in _ADDR_FIELDS)
+_ADDR_MAX = " + ".join(
+    f"(CASE WHEN g_{f} <> '' OR u_{f} <> '' THEN 1 ELSE 0 END)"
+    for f in _ADDR_FIELDS)
+
+_ADDR_RULE = f"""CASE
+  WHEN NOT has_gst OR NOT has_ud
+    THEN {_row('SKIPPED', "'Skipped: Missing GST or Udyam data'")}
+  WHEN g_full = '' OR u_full = ''
+    THEN {_row('SKIPPED', "'Skipped: Address data missing from one or both documents'")}
+  WHEN ({_ADDR_SCORE}) = ({_ADDR_MAX})
+    THEN {_row('PASS', "'GST principal address matches Udyam registered office'")}
+  WHEN ({_ADDR_SCORE}) >= ({_ADDR_MAX}) * 0.6
+    THEN {_row('WARNING', f"'Address field match ' || CAST({_ADDR_SCORE} AS VARCHAR) || '/' || CAST({_ADDR_MAX} AS VARCHAR)")}
+  ELSE {_row('FAIL', f"'Address field match ' || CAST({_ADDR_SCORE} AS VARCHAR) || '/' || CAST({_ADDR_MAX} AS VARCHAR)")}
+END"""
+
+_PIN_RULE = f"""CASE
+  WHEN NOT has_gst OR NOT has_ud
+    THEN {_row('SKIPPED', "'Skipped: Missing GST or Udyam data'")}
+  WHEN trim(g_pin) = '' OR trim(u_pin) = ''
+    THEN {_row('SKIPPED', "'Skipped: PIN code missing from one or both documents'")}
+  WHEN trim(g_pin) = trim(u_pin)
+    THEN {_row('PASS', "'PIN codes match: ' || trim(g_pin)")}
+  ELSE {_row('FAIL', "'PIN codes do NOT match'")}
+END"""
+
+_FACTORY_RULE = f"""CASE
+  WHEN NOT has_gst OR NOT has_ud
+    THEN {_row('SKIPPED', "'Skipped: Missing GST or Udyam data'")}
+  WHEN coalesce(g_additional, '') = '' OR trim(coalesce(g_additional, '')) = ''
+       OR coalesce(g_additional, '') = 'NA'
+    THEN {_row('SKIPPED', "'Skipped: No additional places in GST'")}
+  WHEN factory_pins IS NULL OR len(factory_pins) = 0
+    THEN {_row('SKIPPED', "'Skipped: No factory/unit addresses in Udyam'")}
+  WHEN len(list_filter(factory_pins,
+        x -> x <> '' AND contains(upper(coalesce(g_additional, '')), x))) > 0
+    THEN {_row('PASS', "'Found matching factory address(es) by PIN'")}
+  ELSE {_row('WARNING', "'Could not match GST additional places with Udyam factory addresses'")}
+END"""
+
+_INFERRED = _infer_constitution("coalesce(nullif(u_rawname, ''), u_name)")
+_CONST_RULE = f"""CASE
+  WHEN NOT has_gst OR NOT has_ud
+    THEN {_row('SKIPPED', "'Skipped: Missing GST or Udyam data'")}
+  WHEN coalesce(g_const, '') = ''
+    THEN {_row('SKIPPED', "'Skipped: Constitution missing from GST certificate'")}
+  WHEN ({_INFERRED}) = ''
+    THEN {_row('PASS', "'Could not infer constitution from Udyam name (check manually)'")}
+  WHEN coalesce(g_const, '') = ({_INFERRED})
+    THEN {_row('PASS', "'Constitution match: ' || coalesce(g_const, '')")}
+  ELSE {_row('WARNING', f"'Constitution may not match: GST=''' || coalesce(g_const, '') || ''' vs inferred=''' || ({_INFERRED}) || ''''")}
+END"""
+
+_INC_DATE_RULE = f"""CASE
+  WHEN NOT has_pan OR NOT has_ud
+    THEN {_row('SKIPPED', "'Skipped: Missing PAN or Udyam data'")}
+  WHEN coalesce(p_incdate, '') = ''
+    THEN {_row('SKIPPED', "'Skipped: Incorporation date missing from PAN'")}
+  WHEN coalesce(u_incdate, '') = ''
+    THEN {_row('SKIPPED', "'Skipped: Incorporation date missing from Udyam'")}
+  WHEN p_incdate = u_incdate
+    THEN {_row('PASS', "'Incorporation dates match: ' || p_incdate")}
+  ELSE {_row('FAIL', "'Incorporation dates do NOT match'")}
+END"""
+
+
+def _age_rule(as_of: str) -> str:
+    parse_ok = ("regexp_matches(coalesce(u_incdate, ''), '^[0-9]{2}/[0-9]{2}/[0-9]{4}$') "
+                "AND try_strptime(u_incdate, '%d/%m/%Y') IS NOT NULL")
+    age = (f"(datediff('day', CAST(try_strptime(u_incdate, '%d/%m/%Y') AS DATE), "
+           f"DATE '{as_of}') / 365.25)")
+    word = f"CASE WHEN {age} < 2 THEN 'NEW' ELSE 'EXISTING' END"
+    msg = (f"'Entity is ' || ({word}) || ' (incorporated ' || "
+           f"CAST(round({age}, 1) AS VARCHAR) || ' years ago)'")
+    return f"""CASE
+  WHEN NOT has_ud THEN {_row('SKIPPED', "'Skipped: Missing Udyam data'")}
+  WHEN coalesce(u_incdate, '') = ''
+    THEN {_row('SKIPPED', "'Skipped: Incorporation date not available'")}
+  WHEN NOT ({parse_ok})
+    THEN {_row('SKIPPED', "'Skipped: Could not parse date: ' || u_incdate")}
+  ELSE {_row('PASS', msg)}
+END"""
+
+
+_COMMENCE_RULE = f"""CASE
+  WHEN NOT has_ud THEN {_row('SKIPPED', "'Skipped: Missing Udyam data'")}
+  WHEN coalesce(u_incdate, '') = '' OR coalesce(u_comdate, '') = ''
+    THEN {_row('PASS', "'Commencement date not available for comparison'")}
+  WHEN u_incdate = u_comdate
+    THEN {_row('WARNING', "'Incorporation and commencement dates are same - may indicate existing entity'")}
+  ELSE {_row('PASS', "'Incorporation and commencement dates differ'")}
+END"""
+
+
+def _rules_union(as_of: str = "2026-01-01") -> str:
+    branches = [
+        _rule("NAME_MATCH_PAN_GST", "CRITICAL", ["PAN", "GST"],
+              _name_eq("has_pan", "has_gst", "p_name", "g_name", "PAN", "GST")),
+        _rule("NAME_MATCH_PAN_UDYAM", "CRITICAL", ["PAN", "UDYAM"],
+              _name_eq("has_pan", "has_ud", "p_name", "u_name", "PAN", "UDYAM")),
+        _rule("NAME_MATCH_GST_UDYAM", "CRITICAL", ["GST", "UDYAM"],
+              _name_eq("has_gst", "has_ud", "g_name", "u_name", "GST", "UDYAM")),
+        _rule("PAN_MATCH_GST", "CRITICAL", ["PAN", "GST"],
+              _pan_eq("has_pan", "has_gst", "p_pan", "g_pan", "PAN", "GST")),
+        _rule("PAN_MATCH_UDYAM", "CRITICAL", ["PAN", "UDYAM"],
+              _pan_eq("has_pan", "has_ud", "p_pan", "u_pan", "PAN", "UDYAM")),
+        _rule("ADDR_GST_PRINCIPAL_UDYAM_OFFICE", "WARNING", ["GST", "UDYAM"],
+              _ADDR_RULE),
+        _rule("PIN_MATCH_GST_UDYAM", "CRITICAL", ["GST", "UDYAM"], _PIN_RULE),
+        _rule("ADDR_GST_ADDITIONAL_UDYAM_FACTORY", "INFO", ["GST", "UDYAM"],
+              _FACTORY_RULE),
+        _rule("CONSTITUTION_GST_UDYAM", "WARNING", ["GST", "UDYAM"], _CONST_RULE),
+        _rule("INCORPORATION_DATE_PAN_UDYAM", "CRITICAL", ["PAN", "UDYAM"],
+              _INC_DATE_RULE),
+        _rule("ENTITY_AGE_CHECK", "INFO", ["UDYAM"], _age_rule(as_of)),
+        _rule("INCORPORATION_VS_COMMENCEMENT", "INFO", ["UDYAM"], _COMMENCE_RULE),
+    ]
+    return "\nUNION ALL\n".join(branches)
+
+
+_VALIDATION_BODY = f"""WITH {_ENTITY_CTES},
+val AS (
+{_rules_union()}
+)
+SELECT entity_key, rule_id, status, message, severity, source_docs
+FROM val"""
+
+
+SQL_PIPELINE_VALIDATION = _VALIDATION_BODY
+
+SQL_PIPELINE_ENTITY_REPORTS = f"""WITH v AS ({_VALIDATION_BODY})
+SELECT entity_key,
+  count(*) AS total_rules,
+  count(CASE WHEN status = 'PASS' THEN 1 END) AS passed,
+  count(CASE WHEN status = 'FAIL' THEN 1 END) AS failed,
+  count(CASE WHEN status = 'WARNING' THEN 1 END) AS warnings,
+  count(CASE WHEN status = 'SKIPPED' THEN 1 END) AS skipped,
+  count(CASE WHEN status = 'FAIL' AND severity = 'CRITICAL' THEN 1 END)
+    AS critical_failures,
+  CASE
+    WHEN count(CASE WHEN status = 'FAIL' AND severity = 'CRITICAL' THEN 1 END) > 0
+      THEN 'FAILED (Critical issues found)'
+    WHEN count(CASE WHEN status = 'FAIL' THEN 1 END) > 0 THEN 'FAILED'
+    WHEN count(CASE WHEN status = 'WARNING' THEN 1 END) > 0
+      THEN 'PASSED WITH WARNINGS'
+    ELSE 'PASSED' END AS overall_status,
+  CASE WHEN count(*) > 0 THEN
+    printf('%.1f', count(CASE WHEN status = 'PASS' THEN 1 END) * 100.0
+                   / count(*)) || '%'
+  ELSE 'N/A' END AS pass_rate
+FROM v GROUP BY entity_key"""
+
+
+# ---------------------------------------------------------------------------
+# Extraction surface + cross-doc checks + lineage + host stats + media
+# ---------------------------------------------------------------------------
+
+SQL_PIPELINE_EXTRACTIONS = f"""
+SELECT url, doc_status, source_leg, document_type, missing_fields,
+       entity_pan, entity_gstin, entity_udyam, entity_name, entity_date,
+       entity_pin, blocks_kept, blocks_dropped, error
+FROM {TWIN}
+"""
+
+SQL_PIPELINE_DUPLICATE_IDS = f"""
+WITH docs AS (
+  SELECT entity_pan AS pan, {_norm_name('entity_name')} AS name
+  FROM {TWIN} WHERE entity_pan <> ''
+)
+SELECT pan, count(*) AS n_docs,
+  count(DISTINCT CASE WHEN name <> '' THEN name END) AS n_names,
+  coalesce(string_agg(DISTINCT CASE WHEN name <> '' THEN name END, ','
+           ORDER BY CASE WHEN name <> '' THEN name END), '') AS names,
+  count(DISTINCT CASE WHEN name <> '' THEN name END) > 1 AS is_conflict
+FROM docs GROUP BY pan
+"""
+
+SQL_PIPELINE_CHECKSUM_CHECKS = f"""
+WITH gst AS (
+  SELECT url AS gst_url, entity_gstin AS gstin,
+         upper(substr(entity_gstin, 3, 10)) AS derived_pan
+  FROM {TWIN}
+  WHERE document_type = 'GST_CERTIFICATE' AND entity_gstin <> ''
+),
+pans AS (SELECT DISTINCT entity_pan AS pan FROM {TWIN}
+         WHERE document_type = 'PAN' AND entity_pan <> '')
+SELECT g.gst_url, g.gstin, g.derived_pan,
+       (p.pan IS NOT NULL) AS pan_doc_exists
+FROM gst g LEFT JOIN pans p ON g.derived_pan = p.pan
+"""
+
+_N_MISSING = ("CASE WHEN missing_fields = '' THEN 0 ELSE "
+              "length(missing_fields) - length(replace(missing_fields, ',', '')) + 1 END")
+
+SQL_PIPELINE_LINEAGE_METRICS = f"""
+SELECT source_leg, doc_status, count(*) AS docs,
+  CAST(sum(blocks_kept) AS BIGINT) AS blocks_kept,
+  CAST(sum(blocks_dropped) AS BIGINT) AS blocks_dropped,
+  CAST(sum({_N_MISSING}) AS BIGINT) AS missing_field_hits
+FROM {TWIN} GROUP BY 1, 2
+"""
+
+SQL_PIPELINE_HOST_STATS = f"""
+SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+       count(*) AS n_docs
+FROM {CORPUS} GROUP BY 1
+"""
+
+SQL_MEDIA_METADATA = f"""
+SELECT media_id, status, mime, n_bytes, sha1, width, height
+FROM {TWIN_MEDIA}
+"""
+
+SQL_MEDIA_CENSUS = f"""
+SELECT mime, count(*) AS n_media,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       count(CASE WHEN status <> 'ok' THEN 1 END) AS n_errors
+FROM {TWIN_MEDIA} GROUP BY mime
+"""

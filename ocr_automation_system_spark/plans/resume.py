@@ -84,12 +84,19 @@ def run_resumable_extraction(
         results = extract_documents(slice_df)
 
         dest = os.path.join(output_dir, "extractions", f"bucket={b}")
-        tmp = dest + ".inprogress"
+        # Stage OUTSIDE the partition-discovery root: a dotted sibling of
+        # `extractions/` would still be a visible partition dir to Spark
+        # ("bucket=N.inprogress" -> bogus string partition value from a
+        # run killed mid-write); `_staging/` at the output root is never
+        # scanned by read_extractions.
+        tmp = os.path.join(output_dir, "_staging", f"bucket={b}")
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
+        os.makedirs(os.path.dirname(tmp), exist_ok=True)
         results.write.mode("overwrite").parquet(tmp)
         if os.path.exists(dest):  # stale partial from a killed run
             shutil.rmtree(dest)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
         os.rename(tmp, dest)
 
         committed = spark.read.parquet(dest)

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import pipeline_sql as PSQL
 from .functions import dedup as D
 from .functions import similarity as S
 from .functions import text as T
@@ -42,7 +43,9 @@ from .operators.adapters import (
     build_entities, checksum_consistency_check, duplicate_id_check,
     normalize_name,
 )
-from .operators.extract import extract_documents, extraction_metrics
+from .operators.extract import (
+    extract_documents, extraction_metrics_by_leg,
+)
 from .operators.report import entity_report
 from .operators.rules import run_rules
 from .sources.catalog import load_table
@@ -99,14 +102,19 @@ def _sql_sign_bucket(vec: str, n_bits: int = 8) -> str:
     return f"CAST({terms} AS BIGINT)"
 
 
-def _sql_simhash_from_ds() -> str:
-    """32-bit SimHash over a pre-materialized digest list column ``ds``
-    (twin of functions.text.simhash_votes + simhash_from_votes)."""
-    hexhi = "('8','9','a','b','c','d','e','f')"
+_SQL_HEX_HI = "('8','9','a','b','c','d','e','f')"
+_SQL_HEX_MID = "('4','5','6','7','c','d','e','f')"
+
+
+def _sql_simhash_half(hex_class: str) -> str:
+    """One 32-bit half of the 64-bit SimHash over a pre-materialized digest
+    list column ``ds`` (twin of functions.text.simhash_votes + the two
+    ``*_from_votes`` packers): hi half votes on the nibble top bit
+    (digit in 8..f), lo half on nibble bit 2 (digit in 4-7,c-f)."""
     bits = []
     for j in range(32):
         votes = (f"coalesce(list_sum(list_transform(ds, "
-                 f"d -> CASE WHEN substr(d, {j + 1}, 1) IN {hexhi} "
+                 f"d -> CASE WHEN substr(d, {j + 1}, 1) IN {hex_class} "
                  f"THEN 1 ELSE -1 END)), 0)")
         bits.append(f"CASE WHEN {votes} > 0 THEN CAST({1 << (31 - j)} AS BIGINT) "
                     f"ELSE CAST(0 AS BIGINT) END")
@@ -114,12 +122,13 @@ def _sql_simhash_from_ds() -> str:
 
 
 def _sql_simhash_table(toks: str) -> str:
-    """CTE body producing (doc_id, simhash); the digest list is
+    """CTE body producing (doc_id, sim_hi, sim_lo); the digest list is
     MATERIALIZED so tokenization+md5 run once, not once per bit."""
     return (f"WITH ds_t AS MATERIALIZED (SELECT doc_id, "
             f"list_transform(list_distinct({toks}), t -> md5(t)) AS ds "
             f"FROM documents) "
-            f"SELECT doc_id, {_sql_simhash_from_ds()} AS simhash FROM ds_t")
+            f"SELECT doc_id, {_sql_simhash_half(_SQL_HEX_HI)} AS sim_hi, "
+            f"{_sql_simhash_half(_SQL_HEX_MID)} AS sim_lo FROM ds_t")
 
 
 _EXACT_SUM = "CAST(sum(CAST({col} AS DECIMAL(20,8))) AS DOUBLE)"
@@ -330,7 +339,7 @@ SQL_DEDUP_EXACT_GROUPS = f"""
 SELECT md5({_sql_clean('text')}) AS content_hash,
        count(*) AS n_docs,
        min(doc_id) AS keep_doc_id,
-       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+       array_to_string(list_sort(list(CAST(doc_id AS VARCHAR)))[1:100], ',') AS doc_ids
 FROM documents GROUP BY 1
 """
 
@@ -395,24 +404,36 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(docs, max_hamming=3)
 
 
+#: mirror of dedup.simhash_near_pairs(max_bucket=100000): the bucket cap
+#: is part of the operator's semantics, so the twin applies it too (no-op
+#: at test scale, load-bearing at corpus scale).
 SQL_SIMHASH_NEAR_PAIRS = f"""
 WITH ds_t AS MATERIALIZED (SELECT doc_id,
        list_transform(list_distinct({_SQL_CLEAN_TOKS}), t -> md5(t)) AS ds
        FROM documents),
-st AS MATERIALIZED (SELECT doc_id, {_sql_simhash_from_ds()} AS simhash FROM ds_t),
+st AS MATERIALIZED (SELECT doc_id, {_sql_simhash_half(_SQL_HEX_HI)} AS sim_hi,
+       {_sql_simhash_half(_SQL_HEX_MID)} AS sim_lo FROM ds_t),
 blocks AS (
-  SELECT doc_id, simhash, CAST(r.k AS INTEGER) AS block,
-         (simhash >> CAST(8 * r.k AS INTEGER)) & 255 AS block_val
+  SELECT doc_id, sim_hi, sim_lo, CAST(r.k AS INTEGER) AS block,
+         CASE r.k WHEN 0 THEN sim_hi // 65536
+                  WHEN 1 THEN sim_hi % 65536
+                  WHEN 2 THEN sim_lo // 65536
+                  ELSE sim_lo % 65536 END AS block_val
   FROM st, range(0, 4) r(k)
 ),
+capped AS (
+  SELECT * FROM blocks
+  QUALIFY count(*) OVER (PARTITION BY block, block_val) <= 100000
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
-                  b.doc_id AS doc_b, b.simhash AS sim_b
-  FROM blocks a JOIN blocks b ON a.block = b.block AND a.block_val = b.block_val
+  SELECT DISTINCT a.doc_id AS doc_a, a.sim_hi AS hi_a, a.sim_lo AS lo_a,
+                  b.doc_id AS doc_b, b.sim_hi AS hi_b, b.sim_lo AS lo_b
+  FROM capped a JOIN capped b ON a.block = b.block AND a.block_val = b.block_val
   WHERE a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
-FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+SELECT doc_a, doc_b,
+  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
 """
 
 
@@ -508,6 +529,103 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is a parameter; 0.3 exercises the op on this corpus)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_near_dup_pairs(emb, threshold=0.3, n_bits=8)
+
+
+# -- random-hyperplane (production-scale) ANN variants ------------------------
+
+_EMB_DIM = 64
+_RP_BITS = 16
+#: multi-table demo runs at 8 bits so buckets have company at test scale;
+#: production raises bits with corpus size (the tables stay independent).
+_RP_BITS_MT = 8
+
+
+def _sql_plane_bucket(vec: str, planes: list) -> str:
+    """DuckDB twin of ``similarity.plane_bucket``: per bit, a flat
+    left-associated sum of coalesce(vec[j],0)*plane[j] products — the same
+    FP accumulation order as the Spark fold, so the sign (and therefore the
+    bucket) is bit-identical."""
+    n = len(planes)
+    bits = []
+    for i, plane in enumerate(planes):
+        terms = " + ".join(
+            f"coalesce(CAST(({vec})[{j + 1}] AS DOUBLE), 0.0) * {p!r}"
+            for j, p in enumerate(plane))
+        bits.append(f"CASE WHEN ({terms}) > 0 THEN CAST({1 << (n - 1 - i)} AS BIGINT) "
+                    f"ELSE CAST(0 AS BIGINT) END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def q_embedding_rp_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit seeded random-hyperplane bucket occupancy — the scale-safe
+    index diagnostic (65,536 buckets; feed max(n_vecs) into the near-dup
+    cap)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = S.hyperplanes(_RP_BITS, _EMB_DIM, seed=0)
+    return S.lsh_bucket_stats(emb, planes=planes)
+
+
+SQL_EMBEDDING_RP_BUCKET_STATS = f"""
+SELECT {_sql_plane_bucket('embedding', S.hyperplanes(_RP_BITS, _EMB_DIM, seed=0))} AS bucket,
+       count(*) AS n_vecs, min(vec_id) AS min_vec_id
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_embedding_rp_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs under 16-bit random-plane bucketing with the
+    bucket-occupancy cap — the production configuration of
+    ``cosine_near_dup_pairs`` (axis-aligned 8-bit is the sandbox one)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = S.hyperplanes(_RP_BITS, _EMB_DIM, seed=0)
+    return S.cosine_near_dup_pairs(emb, threshold=0.3, planes=planes)
+
+
+SQL_EMBEDDING_RP_NEAR_DUP_PAIRS = f"""
+WITH t AS (SELECT vec_id, embedding AS vec,
+                  {_sql_plane_bucket('embedding', S.hyperplanes(_RP_BITS, _EMB_DIM, seed=0))} AS bucket
+           FROM embeddings),
+capped AS (SELECT * FROM t
+           QUALIFY count(*) OVER (PARTITION BY bucket) <= 100000)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_sql_cosine('a.vec', 'b.vec')}, 6) AS cos_sim
+FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_sql_cosine('a.vec', 'b.vec')}, 6) >= 0.3
+"""
+
+
+def q_embedding_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-plane ANN top-10 (4 tables x 16 bits): candidate
+    iff the vector shares the query's bucket in ANY table — ONE narrow
+    scan with an OR of per-table bucket equalities, then TakeOrdered(k).
+    The standard recall fix for single-table LSH, shuffle-free."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec_df(spark, sf_dir)
+    pred = None
+    for t in range(4):
+        planes = S.hyperplanes(_RP_BITS_MT, _EMB_DIM, seed=t)
+        p = (S.plane_bucket(F.col("embedding"), planes)
+             == S.plane_bucket(F.col("qe"), planes))
+        pred = p if pred is None else (pred | p)
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(pred)
+        .select("vec_id",
+                F.round(S.cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"))
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+SQL_EMBEDDING_MULTITABLE_TOPK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_sql_cosine('e.embedding', 'qe')}, 6) AS cos_sim
+FROM embeddings e, q
+WHERE {" OR ".join(
+    f"{_sql_plane_bucket('e.embedding', S.hyperplanes(_RP_BITS_MT, _EMB_DIM, seed=t))}"
+    f" = {_sql_plane_bucket('qe', S.hyperplanes(_RP_BITS_MT, _EMB_DIM, seed=t))}"
+    for t in range(4))}
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
 
 
 SQL_EMBEDDING_NEAR_DUP_PAIRS = f"""
@@ -1024,13 +1142,19 @@ def extractions_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_extractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array columns are serialized at the contract surface (the driver's
+    # comparator sorts every column, which pandas can't do over lists).
     res = extractions_for(spark, sf_dir)
-    return res.drop("extracted_text", "fields_json", "tables_json")
+    return (res.drop("extracted_text", "fields_json", "tables_json")
+            .withColumn("missing_fields",
+                        F.array_join(F.col("missing_fields"), ",")))
 
 
 def q_pipeline_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = extractions_for(spark, sf_dir)
-    return run_rules(build_entities(res), as_of="2026-01-01")
+    out = run_rules(build_entities(res), as_of="2026-01-01")
+    return out.withColumn("source_docs",
+                          F.array_join(F.col("source_docs"), ","))
 
 
 def q_pipeline_entity_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,7 +1164,8 @@ def q_pipeline_entity_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_duplicate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return duplicate_id_check(extractions_for(spark, sf_dir))
+    out = duplicate_id_check(extractions_for(spark, sf_dir))
+    return out.withColumn("names", F.array_join(F.col("names"), ","))
 
 
 def q_pipeline_checksum_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1048,7 +1173,10 @@ def q_pipeline_checksum_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extraction_metrics(extractions_for(spark, sf_dir))
+    """Deterministic (source_leg x doc_status) metric totals — the
+    hash-checkable form; the per-partition lineage rows stay an internal
+    operator (`extraction_metrics`, written by plans/resume)."""
+    return extraction_metrics_by_leg(extractions_for(spark, sf_dir))
 
 
 def q_pipeline_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1063,8 +1191,13 @@ def q_pipeline_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Contract surface: nullable dims coalesce to -1 (long) so neither
+    # engine hands the comparator a nullable-int dtype; the feature vector
+    # (array) is dropped the same way the report queries drop theirs.
     meta = extract_media_metadata(corpus_for(spark, sf_dir))
-    return meta.drop("feature")
+    return (meta.drop("feature")
+            .withColumn("width", F.coalesce(F.col("width"), F.lit(-1)).cast("long"))
+            .withColumn("height", F.coalesce(F.col("height"), F.lit(-1)).cast("long")))
 
 
 def q_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,6 +1230,12 @@ REGISTRY: dict = {
     "embedding_lsh_topk_multiprobe": (q_embedding_lsh_topk_multiprobe,
                                       SQL_EMBEDDING_LSH_TOPK_MULTIPROBE),
     "embedding_near_dup_pairs": (q_embedding_near_dup_pairs, SQL_EMBEDDING_NEAR_DUP_PAIRS),
+    "embedding_rp_bucket_stats": (q_embedding_rp_bucket_stats,
+                                  SQL_EMBEDDING_RP_BUCKET_STATS),
+    "embedding_rp_near_dup_pairs": (q_embedding_rp_near_dup_pairs,
+                                    SQL_EMBEDDING_RP_NEAR_DUP_PAIRS),
+    "embedding_multitable_topk": (q_embedding_multitable_topk,
+                                  SQL_EMBEDDING_MULTITABLE_TOPK),
     # relational / validation shapes
     "name_normalize": (q_name_normalize, SQL_NAME_NORMALIZE),
     "entity_join_shape": (q_entity_join_shape, SQL_ENTITY_JOIN_SHAPE),
@@ -1117,15 +1256,33 @@ REGISTRY: dict = {
     # windowed / sessionized
     "window_agg_events": (q_window_agg_events, SQL_WINDOW_AGG_EVENTS),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
-    # extraction pipeline over the html corpus (rows-only)
-    "pipeline_extractions": (q_pipeline_extractions, None),
-    "pipeline_validation": (q_pipeline_validation, None),
-    "pipeline_entity_reports": (q_pipeline_entity_reports, None),
-    "pipeline_duplicate_ids": (q_pipeline_duplicate_ids, None),
-    "pipeline_checksum_checks": (q_pipeline_checksum_checks, None),
-    "pipeline_lineage_metrics": (q_pipeline_lineage_metrics, None),
-    "pipeline_host_stats": (q_pipeline_host_stats, None),
-    # multimodal plumbing (rows-only)
-    "media_metadata": (q_media_metadata, None),
-    "media_census": (q_media_census, None),
+    # extraction pipeline over the html corpus. The oracle side runs
+    # against the serially-precomputed extraction twin parquet
+    # (oracle/twin.py) — placeholders in the SQL are substituted by
+    # oracle.twin.render_sql before execution.
+    "pipeline_extractions": (q_pipeline_extractions, PSQL.SQL_PIPELINE_EXTRACTIONS),
+    "pipeline_validation": (q_pipeline_validation, PSQL.SQL_PIPELINE_VALIDATION),
+    "pipeline_entity_reports": (q_pipeline_entity_reports,
+                                PSQL.SQL_PIPELINE_ENTITY_REPORTS),
+    "pipeline_duplicate_ids": (q_pipeline_duplicate_ids,
+                               PSQL.SQL_PIPELINE_DUPLICATE_IDS),
+    "pipeline_checksum_checks": (q_pipeline_checksum_checks,
+                                 PSQL.SQL_PIPELINE_CHECKSUM_CHECKS),
+    "pipeline_lineage_metrics": (q_pipeline_lineage_metrics,
+                                 PSQL.SQL_PIPELINE_LINEAGE_METRICS),
+    "pipeline_host_stats": (q_pipeline_host_stats, PSQL.SQL_PIPELINE_HOST_STATS),
+    # multimodal plumbing (decode stubs; plumbing hash-checked via twin)
+    "media_metadata": (q_media_metadata, PSQL.SQL_MEDIA_METADATA),
+    "media_census": (q_media_census, PSQL.SQL_MEDIA_CENSUS),
 }
+
+
+def rendered_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    """Oracle SQL with twin-artifact placeholders substituted (and the
+    artifacts materialized). This is what ``__spark_entry__.oracle_sql``
+    hands the driver."""
+    from .oracle.twin import render_sql
+
+    n = _CORPUS_ROWS.get(os.path.basename(sf_dir.rstrip("/")), 400)
+    return {name: render_sql(sql, n)
+            for name, (_fn, sql) in REGISTRY.items() if sql is not None}

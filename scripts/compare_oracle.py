@@ -16,7 +16,8 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from ocr_automation_system_spark.queries import REGISTRY  # noqa: E402
+from ocr_automation_system_spark.oracle.twin import render_sql  # noqa: E402
+from ocr_automation_system_spark.queries import _CORPUS_ROWS, REGISTRY  # noqa: E402
 from ocr_automation_system_spark.session import build_session  # noqa: E402
 from ocr_automation_system_spark.sources.catalog import TABLE_NAMES  # noqa: E402
 
@@ -62,7 +63,8 @@ def main() -> int:
             print(f"ok?   {name}: rows-only ({len(sp)} rows)")
             continue
         try:
-            du = con.execute(sql).df()
+            n = _CORPUS_ROWS.get(os.path.basename(sf_dir.rstrip("/")), 400)
+            du = con.execute(render_sql(sql, n)).df()
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)

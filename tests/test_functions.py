@@ -57,13 +57,39 @@ def test_short_and_empty_docs_never_join(docs):
 
 
 def test_simhash_near_pairs_and_hamming(docs):
-    st = {r["doc_id"]: r["simhash"] for r in D.simhash_table(docs).collect()}
+    st = {r["doc_id"]: (r["sim_hi"], r["sim_lo"])
+          for r in D.simhash_table(docs).collect()}
     assert st[0] == st[1]                  # identical text -> identical sig
+    for hi, lo in st.values():             # halves stay in unsigned-32 range
+        assert 0 <= hi < 2 ** 32 and 0 <= lo < 2 ** 32
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
-             for r in D.simhash_near_pairs(docs, max_hamming=8).collect()}
+             for r in D.simhash_near_pairs(docs, max_hamming=16).collect()}
     assert pairs[(0, 1)] == 0
     if (0, 2) in pairs:                    # one-word change stays close
-        assert pairs[(0, 2)] <= 8
+        assert pairs[(0, 2)] <= 16
+
+
+def test_simhash_pigeonhole_property(docs):
+    """Hamming(a,b) <= 3 on the 64-bit signature => a and b share >= 1 of
+    the 4 16-bit blocks (the blocking join can never miss a near pair)."""
+    import random
+
+    def blocks(hi, lo):
+        return [(0, hi >> 16), (1, hi & 65535), (2, lo >> 16), (3, lo & 65535)]
+
+    rng = random.Random(7)
+    for _ in range(500):
+        hi_a, lo_a = rng.getrandbits(32), rng.getrandbits(32)
+        hi_b, lo_b = hi_a, lo_a
+        for bit in rng.sample(range(64), rng.randrange(0, 4)):  # <= 3 flips
+            if bit < 32:
+                hi_b ^= 1 << bit
+            else:
+                lo_b ^= 1 << (bit - 32)
+        ham = bin(hi_a ^ hi_b).count("1") + bin(lo_a ^ lo_b).count("1")
+        assert ham <= 3
+        shared = set(blocks(hi_a, lo_a)) & set(blocks(hi_b, lo_b))
+        assert shared, "pigeonhole violated"
 
 
 # -- similarity ---------------------------------------------------------------
@@ -115,6 +141,75 @@ def test_near_dup_pairs_cosine(vecs):
     pairs = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
              for r in S.cosine_near_dup_pairs(vecs, threshold=0.9, n_bits=4).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] >= 0.99
+
+
+def test_short_query_vector_never_errors(vecs):
+    """ADVICE fix: a query vector shorter than n_bits must 0-pad, exactly
+    like sign_bucket's try_element_at on short data vectors."""
+    top = {r["vec_id"] for r in S.lsh_topk(vecs, [1.0, 1.0], k=5,
+                                           n_bits=4).collect()}
+    assert 0 not in top or top  # executes without IndexError; result sane
+
+
+def test_random_planes_deterministic_and_consistent(vecs):
+    planes = S.hyperplanes(6, 4, seed=3)
+    assert planes == S.hyperplanes(6, 4, seed=3)
+    assert planes != S.hyperplanes(6, 4, seed=4)
+    b = vecs.select("vec_id",
+                    S.plane_bucket(F.col("embedding"), planes).alias("bk"))
+    got = {r["vec_id"]: r["bk"] for r in b.collect()}
+    # identical-direction vectors 0 and 1 may differ only on planes where
+    # their dot signs differ — but vec 0 vs itself is exactly stable
+    assert got == {r["vec_id"]: r["bk"] for r in b.collect()}
+    for v in got.values():
+        assert 0 <= v < 2 ** 6
+
+
+def test_plane_bucketed_near_dups_find_close_pair(vecs):
+    planes = S.hyperplanes(4, 4, seed=1)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             S.cosine_near_dup_pairs(vecs, threshold=0.9,
+                                     planes=planes).collect()}
+    assert (0, 1) in pairs  # cos=0.99 pair always shares all sign bits
+
+
+def test_bucket_cap_drops_pathological_bucket(spark):
+    """Skew-injected fixture: 30 identical vectors (one mega bucket) + 2
+    near-dups elsewhere. max_bucket=10 must drop the mega bucket's pairs
+    but keep the small bucket's pair — and lsh_bucket_stats shows the
+    occupancy the cap keys off."""
+    rows = [(i, [1.0, 1.0, 0.0, 0.0]) for i in range(30)]
+    rows += [(100, [-1.0, -1.0, 0.0, 0.0]), (101, [-1.0, -0.9, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    stats = {r["bucket"]: r["n_vecs"]
+             for r in S.lsh_bucket_stats(df, n_bits=4).collect()}
+    assert max(stats.values()) == 30
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             S.cosine_near_dup_pairs(df, threshold=0.9, n_bits=4,
+                                     max_bucket=10).collect()}
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs), "mega-bucket pairs not dropped"
+
+
+def test_multitable_topk_recall(spark):
+    """A vector missed by one table's bucket is still recalled when any of
+    the 4 tables matches; exact brute-force order is preserved among the
+    candidates."""
+    import random
+
+    rng = random.Random(11)
+    base = [rng.gauss(0, 1) for _ in range(8)]
+    rows = [(0, base)]
+    for i in range(1, 40):
+        rows.append((i, [x + rng.gauss(0, 0.8) for x in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    got = S.lsh_topk_multitable(df, base, k=5, n_tables=4, n_bits=4,
+                                dim=8).collect()
+    assert got and got[0]["vec_id"] == 0 and got[0]["cos_sim"] == 1.0
+    sims = [r["cos_sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
 
 
 # -- text analysis ------------------------------------------------------------

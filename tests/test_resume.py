@@ -66,6 +66,24 @@ def test_lineage_accounts_for_every_row(spark, docs, tmp_path):
     assert set(summary["buckets"]) == {0, 1, 2, 3}
 
 
+def test_leftover_staging_dir_is_invisible(spark, docs, tmp_path):
+    """A run killed mid-write leaves its partial output under _staging/,
+    which partition discovery over extractions/ can never see — the
+    resumed read returns only committed buckets."""
+    out = str(tmp_path / "run4")
+    run_resumable_extraction(spark, docs, out, n_buckets=4)
+    committed = read_extractions(spark, out).count()
+
+    # simulate a killed write: partial parquet parked in _staging
+    stale = os.path.join(out, "_staging", "bucket=9")
+    os.makedirs(stale)
+    docs.limit(5).write.mode("overwrite").parquet(stale)
+
+    again = read_extractions(spark, out)
+    assert again.count() == committed
+    assert "bucket" not in again.columns
+
+
 def test_rerun_is_idempotent(spark, docs, tmp_path):
     out = str(tmp_path / "run3")
     run_resumable_extraction(spark, docs, out, n_buckets=4)
