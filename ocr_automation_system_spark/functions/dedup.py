@@ -26,9 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import (
-    MINHASH_P, content_hash, minhash_value, shingle_hashes, shingles,
-)
+from .text import MINHASH_P, clean_text, content_hash, shingles, ws_tokens
 from .util import ensure_parallelism
 
 
@@ -89,19 +87,31 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     (CollapseProject refuses to inline a non-cheap expression referenced
     more than once)."""
     n_hashes = bands * rows_per_band
-    from .text import MINHASH_A
+    from .text import MINHASH_A, MINHASH_C
     assert n_hashes <= len(MINHASH_A), (
         f"bands*rows_per_band={n_hashes} exceeds the {len(MINHASH_A)} "
         f"universal-hash parameter pairs in text.MINHASH_A/MINHASH_C")
     df = ensure_parallelism(df)
-    hashed = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingle_hashes(shingles(F.col(text_col), n)).alias("hs"),
-    )
-    sigs = hashed.select(
+    # explode -> md5 -> n_hashes MIN aggregates in ONE hash aggregate:
+    # whole-stage codegen throughout, and map-side partial aggregation
+    # collapses each doc's shingles to one n_hashes-wide row BEFORE the
+    # shuffle on doc_id (shuffle payload ~ n_docs * n_hashes longs, not
+    # the shingle set). A previous version computed array_min over
+    # per-shingle F.transform lambdas — higher-order functions are
+    # CodegenFallback (interpreted per element) and carried a large
+    # one-time codegen-compile cost on top.
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   F.explode(shingles(F.col(text_col), n)).alias("s"))
+    hp = sh.select(
         "doc_id",
-        *[minhash_value(F.col("hs"), i).alias(f"m{i}") for i in range(n_hashes)],
+        F.pmod(F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long"),
+               F.lit(MINHASH_P)).alias("hp"),
     )
+    sigs = hp.groupBy("doc_id").agg(*[
+        F.min(F.pmod(F.lit(MINHASH_A[i]) * F.col("hp") + F.lit(MINHASH_C[i]),
+                     F.lit(MINHASH_P))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ])
     band_strs = [
         F.concat_ws("|", *[
             F.col(f"m{b * rows_per_band + r}").cast("string")
@@ -109,6 +119,10 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         ])
         for b in range(bands)
     ]
+    # Shingle-less docs never reach the aggregate (explode of an empty
+    # array yields no rows) — exactly the rows the sentinel filter used
+    # to drop, so the band table is unchanged; the filter stays as a
+    # belt-and-braces guard for callers feeding pre-built signatures.
     return (
         sigs.select("doc_id", F.posexplode(F.array(*band_strs)).alias("band", "sig"))
         .filter(F.col("sig") != _empty_band_sig(rows_per_band))
@@ -175,19 +189,41 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 def simhash_table(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """(doc_id, sim_hi, sim_lo) 64-bit signatures stored as two 32-bit
-    halves (see ``text.simhash_lo_from_votes`` for why two halves beat one
-    packed int64 cross-engine). Two-step projection: the vote fold lands
-    in its own Project (non-cheap, referenced 64x downstream) so
-    CollapseProject materializes it once per row."""
-    from .text import simhash_from_votes, simhash_lo_from_votes, simhash_votes
+    halves (see the SimHash section of ``functions/text.py`` for the bit
+    derivation and why two halves beat one packed int64 cross-engine).
 
-    votes = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"), simhash_votes(F.col(text_col)).alias("v"))
-    return votes.select(
-        "doc_id",
-        simhash_from_votes(F.col("v")).alias("sim_hi"),
-        simhash_lo_from_votes(F.col("v")).alias("sim_lo"),
+    Shape: explode distinct tokens -> md5 -> 64 per-bit set-count sums +
+    token count in ONE hash aggregate keyed on doc_id (map-side partial
+    agg collapses a doc's tokens before the 65-long-wide shuffle), then an
+    exact integer vote comparison packs the bits. Token-less docs (which
+    the explode drops) re-enter with the canonical all-zero signature via
+    a narrow union — no join, no extra shuffle."""
+    from .text import simhash_bit_sum, simhash_pack, token_digest_halves
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(ws_tokens(clean_text(F.col(text_col)))).alias("toks"))
+    tok = base.select("doc_id", F.explode("toks").alias("t"))
+    h1, h2 = token_digest_halves(F.col("t"))
+    halves = tok.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    v = halves.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[simhash_bit_sum(F.col("h1"), j).alias(f"b{j}") for j in range(32)],
+        *[simhash_bit_sum(F.col("h2"), j).alias(f"c{j}") for j in range(32)],
     )
+    sigs = v.select(
+        "doc_id",
+        simhash_pack([F.col(f"b{j}") for j in range(32)], F.col("n"))
+        .alias("sim_hi"),
+        simhash_pack([F.col(f"c{j}") for j in range(32)], F.col("n"))
+        .alias("sim_lo"),
+    )
+    empty = base.filter(F.size("toks") == 0).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("sim_hi"),
+        F.lit(0).cast("long").alias("sim_lo"),
+    )
+    return sigs.unionByName(empty)
 
 
 def simhash_blocks(st: DataFrame) -> DataFrame:
@@ -233,19 +269,19 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         blocks = (blocks.withColumn("_bn", F.count(F.lit(1)).over(w))
                   .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
+    hamming = (F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+               + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))))
+    # Hamming-filter BEFORE the distinct: the popcount is a cheap codegen
+    # row op on the join output, while distinct is a shuffle — filtering
+    # first shrinks that shuffle to the true near-pair set (x4 block
+    # multiplicity) instead of every same-block candidate. Profiled 2.4M
+    # candidate rows -> 0.66M at sf0.1; the ratio widens with dup density.
+    return (
         a.join(b, ["block", "block_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("a.sim_hi").alias("hi_a"), F.col("a.sim_lo").alias("lo_a"),
                 F.col("b.doc_id").alias("doc_b"),
-                F.col("b.sim_hi").alias("hi_b"), F.col("b.sim_lo").alias("lo_b"))
-        .distinct()
-    )
-    hamming = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-               + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
+                hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )

@@ -230,68 +230,54 @@ def winnow_fingerprint(text: Column, n: int = 3) -> Column:
     return F.array_min(F.transform(shingles(text, n), F.md5))
 
 
-#: hex digits whose nibble has bit 3 set (nibble & 8) — drives sim_hi
-_HEX_HI = ("8", "9", "a", "b", "c", "d", "e", "f")
-#: hex digits whose nibble has bit 2 set (nibble & 4) — drives sim_lo
-_HEX_MID = ("4", "5", "6", "7", "c", "d", "e", "f")
+# SimHash (64-bit, stored as two 32-bit halves)
+#
+# The 64-bit signature is the (sim_hi, sim_lo) pair, deliberately stored
+# as two non-negative 32-bit values instead of one packed int64: bit 63
+# of a packed long flips the sign, and signed shift/overflow semantics
+# differ between engines (Spark ANSI longs vs DuckDB BIGINT) — two
+# halves keep every value positive and every shift well-defined in both,
+# with hamming = bit_count(hi^hi') + bit_count(lo^lo').
+#
+# Token hash = first 16 hex digits of md5(token): h1 = nibbles 1-8
+# (sim_hi's 32 bits), h2 = nibbles 9-16 (sim_lo's). Bit j of a half is
+# (h >> (31-j)) & 1; the SimHash vote for bit j is sum over tokens of
+# (2*bit - 1), and the signature bit is set iff the vote is positive —
+# equivalently iff 2*sum(bit) > n_tokens, which keeps the whole
+# computation in exact integer arithmetic on BOTH engines (no FP order
+# sensitivity in the oracle contract).
+#
+# The table-scale implementation lives in ``dedup.simhash_table`` as
+# explode -> md5 -> 64 bit-sums in ONE hash aggregate: whole-stage
+# codegen end to end, map-side partial aggregation collapses each doc's
+# tokens before the (tiny, 65-long-wide) shuffle on doc_id. A previous
+# version folded a 64-counter struct per token with F.aggregate — higher-
+# order lambdas are CodegenFallback (interpreted, struct realloc per
+# element) and benched ~10x slower at 5k docs, worsening with fan-in.
 
 
-def simhash_votes(text: Column) -> Column:
-    """64 SimHash vote counters accumulated in ONE fold over the token
-    digest array (single tokenization + one md5 per distinct token).
-
-    Token hash = md5 hex (32 nibbles), widened to 64 bits by taking TWO
-    bits per nibble (Manku et al. 64-bit layout): bit j (j<32) is the
-    nibble-j top bit (digit >= '8'), bit 32+j is nibble-j bit 2. The
-    counter is sum(+1/-1) — standard SimHash. Keep this struct in its own
-    Project (see ``dedup.simhash_table``) so downstream field accesses
-    don't re-inline the fold."""
-    toks = F.array_distinct(ws_tokens(clean_text(text)))
-    digests = F.transform(toks, F.md5)
-    names = [f"v{j}" for j in range(64)]
-    init = F.struct(*[F.lit(0).cast("long").alias(nm) for nm in names])
-
-    def merge(acc, d):
-        fields = []
-        for j, nm in enumerate(names):
-            cls = _HEX_HI if j < 32 else _HEX_MID
-            fields.append(
-                (acc[nm] + F.when(F.substring(d, j % 32 + 1, 1).isin(*cls),
-                                  F.lit(1)).otherwise(F.lit(-1))).alias(nm))
-        return F.struct(*fields)
-
-    return F.aggregate(digests, init, merge)
+def token_digest_halves(tok: Column) -> tuple[Column, Column]:
+    """md5(token) -> (h1, h2): two unsigned 32-bit halves as longs.
+    DuckDB twin: ``CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)``
+    and ``substr(md5(t), 9, 8)``."""
+    d = F.md5(tok)
+    h1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    return h1, h2
 
 
-def _pack_votes(votes: Column, offset: int) -> Column:
+def simhash_bit_sum(half: Column, j: int) -> Column:
+    """Aggregation expression: count of tokens whose bit j (MSB-first) of
+    the given 32-bit digest half is set."""
+    return F.sum(F.shiftrightunsigned(half, 31 - j).bitwiseAND(F.lit(1)))
+
+
+def simhash_pack(bit_sums: list[Column], n_tokens: Column) -> Column:
+    """(32 per-bit set-counts, token count) -> 32-bit half: bit j set iff
+    2*sum_j > n (== vote sum(2b-1) > 0). Exact integer comparison."""
     out = F.lit(0).cast("long")
-    for j in range(32):
-        out = out + F.when(votes[f"v{offset + j}"] > 0,
+    for j, b in enumerate(bit_sums):
+        out = out + F.when(F.lit(2) * b > n_tokens,
                            F.lit(2 ** (31 - j)).cast("long")) \
                      .otherwise(F.lit(0).cast("long"))
     return out
-
-
-def simhash_from_votes(votes: Column) -> Column:
-    """Vote struct -> sim_hi (bits 0-31; identical to the legacy 32-bit
-    SimHash). Kept for compatibility with existing tests/fixtures."""
-    return _pack_votes(votes, 0)
-
-
-def simhash_lo_from_votes(votes: Column) -> Column:
-    """Vote struct -> sim_lo (bits 32-63 of the 64-bit signature).
-
-    The 64-bit signature is the (sim_hi, sim_lo) pair, deliberately stored
-    as two non-negative 32-bit values instead of one packed int64: bit 63
-    of a packed long flips the sign, and signed shift/overflow semantics
-    differ between engines (Spark ANSI longs vs DuckDB BIGINT) — two
-    halves keep every value positive and every shift well-defined in both,
-    with hamming = bit_count(hi^hi') + bit_count(lo^lo')."""
-    return _pack_votes(votes, 32)
-
-
-def simhash32(text: Column) -> Column:
-    """Legacy 32-bit signature (== sim_hi of the 64-bit pair). For
-    table-scale use ``dedup.simhash_table`` — its two-step projection
-    evaluates the vote fold once per row instead of 32x."""
-    return simhash_from_votes(simhash_votes(text))

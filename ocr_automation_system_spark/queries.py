@@ -102,33 +102,43 @@ def _sql_sign_bucket(vec: str, n_bits: int = 8) -> str:
     return f"CAST({terms} AS BIGINT)"
 
 
-_SQL_HEX_HI = "('8','9','a','b','c','d','e','f')"
-_SQL_HEX_MID = "('4','5','6','7','c','d','e','f')"
-
-
-def _sql_simhash_half(hex_class: str) -> str:
-    """One 32-bit half of the 64-bit SimHash over a pre-materialized digest
-    list column ``ds`` (twin of functions.text.simhash_votes + the two
-    ``*_from_votes`` packers): hi half votes on the nibble top bit
-    (digit in 8..f), lo half on nibble bit 2 (digit in 4-7,c-f)."""
-    bits = []
+def _sql_simhash_sums() -> str:
+    """Aggregate list for the per-doc bit-count CTE: token count + 64
+    per-bit set-counts over the two 32-bit digest halves (twin of
+    functions.text.simhash_bit_sum)."""
+    parts = ["count(*) AS n"]
     for j in range(32):
-        votes = (f"coalesce(list_sum(list_transform(ds, "
-                 f"d -> CASE WHEN substr(d, {j + 1}, 1) IN {hex_class} "
-                 f"THEN 1 ELSE -1 END)), 0)")
-        bits.append(f"CASE WHEN {votes} > 0 THEN CAST({1 << (31 - j)} AS BIGINT) "
-                    f"ELSE CAST(0 AS BIGINT) END")
-    return "(" + " + ".join(bits) + ")"
+        parts.append(f"sum((h1 >> {31 - j}) & 1) AS b{j}")
+        parts.append(f"sum((h2 >> {31 - j}) & 1) AS c{j}")
+    return ", ".join(parts)
 
 
-def _sql_simhash_table(toks: str) -> str:
-    """CTE body producing (doc_id, sim_hi, sim_lo); the digest list is
-    MATERIALIZED so tokenization+md5 run once, not once per bit."""
-    return (f"WITH ds_t AS MATERIALIZED (SELECT doc_id, "
-            f"list_transform(list_distinct({toks}), t -> md5(t)) AS ds "
-            f"FROM documents) "
-            f"SELECT doc_id, {_sql_simhash_half(_SQL_HEX_HI)} AS sim_hi, "
-            f"{_sql_simhash_half(_SQL_HEX_MID)} AS sim_lo FROM ds_t")
+def _sql_simhash_pack(prefix: str) -> str:
+    """Pack 32 bit-sums into a half signature: bit j set iff 2*sum_j > n
+    (twin of functions.text.simhash_pack — exact integer votes, no FP)."""
+    terms = " + ".join(
+        f"CASE WHEN 2*{prefix}{j} > n THEN CAST({1 << (31 - j)} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for j in range(32))
+    return f"({terms})"
+
+
+def _sql_simhash_ctes(toks: str) -> str:
+    """CTE chain (no WITH keyword) ending in ``st(doc_id, sim_hi, sim_lo)``
+    — the relational twin of dedup.simhash_table's explode->aggregate
+    shape, including the all-zero signature for token-less docs."""
+    return f"""base AS MATERIALIZED (
+  SELECT doc_id, list_distinct({toks}) AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM base),
+hh AS (SELECT doc_id,
+         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS h2 FROM tok),
+v AS (SELECT doc_id, {_sql_simhash_sums()} FROM hh GROUP BY doc_id),
+st AS (SELECT doc_id, {_sql_simhash_pack('b')} AS sim_hi,
+              {_sql_simhash_pack('c')} AS sim_lo FROM v
+       UNION ALL
+       SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       FROM base WHERE len(toks) = 0)"""
 
 
 _EXACT_SUM = "CAST(sum(CAST({col} AS DECIMAL(20,8))) AS DOUBLE)"
@@ -396,7 +406,9 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table(docs)
 
 
-SQL_SIMHASH_SIGNATURES = _sql_simhash_table(_SQL_CLEAN_TOKS)
+SQL_SIMHASH_SIGNATURES = (
+    f"WITH {_sql_simhash_ctes(_SQL_CLEAN_TOKS)} "
+    f"SELECT doc_id, sim_hi, sim_lo FROM st")
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,11 +420,7 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: is part of the operator's semantics, so the twin applies it too (no-op
 #: at test scale, load-bearing at corpus scale).
 SQL_SIMHASH_NEAR_PAIRS = f"""
-WITH ds_t AS MATERIALIZED (SELECT doc_id,
-       list_transform(list_distinct({_SQL_CLEAN_TOKS}), t -> md5(t)) AS ds
-       FROM documents),
-st AS MATERIALIZED (SELECT doc_id, {_sql_simhash_half(_SQL_HEX_HI)} AS sim_hi,
-       {_sql_simhash_half(_SQL_HEX_MID)} AS sim_lo FROM ds_t),
+WITH {_sql_simhash_ctes(_SQL_CLEAN_TOKS)},
 blocks AS (
   SELECT doc_id, sim_hi, sim_lo, CAST(r.k AS INTEGER) AS block,
          CASE r.k WHEN 0 THEN sim_hi // 65536
@@ -426,14 +434,18 @@ capped AS (
   QUALIFY count(*) OVER (PARTITION BY block, block_val) <= 100000
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, a.sim_hi AS hi_a, a.sim_lo AS lo_a,
-                  b.doc_id AS doc_b, b.sim_hi AS hi_b, b.sim_lo AS lo_b
+  -- hamming filter BEFORE distinct (mirrors dedup.simhash_near_pairs):
+  -- distinct-of-filtered == filter-of-distinct since hamming is a pure
+  -- function of the pair, and the filtered set is far smaller
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+         + bit_count(xor(a.sim_lo, b.sim_lo)) AS INTEGER) AS hamming
   FROM capped a JOIN capped b ON a.block = b.block AND a.block_val = b.block_val
   WHERE a.doc_id < b.doc_id
+    AND bit_count(xor(a.sim_hi, b.sim_hi))
+        + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
 )
-SELECT doc_a, doc_b,
-  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER) AS hamming
-FROM cand WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+SELECT doc_a, doc_b, hamming FROM cand
 """
 
 
@@ -595,25 +607,16 @@ WHERE round({_sql_cosine('a.vec', 'b.vec')}, 6) >= 0.3
 
 
 def q_embedding_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table random-plane ANN top-10 (4 tables x 16 bits): candidate
+    """Multi-table random-plane ANN top-10 (4 tables x 8 bits): candidate
     iff the vector shares the query's bucket in ANY table — ONE narrow
-    scan with an OR of per-table bucket equalities, then TakeOrdered(k).
-    The standard recall fix for single-table LSH, shuffle-free."""
+    scan, one Arrow pass computing all 4 bucket ids, then TakeOrdered(k).
+    The standard recall fix for single-table LSH, shuffle-free. The query
+    vector is a one-row lookup collected once (a plan literal thereafter,
+    exactly like a broadcast dim)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = _query_vec_df(spark, sf_dir)
-    pred = None
-    for t in range(4):
-        planes = S.hyperplanes(_RP_BITS_MT, _EMB_DIM, seed=t)
-        p = (S.plane_bucket(F.col("embedding"), planes)
-             == S.plane_bucket(F.col("qe"), planes))
-        pred = p if pred is None else (pred | p)
-    scored = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(pred)
-        .select("vec_id",
-                F.round(S.cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"))
-    )
-    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+    qvec = [float(x) for x in _query_vec_df(spark, sf_dir).first()["qe"]]
+    return S.lsh_topk_multitable(emb, qvec, k=10, n_tables=4,
+                                 n_bits=_RP_BITS_MT, seed=0, dim=_EMB_DIM)
 
 
 SQL_EMBEDDING_MULTITABLE_TOPK = f"""
