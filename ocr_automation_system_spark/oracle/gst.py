@@ -55,16 +55,28 @@ _FORM_NOISE_SUBSTRINGS = (
 )
 
 
+# Union alternations of the predicate lists: for a pure EXISTENCE test,
+# `any(p.match(line) for p in pats)` is exactly `union.match(line) is not
+# None` (an alternation at one position succeeds iff some alternative
+# does; leftmost/first-alternative tie-breaks are invisible to a boolean)
+# — one C-level scan instead of len(pats). tests/test_oracle_extractors
+# asserts the equivalence against the per-pattern loop.
+_NOISE_UNION = re.compile(
+    "|".join(f"(?:{p.pattern})" for p in _NOISE_RES), re.IGNORECASE)
+_HEADER_NOISE_UNION = re.compile(
+    "|".join(f"(?:{p.pattern})" for p in _HEADER_NOISE_RES), re.IGNORECASE)
+
+
 def is_noise(line: str) -> bool:
     """F4 (`gst_certi.py:1318-1335`)."""
     if not line or len(line) < 2:
         return True
-    return any(p.match(line) for p in _NOISE_RES)
+    return _NOISE_UNION.match(line) is not None
 
 
 def is_header_noise(line: str) -> bool:
     """F5 (`gst_certi.py:1338-1360`)."""
-    return any(p.search(line) for p in _HEADER_NOISE_RES)
+    return _HEADER_NOISE_UNION.search(line) is not None
 
 
 def contains_form_noise(text: str) -> bool:
@@ -675,35 +687,45 @@ def _jurisdictional(text: str) -> str:
     return ""
 
 
+_PARTICULARS_LINE = re.compile(r"particulars\s*of\s*approving", re.IGNORECASE)
+_AUTH_STOP_LINE = re.compile(r"date\s*of\s*issue|note:|annexure", re.IGNORECASE)
+_GST_ACT_LINE = re.compile(r"goods\s*and\s*services\s*tax\s*act", re.IGNORECASE)
+_FOUR_DIGITS = re.compile(r"\d{4}")
+_AUTH_SKIP_NAME = re.compile(r"^(signature|designation|jurisdictional|date)",
+                             re.IGNORECASE)
+_JURIS_OFFICE = re.compile(r"Jurisdictional\s*Office", re.IGNORECASE)
+_CENTRE_NAME = re.compile(r"^(centre|center|signature)$", re.IGNORECASE)
+
+
 def extract_approving_authority(text: str) -> str:
     """P22: officer-details section walk, then the ordered pattern methods."""
     lines = text.split("\n")
     # Particulars-section walk (reference method 1, simplified to the Act /
     # designation / jurisdiction assembly that the live path exercises).
+    # Patterns are module-precompiled — this loop runs per line of the
+    # (fat-page) extracted text.
     for i, line in enumerate(lines):
-        if not re.search(r"particulars\s*of\s*approving", line, re.IGNORECASE):
+        if not _PARTICULARS_LINE.search(line):
             continue
         name = designation = jurisdiction = ""
         for off in range(1, 15):
             if i + off >= len(lines):
                 break
             cand = lines[i + off].strip()
-            if re.search(r"date\s*of\s*issue|note:|annexure", cand, re.IGNORECASE):
+            if _AUTH_STOP_LINE.search(cand):
                 break
-            if re.search(r"goods\s*and\s*services\s*tax\s*act", cand, re.IGNORECASE) and re.search(r"\d{4}", cand):
+            if _GST_ACT_LINE.search(cand) and _FOUR_DIGITS.search(cand):
                 return _ws_one(cand)
             prev = lines[i + off - 1] if i + off - 1 >= 0 else ""
-            if "Name" in prev and cand and not re.match(
-                r"^(signature|designation|jurisdictional|date)", cand, re.IGNORECASE
-            ):
+            if "Name" in prev and cand and not _AUTH_SKIP_NAME.match(cand):
                 name = cand
             if "Designation" in cand and i + off + 1 < len(lines):
                 designation = lines[i + off + 1].strip()
-            if re.search(r"Jurisdictional\s*Office", cand, re.IGNORECASE) and i + off + 1 < len(lines):
+            if _JURIS_OFFICE.search(cand) and i + off + 1 < len(lines):
                 jurisdiction = lines[i + off + 1].strip()
         if name or designation or jurisdiction:
             parts = []
-            if name and not re.match(r"^(centre|center|signature)$", name, re.IGNORECASE):
+            if name and not _CENTRE_NAME.match(name):
                 parts.append(name)
             if designation:
                 parts.append(designation)
@@ -792,7 +814,18 @@ _ANNEXURE_NOISE = [re.compile(p, re.IGNORECASE) for p in (
 _COMPANY_LINE = re.compile(
     r"^[A-Z][A-Z\s\.\-]+(?:PRIVATE\s+LIMITED|PVT\.?\s*LTD\.?|LIMITED|LLP)$", re.IGNORECASE
 )
+_DIGITS_ONLY = re.compile(r"^(\d+)$")
+_NO_LETTERS = re.compile(r"^[^a-zA-Z]*$")
+_ANNEX_LEGAL_NAME = re.compile(r"legal\s*name\s*\n\s*([^\n]+)", re.IGNORECASE)
+_ANNEX_TRADE_NAME = re.compile(r"trade\s*name.*?\n\s*([^\n]+)", re.IGNORECASE)
 MAX_ANNEXURE_ADDRESSES = 20  # `gst_certi.py:1230` — per-document top-k cap
+
+
+_FOR_PREFIX = re.compile(r"^for[,\s]*", re.IGNORECASE)
+_DOUBLE_COMMA = re.compile(r",\s*,+")
+_PIN_TAIL = re.compile(r"(\d{6})\s*[,\s]*(.*)$")
+_ROAD_WORDS = re.compile(r"\b(road|street|taluka|village|district)\b",
+                         re.IGNORECASE)
 
 
 def _clean_additional_address(addr_lines: list, company_names: set) -> str:
@@ -804,7 +837,7 @@ def _clean_additional_address(addr_lines: list, company_names: set) -> str:
             continue
         if _COMPANY_LINE.match(line):
             continue
-        if re.match(r"^for[,\s]*", line, re.IGNORECASE):
+        if _FOR_PREFIX.match(line):
             continue
         if is_noise(line):
             continue
@@ -813,14 +846,12 @@ def _clean_additional_address(addr_lines: list, company_names: set) -> str:
     if not parts:
         return ""
     result = ", ".join(parts)
-    result = re.sub(r",\s*,+", ",", result)
+    result = _DOUBLE_COMMA.sub(",", result)
     result = _WS.sub(" ", result).strip(" ,")
-    pin_m = re.search(r"(\d{6})\s*[,\s]*(.*)$", result)
+    pin_m = _PIN_TAIL.search(result)
     if pin_m:
         trailing = pin_m.group(2).strip()
-        if len(trailing) < 15 and not re.search(
-            r"\b(road|street|taluka|village|district)\b", trailing, re.IGNORECASE
-        ):
+        if len(trailing) < 15 and not _ROAD_WORDS.search(trailing):
             result = result[: pin_m.end(1)]
     if len(result) < 20 or not looks_like_address(result):
         return ""
@@ -831,10 +862,10 @@ def parse_annexure_addresses(annexure_text: str) -> list:
     """P26 (`gst_certi.py:1136-1230`): noise strip, numbered-entry split,
     per-entry cleanup, cap at 20 addresses."""
     company_names: set = set()
-    nm = re.search(r"legal\s*name\s*\n\s*([^\n]+)", annexure_text, re.IGNORECASE)
+    nm = _ANNEX_LEGAL_NAME.search(annexure_text)
     if nm:
         company_names.add(nm.group(1).strip().lower())
-    tm = re.search(r"trade\s*name.*?\n\s*([^\n]+)", annexure_text, re.IGNORECASE)
+    tm = _ANNEX_TRADE_NAME.search(annexure_text)
     if tm:
         company_names.add(tm.group(1).strip().lower())
 
@@ -855,7 +886,7 @@ def parse_annexure_addresses(annexure_text: str) -> list:
         # and makes the multi-address split at `gst_certi.py:1205-1214`
         # unreachable. We test the separator first so the intended per-entry
         # split (and the 20-address cap) actually functions.
-        if re.match(r"^(\d+)$", line) and len(line) <= 3:
+        if _DIGITS_ONLY.match(line) and len(line) <= 3:
             if current:
                 addr = _clean_additional_address(current, company_names)
                 if addr:
@@ -871,9 +902,9 @@ def parse_annexure_addresses(annexure_text: str) -> list:
             continue
         if _COMPANY_LINE.match(line):
             continue
-        if len(line) < 5 and not re.match(r"^\d+$", line):
+        if len(line) < 5 and not _DIGITS_ONLY.match(line):
             continue
-        if re.match(r"^[^a-zA-Z]*$", line) and len(line) < 10:
+        if _NO_LETTERS.match(line) and len(line) < 10:
             continue
         if in_address or looks_like_address(line):
             in_address = True

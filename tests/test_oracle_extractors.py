@@ -195,6 +195,40 @@ class TestGst:
         assert gst.is_header_noise("Legal Name")
         assert gst.contains_form_noise("FORM GST REG-06 header")
 
+    def test_noise_union_equivalence(self):
+        """The union-alternation fast path must be boolean-equivalent to
+        the per-pattern loop on every input (pure existence test)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        probes = [
+            "", " ", "yes", "NO", "nil", "na", "1234", "12345", "page 3",
+            "7 .", "Legal Name", "trade name, if any", "FORM GST",
+            "Government of India", "see rule 18(1)", "Details of",
+            "Principal Place", "Address of", "!!!", "a", "GSTIN",
+            "registration certificate line", "x" * 200, "382445 road",
+        ]
+
+        def loop_noise(line):
+            if not line or len(line) < 2:
+                return True
+            return any(p.match(line) for p in gst._NOISE_RES)
+
+        def loop_header(line):
+            return any(p.search(line) for p in gst._HEADER_NOISE_RES)
+
+        for s in probes:
+            assert gst.is_noise(s) == loop_noise(s), repr(s)
+            assert gst.is_header_noise(s) == loop_header(s), repr(s)
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(min_size=0, max_size=60))
+        def fuzz(s):
+            assert gst.is_noise(s) == loop_noise(s)
+            assert gst.is_header_noise(s) == loop_header(s)
+
+        fuzz()
+
     def test_empty_input(self):
         rec = gst.extract_gst_fields("")
         assert len(rec["missing_fields"]) == 7
