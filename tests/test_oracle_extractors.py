@@ -233,6 +233,140 @@ class TestGst:
         rec = gst.extract_gst_fields("")
         assert len(rec["missing_fields"]) == 7
 
+    # -- P19 fragment-merge edge cases (`gst_certi.py:56-123` semantics,
+    # hand-walked against the reference state machine) ---------------------
+    def test_merge_colon_at_end_pulls_value_line(self):
+        # "No./Flat" is NOT a label part (composite token), so it is taken
+        # as the value and found_value flips — the later bare "No.:" IS a
+        # part and still appends, then the loop breaks at "903-918".
+        got = gst.merge_fragmented_lines(
+            "Building\nNo./Flat\nNo.:\n903-918\nRoad\nStreet:\nMG ROAD")
+        assert got == "Building No./Flat No.:\n903-918\nRoad Street: MG ROAD"
+
+    def test_merge_breaks_only_on_bare_label_start(self):
+        # "City: Rajkot" is not a BARE label line (value attached), so the
+        # break-on-next-label rule does not fire; it merges as the value.
+        assert gst.merge_fragmented_lines("Floor\nCity: Rajkot") \
+            == "Floor City: Rajkot"
+
+    def test_merge_seven_line_lookahead_cap(self):
+        got = gst.merge_fragmented_lines(
+            "Floor\nno\nno\nno\nno\nno\nno\nno\n9TH")
+        assert got == "Floor no no no no no no no\n9TH"
+
+    def test_merge_value_without_colon(self):
+        assert gst.merge_fragmented_lines("Pin\nCode\n382445") \
+            == "Pin Code 382445"
+
+    def test_merge_never_swallows_label_start_as_value(self):
+        assert gst.merge_fragmented_lines("Floor\nNo.:\nState") \
+            == "Floor No.:\nState"
+
+    # -- P20 labeled-field edge cases (`gst_certi.py:126-200`) -------------
+    def test_labeled_fields_full_chain_with_ocr_fixes(self):
+        got = gst.extract_labeled_address_fields(
+            "Floor No.: 9TH Building No./Flat No.: 903-918 "
+            "Name of Premises/Building: KONCEM TOWER Road/Street: ASHRAM ROAD "
+            "City: edabad State: viarat PIN Code: 380009")
+        assert got == {
+            "floor_no": "9TH", "building_flat_no": "903-918",
+            "premises_name": "KONCEM TOWER", "road_street": "ASHRAM ROAD",
+            "city": "Ahmedabad", "state": "Gujarat", "pin_code": "380009",
+        }
+
+    def test_labeled_fields_truncated_labels_and_5digit_pin(self):
+        got = gst.extract_labeled_address_fields(
+            "Flat No.: D-1 Road: Ring Road Landmark: Near aria Restaurant "
+            "Locality: Navrangpura City/Town/Vi: Rajkot District: Rajkot "
+            "State: Gujrat Pin Cod: 88001")
+        assert got["building_flat_no"] == "D-1"      # flat-> same key
+        assert got["nearby_landmark"] == "Near aria Restaurant"
+        assert got["locality"] == "Navrangpura"
+        assert got["city"] == "Rajkot"
+        assert got["state"] == "Gujarat"             # Gujrat OCR fix
+        assert got["pin_code"] == "88001"            # truncated 5-digit pin
+
+    def test_labeled_fields_terminator_requires_trailing_token(self):
+        # The value lookahead needs "\\s+(label|$)" AFTER the value; a value
+        # flush at end-of-string has no trailing whitespace, so state/city
+        # at EOF do NOT match — and "No." survives the embedded-fragment
+        # strip because \\bNo\\.\\b has no boundary before a space.
+        got = gst.extract_labeled_address_fields(
+            "Building No.: 12 No. Business State: Ahmedabad edabad")
+        assert got == {"building_flat_no": "12 No."}
+
+    # -- annexure edge cases (`gst_certi.py:1108-1230`) --------------------
+    ANNEXURE = (
+        "Annexure A\n"
+        "Details of Additional Places of Business\n"
+        "GSTIN 24ABCDE1234F1Z5\n"
+        "Legal Name\nACME WIDGETS PRIVATE LIMITED\n"
+        "Trade Name, if any\nACME\n"
+        "1\nPlot 45, GIDC Estate\nPhase II, Vatva\nAhmedabad 382445\n"
+        "2\nACME WIDGETS PRIVATE LIMITED\n"
+        "Survey No 88, Ring Road\nRajkot 360001 xy\n"
+        "Signature"
+    )
+
+    def test_annexure_company_lines_filtered_and_pin_tail_trimmed(self):
+        got = gst.extract_additional_places(self.ANNEXURE)
+        addrs = got.split("\n\n")
+        assert addrs[0] == "Plot 45, GIDC Estate, Phase II, Vatva, Ahmedabad 382445"
+        # company line dropped from entry 2; "xy" after the PIN trimmed
+        # (short trailing, no road-word)
+        assert addrs[1] == "Survey No 88, Ring Road, Rajkot 360001"
+
+    def test_annexure_zero_count_early_out(self):
+        txt = ("Annexure A\nTotal Number of Additional Places of "
+               "Business(s) in the State 0\nsome other text making it "
+               "longer than thirty characters")
+        assert gst.extract_additional_places(txt) == ""
+
+    # -- P21 token-structuring edge cases (`gst_certi.py:203-396`) ---------
+    def test_token_fallback_city_implies_district(self):
+        got = gst.structure_principal_address(
+            "Plot No - 45, GIDC Estate, Near Water Tank, Vatva, "
+            "Ahmedabad, Gujarat 382445")
+        assert got["city"] == "Ahmedabad" and got["district"] == "Ahmedabad"
+        assert got["building_flat_no"] == "Plot No - 45"
+        assert got["nearby_landmark"] == "Near Water Tank"
+        # Reference quirk preserved (`gst_certi.py:255` strips the label
+        # r"State\s*:?" with NO word boundary): "GIDC Estate" loses its
+        # embedded "state" and becomes "GIDC E".
+        assert got["locality"] == "GIDC E"
+        assert got["pin_code"] == "382445" and got["state"] == "Gujarat"
+
+    def test_token_fallback_orissa_synonym_and_shop_prefix(self):
+        got = gst.structure_principal_address(
+            "Shop No: 3, Main Road, Cuttack, Orissa, 753001")
+        assert got == {"pin_code": "753001", "state": "Orissa",
+                       "city": "Cuttack", "district": "Cuttack",
+                       "building_flat_no": "Shop No: 3",
+                       "road_street": "Main Road"}
+
+    def test_token_fallback_fp_tp_classifiers_no_city(self):
+        got = gst.structure_principal_address(
+            "F.P. 120, T.P. 14, Industrial Zone, 500081, Telangana")
+        assert got["building_flat_no"] == "F.P. 120"
+        assert "city" not in got and "district" not in got
+
+    def test_empty_labeled_values_fall_back_to_pin_state_only(self):
+        # Reference quirk preserved (`gst_certi.py:219`): ":\\s*\\S+"
+        # matches ": ," so the labeled path is taken, its extractors all
+        # fail on empty values, and only the PIN/state fallbacks fire —
+        # the city list is never consulted (Mehsana stays unassigned).
+        got = gst.structure_principal_address(
+            "Building No./Flat No.: , Road/Street: , Mehsana, Gujarat 384002")
+        assert got == {"pin_code": "384002", "state": "Gujarat"}
+
+    def test_annexure_b_terminates_scope(self):
+        txt = ("Annexure A\n1\nPlot 45, GIDC Industrial Estate Road, Vatva\n"
+               "Ahmedabad 382445\nAnnexure B\n2\n"
+               "Should Not Appear Street, Rajkot 360001")
+        got = gst.extract_additional_places(txt)
+        assert got == "Plot 45, GIDC Industrial Estate Road, Vatva, Ahmedabad 382445"
+        assert "Should Not Appear" not in got
+
 
 class TestUdyam:
     UDYAM_TEXT = (
