@@ -36,12 +36,32 @@ uniform; AQE coalesces post-shuffle partitions at small scale and splits
 skew at large scale. The rules stage adds NO exchange: one wide projection
 + explode over the joined row.""",
     "lsh_pairs": """The LSH band join shuffles on (band, sig) — the signature, never the
-document text. Both join sides are the same subtree; the planner exchanges
-each side identically and AQE reuses shuffle output at runtime. The Jaccard
-verification joins candidates (tiny) back to the shingle table on doc ids —
-broadcast-eligible under AQE when the candidate set is small. Shingle
-hashing is materialized in its own Project (one md5 per shingle; see
-functions/dedup.py banding note).""",
+document text. Signature computation is explode -> md5 -> 8 MIN
+aggregates in ONE whole-stage-codegen hash aggregate: map-side partial
+aggregation collapses each doc's shingles to an 8-long row BEFORE the
+doc_id shuffle, so the shuffle payload is n_docs x 8 longs, not the
+shingle set. Both self-join sides read the same band subtree; AQE reuses
+the exchange. The Jaccard verification joins candidates (tiny) back to
+the shingle table on doc ids — broadcast-eligible under AQE.""",
+    "simhash": """Same explode->aggregate shape as MinHash: distinct tokens explode,
+two 32-bit digest halves per token (conv on md5 hex — all codegen), then
+64 per-bit SUM aggregates + count in one hash aggregate keyed on doc_id
+(partial agg collapses tokens map-side; the shuffle is n_docs x 65
+longs). Bit packing is an exact integer comparison (2*sum > n). The
+4x16-bit pigeonhole block join shuffles on (block, block_val); the
+Hamming popcount filter runs BEFORE the distinct so the dedup shuffle
+carries only true near pairs (x4 block multiplicity). A previous
+version folded a 64-counter struct per token in F.aggregate — higher-
+order lambdas are CodegenFallback (interpreted per element); the
+explode-agg shape benched ~4x faster and scales the same way.""",
+    "ann": """Embedding bucket ids and cosines run in Arrow-vectorized pandas UDFs
+(ArrowEvalPython nodes) — numpy matmul-shaped work with left-associative
+cumsum accumulation so results stay bit-identical to the SQL oracle's
+a1+a2+... chains. The near-dup self-join shuffles on the bucket id only;
+the bucket-occupancy cap (window count over bucket) runs before the join
+so a pathological bucket is dropped, not squared. At production scale
+the bucket table is written once, hash-partitioned by bucket, and every
+query is a partition-pruned lookup.""",
 }
 
 
@@ -67,12 +87,20 @@ def main() -> None:
     results.write.mode("overwrite").parquet(ext_path)
     committed = spark.read.parquet(ext_path)
 
+    from ocr_automation_system_spark.functions import similarity as S
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     sections = [
         ("Extraction (two-pass html+pdf legs)", "extraction", results),
         ("Entity join + validation rules", "entity_join",
          run_rules(build_entities(committed))),
         ("MinHash-LSH near-dup pairs", "lsh_pairs",
-         D.ngram_jaccard_pairs(spark.read.parquet(f"{SF}/documents.parquet"))),
+         D.ngram_jaccard_pairs(docs)),
+        ("SimHash near-dup pairs (64-bit, pigeonhole blocks)", "simhash",
+         D.simhash_near_pairs(docs)),
+        ("ANN near-dup pairs (random-hyperplane, vectorized)", "ann",
+         S.cosine_near_dup_pairs(emb, threshold=0.3,
+                                 planes=S.hyperplanes(16, 64, seed=0))),
     ]
 
     out = ["""# PLANS — physical-plan review of the flagship stages
