@@ -30,7 +30,8 @@ from ocr_automation_system_spark.session import build_session  # noqa: E402
 #: Headline queries: one per operator family, the shuffle-heavy ones included.
 HEADLINE = (
     "usability_gate", "field_extract_chain", "quality_scores", "lang_id",
-    "dedup_exact_groups", "minhash_lsh_pairs", "simhash_near_pairs",
+    "dedup_exact_groups", "minhash_lsh_pairs", "dedup_cluster_keep",
+    "simhash_near_pairs",
     "embedding_topk", "embedding_lsh_topk", "embedding_near_dup_pairs",
     "embedding_rp_near_dup_pairs", "embedding_multitable_topk",
     "entity_join_shape", "report_summary", "duplicate_id_groups",

@@ -186,6 +186,82 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return j
 
 
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over an undirected near-dup pair set ->
+    (node, cluster_id) with cluster_id = min node id in the component.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round a node takes the min of its own and its neighbors' labels;
+    fixpoint = components. Each round is one hash join + one partial-agg
+    groupBy — both shuffles are on node ids (uniform). Rounds needed =
+    component diameter, which for near-dup clusters is small (dup chains
+    are short); at web scale with adversarial chains swap in the
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce"), which converges in O(log^2) rounds with
+    the same per-round plan shape.
+
+    Deterministic: min() is order-independent. Raises RuntimeError if
+    ``max_iter`` rounds don't reach the fixpoint (never silently returns
+    partial clusters)."""
+    sym = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).persist())
+    try:
+        for _ in range(max_iter):
+            nbr = (edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+                   .groupBy("src").agg(F.min("label").alias("nbr_min"))
+                   .withColumnRenamed("src", "node"))
+            new_labels = (
+                labels.join(nbr, "node", "left")
+                .select("node",
+                        F.least(F.col("label"),
+                                F.coalesce(F.col("nbr_min"), F.col("label")))
+                        .alias("label"))
+            ).persist()
+            changed = (new_labels.withColumnRenamed("label", "new_label")
+                       .join(labels, "node")
+                       .filter(F.col("new_label") < F.col("label")).count())
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select("node", F.col("label").alias("cluster_id"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        edges.unpersist()
+
+
+def dedup_cluster_keep(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       jaccard_threshold: float = 0.6) -> DataFrame:
+    """The dedup ladder's end state: (doc_id, cluster_id, keep).
+
+    LSH candidates -> exact n-gram Jaccard >= threshold -> connected
+    components -> every doc labeled with its cluster representative
+    (min doc_id in the component; singletons are their own cluster) and
+    ``keep`` = is-the-representative. ``df.filter(keep)`` is the
+    deduplicated corpus; the (doc_id, cluster_id) table is the lineage
+    record a 100 TB pipeline writes next to it."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n,
+                                threshold=jaccard_threshold,
+                                cache_index=True)
+    cc = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", (F.col("doc_id") == F.col("cluster_id")).cast("boolean"))
+    )
+
+
 def simhash_table(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """(doc_id, sim_hi, sim_lo) 64-bit signatures stored as two 32-bit

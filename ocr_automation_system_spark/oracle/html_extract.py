@@ -130,8 +130,12 @@ class _BlockParser(HTMLParser):
         self._buf.append(data)
         # Non-whitespace count: invariant to how the tokenizer chunks data
         # runs (len(strip()) would count inner spaces, making the density
-        # score depend on parser chunking).
-        n = len(data) - sum(data.count(c) for c in _WS_CHARS)
+        # score depend on parser chunking). Unrolled str.count chain — the
+        # hottest line of the segmenter; a genexpr here costs a generator
+        # frame per text chunk (~50 chunks/doc).
+        n = (len(data) - data.count(" ") - data.count("\t")
+             - data.count("\r") - data.count("\n")
+             - data.count("\f") - data.count("\v"))
         self._chars += n
         if self._anchor_depth:
             self._link_chars += n

@@ -376,8 +376,9 @@ _SQL_BAND_ROWS = " UNION ALL ".join(
     f"CAST(m{2 * b + 1} AS VARCHAR)) AS sig FROM sigs"
     for b in range(4)
 )
-SQL_MINHASH_LSH_PAIRS = f"""
-WITH hs AS MATERIALIZED (
+#: Reusable CTE chain (no WITH keyword) ending in ``jp(doc_a, doc_b,
+#: jaccard)`` — the LSH-candidate + exact-Jaccard pair table.
+_SQL_MINHASH_CTES = f"""hs AS MATERIALIZED (
   SELECT doc_id, list_transform({_SQL_SH},
     s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {_MP}) AS hm
   FROM documents
@@ -393,11 +394,48 @@ cand AS (
   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
   WHERE a.sig <> '{_MP}|{_MP}' AND a.doc_id < b.doc_id
 ),
-sh AS MATERIALIZED (SELECT doc_id, {_SQL_SH} AS sh FROM documents)
-SELECT c.doc_a, c.doc_b,
-  round(len(list_intersect(x.sh, y.sh)) * 1.0
-        / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
-FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+sh AS MATERIALIZED (SELECT doc_id, {_SQL_SH} AS sh FROM documents),
+jp AS (
+  SELECT c.doc_a, c.doc_b,
+    len(list_intersect(x.sh, y.sh)) * 1.0
+      / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+  FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+)"""
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {_SQL_MINHASH_CTES}
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jp
+"""
+
+
+def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup end state: LSH -> Jaccard>=0.6 pairs -> connected components
+    -> (doc_id, cluster_id=min id in component, keep=is-representative).
+    Every doc appears; singletons keep themselves."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_cluster_keep(docs, jaccard_threshold=0.6)
+
+
+#: Oracle: same pair table, then transitive closure via a recursive CTE
+#: (min-label fixpoint == component membership — an independent relational
+#: statement of dedup.connected_components' propagation loop).
+SQL_DEDUP_CLUSTER_KEEP = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM jp WHERE jaccard >= 0.6
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM jp WHERE jaccard >= 0.6
+),
+reach(src, node) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s
+),
+cc AS (SELECT src, min(node) AS cluster_id FROM reach GROUP BY src)
+SELECT d.doc_id,
+       coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+       (d.doc_id = coalesce(cc.cluster_id, d.doc_id)) AS keep
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.src
 """
 
 
@@ -1224,6 +1262,7 @@ REGISTRY: dict = {
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "dedup_cluster_keep": (q_dedup_cluster_keep, SQL_DEDUP_CLUSTER_KEEP),
     "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH_SIGNATURES),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR_PAIRS),
     # similarity search

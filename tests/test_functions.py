@@ -56,6 +56,28 @@ def test_short_and_empty_docs_never_join(docs):
     assert 4 not in ids and 5 not in ids
 
 
+def test_connected_components_chain_and_singleton(spark):
+    """Chain 1-2-3 collapses to cluster 1 even though (1,3) is not a
+    direct pair; 7-8 is its own cluster; isolated nodes don't appear."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["doc_a", "doc_b"])
+    got = {r["node"]: r["cluster_id"]
+           for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_dedup_cluster_keep_end_to_end(docs):
+    rows = {r["doc_id"]: r for r in D.dedup_cluster_keep(docs).collect()}
+    assert len(rows) == 7                      # every doc labeled
+    assert rows[1]["cluster_id"] == 0          # exact dup joins doc 0
+    assert rows[0]["keep"] and not rows[1]["keep"]
+    assert rows[3]["cluster_id"] == 3 and rows[3]["keep"]   # singleton
+    assert rows[4]["keep"] and rows[5]["keep"]              # no shingles
+    kept = {i for i, r in rows.items() if r["keep"]}
+    clusters = {r["cluster_id"] for r in rows.values()}
+    assert kept == clusters                    # one keeper per cluster
+
+
 def test_simhash_near_pairs_and_hamming(docs):
     st = {r["doc_id"]: (r["sim_hi"], r["sim_lo"])
           for r in D.simhash_table(docs).collect()}
