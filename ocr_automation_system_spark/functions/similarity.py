@@ -155,6 +155,87 @@ def cosine_pair(vec_a: Column, vec_b: Column) -> Column:
     return _cos2(vec_a, vec_b)
 
 
+def _np_cosine_to(series: pd.Series, c: np.ndarray) -> np.ndarray:
+    """Per-row cosine against one fixed vector with the module's exact FP
+    contract (cumsum dots, full-vector norms, denom-order norm(v)*norm(c),
+    0.0 on zero denominators)."""
+    cc = (c * c).cumsum()[-1] if c.size else 0.0
+    nc = np.sqrt(cc)
+    m = _mat(series, c.shape[0])
+    dots = _leftassoc_dot(m, c)
+    denom = _row_norms(series) * nc
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom > 0, dots / denom, 0.0)
+
+
+def np_cosine(a: list[float], b: list[float]) -> float:
+    """Driver-side scalar twin of ``cosine_vs_query`` (same cumsum FP
+    order) — used to rank IVF probe cells for a query vector so the
+    driver's choice is bit-consistent with the distributed assignment."""
+    aa = np.asarray([float(x) for x in a], dtype=np.float64)
+    bb = np.asarray([float(x) for x in b], dtype=np.float64)
+    k = min(aa.size, bb.size)
+    dot = (aa[:k] * bb[:k]).cumsum()[-1] if k else 0.0
+    na = np.sqrt((aa * aa).cumsum()[-1]) if aa.size else 0.0
+    nb = np.sqrt((bb * bb).cumsum()[-1]) if bb.size else 0.0
+    denom = na * nb
+    return float(dot / denom) if denom > 0 else 0.0
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """IVF coarse quantizer: cell id = argmax over centroids of
+    cosine(vec, centroid), first-max-wins on exact ties (== the SQL twin's
+    ORDER BY cos DESC, cid ASC LIMIT 1). Zero vectors score 0.0 against
+    every centroid and land in cell 0.
+
+    The sandbox quantizer uses DETERMINISTIC centroids (caller passes
+    e.g. the first K corpus vectors) so the DuckDB oracle can replicate
+    the assignment bit-for-bit; production swaps in k-means centroids
+    trained offline — the assignment plan (one Arrow pass, no shuffle)
+    is identical either way."""
+    cents = [np.asarray([float(x) for x in c], dtype=np.float64)
+             for c in centroids]
+
+    @F.pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        n = len(v)
+        best = np.zeros(n, dtype=np.int32)
+        best_cos = np.full(n, -np.inf)
+        for cid, c in enumerate(cents):
+            cos = _np_cosine_to(v, c)
+            upd = cos > best_cos  # strict: earlier centroid wins ties
+            best[upd] = cid
+            best_cos[upd] = cos[upd]
+        return pd.Series(best)
+
+    return _assign(vec)
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float],
+             centroids: list[list[float]], k: int = 10, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: score only vectors whose cell is among the query's
+    ``nprobe`` nearest centroids.
+
+    One narrow Arrow pass assigns cells; the probe-cell filter is a plain
+    IN predicate (partition-prunable when the index table is written
+    partitioned by cell — the IVF inverted list); TakeOrdered(k) finishes.
+    At 10^9+ vectors the assignment is precomputed once as an index
+    column, so a query touches ~nprobe/K of the corpus."""
+    order = sorted(range(len(centroids)),
+                   key=lambda cid: (-np_cosine(query_vec, centroids[cid]), cid))
+    probe = order[:nprobe]
+    with_cell = embeddings.withColumn(
+        "_cell", ivf_assign(F.col(vec_col), centroids))
+    scored = (
+        with_cell.filter(F.col("_cell").isin(*probe))
+        .select(F.col(id_col).alias("vec_id"),
+                F.round(cosine_vs_query(F.col(vec_col), query_vec), 6)
+                .alias("cos_sim"))
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
+
+
 def _d(col: Column) -> Column:
     """array<float> -> array<double> (fix the precision before any math)."""
     return F.transform(col, lambda x: x.cast("double"))

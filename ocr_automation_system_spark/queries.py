@@ -657,6 +657,71 @@ def q_embedding_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  n_bits=_RP_BITS_MT, seed=0, dim=_EMB_DIM)
 
 
+_IVF_K = 16
+_IVF_NPROBE = 2
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Deterministic coarse quantizer: the first _IVF_K corpus vectors
+    (vec_id ascending). Production swaps in offline k-means centroids;
+    the plan shape is identical (see similarity.ivf_assign)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (emb.filter(F.col("vec_id") < _IVF_K)
+            .orderBy("vec_id").collect())
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def q_embedding_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list occupancy — the index diagnostic (cells should be
+    balanced; a fat cell means probing it scans too much)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    return (
+        emb.withColumn("cell", S.ivf_assign(F.col("embedding"), cents))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: nprobe=2 of 16 deterministic cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    qvec = [float(x) for x in _query_vec_df(spark, sf_dir).first()["qe"]]
+    return S.ivf_topk(emb, qvec, cents, k=10, nprobe=_IVF_NPROBE)
+
+
+_SQL_IVF_CELLS = f"""cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}),
+scoredc AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_sql_cosine('e.embedding', 'c.ce')} AS ccos
+  FROM embeddings e CROSS JOIN cents c),
+cells AS (
+  SELECT vec_id, embedding, cid AS cell FROM scoredc
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid ASC) = 1)"""
+
+SQL_EMBEDDING_IVF_CELL_STATS = f"""
+WITH {_SQL_IVF_CELLS}
+SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+FROM cells GROUP BY cell
+"""
+
+SQL_EMBEDDING_IVF_TOPK = f"""
+WITH {_SQL_IVF_CELLS},
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY {_sql_cosine('c.ce', 'qe')} DESC, c.cid ASC LIMIT {_IVF_NPROBE})
+SELECT t.vec_id, round({_sql_cosine('t.embedding', 'qe')}, 6) AS cos_sim
+FROM cells t, q
+WHERE t.cell IN (SELECT cid FROM probe)
+ORDER BY cos_sim DESC, t.vec_id LIMIT 10
+"""
+
+
 SQL_EMBEDDING_MULTITABLE_TOPK = f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id, round({_sql_cosine('e.embedding', 'qe')}, 6) AS cos_sim
@@ -1276,6 +1341,9 @@ REGISTRY: dict = {
                                   SQL_EMBEDDING_RP_BUCKET_STATS),
     "embedding_rp_near_dup_pairs": (q_embedding_rp_near_dup_pairs,
                                     SQL_EMBEDDING_RP_NEAR_DUP_PAIRS),
+    "embedding_ivf_cell_stats": (q_embedding_ivf_cell_stats,
+                                 SQL_EMBEDDING_IVF_CELL_STATS),
+    "embedding_ivf_topk": (q_embedding_ivf_topk, SQL_EMBEDDING_IVF_TOPK),
     "embedding_multitable_topk": (q_embedding_multitable_topk,
                                   SQL_EMBEDDING_MULTITABLE_TOPK),
     # relational / validation shapes

@@ -214,6 +214,29 @@ def test_bucket_cap_drops_pathological_bucket(spark):
     assert all(a >= 100 for a, _ in pairs), "mega-bucket pairs not dropped"
 
 
+def test_ivf_assign_and_topk(spark):
+    """IVF: first-max-wins assignment, zero vector lands in cell 0, the
+    query vector recalls itself at cos 1.0 through its own cell."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    rows.append((50, [0.0] * 8))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    cents = [rows[i][1] for i in range(4)]
+    from pyspark.sql import functions as SF
+    cells = {r["vec_id"]: r["cell"] for r in df.select(
+        "vec_id", S.ivf_assign(SF.col("embedding"), cents).alias("cell")).collect()}
+    assert set(cells.values()) <= set(range(4))
+    assert cells[50] == 0                       # zero vector: all cos 0.0
+    assert cells[0] == 0 and cells[1] == 1      # centroids self-assign
+    got = S.ivf_topk(df, rows[0][1], cents, k=3, nprobe=1).collect()
+    assert got[0]["vec_id"] == 0 and got[0]["cos_sim"] == 1.0
+    sims = [r["cos_sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+
+
 def test_multitable_topk_recall(spark):
     """A vector missed by one table's bucket is still recalled when any of
     the 4 tables matches; exact brute-force order is preserved among the
