@@ -1,0 +1,94 @@
+"""Corpus-curation operators a training-data pipeline needs beyond dedup:
+deterministic splits, per-domain quotas, benchmark decontamination.
+
+All three are single-shuffle (or shuffle-free) DataFrame compositions with
+exact DuckDB twins — no RNG state, no sampling nondeterminism: everything
+keys off md5, so reruns, resumes and cross-engine oracles agree at any
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import quality_score, shingles
+
+
+def split_bucket(col, buckets: int = 1000):
+    """Deterministic hash bucket in [0, buckets): the first 8 md5 hex
+    digits of the id as an int, mod buckets. Stable across runs, engines
+    and partitionings — the ONLY sane way to cut train/val at 10^12 rows
+    (df.randomSplit is seed- and partitioning-dependent).
+    DuckDB twin: ``CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)),
+    1, 8)) AS BIGINT) % buckets``."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(buckets))
+
+
+def train_val_split(df: DataFrame, id_col: str = "doc_id",
+                    val_per_mille: int = 100) -> DataFrame:
+    """Adds ``split`` ('train' | 'val'): val_per_mille buckets of 1000 go
+    to validation. Narrow projection — no shuffle, no sampling job."""
+    b = split_bucket(F.col(id_col))
+    return df.withColumn(
+        "split",
+        F.when(b < val_per_mille, F.lit("val")).otherwise(F.lit("train")))
+
+
+def domain_quota(df: DataFrame, domain_col: str = "source",
+                 text_col: str = "text", id_col: str = "doc_id",
+                 quota: int = 100) -> DataFrame:
+    """Keep at most ``quota`` docs per domain, best quality first
+    (ties: lowest id). The standard anti-spam/source-balance pass: one
+    hash shuffle on the domain key; WindowGroupLimit prunes each
+    partition to its top ``quota`` BEFORE the full sort (Spark pushes
+    rank<=k through the window), so a mega-domain never materializes
+    fully sorted. Skewed domains are exactly the salting case —
+    functions.util.with_salt pre-aggregates if one domain dominates."""
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("_q").desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_q", quality_score(F.col(text_col)))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .select(id_col, domain_col,
+                F.col("_q").alias("quality"),
+                F.col("_rk").alias("rank_in_domain"))
+    )
+
+
+def benchmark_contamination(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 5,
+                            benchmark_mod: int = 97) -> DataFrame:
+    """Decontamination scan: which corpus docs share >= 1 word n-gram with
+    the benchmark set (here: every doc with id % benchmark_mod == 0 —
+    production passes a real eval-set table in its place).
+
+    Shape: explode n-gram shingles on both sides, join on the shingle's
+    md5-derived long key (never the string — the key is 8 bytes at any
+    scale), aggregate per corpus doc. The benchmark side is tiny by
+    construction, so it is BROADCAST — the corpus side never shuffles:
+    scan -> explode -> broadcast-hash-join -> partial agg, one exchange
+    on doc_id for the final counts. Returns (doc_id, n_bench_docs,
+    n_shared_shingles) for contaminated non-benchmark docs only."""
+    key = F.pmod(
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long"),
+        F.lit(2147483647))
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   F.explode(shingles(F.col(text_col), n)).alias("s"))
+    sh = sh.select("doc_id", key.alias("k"))
+    is_bench = F.pmod(F.col("doc_id"), F.lit(benchmark_mod)) == 0
+    bench = (sh.filter(is_bench)
+             .select(F.col("doc_id").alias("bench_id"), "k").distinct())
+    # No distinct on the corpus side: countDistinct dedups in the
+    # aggregate, so pre-deduping would only add a full-corpus shuffle on
+    # (doc_id, k) — the agg below shuffles MATCHED rows only.
+    corpus = sh.filter(~is_bench)
+    return (
+        corpus.join(F.broadcast(bench), "k")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("bench_id").alias("n_bench_docs"),
+             F.countDistinct("k").alias("n_shared_shingles"))
+    )

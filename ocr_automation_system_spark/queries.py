@@ -294,6 +294,76 @@ FROM documents
 """
 
 
+_SQL_QUALITY = (
+    f"((CASE WHEN length(text) >= 200 THEN 0.25 ELSE 0.0 END)"
+    f" + (CASE WHEN {_sql_alpha_ratio('text')} >= 0.6 THEN 0.25 ELSE 0.0 END)"
+    f" + (CASE WHEN {_SQL_MWL} >= 3.0 AND {_SQL_MWL} <= 10.0 THEN 0.25 ELSE 0.0 END)"
+    f" + (CASE WHEN {_SQL_SW_RATIO} >= 0.05 THEN 0.25 ELSE 0.0 END))")
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split: 10% of md5 buckets -> val. Narrow (no
+    shuffle, no sampling job); stable across runs/engines/partitionings."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.train_val_split(docs).select("doc_id", "split")
+
+
+SQL_TRAIN_VAL_SPLIT = """
+SELECT doc_id,
+  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) % 1000 < 100
+       THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: top-10 docs by quality (ties: lowest id) per
+    domain — the source-balance / anti-spam pass."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.domain_quota(docs, quota=10)
+
+
+SQL_DOMAIN_QUOTA = f"""
+SELECT doc_id, source, {_SQL_QUALITY} AS quality,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY {_SQL_QUALITY} DESC, doc_id ASC)
+            AS INTEGER) AS rank_in_domain
+FROM documents
+QUALIFY rank_in_domain <= 10
+"""
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: corpus docs sharing >= 1 5-gram with the
+    (synthetic) benchmark subset; benchmark side broadcast."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.benchmark_contamination(docs)
+
+
+_SQL_SH5 = _sql_shingles(_sql_toks(_sql_clean("text")), 5)
+SQL_BENCHMARK_CONTAMINATION = f"""
+WITH sh AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS k
+  FROM (SELECT doc_id, unnest({_SQL_SH5}) AS s FROM documents)
+),
+bench AS (SELECT DISTINCT doc_id AS bench_id, k FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT DISTINCT doc_id, k FROM sh WHERE doc_id % 97 <> 0)
+SELECT c.doc_id,
+       count(DISTINCT b.bench_id) AS n_bench_docs,
+       count(DISTINCT c.k) AS n_shared_shingles
+FROM corpus c JOIN bench b ON c.k = b.k
+GROUP BY c.doc_id
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -1322,6 +1392,10 @@ REGISTRY: dict = {
     "text_cleanup_hash": (q_text_cleanup_hash, SQL_TEXT_CLEANUP_HASH),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
+    "domain_quota": (q_domain_quota, SQL_DOMAIN_QUOTA),
+    "benchmark_contamination": (q_benchmark_contamination,
+                                SQL_BENCHMARK_CONTAMINATION),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     # dedup

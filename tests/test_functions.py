@@ -257,6 +257,54 @@ def test_multitable_topk_recall(spark):
     assert sims == sorted(sims, reverse=True)
 
 
+# -- curation (split / quota / decontamination) -------------------------------
+
+def test_train_val_split_deterministic_and_ratio(spark):
+    from ocr_automation_system_spark.functions import curation as C
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id") \
+        .withColumn("text", F.lit("x"))
+    a = {r["doc_id"]: r["split"] for r in C.train_val_split(df).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in C.train_val_split(df.repartition(7)).collect()}
+    assert a == b                                  # partitioning-invariant
+    frac = sum(1 for v in a.values() if v == "val") / len(a)
+    assert 0.06 < frac < 0.14                      # ~10% by hash
+
+
+def test_domain_quota_keeps_best_per_domain(spark):
+    from ocr_automation_system_spark.functions import curation as C
+
+    good = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "river bank every day for a long time in the warm sun " * 3)
+    rows = [(i, "d1", good) for i in range(5)]
+    rows += [(10 + i, "d1", "1234 !!! 5678") for i in range(5)]
+    rows += [(100, "d2", good)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    kept = {(r["doc_id"], r["source"]): r
+            for r in C.domain_quota(df, quota=5).collect()}
+    assert len([k for k in kept if k[1] == "d1"]) == 5
+    assert all(doc_id < 10 for doc_id, src in kept if src == "d1")  # best 5
+    assert (100, "d2") in kept
+    assert kept[(0, "d1")]["rank_in_domain"] == 1  # tie -> lowest id first
+
+
+def test_benchmark_contamination_flags_overlap(spark):
+    from ocr_automation_system_spark.functions import curation as C
+
+    sent = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, sent + " iota kappa"),                 # benchmark (0 % 97 == 0)
+        (1, "prefix words " + sent + " suffix"),   # shares 5-grams with 0
+        (2, "totally unrelated content with many different words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in C.benchmark_contamination(df).collect()}
+    assert 1 in got and got[1]["n_bench_docs"] == 1
+    assert got[1]["n_shared_shingles"] >= 4        # sliding 5-grams of sent
+    assert 2 not in got and 0 not in got           # clean + benchmark excluded
+
+
 # -- text analysis ------------------------------------------------------------
 
 def test_quality_and_tokens(docs):
