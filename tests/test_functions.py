@@ -214,6 +214,48 @@ def test_bucket_cap_drops_pathological_bucket(spark):
     assert all(a >= 100 for a, _ in pairs), "mega-bucket pairs not dropped"
 
 
+def test_vectorized_paths_bit_identical_to_expressions(spark):
+    """The Arrow/numpy fast paths (plane_bucket_vec, cosine_vs_query,
+    cosine_pair) must produce BIT-identical doubles/longs to the Catalyst
+    expression forms they replaced (cumsum == left-assoc fold), including
+    short, zero and negative vectors."""
+    import random
+
+    rng = random.Random(13)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(40)]
+    rows += [(100, [0.0] * 16), (101, [1.0, -2.0]), (102, [-1e-9] * 16)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    planes = S.hyperplanes(6, 16, seed=9)
+    q = [rng.gauss(0, 1) for _ in range(16)]
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    got = df.select(
+        "vec_id",
+        S.plane_bucket(F.col("embedding"), planes).alias("b_expr"),
+        S.plane_bucket_vec(F.col("embedding"), planes).alias("b_vec"),
+        S.cosine(F.col("embedding"), qcol).alias("c_expr"),
+        S.cosine_vs_query(F.col("embedding"), q).alias("c_vec"),
+        S.cosine_pair(F.col("embedding"), F.col("embedding")).alias("c_self"),
+    ).collect()
+    import struct
+
+    for r in got:
+        assert r["b_expr"] == r["b_vec"], r["vec_id"]
+        if r["vec_id"] == 101:
+            # Documented divergence on RAGGED vectors only: zip_with
+            # extends with nulls and the expression fold poisons to NULL,
+            # while the UDF zero-pads missing dims — which matches the
+            # DuckDB twin (list_sum skips NULL products). Data vectors
+            # are fixed-width, so only the UDF/oracle-consistent side is
+            # ever exercised by the contract queries.
+            assert r["c_expr"] is None and r["c_vec"] is not None
+            continue
+        assert struct.pack("d", r["c_expr"]) == struct.pack("d", r["c_vec"]), \
+            (r["vec_id"], r["c_expr"], r["c_vec"])
+        if r["vec_id"] < 100:
+            assert r["c_self"] == 1.0 or abs(r["c_self"] - 1.0) < 1e-12
+
+
 def test_ivf_assign_and_topk(spark):
     """IVF: first-max-wins assignment, zero vector lands in cell 0, the
     query vector recalls itself at cos 1.0 through its own cell."""
