@@ -187,53 +187,104 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
-                         b_col: str = "doc_b",
-                         max_iter: int = 50) -> DataFrame:
+                         b_col: str = "doc_b", max_iter: int = 50,
+                         collect_threshold: int = 1_000_000) -> DataFrame:
     """Connected components over an undirected near-dup pair set ->
     (node, cluster_id) with cluster_id = min node id in the component.
 
-    Min-label propagation: every node starts labeled with itself; each
-    round a node takes the min of its own and its neighbors' labels;
-    fixpoint = components. Each round is one hash join + one partial-agg
-    groupBy — both shuffles are on node ids (uniform). Rounds needed =
-    component diameter, which for near-dup clusters is small (dup chains
-    are short); at web scale with adversarial chains swap in the
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce"), which converges in O(log^2) rounds with
-    the same per-round plan shape.
+    Hybrid execution, same spirit as Spark's broadcast-join threshold:
 
-    Deterministic: min() is order-independent. Raises RuntimeError if
-    ``max_iter`` rounds don't reach the fixpoint (never silently returns
-    partial clusters)."""
+    * edge set <= ``collect_threshold``: collect to the driver and run
+      union-find (the dup GRAPH after LSH+Jaccard filtering is orders of
+      magnitude smaller than the corpus — collecting pairs is not
+      collecting data; at toy scale this replaces ~5s of per-round job
+      latency with milliseconds).
+    * larger: min-label propagation — every node starts labeled with
+      itself; each round a node takes the min of its own and its
+      neighbors' labels; fixpoint = components. Each round is one hash
+      join + one partial-agg groupBy, both shuffled on node ids
+      (uniform). Rounds needed = component diameter (short for dup
+      chains); for adversarial diameters swap in large-star/small-star
+      contraction (Kiveris et al., "Connected Components in MapReduce"),
+      O(log^2) rounds with the same per-round plan shape.
+
+    Both paths are deterministic (min is order-independent) and produce
+    identical results — ``test_connected_components_paths_agree`` pins
+    that. The distributed path raises RuntimeError if ``max_iter``
+    rounds don't reach the fixpoint (never silently returns partial
+    clusters)."""
     sym = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
+
+    n_edges = edges.count()
+    if n_edges <= collect_threshold:
+        try:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in edges.collect():
+                a, b = row["src"], row["dst"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min keeps roots = component minima
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            out = [(n, find(n)) for n in parent]
+        finally:
+            edges.unpersist()
+        from pyspark.sql.types import StructField, StructType
+
+        node_type = pairs.schema[a_col].dataType
+        schema = StructType([
+            StructField("node", node_type, False),
+            StructField("cluster_id", node_type, False),
+        ])
+        return pairs.sparkSession.createDataFrame(out, schema)
+
+    # Truncate lineage EVERY round (localCheckpoint, eager): persist alone
+    # caches data but the logical plan still nests one join deeper per
+    # round, and Catalyst's optimization time on that tower grows
+    # super-linearly — ~15 rounds hangs the driver. localCheckpoint cuts
+    # the plan at materialized blocks; a restartable production job uses
+    # reliable checkpoint() into the job's checkpoint dir instead (same
+    # call shape), as the resume machinery in plans/resume.py does for
+    # extraction state.
+    edges_ckpt = edges.localCheckpoint(eager=True)
+    edges.unpersist()
+    edges = edges_ckpt
     labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).persist())
-    try:
-        for _ in range(max_iter):
-            nbr = (edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-                   .groupBy("src").agg(F.min("label").alias("nbr_min"))
-                   .withColumnRenamed("src", "node"))
-            new_labels = (
-                labels.join(nbr, "node", "left")
-                .select("node",
-                        F.least(F.col("label"),
-                                F.coalesce(F.col("nbr_min"), F.col("label")))
-                        .alias("label"))
-            ).persist()
-            changed = (new_labels.withColumnRenamed("label", "new_label")
-                       .join(labels, "node")
-                       .filter(F.col("new_label") < F.col("label")).count())
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                return labels.select("node", F.col("label").alias("cluster_id"))
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds")
-    finally:
-        edges.unpersist()
+              .withColumn("label", F.col("node")).localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+               .groupBy("src").agg(F.min("label").alias("nbr_min"))
+               .withColumnRenamed("src", "node"))
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select("node",
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("nbr_min"), F.col("label")))
+                    .alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (new_labels.withColumnRenamed("label", "new_label")
+                   .join(labels, "node")
+                   .filter(F.col("new_label") < F.col("label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds")
 
 
 def dedup_cluster_keep(df: DataFrame, id_col: str = "doc_id",

@@ -66,6 +66,24 @@ def test_connected_components_chain_and_singleton(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
 
 
+def test_connected_components_paths_agree(spark):
+    """Union-find (collected) and min-label propagation (distributed)
+    must return identical clusters on the same random graph."""
+    import random
+
+    rng = random.Random(3)
+    nodes = list(range(200))
+    edges = {(min(a, b), max(a, b))
+             for a, b in (rng.sample(nodes, 2) for _ in range(150))}
+    pairs = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
+    fast = {r["node"]: r["cluster_id"]
+            for r in D.connected_components(pairs).collect()}
+    slow = {r["node"]: r["cluster_id"]
+            for r in D.connected_components(
+                pairs, collect_threshold=0).collect()}
+    assert fast == slow and fast
+
+
 def test_dedup_cluster_keep_end_to_end(docs):
     rows = {r["doc_id"]: r for r in D.dedup_cluster_keep(docs).collect()}
     assert len(rows) == 7                      # every doc labeled
