@@ -16,6 +16,11 @@ Stages: resumable bucketed extraction (checkpoint manifest + lineage) ->
 entity join -> validation rules -> report/duplicate-id/checksum sinks.
 Rerunning the same command after a kill resumes from the last committed
 bucket.
+
+``--curate`` additionally builds the training-corpus artifact from the
+committed extractions: usable docs -> exact dedup -> near-dup cluster
+keep -> per-host quota -> deterministic train/val split -> parquet
+partitioned by split, plus a per-stage survivor-count lineage file.
 """
 
 from __future__ import annotations
@@ -38,7 +43,7 @@ from ocr_automation_system_spark.session import build_session  # noqa: E402
 from ocr_automation_system_spark.sources.catalog import write_results  # noqa: E402
 
 
-def main(argv=None) -> int:
+def main(argv=None, stop_session: bool = True) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", help="documents table path (parquet/Iceberg)")
     p.add_argument("--synthetic", type=int, default=0,
@@ -47,6 +52,10 @@ def main(argv=None) -> int:
     p.add_argument("--n-buckets", type=int, default=16)
     p.add_argument("--as-of", default="2026-01-01")
     p.add_argument("--master", default=None)
+    p.add_argument("--curate", action="store_true",
+                   help="also build the curated training corpus artifact")
+    p.add_argument("--domain-quota", type=int, default=1000,
+                   help="max docs kept per host in --curate mode")
     args = p.parse_args(argv)
 
     spark = build_session(app_name="ocr_automation_system_spark_job", master=args.master)
@@ -80,11 +89,71 @@ def main(argv=None) -> int:
     write_results(checksum_consistency_check(results),
                   os.path.join(args.output, "checksum_checks"))
 
+    if args.curate:
+        curate(spark, results, args.output, quota=args.domain_quota)
+
     summary = lineage_summary(args.output, args.n_buckets)
     print(f"done: {summary['total_rows']} docs across "
           f"{len(summary['buckets'])} committed buckets")
-    spark.stop()
+    if stop_session:
+        # spark-submit owns the session; in-process callers (tests) share
+        # a getOrCreate session and pass stop_session=False.
+        spark.stop()
     return 0
+
+
+def curate(spark, results, output: str, quota: int = 1000) -> None:
+    """Committed extractions -> curated training corpus.
+
+    Chain (each stage a documented survivor count): usable docs only ->
+    exact dedup (md5 keep-min) -> near-dup cluster keep (LSH + Jaccard +
+    connected components) -> per-host quality quota -> deterministic
+    md5-bucket train/val split -> parquet partitioned by split. All
+    stages key on url/content hashes — a rerun over the same committed
+    extractions writes byte-identical output."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions import curation as C
+    from ocr_automation_system_spark.functions import dedup as D
+
+    docs = (
+        results.filter(F.col("doc_status") == "ok")
+        .select(F.col("url").alias("doc_id"),
+                F.col("extracted_text").alias("text"),
+                F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"))
+    ).persist()
+    counts = {"usable": docs.count()}
+
+    exact = D.dedup_exact(docs, id_col="doc_id", text_col="text")
+    near = D.dedup_cluster_keep(exact, id_col="doc_id", text_col="text")
+    keep_ids = near.filter(F.col("keep")).select("doc_id")
+    deduped = exact.join(keep_ids, "doc_id", "left_semi").persist()
+    counts["after_exact_dedup"] = exact.count()
+    counts["after_near_dedup"] = deduped.count()
+
+    quota_kept = C.domain_quota(deduped, domain_col="host",
+                                text_col="text", id_col="doc_id",
+                                quota=quota)
+    curated = (
+        deduped.join(quota_kept.select("doc_id", "quality"), "doc_id")
+    )
+    counts["after_domain_quota"] = curated.count()
+
+    curated = C.train_val_split(curated, id_col="doc_id")
+    out = os.path.join(output, "curated")
+    (curated.repartition("split")
+     .write.mode("overwrite").partitionBy("split").parquet(out))
+    written = spark.read.parquet(out)
+    counts["train"] = written.filter(F.col("split") == "train").count()
+    counts["val"] = written.filter(F.col("split") == "val").count()
+    docs.unpersist()
+    deduped.unpersist()
+
+    import json
+
+    with open(os.path.join(output, "curation_lineage.json"), "w") as fh:
+        json.dump(counts, fh, indent=1)
+    print("curate: " + " -> ".join(f"{k}={v}" for k, v in counts.items()))
 
 
 if __name__ == "__main__":
