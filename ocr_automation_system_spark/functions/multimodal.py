@@ -140,6 +140,67 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8,
     return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("status", StringType(), False),
+    StructField("orig_width", IntegerType(), True),
+    StructField("orig_height", IntegerType(), True),
+    StructField("new_width", IntegerType(), True),
+    StructField("new_height", IntegerType(), True),
+    StructField("resized_bytes", BinaryType(), True),
+])
+
+
+def safe_resize_dims(w: int, h: int, max_side: int = 2500) -> tuple[int, int]:
+    """The reference's exact resize-cap arithmetic (`core/ocr_engine.py:
+    13-23`): scale = min(max_side/h, max_side/w, 1.0); downscale only;
+    int() truncation of w*scale / h*scale. Pure and engine-independent —
+    this is the part that must agree with the reference regardless of
+    which codec does the actual pixel work."""
+    scale = min(max_side / h, max_side / w, 1.0)
+    if scale < 1.0:
+        return int(w * scale), int(h * scale)
+    return w, h
+
+
+def resize_media(df: DataFrame, max_side: int = 2500,
+                 id_col: str = "url", payload_col: str = "html") -> DataFrame:
+    """Resize pass over a BINARY media column, reference-cap semantics.
+
+    STUB pixel kernel: dims come from the stub decoder and the "resized
+    payload" is a deterministic truncation (a real build decodes, calls
+    cv2.resize(..., INTER_AREA) like `ocr_engine.py:18-22`, re-encodes).
+    The cap arithmetic (``safe_resize_dims``) and all Spark plumbing —
+    narrow mapInPandas, Arrow batch bounds, poison rows — are real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            out = []
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                row = {"media_id": str(mid), "status": "ok",
+                       "orig_width": None, "orig_height": None,
+                       "new_width": None, "new_height": None,
+                       "resized_bytes": None}
+                try:
+                    w, h = _decode_dims(payload)
+                    nw, nh = safe_resize_dims(w, h, max_side)
+                    row.update(orig_width=w, orig_height=h,
+                               new_width=nw, new_height=nh)
+                    # STUB re-encode: deterministic byte budget ~ area ratio
+                    keep = max(1, int(len(payload) * (nw * nh) / (w * h)))
+                    row["resized_bytes"] = payload[:keep]
+                except Exception as exc:  # poison-row contract
+                    row["status"] = f"error:{type(exc).__name__}"
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    from .util import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        batches, RESIZE_SCHEMA)
+
+
 def media_type_summary(meta: DataFrame) -> DataFrame:
     """Corpus-level media census (groupBy mime — tiny result)."""
     return meta.groupBy("mime").agg(

@@ -35,7 +35,7 @@ import os
 import tempfile
 
 #: bump whenever twin generation logic changes.
-TWIN_VERSION = 1
+TWIN_VERSION = 2
 
 from ..corpus import CORPUS_VERSION, generate_rows, write_corpus
 
@@ -73,10 +73,17 @@ def _write_twin_extractions(path: str, rows: list) -> None:
     df.to_parquet(path, index=False)
 
 
+#: max_side used by the resize contract query — small enough that the
+#: stub decoder's <=255px dims actually downscale at test scale.
+RESIZE_MAX_SIDE = 128
+
+
 def _write_twin_media(path: str, rows: list) -> None:
     import pandas as pd
 
-    from ..functions.multimodal import _decode_dims, sniff_mime
+    from ..functions.multimodal import (
+        _decode_dims, safe_resize_dims, sniff_mime,
+    )
 
     out = []
     for r in rows:
@@ -86,18 +93,23 @@ def _write_twin_media(path: str, rows: list) -> None:
             "mime": sniff_mime(payload), "n_bytes": len(payload),
             "sha1": hashlib.sha1(payload).hexdigest(),
             "width": -1, "height": -1,
+            "new_width": -1, "new_height": -1, "n_resized_bytes": -1,
         }
         try:
-            rec["width"], rec["height"] = _decode_dims(payload)
+            w, h = _decode_dims(payload)
+            nw, nh = safe_resize_dims(w, h, RESIZE_MAX_SIDE)
+            rec.update(width=w, height=h, new_width=nw, new_height=nh,
+                       n_resized_bytes=max(1, int(len(payload)
+                                                  * (nw * nh) / (w * h))))
         except Exception as exc:
             rec["status"] = f"error:{type(exc).__name__}"
         out.append(rec)
     df = pd.DataFrame(out)
     # q_media_metadata coalesces NULL dims to -1 and casts to long at the
     # contract surface so neither side carries nullable-int dtypes.
-    for c in ("width", "height"):
+    for c in ("width", "height", "new_width", "new_height",
+              "n_resized_bytes", "n_bytes"):
         df[c] = df[c].astype("int64")
-    df["n_bytes"] = df["n_bytes"].astype("int64")
     df.to_parquet(path, index=False)
 
 

@@ -470,6 +470,12 @@ SELECT media_id, status, mime, n_bytes, sha1, width, height
 FROM {TWIN_MEDIA}
 """
 
+SQL_MEDIA_RESIZE = f"""
+SELECT media_id, status, width AS orig_width, height AS orig_height,
+       new_width, new_height, n_resized_bytes
+FROM {TWIN_MEDIA}
+"""
+
 SQL_MEDIA_CENSUS = f"""
 SELECT mime, count(*) AS n_media,
        CAST(sum(n_bytes) AS BIGINT) AS total_bytes,

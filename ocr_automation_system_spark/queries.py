@@ -1376,6 +1376,26 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("height", F.coalesce(F.col("height"), F.lit(-1)).cast("long")))
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass with the reference's cap arithmetic (max_side mirrors
+    oracle.twin.RESIZE_MAX_SIDE so the stub dims actually downscale);
+    contract surface exposes dims + resized byte count, -1 for poison."""
+    from .functions.multimodal import resize_media
+    from .oracle.twin import RESIZE_MAX_SIDE
+
+    rs = resize_media(corpus_for(spark, sf_dir), max_side=RESIZE_MAX_SIDE)
+    neg = F.lit(-1).cast("long")
+    return rs.select(
+        "media_id", "status",
+        F.coalesce(F.col("orig_width").cast("long"), neg).alias("orig_width"),
+        F.coalesce(F.col("orig_height").cast("long"), neg).alias("orig_height"),
+        F.coalesce(F.col("new_width").cast("long"), neg).alias("new_width"),
+        F.coalesce(F.col("new_height").cast("long"), neg).alias("new_height"),
+        F.coalesce(F.length("resized_bytes").cast("long"), neg)
+        .alias("n_resized_bytes"),
+    )
+
+
 def q_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_type_summary(extract_media_metadata(corpus_for(spark, sf_dir)))
 
@@ -1457,6 +1477,7 @@ REGISTRY: dict = {
     "pipeline_host_stats": (q_pipeline_host_stats, PSQL.SQL_PIPELINE_HOST_STATS),
     # multimodal plumbing (decode stubs; plumbing hash-checked via twin)
     "media_metadata": (q_media_metadata, PSQL.SQL_MEDIA_METADATA),
+    "media_resize": (q_media_resize, PSQL.SQL_MEDIA_RESIZE),
     "media_census": (q_media_census, PSQL.SQL_MEDIA_CENSUS),
 }
 

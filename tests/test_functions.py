@@ -393,6 +393,37 @@ def test_fingerprint_stability(docs):
 
 # -- multimodal ---------------------------------------------------------------
 
+def test_safe_resize_dims_reference_arithmetic():
+    from ocr_automation_system_spark.functions.multimodal import (
+        safe_resize_dims,
+    )
+
+    # `core/ocr_engine.py:13-23`: scale = min(max/h, max/w, 1.0), int()
+    # truncation, downscale only.
+    assert safe_resize_dims(5000, 3000, 2500) == (2500, 1500)
+    assert safe_resize_dims(3000, 5000, 2500) == (1500, 2500)
+    assert safe_resize_dims(100, 50, 2500) == (100, 50)      # never upscale
+    assert safe_resize_dims(2500, 2500, 2500) == (2500, 2500)
+    assert safe_resize_dims(333, 777, 128) == (54, 128)      # int() truncation
+
+
+def test_resize_media_plumbing_and_poison(spark):
+    from ocr_automation_system_spark.functions.multimodal import resize_media
+
+    rows = [("big", b"\x89PNG\r\n\x1a\n" + b"p" * 4000),
+            ("tiny", b"\x89PNG")]                 # truncated -> poison row
+    df = spark.createDataFrame(rows, ["url", "html"])
+    got = {r["media_id"]: r for r in resize_media(df, max_side=64).collect()}
+    ok = got["big"]
+    assert ok["status"] == "ok"
+    assert max(ok["new_width"], ok["new_height"]) <= 64
+    assert ok["new_width"] <= ok["orig_width"]
+    ratio = (ok["new_width"] * ok["new_height"]) / \
+        (ok["orig_width"] * ok["orig_height"])
+    assert len(ok["resized_bytes"]) == max(1, int(4008 * ratio))
+    assert got["tiny"]["status"].startswith("error:")
+    assert got["tiny"]["resized_bytes"] is None
+
 def test_sniff_and_metadata(spark):
     rows = [
         ("png", b"\x89PNG\r\n\x1a\n" + b"x" * 64),
