@@ -54,6 +54,17 @@ carries only true near pairs (x4 block multiplicity). A previous
 version folded a 64-counter struct per token in F.aggregate — higher-
 order lambdas are CodegenFallback (interpreted per element); the
 explode-agg shape benched ~4x faster and scales the same way.""",
+    "quota": """One hash shuffle on the domain key. The load-bearing detail is the
+partial+final WindowGroupLimit pair: each map partition prunes to its
+local top-quota BEFORE the exchange, so a mega-domain ships at most
+quota rows per upstream partition and is never materialized fully
+sorted — the row_number filter is pushed through the window.""",
+    "contamination": """The benchmark side is tiny by construction and BROADCAST
+(BuildRight): the corpus side goes scan -> explode -> broadcast-hash-
+join with NO shuffle before the join; only matched (contaminated) rows
+reach the distinct-count aggregate's exchange. Join key is the
+shingle's md5-derived long — 8 bytes at any scale, never the n-gram
+string.""",
     "ann": """Embedding bucket ids and cosines run in Arrow-vectorized pandas UDFs
 (ArrowEvalPython nodes) — numpy matmul-shaped work with left-associative
 cumsum accumulation so results stay bit-identical to the SQL oracle's
@@ -87,6 +98,7 @@ def main() -> None:
     results.write.mode("overwrite").parquet(ext_path)
     committed = spark.read.parquet(ext_path)
 
+    from ocr_automation_system_spark.functions import curation as C
     from ocr_automation_system_spark.functions import similarity as S
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -101,6 +113,10 @@ def main() -> None:
         ("ANN near-dup pairs (random-hyperplane, vectorized)", "ann",
          S.cosine_near_dup_pairs(emb, threshold=0.3,
                                  planes=S.hyperplanes(16, 64, seed=0))),
+        ("Per-domain quota (WindowGroupLimit)", "quota",
+         C.domain_quota(docs, quota=10)),
+        ("Benchmark decontamination (broadcast bench side)", "contamination",
+         C.benchmark_contamination(docs)),
     ]
 
     out = ["""# PLANS — physical-plan review of the flagship stages
