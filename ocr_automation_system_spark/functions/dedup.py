@@ -359,9 +359,11 @@ def simhash_blocks(st: DataFrame) -> DataFrame:
 
     16-bit blocks give 65,536 join keys per block index (vs 256 for byte
     blocks) — the difference between bounded buckets and a quadratic
-    bucket self-join at 10^9+ docs."""
+    bucket self-join at 10^9+ docs. Accepts any table carrying
+    (sim_hi, sim_lo) — per-doc or distinct-signature — and passes its
+    other columns through."""
     return st.select(
-        "doc_id", "sim_hi", "sim_lo",
+        "*",
         F.posexplode(F.array(
             F.shiftrightunsigned(F.col("sim_hi"), 16),
             F.col("sim_hi").bitwiseAND(F.lit(65535)),
@@ -387,8 +389,21 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     detonate the join. Dropping over-full buckets loses recall only among
     docs that near-collide with >max_bucket others — at that multiplicity
     they're exact-dedup territory (run ``exact_duplicates`` first)."""
-    st = simhash_table(df, id_col, text_col)
-    blocks = simhash_blocks(st)
+    st = simhash_table(df, id_col, text_col).persist()
+    # Manku-style signature dedup BEFORE blocking: block and self-join on
+    # DISTINCT signatures, not docs. A boilerplate-heavy web corpus has
+    # far fewer distinct signatures than docs (5000 docs -> 3866 sigs
+    # even in the synthetic corpus; orders of magnitude at web scale), and
+    # a group of G identical-sig docs would otherwise contribute G^2
+    # candidate rows PER SHARED BLOCK to the join before the Hamming
+    # filter. After the sig-level join, doc pairs come back via two
+    # uniform joins on the signature columns:
+    #   * same-sig groups -> all intra-group pairs at hamming 0;
+    #   * near sig pairs (0 < hamming <= k) -> cross-product of the two
+    #     groups, ordered by doc id.
+    # Both are output-sized — exactly the rows the contract returns.
+    sigs = st.select("sim_hi", "sim_lo").distinct()
+    blocks = simhash_blocks(sigs)
     if max_bucket is not None:
         from pyspark.sql.window import Window
 
@@ -398,17 +413,38 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     a, b = blocks.alias("a"), blocks.alias("b")
     hamming = (F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
                + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))))
-    # Hamming-filter BEFORE the distinct: the popcount is a cheap codegen
-    # row op on the join output, while distinct is a shuffle — filtering
-    # first shrinks that shuffle to the true near-pair set (x4 block
-    # multiplicity) instead of every same-block candidate. Profiled 2.4M
-    # candidate rows -> 0.66M at sf0.1; the ratio widens with dup density.
-    return (
+    # Hamming-filter BEFORE the distinct (popcount is a cheap codegen row
+    # op; distinct is a shuffle), and give the unordered sig pair a
+    # canonical orientation so the distinct dedups block multiplicity.
+    sig_pairs = (
         a.join(b, ["block", "block_val"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
+        .filter((F.col("a.sim_hi") < F.col("b.sim_hi"))
+                | ((F.col("a.sim_hi") == F.col("b.sim_hi"))
+                   & (F.col("a.sim_lo") < F.col("b.sim_lo"))))
+        .select(F.col("a.sim_hi").alias("hi_a"), F.col("a.sim_lo").alias("lo_a"),
+                F.col("b.sim_hi").alias("hi_b"), F.col("b.sim_lo").alias("lo_b"),
                 hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    # Intra-group pairs: identical signature == hamming 0.
+    g1, g2 = st.alias("g1"), st.alias("g2")
+    same = (
+        g1.join(g2, ["sim_hi", "sim_lo"])
+        .filter(F.col("g1.doc_id") < F.col("g2.doc_id"))
+        .select(F.col("g1.doc_id").alias("doc_a"),
+                F.col("g2.doc_id").alias("doc_b"),
+                F.lit(0).alias("hamming"))
+    )
+    # Cross-group pairs: expand each near sig pair to its doc pairs.
+    da = st.select(F.col("sim_hi").alias("hi_a"), F.col("sim_lo").alias("lo_a"),
+                   F.col("doc_id").alias("id_a"))
+    db = st.select(F.col("sim_hi").alias("hi_b"), F.col("sim_lo").alias("lo_b"),
+                   F.col("doc_id").alias("id_b"))
+    cross = (
+        sig_pairs.join(da, ["hi_a", "lo_a"]).join(db, ["hi_b", "lo_b"])
+        .select(F.least("id_a", "id_b").alias("doc_a"),
+                F.greatest("id_a", "id_b").alias("doc_b"),
+                "hamming")
+    )
+    return same.unionByName(cross)

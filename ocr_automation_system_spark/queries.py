@@ -524,36 +524,52 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(docs, max_hamming=3)
 
 
-#: mirror of dedup.simhash_near_pairs(max_bucket=100000): the bucket cap
-#: is part of the operator's semantics, so the twin applies it too (no-op
-#: at test scale, load-bearing at corpus scale).
+#: mirror of dedup.simhash_near_pairs: Manku-style signature dedup first
+#: (block + self-join on DISTINCT signatures, cap on sig-level bucket
+#: occupancy — no-op at test scale, load-bearing at corpus scale), then
+#: expand sig pairs back to doc pairs (same-sig groups = hamming 0).
 SQL_SIMHASH_NEAR_PAIRS = f"""
 WITH {_sql_simhash_ctes(_SQL_CLEAN_TOKS)},
+ds AS (SELECT DISTINCT sim_hi, sim_lo FROM st),
 blocks AS (
-  SELECT doc_id, sim_hi, sim_lo, CAST(r.k AS INTEGER) AS block,
+  SELECT sim_hi, sim_lo, CAST(r.k AS INTEGER) AS block,
          CASE r.k WHEN 0 THEN sim_hi // 65536
                   WHEN 1 THEN sim_hi % 65536
                   WHEN 2 THEN sim_lo // 65536
                   ELSE sim_lo % 65536 END AS block_val
-  FROM st, range(0, 4) r(k)
+  FROM ds, range(0, 4) r(k)
 ),
 capped AS (
   SELECT * FROM blocks
   QUALIFY count(*) OVER (PARTITION BY block, block_val) <= 100000
 ),
-cand AS (
-  -- hamming filter BEFORE distinct (mirrors dedup.simhash_near_pairs):
-  -- distinct-of-filtered == filter-of-distinct since hamming is a pure
-  -- function of the pair, and the filtered set is far smaller
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+sig_pairs AS (
+  SELECT DISTINCT a.sim_hi AS hi_a, a.sim_lo AS lo_a,
+                  b.sim_hi AS hi_b, b.sim_lo AS lo_b,
     CAST(bit_count(xor(a.sim_hi, b.sim_hi))
          + bit_count(xor(a.sim_lo, b.sim_lo)) AS INTEGER) AS hamming
   FROM capped a JOIN capped b ON a.block = b.block AND a.block_val = b.block_val
-  WHERE a.doc_id < b.doc_id
+  WHERE (a.sim_hi < b.sim_hi
+         OR (a.sim_hi = b.sim_hi AND a.sim_lo < b.sim_lo))
     AND bit_count(xor(a.sim_hi, b.sim_hi))
         + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+),
+same_sig AS (
+  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
+  FROM st s1 JOIN st s2
+    ON s1.sim_hi = s2.sim_hi AND s1.sim_lo = s2.sim_lo
+   AND s1.doc_id < s2.doc_id
+),
+cross_sig AS (
+  SELECT least(x.doc_id, y.doc_id) AS doc_a,
+         greatest(x.doc_id, y.doc_id) AS doc_b, p.hamming
+  FROM sig_pairs p
+  JOIN st x ON x.sim_hi = p.hi_a AND x.sim_lo = p.lo_a
+  JOIN st y ON y.sim_hi = p.hi_b AND y.sim_lo = p.lo_b
 )
-SELECT doc_a, doc_b, hamming FROM cand
+SELECT doc_a, doc_b, hamming FROM same_sig
+UNION ALL
+SELECT doc_a, doc_b, hamming FROM cross_sig
 """
 
 
