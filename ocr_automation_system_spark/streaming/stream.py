@@ -64,6 +64,31 @@ def write_extraction_stream(results: DataFrame, output_dir: str,
     )
 
 
+def streaming_dedup(documents: DataFrame,
+                    watermark_col: str = "warc_ts",
+                    delay: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each content
+    hash, drop re-crawls — the streaming twin of ``dedup.dedup_exact``.
+
+    ``dropDuplicatesWithinWatermark`` on the md5 content key bounds the
+    dedup state by the watermark horizon (state for a hash is dropped
+    once the watermark passes its event time + delay), so the operator
+    never accumulates unbounded per-key state the way a plain
+    dropDuplicates would on an infinite stream. Web-crawl semantics fit:
+    a re-crawl of the same page arrives within a bounded interval of the
+    original, and cross-horizon dups are the batch ladder's job
+    (``dedup_cluster_keep`` over the accumulated table)."""
+    from ..functions.text import content_hash
+
+    return (
+        documents
+        .withColumn("_ch", content_hash(F.col("text")))
+        .withWatermark(watermark_col, delay)
+        .dropDuplicatesWithinWatermark(["_ch"])
+        .drop("_ch")
+    )
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 day",
                           watermark: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window counts per event_type. State for a

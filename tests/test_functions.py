@@ -317,6 +317,52 @@ def test_multitable_topk_recall(spark):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_dedup_ladder_coherence_on_testdata(spark):
+    """Cross-tier invariants on real testdata: an exact-dup pair (same
+    content hash, enough tokens) must surface as a Jaccard-1.0 LSH pair,
+    a Hamming-0 SimHash pair, and land in one cluster with exactly one
+    keeper."""
+    from ocr_automation_system_spark.functions.text import (
+        clean_text, content_hash, ws_tokens,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(200)
+    # guarantee exact dups: re-crawl every doc under a shifted id
+    docs = base.unionByName(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    hashed = docs.select(
+        "doc_id", content_hash(F.col("text")).alias("h"),
+        F.size(ws_tokens(clean_text(F.col("text")))).alias("n_toks"))
+    groups: dict = {}
+    for r in hashed.collect():
+        if r["n_toks"] >= 3:
+            groups.setdefault(r["h"], []).append(r["doc_id"])
+    exact_pairs = {(min(a, b), max(a, b))
+                   for ids in groups.values() if len(ids) > 1
+                   for a in ids for b in ids if a < b}
+    assert exact_pairs, "testdata should contain exact dups"
+
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(docs).collect()}
+    sim = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in D.simhash_near_pairs(docs).collect()}
+    clusters = {r["doc_id"]: (r["cluster_id"], r["keep"])
+                for r in D.dedup_cluster_keep(docs).collect()}
+    for p in exact_pairs:
+        assert jac.get(p) == 1.0, p
+        assert sim.get(p) == 0, p
+        ca, cb = clusters[p[0]][0], clusters[p[1]][0]
+        assert ca == cb, p
+    # one keeper per cluster, and it is the min doc_id
+    by_cluster: dict = {}
+    for doc, (cid, keep) in clusters.items():
+        by_cluster.setdefault(cid, []).append((doc, keep))
+    for cid, members in by_cluster.items():
+        keepers = [d for d, k in members if k]
+        assert keepers == [min(d for d, _ in members)] and cid == keepers[0]
+
+
 # -- curation (split / quota / decontamination) -------------------------------
 
 def test_train_val_split_deterministic_and_ratio(spark):

@@ -108,3 +108,53 @@ def test_windowed_counts_match_batch_twin(spark, tmp_path):
                      r["n_events"], round(r["total_value"], 6))
     assert sorted(map(key, stream_style.collect())) == \
            sorted(map(key, batch_style.collect()))
+
+
+def test_streaming_dedup_drops_recrawls(spark, tmp_path):
+    """First arrival of each content hash survives; re-crawls (same text,
+    later warc_ts, different url) are dropped across micro-batches; state
+    is watermark-bounded."""
+    import pandas as pd
+
+    from ocr_automation_system_spark.streaming.stream import streaming_dedup
+
+    d = str(tmp_path / "docs_in")
+    os.makedirs(d)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    drop1 = pd.DataFrame({
+        "url": [f"https://a/{i}" for i in range(4)],
+        "warc_ts": [base + pd.Timedelta(minutes=i) for i in range(4)],
+        "html": [b""] * 4,
+        "text": ["alpha text", "beta text", "gamma text", "delta text"],
+        "lang": ["en"] * 4,
+    })
+    drop2 = pd.DataFrame({
+        "url": [f"https://b/{i}" for i in range(3)],
+        "warc_ts": [base + pd.Timedelta(minutes=10 + i) for i in range(3)],
+        "html": [b""] * 3,
+        # two re-crawls of drop1 content + one genuinely new doc
+        "text": ["alpha text", "beta text", "epsilon text"],
+        "lang": ["en"] * 3,
+    })
+    for name, df in (("drop1", drop1), ("drop2", drop2)):
+        df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False,
+                      coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    from ocr_automation_system_spark.streaming.stream import stream_documents
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    deduped = streaming_dedup(stream_documents(
+        spark, d, max_files_per_trigger=1))
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["alpha text", "beta text", "delta text", "epsilon text",
+                     "gamma text"]
+    # first arrivals kept: every surviving alpha/beta row is from drop1
+    by_text = {r["text"]: r["url"] for r in got}
+    assert by_text["alpha text"].startswith("https://a/")
+    assert by_text["beta text"].startswith("https://a/")
+    assert by_text["epsilon text"].startswith("https://b/")
