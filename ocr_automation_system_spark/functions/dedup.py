@@ -156,6 +156,33 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def write_minhash_index(df: DataFrame, path: str, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3, bands: int = 4,
+                        rows_per_band: int = 2) -> None:
+    """Materialize the LSH band table as a parquet index partitioned by
+    band — the production form of ``cache_index=True``: signatures are
+    computed ONCE per corpus (the expensive tokenize->shingle->md5 pass),
+    then every dedup run, incremental join, or point lookup reads the
+    index instead of recomputing. Partitioning by band means a band-keyed
+    query prunes 3/4 of the files before reading a byte."""
+    (minhash_bands(df, id_col, text_col, n, bands, rows_per_band)
+     .write.mode("overwrite").partitionBy("band").parquet(path))
+
+
+def candidate_pairs_from_index(spark, path: str) -> DataFrame:
+    """Distinct candidate pairs from a written band index — identical
+    output to ``lsh_candidate_pairs`` over the source corpus (pinned by
+    test), without touching the text again."""
+    bt = spark.read.parquet(path)
+    a, b = bt.alias("a"), bt.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3, bands: int = 4,
                         rows_per_band: int = 2, threshold: float = 0.0,

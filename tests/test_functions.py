@@ -56,6 +56,22 @@ def test_short_and_empty_docs_never_join(docs):
     assert 4 not in ids and 5 not in ids
 
 
+def test_minhash_index_roundtrip(spark, docs, tmp_path):
+    """The written band index reproduces exactly the inline candidate
+    pairs, and the parquet layout is band-partitioned (prunable)."""
+    import os
+
+    path = str(tmp_path / "lsh_index")
+    D.write_minhash_index(docs, path)
+    from_index = {(r["doc_a"], r["doc_b"]) for r in
+                  D.candidate_pairs_from_index(spark, path).collect()}
+    inline = {(r["doc_a"], r["doc_b"]) for r in
+              D.lsh_candidate_pairs(docs).collect()}
+    assert from_index == inline and from_index
+    assert sorted(d for d in os.listdir(path) if d.startswith("band=")) \
+        == ["band=0", "band=1", "band=2", "band=3"]
+
+
 def test_connected_components_chain_and_singleton(spark):
     """Chain 1-2-3 collapses to cluster 1 even though (1,3) is not a
     direct pair; 7-8 is its own cluster; isolated nodes don't appear."""
