@@ -226,14 +226,17 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
       magnitude smaller than the corpus — collecting pairs is not
       collecting data; at toy scale this replaces ~5s of per-round job
       latency with milliseconds).
-    * larger: min-label propagation — every node starts labeled with
-      itself; each round a node takes the min of its own and its
-      neighbors' labels; fixpoint = components. Each round is one hash
-      join + one partial-agg groupBy, both shuffled on node ids
-      (uniform). Rounds needed = component diameter (short for dup
-      chains); for adversarial diameters swap in large-star/small-star
-      contraction (Kiveris et al., "Connected Components in MapReduce"),
-      O(log^2) rounds with the same per-round plan shape.
+    * larger: min-label propagation WITH pointer doubling — every node
+      starts labeled with itself; each round a node takes the min of its
+      own label, its neighbors' labels, and its label's label (the
+      pointer-jumping shortcut). The doubling term turns worst-case
+      convergence from O(diameter) rounds (a 1024-node dup chain would
+      need 1023) into O(log diameter): the pointer distance doubles per
+      round. Each round is two hash joins + one partial-agg groupBy,
+      all shuffled on node ids (uniform). Correctness: labels only
+      decrease, always name a member of the node's own component, and
+      label(v) <= v — so the fixpoint labeling is constant per
+      component and equal to the component minimum.
 
     Both paths are deterministic (min is order-independent) and produce
     identical results — ``test_connected_components_paths_agree`` pins
@@ -296,11 +299,18 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         nbr = (edges.join(labels.withColumnRenamed("node", "dst"), "dst")
                .groupBy("src").agg(F.min("label").alias("nbr_min"))
                .withColumnRenamed("src", "node"))
+        # pointer doubling: my label's label (label values are node ids,
+        # so this is a self-join of the label table)
+        ll = labels.select(F.col("node").alias("label"),
+                           F.col("label").alias("ll_min"))
         new_labels = (
             labels.join(nbr, "node", "left")
+            .join(ll, "label", "left")
             .select("node",
-                    F.least(F.col("label"),
-                            F.coalesce(F.col("nbr_min"), F.col("label")))
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_min"), F.col("label")),
+                        F.coalesce(F.col("ll_min"), F.col("label")))
                     .alias("label"))
         ).localCheckpoint(eager=True)
         changed = (new_labels.withColumnRenamed("label", "new_label")

@@ -100,6 +100,22 @@ def test_connected_components_paths_agree(spark):
     assert fast == slow and fast
 
 
+def test_connected_components_long_chain_converges(spark):
+    """Adversarial diameter: a 1024-node path graph. Plain min
+    propagation needs 1023 rounds; pointer doubling must finish within
+    the 50-round budget on the DISTRIBUTED path and agree with
+    union-find."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1023)], ["doc_a", "doc_b"])
+    dist = {r["node"]: r["cluster_id"] for r in
+            D.connected_components(pairs, collect_threshold=0,
+                                   max_iter=50).collect()}
+    assert set(dist.values()) == {0} and len(dist) == 1024
+    fast = {r["node"]: r["cluster_id"]
+            for r in D.connected_components(pairs).collect()}
+    assert fast == dist
+
+
 def test_dedup_cluster_keep_end_to_end(docs):
     rows = {r["doc_id"]: r for r in D.dedup_cluster_keep(docs).collect()}
     assert len(rows) == 7                      # every doc labeled
