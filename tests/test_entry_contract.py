@@ -28,7 +28,8 @@ from ocr_automation_system_spark.sources.catalog import TABLE_NAMES  # noqa: E40
 SUBSET = [
     "usability_gate", "token_counts", "doc_fingerprint",
     "dedup_exact_groups", "minhash_lsh_pairs", "simhash_signatures",
-    "embedding_topk", "embedding_lsh_bucket_stats",
+    "dedup_cluster_keep", "train_val_split", "domain_quota",
+    "embedding_topk", "embedding_lsh_bucket_stats", "embedding_ivf_topk",
     "entity_join_shape", "report_summary", "topk_per_group",
     "sessionize_events",
 ]
