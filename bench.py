@@ -83,15 +83,20 @@ def main() -> None:
     # the noise. The cache is cleared between reps so a rep never reads a
     # previous rep's persisted data.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
         best = float("inf")
-        for _rep in range(2):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            _count(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _rep in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                _count(fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # never lose the whole bench to one query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
         timings[name] = round(best, 3)
         total += best
 
@@ -130,13 +135,16 @@ def main() -> None:
     timings["extraction_sec"] = round(ext_s, 3)
     timings["extraction_docs_per_sec"] = round(n_docs / ext_s, 1)
 
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
