@@ -193,6 +193,8 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     the assignment bit-for-bit; production swaps in k-means centroids
     trained offline — the assignment plan (one Arrow pass, no shuffle)
     is identical either way."""
+    if not centroids:
+        raise ValueError("ivf_assign needs at least one centroid")
     cents = [np.asarray([float(x) for x in c], dtype=np.float64)
              for c in centroids]
 

@@ -82,7 +82,9 @@ def streaming_dedup(documents: DataFrame,
 
     return (
         documents
-        .withColumn("_ch", content_hash(F.col("text")))
+        # coalesce: md5(NULL) is NULL and a NULL dedup key would collapse
+        # every null-text row into one; empty-string rows hash normally
+        .withColumn("_ch", content_hash(F.coalesce(F.col("text"), F.lit(""))))
         .withWatermark(watermark_col, delay)
         .dropDuplicatesWithinWatermark(["_ch"])
         .drop("_ch")
