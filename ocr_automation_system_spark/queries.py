@@ -582,6 +582,14 @@ def _query_vec_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
 
 
+def _query_vec(spark: SparkSession, sf_dir: str) -> list | None:
+    """Collected vec_id=0 query vector, or None on an empty/absent-id
+    table (callers return an empty result instead of crashing on
+    ``None["qe"]``)."""
+    row = _query_vec_df(spark, sf_dir).first()
+    return None if row is None else [float(x) for x in row["qe"]]
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 query vector."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -738,7 +746,10 @@ def q_embedding_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector is a one-row lookup collected once (a plan literal thereafter,
     exactly like a broadcast dim)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in _query_vec_df(spark, sf_dir).first()["qe"]]
+    qvec = _query_vec(spark, sf_dir)
+    if qvec is None:  # empty table: no query vector -> empty result
+        return emb.select(F.col("vec_id"),
+                          F.lit(0.0).alias("cos_sim")).limit(0)
     return S.lsh_topk_multitable(emb, qvec, k=10, n_tables=4,
                                  n_bits=_RP_BITS_MT, seed=0, dim=_EMB_DIM)
 
@@ -762,6 +773,10 @@ def q_embedding_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     balanced; a fat cell means probing it scans too much)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(spark, sf_dir)
+    if not cents:  # empty table: no centroids, no cells
+        return (emb.select(F.lit(0).alias("cell"),
+                           F.lit(0).cast("long").alias("n_vecs"),
+                           F.col("vec_id").alias("min_vec_id")).limit(0))
     return (
         emb.withColumn("cell", S.ivf_assign(F.col("embedding"), cents))
         .groupBy("cell")
@@ -774,7 +789,10 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10: nprobe=2 of 16 deterministic cells."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(spark, sf_dir)
-    qvec = [float(x) for x in _query_vec_df(spark, sf_dir).first()["qe"]]
+    qvec = _query_vec(spark, sf_dir)
+    if not cents or qvec is None:  # empty table -> empty result
+        return emb.select(F.col("vec_id"),
+                          F.lit(0.0).alias("cos_sim")).limit(0)
     return S.ivf_topk(emb, qvec, cents, k=10, nprobe=_IVF_NPROBE)
 
 

@@ -1,0 +1,39 @@
+"""Boundary robustness: every table-reading contract query must run on
+EMPTY input tables (schema-only parquet) and return an empty result —
+no None-collect crashes, no joins/windows/UDFs erroring on zero rows."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ocr_automation_system_spark.queries import REGISTRY
+from ocr_automation_system_spark.sources.catalog import TABLE_NAMES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in TABLE_NAMES:
+        (spark.read.parquet(os.path.join(SF, f"{t}.parquet"))
+         .limit(0).write.mode("overwrite")
+         .parquet(os.path.join(d, f"{t}.parquet")))
+    return d
+
+
+def test_every_table_query_runs_on_empty_tables(spark, empty_sf):
+    failures = []
+    for name, (fn, _sql) in REGISTRY.items():
+        if name.startswith(("pipeline_", "media_")):
+            continue  # synthetic-corpus queries don't read the sf tables
+        try:
+            n = fn(spark, empty_sf).count()
+        except Exception as exc:
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+            continue
+        if n != 0:
+            failures.append(f"{name}: expected 0 rows, got {n}")
+    assert not failures, "\n".join(failures)
