@@ -24,6 +24,35 @@ def empty_sf(spark, tmp_path_factory):
     return d
 
 
+def test_null_text_rows_never_crash_curation_ops(spark):
+    """A 100 TB corpus will contain NULL text; the dedup/curation ladder
+    must degrade gracefully (null quality = 0, no shingles, no crash)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from ocr_automation_system_spark.functions import curation as C
+    from ocr_automation_system_spark.functions import dedup as D
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), True),
+        StructField("source", StringType(), True),
+    ])
+    rows = [(0, "the quick brown fox jumps over the lazy dog", "a"),
+            (1, None, "a"), (2, None, "b"), (3, "", "b")]
+    df = spark.createDataFrame(rows, schema)
+
+    assert D.exact_duplicates(df).count() >= 1
+    assert D.dedup_cluster_keep(df).count() == 4
+    assert D.simhash_near_pairs(df).count() >= 0
+    got = {r["doc_id"]: r for r in C.domain_quota(df, quota=5).collect()}
+    assert got[1]["quality"] == 0.0 and len(got) == 4
+    assert C.train_val_split(df).count() == 4
+    assert C.benchmark_contamination(df).count() == 0
+
+
 def test_every_table_query_runs_on_empty_tables(spark, empty_sf):
     failures = []
     for name, (fn, _sql) in REGISTRY.items():
