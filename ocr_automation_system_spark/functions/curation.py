@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .text import quality_score, shingles
+from .text import bpe_token_count, quality_score, shingles
 
 
 def split_bucket(col, buckets: int = 1000):
@@ -56,6 +56,62 @@ def domain_quota(df: DataFrame, domain_col: str = "source",
         .select(id_col, domain_col,
                 F.col("_q").alias("quality"),
                 F.col("_rk").alias("rank_in_domain"))
+    )
+
+
+def pack_bins(df: DataFrame, budget: int = 2048, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Sequence packing for training-data export: concatenate docs in a
+    deterministic pseudo-random order and cut the token stream into
+    ``budget``-token bins. Returns (doc_id, n_tokens, start_tok, bin_id,
+    offset_in_bin) where start_tok is the EXCLUSIVE prefix sum of token
+    counts in stream order — all integer math, so the DuckDB twin is
+    exact.
+
+    The running total is a DISTRIBUTED prefix sum, not a global window
+    (``Window.orderBy`` with no partition key collapses to one task):
+
+    1. stream order = (bucket, key) with key = md5(doc_id) and bucket =
+       key's first byte — deterministic, shuffle-friendly, and
+       pseudo-random (adjacent corpus docs land in different bins, the
+       property packing wants);
+    2. per-bucket cumsum via a window PARTITIONED by bucket (256-way
+       parallel, each a sort of ~n/256 rows);
+    3. per-bucket totals (256 rows) collect to the driver, their prefix
+       sums broadcast back as a literal CASE map — the classic two-pass
+       scan-sum. At 10^12 docs step 3 moves 256 longs; nothing else
+       leaves the executors."""
+    key = F.md5(F.col(id_col).cast("string"))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        key.alias("_key"),
+        F.substring(key, 1, 2).alias("_bucket"),
+        bpe_token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy("_bucket").orderBy("_key") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = toks.withColumn("_cum_incl", F.sum("n_tokens").over(w))
+    bucket_totals = sorted(
+        (r["_bucket"], r["_total"])
+        for r in toks.groupBy("_bucket")
+        .agg(F.sum("n_tokens").alias("_total")).collect())
+    offsets, running = {}, 0
+    for b, total in bucket_totals:
+        offsets[b] = running
+        running += total
+    off_col = F.lit(0).cast("long")
+    for b, off in offsets.items():
+        off_col = F.when(F.col("_bucket") == b, F.lit(off).cast("long")) \
+            .otherwise(off_col)
+    start = (off_col + F.col("_cum_incl") - F.col("n_tokens"))
+    out = local.select("doc_id", "n_tokens", start.alias("start_tok"))
+    # integer `div`, not `/` (long / long is DOUBLE in Spark — exact only
+    # to 2^53; the twin's // is integer division, so match it exactly)
+    return out.select(
+        "doc_id", "n_tokens", "start_tok",
+        F.expr(f"start_tok div {int(budget)}").cast("long").alias("bin_id"),
+        F.pmod(F.col("start_tok"), F.lit(budget)).cast("long")
+        .alias("offset_in_bin"),
     )
 
 

@@ -338,6 +338,37 @@ QUALIFY rank_in_domain <= 10
 """
 
 
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: distributed prefix sum of token counts in
+    deterministic md5 stream order, cut into 2048-token bins."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.pack_bins(docs, budget=2048)
+
+
+#: The twin orders by the full md5 key alone — identical to the Spark
+#: side's (bucket, key) order because the bucket IS the key's first
+#: byte (a prefix). All integer arithmetic.
+SQL_PACK_BINS = """
+WITH t AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(SUM(n_tokens) OVER (ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM t)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // 2048 AS bin_id,
+       start_tok % 2048 AS offset_in_bin
+FROM s
+"""
+
+
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination scan: corpus docs sharing >= 1 5-gram with the
     (synthetic) benchmark subset; benchmark side broadcast."""
@@ -1448,6 +1479,7 @@ REGISTRY: dict = {
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "domain_quota": (q_domain_quota, SQL_DOMAIN_QUOTA),
+    "pack_bins": (q_pack_bins, SQL_PACK_BINS),
     "benchmark_contamination": (q_benchmark_contamination,
                                 SQL_BENCHMARK_CONTAMINATION),
     "lang_id": (q_lang_id, SQL_LANG_ID),

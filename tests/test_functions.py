@@ -427,6 +427,29 @@ def test_domain_quota_keeps_best_per_domain(spark):
     assert kept[(0, "d1")]["rank_in_domain"] == 1  # tie -> lowest id first
 
 
+def test_pack_bins_contiguous_and_partition_invariant(spark):
+    """The packed stream is gapless (each doc starts where the previous
+    ends), covers every token exactly once, and the assignment does not
+    depend on input partitioning (distributed prefix sum correctness)."""
+    from ocr_automation_system_spark.functions import curation as C
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id") \
+        .withColumn("text", F.concat(F.lit("tok "),
+                                     F.repeat(F.lit("word "),
+                                              (F.col("doc_id") % 7 + 1)
+                                              .cast("int"))))
+    rows = sorted(C.pack_bins(df, budget=50).collect(),
+                  key=lambda r: r["start_tok"])
+    pos = 0
+    for r in rows:
+        assert r["start_tok"] == pos, (r, pos)
+        assert r["bin_id"] == pos // 50 and r["offset_in_bin"] == pos % 50
+        pos += r["n_tokens"]
+    again = sorted(C.pack_bins(df.repartition(13), budget=50).collect(),
+                   key=lambda r: r["start_tok"])
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
 def test_benchmark_contamination_flags_overlap(spark):
     from ocr_automation_system_spark.functions import curation as C
 
