@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .text import bpe_token_count, quality_score, shingles
+from .util import ensure_parallelism
 
 
 def split_bucket(col, buckets: int = 1000):
@@ -50,7 +51,8 @@ def domain_quota(df: DataFrame, domain_col: str = "source",
     w = Window.partitionBy(domain_col).orderBy(
         F.col("_q").desc(), F.col(id_col).asc())
     return (
-        df.withColumn("_q", quality_score(F.col(text_col)))
+        ensure_parallelism(df)
+        .withColumn("_q", quality_score(F.col(text_col)))
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= quota)
         .select(id_col, domain_col,
@@ -82,7 +84,7 @@ def pack_bins(df: DataFrame, budget: int = 2048, id_col: str = "doc_id",
        scan-sum. At 10^12 docs step 3 moves 256 longs; nothing else
        leaves the executors."""
     key = F.md5(F.col(id_col).cast("string"))
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         key.alias("_key"),
         F.substring(key, 1, 2).alias("_bucket"),
@@ -132,7 +134,7 @@ def benchmark_contamination(df: DataFrame, id_col: str = "doc_id",
     key = F.pmod(
         F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long"),
         F.lit(2147483647))
-    sh = df.select(F.col(id_col).alias("doc_id"),
+    sh = ensure_parallelism(df).select(F.col(id_col).alias("doc_id"),
                    F.explode(shingles(F.col(text_col), n)).alias("s"))
     sh = sh.select("doc_id", key.alias("k"))
     is_bench = F.pmod(F.col("doc_id"), F.lit(benchmark_mod)) == 0
