@@ -476,6 +476,17 @@ SELECT media_id, status, width AS orig_width, height AS orig_height,
 FROM {TWIN_MEDIA}
 """
 
+#: integer twin of multimodal.sample_frames' stride slicing:
+#: n = min(max_frames, max(len,1)//stride + 1); bytes = min(len, n*stride)
+SQL_MEDIA_FRAME_CENSUS = f"""
+SELECT media_id,
+  CAST(least(8, greatest(n_bytes, 1) // 4096 + 1) AS BIGINT) AS n_frames,
+  CAST(least(n_bytes,
+             least(8, greatest(n_bytes, 1) // 4096 + 1) * 4096) AS BIGINT)
+    AS sampled_bytes
+FROM {TWIN_MEDIA}
+"""
+
 SQL_MEDIA_CENSUS = f"""
 SELECT mime, count(*) AS n_media,
        CAST(sum(n_bytes) AS BIGINT) AS total_bytes,

@@ -1461,6 +1461,19 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out, aggregated per media id — hard-checkable
+    because frame counts/sizes are pure integer functions of payload
+    length (stride slicing), which the media twin carries as n_bytes."""
+    from .functions.multimodal import sample_frames
+
+    frames = sample_frames(corpus_for(spark, sf_dir),
+                           every_n_bytes=4096, max_frames=8)
+    return (frames.groupBy("media_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.sum(F.length("frame_bytes")).alias("sampled_bytes")))
+
+
 def q_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_type_summary(extract_media_metadata(corpus_for(spark, sf_dir)))
 
@@ -1544,6 +1557,7 @@ REGISTRY: dict = {
     # multimodal plumbing (decode stubs; plumbing hash-checked via twin)
     "media_metadata": (q_media_metadata, PSQL.SQL_MEDIA_METADATA),
     "media_resize": (q_media_resize, PSQL.SQL_MEDIA_RESIZE),
+    "media_frame_census": (q_media_frame_census, PSQL.SQL_MEDIA_FRAME_CENSUS),
     "media_census": (q_media_census, PSQL.SQL_MEDIA_CENSUS),
 }
 
