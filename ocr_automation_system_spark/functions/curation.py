@@ -62,7 +62,7 @@ def domain_quota(df: DataFrame, domain_col: str = "source",
 
 
 def pack_bins(df: DataFrame, budget: int = 2048, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text", bucket_hex: int = 4) -> DataFrame:
     """Sequence packing for training-data export: concatenate docs in a
     deterministic pseudo-random order and cut the token stream into
     ``budget``-token bins. Returns (doc_id, n_tokens, start_tok, bin_id,
@@ -74,39 +74,42 @@ def pack_bins(df: DataFrame, budget: int = 2048, id_col: str = "doc_id",
     (``Window.orderBy`` with no partition key collapses to one task):
 
     1. stream order = (bucket, key) with key = md5(doc_id) and bucket =
-       key's first byte — deterministic, shuffle-friendly, and
-       pseudo-random (adjacent corpus docs land in different bins, the
-       property packing wants);
-    2. per-bucket cumsum via a window PARTITIONED by bucket (256-way
-       parallel, each a sort of ~n/256 rows);
-    3. per-bucket totals (256 rows) collect to the driver, their prefix
-       sums broadcast back as a literal CASE map — the classic two-pass
-       scan-sum. At 10^12 docs step 3 moves 256 longs; nothing else
-       leaves the executors."""
+       the key's first ``bucket_hex`` hex chars — deterministic,
+       shuffle-friendly, and pseudo-random (adjacent corpus docs land in
+       different bins, the property packing wants). Because the bucket
+       is a PREFIX of the key, (bucket, key) order == key order, so the
+       output is invariant to ``bucket_hex`` (pinned by
+       tests/test_functions.py::test_pack_bins_bucket_width_invariant);
+    2. per-bucket cumsum via a window PARTITIONED by bucket — with the
+       default 4 hex chars that is 65,536-way parallel, ~1.5e7 rows per
+       sort task even at 10^12 docs (raise ``bucket_hex`` to 5/6 for
+       16x/256x more splits if needed);
+    3. per-bucket totals (one row per bucket) get their own exclusive
+       prefix sum in a single tiny-window task, then broadcast-JOIN back
+       on the bucket key — the classic two-pass scan-sum. Only
+       ``16^bucket_hex`` longs ever leave the executors, and the offset
+       map is a broadcast hash join, not an expression tree (a chained
+       CASE over 65k buckets would be a pathological plan)."""
     key = F.md5(F.col(id_col).cast("string"))
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         key.alias("_key"),
-        F.substring(key, 1, 2).alias("_bucket"),
+        F.substring(key, 1, int(bucket_hex)).alias("_bucket"),
         bpe_token_count(F.col(text_col)).alias("n_tokens"),
     )
     w = Window.partitionBy("_bucket").orderBy("_key") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = toks.withColumn("_cum_incl", F.sum("n_tokens").over(w))
-    bucket_totals = sorted(
-        (r["_bucket"], r["_total"])
-        for r in toks.groupBy("_bucket")
-        .agg(F.sum("n_tokens").alias("_total")).collect())
-    offsets, running = {}, 0
-    for b, total in bucket_totals:
-        offsets[b] = running
-        running += total
-    off_col = F.lit(0).cast("long")
-    for b, off in offsets.items():
-        off_col = F.when(F.col("_bucket") == b, F.lit(off).cast("long")) \
-            .otherwise(off_col)
-    start = (off_col + F.col("_cum_incl") - F.col("n_tokens"))
-    out = local.select("doc_id", "n_tokens", start.alias("start_tok"))
+    w_tot = Window.orderBy("_bucket") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        toks.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
+        .select("_bucket",
+                F.coalesce(F.sum("_total").over(w_tot), F.lit(0))
+                .cast("long").alias("_offset")))
+    start = (F.col("_offset") + F.col("_cum_incl") - F.col("n_tokens"))
+    out = (local.join(F.broadcast(offsets), "_bucket")
+           .select("doc_id", "n_tokens", start.alias("start_tok")))
     # integer `div`, not `/` (long / long is DOUBLE in Spark — exact only
     # to 2^53; the twin's // is integer division, so match it exactly)
     return out.select(

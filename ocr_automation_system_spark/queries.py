@@ -642,11 +642,11 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 
 def q_embedding_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_bucket_stats(emb, n_bits=8)
+    return S.lsh_bucket_stats(emb, n_bits=16)
 
 
 SQL_EMBEDDING_LSH_BUCKET_STATS = f"""
-SELECT {_sql_sign_bucket('embedding')} AS bucket,
+SELECT {_sql_sign_bucket('embedding', 16)} AS bucket,
        count(*) AS n_vecs, min(vec_id) AS min_vec_id
 FROM embeddings GROUP BY 1
 """
@@ -658,7 +658,8 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec_df(spark, sf_dir)
     scored = (
         emb.crossJoin(F.broadcast(q))
-        .filter(S.sign_bucket(F.col("embedding"), 8) == S.sign_bucket(F.col("qe"), 8))
+        .filter(S.sign_bucket(F.col("embedding"), 16)
+                == S.sign_bucket(F.col("qe"), 16))
         .select("vec_id",
                 F.round(S.cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"))
     )
@@ -669,7 +670,7 @@ SQL_EMBEDDING_LSH_TOPK = f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id, round({_sql_cosine('e.embedding', 'qe')}, 6) AS cos_sim
 FROM embeddings e, q
-WHERE {_sql_sign_bucket('e.embedding')} = {_sql_sign_bucket('qe')}
+WHERE {_sql_sign_bucket('e.embedding', 16)} = {_sql_sign_bucket('qe', 16)}
 ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """
 
@@ -679,8 +680,8 @@ def q_embedding_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFra
     buckets — (n_bits+1)x the candidates of single-probe for recall."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vec_df(spark, sf_dir)
-    bucket = S.sign_bucket(F.col("embedding"), 8)
-    q_bucket = S.sign_bucket(F.col("qe"), 8)
+    bucket = S.sign_bucket(F.col("embedding"), 16)
+    q_bucket = S.sign_bucket(F.col("qe"), 16)
     scored = (
         emb.crossJoin(F.broadcast(q))
         .filter(F.bit_count(bucket.bitwiseXOR(q_bucket)) <= 1)
@@ -694,7 +695,7 @@ SQL_EMBEDDING_LSH_TOPK_MULTIPROBE = f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id, round({_sql_cosine('e.embedding', 'qe')}, 6) AS cos_sim
 FROM embeddings e, q
-WHERE bit_count(xor({_sql_sign_bucket('e.embedding')}, {_sql_sign_bucket('qe')})) <= 1
+WHERE bit_count(xor({_sql_sign_bucket('e.embedding', 16)}, {_sql_sign_bucket('qe', 16)})) <= 1
 ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """
 
@@ -703,7 +704,59 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within LSH buckets (cosine >= 0.3 —
     threshold is a parameter; 0.3 exercises the op on this corpus)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(emb, threshold=0.3, n_bits=16)
+
+
+# -- explicitly-labeled SMALL-CORPUS DEMO variants (8-bit buckets) ------------
+# 8 bits = 256 buckets: rich bucket company at test scale, which gives the
+# within-bucket pair-generation + cosine-verify path real differential
+# coverage (the 16-bit contract queries above are near-singleton at sf0.01).
+# NOT a production configuration — 256 buckets is quadratic-within-bucket at
+# corpus scale; production uses the 16-bit defaults or the rp/ivf variants.
+
+def q_embedding_near_dup_pairs_demo8(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """DEMO (8-bit buckets): near-dup pairs with enough bucket company at
+    test scale to exercise the pair join; see module comment above."""
+    emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_near_dup_pairs(emb, threshold=0.3, n_bits=8)
+
+
+SQL_EMBEDDING_NEAR_DUP_PAIRS_DEMO8 = f"""
+WITH t AS (SELECT vec_id, embedding AS vec, {_sql_sign_bucket('embedding', 8)} AS bucket
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_sql_cosine('a.vec', 'b.vec')}, 6) AS cos_sim
+FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_sql_cosine('a.vec', 'b.vec')}, 6) >= 0.3
+"""
+
+
+def q_embedding_lsh_topk_multiprobe_demo8(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """DEMO (8-bit buckets): multi-probe top-k with populated probe
+    buckets at test scale; see module comment above."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec_df(spark, sf_dir)
+    bucket = S.sign_bucket(F.col("embedding"), 8)
+    q_bucket = S.sign_bucket(F.col("qe"), 8)
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.bit_count(bucket.bitwiseXOR(q_bucket)) <= 1)
+        .select("vec_id",
+                F.round(S.cosine(F.col("embedding"), F.col("qe")), 6)
+                .alias("cos_sim"))
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+SQL_EMBEDDING_LSH_TOPK_MULTIPROBE_DEMO8 = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_sql_cosine('e.embedding', 'qe')}, 6) AS cos_sim
+FROM embeddings e, q
+WHERE bit_count(xor({_sql_sign_bucket('e.embedding', 8)}, {_sql_sign_bucket('qe', 8)})) <= 1
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
 
 
 # -- random-hyperplane (production-scale) ANN variants ------------------------
@@ -870,7 +923,7 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 
 
 SQL_EMBEDDING_NEAR_DUP_PAIRS = f"""
-WITH t AS (SELECT vec_id, embedding AS vec, {_sql_sign_bucket('embedding')} AS bucket
+WITH t AS (SELECT vec_id, embedding AS vec, {_sql_sign_bucket('embedding', 16)} AS bucket
            FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_sql_cosine('a.vec', 'b.vec')}, 6) AS cos_sim
@@ -1510,6 +1563,10 @@ REGISTRY: dict = {
     "embedding_lsh_topk_multiprobe": (q_embedding_lsh_topk_multiprobe,
                                       SQL_EMBEDDING_LSH_TOPK_MULTIPROBE),
     "embedding_near_dup_pairs": (q_embedding_near_dup_pairs, SQL_EMBEDDING_NEAR_DUP_PAIRS),
+    "embedding_near_dup_pairs_demo8": (q_embedding_near_dup_pairs_demo8,
+                                       SQL_EMBEDDING_NEAR_DUP_PAIRS_DEMO8),
+    "embedding_lsh_topk_multiprobe_demo8": (q_embedding_lsh_topk_multiprobe_demo8,
+                                            SQL_EMBEDDING_LSH_TOPK_MULTIPROBE_DEMO8),
     "embedding_rp_bucket_stats": (q_embedding_rp_bucket_stats,
                                   SQL_EMBEDDING_RP_BUCKET_STATS),
     "embedding_rp_near_dup_pairs": (q_embedding_rp_near_dup_pairs,

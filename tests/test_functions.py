@@ -450,6 +450,24 @@ def test_pack_bins_contiguous_and_partition_invariant(spark):
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
 
 
+def test_pack_bins_bucket_width_invariant(spark):
+    """(doc_id, start_tok, bin_id) must not depend on bucket_hex: the
+    bucket is a prefix of the md5 stream key, so (bucket, key) order is
+    key order at ANY width — widening the bucket only changes the
+    parallelism of the per-bucket sort, never the packed layout."""
+    from ocr_automation_system_spark.functions import curation as C
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id") \
+        .withColumn("text", F.repeat(F.lit("w "),
+                                     (F.col("doc_id") % 11 + 1).cast("int")))
+    baseline = sorted(
+        (tuple(r) for r in C.pack_bins(df, budget=64, bucket_hex=1).collect()))
+    for width in (2, 4):
+        got = sorted((tuple(r) for r in
+                      C.pack_bins(df, budget=64, bucket_hex=width).collect()))
+        assert got == baseline, f"bucket_hex={width} changed the packing"
+
+
 def test_benchmark_contamination_flags_overlap(spark):
     from ocr_automation_system_spark.functions import curation as C
 
