@@ -39,16 +39,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = build_session("compare_oracle")
+def duck_for(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t)}.parquet'"
         )
+    return con
 
+
+def run_compare(spark, con, sf_dir: str, only=None) -> list:
+    """The driver-gate replica as a callable: run every registered query
+    through Spark AND its rendered DuckDB twin, return the list of failing
+    query names (empty = all green). Shared by the CLI below and
+    tests/test_entry_contract.py's full-registry sweep so a late-added
+    query can never ship without a comparator pass."""
     failures = []
     for name, (fn, sql) in REGISTRY.items():
         if only and name not in only:
@@ -88,6 +93,14 @@ def main() -> int:
                 idx = neq[c].idxmax()
                 print(f"      {c}[{idx}]: spark={a[c][idx]!r} duckdb={b[c][idx]!r}")
             failures.append(name)
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = build_session("compare_oracle")
+    failures = run_compare(spark, duck_for(sf_dir), sf_dir, only)
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     spark.stop()
     return 1 if failures else 0

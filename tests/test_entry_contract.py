@@ -21,7 +21,7 @@ entry_mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(entry_mod)
 
 sys.path.insert(0, os.path.join(REPO, "scripts"))
-from compare_oracle import canon  # noqa: E402
+from compare_oracle import canon, duck_for, run_compare  # noqa: E402
 
 from ocr_automation_system_spark.sources.catalog import TABLE_NAMES  # noqa: E402
 
@@ -60,6 +60,31 @@ def test_registry_consistency():
         assert name.startswith(("pipeline_", "media_")), name
 
 
+def test_oracle_sql_renders_from_cold_start(tmp_path, monkeypatch):
+    """The driver imports __spark_entry__ from an arbitrary cwd and calls
+    oracle_sql() before anything else — the twin parquet artifacts (the
+    pipeline/media queries' oracle inputs) must materialize on that first
+    call, not rely on a prior test or script having built them."""
+    from ocr_automation_system_spark.oracle import twin
+    from ocr_automation_system_spark.queries import _CORPUS_ROWS
+
+    n = _CORPUS_ROWS["sf0.001"]
+    for p in (twin.twin_extractions_path(n), twin.twin_media_path(n)):
+        if os.path.exists(p):
+            os.remove(p)
+    monkeypatch.chdir(tmp_path)  # any cwd, not the repo root
+    from ocr_automation_system_spark.queries import rendered_oracle_sql
+
+    rendered = rendered_oracle_sql("/root/testdata/sf0.001")
+    missing = set(entry_mod.queries()) - set(rendered)
+    # only genuinely non-SQL-expressible ops may be rows-only checked
+    assert not missing, f"queries without renderable oracle SQL: {missing}"
+    for name, sql in rendered.items():
+        assert "__TWIN_" not in sql and "__CORPUS__" not in sql, name
+    assert os.path.exists(twin.twin_extractions_path(n))
+    assert os.path.exists(twin.twin_media_path(n))
+
+
 @pytest.mark.parametrize("name", SUBSET)
 def test_query_matches_oracle(spark, duck, name):
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
@@ -69,3 +94,13 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(sp.columns) == sorted(du.columns)
     a, b = canon(sp), canon(du)
     assert a.equals(b), f"value mismatch for {name}"
+
+
+def test_full_registry_matches_oracle(spark):
+    """THE gate: every registered query — including ones added five
+    minutes before a round ends — gets the same rows+schema+hash
+    comparison the driver runs, over the full registry, at sf0.001.
+    A query without runnable oracle SQL or with a value mismatch fails
+    here before it can ship unchecked."""
+    failures = run_compare(spark, duck_for(SF_DIR), SF_DIR)
+    assert failures == [], f"driver-gate replica failures: {failures}"
