@@ -23,6 +23,8 @@ builders shared with the DuckDB oracle).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -215,7 +217,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b", max_iter: int = 50,
-                         collect_threshold: int = 1_000_000) -> DataFrame:
+                         collect_threshold: int = 1_000_000,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over an undirected near-dup pair set ->
     (node, cluster_id) with cluster_id = min node id in the component.
 
@@ -242,7 +245,18 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     identical results — ``test_connected_components_paths_agree`` pins
     that. The distributed path raises RuntimeError if ``max_iter``
     rounds don't reach the fixpoint (never silently returns partial
-    clusters)."""
+    clusters).
+
+    ``checkpoint_dir``: when set, every round's label table commits as
+    parquet under it (atomic tmp+rename, same discipline as
+    ``plans.resume``) instead of ``localCheckpoint``. That makes the
+    iteration RELIABLE (localCheckpoint blocks are executor-local — a
+    lost executor kills the job mid-ladder; parquet on the job's
+    durable storage survives) and RESUMABLE: a re-run with the same dir
+    skips the compute of every committed round and replays only the
+    cheap read-back joins (``test_resume.py::
+    test_cc_resumes_from_committed_rounds``). Batch callers pass the
+    job's checkpoint/output dir, exactly as ``--curate`` does."""
     sym = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -282,20 +296,37 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         ])
         return pairs.sparkSession.createDataFrame(out, schema)
 
-    # Truncate lineage EVERY round (localCheckpoint, eager): persist alone
-    # caches data but the logical plan still nests one join deeper per
-    # round, and Catalyst's optimization time on that tower grows
-    # super-linearly — ~15 rounds hangs the driver. localCheckpoint cuts
-    # the plan at materialized blocks; a restartable production job uses
-    # reliable checkpoint() into the job's checkpoint dir instead (same
-    # call shape), as the resume machinery in plans/resume.py does for
-    # extraction state.
-    edges_ckpt = edges.localCheckpoint(eager=True)
+    # Truncate lineage EVERY round: persist alone caches data but the
+    # logical plan still nests one join deeper per round, and Catalyst's
+    # optimization time on that tower grows super-linearly — ~15 rounds
+    # hangs the driver. Without a checkpoint_dir the cut is
+    # localCheckpoint (executor-local blocks, fine for ad-hoc queries);
+    # with one, each round is a durable parquet commit that is skipped
+    # (read back, not recomputed) on a resumed run.
+    spark = pairs.sparkSession
+
+    def commit(df: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        import shutil
+
+        dest = os.path.join(checkpoint_dir, "cc", name)
+        if not os.path.exists(dest):
+            tmp = dest + ".inprogress"  # killed-run leftovers overwritten
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            df.write.mode("overwrite").parquet(tmp)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(tmp, dest)
+        return spark.read.parquet(dest)
+
+    edges_ckpt = commit(edges, "edges")
     edges.unpersist()
     edges = edges_ckpt
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).localCheckpoint(eager=True))
-    for _ in range(max_iter):
+    labels = commit(
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node")), "round_00000")
+    for i in range(max_iter):
         nbr = (edges.join(labels.withColumnRenamed("node", "dst"), "dst")
                .groupBy("src").agg(F.min("label").alias("nbr_min"))
                .withColumnRenamed("src", "node"))
@@ -303,7 +334,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         # so this is a self-join of the label table)
         ll = labels.select(F.col("node").alias("label"),
                            F.col("label").alias("ll_min"))
-        new_labels = (
+        new_labels = commit(
             labels.join(nbr, "node", "left")
             .join(ll, "label", "left")
             .select("node",
@@ -311,8 +342,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                         F.col("label"),
                         F.coalesce(F.col("nbr_min"), F.col("label")),
                         F.coalesce(F.col("ll_min"), F.col("label")))
-                    .alias("label"))
-        ).localCheckpoint(eager=True)
+                    .alias("label")), f"round_{i + 1:05d}")
         changed = (new_labels.withColumnRenamed("label", "new_label")
                    .join(labels, "node")
                    .filter(F.col("new_label") < F.col("label")).count())
@@ -326,7 +356,8 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
 
 def dedup_cluster_keep(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
-                       jaccard_threshold: float = 0.6) -> DataFrame:
+                       jaccard_threshold: float = 0.6,
+                       checkpoint_dir: str | None = None) -> DataFrame:
     """The dedup ladder's end state: (doc_id, cluster_id, keep).
 
     LSH candidates -> exact n-gram Jaccard >= threshold -> connected
@@ -338,7 +369,7 @@ def dedup_cluster_keep(df: DataFrame, id_col: str = "doc_id",
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n,
                                 threshold=jaccard_threshold,
                                 cache_index=True)
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")

@@ -125,7 +125,12 @@ def curate(spark, results, output: str, quota: int = 1000) -> None:
     counts = {"usable": docs.count()}
 
     exact = D.dedup_exact(docs, id_col="doc_id", text_col="text")
-    near = D.dedup_cluster_keep(exact, id_col="doc_id", text_col="text")
+    # reliable per-round CC commits under the job's output dir: an
+    # interrupted dedup ladder resumes instead of restarting (the toy
+    # corpus takes the driver union-find path; production edge sets above
+    # the collect threshold are exactly where resume matters)
+    near = D.dedup_cluster_keep(exact, id_col="doc_id", text_col="text",
+                                checkpoint_dir=os.path.join(output, "_checkpoints"))
     keep_ids = near.filter(F.col("keep")).select("doc_id")
     deduped = exact.join(keep_ids, "doc_id", "left_semi").persist()
     counts["after_exact_dedup"] = exact.count()

@@ -90,3 +90,50 @@ def test_rerun_is_idempotent(spark, docs, tmp_path):
     third = run_resumable_extraction(spark, docs, out, n_buckets=4)
     assert third["ran"] == [] and third["skipped"] == [0, 1, 2, 3]
     assert read_extractions(spark, out).count() == docs.count()
+
+
+def test_cc_resumes_from_committed_rounds(spark, tmp_path):
+    """An interrupted distributed connected-components ladder resumes from
+    its durable per-round parquet commits: the rerun reuses every committed
+    round (files untouched) and still converges to the union-find answer."""
+    from ocr_automation_system_spark.functions import dedup as D
+
+    # a 30-node chain needs ~log2(30) pointer-doubling rounds, so
+    # max_iter=2 dies mid-ladder with rounds committed
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(100, 101)], ["doc_a", "doc_b"])
+    ckpt = str(tmp_path / "ck")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, collect_threshold=0, max_iter=2,
+                               checkpoint_dir=ckpt)
+    cc_dir = os.path.join(ckpt, "cc")
+    committed = sorted(os.listdir(cc_dir))
+    assert "edges" in committed and "round_00002" in committed
+    mtimes = {d: os.path.getmtime(os.path.join(cc_dir, d)) for d in committed}
+
+    resumed = D.connected_components(pairs, collect_threshold=0,
+                                     checkpoint_dir=ckpt)
+    got = {r["node"]: r["cluster_id"] for r in resumed.collect()}
+    want = {r["node"]: r["cluster_id"]
+            for r in D.connected_components(pairs).collect()}  # driver path
+    assert got == want
+    assert all(v == 0 for k, v in got.items() if k <= 30)
+    for d, t in mtimes.items():  # committed rounds were reused, not rebuilt
+        assert os.path.getmtime(os.path.join(cc_dir, d)) == t, d
+
+
+def test_cc_checkpoint_overwrites_inprogress_leftover(spark, tmp_path):
+    """A round left as `.inprogress` by a killed run (no atomic rename)
+    must be rebuilt, not trusted."""
+    from ocr_automation_system_spark.functions import dedup as D
+
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["doc_a", "doc_b"])
+    ckpt = str(tmp_path / "ck")
+    leftover = os.path.join(ckpt, "cc", "edges.inprogress")
+    os.makedirs(leftover)
+    with open(os.path.join(leftover, "part-garbage.parquet"), "w") as fh:
+        fh.write("not parquet")
+    out = D.connected_components(pairs, collect_threshold=0,
+                                 checkpoint_dir=ckpt)
+    assert {r["cluster_id"] for r in out.collect()} == {0}
+    assert not os.path.exists(leftover)
