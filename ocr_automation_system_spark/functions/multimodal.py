@@ -18,7 +18,30 @@ Design rules baked in:
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
+
+# Optional real codecs, gated at import: when PIL / OpenCV are installed
+# the decode/resize kernels below use them for payloads whose magic bytes
+# sniff as a real image; everything else (and every payload when the libs
+# are absent, as in this container) takes the deterministic stub path so
+# the same tests stay green in both modes.
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    _PILImage = None
+    _HAS_PIL = False
+
+try:  # pragma: no cover - not installed in this container
+    import cv2 as _cv2
+    import numpy as _np
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _cv2 = None
+    _HAS_CV2 = False
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -71,10 +94,16 @@ def sniff_mime(payload: bytes) -> str:
 
 
 def _decode_dims(payload: bytes) -> tuple[int, int]:
-    """STUB: deterministic fake decoder. A real build parses the header /
-    calls PIL. Raises on truncated payloads to exercise the poison path."""
+    """Image dimension decode. Real path: PIL header parse when installed
+    AND the payload sniffs as an actual image (so the synthetic corpus,
+    which is html/pdf bytes, stays on the deterministic path either way).
+    Stub path: sha1-derived fake dims. Raises on truncated payloads to
+    exercise the poison-row contract in both modes."""
     if len(payload) < 16:
         raise ValueError("truncated payload")
+    if _HAS_PIL and sniff_mime(payload).startswith("image/"):  # pragma: no cover
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return int(im.width), int(im.height)
     h = hashlib.sha1(payload[:64]).digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
 
@@ -163,15 +192,34 @@ def safe_resize_dims(w: int, h: int, max_side: int = 2500) -> tuple[int, int]:
     return w, h
 
 
+def _resize_pixels(payload: bytes, w: int, h: int,
+                   nw: int, nh: int) -> bytes:
+    """Pixel kernel for ``resize_media``. Real path (OpenCV installed +
+    payload sniffs as an image): decode, ``cv2.resize(...,
+    interpolation=INTER_AREA)`` — the reference's exact downscale call
+    (`core/ocr_engine.py:18-22`) — re-encode as PNG. Stub path:
+    deterministic truncation with a byte budget ~ the area ratio."""
+    if _HAS_CV2 and sniff_mime(payload).startswith("image/"):  # pragma: no cover
+        img = _cv2.imdecode(_np.frombuffer(payload, _np.uint8),
+                            _cv2.IMREAD_COLOR)
+        if img is not None:
+            resized = _cv2.resize(img, (nw, nh),
+                                  interpolation=_cv2.INTER_AREA)
+            ok, buf = _cv2.imencode(".png", resized)
+            if ok:
+                return buf.tobytes()
+    return payload[:max(1, int(len(payload) * (nw * nh) / (w * h)))]
+
+
 def resize_media(df: DataFrame, max_side: int = 2500,
                  id_col: str = "url", payload_col: str = "html") -> DataFrame:
     """Resize pass over a BINARY media column, reference-cap semantics.
 
-    STUB pixel kernel: dims come from the stub decoder and the "resized
-    payload" is a deterministic truncation (a real build decodes, calls
-    cv2.resize(..., INTER_AREA) like `ocr_engine.py:18-22`, re-encodes).
-    The cap arithmetic (``safe_resize_dims``) and all Spark plumbing —
-    narrow mapInPandas, Arrow batch bounds, poison rows — are real."""
+    The pixel kernel (``_resize_pixels``) uses cv2 INTER_AREA when
+    available and a clearly-marked deterministic stub otherwise. The cap
+    arithmetic (``safe_resize_dims``) and all Spark plumbing — narrow
+    mapInPandas, Arrow batch bounds, poison rows — are real in both
+    modes."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in it:
@@ -187,9 +235,8 @@ def resize_media(df: DataFrame, max_side: int = 2500,
                     nw, nh = safe_resize_dims(w, h, max_side)
                     row.update(orig_width=w, orig_height=h,
                                new_width=nw, new_height=nh)
-                    # STUB re-encode: deterministic byte budget ~ area ratio
-                    keep = max(1, int(len(payload) * (nw * nh) / (w * h)))
-                    row["resized_bytes"] = payload[:keep]
+                    row["resized_bytes"] = _resize_pixels(payload, w, h,
+                                                          nw, nh)
                 except Exception as exc:  # poison-row contract
                     row["status"] = f"error:{type(exc).__name__}"
                 out.append(row)

@@ -21,6 +21,15 @@ Swapping in real PaddleOCR changes only ``_StubModel.infer``.
 from __future__ import annotations
 
 import hashlib
+import time
+
+try:  # pragma: no cover - not installed in this container
+    from paddleocr import PaddleOCR as _PaddleOCR
+
+    _HAS_PADDLE = True
+except Exception:  # pragma: no cover
+    _PaddleOCR = None
+    _HAS_PADDLE = False
 
 DPI = 300
 MAX_SIDE_PX = 2500
@@ -61,22 +70,59 @@ class _StubModel:
         return out
 
 
-_MODEL: _StubModel | None = None
+class _PaddleModel:  # pragma: no cover - requires paddleocr at runtime
+    """Real-inference wrapper, built only when paddleocr imports. Mirrors
+    the reference's constructor flags (`core/ocr_engine.py:6-11`). The
+    caller renders page images (``render_geometry`` gives the pixel
+    bounds) and passes ndarrays; per-line output is (text, score) exactly
+    like the stub so the F3 cutoff code is shared."""
+
+    def __init__(self) -> None:
+        self._ocr = _PaddleOCR(use_angle_cls=True, lang="en",
+                               show_log=False)
+
+    def infer(self, page_image) -> list[tuple[str, float]]:
+        result = self._ocr.ocr(page_image, cls=True)
+        return [(line[1][0], float(line[1][1]))
+                for block in (result or []) for line in (block or [])]
 
 
-def get_model() -> _StubModel:
-    global _MODEL
+_MODEL = None
+#: text-page recognizer used when the installed real model can't consume
+#: a synthetic (str) page — keeps both modes byte-identical on tests.
+_STUB_FALLBACK = _StubModel()
+#: wall-clock seconds the per-worker model singleton took to build —
+#: MEASURED at first get_model() in each Python worker (0 until then).
+#: The reference asserts this cost is amortized by its module-level
+#: singleton (`core/ocr_engine.py:6-11`); here it is recorded so a real
+#: deployment can read the number per worker instead of trusting the
+#: claim. Stub init is ~0; real PaddleOCR init is seconds — which is why
+#: the OCR leg runs as a filtered second pass (the model never builds in
+#: workers that only see clean batches) and spark.python.worker.reuse
+#: keeps it alive across tasks.
+MODEL_INIT_SECONDS: float = 0.0
+
+
+def get_model():
+    global _MODEL, MODEL_INIT_SECONDS
     if _MODEL is None:
-        _MODEL = _StubModel()
+        t0 = time.perf_counter()
+        _MODEL = _PaddleModel() if _HAS_PADDLE else _StubModel()
+        MODEL_INIT_SECONDS = time.perf_counter() - t0
     return _MODEL
 
 
-def ocr_page(page_text: str, score_cutoff: float = SCORE_CUTOFF) -> str:
-    """S3+F3: run (stub) inference over a rendered page, keep lines with
+def ocr_page(page_text, score_cutoff: float = SCORE_CUTOFF) -> str:
+    """S3+F3: run inference over a rendered page, keep lines with
     ``score > cutoff`` and non-blank text, newline-join
-    (`core/ocr_engine.py:46-63`)."""
+    (`core/ocr_engine.py:46-63`). Accepts a page-image ndarray (real
+    leg, dispatched to PaddleOCR when installed) or a synthetic text
+    page (always the deterministic stub recognizer, even when the real
+    model is importable — pixels, not text, feed a real model)."""
     model = get_model()
     render_geometry()  # the render-cost bound runs even in the stub path
+    if isinstance(page_text, str) and not isinstance(model, _StubModel):
+        model = _STUB_FALLBACK  # pragma: no cover - paddle installed
     kept = [
         txt for txt, score in model.infer(page_text)
         if score > score_cutoff and txt.strip()

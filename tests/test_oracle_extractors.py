@@ -467,3 +467,22 @@ class TestDoctypeDispatch:
     def test_empty_payload(self):
         assert extract_document("u2", b"")["doc_status"] == "unusable"
         assert extract_document("u3", None)["doc_status"] == "unusable"
+
+
+def test_ocr_model_singleton_init_is_measured():
+    """The per-worker OCR model cost is recorded, not asserted: after the
+    first get_model() the module exposes the measured init wall-time, and
+    repeat calls return the same singleton without re-timing."""
+    import importlib
+
+    from ocr_automation_system_spark.oracle import ocr_stub
+
+    mod = importlib.reload(ocr_stub)  # fresh worker state
+    m1 = mod.get_model()
+    t1 = mod.MODEL_INIT_SECONDS
+    assert t1 >= 0.0
+    assert mod.get_model() is m1
+    assert mod.MODEL_INIT_SECONDS == t1  # singleton: no second build
+    # synthetic text pages always go through the deterministic recognizer
+    out = mod.ocr_page("alpha\nbeta\ngamma")
+    assert set(out.split("\n")) <= {"alpha", "beta", "gamma"}
