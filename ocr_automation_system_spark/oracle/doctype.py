@@ -40,16 +40,41 @@ _GSTIN_ID = re.compile(r"\b\d{2}[A-Z]{5}\d{4}[A-Z][A-Z\d]Z[A-Z\d]\b")
 _GST_HEADER = re.compile(r"GOODS AND SERVICES TAX|FORM GST", re.IGNORECASE)
 _PAN_ID = re.compile(r"\b[A-Z]{5}\d{4}[A-Z]\b")
 
+#: Single-scan detector: one pass over the uppercased page instead of up
+#: to four (UNKNOWN pages — the overwhelming majority of a web corpus —
+#: paid all four full-text scans). Equivalence to the four separate
+#: searches (fuzz-pinned by tests/test_oracle_extractors.py::
+#: test_detect_document_type_single_scan_equivalence):
+#: * IGNORECASE on _GST_HEADER is a no-op over text.upper();
+#: * the alternatives' first chars are disjoint (digit / U / G|F /
+#:   letter), and every span an alternative consumes is alnum-or-space
+#:   text that no other alternative can start inside (GSTIN/PAN carry
+#:   leading \b and ids are boundary-free inside; "UDYAM-" needs a
+#:   hyphen no other span contains), so non-overlapping finditer sees
+#:   exactly the matches the separate scans see.
+_ANY_DOC_ID = re.compile(
+    r"(?P<udyam>UDYAM-[A-Z]{2}-\d{2}-\d{7})"
+    r"|(?P<gstin>\b\d{2}[A-Z]{5}\d{4}[A-Z][A-Z\d]Z[A-Z\d]\b)"
+    r"|(?P<gsthdr>GOODS AND SERVICES TAX|FORM GST)"
+    r"|(?P<pan>\b[A-Z]{5}\d{4}[A-Z]\b)")
+
 
 def detect_document_type(text: str) -> str:
     """Doctype gate. Order matters: Udyam certificates contain a PAN and GST
     numbers embed one, so the most specific id wins (Udyam > GST > PAN)."""
     upper = text.upper()
-    if _UDYAM_ID.search(upper):
-        return "UDYAM"
-    if _GSTIN_ID.search(upper) or _GST_HEADER.search(upper):
+    saw_gst = saw_pan = False
+    for m in _ANY_DOC_ID.finditer(upper):
+        kind = m.lastgroup
+        if kind == "udyam":
+            return "UDYAM"
+        if kind == "pan":
+            saw_pan = True
+        else:  # gstin or gsthdr
+            saw_gst = True
+    if saw_gst:
         return "GST_CERTIFICATE"
-    if _PAN_ID.search(upper):
+    if saw_pan:
         return "PAN"
     return "UNKNOWN"
 

@@ -811,6 +811,59 @@ _ANNEXURE_NOISE = [re.compile(p, re.IGNORECASE) for p in (
     r"authorized\s*/?\s*director",
     r"\d{2}[A-Z]{5}\d{4}[A-Z\d]{3}",
 )]
+#: Required-literal gate for the 18-pass annexure strip: each entry is a
+#: tuple of OR-groups; the pattern can only possibly match when every
+#: group has >= 1 literal present in ``text.lower()``. EXACTNESS: every
+#: listed literal is a contiguous run inside one token of its pattern
+#: (never spanning a ``\s*`` / optional gap), so pattern-matches imply
+#: literal-presence; and because every strip pass substitutes a SPACE,
+#: no pass can ever create a missing letter/punct literal — absence in
+#: the original lowered text implies absence forever, making the skip a
+#: provable no-op (fuzz-pinned by
+#: tests/test_gst_reference_parity.py::test_annexure_strip_literal_gate_exact).
+#: On production-fat annexures 16 of these 18 patterns typically never
+#: match; one memchr-style ``in`` scan replaces a full regex pass each.
+_ANNEXURE_NOISE_LITERALS = [
+    (("annexure",),),
+    (("details",),),
+    (("additional",),),
+    (("identification",),),
+    (("gstin",),),
+    (("legal",),),
+    (("trade",),),
+    (("trade",),),
+    (("total",),),
+    (("(s)",),),
+    (("sr",), ("no",)),
+    (("no",),),
+    (("serial",),),
+    (("address",),),
+    (("for",), ("pvt", "private", "ltd", "limited", "llp")),
+    (("authorised",),),
+    (("authorized",),),
+    None,  # \d{2}[A-Z]{5}\d{4}... — no contiguous literal; always runs
+]
+assert len(_ANNEXURE_NOISE_LITERALS) == len(_ANNEXURE_NOISE)
+
+
+def _strip_annexure_noise(text: str) -> str:
+    """The reference's 18 sequential noise substitutions
+    (`gst_certi.py:1136-1230` strip loop), byte-identical, with the
+    required-literal gate above skipping passes that provably cannot
+    match. Sequential (not one combined alternation) is load-bearing:
+    later patterns intentionally consume residue earlier passes create
+    (e.g. "total number of (s) in the state" only exists after the
+    "additional places of business" pass), and a single alternation
+    diverges on inputs like "sr. gstin no."."""
+    low = text.lower()
+    for pat, req in zip(_ANNEXURE_NOISE, _ANNEXURE_NOISE_LITERALS):
+        if req is not None and not all(
+                any(lit in low for lit in group) for group in req):
+            continue
+        text = pat.sub(" ", text)
+    return text
+
+
 _COMPANY_LINE = re.compile(
     r"^[A-Z][A-Z\s\.\-]+(?:PRIVATE\s+LIMITED|PVT\.?\s*LTD\.?|LIMITED|LLP)$", re.IGNORECASE
 )
@@ -869,9 +922,7 @@ def parse_annexure_addresses(annexure_text: str) -> list:
     if tm:
         company_names.add(tm.group(1).strip().lower())
 
-    text = annexure_text
-    for pat in _ANNEXURE_NOISE:
-        text = pat.sub(" ", text)
+    text = _strip_annexure_noise(annexure_text)
 
     lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
     addresses: list = []

@@ -167,3 +167,62 @@ class TestAnnexureParity:
             "Annexure A\n1\nab\n##@@\nPlot No 9, Lane 2,\n"
             "Rajkot, Gujarat, 360001\n123456789012"
         ) == ["Plot No 9, Lane 2, Rajkot, Gujarat, 360001"]
+
+
+class TestAnnexureStripLiteralGate:
+    """The required-literal gate on the 18-pass noise strip must be a pure
+    optimization: byte-identical to the ungated sequential strip on any
+    input, including the cascade cases where later patterns consume
+    residue earlier passes create."""
+
+    @staticmethod
+    def _ungated(text):
+        for pat in gst._ANNEXURE_NOISE:
+            text = pat.sub(" ", text)
+        return text
+
+    CASCADES = [
+        # pattern 3's sub creates pattern 10's match
+        "total number of additional places of business(s) in the state",
+        # pattern 5's sub creates pattern 11's match ("sr.  no.")
+        "sr. gstin no.",
+        "plot 7, survey no 12, details of additional place of business",
+        "FOR, ACME WIDGETS PRIVATE LIMITED,\nAuthorised / Director",
+        "legal name\nACME LTD\ntrade name, if any\nACME",
+        "Annexure - A\n1\n12 MG Road, Bengaluru 560001\n2\n9 Park St",
+        "24AAACB1234A1Z5 serial no. 3 address: 5 Ring Rd",
+        "s. no. total number of (s) in the state",
+        "",
+        "   \n\n  ",
+        "no gate literals here at all — plain address text 560001",
+    ]
+
+    def test_annexure_strip_literal_gate_exact(self):
+        for text in self.CASCADES:
+            assert gst._strip_annexure_noise(text) == self._ungated(text), text
+
+    def test_annexure_strip_literal_gate_fuzz(self):
+        """Hypothesis sweep over adversarial compositions of pattern
+        fragments, separators and case — the gate must never change a
+        byte."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        frags = st.sampled_from([
+            "annexure a", "details of", "additional places of business",
+            "gstin", "legal name", "trade name", "if any", "total number of",
+            "(s) in the state", "sr.", "s.", "no.", "serial", "address",
+            "for,", "pvt ltd", "private limited", "llp",
+            "authorised / director", "24AAACB1234A1Z5", "MG Road 560001",
+            "xyzzy", "12", " ", "\n",
+        ])
+        texts = st.lists(frags, min_size=0, max_size=12).map(" ".join)
+
+        @settings(max_examples=300, deadline=None)
+        @given(texts, st.booleans())
+        def check(text, upper):
+            if upper:
+                text = text.upper()
+            assert gst._strip_annexure_noise(text) == self._ungated(text)
+
+        check()

@@ -486,3 +486,42 @@ def test_ocr_model_singleton_init_is_measured():
     # synthetic text pages always go through the deterministic recognizer
     out = mod.ocr_page("alpha\nbeta\ngamma")
     assert set(out.split("\n")) <= {"alpha", "beta", "gamma"}
+
+
+def test_detect_document_type_single_scan_equivalence():
+    """The combined-alternation detector must agree with the definitional
+    four-scan priority cascade (Udyam > GST > PAN > UNKNOWN) on
+    adversarial compositions: ids adjacent, embedded, out of priority
+    order, lowercase, or absent."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_automation_system_spark.oracle import doctype as d
+
+    def four_scan(text):
+        upper = text.upper()
+        if d._UDYAM_ID.search(upper):
+            return "UDYAM"
+        if d._GSTIN_ID.search(upper) or d._GST_HEADER.search(upper):
+            return "GST_CERTIFICATE"
+        if d._PAN_ID.search(upper):
+            return "PAN"
+        return "UNKNOWN"
+
+    frags = st.sampled_from([
+        "UDYAM-GJ-01-1234567", "udyam-gj-01-1234567", "UDYAM1234X",
+        "24AAACB1234A1Z5", "ABCDE1234F", "form gst reg-06",
+        "Goods and Services Tax", "GOODS AND", "plain text", "560001",
+        "X24AAACB1234A1Z5Y", "UDYAM-GJ-01-123456",  # boundary-broken ids
+        " ", "-", "12",
+    ])
+    texts = st.lists(frags, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=400, deadline=None)
+    @given(texts, st.sampled_from(["", " ", "Q", "7"]))
+    def check(text, joiner):
+        glued = text.replace(" ", joiner) if joiner != " " else text
+        for t in (text, glued):
+            assert d.detect_document_type(t) == four_scan(t), t
+
+    check()
