@@ -572,3 +572,67 @@ def test_sniff_mime_table():
     assert sniff_mime(b"RIFF1234WAVEfmt") == "audio/wav"
     assert sniff_mime(b"RIFF1234AVI ") == "application/octet-stream"
     assert sniff_mime(b"") == "application/octet-stream"
+
+
+def test_cosine_near_dup_cap_bounds_pathological_bucket(spark):
+    """Skew-injected ANN fixture: one LSH bucket holds a pathological
+    near-identical pile (B^2 candidate blowup at corpus scale). The
+    max_bucket occupancy cap must drop that bucket BEFORE the self-join
+    while leaving healthy buckets' pairs intact — this test goes red if
+    the cap filter is removed."""
+    from ocr_automation_system_spark.functions import similarity as S
+
+    dim = 8
+    hot = [(i, [1.0 + 0.001 * i] * dim) for i in range(40)]  # one bucket
+    cold = [(100, [-1.0] * 4 + [1.0] * 4), (101, [-1.0] * 4 + [1.0] * 4),
+            (102, [-1.0] * 2 + [1.0] * 6), (103, [-1.0] * 2 + [1.0] * 6)]
+    emb = spark.createDataFrame(hot + cold, ["vec_id", "embedding"])
+
+    uncapped = S.cosine_near_dup_pairs(emb, threshold=0.9, n_bits=4,
+                                       max_bucket=None).collect()
+    capped = S.cosine_near_dup_pairs(emb, threshold=0.9, n_bits=4,
+                                     max_bucket=10).collect()
+    hot_ids = {i for i, _ in hot}
+    assert sum(1 for r in uncapped
+               if r["vec_a"] in hot_ids and r["vec_b"] in hot_ids) == 780
+    # cap dropped the 40-vector bucket entirely...
+    assert all(r["vec_a"] not in hot_ids for r in capped), \
+        "occupancy cap did not suppress the pathological bucket"
+    # ...and kept every healthy-bucket pair
+    cold_pairs = {(r["vec_a"], r["vec_b"]) for r in capped}
+    assert (100, 101) in cold_pairs and (102, 103) in cold_pairs
+
+
+def test_simhash_near_pairs_cap_bounds_hot_block(spark):
+    """Same property for the SimHash block join: a pile of near-identical
+    texts floods one 16-bit block bucket; the occupancy cap must shrink
+    the candidate set (red if the cap filter is deleted) without
+    inventing pairs."""
+    from ocr_automation_system_spark.functions import dedup as D
+    from ocr_automation_system_spark.functions.dedup import (
+        simhash_blocks, simhash_table,
+    )
+
+    # 60 shared tokens + a one-token tail: ~13 distinct signatures within
+    # hamming 1-3 of each other, all sharing (and so flooding) the same
+    # 16-bit blocks
+    base = " ".join(f"word{j}" for j in range(60))
+    rows = [(i, base + f" tail{i}") for i in range(20)]
+    rows += [(200, "a completely different short document"),
+             (201, "another unrelated piece of text entirely")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sigs = simhash_table(df).select("sim_hi", "sim_lo").distinct()
+    occ = (simhash_blocks(sigs).groupBy("block", "block_val").count()
+           .agg(F.max("count")).collect()[0][0])
+    assert occ > 4, f"fixture not skewed enough (max occupancy {occ})"
+
+    unc = {(r["doc_a"], r["doc_b"])
+           for r in D.simhash_near_pairs(df, max_hamming=3,
+                                         max_bucket=None).collect()}
+    cap = {(r["doc_a"], r["doc_b"])
+           for r in D.simhash_near_pairs(df, max_hamming=3,
+                                         max_bucket=4).collect()}
+    assert cap <= unc
+    assert len(cap) < len(unc), \
+        "occupancy cap had no effect on the flooded block"
