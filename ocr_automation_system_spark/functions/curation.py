@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .text import bpe_token_count, quality_score, shingles
+from .text import (
+    bpe_token_count, clean_text, quality_score, shingles, ws_tokens,
+)
 from .util import ensure_parallelism
 
 
@@ -153,3 +155,95 @@ def benchmark_contamination(df: DataFrame, id_col: str = "doc_id",
         .agg(F.countDistinct("bench_id").alias("n_bench_docs"),
              F.countDistinct("k").alias("n_shared_shingles"))
     )
+
+
+# -- PII scrubbing ------------------------------------------------------------
+# Web-corpus redaction pass. Patterns are deliberately RE2-compatible (no
+# lookaround) so the DuckDB oracle twin runs the SAME pattern strings —
+# byte-level replacement parity is part of the contract (the twin hashes
+# the scrubbed text).
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{10}\b"
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Redact emails -> IPv4s -> 10-digit phones (in that order: emails
+    can contain digit runs and dotted hosts, so they must leave the text
+    before the narrower patterns count). Returns (doc_id, n_emails,
+    n_ips, n_phones, scrubbed) with counts taken on the progressively
+    scrubbed text.
+
+    Whole-stage-codegen narrow projection: three JVM regexp_count +
+    regexp_replace pairs, zero shuffle, zero Python — at 10^12 docs this
+    is a pure map stage that fuses with the surrounding scan."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return df.select(
+        id_col,
+        n_emails.cast("int").alias("n_emails"),
+        n_ips.cast("int").alias("n_ips"),
+        n_phones.cast("int").alias("n_phones"),
+        t3.alias("scrubbed"),
+    )
+
+
+def repetition_scores(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 2,
+                      max_gram_rep: float = 0.9,
+                      max_dup_line_frac: float = 0.3) -> DataFrame:
+    """Gopher-style repetition quality signals, fully within-row:
+
+    * ``gram_rep`` = 1 - distinct/total word n-grams (template spam and
+      keyword stuffing score high);
+    * ``dup_line_frac`` = 1 - distinct/total non-blank lines (boilerplate
+      nav/footer repetition);
+    * ``keep`` = both under their thresholds.
+
+    All higher-order array functions on the JVM — narrow, no shuffle, no
+    Python. The per-row distinct is O(L^2) worst case in the n-gram list
+    length, bounded by document length, never by corpus size."""
+    toks = ws_tokens(clean_text(F.col(text_col)))
+    k = F.size(toks) - (n - 1)
+    grams = F.when(k > 0, F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    gram_rep = F.when(
+        n_grams > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n_grams
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        F.round(gram_rep, 6).alias("gram_rep"),
+        F.round(dup_line, 6).alias("dup_line_frac"),
+        ((gram_rep <= max_gram_rep) & (dup_line <= max_dup_line_frac))
+        .alias("keep"),
+    )
+
+
+def blocklist_filter(df: DataFrame, blocklist: DataFrame,
+                     domain_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Drop every doc whose domain is on the blocklist — the standard
+    URL/host deny-list pass. The blocklist is a small dimension at any
+    corpus scale (millions of hosts vs 10^12 docs), so it is BROADCAST
+    and the corpus side never shuffles: scan -> broadcast-anti-join, a
+    pure map-side stage. ``blocklist`` must expose ``domain_col``."""
+    return df.join(F.broadcast(blocklist.select(domain_col).distinct()),
+                   domain_col, "left_anti")

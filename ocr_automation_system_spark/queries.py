@@ -395,6 +395,121 @@ GROUP BY c.doc_id
 """
 
 
+def _with_injected_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically append synthetic PII to every doc so the scrub
+    patterns do real work at test scale (the corpus text itself carries
+    none). Both sides of the contract apply the identical injection."""
+    return docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7 or call "),
+        F.lpad(F.pmod(F.col("doc_id") * 7919, F.lit(10000000000))
+               .cast("string"), 10, "0"),
+    ))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails -> IPv4 -> 10-digit phones) with the
+    scrubbed text hashed at the contract surface so byte-level
+    replacement parity is what the driver checks."""
+    from .functions import curation as C
+
+    docs = _with_injected_pii(load_table(spark, sf_dir, "documents"))
+    out = C.pii_scrub(docs)
+    return out.select("doc_id", "n_emails", "n_ips", "n_phones",
+                      F.md5("scrubbed").alias("scrubbed_hash"))
+
+
+_SQL_PII_INJECT = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+                   " || '@example.com from 10.0.'"
+                   " || CAST(doc_id % 256 AS VARCHAR)"
+                   " || '.7 or call '"
+                   " || lpad(CAST((doc_id * 7919) % 10000000000 AS VARCHAR),"
+                   " 10, '0')")
+# identical pattern strings as functions.curation.PII_* — RE2-compatible
+# by construction (no lookaround), standard SQL strings keep the
+# backslashes literal.
+SQL_PII_SCRUB = f"""
+WITH t0 AS (SELECT doc_id, {_SQL_PII_INJECT} AS t FROM documents),
+t1 AS (SELECT doc_id,
+        len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t
+       FROM t0),
+t2 AS (SELECT doc_id, n_emails,
+        len(regexp_extract_all(t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ips,
+        regexp_replace(t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g') AS t
+       FROM t1),
+t3 AS (SELECT doc_id, n_emails, n_ips,
+        len(regexp_extract_all(t, '\\b\\d{{10}}\\b')) AS n_phones,
+        regexp_replace(t, '\\b\\d{{10}}\\b', '<PHONE>', 'g') AS t
+       FROM t2)
+SELECT doc_id, CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(n_ips AS INTEGER) AS n_ips,
+       CAST(n_phones AS INTEGER) AS n_phones,
+       md5(t) AS scrubbed_hash
+FROM t3
+"""
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality: word-2-gram duplication fraction
+    + duplicate-line fraction + keep flag, all within-row JVM array ops."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.repetition_scores(docs)
+
+
+_SQL_REP_TOKS = _sql_toks(_sql_clean("text"))
+SQL_REPETITION_SCORES = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_REP_TOKS} AS toks,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+    ELSE CAST([] AS VARCHAR[]) END AS grams, ls
+  FROM t),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(grams) > 0
+         THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+         ELSE 0.0 END AS gr,
+    CASE WHEN len(ls) > 0
+         THEN 1.0 - len(list_distinct(ls)) * 1.0 / len(ls)
+         ELSE 0.0 END AS dl
+  FROM g)
+SELECT doc_id, round(gr, 6) AS gram_rep, round(dl, 6) AS dup_line_frac,
+       (gr <= 0.9 AND dl <= 0.3) AS keep
+FROM s
+"""
+
+
+def q_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host deny-list pass: drop docs whose source's md5 starts 0-3
+    (a deterministic ~25% stand-in for a real blocklist dimension);
+    broadcast anti-join, corpus side never shuffles."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    bad = (docs.select("source").distinct()
+           .filter(F.substring(F.md5("source"), 1, 1).isin(
+               "0", "1", "2", "3")))
+    return C.blocklist_filter(docs, bad).select("doc_id", "source")
+
+
+SQL_SOURCE_BLOCKLIST = """
+SELECT doc_id, source FROM documents
+WHERE source NOT IN (
+  SELECT DISTINCT source FROM documents
+  WHERE substr(md5(source), 1, 1) IN ('0', '1', '2', '3'))
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -1546,6 +1661,9 @@ REGISTRY: dict = {
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "domain_quota": (q_domain_quota, SQL_DOMAIN_QUOTA),
     "pack_bins": (q_pack_bins, SQL_PACK_BINS),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
+    "source_blocklist": (q_source_blocklist, SQL_SOURCE_BLOCKLIST),
     "benchmark_contamination": (q_benchmark_contamination,
                                 SQL_BENCHMARK_CONTAMINATION),
     "lang_id": (q_lang_id, SQL_LANG_ID),

@@ -636,3 +636,66 @@ def test_simhash_near_pairs_cap_bounds_hot_block(spark):
     assert cap <= unc
     assert len(cap) < len(unc), \
         "occupancy cap had no effect on the flooded block"
+
+
+# -- curation: pii / repetition / blocklist -----------------------------------
+
+def test_pii_scrub_counts_and_redactions(spark):
+    from ocr_automation_system_spark.functions import curation as C
+
+    rows = [
+        (0, "mail a.b-c_d%x+1@sub.example.co.uk and b@x.io now"),
+        (1, "server at 192.168.0.1 and 10.0.255.7, call 9876543210"),
+        (2, "no pii here at all"),
+        (3, ""),
+        (4, "edge: 1234567890123 is 13 digits, 123456789 is 9 — no phone"),
+        (5, "v1.2.3.4 has no \\b before the 1 — but 5.6.7.8 is bare"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in C.pii_scrub(df).collect()}
+    assert (out[0]["n_emails"], out[0]["n_ips"], out[0]["n_phones"]) == (2, 0, 0)
+    assert "<EMAIL>" in out[0]["scrubbed"] and "@" not in out[0]["scrubbed"]
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (0, 2, 1)
+    assert out[1]["scrubbed"] == "server at <IP> and <IP>, call <PHONE>"
+    assert out[2]["scrubbed"] == "no pii here at all"
+    assert out[3]["scrubbed"] == ""
+    assert out[4]["n_phones"] == 0          # \b\d{10}\b is exact-width
+    # version strings stay intact (v1 has no word boundary); bare IPs go
+    assert out[5]["n_ips"] == 1
+    assert out[5]["scrubbed"].startswith("v1.2.3.4 ")
+    assert "5.6.7.8" not in out[5]["scrubbed"]
+
+
+def test_repetition_scores_flags_template_spam(spark):
+    from ocr_automation_system_spark.functions import curation as C
+
+    spam = " ".join(["buy cheap pills"] * 30)
+    boiler = "\n".join(["home | about | contact"] * 8 + ["real content line"])
+    rows = [
+        (0, "a perfectly normal sentence with distinct words throughout"),
+        (1, spam),
+        (2, boiler),
+        (3, ""),
+        (4, "one"),  # single token -> no 2-grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in C.repetition_scores(df).collect()}
+    assert out[0]["gram_rep"] < 0.1 and out[0]["keep"]
+    assert out[1]["gram_rep"] > 0.9 and not out[1]["keep"]
+    assert out[2]["dup_line_frac"] > 0.7 and not out[2]["keep"]
+    assert out[3]["gram_rep"] == 0.0 and out[3]["dup_line_frac"] == 0.0
+    assert out[4]["gram_rep"] == 0.0 and out[4]["keep"]
+
+
+def test_blocklist_filter_broadcast_anti_join(spark):
+    from ocr_automation_system_spark.functions import curation as C
+
+    docs = spark.createDataFrame(
+        [(i, f"host{i % 4}", "txt") for i in range(20)],
+        ["doc_id", "source", "text"])
+    bad = spark.createDataFrame([("host1",), ("host3",)], ["source"])
+    kept = C.blocklist_filter(docs, bad).collect()
+    assert len(kept) == 10
+    assert {r["source"] for r in kept} == {"host0", "host2"}
+    plan = C.blocklist_filter(docs, bad)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
