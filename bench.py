@@ -35,6 +35,7 @@ HEADLINE = (
     "embedding_topk", "embedding_lsh_topk", "embedding_near_dup_pairs",
     "embedding_rp_near_dup_pairs", "embedding_multitable_topk",
     "pack_bins", "benchmark_contamination", "domain_quota",
+    "pii_scrub", "repetition_scores", "source_blocklist",
     "entity_join_shape", "report_summary", "duplicate_id_groups",
     "checksum_existence_join", "topk_per_group",
     "pricing_summary", "top_revenue_orders", "region_nation_rollup",
