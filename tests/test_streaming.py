@@ -158,3 +158,35 @@ def test_streaming_dedup_drops_recrawls(spark, tmp_path):
     assert by_text["alpha text"].startswith("https://a/")
     assert by_text["beta text"].startswith("https://a/")
     assert by_text["epsilon text"].startswith("https://b/")
+
+
+def test_stateless_curation_ops_stream_unchanged(spark, tmp_path):
+    """pii_scrub and repetition_scores are pure column expressions, so the
+    SAME function bodies must run on a readStream DataFrame and produce
+    the batch rows — the engine's one-definition/two-modes property for
+    the round-3 curation tier."""
+    from ocr_automation_system_spark.functions import curation as C
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    rows = [(0, "mail me@x.io or 10.0.0.1 call 9876543210"),
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, ""), (3, "a normal line of perfectly varied words")]
+    spark.createDataFrame(rows, ["doc_id", "text"]) \
+        .write.parquet(os.path.join(d, "drop1"))
+
+    stream_in = (spark.readStream.schema("doc_id long, text string")
+                 .parquet(os.path.join(d, "*")))
+    for fn, name in ((C.pii_scrub, "pii"), (C.repetition_scores, "rep")):
+        out = str(tmp_path / f"out_{name}")
+        q = (fn(stream_in).writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(
+            tuple(r)
+            for r in fn(spark.createDataFrame(rows, ["doc_id", "text"]))
+            .collect())
+        assert got == want, name
