@@ -51,6 +51,13 @@ def test_null_text_rows_never_crash_curation_ops(spark):
     assert got[1]["quality"] == 0.0 and len(got) == 4
     assert C.train_val_split(df).count() == 4
     assert C.benchmark_contamination(df).count() == 0
+    pii = {r["doc_id"]: r for r in C.pii_scrub(df).collect()}
+    assert len(pii) == 4 and pii[1]["scrubbed"] is None  # null stays null
+    rep = {r["doc_id"]: r for r in C.repetition_scores(df).collect()}
+    assert len(rep) == 4
+    assert rep[1]["gram_rep"] == 0.0 and rep[1]["dup_line_frac"] == 0.0
+    bad = df.sparkSession.createDataFrame([("a",)], ["source"])
+    assert C.blocklist_filter(df, bad).count() == 2  # b-source rows survive
 
 
 def test_every_table_query_runs_on_empty_tables(spark, empty_sf):
