@@ -493,3 +493,105 @@ SELECT mime, count(*) AS n_media,
        count(CASE WHEN status <> 'ok' THEN 1 END) AS n_errors
 FROM {TWIN_MEDIA} GROUP BY mime
 """
+
+
+# ---------------------------------------------------------------------------
+# Legacy duplicate verification engine (verification.py:80-163)
+# ---------------------------------------------------------------------------
+
+def _legacy_nt(x: str) -> str:
+    """`verification.py:10-12` — upper, strip [^A-Z0-9 ], trim ends;
+    interior whitespace NOT collapsed (differs from _norm_name)."""
+    return f"coalesce(trim(regexp_replace(upper({x}), '[^A-Z0-9 ]', '', 'g')), '')"
+
+
+_LEGACY_ENTITY_CTES = f"""
+res AS (SELECT * FROM {TWIN}),
+lpan AS (
+  SELECT url AS pan_url, upper(trim({_j('pan')})) AS pan,
+         {_legacy_nt(_j('name'))} AS p_name
+  FROM (SELECT url, CASE WHEN json_valid(fields_json) THEN fields_json END AS fj
+        FROM res WHERE document_type = 'PAN')
+  WHERE upper(trim({_j('pan')})) <> ''
+  QUALIFY row_number() OVER (PARTITION BY upper(trim({_j('pan')}))
+                             ORDER BY url) = 1
+),
+lgst AS (
+  SELECT url AS gst_url,
+         upper(trim(substr({_j('gst_number')}, 3, 10))) AS pan,
+         {_legacy_nt(_j('name'))} AS g_name,
+         {_legacy_nt("json_extract_string(fj, '$.principal_address.city')")} AS g_city,
+         coalesce(json_extract_string(fj, '$.principal_address.pin_code'), '') AS g_pin
+  FROM (SELECT url, CASE WHEN json_valid(fields_json) THEN fields_json END AS fj
+        FROM res WHERE document_type = 'GST_CERTIFICATE')
+  WHERE upper(trim(substr({_j('gst_number')}, 3, 10))) <> ''
+  QUALIFY row_number() OVER (
+      PARTITION BY upper(trim(substr({_j('gst_number')}, 3, 10)))
+      ORDER BY url) = 1
+),
+ludyam AS (
+  SELECT url AS udyam_url, upper(trim({_j('pan')})) AS pan,
+         {_legacy_nt(_j('enterprise_name'))} AS u_name,
+         {_j('incorporation_date')} AS u_inc,
+         {_j('commencement_date')} AS u_com,
+         {_legacy_nt("json_extract_string(fj, '$.official_address.city')")} AS u_city,
+         coalesce(json_extract_string(fj, '$.official_address.pin'), '') AS u_pin
+  FROM (SELECT url, CASE WHEN json_valid(fields_json) THEN fields_json END AS fj
+        FROM res WHERE document_type = 'UDYAM')
+  WHERE upper(trim({_j('pan')})) <> ''
+  QUALIFY row_number() OVER (PARTITION BY upper(trim({_j('pan')}))
+                             ORDER BY url) = 1
+),
+lent AS (
+  SELECT coalesce(p.pan, g.pan, u.pan) AS entity_key,
+    coalesce(p.pan, '') AS p_pan, coalesce(p.p_name, '') AS p_name,
+    coalesce(g.pan, '') AS g_pan, coalesce(g.g_name, '') AS g_name,
+    coalesce(g.g_city, '') AS g_city, coalesce(g.g_pin, '') AS g_pin,
+    coalesce(u.pan, '') AS u_pan, coalesce(u.u_name, '') AS u_name,
+    coalesce(u.u_inc, '') AS u_inc, coalesce(u.u_com, '') AS u_com,
+    coalesce(u.u_city, '') AS u_city, coalesce(u.u_pin, '') AS u_pin
+  FROM lpan p
+  FULL JOIN lgst g ON p.pan = g.pan
+  FULL JOIN ludyam u ON coalesce(p.pan, g.pan) = u.pan
+)"""
+
+
+def _legacy_name_rule(a: str, b: str, a_col: str, b_col: str) -> str:
+    return (f"SELECT entity_key, 'NAME_MATCH_{a}_{b}' AS rule, "
+            f"CASE WHEN {a_col} <> '' AND {a_col} = {b_col} "
+            f"THEN 'PASS' ELSE 'FAIL' END AS status, "
+            f"'{a} name vs {b} name' AS details FROM lent")
+
+
+def _legacy_pan_rule(doc: str, other: str) -> str:
+    return (f"SELECT entity_key, 'PAN_MATCH_PAN_{doc}' AS rule, "
+            f"CASE WHEN p_pan <> '' AND p_pan = {other} "
+            f"THEN 'PASS' ELSE 'FAIL' END AS status, "
+            f"'PAN vs {doc} PAN' AS details FROM lent")
+
+
+_LEGACY_SCORE = ("(CASE WHEN g_pin <> '' AND g_pin = u_pin THEN 1 ELSE 0 END"
+                 " + CASE WHEN g_city <> '' AND g_city = u_city THEN 1 ELSE 0 END)")
+
+SQL_PIPELINE_LEGACY_VERIFICATION = f"""WITH {_LEGACY_ENTITY_CTES}
+{_legacy_name_rule('pan', 'gst', 'p_name', 'g_name')}
+UNION ALL
+{_legacy_name_rule('pan', 'udyam', 'p_name', 'u_name')}
+UNION ALL
+{_legacy_name_rule('gst', 'udyam', 'g_name', 'u_name')}
+UNION ALL
+{_legacy_pan_rule('gst', 'g_pan')}
+UNION ALL
+{_legacy_pan_rule('udyam', 'u_pan')}
+UNION ALL
+SELECT entity_key, 'GST_UDYAM_PRINCIPAL_ADDRESS_MATCH' AS rule,
+  CASE WHEN {_LEGACY_SCORE} = 2 THEN 'PASS'
+       WHEN {_LEGACY_SCORE} = 1 THEN 'WARNING' ELSE 'FAIL' END AS status,
+  'Address match score: ' || CAST({_LEGACY_SCORE} AS VARCHAR) || '/2' AS details
+FROM lent
+UNION ALL
+SELECT entity_key, 'INCORPORATION_VS_COMMENCEMENT' AS rule,
+  CASE WHEN u_inc = u_com THEN 'WARNING' ELSE 'PASS' END AS status,
+  'Same date indicates possible existing entity' AS details
+FROM lent
+"""

@@ -1572,6 +1572,17 @@ def q_pipeline_entity_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.drop("matches", "mismatches")
 
 
+def q_pipeline_legacy_verification(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The reference's OLDER procedural rule engine
+    (`verification_engine/verification.py:80-163`): 7 rules with its own
+    normalizers and 2-point PIN+city address score — previously the one
+    deliberately-dropped reference component, now lifted per-entity."""
+    from .operators.legacy import legacy_verification
+
+    return legacy_verification(extractions_for(spark, sf_dir))
+
+
 def q_pipeline_duplicate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = duplicate_id_check(extractions_for(spark, sf_dir))
     return out.withColumn("names", F.array_join(F.col("names"), ","))
@@ -1720,6 +1731,8 @@ REGISTRY: dict = {
     # oracle.twin.render_sql before execution.
     "pipeline_extractions": (q_pipeline_extractions, PSQL.SQL_PIPELINE_EXTRACTIONS),
     "pipeline_validation": (q_pipeline_validation, PSQL.SQL_PIPELINE_VALIDATION),
+    "pipeline_legacy_verification": (q_pipeline_legacy_verification,
+                                     PSQL.SQL_PIPELINE_LEGACY_VERIFICATION),
     "pipeline_entity_reports": (q_pipeline_entity_reports,
                                 PSQL.SQL_PIPELINE_ENTITY_REPORTS),
     "pipeline_duplicate_ids": (q_pipeline_duplicate_ids,

@@ -180,3 +180,77 @@ class TestCrossDocChecks:
         # both outcomes of the derived-key join must be exercised
         matched = sum(r.pan_doc_exists for r in rows)
         assert 0 < matched < len(rows)
+
+
+class TestLegacyVerificationEngine:
+    """Parity pins for the legacy procedural engine
+    (`verification_engine/verification.py:80-163`): expected values derived
+    by hand-executing the reference functions. Key divergences from the
+    modern R1-R12 engine that must hold: no SKIPPED status (absent docs
+    FAIL), 2-point PIN+city address score, legacy normalize_text keeps
+    interior double spaces."""
+
+    def _run(self, spark, rows):
+        import json
+
+        from ocr_automation_system_spark.operators.legacy import (
+            legacy_verification,
+        )
+
+        df = spark.createDataFrame(
+            [(u, t, json.dumps(f)) for u, t, f in rows],
+            ["url", "document_type", "fields_json"])
+        out = {}
+        for r in legacy_verification(df).collect():
+            out.setdefault(r["entity_key"], {})[r["rule"]] = (
+                r["status"], r["details"])
+        return out
+
+    def test_full_entity_all_pass_and_scores(self, spark):
+        pan_f = {"pan": "aaacb1234a", "name": "Acme  Widgets Pvt. Ltd."}
+        gst_f = {"name": "ACME  WIDGETS PVT LTD", "gst_number": "24AAACB1234A1Z5",
+                 "principal_address": {"city": "Ahmedabad", "pin_code": "380001"}}
+        ud_f = {"enterprise_name": "acme  widgets pvt ltd", "pan": "AAACB1234A",
+                "incorporation_date": "01/01/2020",
+                "commencement_date": "02/02/2021",
+                "official_address": {"city": "AHMEDABAD", "pin": "380001"}}
+        got = self._run(spark, [("u1", "PAN", pan_f), ("u2", "GST_CERTIFICATE", gst_f),
+                                ("u3", "UDYAM", ud_f)])["AAACB1234A"]
+        # legacy normalize_text: "Acme  Widgets Pvt. Ltd." -> "ACME  WIDGETS PVT LTD"
+        # (double space KEPT, dots stripped) == the GST/Udyam names
+        assert got["NAME_MATCH_pan_gst"] == ("PASS", "pan name vs gst name")
+        assert got["NAME_MATCH_pan_udyam"][0] == "PASS"
+        assert got["NAME_MATCH_gst_udyam"][0] == "PASS"
+        assert got["PAN_MATCH_PAN_gst"] == ("PASS", "PAN vs gst PAN")
+        assert got["PAN_MATCH_PAN_udyam"][0] == "PASS"
+        assert got["GST_UDYAM_PRINCIPAL_ADDRESS_MATCH"] == (
+            "PASS", "Address match score: 2/2")
+        assert got["INCORPORATION_VS_COMMENCEMENT"] == (
+            "PASS", "Same date indicates possible existing entity")
+
+    def test_one_point_address_and_same_dates_warn(self, spark):
+        gst_f = {"name": "X", "gst_number": "24AAACB1234A1Z5",
+                 "principal_address": {"city": "Surat", "pin_code": "395001"}}
+        ud_f = {"enterprise_name": "Y", "pan": "AAACB1234A",
+                "incorporation_date": "01/01/2020",
+                "commencement_date": "01/01/2020",
+                "official_address": {"city": "SURAT", "pin": "999999"}}
+        got = self._run(spark, [("u2", "GST_CERTIFICATE", gst_f),
+                                ("u3", "UDYAM", ud_f)])["AAACB1234A"]
+        assert got["GST_UDYAM_PRINCIPAL_ADDRESS_MATCH"] == (
+            "WARNING", "Address match score: 1/2")
+        assert got["INCORPORATION_VS_COMMENCEMENT"][0] == "WARNING"
+        # absent PAN doc -> empty strings -> FAIL, never SKIPPED
+        assert got["NAME_MATCH_pan_gst"][0] == "FAIL"
+        assert got["PAN_MATCH_PAN_gst"][0] == "FAIL"
+
+    def test_absent_udyam_fails_comparisons_but_warns_dates(self, spark):
+        pan_f = {"pan": "AAACB1234A", "name": "ACME"}
+        got = self._run(spark, [("u1", "PAN", pan_f)])["AAACB1234A"]
+        assert got["NAME_MATCH_pan_udyam"][0] == "FAIL"
+        assert got["PAN_MATCH_PAN_udyam"][0] == "FAIL"
+        # both dates coalesce to '' == '' -> the legacy engine's WARNING
+        # (None == None in the reference, verification.py:122-131)
+        assert got["INCORPORATION_VS_COMMENCEMENT"][0] == "WARNING"
+        assert got["GST_UDYAM_PRINCIPAL_ADDRESS_MATCH"] == (
+            "FAIL", "Address match score: 0/2")
