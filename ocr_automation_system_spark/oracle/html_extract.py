@@ -178,43 +178,142 @@ _TOKEN_RE = _re.compile(
 _RAWTEXT_TAGS = ("script", "style")
 
 
+#: Per-tag action codes for the inline state machine below. The tag sets
+#: are mutually disjoint (asserted), so one code per tag captures exactly
+#: what _BlockParser's callbacks would do; unknown tags map to None = no
+#: state change (HTMLParser callbacks fall through for them too).
+_ACT_DROP, _ACT_BR, _ACT_BLOCK, _ACT_BOILER, _ACT_A = 1, 2, 3, 4, 5
+_TAG_ACTION: dict = {}
+for _t in BLOCK_TAGS:
+    _TAG_ACTION[_t] = _ACT_BLOCK
+for _t in BOILERPLATE_CONTAINERS:
+    _TAG_ACTION[_t] = _ACT_BOILER
+for _t in DROP_TAGS:
+    _TAG_ACTION[_t] = _ACT_DROP
+_TAG_ACTION["br"] = _ACT_BR
+_TAG_ACTION["a"] = _ACT_A
+assert len(_TAG_ACTION) == (len(BLOCK_TAGS) + len(BOILERPLATE_CONTAINERS)
+                            + len(DROP_TAGS) + 2), "tag sets must be disjoint"
+
+
 def _fast_segment(html: str) -> list[dict]:
-    sink = _BlockParser()
+    """One finditer walk with the _BlockParser state machine INLINED —
+    ~450k Python callback invocations per 3k thin pages were pure call
+    overhead (57% of extraction time was segmentation). Byte-identical
+    to `_segment_blocks_htmlparser` by the A/B suite
+    (tests/test_fast_segmenter.py: adversarial cases + 800-doc corpus +
+    two hypothesis fuzzers)."""
+    blocks: list[dict] = []
+    lines: list[str] = []
+    buf: list[str] = []
+    chars = link_chars = 0
+    drop_depth = anchor_depth = boiler_depth = 0
+    search = _TOKEN_RE.search
+    unescape = _unescape
+    act_of = _TAG_ACTION.get
     lower = None  # lazily built lowercase copy for raw-text close search
     pos = 0
     n = len(html)
     while pos < n:
-        m = _TOKEN_RE.search(html, pos)
+        m = search(html, pos)
+        start = n if m is None else m.start()
+        if start > pos:  # handle_data, inlined
+            data = unescape(html[pos:start])
+            if not drop_depth:
+                buf.append(data)
+                c = (len(data) - data.count(" ") - data.count("\t")
+                     - data.count("\r") - data.count("\n")
+                     - data.count("\f") - data.count("\v"))
+                chars += c
+                if anchor_depth:
+                    link_chars += c
         if m is None:
-            sink.handle_data(_unescape(html[pos:]))
             break
-        if m.start() > pos:
-            sink.handle_data(_unescape(html[pos:m.start()]))
         pos = m.end()
         name = m.group(2)
         if name is None:
             continue  # comment / doctype / CDATA — no state change
-        tag = name.lower()
-        if m.group(1):  # end tag
-            sink.handle_endtag(tag)
-        elif m.group(4):  # self-closing
-            sink.handle_startendtag(tag, ())
-        else:
-            sink.handle_starttag(tag, ())
-            if tag in _RAWTEXT_TAGS:
-                if lower is None:
-                    lower = html.lower()
-                close = lower.find("</" + tag, pos)
-                if close == -1:  # unterminated raw text: swallow to EOF
-                    pos = n
-                else:
-                    # content is dropped (script/style are DROP_TAGS);
-                    # advance past the close tag's '>'
-                    gt = lower.find(">", close)
-                    sink.handle_endtag(tag)
-                    pos = n if gt == -1 else gt + 1
-    sink._flush_block()
-    return sink.blocks
+        act = act_of(name.lower())
+        if act is None:
+            continue  # unknown tag: every callback falls through
+        if m.group(1):  # ---- end tag --------------------------------
+            if act == _ACT_DROP:
+                if drop_depth:
+                    drop_depth -= 1
+            elif act == _ACT_BLOCK or act == _ACT_BOILER:
+                # _flush_block, inlined (boilerplate read BEFORE depth--)
+                line = " ".join("".join(buf).split())
+                del buf[:]
+                if line:
+                    lines.append(line)
+                if lines:
+                    blocks.append({
+                        "text": "\n".join(lines), "n_chars": chars,
+                        "link_chars": link_chars,
+                        "boilerplate": boiler_depth > 0,
+                    })
+                    del lines[:]
+                chars = link_chars = 0
+                if act == _ACT_BOILER and boiler_depth:
+                    boiler_depth -= 1
+            elif act == _ACT_A:
+                if anchor_depth:
+                    anchor_depth -= 1
+            # br end tag: no-op
+        elif m.group(4):  # ---- self-closing: only <br/> acts --------
+            if act == _ACT_BR:
+                line = " ".join("".join(buf).split())
+                del buf[:]
+                if line:
+                    lines.append(line)
+        else:  # ---- start tag ---------------------------------------
+            if act == _ACT_DROP:
+                drop_depth += 1
+                tag = name.lower()
+                if tag == "script" or tag == "style":
+                    # raw text until the matching close (CDATA content)
+                    if lower is None:
+                        lower = html.lower()
+                    close = lower.find("</" + tag, pos)
+                    if close == -1:  # unterminated: swallow to EOF
+                        pos = n
+                    else:
+                        gt = lower.find(">", close)
+                        if drop_depth:  # the skipped close tag's effect
+                            drop_depth -= 1
+                        pos = n if gt == -1 else gt + 1
+            elif act == _ACT_BR:
+                line = " ".join("".join(buf).split())
+                del buf[:]
+                if line:
+                    lines.append(line)
+            elif act == _ACT_BLOCK or act == _ACT_BOILER:
+                line = " ".join("".join(buf).split())
+                del buf[:]
+                if line:
+                    lines.append(line)
+                if lines:
+                    blocks.append({
+                        "text": "\n".join(lines), "n_chars": chars,
+                        "link_chars": link_chars,
+                        "boilerplate": boiler_depth > 0,
+                    })
+                    del lines[:]
+                chars = link_chars = 0
+                if act == _ACT_BOILER:
+                    boiler_depth += 1
+            else:  # _ACT_A
+                anchor_depth += 1
+    # final flush (matches sink._flush_block() after the loop)
+    line = " ".join("".join(buf).split())
+    if line:
+        lines.append(line)
+    if lines:
+        blocks.append({
+            "text": "\n".join(lines), "n_chars": chars,
+            "link_chars": link_chars, "boilerplate": boiler_depth > 0,
+        })
+    return blocks
 
 
 def segment_blocks(html: str) -> list[dict]:
