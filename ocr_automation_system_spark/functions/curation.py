@@ -237,6 +237,74 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def boilerplate_line_removal(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             min_docs: int = 10) -> DataFrame:
+    """Corpus-level repeated-line removal (RefinedWeb/CCNet-style): drop
+    every non-blank line that appears in >= ``min_docs`` DISTINCT
+    documents — cross-document boilerplate (nav bars, cookie banners,
+    certificate headers) that per-document heuristics can't see.
+
+    Returns one row per input doc: (id, n_lines_kept, n_lines_dropped,
+    kept_text) with ``kept_text`` = surviving non-blank lines rejoined in
+    original order (docs with a null/blank ``text_col`` keep an empty
+    ``kept_text``). Blank lines are dropped unconditionally, matching
+    ``repetition_scores``' non-blank convention.
+
+    Scale shape (the part that matters at 10^12 docs):
+
+    * the global line census is ONE groupBy shuffled on the line string
+      (count-distinct-docs per line is a standard two-phase aggregate;
+      map-side partials collapse each partition's repeats first);
+    * the boilerplate dimension (lines over threshold) is TINY relative
+      to the corpus — bounded by the shared-template vocabulary, not by
+      corpus size — so the removal pass is a BROADCAST anti-join: the
+      corpus line table never shuffles for it;
+    * reassembly groups by doc id (uniform key), sorting each doc's
+      surviving lines by original position inside the aggregate.
+
+    At extreme scale, cap the broadcast with a count check and fall back
+    to a shuffled anti-join keyed on md5(line) — the plan is otherwise
+    identical.
+    """
+    lines = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"),
+                F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                     "\n")).alias("pos", "line"))
+        .filter(F.length(F.trim(F.col("line"))) > 0)
+    )
+    common = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(common), "line", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                        lambda x: x["line"]),
+            "\n").alias("kept_text"),
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_lines"))
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(rebuilt, "_id", "left")
+        .join(totals, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long")
+            .alias("n_lines_kept"),
+            (F.coalesce(F.col("_n_lines"), F.lit(0))
+             - F.coalesce(F.col("n_lines_kept"), F.lit(0))).cast("long")
+            .alias("n_lines_dropped"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+    )
+
+
 def blocklist_filter(df: DataFrame, blocklist: DataFrame,
                      domain_col: str = "source",
                      id_col: str = "doc_id") -> DataFrame:

@@ -1,0 +1,143 @@
+"""URL canonicalization + canonical-URL dedup for web corpora.
+
+A Common-Crawl-scale pipeline sees the same page under many raw URL
+spellings (case-variant hosts, default ports, fragments, tracking
+parameters, path junk like ``//`` and ``/./`` and trailing
+``index.html``).  Canonicalizing BEFORE exact/near dedup collapses those
+spellings so the cheap exact-dedup tier catches them instead of the
+expensive LSH tiers.
+
+Design constraints (same discipline as ``curation.pii_scrub``):
+
+* Pure JVM column expressions — regexp chains + array ops, zero Python,
+  zero shuffle: canonicalization is a narrow projection that fuses with
+  the scan at any corpus size.
+* Every regex is RE2-compatible (no lookaround, no backrefs in the
+  PATTERN) and the pattern strings are shared verbatim with the DuckDB
+  oracle twin (``queries.py``); only the replacement backref spelling
+  differs per engine (Java ``$1`` vs RE2 ``\\1``).
+* Deterministic: string ops only, so reruns/resumes/partitionings agree.
+
+Canonicalization steps, in order (each step's engine parity is pinned by
+``tests/test_urlnorm.py`` fixtures and the hash-checked contract queries
+``url_canonicalize`` / ``url_dup_groups``):
+
+1. strip the fragment (``#...``);
+2. lowercase the ``scheme://host[:port]`` prefix (path/query case is
+   significant and preserved);
+3. drop default ports (``https…:443``, ``http…:80``);
+4. path: collapse ``//`` runs, drop ``/./`` segments, drop a trailing
+   ``index.html``/``index.htm``, drop the trailing slash (root ``/`` and
+   empty path both canonicalize to ``/``);
+5. query: split on ``&``, drop tracking params (``utm_*``, ``fbclid``,
+   ``gclid``, ``ref``), sort the survivors bytewise, rejoin (an empty
+   survivor set drops the ``?`` entirely).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: ``scheme://authority`` prefix (authority = everything up to the first
+#: ``/``, ``?`` or ``#``). Group 1 is the whole prefix.
+URL_PREFIX_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+#: default-port suffixes, anchored to the (already lowercased) prefix.
+URL_HTTPS_443_RE = r"^(https://[^/?#:]*):443$"
+URL_HTTP_80_RE = r"^(http://[^/?#:]*):80$"
+#: tracking query params dropped during canonicalization.
+URL_TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+#: path-junk patterns (applied in this order; the ``/./`` strip runs
+#: twice because non-overlapping replacement resolves ``/././`` only
+#: half-way per pass — both engines apply the same two passes).
+URL_SLASH_RUN_RE = r"/{2,}"
+URL_DOT_SEG_RE = r"/\./"
+URL_INDEX_RE = r"/index\.html?$"
+URL_TRAILING_SLASH_RE = r"(.)/$"
+
+
+def _prefix(u: Column) -> Column:
+    return F.regexp_extract(u, URL_PREFIX_RE, 1)
+
+
+def _rest(u: Column, prefix: Column) -> Column:
+    return u.substr(F.length(prefix) + 1, F.length(u))
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL (steps in module doc).
+
+    One expression tree, evaluated JVM-side; a URL that does not match
+    the scheme prefix (relative/garbage) passes through steps 4-5 with an
+    empty prefix, which leaves it essentially untouched — callers gate on
+    scheme upstream if they need strictness.
+    """
+    nf = F.regexp_replace(url, r"#.*$", "")
+    pre = F.lower(_prefix(nf))
+    pre = F.regexp_replace(pre, URL_HTTPS_443_RE, "$1")
+    pre = F.regexp_replace(pre, URL_HTTP_80_RE, "$1")
+    rest = _rest(nf, _prefix(nf))
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"[?](.*)$", 1)
+    path = F.regexp_replace(path, URL_SLASH_RUN_RE, "/")
+    path = F.regexp_replace(path, URL_DOT_SEG_RE, "/")
+    path = F.regexp_replace(path, URL_DOT_SEG_RE, "/")
+    path = F.regexp_replace(path, URL_INDEX_RE, "/")
+    path = F.regexp_replace(path, URL_TRAILING_SLASH_RE, "$1")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda x: (F.length(x) > 0) & ~x.rlike(URL_TRACKING_PARAM_RE)))
+    qq = F.array_join(params, "&")
+    return F.concat(
+        pre, path,
+        F.when(qq == "", F.lit("")).otherwise(F.concat(F.lit("?"), qq)))
+
+
+def messy_variant(url: Column) -> Column:
+    """Deterministic messy spelling of a clean URL, keyed on the first
+    md5 hex digit — the corpus-side generator for the contract queries.
+
+    Classes (4 hex digits each) exercise every canonicalization path:
+
+    * ``0-3``: uppercased scheme+host, fragment appended — canonical
+      round-trips to the input;
+    * ``4-7``: explicit ``:443`` default port + tracking-only query —
+      round-trips;
+    * ``8-b``: path junk ``/.//index.html`` appended — round-trips;
+    * ``c-f``: unsorted mixed query ``?z=9&a=1&utm_medium=email&m=5`` —
+      canonicalizes to the input plus the sorted non-tracking params
+      ``?a=1&m=5&z=9`` (round-trip false BY DESIGN: this class is what
+      exercises the param filter+sort in the hash-checked contract).
+    """
+    d = F.substring(F.md5(url), 1, 1)
+    pre = _prefix(url)
+    rest = _rest(url, pre)
+    return (
+        F.when(d.isin("0", "1", "2", "3"),
+               F.concat(F.upper(pre), rest, F.lit("#frag-2")))
+        .when(d.isin("4", "5", "6", "7"),
+              F.concat(pre, F.lit(":443"), rest,
+                       F.lit("?utm_source=feed&utm_campaign=x&gclid=z")))
+        .when(d.isin("8", "9", "a", "b"),
+              F.concat(url, F.lit("/.//index.html")))
+        .otherwise(F.concat(url, F.lit("?z=9&a=1&utm_medium=email&m=5")))
+    )
+
+
+def url_duplicates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Group raw URL spellings by canonical form: (canon_url, n_forms,
+    n_distinct_raw, keep_url = min raw spelling).
+
+    Same single-shuffle shape as ``dedup.exact_duplicates`` — one groupBy
+    on the canonical string (uniform after md5-free hashing of distinct
+    canon keys; a mega-duplicated canonical URL is the AQE skew case).
+    """
+    c = df.select(F.col(url_col).alias("raw_url"),
+                  canonicalize_url(F.col(url_col)).alias("canon_url"))
+    return (
+        c.groupBy("canon_url")
+        .agg(F.count(F.lit(1)).alias("n_forms"),
+             F.countDistinct("raw_url").alias("n_distinct_raw"),
+             F.min("raw_url").alias("keep_url"))
+    )

@@ -595,3 +595,104 @@ SELECT entity_key, 'INCORPORATION_VS_COMMENCEMENT' AS rule,
   'Same date indicates possible existing entity' AS details
 FROM lent
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (functions/urlnorm.py) + corpus line dedup
+# ---------------------------------------------------------------------------
+
+from .functions.urlnorm import (  # noqa: E402  (pattern constants shared verbatim)
+    URL_DOT_SEG_RE, URL_HTTP_80_RE, URL_HTTPS_443_RE, URL_INDEX_RE,
+    URL_PREFIX_RE, URL_SLASH_RUN_RE, URL_TRACKING_PARAM_RE,
+    URL_TRAILING_SLASH_RE,
+)
+
+_SQL_URL_PRE = f"regexp_extract(%s, '{URL_PREFIX_RE}', 1)"
+
+
+def _sql_messy_url(url: str) -> str:
+    """DuckDB twin of ``urlnorm.messy_variant`` (same md5-keyed classes)."""
+    pre = _SQL_URL_PRE % url
+    rest = f"substr({url}, len({pre}) + 1)"
+    return (
+        f"CASE WHEN substr(md5({url}), 1, 1) IN ('0','1','2','3') "
+        f"THEN upper({pre}) || {rest} || '#frag-2' "
+        f"WHEN substr(md5({url}), 1, 1) IN ('4','5','6','7') "
+        f"THEN {pre} || ':443' || {rest} || "
+        f"'?utm_source=feed&utm_campaign=x&gclid=z' "
+        f"WHEN substr(md5({url}), 1, 1) IN ('8','9','a','b') "
+        f"THEN {url} || '/.//index.html' "
+        f"ELSE {url} || '?z=9&a=1&utm_medium=email&m=5' END")
+
+
+def _sql_canon_ctes(src: str, keep: str = "") -> str:
+    """CTE chain canonicalizing column ``raw`` of CTE/relation ``src``
+    (twin of ``urlnorm.canonicalize_url``, stage for stage; RE2 ``\\1``
+    replacement where the Spark side writes Java ``$1``). Ends in CTE
+    ``canon_t(<keep,> raw, canon)``. ``keep``: comma-led passthrough
+    columns, e.g. ``"url, "``."""
+    return f"""c0 AS (SELECT {keep}raw, regexp_replace(raw, '#.*$', '') AS nf FROM {src}),
+c1 AS (SELECT {keep}raw, nf, {_SQL_URL_PRE % 'nf'} AS pre0 FROM c0),
+c2 AS (SELECT {keep}raw,
+         regexp_replace(regexp_replace(lower(pre0),
+           '{URL_HTTPS_443_RE}', '\\1'), '{URL_HTTP_80_RE}', '\\1') AS pre,
+         substr(nf, len(pre0) + 1) AS rest FROM c1),
+c3 AS (SELECT {keep}raw, pre,
+         regexp_extract(rest, '^([^?]*)', 1) AS path0,
+         regexp_extract(rest, '[?](.*)$', 1) AS q FROM c2),
+c4 AS (SELECT {keep}raw, pre, q,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(path0, '{URL_SLASH_RUN_RE}', '/', 'g'),
+           '{URL_DOT_SEG_RE}', '/', 'g'), '{URL_DOT_SEG_RE}', '/', 'g'),
+           '{URL_INDEX_RE}', '/'), '{URL_TRAILING_SLASH_RE}', '\\1') AS path1
+       FROM c3),
+c5 AS (SELECT {keep}raw, pre,
+         CASE WHEN path1 = '' THEN '/' ELSE path1 END AS path,
+         coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+           x -> len(x) > 0 AND NOT regexp_matches(x,
+             '{URL_TRACKING_PARAM_RE}'))), '&'), '') AS qq
+       FROM c4),
+canon_t AS (SELECT {keep}raw,
+         pre || path || CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS canon
+       FROM c5)"""
+
+
+SQL_URL_CANONICALIZE = f"""
+WITH u0 AS (SELECT url, {_sql_messy_url('url')} AS raw FROM {CORPUS}),
+{_sql_canon_ctes('u0', 'url, ')}
+SELECT url, raw AS messy_url, canon AS canon_url,
+       (canon = url) AS roundtrip_ok
+FROM canon_t
+"""
+
+SQL_URL_DUP_GROUPS = f"""
+WITH u0 AS (SELECT url AS raw FROM {CORPUS}
+            UNION ALL SELECT {_sql_messy_url('url')} FROM {CORPUS}),
+{_sql_canon_ctes('u0')}
+SELECT canon AS canon_url, count(*) AS n_forms,
+       count(DISTINCT raw) AS n_distinct_raw, min(raw) AS keep_url
+FROM canon_t GROUP BY 1
+"""
+
+#: twin of curation.boilerplate_line_removal over the extraction twin:
+#: global non-blank line census -> lines in >= 10 distinct docs dropped ->
+#: per-doc reassembly in original order, hashed at the contract surface.
+SQL_PIPELINE_LINE_DEDUP = f"""
+WITH d AS (SELECT url, coalesce(extracted_text, '') AS t FROM {TWIN}),
+s AS (SELECT url, string_split(t, chr(10)) AS ls FROM d),
+l0 AS (SELECT url, unnest(ls) AS line,
+              unnest(range(1, len(ls) + 1)) AS pos FROM s),
+l AS (SELECT url, pos, line FROM l0 WHERE trim(line) <> ''),
+common AS (SELECT line FROM l GROUP BY line
+           HAVING count(DISTINCT url) >= 10),
+kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM common)),
+agg AS (SELECT url, count(*) AS k,
+               md5(string_agg(line, chr(10) ORDER BY pos)) AS h
+        FROM kept GROUP BY url),
+tot AS (SELECT url, count(*) AS n FROM l GROUP BY url)
+SELECT d.url,
+  CAST(coalesce(a.k, 0) AS BIGINT) AS n_lines_kept,
+  CAST(coalesce(t.n, 0) - coalesce(a.k, 0) AS BIGINT) AS n_lines_dropped,
+  coalesce(a.h, md5('')) AS kept_text_hash
+FROM d LEFT JOIN agg a ON d.url = a.url LEFT JOIN tot t ON d.url = t.url
+"""

@@ -510,6 +510,35 @@ WHERE source NOT IN (
 """
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization parity surface: every corpus url is messied
+    deterministically (md5-keyed class covering case/fragment, default
+    port + tracking query, path junk, unsorted mixed query — see
+    ``urlnorm.messy_variant``) then canonicalized. Narrow zero-shuffle
+    projection; ``roundtrip_ok`` is false only for the mixed-query class,
+    whose canonical form keeps the sorted non-tracking params."""
+    from .functions import urlnorm as U
+
+    c = corpus_for(spark, sf_dir).select("url")
+    messy = U.messy_variant(F.col("url"))
+    return (c.select("url", messy.alias("messy_url"))
+            .withColumn("canon_url", U.canonicalize_url(F.col("messy_url")))
+            .withColumn("roundtrip_ok", F.col("canon_url") == F.col("url")))
+
+
+def q_url_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: raw spellings (clean + messy variant per url)
+    grouped by canonical form — the cheap pre-LSH dedup tier a crawl
+    pipeline runs first. One groupBy shuffle on the canonical string."""
+    from .functions import urlnorm as U
+
+    c = corpus_for(spark, sf_dir).select("url")
+    raws = (c.select(F.col("url").alias("raw_url"))
+            .unionByName(c.select(U.messy_variant(F.col("url"))
+                                  .alias("raw_url"))))
+    return U.url_duplicates(raws, url_col="raw_url")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -1610,6 +1639,22 @@ def q_pipeline_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_agg(hosts, "host", {"n_docs": F.count(F.lit(1))}, n_salt=8)
 
 
+def q_pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line removal over the extraction output
+    (RefinedWeb-style): lines appearing in >= 10 distinct docs are
+    dropped via a broadcast anti-join against the (tiny) global
+    boilerplate-line census; surviving text is rebuilt in original line
+    order and hashed at the contract surface."""
+    from .functions import curation as C
+
+    res = extractions_for(spark, sf_dir).select("url", "extracted_text")
+    out = C.boilerplate_line_removal(res, id_col="url",
+                                     text_col="extracted_text",
+                                     min_docs=10)
+    return out.select("url", "n_lines_kept", "n_lines_dropped",
+                      F.md5("kept_text").alias("kept_text_hash"))
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Contract surface: nullable dims coalesce to -1 (long) so neither
     # engine hands the comparator a nullable-int dtype; the feature vector
@@ -1742,6 +1787,10 @@ REGISTRY: dict = {
     "pipeline_lineage_metrics": (q_pipeline_lineage_metrics,
                                  PSQL.SQL_PIPELINE_LINEAGE_METRICS),
     "pipeline_host_stats": (q_pipeline_host_stats, PSQL.SQL_PIPELINE_HOST_STATS),
+    "pipeline_line_dedup": (q_pipeline_line_dedup, PSQL.SQL_PIPELINE_LINE_DEDUP),
+    # url canonicalization + canonical-url dedup (corpus url column)
+    "url_canonicalize": (q_url_canonicalize, PSQL.SQL_URL_CANONICALIZE),
+    "url_dup_groups": (q_url_dup_groups, PSQL.SQL_URL_DUP_GROUPS),
     # multimodal plumbing (decode stubs; plumbing hash-checked via twin)
     "media_metadata": (q_media_metadata, PSQL.SQL_MEDIA_METADATA),
     "media_resize": (q_media_resize, PSQL.SQL_MEDIA_RESIZE),

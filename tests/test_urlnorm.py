@@ -1,0 +1,154 @@
+"""Fixture pins for URL canonicalization (functions/urlnorm.py) and the
+corpus-level boilerplate-line removal (curation.boilerplate_line_removal).
+
+Each canonicalization step from the urlnorm module doc gets an explicit
+input → expected pair, evaluated through the real Spark expression tree
+so the Java-regex spelling (not a Python re approximation) is what's
+pinned.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_automation_system_spark.functions.curation import (
+    boilerplate_line_removal,
+)
+from ocr_automation_system_spark.functions.urlnorm import (
+    canonicalize_url, messy_variant, url_duplicates,
+)
+
+CANON_CASES = [
+    # fragment stripped
+    ("https://ex.com/a#sec-2", "https://ex.com/a"),
+    # scheme+host lowercased, path case preserved
+    ("HTTPS://Ex.COM/Path/File", "https://ex.com/Path/File"),
+    # default ports dropped
+    ("https://ex.com:443/a", "https://ex.com/a"),
+    ("http://ex.com:80/a", "http://ex.com/a"),
+    # non-default port kept
+    ("https://ex.com:8443/a", "https://ex.com:8443/a"),
+    # slash runs collapsed, /./ dropped (incl. the /././ double pass)
+    ("https://ex.com//a///b", "https://ex.com/a/b"),
+    ("https://ex.com/a/./b", "https://ex.com/a/b"),
+    ("https://ex.com/a/././b", "https://ex.com/a/b"),
+    # trailing index.html / index.htm and trailing slash
+    ("https://ex.com/a/index.html", "https://ex.com/a"),
+    ("https://ex.com/a/index.htm", "https://ex.com/a"),
+    ("https://ex.com/a/", "https://ex.com/a"),
+    # empty / root path canonicalizes to "/"
+    ("https://ex.com", "https://ex.com/"),
+    ("https://ex.com/", "https://ex.com/"),
+    ("https://ex.com/index.html", "https://ex.com/"),
+    # tracking params dropped, survivors sorted bytewise, '?' dropped
+    # when nothing survives
+    ("https://ex.com/a?utm_source=x&gclid=1", "https://ex.com/a"),
+    ("https://ex.com/a?z=9&a=1&utm_medium=m&m=5",
+     "https://ex.com/a?a=1&m=5&z=9"),
+    ("https://ex.com/a?fbclid=f&ref=r&b=2", "https://ex.com/a?b=2"),
+    # a param NAMED like a tracking prefix but not matching stays
+    # (refresh=1 is not ref=)
+    ("https://ex.com/a?refresh=1", "https://ex.com/a?refresh=1"),
+    # query param case/order: values preserved byte-exact
+    ("https://ex.com/a?B=2&a=1", "https://ex.com/a?B=2&a=1"),
+    # everything at once
+    ("HTTP://EX.com:80//x/./index.html?utm_campaign=c&b=2&a=1#f",
+     "http://ex.com/x?a=1&b=2"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CANON_CASES)
+def test_canonicalize_fixture(spark, raw, expected):
+    out = (spark.createDataFrame([(raw,)], ["u"])
+           .select(canonicalize_url(F.col("u")).alias("c"))
+           .first()["c"])
+    assert out == expected, raw
+
+
+def test_canonicalize_idempotent(spark):
+    """canon(canon(u)) == canon(u) for every fixture input."""
+    df = spark.createDataFrame([(r,) for r, _ in CANON_CASES], ["u"])
+    rows = df.select(
+        canonicalize_url(F.col("u")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("u"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"]
+
+
+def test_messy_variant_classes_and_roundtrip(spark):
+    """Every messy class canonicalizes back to the clean URL, except the
+    mixed-query class which keeps the sorted non-tracking params."""
+    urls = [(f"https://site-{i}.example.com/p/{i}",) for i in range(64)]
+    df = spark.createDataFrame(urls, ["u"]).select(
+        "u",
+        F.substring(F.md5("u"), 1, 1).alias("d"),
+        canonicalize_url(messy_variant(F.col("u"))).alias("c"),
+    )
+    rows = df.collect()
+    seen_classes = set()
+    for r in rows:
+        if r["d"] in "0123456789ab":
+            assert r["c"] == r["u"], (r["d"], r["u"], r["c"])
+            seen_classes.add("roundtrip")
+        else:
+            assert r["c"] == r["u"] + "?a=1&m=5&z=9", (r["u"], r["c"])
+            seen_classes.add("mixed")
+    assert seen_classes == {"roundtrip", "mixed"}
+
+
+def test_url_duplicates_groups_variants(spark):
+    clean = ["https://a.com/x", "https://b.com/y", "https://c.com/z"]
+    raws = [(u,) for u in clean] + [
+        ("HTTPS://A.com/x#frag",),
+        ("https://a.com:443/x?utm_source=s",),
+        ("https://b.com/y/.//index.html",),
+    ]
+    out = {r["canon_url"]: r for r in
+           url_duplicates(spark.createDataFrame(raws, ["url"])).collect()}
+    assert set(out) == set(clean)
+    assert out["https://a.com/x"]["n_forms"] == 3
+    assert out["https://a.com/x"]["n_distinct_raw"] == 3
+    # min() keeps the uppercase spelling ('H' < 'h' bytewise)
+    assert out["https://a.com/x"]["keep_url"] == "HTTPS://A.com/x#frag"
+    assert out["https://b.com/y"]["n_forms"] == 2
+    assert out["https://c.com/z"]["n_forms"] == 1
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_line_removal
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_line_removal(spark):
+    boiler = "Cookie notice: we use cookies"
+    docs = [(f"d{i}", f"{boiler}\nunique body {i}\n\nmore {i}")
+            for i in range(10)]
+    docs.append(("d-null", None))
+    docs.append(("d-empty", ""))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           boilerplate_line_removal(df, min_docs=10).collect()}
+    assert len(out) == 12
+    for i in range(10):
+        r = out[f"d{i}"]
+        # blank line dropped unconditionally; boiler line dropped as
+        # cross-doc boilerplate; the two unique lines survive in order
+        assert r["n_lines_kept"] == 2
+        assert r["n_lines_dropped"] == 1
+        assert r["kept_text"] == f"unique body {i}\nmore {i}"
+    for d in ("d-null", "d-empty"):
+        assert out[d]["n_lines_kept"] == 0
+        assert out[d]["n_lines_dropped"] == 0
+        assert out[d]["kept_text"] == ""
+
+
+def test_boilerplate_threshold_not_met(spark):
+    """A line in only min_docs-1 documents survives everywhere."""
+    docs = [(f"d{i}", f"shared header\nbody {i}") for i in range(4)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = boilerplate_line_removal(df, min_docs=5).collect()
+    assert all(r["kept_text"].startswith("shared header\nbody ") for r in out)
+    out2 = boilerplate_line_removal(df, min_docs=4).collect()
+    assert all(r["kept_text"].startswith("body ") for r in out2)
