@@ -696,3 +696,102 @@ SELECT d.url,
   coalesce(a.h, md5('')) AS kept_text_hash
 FROM d LEFT JOIN agg a ON d.url = a.url LEFT JOIN tot t ON d.url = t.url
 """
+
+
+# ---------------------------------------------------------------------------
+# Link graph (functions/links.py): anchors, host graph, PageRank
+# ---------------------------------------------------------------------------
+
+from .functions.links import HREF_ANCHOR_RE, ABS_URL_RE  # noqa: E402
+
+#: decoded page or '' — the CASE keeps DuckDB's (throwing) decode() away
+#: from poison payloads, mirroring the Spark sniff-gated CASE.
+_SQL_PAGE = ("CASE WHEN CAST(html AS VARCHAR) LIKE '<html%' "
+             "THEN decode(html) ELSE '' END")
+
+_SQL_LINK_BASE = f"""
+p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS}),
+m AS (SELECT url, unnest(regexp_extract_all(page, '{HREF_ANCHOR_RE}', 0)) AS a
+      FROM p),
+lx AS (SELECT url AS src_url,
+              regexp_extract(a, '{HREF_ANCHOR_RE}', 1) AS href,
+              regexp_extract(a, '{HREF_ANCHOR_RE}', 2) AS anchor_text,
+              {_SQL_URL_PRE % 'url'} AS pre
+       FROM m),
+links_t AS (SELECT src_url, anchor_text,
+         CASE WHEN regexp_matches(href, '{ABS_URL_RE}') THEN href
+              WHEN href LIKE '/%' THEN pre || href
+              ELSE pre || '/' || href END AS dst_url
+       FROM lx)"""
+
+SQL_LINK_EDGES = f"""
+WITH {_SQL_LINK_BASE}
+SELECT src_url, dst_url, anchor_text FROM links_t
+"""
+
+SQL_HOST_LINK_GRAPH = f"""
+WITH {_SQL_LINK_BASE}
+SELECT {_SQL_URL_PRE % 'src_url'} AS src_site,
+       {_SQL_URL_PRE % 'dst_url'} AS dst_site,
+       count(*) AS n_links
+FROM links_t GROUP BY 1, 2
+"""
+
+
+def _sql_outlink(off: int) -> str:
+    """Deterministic synthetic cross-host outlink (md5 hex slice -> host
+    index mod 24) — twin of ``queries._synth_outlink``."""
+    return ("'https://host' || lpad(CAST(CAST(concat('0x', "
+            f"substr(md5(url), {off}, 6)) AS BIGINT) %% 24 AS VARCHAR), "
+            "2, '0') || '.example.com'").replace("%%", "%")
+
+
+def _sql_pagerank_iters(iters: int) -> str:
+    """Chained per-iteration CTEs r1..r{iters}; each = ordered-list fold
+    of inbound contributions (bit-exact twin of links._det_sum)."""
+    d = "CAST(0.85 AS DOUBLE)"
+    zero = "CAST(0.0 AS DOUBLE)"
+    ctes = []
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"c{k} AS (SELECT f.dst, list(r.rank * f.f ORDER BY f.src) AS cs\n"
+            f"       FROM frac f JOIN r{k-1} r ON f.src = r.node GROUP BY f.dst),\n"
+            f"r{k} AS (SELECT nodes.node,\n"
+            f"         (CAST(1.0 AS DOUBLE) - {d}) / nn.n + {d} *\n"
+            f"         coalesce(list_reduce(list_prepend({zero}, c{k}.cs),\n"
+            f"                              (a, b) -> a + b), {zero}) AS rank\n"
+            f"       FROM nodes CROSS JOIN nn\n"
+            f"       LEFT JOIN c{k} ON nodes.node = c{k}.dst)")
+    return ",\n".join(ctes)
+
+
+SQL_HOST_PAGERANK = f"""
+WITH e0 AS (SELECT {_SQL_URL_PRE % 'url'} AS src, {_sql_outlink(9)} AS dst
+            FROM {CORPUS}
+            UNION ALL
+            SELECT {_SQL_URL_PRE % 'url'}, {_sql_outlink(17)} FROM {CORPUS}),
+edges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+          FROM e0 GROUP BY 1, 2),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+frac AS (SELECT e.src, e.dst, e.w / o.ow AS f
+         FROM edges e JOIN outw o ON e.src = o.src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+       FROM nodes CROSS JOIN nn),
+{_sql_pagerank_iters(3)}
+SELECT node AS host, rank FROM r3
+"""
+
+#: latest capture per canonical URL: clean crawl + deterministic messy
+#: recrawl 1h later, grouped on the canonical form.
+SQL_LATEST_CAPTURE = f"""
+WITH caps AS (SELECT url AS raw, warc_ts AS ts FROM {CORPUS}
+              UNION ALL
+              SELECT {_sql_messy_url('url')}, warc_ts + INTERVAL 1 HOUR
+              FROM {CORPUS}),
+{_sql_canon_ctes('caps', 'ts, ')}
+SELECT canon AS canon_url, CAST(count(*) AS BIGINT) AS n_captures,
+       max(ts) AS latest_ts, arg_max(raw, ts) AS latest_url
+FROM canon_t GROUP BY 1
+"""

@@ -29,7 +29,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1639,6 +1639,81 @@ def q_pipeline_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_agg(hosts, "host", {"n_docs": F.count(F.lit(1))}, n_salt=8)
 
 
+def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction from the raw html BINARY column: sniff-gated
+    JVM decode -> regexp_extract_all -> explode, relative hrefs resolved
+    against the page's scheme://authority prefix. Narrow projection, no
+    shuffle; PDF/junk/poison payloads contribute no rows."""
+    from .functions import links as L
+
+    return L.extract_links(corpus_for(spark, sf_dir).select("url", "html"))
+
+
+def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-level link graph over the real extracted anchors (one
+    groupBy; the corpus' hrefs are same-site, so this is the self-loop
+    spine a crawler's nav/footer chrome produces)."""
+    from .functions import links as L
+
+    c = corpus_for(spark, sf_dir).select("url", "html")
+    return L.host_graph(L.extract_links(c))
+
+
+def _synth_outlink(url: Column, off: int) -> Column:
+    """Deterministic synthetic cross-host outlink: md5 hex slice at
+    ``off`` -> host index mod 24 (twin: ``pipeline_sql._sql_outlink``).
+    The corpus' real hrefs are same-site, so the cross-host graph for the
+    PageRank contract is synthesized md5-deterministically from urls —
+    same device as ``urlnorm.messy_variant``."""
+    n = (F.conv(F.substring(F.md5(url), off, 6), 16, 10)
+         .cast("long") % 24)
+    return F.concat(F.lit("https://host"), F.lpad(n.cast("string"), 2, "0"),
+                    F.lit(".example.com"))
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration damped PageRank over the synthetic cross-host graph
+    (2 md5-keyed outlinks per page). Per iteration: one broadcast join of
+    the rank vector against the reused edge-fraction table + one groupBy
+    on dst with a sorted left-assoc fold — ranks are bit-exact doubles
+    vs the DuckDB twin."""
+    from .functions import links as L
+    from .functions.urlnorm import URL_PREFIX_RE
+
+    c = corpus_for(spark, sf_dir).select("url")
+    src = F.regexp_extract("url", URL_PREFIX_RE, 1)
+    e0 = (c.select(src.alias("src"),
+                   _synth_outlink(F.col("url"), 9).alias("dst"))
+          .unionByName(
+              c.select(src.alias("src"),
+                       _synth_outlink(F.col("url"), 17).alias("dst"))))
+    edges = e0.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+    pr = L.pagerank(edges, iters=3)
+    return pr.select(F.col("node").alias("host"), "rank")
+
+
+def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot pick: latest capture per canonical URL. The clean crawl
+    unions with a deterministic messy recrawl 1h later; groupBy canonical
+    form keeps (n_captures, latest_ts, latest_url via max_by — no ties by
+    construction). At scale this is the standard newest-wins dedup a
+    recrawling pipeline runs before extraction."""
+    from .functions import urlnorm as U
+
+    c = corpus_for(spark, sf_dir).select("url", "warc_ts")
+    first = c.select(F.col("url").alias("raw"),
+                     F.col("warc_ts").alias("ts"))
+    recrawl = c.select(U.messy_variant(F.col("url")).alias("raw"),
+                       (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"))
+                       .alias("ts"))
+    caps = (first.unionByName(recrawl)
+            .withColumn("canon_url", U.canonicalize_url(F.col("raw"))))
+    return (caps.groupBy("canon_url")
+            .agg(F.count(F.lit(1)).alias("n_captures"),
+                 F.max("ts").alias("latest_ts"),
+                 F.max_by("raw", "ts").alias("latest_url")))
+
+
 def q_pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate-line removal over the extraction output
     (RefinedWeb-style): lines appearing in >= 10 distinct docs are
@@ -1791,12 +1866,28 @@ REGISTRY: dict = {
     # url canonicalization + canonical-url dedup (corpus url column)
     "url_canonicalize": (q_url_canonicalize, PSQL.SQL_URL_CANONICALIZE),
     "url_dup_groups": (q_url_dup_groups, PSQL.SQL_URL_DUP_GROUPS),
+    "latest_capture": (q_latest_capture, PSQL.SQL_LATEST_CAPTURE),
+    # link graph: anchors from raw html, host graph, iterative PageRank
+    "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
+    "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
+    "host_pagerank": (q_host_pagerank, PSQL.SQL_HOST_PAGERANK),
     # multimodal plumbing (decode stubs; plumbing hash-checked via twin)
     "media_metadata": (q_media_metadata, PSQL.SQL_MEDIA_METADATA),
     "media_resize": (q_media_resize, PSQL.SQL_MEDIA_RESIZE),
     "media_frame_census": (q_media_frame_census, PSQL.SQL_MEDIA_FRAME_CENSUS),
     "media_census": (q_media_census, PSQL.SQL_MEDIA_CENSUS),
 }
+
+#: Registry entries that read the deterministic synthetic corpus
+#: (``corpus_for``) instead of the sf parquet tables — boundary tests
+#: that rewrite the sf tables (e.g. empty-input robustness) skip these.
+CORPUS_QUERIES: frozenset = frozenset(
+    name for name in REGISTRY
+    if name.startswith(("pipeline_", "media_"))
+) | frozenset({
+    "url_canonicalize", "url_dup_groups", "latest_capture",
+    "link_edges", "host_link_graph", "host_pagerank",
+})
 
 
 def rendered_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict:

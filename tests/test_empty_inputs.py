@@ -8,7 +8,7 @@ import os
 
 import pytest
 
-from ocr_automation_system_spark.queries import REGISTRY
+from ocr_automation_system_spark.queries import CORPUS_QUERIES, REGISTRY
 from ocr_automation_system_spark.sources.catalog import TABLE_NAMES
 
 SF = "/root/testdata/sf0.001"
@@ -63,7 +63,7 @@ def test_null_text_rows_never_crash_curation_ops(spark):
 def test_every_table_query_runs_on_empty_tables(spark, empty_sf):
     failures = []
     for name, (fn, _sql) in REGISTRY.items():
-        if name.startswith(("pipeline_", "media_")):
+        if name in CORPUS_QUERIES:
             continue  # synthetic-corpus queries don't read the sf tables
         try:
             n = fn(spark, empty_sf).count()

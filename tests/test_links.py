@@ -1,0 +1,142 @@
+"""Unit tests for the link-graph tier (functions/links.py): anchor
+extraction from raw bytes, href resolution, host aggregation, and
+PageRank semantics on graphs small enough to verify by hand."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_automation_system_spark.functions.links import (
+    extract_links, host_graph, page_html, pagerank,
+)
+
+
+def _links_df(spark, rows):
+    return spark.createDataFrame(rows, ["url", "html"])
+
+
+def test_extract_links_resolution_and_anchors(spark):
+    html = (b'<html><body>'
+            b'<a href="/a/b">Root Rel</a> '
+            b'<a href="c.html">Bare Rel</a> '
+            b'<a href="https://other.com/x">Abs</a> '
+            b'<a href="/q?u=1" class="x">Attrs</a>'
+            b'</body></html>')
+    out = {(r["dst_url"], r["anchor_text"]) for r in
+           extract_links(_links_df(
+               spark, [("https://ex.com/page", html)])).collect()}
+    assert out == {
+        ("https://ex.com/a/b", "Root Rel"),
+        ("https://ex.com/c.html", "Bare Rel"),
+        ("https://other.com/x", "Abs"),
+        ("https://ex.com/q?u=1", "Attrs"),
+    }
+
+
+def test_extract_links_skips_non_html_payloads(spark):
+    rows = [
+        ("https://ex.com/pdf", b"%PDF-1.7 not html"),
+        ("https://ex.com/poison", b"\x00\xff\xfe<not html"),
+        ("https://ex.com/empty", b""),
+        ("https://ex.com/ok", b'<html><a href="/x">X</a></html>'),
+    ]
+    out = extract_links(_links_df(spark, rows)).collect()
+    assert [(r["src_url"], r["dst_url"]) for r in out] == [
+        ("https://ex.com/ok", "https://ex.com/x")]
+
+
+def test_page_html_gate_never_decodes_poison(spark):
+    """The CASE gate must keep Spark's throwing UTF-8 decode away from
+    malformed bytes even when every row is projected."""
+    rows = [("a", b"\x00\xff\xfe<not html"), ("b", b"<html>ok</html>")]
+    df = spark.createDataFrame(rows, ["id", "html"])
+    got = {r["id"]: r["p"] for r in
+           df.select("id", page_html(F.col("html")).alias("p")).collect()}
+    assert got == {"a": "", "b": "<html>ok</html>"}
+
+
+def test_host_graph_counts(spark):
+    html = (b'<html><a href="/x">X</a> <a href="/y">Y</a> '
+            b'<a href="https://b.com/z">Z</a></html>')
+    edges = extract_links(_links_df(spark, [
+        ("https://a.com/p1", html), ("https://a.com/p2", html)]))
+    g = {(r["src_site"], r["dst_site"]): r["n_links"]
+         for r in host_graph(edges).collect()}
+    assert g == {("https://a.com", "https://a.com"): 4,
+                 ("https://a.com", "https://b.com"): 2}
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def _pr(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_symmetric_two_cycle(spark):
+    """a<->b with equal weights is the stationary distribution from the
+    start: every iteration returns exactly 1/2 per node."""
+    ranks = _pr(spark, [("a", "b", 1), ("b", "a", 1)], iters=4)
+    assert ranks == {"a": 0.5, "b": 0.5}
+
+
+def test_pagerank_one_iteration_by_hand(spark):
+    """Star a->b, a->c (equal weight), nothing points at a.
+
+    After 1 iteration with d=0.85, N=3:
+      rank(a) = 0.15/3                      (no in-links)
+      rank(b) = rank(c) = 0.15/3 + 0.85 * (1/3 * 1/2)
+    """
+    ranks = _pr(spark, [("a", "b", 1), ("a", "c", 1)], iters=1)
+    base = (1.0 - 0.85) / 3
+    assert ranks["a"] == pytest.approx(base, abs=1e-15)
+    expected = base + 0.85 * ((1.0 / 3) * 0.5)
+    assert ranks["b"] == pytest.approx(expected, abs=1e-15)
+    assert ranks["c"] == ranks["b"]
+
+
+def test_pagerank_weights_split_contribution(spark):
+    """a->b weight 3, a->c weight 1: b receives 3/4 of a's damped mass."""
+    ranks = _pr(spark, [("a", "b", 3), ("a", "c", 1)], iters=1)
+    base = (1.0 - 0.85) / 3
+    assert ranks["b"] == pytest.approx(base + 0.85 * (1.0 / 3) * 0.75,
+                                       abs=1e-15)
+    assert ranks["c"] == pytest.approx(base + 0.85 * (1.0 / 3) * 0.25,
+                                       abs=1e-15)
+
+
+def test_pagerank_mass_conservation_no_dangling(spark):
+    """With every node having out-edges, total rank stays 1 each
+    iteration (up to float addition)."""
+    edges = [("a", "b", 1), ("b", "c", 2), ("c", "a", 1), ("c", "b", 1)]
+    for iters in (1, 3):
+        ranks = _pr(spark, edges, iters=iters)
+        assert math.fsum(ranks.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_pagerank_partitioning_invariant_bit_exact(spark):
+    """Same graph, different physical layout -> identical rank BITS
+    (the ordered-fold determinism the oracle twin relies on)."""
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 11}", (i % 3) + 1)
+             for i in range(40)]
+    df1 = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    df2 = df1.repartition(13, "dst")
+    r1 = {r["node"]: r["rank"] for r in pagerank(df1, iters=3).collect()}
+    r2 = {r["node"]: r["rank"] for r in
+          pagerank(df2, iters=3, broadcast_ranks=False).collect()}
+    assert r1 == r2  # exact float equality, not approx
+
+
+def test_pagerank_checkpoint_every_matches(spark):
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    plain = {r["node"]: r["rank"] for r in pagerank(df, iters=4).collect()}
+    ck = {r["node"]: r["rank"] for r in
+          pagerank(df, iters=4, checkpoint_every=2).collect()}
+    assert plain == ck

@@ -190,3 +190,44 @@ def test_stateless_curation_ops_stream_unchanged(spark, tmp_path):
             for r in fn(spark.createDataFrame(rows, ["doc_id", "text"]))
             .collect())
         assert got == want, name
+
+
+def test_stateless_link_and_url_ops_stream_unchanged(spark, tmp_path):
+    """canonicalize_url and extract_links are narrow projections, so the
+    SAME function bodies must run under readStream and produce the batch
+    rows — extends the one-definition/two-modes property to the
+    url/link tier."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.links import extract_links
+    from ocr_automation_system_spark.functions.urlnorm import (
+        canonicalize_url,
+    )
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    rows = [("HTTPS://A.com/x#f", b'<html><a href="/p">P</a></html>'),
+            ("https://b.com:443/y?utm_source=s&k=1",
+             b'<html><a href="https://c.com/z">C z</a></html>'),
+            ("https://c.com/z", b"\x00\xff\xfe<not html")]
+    spark.createDataFrame(rows, ["url", "html"]) \
+        .write.parquet(os.path.join(d, "drop1"))
+
+    stream_in = (spark.readStream.schema("url string, html binary")
+                 .parquet(os.path.join(d, "*")))
+    batch_in = spark.createDataFrame(rows, ["url", "html"])
+    cases = (
+        (lambda df: df.select("url", canonicalize_url(F.col("url"))
+                              .alias("canon")), "canon"),
+        (extract_links, "links"),
+    )
+    for fn, name in cases:
+        out = str(tmp_path / f"out_{name}")
+        q = (fn(stream_in).writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(tuple(r) for r in fn(batch_in).collect())
+        assert got == want and got, name
