@@ -37,7 +37,7 @@ HEADLINE = (
     "pack_bins", "benchmark_contamination", "domain_quota",
     "pii_scrub", "repetition_scores", "source_blocklist",
     "url_dup_groups", "latest_capture", "pipeline_line_dedup",
-    "link_edges", "host_pagerank",
+    "link_edges", "host_pagerank", "lm_quality_scores",
     "entity_join_shape", "report_summary", "duplicate_id_groups",
     "checksum_existence_join", "topk_per_group",
     "pricing_summary", "top_revenue_orders", "region_nation_rollup",

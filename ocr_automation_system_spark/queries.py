@@ -582,6 +582,72 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Corpus-trained unigram LM quality (functions/lm.py, CCNet-style)
+# ---------------------------------------------------------------------------
+
+def q_lm_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase 1 of CCNet-style LM quality: the global unigram census
+    (token, n, p) — one map-side-combined groupBy; the model table is the
+    artifact a production run writes bucketed by token."""
+    from .functions import lm
+
+    return lm.token_census(load_table(spark, sf_dir, "documents"))
+
+
+def q_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase 2: every document scored against the corpus-trained model
+    (broadcast join on the token key + one groupBy on doc_id). Rational
+    statistics (mean token probability, rare-token fraction) keep the
+    contract transcendental-free — bit-exact vs the DuckDB twin."""
+    from .functions import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.lm_score(docs, lm.token_census(docs))
+
+
+def _sql_lm_base() -> str:
+    from .functions.lm import TOKEN_RE
+
+    return f"""
+toks AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                          '{TOKEN_RE}')) AS token
+         FROM documents),
+counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+model AS (SELECT token, n, CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+          FROM counts CROSS JOIN total)"""
+
+
+SQL_LM_TOKEN_CENSUS = f"""
+WITH {_sql_lm_base()}
+SELECT token, n, p FROM model
+"""
+
+SQL_LM_QUALITY_SCORES = f"""
+WITH {_sql_lm_base()},
+scored AS (SELECT tk.doc_id, tk.token,
+                  coalesce(m.p, CAST(0.0 AS DOUBLE)) AS p
+           FROM toks tk LEFT JOIN model m ON tk.token = m.token),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(p ORDER BY token)),
+                           (a, b) -> a + b) AS sum_p,
+               sum(CASE WHEN p < 1e-4 THEN 1 ELSE 0 END) AS n_rare
+        FROM scored GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(a.n_tokens, 0) AS n_tokens,
+  CASE WHEN coalesce(a.n_tokens, 0) > 0
+       THEN a.sum_p / CAST(a.n_tokens AS DOUBLE)
+       ELSE CAST(0.0 AS DOUBLE) END AS mean_token_p,
+  CASE WHEN coalesce(a.n_tokens, 0) > 0
+       THEN CAST(a.n_rare AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
+       ELSE CAST(0.0 AS DOUBLE) END AS rare_token_frac
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Dedup queries (documents table)
 # ---------------------------------------------------------------------------
 
@@ -1799,6 +1865,9 @@ REGISTRY: dict = {
                                 SQL_BENCHMARK_CONTAMINATION),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    # corpus-trained unigram LM quality (CCNet-style, two-phase)
+    "lm_token_census": (q_lm_token_census, SQL_LM_TOKEN_CENSUS),
+    "lm_quality_scores": (q_lm_quality_scores, SQL_LM_QUALITY_SCORES),
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),

@@ -1,0 +1,103 @@
+"""Corpus-trained unigram LM quality scoring (functions/lm.py).
+
+Covers: hand-computed census counts/probabilities, scoring against a
+model trained on a DIFFERENT corpus (out-of-vocabulary tokens score
+p=0 and count as rare), null/empty documents, bit-exact partitioning
+invariance of the double statistics, broadcast vs shuffle join parity,
+and the broadcast plan shape of the scoring join.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType,
+)
+
+from ocr_automation_system_spark.functions import lm
+
+SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("text", StringType(), True),
+])
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog ate the cat food"),
+        (2, None),
+        (3, ""),
+        (4, "Zyzzyva! THE the"),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_token_census_counts_and_probabilities(spark, docs):
+    got = {r["token"]: r for r in lm.token_census(docs).collect()}
+    # tokens: the x6 (2+2+2), cat x2, sat, on, mat, dog, ate, food,
+    # zyzzyva -> total 15
+    assert got["the"]["n"] == 6
+    assert got["cat"]["n"] == 2
+    assert got["zyzzyva"]["n"] == 1
+    total = sum(r["n"] for r in got.values())
+    assert total == 15
+    assert got["the"]["p"] == 6 / 15
+    assert abs(sum(r["p"] for r in got.values()) - 1.0) < 1e-12
+
+
+def test_lm_score_against_foreign_model(spark, docs):
+    """Model trained on a disjoint corpus: every token is OOV -> p=0,
+    mean 0.0, rare_frac 1.0; empty/null docs keep zero defaults."""
+    other = spark.createDataFrame([(100, "completely different words")],
+                                  SCHEMA)
+    model = lm.token_census(other)
+    got = {r["doc_id"]: r for r in lm.lm_score(docs, model).collect()}
+    assert len(got) == 5
+    assert got[0]["n_tokens"] == 6
+    assert got[0]["mean_token_p"] == 0.0
+    assert got[0]["rare_token_frac"] == 1.0
+    for empty_id in (2, 3):
+        r = got[empty_id]
+        assert (r["n_tokens"], r["mean_token_p"],
+                r["rare_token_frac"]) == (0, 0.0, 0.0)
+
+
+def test_lm_score_self_trained_hand_computed(spark, docs):
+    model = lm.token_census(docs)
+    got = {r["doc_id"]: r for r in lm.lm_score(docs, model).collect()}
+    # doc 0: the(6/15) x2, cat(2/15), sat/on/mat(1/15 each)
+    want_mean0 = (2 * (6 / 15) + 2 / 15 + 3 * (1 / 15)) / 6
+    assert got[0]["n_tokens"] == 6
+    assert abs(got[0]["mean_token_p"] - want_mean0) < 1e-15
+    # vocabulary is tiny, every p >= 1/15 > 1e-4 -> nothing is rare
+    assert all(r["rare_token_frac"] == 0.0 for r in got.values()
+               if r["n_tokens"] > 0)
+
+
+def test_lm_score_bit_exact_under_partitioning(spark, docs):
+    model = lm.token_census(docs)
+    base = sorted(tuple(r) for r in lm.lm_score(docs, model).collect())
+    for n_parts in (1, 3, 7):
+        d2 = docs.repartition(n_parts)
+        got = sorted(tuple(r)
+                     for r in lm.lm_score(d2, lm.token_census(d2))
+                     .collect())
+        assert got == base, n_parts  # exact double equality
+
+
+def test_lm_score_shuffle_join_parity(spark, docs):
+    model = lm.token_census(docs)
+    a = sorted(tuple(r) for r in
+               lm.lm_score(docs, model, broadcast_model=True).collect())
+    b = sorted(tuple(r) for r in
+               lm.lm_score(docs, model, broadcast_model=False).collect())
+    assert a == b
+
+
+def test_lm_score_broadcasts_model(spark, docs):
+    plan = (lm.lm_score(docs, lm.token_census(docs))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
