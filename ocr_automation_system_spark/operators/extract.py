@@ -26,7 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, IntegerType, StringType, StructField, StructType,
+    ArrayType, BooleanType, DoubleType, IntegerType, StringType,
+    StructField, StructType,
 )
 
 from ..oracle.doctype import extract_document
@@ -101,6 +102,57 @@ def extract_documents(documents: DataFrame, two_pass: bool = True) -> DataFrame:
         _extract_batches, schema=EXTRACTION_SCHEMA
     )
     return html_leg.unionByName(pdf_leg)
+
+
+#: Per-block scoring rows — the Readability/Boilerpipe decision surface
+#: (SURVEY.md §2.1 S1; oracle: ``oracle.html_extract.block_records``).
+BLOCK_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("block_idx", IntegerType(), False),
+    StructField("n_lines", IntegerType(), False),
+    StructField("n_chars", IntegerType(), False),
+    StructField("link_chars", IntegerType(), False),
+    StructField("link_density", DoubleType(), False),
+    StructField("boilerplate", BooleanType(), False),
+    StructField("kept", BooleanType(), False),
+    StructField("text_md5", StringType(), False),
+])
+
+_BLOCK_COLUMNS = [f.name for f in BLOCK_SCHEMA.fields]
+
+
+def _block_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..oracle.html_extract import block_records
+
+    for batch in batches:
+        recs: list = []
+        for u, p in zip(batch["url"].tolist(), batch["html"].tolist()):
+            recs.extend(block_records(u, p))
+        df = pd.DataFrame.from_records(recs, columns=_BLOCK_COLUMNS)
+        for c in ("block_idx", "n_lines", "n_chars", "link_chars"):
+            df[c] = df[c].astype("int32")
+        df["link_density"] = df["link_density"].astype("float64")
+        for c in ("boilerplate", "kept"):
+            df[c] = df[c].astype("bool")
+        yield df
+
+
+def block_scores(documents: DataFrame) -> DataFrame:
+    """documents(url, html, ...) -> one scored row per HTML block.
+
+    The HTML-leg gate (non-PDF, non-empty payload) is a JVM byte predicate
+    pushed to the scan; the block parser runs in Arrow-batched Python over
+    the surviving rows. Narrow end to end — no shuffle; at 10^12 pages
+    this is the debuggable audit trail of every keep/drop decision the
+    extractor made (write it partitioned next to the extractions).
+    """
+    from ..functions.util import ensure_parallelism
+
+    is_pdf = is_pdf_payload_col("html")
+    source = ensure_parallelism(
+        documents.select("url", "html")
+        .filter(~F.coalesce(is_pdf, F.lit(False)) & (F.length("html") > 0)))
+    return source.mapInPandas(_block_batches, schema=BLOCK_SCHEMA)
 
 
 def extraction_metrics_by_leg(results: DataFrame) -> DataFrame:

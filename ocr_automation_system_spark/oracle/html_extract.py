@@ -356,6 +356,43 @@ def extract_main_text(html: str | bytes | None) -> str:
     return "\n".join(kept)
 
 
+def block_records(url: str, payload) -> list[dict]:
+    """Per-block scoring records — the Readability/Boilerpipe decision
+    surface itself, one row per block: sizes, link density, the
+    boilerplate-container flag, the keep verdict, and an md5 of the block
+    text (the raw text stays out of the contract row; the md5 pins it).
+
+    The caller gates the leg (non-PDF, non-empty payload); this function
+    is total over any bytes/str and returns [] for undecodable-to-empty
+    input. ``link_density`` is the exact double ``link_chars / n_chars``
+    both the Spark batch and the serial twin compute with the same
+    IEEE-754 division.
+    """
+    import hashlib
+
+    if payload is None:
+        return []
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        payload = bytes(payload).decode("utf-8", errors="replace")
+    if not payload:
+        return []
+    out = []
+    for i, b in enumerate(segment_blocks(payload)):
+        n = b["n_chars"]
+        out.append({
+            "url": url,
+            "block_idx": i,
+            "n_lines": b["text"].count("\n") + 1,
+            "n_chars": n,
+            "link_chars": b["link_chars"],
+            "link_density": (b["link_chars"] / n) if n > 0 else 0.0,
+            "boilerplate": bool(b["boilerplate"]),
+            "kept": block_is_content(b),
+            "text_md5": hashlib.md5(b["text"].encode("utf-8")).hexdigest(),
+        })
+    return out
+
+
 def block_stats(html: str | bytes | None) -> tuple[int, int]:
     """(blocks_kept, blocks_dropped) — extraction-metric counters (G5)."""
     if html is None:

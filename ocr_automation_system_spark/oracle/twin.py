@@ -52,6 +52,12 @@ def twin_extractions_path(n_rows: int) -> str:
         f"spark_graft_twin_extract_v{CORPUS_VERSION}_{TWIN_VERSION}_{n_rows}.parquet")
 
 
+def twin_blocks_path(n_rows: int) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_twin_blocks_v{CORPUS_VERSION}_{TWIN_VERSION}_{n_rows}.parquet")
+
+
 def twin_media_path(n_rows: int) -> str:
     return os.path.join(
         tempfile.gettempdir(),
@@ -76,6 +82,32 @@ def _write_twin_extractions(path: str, rows: list) -> None:
 #: max_side used by the resize contract query — small enough that the
 #: stub decoder's <=255px dims actually downscale at test scale.
 RESIZE_MAX_SIDE = 128
+
+
+def _write_twin_blocks(path: str, rows: list) -> None:
+    """Per-block Readability scoring rows, serial oracle run (twin of
+    ``operators.extract.block_scores`` — same leg gate, same function)."""
+    import pandas as pd
+
+    from ..oracle.pdf_stub import PDF_MAGIC
+    from .html_extract import block_records
+
+    recs: list = []
+    for r in rows:
+        payload = bytes(r["html"]) if r["html"] is not None else b""
+        if not payload or payload.startswith(PDF_MAGIC):
+            continue
+        recs.extend(block_records(r["url"], payload))
+    df = pd.DataFrame.from_records(
+        recs, columns=["url", "block_idx", "n_lines", "n_chars",
+                       "link_chars", "link_density", "boilerplate", "kept",
+                       "text_md5"])
+    for c in ("block_idx", "n_lines", "n_chars", "link_chars"):
+        df[c] = df[c].astype("int32")
+    df["link_density"] = df["link_density"].astype("float64")
+    for c in ("boilerplate", "kept"):
+        df[c] = df[c].astype("bool")
+    df.to_parquet(path, index=False)
 
 
 def _write_twin_media(path: str, rows: list) -> None:
@@ -119,10 +151,11 @@ def ensure_twins(n_rows: int) -> dict:
         "corpus": corpus_path(n_rows),
         "twin_extractions": twin_extractions_path(n_rows),
         "twin_media": twin_media_path(n_rows),
+        "twin_blocks": twin_blocks_path(n_rows),
     }
     if not os.path.exists(paths["corpus"]):
         write_corpus(paths["corpus"], n_rows)
-    need = [k for k in ("twin_extractions", "twin_media")
+    need = [k for k in ("twin_extractions", "twin_media", "twin_blocks")
             if not os.path.exists(paths[k])]
     if need:
         rows = generate_rows(n_rows)
@@ -130,6 +163,8 @@ def ensure_twins(n_rows: int) -> dict:
             _write_twin_extractions(paths["twin_extractions"], rows)
         if "twin_media" in need:
             _write_twin_media(paths["twin_media"], rows)
+        if "twin_blocks" in need:
+            _write_twin_blocks(paths["twin_blocks"], rows)
     return paths
 
 
@@ -143,4 +178,5 @@ def render_sql(sql: str, n_rows: int) -> str:
     return (sql
             .replace("__TWIN_EXTRACTIONS__", paths["twin_extractions"])
             .replace("__TWIN_MEDIA__", paths["twin_media"])
+            .replace("__TWIN_BLOCKS__", paths["twin_blocks"])
             .replace("__CORPUS__", paths["corpus"]))

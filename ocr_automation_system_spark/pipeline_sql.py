@@ -26,6 +26,7 @@ from __future__ import annotations
 
 TWIN = "read_parquet('__TWIN_EXTRACTIONS__')"
 TWIN_MEDIA = "read_parquet('__TWIN_MEDIA__')"
+TWIN_BLOCKS = "read_parquet('__TWIN_BLOCKS__')"
 CORPUS = "read_parquet('__CORPUS__')"
 
 
@@ -419,6 +420,14 @@ SELECT url, doc_status, source_leg, document_type, missing_fields,
        entity_pan, entity_gstin, entity_udyam, entity_name, entity_date,
        entity_pin, blocks_kept, blocks_dropped, error
 FROM {TWIN}
+"""
+
+#: per-block Readability/Boilerpipe scoring rows (serial-oracle twin of
+#: the Spark mapInPandas pass — same leg gate, same block parser).
+SQL_PIPELINE_BLOCK_SCORES = f"""
+SELECT url, block_idx, n_lines, n_chars, link_chars, link_density,
+       boilerplate, kept, text_md5
+FROM {TWIN_BLOCKS}
 """
 
 SQL_PIPELINE_DUPLICATE_IDS = f"""

@@ -44,7 +44,7 @@ from .operators.adapters import (
     normalize_name,
 )
 from .operators.extract import (
-    extract_documents, extraction_metrics_by_leg,
+    block_scores, extract_documents, extraction_metrics_by_leg,
 )
 from .operators.report import entity_report
 from .operators.rules import run_rules
@@ -1654,6 +1654,15 @@ def q_pipeline_extractions(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.array_join(F.col("missing_fields"), ",")))
 
 
+def q_pipeline_block_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Readability/Boilerpipe decision surface itself: one scored row
+    per HTML block (sizes, link density, boilerplate flag, keep verdict,
+    md5 of the block text). JVM leg gate on the scan + Arrow-batched
+    block parser — narrow, no shuffle. Twin: the same oracle function run
+    serially into the blocks twin parquet."""
+    return block_scores(corpus_for(spark, sf_dir))
+
+
 def q_pipeline_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = extractions_for(spark, sf_dir)
     out = run_rules(build_entities(res), as_of="2026-01-01")
@@ -1919,6 +1928,7 @@ REGISTRY: dict = {
     # (oracle/twin.py) — placeholders in the SQL are substituted by
     # oracle.twin.render_sql before execution.
     "pipeline_extractions": (q_pipeline_extractions, PSQL.SQL_PIPELINE_EXTRACTIONS),
+    "pipeline_block_scores": (q_pipeline_block_scores, PSQL.SQL_PIPELINE_BLOCK_SCORES),
     "pipeline_validation": (q_pipeline_validation, PSQL.SQL_PIPELINE_VALIDATION),
     "pipeline_legacy_verification": (q_pipeline_legacy_verification,
                                      PSQL.SQL_PIPELINE_LEGACY_VERIFICATION),
