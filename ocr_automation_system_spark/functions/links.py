@@ -116,6 +116,39 @@ def host_graph(edges: DataFrame, src_col: str = "src_url",
     )
 
 
+def anchor_text_profile(edges: DataFrame, k: int = 3,
+                        dst_col: str = "dst_url",
+                        text_col: str = "anchor_text") -> DataFrame:
+    """Top-k anchor texts per destination SITE — the classic inbound
+    anchor-text signal (how the web describes a page) used for ranking
+    and query-document training pairs.
+
+    (dst_site, anchor_text, n_links, rank), rank 1..k by count desc then
+    text asc (total order — deterministic under any partitioning).
+
+    Scale shape: one groupBy on (dst_site, anchor_text) with map-side
+    partial aggregation (hot nav texts collapse before the shuffle), then
+    a rank<=k window that Spark executes with WindowGroupLimit — the
+    top-k filter runs partial BEFORE the window sort's exchange, so only
+    ~k rows per (site) leave each map partition.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        edges.select(
+            F.regexp_extract(F.col(dst_col), URL_PREFIX_RE, 1)
+            .alias("dst_site"),
+            F.col(text_col).alias("anchor_text"))
+        .filter(F.col("anchor_text") != "")
+        .groupBy("dst_site", "anchor_text")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    w = Window.partitionBy("dst_site").orderBy(
+        F.col("n_links").desc(), F.col("anchor_text"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def _det_sum(struct_arr: Column, field: str) -> Column:
     """Left-associative fold of ``field`` over the SORTED struct array —
     bit-exact double summation independent of partitioning."""

@@ -747,6 +747,18 @@ FROM links_t GROUP BY 1, 2
 """
 
 
+SQL_ANCHOR_TEXT_PROFILE = f"""
+WITH {_SQL_LINK_BASE},
+counts AS (SELECT {_SQL_URL_PRE % 'dst_url'} AS dst_site, anchor_text,
+                  CAST(count(*) AS BIGINT) AS n_links
+           FROM links_t WHERE anchor_text <> '' GROUP BY 1, 2)
+SELECT dst_site, anchor_text, n_links, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY dst_site
+             ORDER BY n_links DESC, anchor_text) AS rank
+  FROM counts) WHERE rank <= 3
+"""
+
+
 def _sql_outlink(off: int) -> str:
     """Deterministic synthetic cross-host outlink (md5 hex slice -> host
     index mod 24) — twin of ``queries._synth_outlink``."""

@@ -1734,6 +1734,16 @@ def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.host_graph(L.extract_links(c))
 
 
+def q_anchor_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 inbound anchor texts per destination site (how the web
+    describes a page — ranking/query-pair training signal). One map-side
+    combined groupBy + a WindowGroupLimit-pushed rank<=k filter."""
+    from .functions import links as L
+
+    c = corpus_for(spark, sf_dir).select("url", "html")
+    return L.anchor_text_profile(L.extract_links(c), k=3)
+
+
 def _synth_outlink(url: Column, off: int) -> Column:
     """Deterministic synthetic cross-host outlink: md5 hex slice at
     ``off`` -> host index mod 24 (twin: ``pipeline_sql._sql_outlink``).
@@ -1949,6 +1959,7 @@ REGISTRY: dict = {
     # link graph: anchors from raw html, host graph, iterative PageRank
     "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
+    "anchor_text_profile": (q_anchor_text_profile, PSQL.SQL_ANCHOR_TEXT_PROFILE),
     "host_pagerank": (q_host_pagerank, PSQL.SQL_HOST_PAGERANK),
     # multimodal plumbing (decode stubs; plumbing hash-checked via twin)
     "media_metadata": (q_media_metadata, PSQL.SQL_MEDIA_METADATA),
@@ -1966,6 +1977,7 @@ CORPUS_QUERIES: frozenset = frozenset(
 ) | frozenset({
     "url_canonicalize", "url_dup_groups", "latest_capture",
     "link_edges", "host_link_graph", "host_pagerank",
+    "anchor_text_profile",
 })
 
 

@@ -140,3 +140,42 @@ def test_pagerank_checkpoint_every_matches(spark):
     ck = {r["node"]: r["rank"] for r in
           pagerank(df, iters=4, checkpoint_every=2).collect()}
     assert plain == ck
+
+
+def test_anchor_text_profile_topk_and_determinism(spark):
+    from ocr_automation_system_spark.functions.links import (
+        anchor_text_profile,
+    )
+
+    rows = []
+    # 5x "Widgets", 3x "Home", 2x "About", 1x "" (dropped) -> same dst site
+    for i, (t, n) in enumerate([("Widgets", 5), ("Home", 3),
+                                ("About", 2), ("", 1)]):
+        rows += [(f"https://s{i}{j}.com/p", "https://t.com/x", t)
+                 for j in range(n)]
+    rows.append(("https://z.com/p", "https://other.com/y", "Solo"))
+    df = spark.createDataFrame(rows, ["src_url", "dst_url", "anchor_text"])
+    got = {(r["dst_site"], r["rank"]): (r["anchor_text"], r["n_links"])
+           for r in anchor_text_profile(df, k=2).collect()}
+    assert got[("https://t.com", 1)] == ("Widgets", 5)
+    assert got[("https://t.com", 2)] == ("Home", 3)
+    assert got[("https://other.com", 1)] == ("Solo", 1)
+    assert len(got) == 3  # k=2 cap + empty text dropped
+
+    base = sorted(map(tuple, anchor_text_profile(df, k=2).collect()))
+    rep = sorted(map(tuple,
+                     anchor_text_profile(df.repartition(7), k=2).collect()))
+    assert rep == base
+
+
+def test_anchor_text_profile_plan_pushes_window_group_limit(spark):
+    from ocr_automation_system_spark.functions.links import (
+        anchor_text_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("https://a.com/p", "https://t.com/x", "T")],
+        ["src_url", "dst_url", "anchor_text"])
+    plan = (anchor_text_profile(df, k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan
