@@ -315,3 +315,88 @@ def blocklist_filter(df: DataFrame, blocklist: DataFrame,
     pure map-side stage. ``blocklist`` must expose ``domain_col``."""
     return df.join(F.broadcast(blocklist.select(domain_col).distinct()),
                    domain_col, "left_anti")
+
+
+def stratified_sample(df: DataFrame, rates_per_mille: dict,
+                      strat_col: str = "source", id_col: str = "doc_id",
+                      default_per_mille: int = 1000) -> DataFrame:
+    """Deterministic domain-mixture resampling: keep each row iff its md5
+    split bucket (0..999) is below the per-mille rate of its stratum —
+    the standard up/down-weighting pass when composing a training mix
+    (e.g. wiki x1.0, forums x0.3, spammy-host x0.05).
+
+    No RNG: the same rows survive under any partitioning, rerun, resume
+    or engine (DuckDB twin is a CASE over the same md5 arithmetic).
+    Scale shape: the rates dimension (one row per stratum) BROADCASTs
+    onto the scan and the bucket predicate is a JVM projection — the
+    corpus never shuffles; at 10^12 rows this is a pure map-side pass.
+    """
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(rates_per_mille.items())],
+        schema=f"{strat_col} string, _pm int")
+    b = split_bucket(F.col(id_col))
+    return (df.join(F.broadcast(rates), strat_col, "left")
+            .withColumn("_pm", F.coalesce(F.col("_pm"),
+                                          F.lit(int(default_per_mille))))
+            .filter(b < F.col("_pm"))
+            .drop("_pm"))
+
+
+def duplicate_spans(df: DataFrame, w: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    max_docs_per_shingle: int = 64) -> DataFrame:
+    """Exact duplicated-span detection between document pairs (the
+    ExactSubstr dedup signal of Lee et al. 2022, re-expressed relationally):
+    (doc_a, doc_b, n_aligned, max_span_tokens) where ``max_span_tokens``
+    is the longest run of tokens the two documents share verbatim.
+
+    Method: POSITIONAL w-token shingles (md5 of the w-gram at each token
+    offset). Two docs sharing a verbatim span of L >= w tokens share
+    L - w + 1 aligned shingles on one DIAGONAL (constant pos_a - pos_b),
+    at consecutive positions; so after the shingle equi-join, runs of
+    consecutive positions within a (pair, diagonal) group are recovered
+    with the classic pos - row_number() island trick and
+    ``max_span_tokens = max_run + w - 1``. Exact — no probabilistic
+    signature anywhere.
+
+    Scale shape: one shingle-census groupBy with an occupancy cap
+    (``max_docs_per_shingle`` distinct docs — boilerplate w-grams are the
+    skew and carry no span information; same device as the LSH/SimHash
+    bucket caps), then a bucketed self-equi-join ONLY on surviving
+    shingles, then two hash aggregations keyed by the pair. Never
+    all-pairs; every stage is a keyed shuffle with map-side combine.
+    """
+    toks = ws_tokens(clean_text(F.col(text_col)))
+    k = F.size(toks) - (w - 1)
+    grams = F.when(k > 0, F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, w))),
+    )).otherwise(F.array().cast("array<string>"))
+    sh = (ensure_parallelism(df)
+          .select(F.col(id_col).alias("_doc"), grams.alias("_g"))
+          .select("_doc", F.posexplode("_g").alias("_pos", "_h")))
+
+    census = (sh.groupBy("_h")
+              .agg(F.count_distinct("_doc").alias("_nd"))
+              .filter((F.col("_nd") >= 2)
+                      & (F.col("_nd") <= max_docs_per_shingle))
+              .select("_h"))
+    s = sh.join(census, "_h")
+
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (a.join(b, (F.col("a._h") == F.col("b._h"))
+                    & (F.col("a._doc") < F.col("b._doc")))
+             .select(F.col("a._doc").alias("doc_a"),
+                     F.col("b._doc").alias("doc_b"),
+                     (F.col("a._pos") - F.col("b._pos")).alias("_diag"),
+                     F.col("a._pos").alias("_pos")))
+
+    win = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("_pos")
+    runs = (pairs
+            .withColumn("_isl", F.col("_pos") - F.row_number().over(win))
+            .groupBy("doc_a", "doc_b", "_diag", "_isl")
+            .agg(F.count(F.lit(1)).alias("_run")))
+    return (runs.groupBy("doc_a", "doc_b")
+            .agg(F.sum("_run").alias("n_aligned"),
+                 (F.max("_run") + F.lit(w - 1)).alias("max_span_tokens")))

@@ -647,6 +647,77 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+#: per-mille keep rates for the stratified-sample contract query — a
+#: deterministic domain mix (downweight src0/src1 hard, src2 mildly,
+#: default 1000 = keep everything else).
+STRATA_RATES = {"src0": 50, "src1": 300, "src2": 800}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: md5-bucket keep-rate per source. Pure
+    map-side pass (broadcast rates dim + JVM bucket predicate)."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (C.stratified_sample(docs, STRATA_RATES)
+            .select("doc_id", "source"))
+
+
+def _sql_rate_case() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}"
+                     for k, v in sorted(STRATA_RATES.items()))
+    return f"CASE source {whens} ELSE 1000 END"
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 1000 < {_sql_rate_case()}
+"""
+
+
+DUP_SPAN_W = 8
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection: longest verbatim
+    token run shared by each doc pair, via positional shingles ->
+    capped census -> diagonal island runs (see
+    functions.curation.duplicate_spans)."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.duplicate_spans(docs, w=DUP_SPAN_W)
+
+
+SQL_DUPLICATE_SPANS = f"""
+WITH toks AS (SELECT doc_id, {_sql_toks(_sql_clean('text'))} AS tk
+              FROM documents),
+pos AS (SELECT doc_id, tk,
+               unnest(range(1, greatest(len(tk) - {DUP_SPAN_W} + 1, 0) + 1))
+               AS i
+        FROM toks),
+sh AS (SELECT doc_id AS doc, CAST(i - 1 AS INT) AS pos,
+              md5(array_to_string(tk[i:i+{DUP_SPAN_W - 1}], ' ')) AS h
+       FROM pos),
+census AS (SELECT h FROM (SELECT h, count(DISTINCT doc) AS nd
+                          FROM sh GROUP BY 1)
+           WHERE nd BETWEEN 2 AND 64),
+s AS (SELECT sh.doc, sh.pos, sh.h FROM sh JOIN census USING (h)),
+pairs AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+                 a.pos - b.pos AS diag, a.pos AS pos
+          FROM s a JOIN s b ON a.h = b.h AND a.doc < b.doc),
+runs AS (SELECT doc_a, doc_b, diag, isl, count(*) AS run FROM (
+           SELECT doc_a, doc_b, diag, pos,
+                  pos - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                           ORDER BY pos) AS isl
+           FROM pairs) GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, CAST(sum(run) AS BIGINT) AS n_aligned,
+       CAST(max(run) + {DUP_SPAN_W - 1} AS BIGINT) AS max_span_tokens
+FROM runs GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup queries (documents table)
 # ---------------------------------------------------------------------------
@@ -1875,6 +1946,8 @@ REGISTRY: dict = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
     "domain_quota": (q_domain_quota, SQL_DOMAIN_QUOTA),
     "pack_bins": (q_pack_bins, SQL_PACK_BINS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
