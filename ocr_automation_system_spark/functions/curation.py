@@ -345,7 +345,8 @@ def stratified_sample(df: DataFrame, rates_per_mille: dict,
 
 def duplicate_spans(df: DataFrame, w: int = 8, text_col: str = "text",
                     id_col: str = "doc_id",
-                    max_docs_per_shingle: int = 64) -> DataFrame:
+                    max_docs_per_shingle: int = 64,
+                    persist_survivors: bool = True) -> DataFrame:
     """Exact duplicated-span detection between document pairs (the
     ExactSubstr dedup signal of Lee et al. 2022, re-expressed relationally):
     (doc_a, doc_b, n_aligned, max_span_tokens) where ``max_span_tokens``
@@ -366,6 +367,12 @@ def duplicate_spans(df: DataFrame, w: int = 8, text_col: str = "text",
     bucket caps), then a bucketed self-equi-join ONLY on surviving
     shingles, then two hash aggregations keyed by the pair. Never
     all-pairs; every stage is a keyed shuffle with map-side combine.
+    The census-surviving shingle table is PERSISTED before the self-join
+    (``persist_survivors``) — without it each alias recomputes the census
+    subtree and re-reads the scan (visible as duplicated subtrees in
+    `.explain`); survivors are the rare duplicated shingles, orders of
+    magnitude smaller than the shingle stream, and at cluster scale the
+    production job writes them bucketed by hash instead.
     """
     toks = ws_tokens(clean_text(F.col(text_col)))
     k = F.size(toks) - (w - 1)
@@ -383,6 +390,8 @@ def duplicate_spans(df: DataFrame, w: int = 8, text_col: str = "text",
                       & (F.col("_nd") <= max_docs_per_shingle))
               .select("_h"))
     s = sh.join(census, "_h")
+    if persist_survivors:
+        s = s.persist()
 
     a, b = s.alias("a"), s.alias("b")
     pairs = (a.join(b, (F.col("a._h") == F.col("b._h"))
