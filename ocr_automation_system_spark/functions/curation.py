@@ -409,3 +409,51 @@ def duplicate_spans(df: DataFrame, w: int = 8, text_col: str = "text",
     return (runs.groupBy("doc_a", "doc_b")
             .agg(F.sum("_run").alias("n_aligned"),
                  (F.max("_run") + F.lit(w - 1)).alias("max_span_tokens")))
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Fixed-size token chunking with overlap — the training/embedding
+    export step that turns documents into model-sized windows:
+    (doc_id, chunk_idx, start_tok, n_tokens, chunk_md5). Stride is
+    ``chunk_tokens - overlap``; the last chunk is the short tail (always
+    emitted for non-empty docs, so every token lands in >= 1 chunk).
+
+    Pure narrow projection: tokens -> sequence of chunk starts ->
+    per-chunk slice + md5, all JVM array expressions fused with the scan
+    — zero shuffle, zero Python; scales embarrassingly. Empty/null docs
+    emit no rows. ``chunk_md5`` hashes the space-joined token window, so
+    downstream chunk-level dedup is a plain groupBy on it.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = ws_tokens(clean_text(F.col(text_col)))
+    n = F.size(toks)
+    # starts: 1, 1+stride, ... up to the last index that begins a NEW
+    # window (start <= n - overlap keeps the tail from duplicating a
+    # full previous window; short docs get exactly one chunk).
+    n_chunks = F.when(
+        n <= chunk_tokens, F.when(n > 0, F.lit(1)).otherwise(F.lit(0))
+    ).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + 1)
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.when(n_chunks > 0, F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("chunk_idx"),
+            s.cast("long").alias("start_tok"),
+            F.least(n - s, F.lit(chunk_tokens)).cast("long")
+            .alias("n_tokens"),
+            F.md5(F.concat_ws(
+                " ", F.slice(toks, s + 1,
+                             F.least(n - s, F.lit(chunk_tokens)))))
+            .alias("chunk_md5"),
+        ))).otherwise(F.array().cast(
+            "array<struct<chunk_idx:int,start_tok:bigint,"
+            "n_tokens:bigint,chunk_md5:string>>"))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(chunks).alias("_c"))
+            .select("doc_id", "_c.chunk_idx", "_c.start_tok",
+                    "_c.n_tokens", "_c.chunk_md5"))

@@ -676,6 +676,46 @@ WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
 """
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 64, 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (training/embedding export
+    windows). Pure narrow projection — JVM array expressions fused with
+    the scan, zero shuffle."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.chunk_documents(docs, chunk_tokens=CHUNK_TOKENS,
+                             overlap=CHUNK_OVERLAP)
+
+
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH toks AS (SELECT doc_id, {_sql_toks(_sql_clean('text'))} AS tk
+              FROM documents),
+meta AS (SELECT doc_id, tk, len(tk) AS n,
+  CASE WHEN len(tk) = 0 THEN 0
+       WHEN len(tk) <= {CHUNK_TOKENS} THEN 1
+       ELSE CAST(ceil((len(tk) - {CHUNK_TOKENS})
+                      / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS INT) + 1
+  END AS nc
+  FROM toks),
+st AS (SELECT doc_id, tk, n, unnest(range(0, nc)) AS ci
+       FROM meta WHERE nc > 0)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+  CAST(ci * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+  CAST(least(n - ci * {_CHUNK_STRIDE}, {CHUNK_TOKENS}) AS BIGINT)
+    AS n_tokens,
+  md5(array_to_string(
+    tk[ci * {_CHUNK_STRIDE} + 1 :
+       ci * {_CHUNK_STRIDE} + least(n - ci * {_CHUNK_STRIDE},
+                                    {CHUNK_TOKENS})], ' ')) AS chunk_md5
+FROM st
+"""
+
+
 DUP_SPAN_W = 8
 
 
@@ -1948,6 +1988,7 @@ REGISTRY: dict = {
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "domain_quota": (q_domain_quota, SQL_DOMAIN_QUOTA),
     "pack_bins": (q_pack_bins, SQL_PACK_BINS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),

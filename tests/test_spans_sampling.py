@@ -90,3 +90,52 @@ def test_stratified_sample_is_map_side_only(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from ocr_automation_system_spark.functions.curation import (
+        chunk_documents,
+    )
+
+    n = 150
+    rows = [(1, _words("w", n), "s"),     # 150 toks: 3 chunks at 64/8
+            (2, _words("x", 10), "s"),    # short: 1 chunk of 10
+            (3, None, "s"), (4, "", "s")]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=64, overlap=8).collect())
+    # stride 56: starts 0,56,112 -> sizes 64,64,38; every token covered,
+    # consecutive chunks overlap by 8 (except the short tail)
+    assert got == [(1, 0, 0, 64), (1, 1, 56, 64), (1, 2, 112, 38),
+                   (2, 0, 0, 10)]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_chunk_documents_md5_enables_chunk_dedup(spark):
+    from ocr_automation_system_spark.functions.curation import (
+        chunk_documents,
+    )
+
+    shared = _words("same", 30)
+    df = spark.createDataFrame(
+        [(1, shared, "s"), (2, shared, "s"), (3, _words("oth", 30), "s")],
+        DOC_SCHEMA)
+    ch = chunk_documents(df, chunk_tokens=64, overlap=8)
+    groups = (ch.groupBy("chunk_md5")
+              .agg(F.count(F.lit(1)).alias("n")).collect())
+    assert sorted(r["n"] for r in groups) == [1, 2]
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from ocr_automation_system_spark.functions.curation import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame([(1, "a b c", "s")], DOC_SCHEMA)
+    plan = (chunk_documents(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
