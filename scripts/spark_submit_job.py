@@ -56,6 +56,9 @@ def main(argv=None, stop_session: bool = True) -> int:
                    help="also build the curated training corpus artifact")
     p.add_argument("--domain-quota", type=int, default=1000,
                    help="max docs kept per host in --curate mode")
+    p.add_argument("--chunk-tokens", type=int, default=0,
+                   help="--curate only: also export fixed-size token "
+                        "chunks of the train split (0 = off)")
     args = p.parse_args(argv)
 
     spark = build_session(app_name="ocr_automation_system_spark_job", master=args.master)
@@ -90,7 +93,8 @@ def main(argv=None, stop_session: bool = True) -> int:
                   os.path.join(args.output, "checksum_checks"))
 
     if args.curate:
-        curate(spark, results, args.output, quota=args.domain_quota)
+        curate(spark, results, args.output, quota=args.domain_quota,
+               chunk_tokens=args.chunk_tokens)
 
     summary = lineage_summary(args.output, args.n_buckets)
     print(f"done: {summary['total_rows']} docs across "
@@ -102,7 +106,8 @@ def main(argv=None, stop_session: bool = True) -> int:
     return 0
 
 
-def curate(spark, results, output: str, quota: int = 1000) -> None:
+def curate(spark, results, output: str, quota: int = 1000,
+           chunk_tokens: int = 0) -> None:
     """Committed extractions -> curated training corpus.
 
     Chain (each stage a documented survivor count): usable docs only ->
@@ -110,7 +115,9 @@ def curate(spark, results, output: str, quota: int = 1000) -> None:
     connected components) -> per-host quality quota -> deterministic
     md5-bucket train/val split -> parquet partitioned by split. All
     stages key on url/content hashes — a rerun over the same committed
-    extractions writes byte-identical output."""
+    extractions writes byte-identical output. ``chunk_tokens`` > 0 adds
+    the export step: the train split cut into fixed-size token windows
+    (``curation.chunk_documents``) under ``<output>/chunks``."""
     from pyspark.sql import functions as F
 
     from ocr_automation_system_spark.functions import curation as C
@@ -151,6 +158,13 @@ def curate(spark, results, output: str, quota: int = 1000) -> None:
     written = spark.read.parquet(out)
     counts["train"] = written.filter(F.col("split") == "train").count()
     counts["val"] = written.filter(F.col("split") == "val").count()
+    if chunk_tokens:
+        ch_out = os.path.join(output, "chunks")
+        (C.chunk_documents(written.filter(F.col("split") == "train"),
+                           chunk_tokens=chunk_tokens,
+                           overlap=max(1, chunk_tokens // 8))
+         .write.mode("overwrite").parquet(ch_out))
+        counts["train_chunks"] = spark.read.parquet(ch_out).count()
     docs.unpersist()
     deduped.unpersist()
 

@@ -50,3 +50,25 @@ def test_curate_artifact(spark, tmp_path):
     assert out2 == out  # same path, resumed (extraction all skipped)
     cur2 = spark.read.parquet(os.path.join(out, "curated"))
     assert sorted((r["doc_id"], r["split"]) for r in cur2.collect()) == first
+
+
+def test_curate_chunk_export(spark, tmp_path):
+    out = str(tmp_path / "jobc")
+    rc = spark_submit_job.main([
+        "--synthetic", "200", "--output", out, "--curate",
+        "--domain-quota", "50", "--chunk-tokens", "32",
+    ], stop_session=False)
+    assert rc == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    ch = spark.read.parquet(os.path.join(out, "chunks"))
+    rows = ch.collect()
+    assert len(rows) == counts["train_chunks"] > 0
+    assert set(ch.columns) == {"doc_id", "chunk_idx", "start_tok",
+                               "n_tokens", "chunk_md5"}
+    # every train doc is covered and no chunk exceeds the budget
+    train_ids = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(out, "curated"))
+        .filter("split = 'train' AND length(trim(text)) > 0").collect()}
+    assert {r["doc_id"] for r in rows} == train_ids
+    assert all(0 < r["n_tokens"] <= 32 for r in rows)

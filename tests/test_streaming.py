@@ -231,3 +231,38 @@ def test_stateless_link_and_url_ops_stream_unchanged(spark, tmp_path):
         got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
         want = sorted(tuple(r) for r in fn(batch_in).collect())
         assert got == want and got, name
+
+
+def test_stateless_chunk_and_sample_ops_stream_unchanged(spark, tmp_path):
+    """chunk_documents and stratified_sample are narrow (projection /
+    broadcast-join) ops — the same bodies must run under readStream and
+    reproduce the batch rows."""
+    from ocr_automation_system_spark.functions.curation import (
+        chunk_documents, stratified_sample,
+    )
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(40)),
+             ["a", "b"][i % 2]) for i in range(20)]
+    schema = "doc_id long, text string, source string"
+    spark.createDataFrame(rows, schema).write.parquet(
+        os.path.join(d, "drop1"))
+
+    stream_in = spark.readStream.schema(schema).parquet(os.path.join(d, "*"))
+    batch_in = spark.createDataFrame(rows, schema)
+    cases = (
+        (lambda df: chunk_documents(df, chunk_tokens=16, overlap=4),
+         "chunks"),
+        (lambda df: stratified_sample(df, {"a": 400}), "sample"),
+    )
+    for fn, name in cases:
+        out = str(tmp_path / f"out_{name}")
+        q = (fn(stream_in).writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(tuple(r) for r in fn(batch_in).collect())
+        assert got == want and got, name
