@@ -38,7 +38,8 @@ HEADLINE = (
     "pii_scrub", "repetition_scores", "source_blocklist",
     "url_dup_groups", "latest_capture", "pipeline_line_dedup",
     "link_edges", "host_pagerank", "lm_quality_scores",
-    "duplicate_spans", "stratified_sample",
+    "duplicate_spans", "stratified_sample", "chunk_documents",
+    "hll_source_cardinality", "token_postings", "tfidf_top_terms",
     "entity_join_shape", "report_summary", "duplicate_id_groups",
     "checksum_existence_join", "topk_per_group",
     "pricing_summary", "top_revenue_orders", "region_nation_rollup",

@@ -1,0 +1,115 @@
+"""Inverted index construction and TF-IDF term scoring.
+
+The export side of a web corpus: once extraction/dedup settle, you build
+(1) token -> posting-list tables for retrieval and corpus introspection,
+and (2) per-document salient-term vectors for clustering / labeling /
+mixture design. Both are pure relational shapes with exact DuckDB twins.
+
+Cross-engine determinism notes (same contract as ``functions/lm.py``):
+
+* tokenization shares ``lm.TOKEN_RE`` verbatim with the twin;
+* posting lists are CAPPED per token with a (token-keyed) window rank
+  BEFORE any list materializes — a stopword's posting head is 32 doc
+  ids, never 10^11 — and serialized sorted, so the string is a pure
+  function of the pair set;
+* TF-IDF deliberately uses the RATIONAL idf ``N / df`` instead of
+  ``ln(N/df)``: one correctly-rounded double division both engines agree
+  on bit-for-bit, monotone in the same direction, no 1-ulp ``Math.log``
+  flake in the hash gate (see lm.py's rationale). Swap ``ln`` back in
+  driver-side if downstream wants the classic scale.
+
+Scale shape at 10^12 docs:
+
+* ``token_postings``: explode is narrow; distinct(token, doc) and the
+  df-count + head aggregations all hash on the token key — AQE coalesces
+  the reused exchange; output is the artifact (write bucketed by token).
+  Stopword skew lands in AGGREGATIONS (map-side partial combine absorbs
+  it), never in an unbounded collect.
+* ``tfidf_top_terms``: tf agg shuffles on (doc, token); the df table
+  aggregates FROM tf (token-keyed shuffle of the already-collapsed tf
+  rows, not the raw stream); df joins back small (capped vocabulary ->
+  broadcast); the final top-k is a WindowGroupLimit on the doc key —
+  rank <= k prunes partitions before the full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .lm import tokens_lower
+from .util import ensure_parallelism
+
+#: posting-list head size (documented cap — the full df count is kept).
+POSTINGS_CAP = 32
+
+
+def token_doc_pairs(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Distinct (token, doc) membership pairs — the index's edge list."""
+    return (ensure_parallelism(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens_lower(F.col(text_col)))
+                    .alias("token"))
+            .distinct())
+
+
+def token_postings(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   cap: int = POSTINGS_CAP) -> DataFrame:
+    """(token, df_docs, postings): document frequency + the first ``cap``
+    doc ids ascending, comma-joined.
+
+    The head is ranked per token BEFORE collecting, so no task ever holds
+    more than ``cap`` ids for one token; df_docs comes from the full pair
+    set via a map-side-combined count. Both aggregations key on token —
+    one logical shuffle, reused."""
+    pairs = token_doc_pairs(df, id_col, text_col)
+    counts = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_docs"))
+    w = Window.partitionBy("token").orderBy(F.col("doc_id").asc())
+    heads = (pairs
+             .withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") <= cap)
+             .groupBy("token")
+             .agg(F.array_join(
+                 F.transform(F.sort_array(F.collect_list("doc_id")),
+                             lambda x: x.cast("string")),
+                 ",").alias("postings")))
+    return counts.join(heads, "token")
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5) -> DataFrame:
+    """Top-``k`` salient terms per document by rational TF-IDF:
+    (doc_id, token, tf, df_docs, score, rk) with
+    ``score = (tf * N) / df_docs`` as one exact integer product and one
+    correctly-rounded division.
+
+    Ties break (score desc, token asc) — total order, token is unique
+    within a doc."""
+    toks = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens_lower(F.col(text_col)))
+                    .alias("token")))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    scored = (tf.join(F.broadcast(dfreq), "token")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+                  "score",
+                  (F.col("tf") * F.col("_n")).cast("double")
+                  / F.col("df_docs").cast("double")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc())
+    return (scored
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("doc_id", "token",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df_docs").cast("long").alias("df_docs"),
+                    "score",
+                    F.col("rk").cast("int").alias("rk")))

@@ -1,0 +1,177 @@
+"""Deterministic cardinality / membership sketches for corpus accounting.
+
+At 10^12 documents the questions "how many distinct pages does this host
+have?" and "how full is the dedup filter we ship to the next crawl?" can't
+be answered with exact distinct counts per host per day — the sketches
+below are the standard answers, rebuilt so that every bit is a pure
+function of md5, which makes them (a) mergeable across partitions, days
+and engines, and (b) exactly reproducible by a DuckDB twin (no engine
+hash functions, no RNG).
+
+**HyperLogLog** (Flajolet et al. 2007): register index = the first
+``2^p``-range of the item's md5; rank = leading-zero count of the next 60
+bits + 1. The per-(group, register) max-rank table IS the sketch — it
+merges by ``max`` under any partitioning, re-aggregation or union of
+corpus snapshots, which is exactly how a 1000-executor job maintains a
+per-host census across daily crawls: keep the register table bucketed by
+group, merge new days in with a map-side ``max``. The raw estimator
+``alpha_m * m^2 / sum(2^-r_j)`` is computed with a fixed fold order so
+Spark and DuckDB agree bit-for-bit; the small/large-range corrections
+(which need ``ln``) are deliberately OUTSIDE the cross-engine contract —
+apply them driver-side on the returned doubles if needed.
+
+**Bloom filter census**: k=4 bit positions per item, each a 16-bit slice
+of md5 mod m. The production artifact is the per-partition bitmap merged
+by OR (Spark's own ``bloom_filter_agg`` or a 512-byte BinaryType column
+folded with ``bit_or``); the contract surface here is the census form —
+distinct bit positions set per group, fill fraction, and the standard
+``fill^k`` false-positive estimate (integer exponent -> repeated
+multiplication, no ``pow``-accuracy dependence). An incremental-dedup
+pass against yesterday's crawl is then: broadcast yesterday's bitmap,
+keep rows with any unset bit (guaranteed-new), exact-check the rest.
+
+No reference counterpart (the reference processes O(10^2) local PDFs,
+``/root/reference/project/main.py``); this tier exists for the web-scale
+corpus the engine targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: HLL precision: p=8 -> m=256 registers; tail = 60 bits (15 hex chars),
+#: so ranks lie in [1, 61].
+HLL_P_HEX = 2
+HLL_M = 256
+HLL_TAIL_HEX = 15
+#: alpha_256 * m^2, written as the literal arithmetic both engines run.
+#: 0.7213 / (1 + 1.079/m) is Flajolet's bias constant for m >= 128.
+
+#: Bloom geometry: m bits, k 16-bit md5 slices.
+BLOOM_M = 4096
+BLOOM_K = 4
+
+#: leading-zero-bit count WITHIN the first nonzero hex digit.
+_NIBBLE_LZ = {("8", "9", "a", "b", "c", "d", "e", "f"): 0,
+              ("4", "5", "6", "7"): 1,
+              ("2", "3"): 2,
+              ("1",): 3}
+
+
+def _hll_rank() -> Column:
+    """1 + number of leading zero bits of the 60-bit ``_hll_tail`` column
+    (61 if zero).
+
+    Pure string arithmetic — ``trim(LEADING '0')`` + a hex-digit CASE on
+    the first surviving digit — because ``conv``-to-integer would need 64
+    bits and a transcendental-free log2; identical logic in the twin."""
+    stripped = F.expr("trim(LEADING '0' FROM _hll_tail)")
+    first = F.substring(stripped, 1, 1)
+    cases = F.when(F.length(stripped) == 0, F.lit(4 * HLL_TAIL_HEX + 1))
+    for digits, lz in _NIBBLE_LZ.items():
+        cases = cases.when(first.isin(*digits),
+                           4 * (HLL_TAIL_HEX - F.length(stripped)) + lz + 1)
+    return cases
+
+
+def hll_register_table(df: DataFrame, group_col: str = "source",
+                       item: Column | None = None) -> DataFrame:
+    """The mergeable sketch: (group, register j, max rank r, n items).
+
+    One map-side-combined shuffle on (group, j) — at most ``m`` rows per
+    group survive, whatever the corpus size. ``item`` defaults to the
+    cleaned-content identity ``md5(coalesce(text, ''))``."""
+    h = item if item is not None else F.md5(F.coalesce("text", F.lit("")))
+    reg = (df
+           .withColumn("_hll_h", h)
+           .withColumn("_hll_j",
+                       F.conv(F.substring("_hll_h", 1, HLL_P_HEX), 16, 10)
+                       .cast("long"))
+           .withColumn("_hll_tail",
+                       F.substring("_hll_h", HLL_P_HEX + 1, HLL_TAIL_HEX))
+           .withColumn("_hll_r", _hll_rank()))
+    return (reg.groupBy(F.col(group_col).alias("grp"),
+                        F.col("_hll_j").alias("j"))
+            .agg(F.max("_hll_r").alias("r"),
+                 F.count(F.lit(1)).alias("c")))
+
+
+def hll_cardinality(df: DataFrame, group_col: str = "source",
+                    item: Column | None = None,
+                    with_exact: bool = True) -> DataFrame:
+    """Per-group HLL estimate: (group, n_items, n_registers, est_raw
+    [, exact_distinct]).
+
+    The register fold is ordered by j (sort_array over <= m structs per
+    group) so the double sum is a deterministic value sequence — bit-exact
+    vs the twin under any partitioning. Every addend is an exact power of
+    two (``pow(2, -r)`` is exact for integer r), and the alpha constant is
+    spelled as the same literal arithmetic on both engines. ``with_exact``
+    adds the true distinct count (an extra shuffle) for error reporting —
+    turn it off at scale, the sketch is the point."""
+    regs = hll_register_table(df, group_col, item)
+    folded = (
+        regs.groupBy("grp")
+        .agg(F.sum("c").alias("n_items"),
+             F.count(F.lit(1)).alias("n_registers"),
+             F.aggregate(
+                 F.sort_array(F.collect_list(F.struct("j", "r"))),
+                 F.lit(0.0),
+                 lambda acc, x: acc + F.pow(F.lit(2.0), -x["r"]))
+             .alias("_s")))
+    alpha_m2 = ((0.7213 / (1.0 + 1.079 / float(HLL_M)))
+                * float(HLL_M) * float(HLL_M))
+    out = folded.select(
+        F.col("grp").alias(group_col),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_registers").cast("long").alias("n_registers"),
+        (F.lit(alpha_m2)
+         / (F.col("_s")
+            + (F.lit(HLL_M) - F.col("n_registers")).cast("double")))
+        .alias("est_raw"))
+    if not with_exact:
+        return out
+    h = item if item is not None else F.md5(F.coalesce("text", F.lit("")))
+    exact = (df.select(F.col(group_col), h.alias("_h"))
+             .groupBy(group_col)
+             .agg(F.count_distinct("_h").alias("exact_distinct")))
+    return out.join(F.broadcast(exact), group_col, "left")
+
+
+def bloom_positions(item: Column) -> Column:
+    """k bit positions for an item: disjoint 16-bit md5 slices mod m."""
+    h = F.md5(item)
+    return F.array(*[
+        F.pmod(F.conv(F.substring(h, 1 + 4 * i, 4), 16, 10).cast("long"),
+               F.lit(BLOOM_M))
+        for i in range(BLOOM_K)])
+
+
+def bloom_census(df: DataFrame, group_col: str = "source",
+                 item: Column | None = None) -> DataFrame:
+    """Per-group Bloom occupancy: (group, n_items, bits_set, fill_frac,
+    fp_rate_est).
+
+    Census form of the filter: explode the k positions, count distinct
+    bits per group (one shuffle; <= m rows per group survive the partial
+    aggregate). ``fp_rate_est = fill^k`` by repeated multiplication.
+    Production artifact shape (bitmap folded with bit_or, broadcast to
+    the next crawl's dedup pass) is documented in the module docstring."""
+    it = item if item is not None else F.coalesce("text", F.lit(""))
+    pos = (df.select(F.col(group_col).alias("grp"),
+                     F.explode(bloom_positions(it)).alias("bit")))
+    per_item = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_items"))
+    bits = pos.groupBy("grp").agg(
+        F.count_distinct("bit").alias("bits_set"))
+    fill = F.col("bits_set").cast("double") / F.lit(float(BLOOM_M))
+    fp = fill
+    for _ in range(BLOOM_K - 1):
+        fp = fp * fill
+    return (bits.join(F.broadcast(per_item), "grp")
+            .select(F.col("grp").alias(group_col),
+                    F.col("n_items").cast("long").alias("n_items"),
+                    F.col("bits_set").cast("long").alias("bits_set"),
+                    fill.alias("fill_frac"),
+                    fp.alias("fp_rate_est")))

@@ -1974,6 +1974,148 @@ def q_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketches (deterministic HLL / Bloom census) + inverted index / TF-IDF
+# ---------------------------------------------------------------------------
+
+def q_hll_source_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct-content estimate from an md5-pure,
+    engine-portable sketch (functions/sketch.py): the mergeable (group,
+    register, max-rank) table folds to the raw estimator with a fixed
+    order; exact distinct attached for error reporting."""
+    from .functions import sketch as S
+
+    return S.hll_cardinality(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_hll_rank(st: str) -> str:
+    first = f"substr({st}, 1, 1)"
+    return f"""CASE WHEN {st} = '' THEN 61
+    ELSE 4 * (15 - length({st}))
+         + CASE WHEN {first} IN ('8','9','a','b','c','d','e','f') THEN 0
+                WHEN {first} IN ('4','5','6','7') THEN 1
+                WHEN {first} IN ('2','3') THEN 2
+                ELSE 3 END
+         + 1 END"""
+
+
+SQL_HLL_SOURCE_CARDINALITY = f"""
+WITH h AS (SELECT source, md5(coalesce(text, '')) AS h FROM documents),
+t AS (SELECT source, h,
+             CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS j,
+             ltrim(substr(h, 3, 15), '0') AS st
+      FROM h),
+r AS (SELECT source, j, {_sql_hll_rank('st')} AS rho FROM t),
+reg AS (SELECT source, j, max(rho) AS r, count(*) AS c
+        FROM r GROUP BY 1, 2),
+agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_items,
+               CAST(count(*) AS BIGINT) AS n_registers,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(pow(2.0, -r) ORDER BY j)),
+                           (a, b) -> a + b) AS s
+        FROM reg GROUP BY 1),
+ex AS (SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct
+       FROM h GROUP BY 1)
+SELECT a.source, n_items, n_registers,
+       0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+         / (s + CAST(256 - n_registers AS DOUBLE)) AS est_raw,
+       exact_distinct
+FROM agg a JOIN ex USING (source)
+"""
+
+
+def q_bloom_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Bloom-filter occupancy census (k=4 md5-slice hashes,
+    m=4096): bits set, fill fraction, fill^k false-positive estimate —
+    the accounting surface of the incremental-dedup filter shipped to
+    the next crawl (production bitmap shape documented in
+    functions/sketch.py)."""
+    from .functions import sketch as S
+
+    return S.bloom_census(load_table(spark, sf_dir, "documents"))
+
+
+SQL_BLOOM_DEDUP_CENSUS = """
+WITH it AS (SELECT source, md5(coalesce(text, '')) AS h FROM documents),
+pos AS (SELECT source, unnest([
+          CAST(concat('0x', substr(h, 1, 4)) AS BIGINT) % 4096,
+          CAST(concat('0x', substr(h, 5, 4)) AS BIGINT) % 4096,
+          CAST(concat('0x', substr(h, 9, 4)) AS BIGINT) % 4096,
+          CAST(concat('0x', substr(h, 13, 4)) AS BIGINT) % 4096]) AS bit
+       FROM it),
+bits AS (SELECT source, CAST(count(DISTINCT bit) AS BIGINT) AS bits_set
+         FROM pos GROUP BY 1),
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items
+      FROM documents GROUP BY 1),
+f AS (SELECT source, bits_set,
+             CAST(bits_set AS DOUBLE) / 4096.0 AS fill_frac
+      FROM bits)
+SELECT f.source, n_items, bits_set, fill_frac,
+       fill_frac * fill_frac * fill_frac * fill_frac AS fp_rate_est
+FROM f JOIN n USING (source)
+"""
+
+
+def _sql_lm_toks() -> str:
+    from .functions.lm import TOKEN_RE
+
+    return (f"SELECT doc_id, unnest(regexp_extract_all(lower("
+            f"coalesce(text, '')), '{TOKEN_RE}')) AS token FROM documents")
+
+
+def q_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: token -> document frequency + capped sorted
+    posting head (functions/index.py). Head ranked per token BEFORE any
+    list materializes — stopword-skew-safe by construction."""
+    from .functions import index as I
+
+    return I.token_postings(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_POSTINGS = f"""
+WITH toks AS ({_sql_lm_toks()}),
+pairs AS (SELECT DISTINCT token, doc_id FROM toks),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+        FROM pairs GROUP BY 1),
+rk AS (SELECT token, doc_id,
+              row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+       FROM pairs),
+heads AS (SELECT token,
+                 array_to_string(list(CAST(doc_id AS VARCHAR)
+                                      ORDER BY doc_id), ',') AS postings
+          FROM rk WHERE rn <= 32 GROUP BY 1)
+SELECT token, df_docs, postings FROM cnt JOIN heads USING (token)
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per document by rational TF-IDF
+    (score = tf * N / df — transcendental-free; see functions/index.py
+    for the ln rationale and the 10^12-doc plan shape)."""
+    from .functions import index as I
+
+    return I.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS ({_sql_lm_toks()}),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+          FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM documents),
+scored AS (SELECT doc_id, token, tf, df_docs,
+                  CAST(tf * _n AS DOUBLE) / CAST(df_docs AS DOUBLE) AS score
+           FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, token ASC)
+                     AS rk
+           FROM scored)
+SELECT doc_id, token, tf, df_docs, score, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2001,6 +2143,12 @@ REGISTRY: dict = {
     # corpus-trained unigram LM quality (CCNet-style, two-phase)
     "lm_token_census": (q_lm_token_census, SQL_LM_TOKEN_CENSUS),
     "lm_quality_scores": (q_lm_quality_scores, SQL_LM_QUALITY_SCORES),
+    # deterministic sketches + index/export surfaces
+    "hll_source_cardinality": (q_hll_source_cardinality,
+                               SQL_HLL_SOURCE_CARDINALITY),
+    "bloom_dedup_census": (q_bloom_dedup_census, SQL_BLOOM_DEDUP_CENSUS),
+    "token_postings": (q_token_postings, SQL_TOKEN_POSTINGS),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),

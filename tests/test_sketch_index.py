@@ -1,0 +1,137 @@
+"""Deterministic sketches (functions/sketch.py) and the inverted-index /
+TF-IDF export surface (functions/index.py).
+
+The cross-engine hash gate lives in test_entry_contract's full-registry
+sweep; these tests pin the *algorithmic* properties: HLL rank arithmetic
+vs a pure-Python reference, sketch mergeability, estimator accuracy,
+Bloom bounds, posting-list capping, and hand-computed TF-IDF."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ocr_automation_system_spark.functions.index import (
+    tfidf_top_terms, token_postings,
+)
+from ocr_automation_system_spark.functions.sketch import (
+    BLOOM_K, BLOOM_M, HLL_M, bloom_census, hll_cardinality,
+    hll_register_table,
+)
+
+
+def _py_rank(h: str) -> int:
+    """Reference rank: leading zero bits of md5 hex chars [2, 17) + 1."""
+    tail = h[2:17]
+    v = int(tail, 16)
+    if v == 0:
+        return 61
+    return 60 - v.bit_length() + 1
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_hll_rank_matches_python_reference(spark):
+    rows = [(i, f"payload {i}", "s") for i in range(300)]
+    got = {
+        (r["j"], r["r"])
+        for r in hll_register_table(_docs(spark, rows)).collect()
+    }
+    regs: dict = {}
+    for _, text, _src in rows:
+        h = hashlib.md5(text.encode()).hexdigest()
+        j = int(h[:2], 16)
+        regs[j] = max(regs.get(j, 0), _py_rank(h))
+    assert {(j, r) for j, r in regs.items()} == got
+
+
+def test_hll_register_table_merges_by_max(spark):
+    """The sketch is mergeable: registers of (A union B) == element-wise
+    max of A's and B's registers — the property that lets a 1000-executor
+    job fold daily crawls into a running census."""
+    a = [(i, f"day1 {i}", "s") for i in range(200)]
+    b = [(1000 + i, f"day2 {i}", "s") for i in range(200)]
+    ra = hll_register_table(_docs(spark, a)).collect()
+    rb = hll_register_table(_docs(spark, b)).collect()
+    ru = hll_register_table(_docs(spark, a + b)).collect()
+    merged: dict = {}
+    for r in list(ra) + list(rb):
+        merged[r["j"]] = max(merged.get(r["j"], 0), r["r"])
+    assert {(r["j"], r["r"]) for r in ru} == set(merged.items())
+
+
+def test_hll_estimate_accuracy_and_exact(spark):
+    rows = [(i, f"unique text {i}", "s") for i in range(500)]
+    # duplicates must not move the estimate (same md5 -> same register)
+    rows += [(9000 + i, f"unique text {i}", "s") for i in range(100)]
+    out = hll_cardinality(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_items"] == 600 and row["exact_distinct"] == 500
+    # p=8 -> typical error 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(row["est_raw"] - 500) / 500 < 0.20
+    assert 0 < row["n_registers"] <= HLL_M
+
+
+def test_bloom_census_bounds(spark):
+    rows = [(i, f"doc {i}", "s") for i in range(400)]
+    row = bloom_census(_docs(spark, rows)).collect()[0]
+    assert row["n_items"] == 400
+    assert 0 < row["bits_set"] <= min(BLOOM_K * 400, BLOOM_M)
+    assert row["fill_frac"] == row["bits_set"] / BLOOM_M
+    assert 0.0 < row["fp_rate_est"] < 1.0
+    assert abs(row["fp_rate_est"] - row["fill_frac"] ** BLOOM_K) < 1e-12
+
+
+def test_bloom_duplicate_items_set_no_new_bits(spark):
+    base = [(i, f"doc {i}", "s") for i in range(100)]
+    dup = base + [(500 + i, f"doc {i}", "s") for i in range(100)]
+    b1 = bloom_census(_docs(spark, base)).collect()[0]
+    b2 = bloom_census(_docs(spark, dup)).collect()[0]
+    assert b2["bits_set"] == b1["bits_set"]
+    assert b2["n_items"] == 200
+
+
+def test_token_postings_counts_and_cap(spark):
+    rows = ([(i, "common alpha", "s") for i in range(40)]
+            + [(100, "alpha beta beta", "s")])
+    out = {r["token"]: r for r in
+           token_postings(_docs(spark, rows), cap=8).collect()}
+    assert out["beta"]["df_docs"] == 1 and out["beta"]["postings"] == "100"
+    # df counts ALL docs; the posting head is capped at 8 ascending ids
+    assert out["common"]["df_docs"] == 40
+    assert out["common"]["postings"] == ",".join(str(i) for i in range(8))
+    assert out["alpha"]["df_docs"] == 41
+    assert out["alpha"]["postings"] == ",".join(str(i) for i in range(8))
+
+
+def test_tfidf_hand_computed(spark):
+    rows = [
+        (1, "apple apple banana", "s"),
+        (2, "banana cherry", "s"),
+        (3, "cherry cherry cherry", "s"),
+    ]
+    out = {(r["doc_id"], r["token"]): r for r in
+           tfidf_top_terms(_docs(spark, rows), k=5).collect()}
+    # doc 1: apple tf=2 df=1 -> 2*3/1=6; banana tf=1 df=2 -> 1.5
+    assert out[(1, "apple")]["score"] == 6.0
+    assert out[(1, "apple")]["rk"] == 1
+    assert out[(1, "banana")]["score"] == 1.5
+    assert out[(3, "cherry")]["score"] == 3 * 3 / 2
+    assert out[(2, "cherry")]["rk"] in (1, 2) and out[(2, "banana")]["rk"] in (1, 2)
+    # banana and cherry in doc 2 tie at 1*3/2 -> token asc breaks the tie
+    assert out[(2, "banana")]["rk"] < out[(2, "cherry")]["rk"]
+
+
+def test_tfidf_k_limits_rows(spark):
+    text = " ".join(f"w{i}" for i in range(20))
+    rows = [(1, text, "s"), (2, text + " extra", "s")]
+    out = tfidf_top_terms(_docs(spark, rows), k=3)
+    counts = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the df table joins back broadcast — no token-keyed shuffle of tf
+    assert "BroadcastHashJoin" in plan
