@@ -36,7 +36,8 @@ HEADLINE = (
     "embedding_rp_near_dup_pairs", "embedding_multitable_topk",
     "pack_bins", "benchmark_contamination", "domain_quota",
     "pii_scrub", "repetition_scores", "source_blocklist",
-    "url_dup_groups", "latest_capture", "pipeline_line_dedup",
+    "url_dup_groups", "latest_capture", "snapshot_delta",
+    "pipeline_line_dedup",
     "link_edges", "host_pagerank", "lm_quality_scores",
     "duplicate_spans", "stratified_sample", "chunk_documents",
     "hll_source_cardinality", "token_postings", "tfidf_top_terms",

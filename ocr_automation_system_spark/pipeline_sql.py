@@ -816,3 +816,52 @@ SELECT canon AS canon_url, CAST(count(*) AS BIGINT) AS n_captures,
        max(ts) AS latest_ts, arg_max(raw, ts) AS latest_url
 FROM canon_t GROUP BY 1
 """
+
+#: crawl snapshot delta: the recrawl is derived deterministically from
+#: the corpus by md5(url) bucket — b<5 removed, 5<=b<20 content-mutated,
+#: b>=90 spawns an added '?page=2' capture. Content identity over BINARY
+#: is md5(to_base64(html)) — the Spark side strips base64 MIME newlines
+#: so both engines hash the same string (functions/delta.py).
+SQL_SNAPSHOT_DELTA = f"""
+WITH c AS (SELECT url, html FROM {CORPUS}),
+bkt AS (SELECT url, html,
+               CAST(concat('0x', substr(md5(url), 1, 4)) AS BIGINT) % 100
+               AS b
+        FROM c),
+recrawl AS (
+  SELECT url,
+         CASE WHEN b < 20 THEN html || '<!--rev2-->'::BLOB
+              ELSE html END AS html
+  FROM bkt WHERE b >= 5
+  UNION ALL
+  SELECT url || '?page=2' AS url, html || '<!--p2-->'::BLOB AS html
+  FROM bkt WHERE b >= 90),
+a AS (SELECT url, md5(to_base64(html)) AS h_old FROM c),
+bn AS (SELECT url, md5(to_base64(html)) AS h_new FROM recrawl),
+d AS (SELECT coalesce(a.url, bn.url) AS url,
+             CASE WHEN a.url IS NULL THEN 'added'
+                  WHEN bn.url IS NULL THEN 'removed'
+                  WHEN h_old = h_new THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM a FULL OUTER JOIN bn ON a.url = bn.url),
+h AS (SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+             status
+      FROM d)
+SELECT host,
+  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_added,
+  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed,
+  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_changed,
+  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unchanged,
+  CASE WHEN sum(CASE WHEN status IN ('changed', 'unchanged')
+                     THEN 1 ELSE 0 END) > 0
+       THEN CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+            / CAST(sum(CASE WHEN status IN ('changed', 'unchanged')
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+       ELSE 0.0 END AS change_rate
+FROM h GROUP BY 1
+"""

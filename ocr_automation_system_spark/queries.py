@@ -1973,6 +1973,34 @@ def q_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_type_summary(extract_media_metadata(corpus_for(spark, sf_dir)))
 
 
+def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot delta: per-host added/removed/changed/unchanged
+    counts + change rate between the corpus and a deterministic recrawl
+    (md5(url)-bucket derived: b<5 dropped, 5<=b<20 content-mutated,
+    b>=90 gains a '?page=2' capture). One url-keyed full-outer join of
+    the (url, content-hash) projections — co-locatable via Iceberg url
+    bucketing at scale (functions/delta.py)."""
+    from .functions import delta as D
+
+    c = corpus_for(spark, sf_dir).select("url", "html")
+    b = F.pmod(
+        F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("long"),
+        F.lit(100))
+    bkt = c.withColumn("_b", b)
+    base = (bkt.filter(F.col("_b") >= 5)
+            .select("url",
+                    F.when(F.col("_b") < 20,
+                           F.concat(F.col("html"),
+                                    F.lit(b"<!--rev2-->")))
+                    .otherwise(F.col("html")).alias("html")))
+    added = (bkt.filter(F.col("_b") >= 90)
+             .select(F.concat(F.col("url"), F.lit("?page=2")).alias("url"),
+                     F.concat(F.col("html"),
+                              F.lit(b"<!--p2-->")).alias("html")))
+    recrawl = base.unionByName(added)
+    return D.host_change_rates(D.snapshot_delta(c, recrawl))
+
+
 # ---------------------------------------------------------------------------
 # Sketches (deterministic HLL / Bloom census) + inverted index / TF-IDF
 # ---------------------------------------------------------------------------
@@ -2218,6 +2246,7 @@ REGISTRY: dict = {
     "url_canonicalize": (q_url_canonicalize, PSQL.SQL_URL_CANONICALIZE),
     "url_dup_groups": (q_url_dup_groups, PSQL.SQL_URL_DUP_GROUPS),
     "latest_capture": (q_latest_capture, PSQL.SQL_LATEST_CAPTURE),
+    "snapshot_delta": (q_snapshot_delta, PSQL.SQL_SNAPSHOT_DELTA),
     # link graph: anchors from raw html, host graph, iterative PageRank
     "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
@@ -2238,7 +2267,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     if name.startswith(("pipeline_", "media_"))
 ) | frozenset({
     "url_canonicalize", "url_dup_groups", "latest_capture",
-    "link_edges", "host_link_graph", "host_pagerank",
+    "snapshot_delta", "link_edges", "host_link_graph", "host_pagerank",
     "anchor_text_profile",
 })
 

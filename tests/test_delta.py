@@ -1,0 +1,68 @@
+"""Crawl snapshot delta (functions/delta.py): per-URL status
+classification over BINARY payloads and the per-host change-rate rollup.
+The cross-engine hash gate is test_entry_contract's registry sweep."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_automation_system_spark.functions.delta import (
+    binary_content_hash, host_change_rates, snapshot_delta,
+)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_snapshot_delta_classifies_all_states(spark):
+    old = _snap(spark, [
+        ("https://a.com/1", b"same"),
+        ("https://a.com/2", b"old-body"),
+        ("https://a.com/3", b"\x00\xff binary gone"),
+    ])
+    new = _snap(spark, [
+        ("https://a.com/1", b"same"),
+        ("https://a.com/2", b"new-body"),
+        ("https://a.com/4", b"fresh"),
+    ])
+    got = {r["url"]: r["status"]
+           for r in snapshot_delta(old, new).collect()}
+    assert got == {
+        "https://a.com/1": "unchanged",
+        "https://a.com/2": "changed",
+        "https://a.com/3": "removed",
+        "https://a.com/4": "added",
+    }
+
+
+def test_binary_hash_distinguishes_non_utf8_payloads(spark):
+    """The base64-fold identity must separate payloads that differ only
+    in non-UTF8 bytes (where a lossy decode would collide)."""
+    df = spark.createDataFrame(
+        [(b"\x00\xfe junk",), (b"\x00\xff junk",), (b"\x00\xff junk",)],
+        "html binary")
+    hashes = [r[0] for r in
+              df.select(binary_content_hash(F.col("html"))).collect()]
+    assert hashes[1] == hashes[2] and hashes[0] != hashes[1]
+
+
+def test_host_change_rates_rollup(spark):
+    old = _snap(spark, [
+        ("https://a.com/1", b"x"), ("https://a.com/2", b"y"),
+        ("https://b.com/1", b"z"),
+    ])
+    new = _snap(spark, [
+        ("https://a.com/1", b"x"), ("https://a.com/2", b"Y2"),
+        ("https://b.com/9", b"n"),
+    ])
+    out = {r["host"]: r for r in
+           host_change_rates(snapshot_delta(old, new)).collect()}
+    a = out["a.com"]
+    assert (a["n_added"], a["n_removed"], a["n_changed"],
+            a["n_unchanged"]) == (0, 0, 1, 1)
+    assert a["change_rate"] == 0.5
+    b = out["b.com"]
+    # no URL present in both snapshots -> rate defined as 0.0, not NaN
+    assert (b["n_added"], b["n_removed"]) == (1, 1)
+    assert b["change_rate"] == 0.0
