@@ -374,12 +374,17 @@ def duplicate_spans(df: DataFrame, w: int = 8, text_col: str = "text",
     magnitude smaller than the shingle stream, and at cluster scale the
     production job writes them bucketed by hash instead.
     """
+    # Gram identity is INTERNAL (the output carries only doc pairs and
+    # span lengths), so the Spark side hashes the w-token slice with
+    # native xxhash64 — no per-gram string building, 8-byte shuffle keys
+    # — while the DuckDB twin keeps md5 strings; both recover the same
+    # pair set (collision-free at these scales either way).
     toks = ws_tokens(clean_text(F.col(text_col)))
     k = F.size(toks) - (w - 1)
     grams = F.when(k > 0, F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, w))),
-    )).otherwise(F.array().cast("array<string>"))
+        lambda i: F.xxhash64(F.slice(toks, i, w)),
+    )).otherwise(F.array().cast("array<bigint>"))
     sh = (ensure_parallelism(df)
           .select(F.col(id_col).alias("_doc"), grams.alias("_g"))
           .select("_doc", F.posexplode("_g").alias("_pos", "_h")))
