@@ -266,3 +266,34 @@ def test_stateless_chunk_and_sample_ops_stream_unchanged(spark, tmp_path):
         got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
         want = sorted(tuple(r) for r in fn(batch_in).collect())
         assert got == want and got, name
+
+
+def test_streaming_hll_register_table_matches_batch(spark, tmp_path):
+    """The HLL register table is the streaming-maintainable form of the
+    cardinality sketch: a single groupBy(group, register) with max/count
+    runs under readStream in complete mode and must converge to exactly
+    the batch registers (the estimator itself is a batch finalize step
+    over <= m rows per group — two chained aggregations, deliberately
+    outside the stream)."""
+    from ocr_automation_system_spark.functions.sketch import (
+        hll_register_table,
+    )
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    rows = [(i, f"text {i % 150}", ["a", "b"][i % 2]) for i in range(400)]
+    schema = "doc_id long, text string, source string"
+    spark.createDataFrame(rows[:200], schema).write.parquet(
+        os.path.join(d, "drop1"))
+    spark.createDataFrame(rows[200:], schema).write.parquet(
+        os.path.join(d, "drop2"))
+
+    stream_in = spark.readStream.schema(schema).parquet(os.path.join(d, "*"))
+    q = (hll_register_table(stream_in)
+         .writeStream.format("memory").queryName("hll_regs")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("hll_regs").collect())
+    want = sorted(tuple(r) for r in hll_register_table(
+        spark.createDataFrame(rows, schema)).collect())
+    assert got == want and got
