@@ -2115,6 +2115,75 @@ SELECT token, df_docs, postings FROM cnt JOIN heads USING (token)
 """
 
 
+#: trusted "target" slice for the DSIR contract query (deterministic).
+DSIR_TARGET_SOURCES = ("src0", "src1")
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023): hashed
+    unigram+bigram likelihood ratios of a trusted target slice vs the
+    raw corpus, folded per document with rational, bit-exact statistics
+    (functions/dsir.py — broadcast ratio table, lm_score-shaped plan)."""
+    from .functions import dsir as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin(*DSIR_TARGET_SOURCES))
+    return D.importance_weights(docs, D.ratio_table(target, docs))
+
+
+def _sql_dsir() -> str:
+    from .functions.lm import TOKEN_RE
+
+    srcs = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    return f"""
+WITH toksarr AS (SELECT doc_id, source,
+                        regexp_extract_all(lower(coalesce(text, '')),
+                                           '{TOKEN_RE}') AS tk
+                 FROM documents),
+feats AS (SELECT doc_id, source,
+                 unnest(list_concat(tk,
+                   CASE WHEN len(tk) >= 2
+                        THEN list_transform(range(1, len(tk)),
+                                            i -> tk[i] || ' ' || tk[i+1])
+                        ELSE CAST([] AS VARCHAR[]) END)) AS f
+          FROM toksarr),
+b AS (SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 1024
+             AS bucket
+      FROM feats),
+rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_r FROM b GROUP BY 1),
+tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_t
+       FROM b WHERE source IN ({srcs}) GROUP BY 1),
+tot AS (SELECT (SELECT coalesce(sum(n_t), 0) FROM tc) AS tt,
+               (SELECT coalesce(sum(n_r), 0) FROM rc) AS tr),
+ratio AS (SELECT rc.bucket,
+                 (CAST(coalesce(n_t, 0) + 1 AS DOUBLE)
+                  / CAST(tt + 1024 AS DOUBLE))
+                 / (CAST(n_r + 1 AS DOUBLE)
+                    / CAST(tr + 1024 AS DOUBLE)) AS ratio
+          FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+sc AS (SELECT b.doc_id, b.bucket, ratio FROM b JOIN ratio USING (bucket)),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(ratio ORDER BY bucket)),
+                           (a, x) -> a + x) AS s,
+               sum(CASE WHEN ratio > 1.0 THEN 1 ELSE 0 END) AS fav
+        FROM sc GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,
+  CASE WHEN coalesce(a.n_feats, 0) > 0
+       THEN s / CAST(a.n_feats AS DOUBLE)
+       ELSE CAST(0.0 AS DOUBLE) END AS mean_ratio,
+  CASE WHEN coalesce(a.n_feats, 0) > 0
+       THEN CAST(fav AS DOUBLE) / CAST(a.n_feats AS DOUBLE)
+       ELSE CAST(0.0 AS DOUBLE) END AS frac_target_favored
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+SQL_IMPORTANCE_WEIGHTS = _sql_dsir()
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 salient terms per document by rational TF-IDF
     (score = tf * N / df — transcendental-free; see functions/index.py
@@ -2177,6 +2246,7 @@ REGISTRY: dict = {
     "bloom_dedup_census": (q_bloom_dedup_census, SQL_BLOOM_DEDUP_CENSUS),
     "token_postings": (q_token_postings, SQL_TOKEN_POSTINGS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
