@@ -865,3 +865,14 @@ SELECT host,
        ELSE 0.0 END AS change_rate
 FROM h GROUP BY 1
 """
+
+#: per-host monthly crawl activity over the capture timestamps.
+SQL_CRAWL_ACTIVITY = f"""
+SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+       CAST(date_trunc('month', warc_ts) AS TIMESTAMP) AS month,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN CAST(html AS VARCHAR) LIKE '<html%'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_html,
+       max(warc_ts) AS latest_ts
+FROM {CORPUS} GROUP BY 1, 2
+"""

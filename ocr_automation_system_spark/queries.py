@@ -1973,6 +1973,22 @@ def q_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_type_summary(extract_media_metadata(corpus_for(spark, sf_dir)))
 
 
+def q_crawl_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host monthly crawl activity: page counts, html share, latest
+    capture — the freshness/coverage dashboard a recrawl scheduler reads.
+    ONE map-side-combined groupBy(host, month): Zipf host skew lands in
+    an aggregation (absorbed in the partial combine), never a join."""
+    c = corpus_for(spark, sf_dir).select("url", "warc_ts", "html")
+    return (c.groupBy(
+                F.regexp_extract("url", r"https://([^/]+)/", 1)
+                .alias("host"),
+                F.date_trunc("month", "warc_ts").alias("month"))
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.sum(F.when(F.substring("html", 1, 5) == F.lit(b"<html"),
+                              1).otherwise(0)).cast("long").alias("n_html"),
+                 F.max("warc_ts").alias("latest_ts")))
+
+
 def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl snapshot delta: per-host added/removed/changed/unchanged
     counts + change rate between the corpus and a deterministic recrawl
@@ -2317,6 +2333,7 @@ REGISTRY: dict = {
     "url_dup_groups": (q_url_dup_groups, PSQL.SQL_URL_DUP_GROUPS),
     "latest_capture": (q_latest_capture, PSQL.SQL_LATEST_CAPTURE),
     "snapshot_delta": (q_snapshot_delta, PSQL.SQL_SNAPSHOT_DELTA),
+    "crawl_activity": (q_crawl_activity, PSQL.SQL_CRAWL_ACTIVITY),
     # link graph: anchors from raw html, host graph, iterative PageRank
     "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
@@ -2337,7 +2354,8 @@ CORPUS_QUERIES: frozenset = frozenset(
     if name.startswith(("pipeline_", "media_"))
 ) | frozenset({
     "url_canonicalize", "url_dup_groups", "latest_capture",
-    "snapshot_delta", "link_edges", "host_link_graph", "host_pagerank",
+    "snapshot_delta", "crawl_activity", "link_edges", "host_link_graph",
+    "host_pagerank",
     "anchor_text_profile",
 })
 
