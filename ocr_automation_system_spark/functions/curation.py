@@ -343,6 +343,77 @@ def stratified_sample(df: DataFrame, rates_per_mille: dict,
             .drop("_pm"))
 
 
+def curation_verdicts(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", lang_col: str = "lang",
+                      min_quality: float = 0.5,
+                      max_gram_rep: float = 0.9,
+                      max_dup_line_frac: float = 0.3,
+                      max_pii: int = 2) -> DataFrame:
+    """FineWeb-style composite filter policy: every per-document gate the
+    tier implements, applied first-fail-wins with a named reason —
+    (doc_id, verdict, keep). Gate order (fixed, documented):
+
+    1. ``unusable``        — fails the length/alpha usability gate;
+    2. ``too_repetitive``  — Gopher word-2-gram duplication > 0.9 or
+       duplicate-line fraction > 0.3;
+    3. ``low_quality``     — composite quality score < ``min_quality``;
+    4. ``lang_mismatch``   — the detector CONFIDENTLY names a language
+       (not 'und') that disagrees with the declared ``lang`` column
+       (metadata-vs-content check; undetectable languages pass);
+    5. ``pii_heavy``       — more than ``max_pii`` PII hits (emails ->
+       IPv4s -> phones, counted with pii_scrub's sequential semantics);
+    6. ``keep``.
+
+    The entire policy is ONE narrow whole-stage-codegen projection —
+    zero shuffle, zero Python; at 10^12 docs it fuses with the scan and
+    the verdict column partitions the corpus for the downstream write.
+    Every threshold comparison runs on doubles both engines compute
+    identically (exact divisions / 0.25-sums), so the DuckDB twin
+    hash-matches exactly."""
+    from .text import is_text_usable, lang_id, quality_score
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    toks = ws_tokens(clean_text(t))
+    k = F.size(toks) - 1
+    grams = F.when(k > 0, F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    gram_rep = F.when(
+        n_grams > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n_grams
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(t, "\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE))
+    n_pii = n_emails + n_ips + n_phones
+
+    verdict = (
+        F.when(~is_text_usable(t), F.lit("unusable"))
+        .when((gram_rep > max_gram_rep) | (dup_line > max_dup_line_frac),
+              F.lit("too_repetitive"))
+        .when(quality_score(t) < min_quality, F.lit("low_quality"))
+        .when((lang_id(t) != F.lit("und"))
+              & (lang_id(t) != F.coalesce(F.col(lang_col), F.lit("und"))),
+              F.lit("lang_mismatch"))
+        .when(n_pii > max_pii, F.lit("pii_heavy"))
+        .otherwise(F.lit("keep")))
+    return df.select(id_col, verdict.alias("verdict"),
+                     (verdict == "keep").alias("keep"))
+
+
 def duplicate_spans(df: DataFrame, w: int = 8, text_col: str = "text",
                     id_col: str = "doc_id",
                     max_docs_per_shingle: int = 64,

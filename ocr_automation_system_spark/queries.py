@@ -2131,6 +2131,86 @@ SELECT token, df_docs, postings FROM cnt JOIN heads USING (token)
 """
 
 
+def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style composite filter policy: usability -> repetition ->
+    quality -> language-mismatch -> PII gates, first-fail-wins with a
+    named reason, all in ONE narrow codegen projection
+    (functions/curation.curation_verdicts)."""
+    from .functions import curation as C
+
+    return C.curation_verdicts(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_curation_verdicts() -> str:
+    ct = "coalesce(text, '')"
+    ct_toks = _sql_toks(ct)
+    sw = (f"CASE WHEN len({ct_toks}) > 0 THEN "
+          f"len(list_filter({ct_toks}, t -> t IN {_SQL_STOPS})) * 1.0 "
+          f"/ len({ct_toks}) ELSE 0.0 END")
+    mwl = (f"CASE WHEN len({ct_toks}) > 0 THEN "
+           f"coalesce(list_sum(list_transform({ct_toks}, t -> length(t))), 0)"
+           f" * 1.0 / len({ct_toks}) ELSE 0.0 END")
+    quality = (
+        f"((CASE WHEN length({ct}) >= 200 THEN 0.25 ELSE 0.0 END)"
+        f" + (CASE WHEN {_sql_alpha_ratio(ct)} >= 0.6 THEN 0.25 ELSE 0.0 END)"
+        f" + (CASE WHEN {mwl} >= 3.0 AND {mwl} <= 10.0"
+        f" THEN 0.25 ELSE 0.0 END)"
+        f" + (CASE WHEN {sw} >= 0.05 THEN 0.25 ELSE 0.0 END))")
+    usable = (f"(length(trim({ct})) >= 50 AND "
+              f"{_sql_alpha_ratio(f'trim({ct})')} >= 0.4)")
+    rep_toks = _sql_toks(_sql_clean(ct))
+    email, ipv4, phone = (
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", r"\b\d{10}\b")
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, lang, {ct} AS t, {rep_toks} AS rtoks,
+         list_filter(string_split({ct}, chr(10)), x -> trim(x) <> '') AS ls,
+         {usable} AS usable, {quality} AS q,
+         CASE {_LANG_CASES} ELSE 'und' END AS lang_pred
+  FROM documents),
+t1 AS (
+  SELECT doc_id, lang, ls, usable, q, lang_pred,
+    CASE WHEN len(rtoks) >= 2
+         THEN list_transform(range(1, len(rtoks)),
+                             i -> array_to_string(rtoks[i:i+1], ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS grams,
+    len(regexp_extract_all(t, '{email}')) AS n_em,
+    regexp_replace(t, '{email}', '<EMAIL>', 'g') AS tb
+  FROM t0),
+t2 AS (
+  SELECT doc_id, lang, ls, usable, q, lang_pred, grams, n_em,
+    len(regexp_extract_all(tb, '{ipv4}')) AS n_ip,
+    len(regexp_extract_all(regexp_replace(tb, '{ipv4}', '<IP>', 'g'),
+                           '{phone}')) AS n_ph
+  FROM t1),
+s AS (
+  SELECT doc_id, lang, usable, q, lang_pred,
+    CASE WHEN len(grams) > 0
+         THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+         ELSE 0.0 END AS gr,
+    CASE WHEN len(ls) > 0
+         THEN 1.0 - len(list_distinct(ls)) * 1.0 / len(ls)
+         ELSE 0.0 END AS dl,
+    n_em + n_ip + n_ph AS n_pii
+  FROM t2),
+v AS (
+  SELECT doc_id,
+    CASE WHEN NOT usable THEN 'unusable'
+         WHEN gr > 0.9 OR dl > 0.3 THEN 'too_repetitive'
+         WHEN q < 0.5 THEN 'low_quality'
+         WHEN lang_pred <> 'und' AND lang_pred <> coalesce(lang, 'und')
+              THEN 'lang_mismatch'
+         WHEN n_pii > 2 THEN 'pii_heavy'
+         ELSE 'keep' END AS verdict
+  FROM s)
+SELECT doc_id, verdict, (verdict = 'keep') AS keep FROM v
+"""
+
+
+SQL_CURATION_VERDICTS = _sql_curation_verdicts()
+
+
 #: trusted "target" slice for the DSIR contract query (deterministic).
 DSIR_TARGET_SOURCES = ("src0", "src1")
 
@@ -2263,6 +2343,7 @@ REGISTRY: dict = {
     "token_postings": (q_token_postings, SQL_TOKEN_POSTINGS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
+    "curation_verdicts": (q_curation_verdicts, SQL_CURATION_VERDICTS),
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),

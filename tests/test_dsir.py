@@ -64,3 +64,46 @@ def test_bucket_census_bounded_and_counts_features(spark):
     rows = bucket_census(docs).collect()
     assert sum(r["n"] for r in rows) == 5
     assert all(0 <= r["bucket"] < 1024 for r in rows)
+
+
+def test_curation_verdicts_first_fail_wins(spark):
+    from ocr_automation_system_spark.functions.curation import (
+        curation_verdicts,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and that is fine "
+            "for a test of the quality gate with enough length to pass " * 3)
+    rows = [
+        (1, good, "en"),                          # keep
+        (2, "x", "en"),                           # unusable (too short)
+        (3, "the cat sat here now " * 40, "en"),  # repetitive 2-grams
+        (4, good, "fr"),                          # confident en != fr
+        (5, good + " a@b.com c@d.com e@f.org 10.0.0.1", "en"),  # pii x4>2
+        (6, None, "en"),                          # null text -> unusable
+    ]
+    out = {r["doc_id"]: (r["verdict"], r["keep"]) for r in curation_verdicts(
+        spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ).collect()}
+    assert out[1] == ("keep", True)
+    assert out[2] == ("unusable", False)
+    assert out[3] == ("too_repetitive", False)
+    assert out[4] == ("lang_mismatch", False)
+    assert out[5] == ("pii_heavy", False)
+    assert out[6] == ("unusable", False)
+    # usability outranks repetition: a short repetitive doc is 'unusable'
+    short_rep = [(7, "aa aa aa", "en")]
+    v = curation_verdicts(spark.createDataFrame(
+        short_rep, "doc_id long, text string, lang string")).collect()[0]
+    assert v["verdict"] == "unusable"
+
+
+def test_curation_verdicts_is_narrow(spark):
+    from ocr_automation_system_spark.functions.curation import (
+        curation_verdicts,
+    )
+
+    df = spark.createDataFrame([(1, "text here", "en")],
+                               "doc_id long, text string, lang string")
+    plan = (curation_verdicts(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
