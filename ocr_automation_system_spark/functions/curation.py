@@ -344,7 +344,8 @@ def stratified_sample(df: DataFrame, rates_per_mille: dict,
 
 
 def curation_verdicts(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", lang_col: str = "lang",
+                      text_col: str = "text",
+                      lang_col: str | None = "lang",
                       min_quality: float = 0.5,
                       max_gram_rep: float = 0.9,
                       max_dup_line_frac: float = 0.3,
@@ -363,6 +364,9 @@ def curation_verdicts(df: DataFrame, id_col: str = "doc_id",
     5. ``pii_heavy``       — more than ``max_pii`` PII hits (emails ->
        IPv4s -> phones, counted with pii_scrub's sequential semantics);
     6. ``keep``.
+
+    ``lang_col=None`` skips gate 4 (corpora without a declared-language
+    column, e.g. the extraction output in the ``--curate`` job).
 
     The entire policy is ONE narrow whole-stage-codegen projection —
     zero shuffle, zero Python; at 10^12 docs it fuses with the scan and
@@ -404,12 +408,15 @@ def curation_verdicts(df: DataFrame, id_col: str = "doc_id",
         F.when(~is_text_usable(t), F.lit("unusable"))
         .when((gram_rep > max_gram_rep) | (dup_line > max_dup_line_frac),
               F.lit("too_repetitive"))
-        .when(quality_score(t) < min_quality, F.lit("low_quality"))
-        .when((lang_id(t) != F.lit("und"))
-              & (lang_id(t) != F.coalesce(F.col(lang_col), F.lit("und"))),
-              F.lit("lang_mismatch"))
-        .when(n_pii > max_pii, F.lit("pii_heavy"))
-        .otherwise(F.lit("keep")))
+        .when(quality_score(t) < min_quality, F.lit("low_quality")))
+    if lang_col is not None:
+        verdict = verdict.when(
+            (lang_id(t) != F.lit("und"))
+            & (lang_id(t) != F.coalesce(F.col(lang_col), F.lit("und"))),
+            F.lit("lang_mismatch"))
+    verdict = (verdict
+               .when(n_pii > max_pii, F.lit("pii_heavy"))
+               .otherwise(F.lit("keep")))
     return df.select(id_col, verdict.alias("verdict"),
                      (verdict == "keep").alias("keep"))
 

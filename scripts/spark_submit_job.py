@@ -59,6 +59,11 @@ def main(argv=None, stop_session: bool = True) -> int:
     p.add_argument("--chunk-tokens", type=int, default=0,
                    help="--curate only: also export fixed-size token "
                         "chunks of the train split (0 = off)")
+    p.add_argument("--policy", action="store_true",
+                   help="--curate only: apply the composite filter "
+                        "policy (repetition/quality/PII gates) before "
+                        "dedup; per-reason drop counts land in the "
+                        "lineage file")
     args = p.parse_args(argv)
 
     spark = build_session(app_name="ocr_automation_system_spark_job", master=args.master)
@@ -94,7 +99,7 @@ def main(argv=None, stop_session: bool = True) -> int:
 
     if args.curate:
         curate(spark, results, args.output, quota=args.domain_quota,
-               chunk_tokens=args.chunk_tokens)
+               chunk_tokens=args.chunk_tokens, policy=args.policy)
 
     summary = lineage_summary(args.output, args.n_buckets)
     print(f"done: {summary['total_rows']} docs across "
@@ -107,7 +112,7 @@ def main(argv=None, stop_session: bool = True) -> int:
 
 
 def curate(spark, results, output: str, quota: int = 1000,
-           chunk_tokens: int = 0) -> None:
+           chunk_tokens: int = 0, policy: bool = False) -> None:
     """Committed extractions -> curated training corpus.
 
     Chain (each stage a documented survivor count): usable docs only ->
@@ -130,6 +135,22 @@ def curate(spark, results, output: str, quota: int = 1000,
                 F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"))
     ).persist()
     counts = {"usable": docs.count()}
+
+    if policy:
+        # composite filter policy BEFORE dedup (cheapest stage first:
+        # one narrow projection; no lang column on extraction output)
+        verdicts = C.curation_verdicts(docs, lang_col=None).persist()
+        for row in (verdicts.groupBy("verdict").count()
+                    .collect()):
+            if row["verdict"] != "keep":
+                counts[f"policy_dropped_{row['verdict']}"] = row["count"]
+        pre_policy = docs
+        docs = docs.join(
+            verdicts.filter(F.col("keep")).select("doc_id"), "doc_id",
+            "left_semi").persist()
+        counts["after_policy"] = docs.count()
+        verdicts.unpersist()
+        pre_policy.unpersist()
 
     exact = D.dedup_exact(docs, id_col="doc_id", text_col="text")
     # reliable per-round CC commits under the job's output dir: an

@@ -72,3 +72,22 @@ def test_curate_chunk_export(spark, tmp_path):
         .filter("split = 'train' AND length(trim(text)) > 0").collect()}
     assert {r["doc_id"] for r in rows} == train_ids
     assert all(0 < r["n_tokens"] <= 32 for r in rows)
+
+
+def test_curate_with_policy(spark, tmp_path):
+    out = str(tmp_path / "jobp")
+    rc = spark_submit_job.main([
+        "--synthetic", "300", "--output", out, "--curate", "--policy",
+        "--domain-quota", "100",
+    ], stop_session=False)
+    assert rc == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert "after_policy" in counts
+    dropped = sum(v for k, v in counts.items()
+                  if k.startswith("policy_dropped_"))
+    assert counts["after_policy"] == counts["usable"] - dropped
+    assert counts["after_exact_dedup"] <= counts["after_policy"]
+    # the curated output only holds policy survivors
+    cur = spark.read.parquet(os.path.join(out, "curated"))
+    assert cur.count() == counts["train"] + counts["val"] > 0

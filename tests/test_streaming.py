@@ -297,3 +297,28 @@ def test_streaming_hll_register_table_matches_batch(spark, tmp_path):
     want = sorted(tuple(r) for r in hll_register_table(
         spark.createDataFrame(rows, schema)).collect())
     assert got == want and got
+
+
+def test_stateless_curation_verdicts_stream_unchanged(spark, tmp_path):
+    from ocr_automation_system_spark.functions.curation import (
+        curation_verdicts,
+    )
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    rows = [(i, ("the quick brown fox and the lazy dog again " * 6
+                 if i % 3 else "zz"), "en") for i in range(30)]
+    schema = "doc_id long, text string, lang string"
+    spark.createDataFrame(rows, schema).write.parquet(
+        os.path.join(d, "drop1"))
+    stream_in = spark.readStream.schema(schema).parquet(os.path.join(d, "*"))
+    out = str(tmp_path / "out_verdicts")
+    q = (curation_verdicts(stream_in).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck_verdicts"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in curation_verdicts(
+        spark.createDataFrame(rows, schema)).collect())
+    assert got == want and got
