@@ -41,7 +41,7 @@ HEADLINE = (
     "link_edges", "host_pagerank", "lm_quality_scores",
     "duplicate_spans", "stratified_sample", "chunk_documents",
     "hll_source_cardinality", "token_postings", "tfidf_top_terms",
-    "importance_weights", "curation_verdicts",
+    "importance_weights", "curation_verdicts", "collocations",
     "entity_join_shape", "report_summary", "duplicate_id_groups",
     "checksum_existence_join", "topk_per_group",
     "pricing_summary", "top_revenue_orders", "region_nation_rollup",

@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .text import (
-    bpe_token_count, clean_text, quality_score, shingles, ws_tokens,
+    bind_array, bpe_token_count, clean_text, lazy_seq, positional_grams,
+    quality_score, shingles, ws_tokens,
 )
 from .util import ensure_parallelism
 
@@ -211,11 +212,7 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id",
     Python. The per-row distinct is O(L^2) worst case in the n-gram list
     length, bounded by document length, never by corpus size."""
     toks = ws_tokens(clean_text(F.col(text_col)))
-    k = F.size(toks) - (n - 1)
-    grams = F.when(k > 0, F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )).otherwise(F.array().cast("array<string>"))
+    grams = positional_grams(toks, n, lambda s: F.concat_ws(" ", s))
     n_grams = F.size(grams)
     gram_rep = F.when(
         n_grams > 0,
@@ -379,11 +376,7 @@ def curation_verdicts(df: DataFrame, id_col: str = "doc_id",
     t = F.coalesce(F.col(text_col), F.lit(""))
 
     toks = ws_tokens(clean_text(t))
-    k = F.size(toks) - 1
-    grams = F.when(k > 0, F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-    )).otherwise(F.array().cast("array<string>"))
+    grams = positional_grams(toks, 2, lambda s: F.concat_ws(" ", s))
     n_grams = F.size(grams)
     gram_rep = F.when(
         n_grams > 0,
@@ -458,11 +451,7 @@ def duplicate_spans(df: DataFrame, w: int = 8, text_col: str = "text",
     # — while the DuckDB twin keeps md5 strings; both recover the same
     # pair set (collision-free at these scales either way).
     toks = ws_tokens(clean_text(F.col(text_col)))
-    k = F.size(toks) - (w - 1)
-    grams = F.when(k > 0, F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.xxhash64(F.slice(toks, i, w)),
-    )).otherwise(F.array().cast("array<bigint>"))
+    grams = positional_grams(toks, w, F.xxhash64)
     sh = (ensure_parallelism(df)
           .select(F.col(id_col).alias("_doc"), grams.alias("_g"))
           .select("_doc", F.posexplode("_g").alias("_pos", "_h")))
@@ -512,30 +501,35 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = ws_tokens(clean_text(F.col(text_col)))
-    n = F.size(toks)
+
     # starts: 1, 1+stride, ... up to the last index that begins a NEW
     # window (start <= n - overlap keeps the tail from duplicating a
-    # full previous window; short docs get exactly one chunk).
-    n_chunks = F.when(
-        n <= chunk_tokens, F.when(n > 0, F.lit(1)).otherwise(F.lit(0))
-    ).otherwise(
-        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + 1)
-    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
-    chunks = F.when(n_chunks > 0, F.transform(
-        starts,
-        lambda s: F.struct(
-            (s / stride).cast("int").alias("chunk_idx"),
-            s.cast("long").alias("start_tok"),
-            F.least(n - s, F.lit(chunk_tokens)).cast("long")
-            .alias("n_tokens"),
-            F.md5(F.concat_ws(
-                " ", F.slice(toks, s + 1,
-                             F.least(n - s, F.lit(chunk_tokens)))))
-            .alias("chunk_md5"),
-        ))).otherwise(F.array().cast(
-            "array<struct<chunk_idx:int,start_tok:bigint,"
-            "n_tokens:bigint,chunk_md5:string>>"))
+    # full previous window; short docs get exactly one chunk). The token
+    # array is lambda-BOUND (bind_array) so the chunk lambda slices an
+    # already-evaluated array instead of re-tokenizing per window.
+    def _chunks(tk):
+        n = F.size(tk)
+        n_chunks = F.when(
+            n <= chunk_tokens, F.when(n > 0, F.lit(1)).otherwise(F.lit(0))
+        ).otherwise(
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int")
+            + 1)
+        starts = lazy_seq(n_chunks > 0, F.lit(0), (n_chunks - 1) * stride,
+                          F.lit(stride))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / stride).cast("int").alias("chunk_idx"),
+                s.cast("long").alias("start_tok"),
+                F.least(n - s, F.lit(chunk_tokens)).cast("long")
+                .alias("n_tokens"),
+                F.md5(F.concat_ws(
+                    " ", F.slice(tk, s + 1,
+                                 F.least(n - s, F.lit(chunk_tokens)))))
+                .alias("chunk_md5"),
+            ))
+
+    chunks = bind_array(ws_tokens(clean_text(F.col(text_col))), _chunks)
     return (df.select(F.col(id_col).alias("doc_id"),
                       F.explode(chunks).alias("_c"))
             .select("doc_id", "_c.chunk_idx", "_c.start_tok",

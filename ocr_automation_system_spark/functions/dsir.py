@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .lm import tokens_lower
+from .text import bind_array, lazy_seq
 
 #: hashed feature space size (buckets). Small enough to broadcast, big
 #: enough that unigram+bigram collisions stay rare at contract scale.
@@ -49,16 +50,15 @@ N_BUCKETS = 1024
 def feature_buckets(text: Column) -> Column:
     """Hashed unigram+bigram bucket ids for a document: md5-derived, so
     the twin reproduces them exactly."""
-    tk = tokens_lower(text)
-    bigrams = F.when(
-        F.size(tk) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - 1),
+    def _bigrams(tk):
+        return F.transform(
+            lazy_seq(F.size(tk) >= 2, F.lit(1), F.size(tk) - 1),
             lambda i: F.concat_ws(
                 " ", F.element_at(tk, i.cast("int")),
                 F.element_at(tk, (i + F.lit(1)).cast("int"))))
-    ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(tk, bigrams)
+
+    feats = bind_array(tokens_lower(text),
+                       lambda tk: F.concat(tk, _bigrams(tk)))
     return F.transform(
         feats,
         lambda ft: F.pmod(

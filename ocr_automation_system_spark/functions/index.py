@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .lm import tokens_lower
+from .text import bind_array, lazy_seq
 from .util import ensure_parallelism
 
 #: posting-list head size (documented cap — the full df count is kept).
@@ -113,3 +114,52 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
                     F.col("df_docs").cast("long").alias("df_docs"),
                     "score",
                     F.col("rk").cast("int").alias("rk")))
+
+
+def collocations(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_count: int = 5) -> DataFrame:
+    """Corpus collocations by rational PMI:
+    (x, y, n_xy, score) with ``score = p_xy / (p_x * p_y)`` — the
+    likelihood ratio whose log is classic PMI, kept ratio-form so every
+    value is a product/quotient of correctly-rounded doubles both
+    engines agree on bit-for-bit (the ``ln`` is a driver-side swap, as
+    in lm.py / dsir.py).
+
+    Scale shape: the bigram and unigram censuses are map-side-combined
+    aggregations (stopword skew dies in the partial combine; outputs are
+    vocabulary-sized, not corpus-sized); the two unigram attachments are
+    BROADCAST joins against the collapsed bigram table; totals attach as
+    broadcast 1-row aggregates. ``min_count`` prunes the long tail
+    before the joins."""
+    def _bigrams(tk):
+        return F.transform(
+            lazy_seq(F.size(tk) >= 2, F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i.cast("int")).alias("x"),
+                F.element_at(tk, (i + F.lit(1)).cast("int")).alias("y")))
+
+    pairs = (ensure_parallelism(df)
+             .select(F.explode(
+                 bind_array(tokens_lower(F.col(text_col)), _bigrams))
+                 .alias("bg"))
+             .select("bg.x", "bg.y"))
+    n_xy = (pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+            .filter(F.col("n_xy") >= min_count))
+    uni = (ensure_parallelism(df)
+           .select(F.explode(tokens_lower(F.col(text_col))).alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("n")))
+    t1 = uni.agg(F.sum("n").alias("_t1"))
+    t2 = pairs.agg(F.count(F.lit(1)).alias("_t2"))
+    joined = (n_xy
+              .join(F.broadcast(uni.select(F.col("t").alias("x"),
+                                           F.col("n").alias("n_x"))), "x")
+              .join(F.broadcast(uni.select(F.col("t").alias("y"),
+                                           F.col("n").alias("n_y"))), "y")
+              .crossJoin(F.broadcast(t1)).crossJoin(F.broadcast(t2)))
+    p_xy = F.col("n_xy").cast("double") / F.col("_t2").cast("double")
+    p_x = F.col("n_x").cast("double") / F.col("_t1").cast("double")
+    p_y = F.col("n_y").cast("double") / F.col("_t1").cast("double")
+    return joined.select(
+        "x", "y", F.col("n_xy").cast("long").alias("n_xy"),
+        (p_xy / (p_x * p_y)).alias("score"))

@@ -2211,6 +2211,43 @@ SELECT doc_id, verdict, (verdict = 'keep') AS keep FROM v
 SQL_CURATION_VERDICTS = _sql_curation_verdicts()
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations by rational PMI (functions/index.py):
+    bounded censuses + broadcast unigram attachments; ratio-form score
+    keeps ln out of the cross-engine gate."""
+    from .functions import index as I
+
+    return I.collocations(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_collocations() -> str:
+    from .functions.lm import TOKEN_RE
+
+    return f"""
+WITH toksarr AS (SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                           '{TOKEN_RE}') AS tk
+                 FROM documents),
+bg AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS x,
+              unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS y
+       FROM toksarr WHERE len(tk) >= 2),
+uni AS (SELECT unnest(tk) AS t FROM toksarr),
+u AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY 1),
+nxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+        FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+t1 AS (SELECT CAST(sum(n) AS BIGINT) AS t1 FROM u),
+t2 AS (SELECT CAST(count(*) AS BIGINT) AS t2 FROM bg)
+SELECT x, y, n_xy,
+  (CAST(n_xy AS DOUBLE) / CAST(t2 AS DOUBLE))
+  / ((CAST(ux.n AS DOUBLE) / CAST(t1 AS DOUBLE))
+     * (CAST(uy.n AS DOUBLE) / CAST(t1 AS DOUBLE))) AS score
+FROM nxy JOIN u ux ON nxy.x = ux.t JOIN u uy ON nxy.y = uy.t
+CROSS JOIN t1 CROSS JOIN t2
+"""
+
+
+SQL_COLLOCATIONS = _sql_collocations()
+
+
 #: trusted "target" slice for the DSIR contract query (deterministic).
 DSIR_TARGET_SOURCES = ("src0", "src1")
 
@@ -2344,6 +2381,7 @@ REGISTRY: dict = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
     "curation_verdicts": (q_curation_verdicts, SQL_CURATION_VERDICTS),
+    "collocations": (q_collocations, SQL_COLLOCATIONS),
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
