@@ -225,3 +225,34 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+#: page-metadata patterns — RE2-compatible, shared verbatim with the twin.
+TITLE_RE = r"<title>([^<]*)</title>"
+SCRIPT_RE = r"<script"
+ANCHOR_COUNT_RE = r"<a href="
+ARTICLE_RE = '<article class="main-content">'
+
+
+def page_metadata(df: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """Per-page structural metadata out of the raw BINARY html:
+    (url, title, title_len, n_links, n_scripts, has_main_content).
+
+    The head-section profile an indexer keeps next to the extraction
+    output: one sniff-gated decode + four JVM regexp passes — a narrow
+    whole-stage-codegen projection fused with the scan, zero shuffle,
+    zero Python. Non-HTML payloads (PDF, junk, poison) yield the empty
+    profile row rather than an error (the poison contract)."""
+    page = page_html(F.col(html_col))
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(page, TITLE_RE, 1).alias("title"),
+        F.length(F.regexp_extract(page, TITLE_RE, 1)).cast("long")
+        .alias("title_len"),
+        F.regexp_count(page, F.lit(ANCHOR_COUNT_RE)).cast("long")
+        .alias("n_links"),
+        F.regexp_count(page, F.lit(SCRIPT_RE)).cast("long")
+        .alias("n_scripts"),
+        (F.regexp_count(page, F.lit(ARTICLE_RE)) > 0)
+        .alias("has_main_content"))

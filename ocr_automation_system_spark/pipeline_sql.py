@@ -876,3 +876,18 @@ SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
        max(warc_ts) AS latest_ts
 FROM {CORPUS} GROUP BY 1, 2
 """
+
+#: per-page structural metadata (head profile) — patterns shared
+#: verbatim with functions/links.py.
+SQL_PAGE_METADATA = f"""
+WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS})
+SELECT url,
+  regexp_extract(page, '<title>([^<]*)</title>', 1) AS title,
+  CAST(length(regexp_extract(page, '<title>([^<]*)</title>', 1))
+       AS BIGINT) AS title_len,
+  CAST(len(regexp_extract_all(page, '<a href=')) AS BIGINT) AS n_links,
+  CAST(len(regexp_extract_all(page, '<script')) AS BIGINT) AS n_scripts,
+  (len(regexp_extract_all(page, '<article class="main-content">')) > 0)
+    AS has_main_content
+FROM p
+"""

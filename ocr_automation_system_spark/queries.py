@@ -1973,6 +1973,16 @@ def q_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_type_summary(extract_media_metadata(corpus_for(spark, sf_dir)))
 
 
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page head/structure profile from the raw html BINARY
+    (functions/links.page_metadata): sniff-gated decode + JVM regexp
+    passes, narrow zero-shuffle projection; non-HTML payloads yield the
+    empty profile (poison contract)."""
+    from .functions import links as L
+
+    return L.page_metadata(corpus_for(spark, sf_dir).select("url", "html"))
+
+
 def q_crawl_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host monthly crawl activity: page counts, html share, latest
     capture — the freshness/coverage dashboard a recrawl scheduler reads.
@@ -2453,6 +2463,7 @@ REGISTRY: dict = {
     "latest_capture": (q_latest_capture, PSQL.SQL_LATEST_CAPTURE),
     "snapshot_delta": (q_snapshot_delta, PSQL.SQL_SNAPSHOT_DELTA),
     "crawl_activity": (q_crawl_activity, PSQL.SQL_CRAWL_ACTIVITY),
+    "page_metadata": (q_page_metadata, PSQL.SQL_PAGE_METADATA),
     # link graph: anchors from raw html, host graph, iterative PageRank
     "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
@@ -2473,8 +2484,8 @@ CORPUS_QUERIES: frozenset = frozenset(
     if name.startswith(("pipeline_", "media_"))
 ) | frozenset({
     "url_canonicalize", "url_dup_groups", "latest_capture",
-    "snapshot_delta", "crawl_activity", "link_edges", "host_link_graph",
-    "host_pagerank",
+    "snapshot_delta", "crawl_activity", "page_metadata", "link_edges",
+    "host_link_graph", "host_pagerank",
     "anchor_text_profile",
 })
 

@@ -179,3 +179,28 @@ def test_anchor_text_profile_plan_pushes_window_group_limit(spark):
     plan = (anchor_text_profile(df, k=3)
             ._jdf.queryExecution().executedPlan().toString())
     assert "WindowGroupLimit" in plan
+
+
+def test_page_metadata_profiles_and_poison(spark):
+    from ocr_automation_system_spark.functions.links import page_metadata
+
+    html = (b"<html><head><title>My Page</title><script>var t=1;"
+            b"</script></head><body><a href=\"/x\">x</a>"
+            b'<article class="main-content">\nbody\n</article>'
+            b"</body></html>")
+    rows = [("https://a.com/1", html),
+            ("https://a.com/2", b"%PDF-1.4 not html"),
+            ("https://a.com/3", b"\x00\xff\xfe poison bytes")]
+    out = {r["url"]: r for r in page_metadata(
+        spark.createDataFrame(rows, "url string, html binary")).collect()}
+    p = out["https://a.com/1"]
+    assert (p["title"], p["title_len"], p["n_links"], p["n_scripts"],
+            p["has_main_content"]) == ("My Page", 7, 1, 1, True)
+    for u in ("https://a.com/2", "https://a.com/3"):  # poison contract
+        q = out[u]
+        assert (q["title"], q["n_links"], q["has_main_content"]) == \
+            ("", 0, False)
+    plan = (page_metadata(spark.createDataFrame(
+        rows, "url string, html binary"))
+        ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
