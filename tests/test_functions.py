@@ -699,3 +699,23 @@ def test_blocklist_filter_broadcast_anti_join(spark):
     assert {r["source"] for r in kept} == {"host0", "host2"}
     plan = C.blocklist_filter(docs, bad)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_gram_lambdas_stay_bound_and_guarded(spark):
+    """Canary for the two HOF codegen cliffs (docs/PLANS.md): the
+    shingle/gram builders must keep (a) the emptiness guard on the
+    position SEQUENCE, never around the transform, and (b) the token
+    array LET-BOUND via bind_array's one-element outer transform — a
+    lambda closing over the raw tokenizer expression re-evaluates it
+    per gram (measured 14x)."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.text import shingles
+
+    expr = str(shingles(F.col("text"))).lower()
+    # bind_array shape: transform(array(<tokenizer>), ...)
+    assert "transform(array(" in expr
+    # lazy_seq shape: a guarded sequence feeds the gram transform ...
+    assert "sequence(1" in expr
+    # ... and no CASE WHEN has a transform as its THEN branch
+    assert "then transform(" not in expr
