@@ -163,3 +163,34 @@ def collocations(df: DataFrame, id_col: str = "doc_id",
     return joined.select(
         "x", "y", F.col("n_xy").cast("long").alias("n_xy"),
         (p_xy / (p_x * p_y)).alias("score"))
+
+
+def write_postings_index(df: DataFrame, path: str, id_col: str = "doc_id",
+                         text_col: str = "text", cap: int = POSTINGS_CAP,
+                         n_buckets: int = 64) -> None:
+    """Materialize the inverted index as parquet bucketed by a stable
+    md5-derived token bucket — the production form: the expensive
+    tokenize -> distinct -> rank pass runs ONCE per corpus snapshot,
+    then term lookups and index merges read only the matching bucket
+    files (1/n_buckets of the bytes). Bucket = first 2 md5 hex chars of
+    the token mod n_buckets, so the same token always lands in the same
+    file set across snapshots — incremental merges co-locate without a
+    shuffle."""
+    (token_postings(df, id_col, text_col, cap)
+     .withColumn("bucket",
+                 F.pmod(F.conv(F.substring(F.md5("token"), 1, 2), 16, 10)
+                        .cast("long"), F.lit(n_buckets)))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def lookup_postings(spark, path: str, token: str,
+                    n_buckets: int = 64) -> DataFrame:
+    """Point lookup against a written postings index: computes the
+    token's bucket driver-side and reads ONLY that partition directory
+    (partition pruning on the bucket column, then a token filter pushed
+    to the parquet scan)."""
+    import hashlib
+
+    b = int(hashlib.md5(token.encode()).hexdigest()[:2], 16) % n_buckets
+    return (spark.read.parquet(path)
+            .filter((F.col("bucket") == b) & (F.col("token") == token)))

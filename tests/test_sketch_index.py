@@ -135,3 +135,26 @@ def test_tfidf_k_limits_rows(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the df table joins back broadcast — no token-keyed shuffle of tf
     assert "BroadcastHashJoin" in plan
+
+
+def test_postings_index_roundtrip_and_pruning(spark, tmp_path):
+    from ocr_automation_system_spark.functions.index import (
+        lookup_postings, token_postings, write_postings_index,
+    )
+
+    rows = [(i, f"alpha beta w{i}", "s") for i in range(30)]
+    df = _docs(spark, rows)
+    path = str(tmp_path / "pidx")
+    write_postings_index(df, path, n_buckets=8)
+    # identical content to the direct computation
+    direct = {r["token"]: (r["df_docs"], r["postings"])
+              for r in token_postings(df).collect()}
+    from_idx = {r["token"]: (r["df_docs"], r["postings"])
+                for r in spark.read.parquet(path).collect()}
+    assert from_idx == direct
+    # point lookup returns the right row and prunes to one bucket
+    hit = lookup_postings(spark, path, "alpha", n_buckets=8)
+    got = hit.collect()
+    assert len(got) == 1 and got[0]["df_docs"] == 30
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(token), EqualTo(token,alpha)]" in plan

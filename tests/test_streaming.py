@@ -322,3 +322,28 @@ def test_stateless_curation_verdicts_stream_unchanged(spark, tmp_path):
     want = sorted(tuple(r) for r in curation_verdicts(
         spark.createDataFrame(rows, schema)).collect())
     assert got == want and got
+
+
+def test_stateless_page_metadata_stream_unchanged(spark, tmp_path):
+    from ocr_automation_system_spark.functions.links import page_metadata
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    html = (b"<html><head><title>T</title></head><body>"
+            b'<a href="/x">x</a></body></html>')
+    rows = [(f"https://h{i}.com/p", html if i % 3 else b"%PDF junk")
+            for i in range(12)]
+    schema = "url string, html binary"
+    spark.createDataFrame(rows, schema).write.parquet(
+        os.path.join(d, "drop1"))
+    stream_in = spark.readStream.schema(schema).parquet(os.path.join(d, "*"))
+    out = str(tmp_path / "out_meta")
+    q = (page_metadata(stream_in).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck_meta"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in page_metadata(
+        spark.createDataFrame(rows, schema)).collect())
+    assert got == want and got
