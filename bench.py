@@ -34,6 +34,7 @@ HEADLINE = (
     "simhash_near_pairs",
     "embedding_topk", "embedding_lsh_topk", "embedding_near_dup_pairs",
     "embedding_rp_near_dup_pairs", "embedding_multitable_topk",
+    "embedding_kmeans_cells", "embedding_semdedup_keep",
     "pack_bins", "benchmark_contamination", "domain_quota",
     "pii_scrub", "repetition_scores", "source_blocklist",
     "url_dup_groups", "latest_capture", "snapshot_delta",

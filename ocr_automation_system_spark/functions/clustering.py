@@ -1,0 +1,205 @@
+"""Distributed deterministic k-means + SemDedup-style semantic dedup.
+
+The reference pipeline has no clustering tier; this supplies the two
+pieces its 100-TB curation story needs on top of the ANN/IVF family
+(``functions/similarity.py``):
+
+* a **coarse quantizer trainer** — the k-means that produces the IVF
+  centroids ``similarity.ivf_assign`` documents as "production swaps in
+  k-means centroids computed offline";
+* **SemDedup** (Abbas et al., 2023): drop semantic near-duplicates
+  within each cluster, so the pairwise cosine work is confined to one
+  cell instead of the whole corpus.
+
+Determinism (the whole point — the DuckDB oracle must reproduce the
+result bit-for-bit under any partitioning):
+
+* embeddings are quantized to exact BIGINTs: ``floor(double(x) * 10^6)``
+  — FLOAT→DOUBLE is exact, the scale+floor is one correctly-rounded IEEE
+  op identical in the JVM, DuckDB, and CPython;
+* every distance is exact int64 arithmetic (|q| <= ~2·10^6, so a
+  64-dim squared distance tops out near 10^15 — no overflow);
+* centroid update is the *quantized* mean ``floor(double(sum)/count)``
+  — the int64 sum is partitioning-independent, the single division is
+  the same IEEE op everywhere;
+* argmin ties break on the lowest centroid id (first-min-wins), seeds
+  are the first ``k`` rows by id — both order-free properties.
+
+Scale shape (local[32] here, 1000 executors in spirit): assignment is a
+narrow whole-stage-codegen projection (no Python); the per-iteration
+centroid update is ONE map-side-combined groupBy producing exactly
+``k·(dim+1)`` numbers on the driver; SemDedup's quadratic work is a
+self-join bucketed by cell id with an occupancy cap, never all-pairs.
+At 10^12 docs you raise ``k`` so cells stay ~10^5 and the int64 sums
+stay exact (they hold to 2^63; the double mean is the same op on both
+engines regardless).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import cosine_pair
+from .text import bind_array
+
+#: Fixed-point scale for embedding quantization (6 decimal digits).
+QUANT_SCALE = 1_000_000
+
+#: Default occupancy cap for the SemDedup within-cell self-join — a
+#: B-row cell costs B^2 candidate pairs; cells larger than this are
+#: skipped (and should trigger a larger k upstream).
+SEMDEDUP_MAX_CELL = 100_000
+
+
+def quantize(vec: Column, scale: int = QUANT_SCALE) -> Column:
+    """array<float> -> array<bigint> fixed-point quantization."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * scale))
+
+
+def _sq_dist(q: Column, centroid: list) -> Column:
+    """Exact int64 squared L2 distance from a bound quantized vector to a
+    literal centroid."""
+    c = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(vec: Column, centroids: list,
+                  pre_quantized: bool = False) -> Column:
+    """Cell id = argmin over centroids of exact squared distance,
+    first-min-wins on ties (== the SQL twin's ``ORDER BY dist, cid``).
+
+    Pure JVM expression tree — ``bind_array`` evaluates the quantized
+    vector and the per-centroid distance array once each (the HOF
+    codegen rules from ``functions/text.py``), then ``array_position``
+    of the min picks the lowest-id winner. No Python in the hot path.
+    """
+    if not centroids:
+        raise ValueError("kmeans_assign needs at least one centroid")
+    q = vec if pre_quantized else quantize(vec)
+
+    def _cell(qv: Column) -> Column:
+        dists = F.array(*[_sq_dist(qv, c) for c in centroids])
+        return bind_array(
+            dists, lambda d: F.array_position(d, F.array_min(d))) - 1
+
+    return bind_array(q, _cell).cast("long")
+
+
+def kmeans_fit(df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding", k: int = 8,
+               iters: int = 3) -> list:
+    """Lloyd's k-means over quantized embeddings; returns the final
+    centroids as ``k`` lists of ints (index == cell id), or ``[]`` on an
+    empty/too-small table.
+
+    Each iteration is one Spark job: a codegen assignment projection
+    feeding ONE groupBy(cell) with ``dim`` int64 sums + a count — the
+    partial combine means only ``k·(dim+1)`` longs ever reach the
+    driver, independent of corpus size. Empty cells keep their previous
+    centroid (== the twin's ``coalesce``). The quantized projection is
+    persisted across iterations so the source scan (100 TB in
+    production) runs once, not ``iters`` times.
+    """
+    init = (df.filter(F.col(id_col) < k).orderBy(id_col)
+            .select(vec_col).collect())
+    cents = [[math.floor(float(x) * QUANT_SCALE) for x in r[0]]
+             for r in init]
+    if not cents:
+        return []
+    dim = len(cents[0])
+    q = df.select(quantize(F.col(vec_col)).alias("q")).persist()
+    try:
+        for _ in range(iters):
+            a = q.select(
+                kmeans_assign(F.col("q"), cents, pre_quantized=True)
+                .alias("cell"), "q")
+            stats = {
+                r["cell"]: r
+                for r in a.groupBy("cell").agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    *[F.sum(F.element_at(F.col("q"), i + 1)).alias(f"s{i}")
+                      for i in range(dim)]).collect()
+            }
+            cents = [
+                [math.floor(float(stats[c][f"s{i}"]) / stats[c]["cnt"])
+                 for i in range(dim)] if c in stats else cents[c]
+                for c in range(len(cents))
+            ]
+    finally:
+        q.unpersist()
+    return cents
+
+
+def centroid_hash(centroid: list) -> str:
+    """md5 over the comma-joined int centroid — the cross-engine
+    checksum (DuckDB: ``md5(array_to_string(cv, ','))``)."""
+    return hashlib.md5(",".join(str(int(v)) for v in centroid)
+                       .encode()).hexdigest()
+
+
+def kmeans_cell_stats(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding", k: int = 8,
+                      iters: int = 3) -> DataFrame:
+    """Fit + final assignment, aggregated per cell with the centroid
+    checksum — the trainer's audit surface (balance check + a hash that
+    pins the exact centroids across engines)."""
+    cents = kmeans_fit(df, id_col, vec_col, k, iters)
+    if not cents:
+        return df.select(
+            F.lit(0).cast("long").alias("cell"),
+            F.lit(0).cast("long").alias("n_vecs"),
+            F.col(id_col).alias("min_vec_id"),
+            F.lit("").alias("centroid_hash")).limit(0)
+    hashes = F.array(*[F.lit(centroid_hash(c)) for c in cents])
+    return (df
+            .select(F.col(id_col).alias("min_vec_id"),
+                    kmeans_assign(F.col(vec_col), cents).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.min("min_vec_id").alias("min_vec_id"))
+            .withColumn("centroid_hash",
+                        F.element_at(hashes, (F.col("cell") + 1)
+                                     .cast("int"))))
+
+
+def semdedup_keep(df: DataFrame, centroids: list, threshold: float = 0.3,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  max_cell: int = SEMDEDUP_MAX_CELL) -> DataFrame:
+    """SemDedup verdict per vector: ``keep = false`` iff a same-cell
+    vector with a smaller id has cosine >= threshold (keep-earliest, the
+    repo-wide dedup convention). Returns (vec_id, cell, keep).
+
+    The self-join shuffles on the cell id only; cells over ``max_cell``
+    rows are exempted from dropping (cap before the quadratic join,
+    same pattern as ``cosine_near_dup_pairs``). Cosine runs on the
+    ORIGINAL float vectors through the bit-exact Arrow kernel
+    (``similarity.cosine_pair``), rounded to 6 dp at the contract
+    surface like every other similarity query.
+    """
+    from pyspark.sql.window import Window
+
+    mem = df.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("vec"),
+                    kmeans_assign(F.col(vec_col), centroids).alias("cell"))
+    w = Window.partitionBy("cell")
+    capped = (mem.withColumn("_cn", F.count(F.lit(1)).over(w))
+              .filter(F.col("_cn") <= max_cell).drop("_cn"))
+    a, b = capped.alias("a"), capped.alias("b")
+    drops = (a.join(b, "cell")
+             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+             .filter(F.round(cosine_pair(F.col("a.vec"), F.col("b.vec")), 6)
+                     >= threshold)
+             .select(F.col("b.vec_id").alias("vec_id"))
+             .distinct()
+             .withColumn("_dropped", F.lit(True)))
+    return (mem.join(drops, "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.col("_dropped").isNull().alias("keep")))

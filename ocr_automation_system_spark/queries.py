@@ -1254,6 +1254,100 @@ WHERE round({_sql_cosine('a.vec', 'b.vec')}, 6) >= 0.3
 
 
 # ---------------------------------------------------------------------------
+# k-means coarse quantizer + SemDedup (functions/clustering.py)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def _sql_kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS,
+                     dim: int = _EMB_DIM) -> str:
+    """Unrolled Lloyd iterations as a CTE chain — the DuckDB twin of
+    ``clustering.kmeans_fit`` + final assignment. Exact int64 quantized
+    math end-to-end (see the clustering module docstring), so the chain
+    is bit-identical to the Spark driver loop regardless of engine."""
+    from .functions.clustering import QUANT_SCALE
+
+    parts = [
+        f"""qv AS (SELECT vec_id,
+  list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE)*{QUANT_SCALE}) AS BIGINT)) AS q
+  FROM embeddings)""",
+        f"c0 AS (SELECT vec_id AS cid, q AS cv FROM qv WHERE vec_id < {k})",
+    ]
+
+    def _assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT e.vec_id, e.q, c.cid AS cell FROM qv e CROSS JOIN {cents} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+    list_sum(list_transform(range(1, {dim + 1}),
+      i -> (e.q[i]-c.cv[i])*(e.q[i]-c.cv[i]))) ASC, c.cid ASC) = 1)"""
+
+    for it in range(iters):
+        parts.append(_assign(f"a{it}", f"c{it}"))
+        parts.append(f"""m{it} AS (
+  SELECT a.cell AS cid, t.i,
+         CAST(floor(CAST(sum(a.q[t.i]) AS DOUBLE)/count(*)) AS BIGINT) AS v
+  FROM a{it} a CROSS JOIN range(1, {dim + 1}) t(i) GROUP BY a.cell, t.i)""")
+        parts.append(f"""c{it + 1} AS (
+  SELECT p.cid, coalesce(n.cv, p.cv) AS cv FROM c{it} p
+  LEFT JOIN (SELECT cid, list(v ORDER BY i) AS cv FROM m{it} GROUP BY cid) n
+  USING (cid))""")
+    parts.append(_assign("afin", f"c{iters}"))
+    return ",\n".join(parts)
+
+
+def q_embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quantized k-means (k=8, 3 Lloyd iterations) — the
+    trainer for the IVF coarse quantizer, audited per cell with a
+    centroid md5 so the oracle pins the exact centroids, not just the
+    assignment counts."""
+    from .functions import clustering as KM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return KM.kmeans_cell_stats(emb, k=_KM_K, iters=_KM_ITERS)
+
+
+def q_embedding_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup: within each final k-means cell, drop vectors whose
+    cosine to an earlier same-cell vector >= 0.3 (keep-earliest). The
+    quadratic work is confined to one cell per join bucket."""
+    from .functions import clustering as KM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = KM.kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    if not cents:  # empty table -> empty verdicts
+        return emb.select(F.col("vec_id"),
+                          F.lit(0).cast("long").alias("cell"),
+                          F.lit(True).alias("keep")).limit(0)
+    return KM.semdedup_keep(emb, cents, threshold=0.3)
+
+
+SQL_EMBEDDING_KMEANS_CELLS = f"""
+WITH {_sql_kmeans_ctes()}
+SELECT a.cell, count(*) AS n_vecs, min(a.vec_id) AS min_vec_id,
+       min(md5(array_to_string(c.cv, ','))) AS centroid_hash
+FROM afin a JOIN c{_KM_ITERS} c ON a.cell = c.cid
+GROUP BY a.cell
+"""
+
+SQL_EMBEDDING_SEMDEDUP_KEEP = f"""
+WITH {_sql_kmeans_ctes()},
+mem AS (SELECT a.vec_id, a.cell, e.embedding AS vec
+        FROM afin a JOIN embeddings e USING (vec_id)),
+capped AS (SELECT * FROM mem
+           QUALIFY count(*) OVER (PARTITION BY cell) <= 100000),
+drops AS (SELECT DISTINCT b.vec_id
+          FROM capped a JOIN capped b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round({_sql_cosine('a.vec', 'b.vec')}, 6) >= 0.3)
+SELECT m.vec_id, m.cell, (d.vec_id IS NULL) AS keep
+FROM mem m LEFT JOIN drops d USING (vec_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Relational legs (TPC-H-ish tables) — the validation-join shapes
 # ---------------------------------------------------------------------------
 
@@ -2416,6 +2510,10 @@ REGISTRY: dict = {
     "embedding_ivf_cell_stats": (q_embedding_ivf_cell_stats,
                                  SQL_EMBEDDING_IVF_CELL_STATS),
     "embedding_ivf_topk": (q_embedding_ivf_topk, SQL_EMBEDDING_IVF_TOPK),
+    "embedding_kmeans_cells": (q_embedding_kmeans_cells,
+                               SQL_EMBEDDING_KMEANS_CELLS),
+    "embedding_semdedup_keep": (q_embedding_semdedup_keep,
+                                SQL_EMBEDDING_SEMDEDUP_KEEP),
     "embedding_multitable_topk": (q_embedding_multitable_topk,
                                   SQL_EMBEDDING_MULTITABLE_TOPK),
     # relational / validation shapes

@@ -1,0 +1,126 @@
+"""k-means coarse quantizer + SemDedup (functions/clustering.py):
+partitioning-independence, a pure-Python Lloyd reference, keep-earliest
+semantics vs brute force, the occupancy cap, and the no-Python plan
+assertion for the assignment projection."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_automation_system_spark.functions import clustering as KM
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _py_kmeans(rows, k, iters):
+    """Serial reference: identical quantized-Lloyd arithmetic."""
+    q = {vid: [math.floor(float(x) * KM.QUANT_SCALE) for x in v]
+         for vid, v in rows}
+    dim = len(next(iter(q.values())))
+    cents = [list(q[c]) for c in range(k)]
+
+    def assign():
+        return {vid: min((sum((v[i] - cv[i]) ** 2 for i in range(dim)), cid)
+                         for cid, cv in enumerate(cents))[1]
+                for vid, v in q.items()}
+
+    for _ in range(iters):
+        a = assign()
+        sums, cnt = {}, {}
+        for vid, cell in a.items():
+            cnt[cell] = cnt.get(cell, 0) + 1
+            s = sums.setdefault(cell, [0] * dim)
+            for i in range(dim):
+                s[i] += q[vid][i]
+        for cell, s in sums.items():
+            cents[cell] = [math.floor(float(s[i]) / cnt[cell])
+                           for i in range(dim)]
+    return cents, assign()
+
+
+def test_kmeans_fit_matches_python_reference(spark, emb):
+    rows = [(r["vec_id"], r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 80).collect()]
+    want_cents, want_assign = _py_kmeans(rows, k=4, iters=3)
+    sub = emb.filter(F.col("vec_id") < 80)
+    got = KM.kmeans_fit(sub, k=4, iters=3)
+    assert got == want_cents
+    a = {r["vec_id"]: r["cell"] for r in sub.select(
+        "vec_id", KM.kmeans_assign(F.col("embedding"), got).alias("cell")
+    ).collect()}
+    assert a == want_assign
+
+
+def test_kmeans_partitioning_independence(spark, emb):
+    """Centroids and cell stats must not depend on partitioning — the
+    int64 sums commute; nothing else aggregates."""
+    base = KM.kmeans_fit(emb, k=8, iters=3)
+    shuffled = KM.kmeans_fit(emb.repartition(17, "label"), k=8, iters=3)
+    assert base == shuffled
+    s1 = sorted(map(tuple, KM.kmeans_cell_stats(emb).collect()))
+    s2 = sorted(map(tuple,
+                    KM.kmeans_cell_stats(emb.repartition(3)).collect()))
+    assert s1 == s2 and len(s1) > 1
+
+
+def test_kmeans_assignment_plan_is_jvm_only(spark, emb):
+    cents = KM.kmeans_fit(emb, k=4, iters=1)
+    df = emb.select(KM.kmeans_assign(F.col("embedding"), cents)
+                    .alias("cell"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_empty_cell_keeps_previous_centroid(spark):
+    """Two far clusters, k=3: the third seed (a duplicate of seed 1)
+    loses every vector on iteration 1 and must keep its centroid —
+    the coalesce branch of the twin."""
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0]),
+            (3, [0.1, 0.1]), (4, [0.9, 0.9])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = KM.kmeans_fit(df, k=3, iters=2)
+    assert cents[2] == [1000000, 1000000]  # untouched seed
+
+
+def test_semdedup_keep_earliest_vs_bruteforce(spark, emb):
+    sub = emb.filter(F.col("vec_id") < 120)
+    cents = KM.kmeans_fit(sub, k=4, iters=2)
+    got = {r["vec_id"]: (r["cell"], r["keep"])
+           for r in KM.semdedup_keep(sub, cents, threshold=0.3).collect()}
+    # brute force on the driver
+    import numpy as np
+
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in sub.collect()}
+    cell = {vid: got[vid][0] for vid in rows}
+
+    def cos(a, b):
+        na, nb = math.sqrt(float(a @ a)), math.sqrt(float(b @ b))
+        return float(a @ b) / (na * nb) if na * nb > 0 else 0.0
+
+    for b in rows:
+        dropped = any(
+            a < b and cell[a] == cell[b]
+            and round(cos(rows[a], rows[b]), 6) >= 0.3
+            for a in rows)
+        assert got[b][1] == (not dropped), b
+    assert any(not k for _c, k in got.values())  # threshold actually bites
+
+
+def test_semdedup_occupancy_cap_exempts_fat_cells(spark, emb):
+    """With max_cell below every cell size no pair is ever formed:
+    everything is kept — the cap bounds the quadratic join by
+    construction (delete the cap and this test fails)."""
+    cents = KM.kmeans_fit(emb, k=2, iters=1)
+    out = KM.semdedup_keep(emb, cents, threshold=0.0, max_cell=10)
+    assert out.filter(~F.col("keep")).count() == 0
+    assert out.count() == emb.count()
