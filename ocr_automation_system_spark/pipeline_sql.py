@@ -877,6 +877,17 @@ SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
 FROM {CORPUS} GROUP BY 1, 2
 """
 
+#: WARC roundtrip twin: the oracle never parses WARC — it states what a
+#: lossless write+parse of the corpus MUST return, straight from the
+#: corpus parquet. Any framing/Content-Length/date-format defect in
+#: sources/warc.py shows up as a hash mismatch here.
+SQL_WARC_ROUNDTRIP = f"""
+SELECT url, octet_length(html) AS n_bytes,
+       md5(hex(html)) AS payload_hash,
+       warc_ts, 'ok' AS status
+FROM {CORPUS}
+"""
+
 #: per-page structural metadata (head profile) — patterns shared
 #: verbatim with functions/links.py.
 SQL_PAGE_METADATA = f"""

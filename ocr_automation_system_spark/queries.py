@@ -2020,6 +2020,35 @@ def q_pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.md5("kept_text").alias("kept_text_hash"))
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC sink+source pair (sources/warc.py) hash-checked
+    end-to-end: the corpus is exported once per (version, sf) as
+    url-bucketed WARC files from the executors, read back through the
+    streaming record parser, and compared against an oracle that
+    computes the expected rows straight from the corpus parquet — the
+    oracle never parses WARC, so any framing defect mismatches."""
+    from .corpus import CORPUS_VERSION
+    from .sources.warc import read_warc, write_warc
+
+    corpus = corpus_for(spark, sf_dir)
+    n = _CORPUS_ROWS.get(os.path.basename(sf_dir.rstrip("/")), 400)
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"spark_graft_warc_v{CORPUS_VERSION}_{n}")
+    marker = os.path.join(out_dir, "_done")
+    if not os.path.exists(marker):
+        write_warc(corpus, out_dir, n_files=8)
+        open(marker, "w").close()
+    back = read_warc(spark, out_dir)
+    return back.select(
+        "url",
+        F.length("html").cast("long").alias("n_bytes"),
+        # md5 over the HEX encoding: Spark's base64() is MIME-chunked
+        # (76-char lines) while DuckDB's isn't — hex() is identical
+        # (uppercase) in both engines, so the hash crosses engines.
+        F.md5(F.hex("html")).alias("payload_hash"),
+        "warc_ts", "status")
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Contract surface: nullable dims coalesce to -1 (long) so neither
     # engine hands the comparator a nullable-int dtype; the feature vector
@@ -2567,6 +2596,8 @@ REGISTRY: dict = {
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
     "anchor_text_profile": (q_anchor_text_profile, PSQL.SQL_ANCHOR_TEXT_PROFILE),
     "host_pagerank": (q_host_pagerank, PSQL.SQL_HOST_PAGERANK),
+    # WARC sink+source roundtrip (Common-Crawl wire format)
+    "warc_roundtrip": (q_warc_roundtrip, PSQL.SQL_WARC_ROUNDTRIP),
     # multimodal plumbing (decode stubs; plumbing hash-checked via twin)
     "media_metadata": (q_media_metadata, PSQL.SQL_MEDIA_METADATA),
     "media_resize": (q_media_resize, PSQL.SQL_MEDIA_RESIZE),
@@ -2584,7 +2615,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "url_canonicalize", "url_dup_groups", "latest_capture",
     "snapshot_delta", "crawl_activity", "page_metadata", "link_edges",
     "host_link_graph", "host_pagerank",
-    "anchor_text_profile",
+    "anchor_text_profile", "warc_roundtrip",
 })
 
 

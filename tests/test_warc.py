@@ -1,0 +1,115 @@
+"""WARC sink/source (sources/warc.py): byte-deterministic bucketed
+writes, lossless roundtrip (binary + empty payloads, microsecond
+timestamps), HTTP-envelope stripping for response records, poison rows
+for malformed framing, and the WET conversion export."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_automation_system_spark.sources.warc import (
+    read_warc, record_bytes, write_warc, write_wet,
+)
+
+SCHEMA = "url string, warc_ts timestamp, html binary, text string"
+
+
+def _df(spark):
+    ts = dt.datetime(2026, 1, 2, 3, 4, 5, 123456)
+    rows = [
+        (f"https://h{i}.example.com/p{i}", ts + dt.timedelta(seconds=i),
+         (b"<html>" + bytes([i % 256, 0xFF, 0x00]) + b"</html>"),
+         f"text {i}")
+        for i in range(40)
+    ] + [("https://empty.example.com/", ts, b"", "")]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_warc_roundtrip_lossless(spark, tmp_path):
+    df = _df(spark)
+    out = str(tmp_path / "warc")
+    manifest = write_warc(df, out, n_files=4)
+    assert sum(r["n_records"] for r in manifest) == 41
+    assert {r["bucket"] for r in manifest} <= set(range(4))
+    back = read_warc(spark, out)
+    assert back.filter(F.col("status") != "ok").count() == 0
+    want = sorted((r["url"], r["warc_ts"], bytes(r["html"]))
+                  for r in df.collect())
+    got = sorted((r["url"], r["warc_ts"], bytes(r["html"]))
+                 for r in back.collect())
+    assert got == want  # microseconds + raw bytes survive
+
+
+def test_warc_write_is_partitioning_invariant(spark, tmp_path):
+    df = _df(spark)
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_warc(df, d1, n_files=4)
+    write_warc(df.repartition(13, "warc_ts"), d2, n_files=4)
+
+    def digest(d):
+        return {f: hashlib.md5(open(os.path.join(d, f), "rb").read())
+                .hexdigest() for f in sorted(os.listdir(d))}
+
+    assert digest(d1) == digest(d2)
+
+
+def test_response_record_strips_http_envelope(spark, tmp_path):
+    body = b"<html>hello</html>"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+    rec = record_bytes("https://x.example.com/", "2026-01-01T00:00:00.000000Z",
+                       http, rec_type="response",
+                       content_type="application/http; msgtype=response")
+    p = tmp_path / "in" / "f.warc"
+    os.makedirs(p.parent)
+    p.write_bytes(rec)
+    got = read_warc(spark, str(p.parent)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["status"] == "ok" and r["rec_type"] == "response"
+    assert bytes(r["html"]) == body  # envelope gone, body intact
+
+
+@pytest.mark.parametrize("payload,expect", [
+    (b"GARBAGE NOT A WARC\r\n", "poison:not-warc"),
+    (b"WARC/1.0\r\nWARC-Type: resource\r\n\r\n",
+     "poison:bad-content-length"),
+    (record_bytes("https://x/", "2026-01-01T00:00:00.000000Z",
+                  b"full payload")[:-10], "poison:truncated"),
+])
+def test_malformed_warc_yields_poison_not_failure(spark, tmp_path, payload,
+                                                  expect):
+    p = tmp_path / "in" / "bad.warc"
+    os.makedirs(p.parent)
+    p.write_bytes(payload)
+    got = read_warc(spark, str(p.parent)).collect()
+    assert [r["status"] for r in got] == [expect]
+    assert got[0]["rec_offset"] == 0
+
+
+def test_good_records_before_corruption_survive(spark, tmp_path):
+    good = record_bytes("https://ok.example.com/",
+                        "2026-01-01T00:00:00.000000Z", b"fine")
+    p = tmp_path / "in" / "mix.warc"
+    os.makedirs(p.parent)
+    p.write_bytes(good + b"NOISE")
+    rows = {r["status"]: r for r in read_warc(spark, str(p.parent)).collect()}
+    assert rows["ok"]["url"] == "https://ok.example.com/"
+    assert "poison:not-warc" in rows
+    assert rows["poison:not-warc"]["rec_offset"] == len(good)
+
+
+def test_wet_export_roundtrip(spark, tmp_path):
+    df = _df(spark)
+    out = str(tmp_path / "wet")
+    write_wet(df, out, n_files=2)
+    back = read_warc(spark, out)
+    got = sorted((r["url"], bytes(r["html"]).decode("utf-8"))
+                 for r in back.collect())
+    want = sorted((r["url"], r["text"]) for r in df.collect())
+    assert got == want
+    assert back.select("rec_type").distinct().collect()[0][0] == "conversion"
