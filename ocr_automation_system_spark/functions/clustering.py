@@ -107,9 +107,11 @@ def kmeans_fit(df: DataFrame, id_col: str = "vec_id",
     centroid (== the twin's ``coalesce``). The quantized projection is
     persisted across iterations so the source scan (100 TB in
     production) runs once, not ``iters`` times.
+
+    Seeds are the ``k`` smallest ids (== the twin's ``vec_id < k`` on
+    the contiguous embeddings table; works for string ids too).
     """
-    init = (df.filter(F.col(id_col) < k).orderBy(id_col)
-            .select(vec_col).collect())
+    init = (df.orderBy(id_col).limit(k).select(vec_col).collect())
     cents = [[math.floor(float(x) * QUANT_SCALE) for x in r[0]]
              for r in init]
     if not cents:
@@ -168,6 +170,58 @@ def kmeans_cell_stats(df: DataFrame, id_col: str = "vec_id",
             .withColumn("centroid_hash",
                         F.element_at(hashes, (F.col("cell") + 1)
                                      .cast("int"))))
+
+
+def text_feature_vec(text: Column, dim: int = 32) -> Column:
+    """Hashed bag-of-words count vector (array<float>) for documents
+    that have no learned embedding — the featurizer that lets the
+    SemDedup stage run inside the text curation ladder. UNIGRAMS only
+    (md5 token hash folded to ``dim`` slots): the vector must be
+    order-free so reordered/paraphrase-shaped duplicates — the ones
+    shingle-Jaccard misses by construction — collide at cosine ~1.
+    All JVM codegen."""
+    from .lm import tokens_lower
+    from .text import bind_array
+
+    def _counts(buckets: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.size(F.filter(buckets, lambda b: b == d.cast("long")))
+            .cast("float"))
+
+    buckets = F.transform(
+        tokens_lower(text),
+        lambda t: F.pmod(F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                         .cast("long"), F.lit(dim)))
+    return bind_array(buckets, _counts)
+
+
+def semdedup_stage(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 16, iters: int = 2,
+                   threshold: float = 0.95, dim: int = 256,
+                   max_cell: int = SEMDEDUP_MAX_CELL) -> DataFrame:
+    """SemDedup over raw text: featurize (hashed BoW) -> k-means ->
+    within-cell cosine drop. Catches what shingle-Jaccard near-dedup
+    misses (reordered/paraphrase-shaped duplicates share a bag of words
+    but few 3-shingles). Returns (id, cell, keep); empty/degenerate
+    input keeps everything.
+
+    Defaults calibrated on the synthetic extraction corpus: dim=256
+    keeps hash collisions rare enough that only template-level
+    duplicates cross 0.95 (32 dims folds everything together and the
+    stage over-drops); raise ``dim`` with vocabulary size."""
+    feats = df.select(F.col(id_col).alias("vec_id"),
+                      text_feature_vec(
+                          F.coalesce(F.col(text_col), F.lit("")), dim)
+                      .alias("embedding"))
+    cents = kmeans_fit(feats, k=k, iters=iters)
+    if not cents:
+        return df.select(F.col(id_col),
+                         F.lit(0).cast("long").alias("cell"),
+                         F.lit(True).alias("keep"))
+    out = semdedup_keep(feats, cents, threshold=threshold,
+                        max_cell=max_cell)
+    return out.withColumnRenamed("vec_id", id_col)
 
 
 def semdedup_keep(df: DataFrame, centroids: list, threshold: float = 0.3,

@@ -59,6 +59,10 @@ def main(argv=None, stop_session: bool = True) -> int:
     p.add_argument("--chunk-tokens", type=int, default=0,
                    help="--curate only: also export fixed-size token "
                         "chunks of the train split (0 = off)")
+    p.add_argument("--semdedup", action="store_true",
+                   help="--curate only: semantic dedup stage (hashed "
+                        "BoW features -> k-means -> within-cell cosine "
+                        "drop) after near-dup dedup")
     p.add_argument("--policy", action="store_true",
                    help="--curate only: apply the composite filter "
                         "policy (repetition/quality/PII gates) before "
@@ -99,7 +103,8 @@ def main(argv=None, stop_session: bool = True) -> int:
 
     if args.curate:
         curate(spark, results, args.output, quota=args.domain_quota,
-               chunk_tokens=args.chunk_tokens, policy=args.policy)
+               chunk_tokens=args.chunk_tokens, policy=args.policy,
+               semdedup=args.semdedup)
 
     summary = lineage_summary(args.output, args.n_buckets)
     print(f"done: {summary['total_rows']} docs across "
@@ -112,7 +117,8 @@ def main(argv=None, stop_session: bool = True) -> int:
 
 
 def curate(spark, results, output: str, quota: int = 1000,
-           chunk_tokens: int = 0, policy: bool = False) -> None:
+           chunk_tokens: int = 0, policy: bool = False,
+           semdedup: bool = False) -> None:
     """Committed extractions -> curated training corpus.
 
     Chain (each stage a documented survivor count): usable docs only ->
@@ -122,7 +128,10 @@ def curate(spark, results, output: str, quota: int = 1000,
     stages key on url/content hashes — a rerun over the same committed
     extractions writes byte-identical output. ``chunk_tokens`` > 0 adds
     the export step: the train split cut into fixed-size token windows
-    (``curation.chunk_documents``) under ``<output>/chunks``."""
+    (``curation.chunk_documents``) under ``<output>/chunks``.
+    ``semdedup`` inserts the semantic stage (hashed-BoW k-means +
+    within-cell cosine drop, ``clustering.semdedup_stage``) after
+    near-dup dedup."""
     from pyspark.sql import functions as F
 
     from ocr_automation_system_spark.functions import curation as C
@@ -163,6 +172,20 @@ def curate(spark, results, output: str, quota: int = 1000,
     deduped = exact.join(keep_ids, "doc_id", "left_semi").persist()
     counts["after_exact_dedup"] = exact.count()
     counts["after_near_dedup"] = deduped.count()
+
+    if semdedup:
+        # semantic pass AFTER near-dedup: hashed-BoW k-means cells,
+        # within-cell cosine drop — catches reordered/paraphrase-shaped
+        # duplicates whose 3-shingle Jaccard is low
+        from ocr_automation_system_spark.functions import clustering as KM
+
+        sd_keep = (KM.semdedup_stage(deduped, id_col="doc_id",
+                                     text_col="text")
+                   .filter(F.col("keep")).select("doc_id"))
+        sd = deduped.join(sd_keep, "doc_id", "left_semi").persist()
+        counts["after_semdedup"] = sd.count()
+        deduped.unpersist()
+        deduped = sd
 
     quota_kept = C.domain_quota(deduped, domain_col="host",
                                 text_col="text", id_col="doc_id",

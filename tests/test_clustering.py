@@ -124,3 +124,31 @@ def test_semdedup_occupancy_cap_exempts_fat_cells(spark, emb):
     out = KM.semdedup_keep(emb, cents, threshold=0.0, max_cell=10)
     assert out.filter(~F.col("keep")).count() == 0
     assert out.count() == emb.count()
+
+
+def test_semdedup_stage_catches_reordered_paraphrases(spark):
+    """Token-shuffled duplicates share a bag of words (cosine 1.0) but
+    almost no 3-shingles — the gap the semantic stage exists to close."""
+    from ocr_automation_system_spark.functions import dedup as D
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    toks = base.split()
+    shuffled = " ".join(toks[::-1])
+    rows = [("a", base), ("b", shuffled),
+            ("c", "completely different words about ships and harbors"),
+            ("d", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    from ocr_automation_system_spark.functions.clustering import (
+        semdedup_stage,
+    )
+
+    got = {r["doc_id"]: r["keep"]
+           for r in semdedup_stage(df, k=2, iters=1,
+                                   threshold=0.9).collect()}
+    assert got == {"a": True, "b": False, "c": True, "d": True}
+    # and the shingle-based near-dedup indeed does NOT pair a with b
+    pairs = D.ngram_jaccard_pairs(df.filter(df.text.isNotNull()),
+                                  id_col="doc_id", text_col="text",
+                                  threshold=0.5)
+    assert pairs.count() == 0

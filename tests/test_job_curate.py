@@ -91,3 +91,20 @@ def test_curate_with_policy(spark, tmp_path):
     # the curated output only holds policy survivors
     cur = spark.read.parquet(os.path.join(out, "curated"))
     assert cur.count() == counts["train"] + counts["val"] > 0
+
+
+def test_curate_semdedup_stage(spark, tmp_path):
+    out = str(tmp_path / "jobsd")
+    rc = spark_submit_job.main([
+        "--synthetic", "300", "--output", out, "--curate",
+        "--domain-quota", "50", "--semdedup",
+    ], stop_session=False)
+    assert rc == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    # the semantic stage sits between near-dedup and the quota, never grows
+    assert counts["after_near_dedup"] >= counts["after_semdedup"] \
+        >= counts["after_domain_quota"]
+    assert counts["after_semdedup"] > 0
+    cur = spark.read.parquet(os.path.join(out, "curated"))
+    assert cur.count() == counts["after_domain_quota"]
