@@ -60,10 +60,8 @@ def quantize(vec: Column, scale: int = QUANT_SCALE) -> Column:
     return F.transform(vec, lambda x: F.floor(x.cast("double") * scale))
 
 
-def _sq_dist(q: Column, centroid: list) -> Column:
-    """Exact int64 squared L2 distance from a bound quantized vector to a
-    literal centroid."""
-    c = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+def _sq_dist(q: Column, c: Column) -> Column:
+    """Exact int64 squared L2 distance between two bound vectors."""
     return F.aggregate(
         F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -76,17 +74,27 @@ def kmeans_assign(vec: Column, centroids: list,
     """Cell id = argmin over centroids of exact squared distance,
     first-min-wins on ties (== the SQL twin's ``ORDER BY dist, cid``).
 
-    Pure JVM expression tree — ``bind_array`` evaluates the quantized
-    vector and the per-centroid distance array once each (the HOF
-    codegen rules from ``functions/text.py``), then ``array_position``
-    of the min picks the lowest-id winner. No Python in the hot path.
+    Pure JVM expression tree. The centroid set enters as ONE constant-
+    folded array<array<long>> literal mapped by a single ``transform``
+    lambda — generated code is O(1) in k (a per-centroid expression
+    tree is k·dim literal NODES, recompiled by Janino every iteration
+    because the literals change: measured seconds per fit at k=8,
+    dim=64). ``bind_array`` evaluates the quantized vector and the
+    distance array once each (the HOF codegen rules from
+    ``functions/text.py``); ``array_position`` of the min picks the
+    lowest-id winner. No Python in the hot path.
     """
     if not centroids:
         raise ValueError("kmeans_assign needs at least one centroid")
     q = vec if pre_quantized else quantize(vec)
+    # ONE py4j call for the whole centroid set: building k*dim nested
+    # F.lit().cast() columns costs a JVM round-trip per literal
+    # (measured ~1.8s per fit iteration at k=8, dim=64)
+    cents = (F.lit([[int(v) for v in c] for c in centroids])
+             .cast("array<array<long>>"))
 
     def _cell(qv: Column) -> Column:
-        dists = F.array(*[_sq_dist(qv, c) for c in centroids])
+        dists = F.transform(cents, lambda c: _sq_dist(qv, c))
         return bind_array(
             dists, lambda d: F.array_position(d, F.array_min(d))) - 1
 
@@ -127,7 +135,7 @@ def kmeans_fit(df: DataFrame, id_col: str = "vec_id",
                 r["cell"]: r
                 for r in a.groupBy("cell").agg(
                     F.count(F.lit(1)).alias("cnt"),
-                    *[F.sum(F.element_at(F.col("q"), i + 1)).alias(f"s{i}")
+                    *[F.expr(f"sum(q[{i}]) AS s{i}")  # 1 py4j call per dim
                       for i in range(dim)]).collect()
             }
             cents = [
