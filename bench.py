@@ -40,6 +40,7 @@ HEADLINE = (
     "url_dup_groups", "latest_capture", "snapshot_delta",
     "pipeline_line_dedup",
     "link_edges", "host_pagerank", "lm_quality_scores",
+    "bpe_merge_candidates",
     "duplicate_spans", "stratified_sample", "chunk_documents",
     "hll_source_cardinality", "token_postings", "tfidf_top_terms",
     "importance_weights", "curation_verdicts", "collocations",

@@ -118,3 +118,26 @@ def lm_score(df: DataFrame, model: DataFrame, id_col: str = "doc_id",
             .otherwise(F.lit(0.0)).alias("rare_token_frac"),
         )
     )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    k: int = 50) -> DataFrame:
+    """One BPE merge round's candidate table: the census of adjacent
+    character pairs inside tokens, top-k by count (ties on the pair
+    string) — the inner loop of tokenizer vocabulary induction
+    (Sennrich et al., 2016), run corpus-wide.
+
+    Scale shape: the pair stream explodes to ~chars-per-corpus rows, but
+    the groupBy key space is bounded by charset^2 (~1.3k for [a-z0-9]) —
+    the map-side partial combine collapses each partition to at most
+    that many rows before the only shuffle, and the top-k is a
+    TakeOrdered over a tiny aggregate. No joins, no skew exposure.
+    """
+    from .text import lazy_seq
+
+    toks = df.select(F.explode(tokens_lower(F.col(text_col))).alias("t"))
+    pairs = toks.select(F.explode(F.transform(
+        lazy_seq(F.length("t") >= 2, F.lit(1), F.length("t") - 1),
+        lambda i: F.col("t").substr(i, F.lit(2)))).alias("pair"))
+    return (pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair")).limit(k))

@@ -605,6 +605,34 @@ def q_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.lm_score(docs, lm.token_census(docs))
 
 
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary induction, one merge round: corpus-wide
+    census of adjacent character pairs inside tokens, top-50. Key space
+    bounded by charset^2, so the single shuffle carries at most ~1.3k
+    rows per partition after the map-side combine."""
+    from .functions import lm
+
+    return lm.bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=50)
+
+
+def _sql_bpe_merge_candidates() -> str:
+    from .functions.lm import TOKEN_RE
+
+    return f"""
+WITH toks AS (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '{TOKEN_RE}')) AS t
+              FROM documents),
+pairs AS (SELECT unnest(list_transform(range(1, length(t)),
+                                       i -> substr(t, i, 2))) AS pair
+          FROM toks WHERE length(t) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+"""
+
+
+SQL_BPE_MERGE_CANDIDATES = _sql_bpe_merge_candidates()
+
+
 def _sql_lm_base() -> str:
     from .functions.lm import TOKEN_RE
 
@@ -2506,6 +2534,8 @@ REGISTRY: dict = {
     # corpus-trained unigram LM quality (CCNet-style, two-phase)
     "lm_token_census": (q_lm_token_census, SQL_LM_TOKEN_CENSUS),
     "lm_quality_scores": (q_lm_quality_scores, SQL_LM_QUALITY_SCORES),
+    "bpe_merge_candidates": (q_bpe_merge_candidates,
+                             SQL_BPE_MERGE_CANDIDATES),
     # deterministic sketches + index/export surfaces
     "hll_source_cardinality": (q_hll_source_cardinality,
                                SQL_HLL_SOURCE_CARDINALITY),

@@ -347,3 +347,35 @@ def test_stateless_page_metadata_stream_unchanged(spark, tmp_path):
     want = sorted(tuple(r) for r in page_metadata(
         spark.createDataFrame(rows, schema)).collect())
     assert got == want and got
+
+
+def test_stateless_kmeans_assign_stream_unchanged(spark, tmp_path):
+    """Centroid ASSIGNMENT is the streaming half of the clustering tier
+    (fit runs offline; the fitted centroids score arriving documents as
+    a stateless projection)."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions import clustering as KM
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+            for i in range(40)]
+    schema = "vec_id long, embedding array<float>"
+    batch = spark.createDataFrame(rows, schema)
+    cents = KM.kmeans_fit(batch, k=4, iters=2)
+    batch.write.parquet(os.path.join(d, "drop1"))
+    stream_in = spark.readStream.schema(schema).parquet(os.path.join(d, "*"))
+    out = str(tmp_path / "out_cells")
+    q = (stream_in.select("vec_id",
+                          KM.kmeans_assign(F.col("embedding"), cents)
+                          .alias("cell"))
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck_cells"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in batch.select(
+        "vec_id", KM.kmeans_assign(F.col("embedding"), cents)
+        .alias("cell")).collect())
+    assert got == want and got
