@@ -185,6 +185,76 @@ def candidate_pairs_from_index(spark, path: str) -> DataFrame:
     )
 
 
+def write_dedup_index(df: DataFrame, path: str, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3, bands: int = 4,
+                      rows_per_band: int = 2) -> None:
+    """The incremental-dedup artifact: band table (partitioned by band,
+    as ``write_minhash_index``) PLUS the shingle store the exact-Jaccard
+    verify pass reads. Written once per corpus snapshot; every later
+    snapshot dedups against it without touching corpus text again."""
+    (minhash_bands(df, id_col, text_col, n, bands, rows_per_band)
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(os.path.join(path, "bands")))
+    (ensure_parallelism(df)
+     .select(F.col(id_col).alias("doc_id"),
+             shingles(F.col(text_col), n).alias("sh"))
+     .write.mode("overwrite").parquet(os.path.join(path, "shingles")))
+
+
+def incremental_dedup(new_df: DataFrame, spark, path: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, bands: int = 4, rows_per_band: int = 2,
+                      threshold: float = 0.6) -> DataFrame:
+    """Dedup an incoming snapshot against a stored corpus index (the
+    monthly-crawl pattern): only the NEW docs are shingled/hashed; their
+    bands equi-join the stored band table on (band, sig), candidates are
+    verified with exact Jaccard against the stored shingle sets, and each
+    new doc gets a verdict row (doc_id, n_corpus_dups, dup_of, keep).
+
+    Scale shape: the corpus index is read, never recomputed; the band
+    join shuffles on the signature key only (the corpus side arrives
+    pre-partitioned by band); the verify join touches candidates only.
+    ``dup_of`` is the smallest matching corpus id, -1 when none (kept
+    non-null so the contract surface carries no nullable ints).
+    Shingle params must match the ones used at ``write_dedup_index``."""
+    verdict_base = new_df.select(F.col(id_col).alias("doc_id"))
+    try:
+        idx = spark.read.parquet(os.path.join(path, "bands"))
+        corpus_sh = spark.read.parquet(os.path.join(path, "shingles"))
+    except Exception:
+        # empty corpus index (a partitioned write of 0 rows leaves no
+        # readable files): everything in the snapshot is novel
+        return verdict_base.select(
+            "doc_id", F.lit(0).cast("long").alias("n_corpus_dups"),
+            F.lit(-1).cast("long").alias("dup_of"),
+            F.lit(True).alias("keep"))
+    nb = minhash_bands(new_df, id_col, text_col, n, bands, rows_per_band)
+    cand = (nb.alias("n").join(idx.alias("c"), ["band", "sig"])
+            .select(F.col("n.doc_id").alias("new_id"),
+                    F.col("c.doc_id").alias("corpus_id"))
+            .distinct())
+    new_sh = (ensure_parallelism(new_df)
+              .select(F.col(id_col).alias("new_id"),
+                      shingles(F.col(text_col), n).alias("sh_n")))
+    ver = (cand
+           .join(new_sh, "new_id")
+           .join(corpus_sh.select(F.col("doc_id").alias("corpus_id"),
+                                  F.col("sh").alias("sh_c")), "corpus_id")
+           .filter((F.size(F.array_intersect("sh_n", "sh_c"))
+                    / F.size(F.array_union("sh_n", "sh_c"))) >= threshold))
+    agg = (ver.groupBy("new_id")
+           .agg(F.count(F.lit(1)).alias("n_corpus_dups"),
+                F.min("corpus_id").alias("dup_of")))
+    return (verdict_base
+            .join(agg, verdict_base.doc_id == agg.new_id, "left")
+            .select("doc_id",
+                    F.coalesce("n_corpus_dups", F.lit(0)).cast("long")
+                    .alias("n_corpus_dups"),
+                    F.coalesce("dup_of", F.lit(-1)).cast("long")
+                    .alias("dup_of"),
+                    F.col("n_corpus_dups").isNull().alias("keep")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3, bands: int = 4,
                         rows_per_band: int = 2, threshold: float = 0.0,

@@ -858,6 +858,54 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jp
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monthly-crawl pattern: even doc_ids play the INDEXED corpus
+    (band table + shingle store written once as a parquet artifact,
+    ``dedup.write_dedup_index``), odd doc_ids the incoming snapshot —
+    deduped against the stored index without recomputing the corpus
+    (``dedup.incremental_dedup``). The oracle recomputes both halves
+    from the documents table directly, so a defect anywhere in the
+    write/read/join/verify path mismatches."""
+    import hashlib as _h
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    key = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx_dir = os.path.join(tempfile.gettempdir(),
+                           f"spark_graft_dedup_idx_v1_{key}")
+    marker = os.path.join(idx_dir, "_done")
+    if not os.path.exists(marker):
+        D.write_dedup_index(corpus, idx_dir)
+        open(marker, "w").close()
+    return D.incremental_dedup(new, spark, idx_dir, threshold=0.6)
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH {_SQL_MINHASH_CTES},
+cand2 AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM bands n JOIN bands c ON n.band = c.band AND n.sig = c.sig
+  WHERE n.sig <> '{_MP}|{_MP}'
+    AND n.doc_id % 2 = 1 AND c.doc_id % 2 = 0),
+ver AS (
+  SELECT cd.new_id, cd.corpus_id
+  FROM cand2 cd JOIN sh x ON cd.new_id = x.doc_id
+                JOIN sh y ON cd.corpus_id = y.doc_id
+  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+        / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.6),
+agg AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_corpus_dups,
+               min(corpus_id) AS dup_of
+        FROM ver GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n_corpus_dups, 0) AS n_corpus_dups,
+       coalesce(a.dup_of, -1) AS dup_of,
+       (a.new_id IS NULL) AS keep
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.new_id
+WHERE d.doc_id % 2 = 1
+"""
+
+
 def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup end state: LSH -> Jaccard>=0.6 pairs -> connected components
     -> (doc_id, cluster_id=min id in component, keep=is-representative).
@@ -2548,6 +2596,7 @@ REGISTRY: dict = {
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "dedup_cluster_keep": (q_dedup_cluster_keep, SQL_DEDUP_CLUSTER_KEEP),
     "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH_SIGNATURES),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR_PAIRS),

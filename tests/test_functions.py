@@ -719,3 +719,38 @@ def test_gram_lambdas_stay_bound_and_guarded(spark):
     assert "sequence(1" in expr
     # ... and no CASE WHEN has a transform as its THEN branch
     assert "then transform(" not in expr
+
+
+def test_incremental_dedup_matches_direct_and_handles_empty_index(
+        spark, tmp_path):
+    """The stored-index path must produce the same verdicts as a direct
+    cross-half LSH+Jaccard computation, and an EMPTY corpus index must
+    mean 'everything novel', not a crash."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(0, base, "s"), (2, "unrelated corpus text about rivers", "s"),
+            (1, base + " today", "s"),  # near-dup of corpus doc 0
+            (3, "novel snapshot document about mountains", "s"),
+            (5, "", "s")]  # shingle-less: never a candidate
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    corpus = df.filter(F.col("doc_id") % 2 == 0)
+    new = df.filter(F.col("doc_id") % 2 == 1)
+
+    idx = str(tmp_path / "idx")
+    D.write_dedup_index(corpus, idx)
+    got = {r["doc_id"]: (r["n_corpus_dups"], r["dup_of"], r["keep"])
+           for r in D.incremental_dedup(new, spark, idx,
+                                        threshold=0.5).collect()}
+    assert got[1] == (1, 0, False)   # caught against the stored corpus
+    assert got[3] == (0, -1, True)
+    assert got[5] == (0, -1, True)
+
+    # empty corpus -> empty (unreadable) partitioned index -> all kept
+    idx2 = str(tmp_path / "idx2")
+    D.write_dedup_index(corpus.limit(0), idx2)
+    got2 = {r["doc_id"]: r["keep"]
+            for r in D.incremental_dedup(new, spark, idx2).collect()}
+    assert got2 == {1: True, 3: True, 5: True}
