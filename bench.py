@@ -40,7 +40,7 @@ HEADLINE = (
     "pii_scrub", "repetition_scores", "source_blocklist",
     "url_dup_groups", "latest_capture", "snapshot_delta",
     "pipeline_line_dedup",
-    "link_edges", "host_pagerank", "lm_quality_scores",
+    "link_edges", "host_pagerank", "host_components", "lm_quality_scores",
     "bpe_merge_candidates",
     "duplicate_spans", "stratified_sample", "chunk_documents",
     "hll_source_cardinality", "token_postings", "tfidf_top_terms",

@@ -786,6 +786,22 @@ def _sql_pagerank_iters(iters: int) -> str:
     return ",\n".join(ctes)
 
 
+SQL_HOST_COMPONENTS = f"""
+WITH RECURSIVE
+e0 AS (SELECT DISTINCT {_SQL_URL_PRE % 'url'} AS s, {_sql_outlink(9)} AS d
+       FROM {CORPUS}
+       UNION
+       SELECT DISTINCT {_SQL_URL_PRE % 'url'}, {_sql_outlink(17)}
+       FROM {CORPUS}),
+edges AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+reach(src, node) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s),
+cc AS (SELECT src AS host, min(node) AS component FROM reach GROUP BY src)
+SELECT host, component, (host = component) AS is_root FROM cc
+"""
+
 SQL_HOST_PAGERANK = f"""
 WITH e0 AS (SELECT {_SQL_URL_PRE % 'url'} AS src, {_sql_outlink(9)} AS dst
             FROM {CORPUS}

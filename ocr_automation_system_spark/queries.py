@@ -605,6 +605,33 @@ def q_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.lm_score(docs, lm.token_census(docs))
 
 
+def q_doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution (exact interpolated
+    quantiles) — the curation dashboard that sets length-filter cutoffs.
+    Spark ``percentile`` and DuckDB ``quantile_cont`` are both the R-7
+    estimator over exact integer inputs and match bit-for-bit (probed);
+    one map-side-combined groupBy, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        *[F.percentile("n_chars", p).alias(f"p{int(p * 100)}")
+          for p in (0.25, 0.5, 0.75, 0.9)],
+        F.max("n_chars").alias("max_chars")))
+
+
+SQL_DOC_LENGTH_PROFILE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_chars) AS min_chars,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
+       quantile_cont(n_chars, 0.9) AS p90,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
 def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer vocabulary induction, one merge round: corpus-wide
     census of adjacent character pairs inside tokens, top-50. Key space
@@ -2058,6 +2085,28 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("host"), "rank")
 
 
+def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the cross-host link graph — the
+    site-community structure a crawl scheduler partitions by. Reuses
+    the dedup tier's ``connected_components`` (driver union-find under
+    the edge threshold, pointer-doubled min propagation above it) on
+    STRING node ids; the oracle is a recursive-CTE reachability twin."""
+    from .functions.urlnorm import URL_PREFIX_RE
+
+    c = corpus_for(spark, sf_dir).select("url")
+    src = F.regexp_extract("url", URL_PREFIX_RE, 1)
+    edges = (c.select(src.alias("doc_a"),
+                      _synth_outlink(F.col("url"), 9).alias("doc_b"))
+             .unionByName(
+                 c.select(src.alias("doc_a"),
+                          _synth_outlink(F.col("url"), 17).alias("doc_b")))
+             .distinct())
+    cc = D.connected_components(edges)
+    return cc.select(F.col("node").alias("host"),
+                     F.col("cluster_id").alias("component"),
+                     (F.col("node") == F.col("cluster_id")).alias("is_root"))
+
+
 def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot pick: latest capture per canonical URL. The clean crawl
     unions with a deterministic messy recrawl 1h later; groupBy canonical
@@ -2584,6 +2633,7 @@ REGISTRY: dict = {
     "lm_quality_scores": (q_lm_quality_scores, SQL_LM_QUALITY_SCORES),
     "bpe_merge_candidates": (q_bpe_merge_candidates,
                              SQL_BPE_MERGE_CANDIDATES),
+    "doc_length_profile": (q_doc_length_profile, SQL_DOC_LENGTH_PROFILE),
     # deterministic sketches + index/export surfaces
     "hll_source_cardinality": (q_hll_source_cardinality,
                                SQL_HLL_SOURCE_CARDINALITY),
@@ -2675,6 +2725,7 @@ REGISTRY: dict = {
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
     "anchor_text_profile": (q_anchor_text_profile, PSQL.SQL_ANCHOR_TEXT_PROFILE),
     "host_pagerank": (q_host_pagerank, PSQL.SQL_HOST_PAGERANK),
+    "host_components": (q_host_components, PSQL.SQL_HOST_COMPONENTS),
     # WARC sink+source roundtrip (Common-Crawl wire format)
     "warc_roundtrip": (q_warc_roundtrip, PSQL.SQL_WARC_ROUNDTRIP),
     # multimodal plumbing (decode stubs; plumbing hash-checked via twin)
@@ -2694,7 +2745,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "url_canonicalize", "url_dup_groups", "latest_capture",
     "snapshot_delta", "crawl_activity", "page_metadata", "link_edges",
     "host_link_graph", "host_pagerank",
-    "anchor_text_profile", "warc_roundtrip",
+    "anchor_text_profile", "warc_roundtrip", "host_components",
 })
 
 
