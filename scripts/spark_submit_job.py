@@ -46,6 +46,10 @@ from ocr_automation_system_spark.sources.catalog import write_results  # noqa: E
 def main(argv=None, stop_session: bool = True) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", help="documents table path (parquet/Iceberg)")
+    p.add_argument("--input-warc",
+                   help="directory of WARC files to ingest instead of a "
+                        "documents table (Common-Crawl wire format; "
+                        "poison records are dropped with a count)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate an N-row synthetic corpus instead of --input")
     p.add_argument("--output", required=True)
@@ -81,10 +85,21 @@ def main(argv=None, stop_session: bool = True) -> int:
         if not os.path.exists(corpus_path):
             write_corpus(corpus_path, args.synthetic)
         documents = spark.read.parquet(corpus_path)
+    elif args.input_warc:
+        from pyspark.sql import functions as F
+
+        from ocr_automation_system_spark.sources.warc import read_warc
+
+        recs = read_warc(spark, args.input_warc)
+        n_poison = recs.filter(F.col("status") != "ok").count()
+        if n_poison:
+            print(f"warc ingest: dropped {n_poison} poison records")
+        documents = recs.filter(F.col("status") == "ok").select(
+            "url", "warc_ts", "html")
     elif args.input:
         documents = spark.read.parquet(args.input)
     else:
-        p.error("one of --input / --synthetic is required")
+        p.error("one of --input / --input-warc / --synthetic is required")
 
     status = run_resumable_extraction(
         spark, documents, args.output, n_buckets=args.n_buckets)

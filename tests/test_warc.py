@@ -113,3 +113,30 @@ def test_wet_export_roundtrip(spark, tmp_path):
     want = sorted((r["url"], r["text"]) for r in df.collect())
     assert got == want
     assert back.select("rec_type").distinct().collect()[0][0] == "conversion"
+
+
+def test_job_ingests_warc_input(spark, tmp_path):
+    """spark_submit_job --input-warc: Common-Crawl wire format straight
+    into the resumable extraction pipeline; poison records dropped with
+    a count, good records extracted."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import spark_submit_job
+
+    from ocr_automation_system_spark.corpus import write_corpus
+
+    cp = str(tmp_path / "docs.parquet")
+    write_corpus(cp, 120)
+    warc_dir = str(tmp_path / "warc_in")
+    write_warc(spark.read.parquet(cp), warc_dir, n_files=2)
+    with open(os.path.join(warc_dir, "part-00000.warc"), "ab") as fh:
+        fh.write(b"TRAILING GARBAGE")
+    out = str(tmp_path / "job")
+    rc = spark_submit_job.main(
+        ["--input-warc", warc_dir, "--output", out, "--n-buckets", "4"],
+        stop_session=False)
+    assert rc == 0
+    res = spark.read.parquet(os.path.join(out, "extractions"))
+    assert res.count() == 120  # every good record extracted, garbage gone
