@@ -43,7 +43,7 @@ HEADLINE = (
     "link_edges", "host_pagerank", "host_components", "lm_quality_scores",
     "bpe_merge_candidates",
     "duplicate_spans", "stratified_sample", "chunk_documents",
-    "hll_source_cardinality", "token_postings", "tfidf_top_terms",
+    "hll_source_cardinality", "cms_source_counts", "token_postings", "tfidf_top_terms",
     "importance_weights", "curation_verdicts", "collocations",
     "entity_join_shape", "report_summary", "duplicate_id_groups",
     "checksum_existence_join", "topk_per_group",

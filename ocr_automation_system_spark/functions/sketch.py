@@ -175,3 +175,51 @@ def bloom_census(df: DataFrame, group_col: str = "source",
                     F.col("bits_set").cast("long").alias("bits_set"),
                     fill.alias("fill_frac"),
                     fp.alias("fp_rate_est")))
+
+
+#: Count-min geometry: d rows of w buckets; row j's bucket is md5 hex
+#: chars [4j+1, 4j+4] (16 bits) mod w. Like the HLL registers, every
+#: counter is a pure function of md5 — mergeable by SUM across
+#: partitions/days/engines and exactly reproducible in SQL.
+CMS_W = 256
+CMS_D = 4
+
+
+def cms_bucket(item: Column, row: int) -> Column:
+    """Row ``row``'s bucket id for ``item`` (16-bit md5 slice mod w)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(item), row * 4 + 1, 4), 16, 10)
+        .cast("long"), F.lit(CMS_W))
+
+
+def cms_table(df: DataFrame, item_col: str) -> DataFrame:
+    """The sketch itself: (row, bucket, n) counters over the item stream.
+    ONE map-side-combined groupBy with a key space of d*w (1,024) — each
+    partition collapses to at most that many rows before the shuffle, no
+    matter how many items flow through. Counters merge by SUM, so daily
+    sketches union + re-group into the running sketch."""
+    item = F.col(item_col)
+    rows = df.select(F.posexplode(F.array(*[
+        cms_bucket(item, r) for r in range(CMS_D)])).alias("row", "bucket"))
+    return rows.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def cms_estimates(df: DataFrame, item_col: str) -> DataFrame:
+    """Heavy-hitter readout: every distinct item's count-min estimate
+    (min over the d row counters) next to its exact count — the standard
+    one-sided-error contract (estimate >= exact always; equality unless
+    the item collided in all d rows). The join against the 1,024-row
+    sketch is broadcast-sized by construction."""
+    sketch = cms_table(df, item_col)
+    item = F.col(item_col)
+    exact = df.groupBy(item.alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select(
+        "item", "exact_n",
+        F.posexplode(F.array(*[
+            cms_bucket(F.col("item"), r) for r in range(CMS_D)]))
+        .alias("row", "bucket"))
+    return (probes.join(F.broadcast(sketch), ["row", "bucket"])
+            .groupBy("item", "exact_n")
+            .agg(F.min("n").alias("cms_n")))

@@ -2279,6 +2279,40 @@ def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sketches (deterministic HLL / Bloom census) + inverted index / TF-IDF
 # ---------------------------------------------------------------------------
 
+def q_cms_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters: every source's CMS estimate (min over
+    d=4 md5-slice rows of a d*w=1,024-counter sketch, mergeable by SUM)
+    next to its exact count — one-sided error by construction
+    (cms_n >= exact_n). The sketch groupBy collapses map-side to <= d*w
+    rows per partition; the readout join is broadcast-sized."""
+    from .functions import sketch as S
+
+    return (S.cms_estimates(load_table(spark, sf_dir, "documents"),
+                            "source")
+            .withColumnRenamed("item", "source"))
+
+
+def _sql_cms_bucket(item: str, row: str) -> str:
+    return (f"CAST(concat('0x', substr(md5({item}), {row}*4 + 1, 4)) "
+            f"AS BIGINT) % 256")
+
+
+SQL_CMS_SOURCE_COUNTS = f"""
+WITH ex AS (SELECT source AS item, CAST(count(*) AS BIGINT) AS exact_n
+            FROM documents GROUP BY 1),
+stream AS (SELECT r.rw, {_sql_cms_bucket('source', 'r.rw')} AS bucket
+           FROM documents CROSS JOIN range(0, 4) r(rw)),
+sk AS (SELECT rw, bucket, CAST(count(*) AS BIGINT) AS n
+       FROM stream GROUP BY 1, 2),
+probes AS (SELECT item, exact_n, r.rw,
+                  {_sql_cms_bucket('item', 'r.rw')} AS bucket
+           FROM ex CROSS JOIN range(0, 4) r(rw))
+SELECT p.item AS source, p.exact_n, min(sk.n) AS cms_n
+FROM probes p JOIN sk ON p.rw = sk.rw AND p.bucket = sk.bucket
+GROUP BY 1, 2
+"""
+
+
 def q_hll_source_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source HyperLogLog distinct-content estimate from an md5-pure,
     engine-portable sketch (functions/sketch.py): the mergeable (group,
@@ -2638,6 +2672,7 @@ REGISTRY: dict = {
     "hll_source_cardinality": (q_hll_source_cardinality,
                                SQL_HLL_SOURCE_CARDINALITY),
     "bloom_dedup_census": (q_bloom_dedup_census, SQL_BLOOM_DEDUP_CENSUS),
+    "cms_source_counts": (q_cms_source_counts, SQL_CMS_SOURCE_COUNTS),
     "token_postings": (q_token_postings, SQL_TOKEN_POSTINGS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),

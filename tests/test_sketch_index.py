@@ -158,3 +158,28 @@ def test_postings_index_roundtrip_and_pruning(spark, tmp_path):
     assert len(got) == 1 and got[0]["df_docs"] == 30
     plan = hit._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(token), EqualTo(token,alpha)]" in plan
+
+
+def test_cms_one_sided_error_and_mergeability(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.sketch import (
+        cms_estimates, cms_table,
+    )
+
+    rows = [(i, f"host{i % 17}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "i long, h string")
+    est = cms_estimates(df, "h").collect()
+    assert len(est) == 17
+    for r in est:
+        assert r["cms_n"] >= r["exact_n"]  # one-sided by construction
+    # 17 items across 4x256 counters: no full-depth collision plausible
+    assert all(r["cms_n"] == r["exact_n"] for r in est)
+
+    # sketches merge by SUM: sketch(a ∪ b) == sketch(a) + sketch(b)
+    a, b = df.filter("i % 2 = 0"), df.filter("i % 2 = 1")
+    merged = (cms_table(a, "h").unionByName(cms_table(b, "h"))
+              .groupBy("row", "bucket").agg(F.sum("n").alias("n")))
+    whole = cms_table(df, "h")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
