@@ -131,6 +131,49 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def minhash_bands_stateless(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            bands: int = 4,
+                            rows_per_band: int = 2) -> DataFrame:
+    """Row-local band table — same rows as ``minhash_bands``, computed
+    without any aggregation: the min-hash folds run as higher-order
+    functions over the per-row shingle array. This is the STREAMING form
+    (append-mode micro-batches allow no stateful aggregation without a
+    watermark; every expression here is stateless), also fine for small
+    batches. The HOF min is interpreted (CodegenFallback), so the
+    aggregate form stays the batch default. Parity with ``minhash_bands``
+    is pinned by test."""
+    from .text import MINHASH_A, MINHASH_C, bind_array
+
+    n_hashes = bands * rows_per_band
+    sh = shingles(F.col(text_col), n)
+
+    def _perm(i: int):
+        # NOTE: a 2-arg transform lambda would receive (element, index) —
+        # a factory closure keeps the hash index a Python int
+        return lambda h: F.pmod(F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_C[i]),
+                                F.lit(MINHASH_P))
+
+    def _bands(hp: Column) -> Column:
+        mins = [F.array_min(F.transform(hp, _perm(i)))
+                for i in range(n_hashes)]
+        return F.array(*[
+            F.concat_ws("|", *[mins[b * rows_per_band + r].cast("string")
+                               for r in range(rows_per_band)])
+            for b in range(bands)
+        ])
+
+    hp = F.transform(
+        sh, lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(MINHASH_P)))
+    return (df
+            .filter(F.size(shingles(F.col(text_col), n)) > 0)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(bind_array(hp, _bands))
+                    .alias("band", "sig")))
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         bands: int = 4, rows_per_band: int = 2,

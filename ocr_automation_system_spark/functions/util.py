@@ -58,6 +58,10 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     costing one narrow-input shuffle that the downstream stages amortize
     immediately.
     """
+    if df.isStreaming:
+        # a streaming source has no inputFiles() and its micro-batch
+        # parallelism is the source's own; leave the plan alone
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     est = _estimated_scan_splits(df)

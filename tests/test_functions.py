@@ -754,3 +754,16 @@ def test_incremental_dedup_matches_direct_and_handles_empty_index(
     got2 = {r["doc_id"]: r["keep"]
             for r in D.incremental_dedup(new, spark, idx2).collect()}
     assert got2 == {1: True, 3: True, 5: True}
+
+
+def test_minhash_bands_stateless_parity(spark):
+    """The streaming (row-local, aggregation-free) band computation must
+    emit exactly the rows of the batch aggregate form."""
+    from ocr_automation_system_spark.functions.dedup import (
+        minhash_bands, minhash_bands_stateless,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, minhash_bands(docs).collect()))
+    b = sorted(map(tuple, minhash_bands_stateless(docs).collect()))
+    assert a == b and a
