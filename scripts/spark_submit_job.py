@@ -67,6 +67,10 @@ def main(argv=None, stop_session: bool = True) -> int:
                    help="--curate only: semantic dedup stage (hashed "
                         "BoW features -> k-means -> within-cell cosine "
                         "drop) after near-dup dedup")
+    p.add_argument("--wet-export", type=int, default=0, metavar="N_FILES",
+                   help="--curate only: also export the train split as N "
+                        "WET (conversion-record) files under "
+                        "<output>/wet (0 = off)")
     p.add_argument("--policy", action="store_true",
                    help="--curate only: apply the composite filter "
                         "policy (repetition/quality/PII gates) before "
@@ -119,7 +123,7 @@ def main(argv=None, stop_session: bool = True) -> int:
     if args.curate:
         curate(spark, results, args.output, quota=args.domain_quota,
                chunk_tokens=args.chunk_tokens, policy=args.policy,
-               semdedup=args.semdedup)
+               semdedup=args.semdedup, wet_files=args.wet_export)
 
     summary = lineage_summary(args.output, args.n_buckets)
     print(f"done: {summary['total_rows']} docs across "
@@ -133,7 +137,7 @@ def main(argv=None, stop_session: bool = True) -> int:
 
 def curate(spark, results, output: str, quota: int = 1000,
            chunk_tokens: int = 0, policy: bool = False,
-           semdedup: bool = False) -> None:
+           semdedup: bool = False, wet_files: int = 0) -> None:
     """Committed extractions -> curated training corpus.
 
     Chain (each stage a documented survivor count): usable docs only ->
@@ -224,6 +228,19 @@ def curate(spark, results, output: str, quota: int = 1000,
                            overlap=max(1, chunk_tokens // 8))
          .write.mode("overwrite").parquet(ch_out))
         counts["train_chunks"] = spark.read.parquet(ch_out).count()
+    if wet_files:
+        # WET conversion records of the train split — the corpus format
+        # a downstream trainer ingests. Deterministic conversion date
+        # (the job's as_of discipline), url-bucketed files.
+        from ocr_automation_system_spark.sources.warc import write_wet
+
+        wet = (written.filter(F.col("split") == "train")
+               .select(F.col("doc_id").alias("url"),
+                       F.lit("2026-01-01 00:00:00").cast("timestamp")
+                       .alias("warc_ts"), "text"))
+        manifest = write_wet(wet, os.path.join(output, "wet"),
+                             n_files=wet_files)
+        counts["wet_records"] = sum(r["n_records"] for r in manifest)
     docs.unpersist()
     deduped.unpersist()
 

@@ -108,3 +108,28 @@ def test_curate_semdedup_stage(spark, tmp_path):
     assert counts["after_semdedup"] > 0
     cur = spark.read.parquet(os.path.join(out, "curated"))
     assert cur.count() == counts["after_domain_quota"]
+
+
+def test_curate_wet_export(spark, tmp_path):
+    out = str(tmp_path / "jobwet")
+    rc = spark_submit_job.main([
+        "--synthetic", "200", "--output", out, "--curate",
+        "--domain-quota", "50", "--wet-export", "2",
+    ], stop_session=False)
+    assert rc == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert counts["wet_records"] == counts["train"]
+    # the WET files parse back to exactly the train texts
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.sources.warc import read_warc
+
+    back = read_warc(spark, os.path.join(out, "wet"))
+    assert back.filter(F.col("status") != "ok").count() == 0
+    got = sorted((r["url"], bytes(r["html"]).decode("utf-8"))
+                 for r in back.collect())
+    train = spark.read.parquet(os.path.join(out, "curated")).filter(
+        F.col("split") == "train")
+    want = sorted((r["doc_id"], r["text"] or "") for r in train.collect())
+    assert got == want
