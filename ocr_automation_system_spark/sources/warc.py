@@ -96,9 +96,9 @@ def write_warc(df: DataFrame, out_dir: str, n_files: int = 8,
         pdf = pdf.sort_values(url_col, kind="mergesort")
         n = 0
         with open(path + ".tmp", "wb") as fh:
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col] or b"")
-                fh.write(record_bytes(row[url_col], row[ts_col], payload,
+            for url, ts, payload in zip(pdf[url_col], pdf[ts_col],
+                                        pdf[payload_col]):
+                fh.write(record_bytes(url, ts, bytes(payload or b""),
                                       rec_type, content_type))
                 n += 1
         os.replace(path + ".tmp", path)  # atomic publish per file
