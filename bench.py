@@ -41,7 +41,7 @@ HEADLINE = (
     "url_dup_groups", "latest_capture", "snapshot_delta",
     "pipeline_line_dedup",
     "link_edges", "host_pagerank", "host_components", "lm_quality_scores",
-    "bpe_merge_candidates",
+    "bpe_merge_candidates", "lm_perplexity_buckets",
     "duplicate_spans", "stratified_sample", "chunk_documents",
     "hll_source_cardinality", "cms_source_counts", "token_postings", "tfidf_top_terms",
     "importance_weights", "curation_verdicts", "collocations",

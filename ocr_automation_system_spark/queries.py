@@ -702,6 +702,53 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail mixture: documents bucketed by corpus-LM
+    score tertiles (high mean token probability == low perplexity ==
+    head). Cutoffs are a 2-double global aggregate collected once (a
+    bounded driver lookup, like the IVF centroids); the bucketing is a
+    narrow projection. Tertile fractions are written as the same double
+    literal both engines parse."""
+    from .functions import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = lm.lm_score(docs, lm.token_census(docs))
+    cuts = scored.agg(
+        F.percentile("mean_token_p", 1 / 3).alias("c1"),
+        F.percentile("mean_token_p", 2 / 3).alias("c2")).collect()[0]
+    c1, c2 = cuts["c1"], cuts["c2"]
+    bucket = (F.when(F.col("mean_token_p") >= F.lit(c2), "head")
+              .when(F.col("mean_token_p") >= F.lit(c1), "middle")
+              .otherwise("tail"))
+    return scored.select("doc_id", "mean_token_p", bucket.alias("bucket"))
+
+
+SQL_LM_PERPLEXITY_BUCKETS = f"""
+WITH {_sql_lm_base()},
+scored AS (SELECT tk.doc_id, tk.token,
+                  coalesce(m.p, CAST(0.0 AS DOUBLE)) AS p
+           FROM toks tk LEFT JOIN model m ON tk.token = m.token),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(p ORDER BY token)),
+                           (a, b) -> a + b) AS sum_p,
+               sum(CASE WHEN p < 1e-4 THEN 1 ELSE 0 END) AS n_rare
+        FROM scored GROUP BY 1),
+final AS (SELECT d.doc_id,
+  CASE WHEN coalesce(a.n_tokens, 0) > 0
+       THEN a.sum_p / CAST(a.n_tokens AS DOUBLE)
+       ELSE CAST(0.0 AS DOUBLE) END AS mean_token_p
+  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+cuts AS (SELECT quantile_cont(mean_token_p, {1 / 3!r}) AS c1,
+                quantile_cont(mean_token_p, {2 / 3!r}) AS c2 FROM final)
+SELECT f.doc_id, f.mean_token_p,
+       CASE WHEN f.mean_token_p >= c.c2 THEN 'head'
+            WHEN f.mean_token_p >= c.c1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM final f CROSS JOIN cuts c
+"""
+
+
 #: per-mille keep rates for the stratified-sample contract query — a
 #: deterministic domain mix (downweight src0/src1 hard, src2 mildly,
 #: default 1000 = keep everything else).
@@ -2665,6 +2712,8 @@ REGISTRY: dict = {
     # corpus-trained unigram LM quality (CCNet-style, two-phase)
     "lm_token_census": (q_lm_token_census, SQL_LM_TOKEN_CENSUS),
     "lm_quality_scores": (q_lm_quality_scores, SQL_LM_QUALITY_SCORES),
+    "lm_perplexity_buckets": (q_lm_perplexity_buckets,
+                              SQL_LM_PERPLEXITY_BUCKETS),
     "bpe_merge_candidates": (q_bpe_merge_candidates,
                              SQL_BPE_MERGE_CANDIDATES),
     "doc_length_profile": (q_doc_length_profile, SQL_DOC_LENGTH_PROFILE),
