@@ -96,3 +96,48 @@ def test_corpus_rows_never_poison_unexpectedly():
     for r in generate_rows(500, seed=99):
         rec = extract_document(r["url"], r["html"])
         assert rec["doc_status"] in ("ok", "unusable"), (r["url"], rec["error"])
+
+
+# --- WARC parser totality (sources/warc.py) ---------------------------------
+
+
+@FUZZ
+@given(st.binary(max_size=8192))
+def test_warc_parse_stream_is_total(data):
+    """Arbitrary bytes NEVER raise out of the record parser — they yield
+    ok rows and/or a trailing poison row (the task-never-dies contract
+    for crawl files)."""
+    import io
+
+    from ocr_automation_system_spark.sources.warc import _parse_stream
+
+    rows = list(_parse_stream(io.BufferedReader(io.BytesIO(data)), "f"))
+    for r in rows:
+        assert r["status"] == "ok" or r["status"].startswith("poison:")
+    assert sum(r["status"].startswith("poison:") for r in rows) <= 1
+
+
+@FUZZ
+@given(st.lists(st.tuples(st.text(
+    alphabet=st.characters(blacklist_characters="\r\n",
+                           blacklist_categories=("Cs",)), max_size=50),
+    st.binary(max_size=300)), max_size=5),
+    st.binary(max_size=60))
+def test_warc_valid_prefix_always_survives_corrupt_tail(recs, tail):
+    """Every well-formed record before a corrupt tail parses back with
+    its exact payload; the tail costs at most one poison row."""
+    import io
+
+    from ocr_automation_system_spark.sources.warc import (
+        _parse_stream, record_bytes,
+    )
+
+    blob = b"".join(record_bytes(f"https://x/{i}?q={u}",
+                                 "2026-01-01T00:00:00.000000Z", p)
+                    for i, (u, p) in enumerate(recs))
+    rows = list(_parse_stream(
+        io.BufferedReader(io.BytesIO(blob + tail)), "f"))
+    ok = [r for r in rows if r["status"] == "ok"]
+    assert len(ok) >= len(recs)  # tail may happen to parse, never fewer
+    for (u, p), r in zip(recs, ok):
+        assert r["html"] == p
