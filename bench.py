@@ -45,6 +45,7 @@ HEADLINE = (
     "duplicate_spans", "stratified_sample", "chunk_documents",
     "hll_source_cardinality", "cms_source_counts", "token_postings", "tfidf_top_terms",
     "importance_weights", "curation_verdicts", "collocations",
+    "doc_feature_table",
     "entity_join_shape", "report_summary", "duplicate_id_groups",
     "checksum_existence_join", "topk_per_group",
     "pricing_summary", "top_revenue_orders", "region_nation_rollup",

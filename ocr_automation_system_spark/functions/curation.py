@@ -196,6 +196,27 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def repetition_exprs(text_col: str = "text", n: int = 2):
+    """(gram_rep, dup_line_frac) as bare column expressions — reusable
+    by feature-assembly projections that fuse several row-local signals
+    into one codegen pass (see queries.q_doc_feature_table)."""
+    toks = ws_tokens(clean_text(F.col(text_col)))
+    grams = positional_grams(toks, n, lambda s: F.concat_ws(" ", s))
+    n_grams = F.size(grams)
+    gram_rep = F.when(
+        n_grams > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n_grams
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    return gram_rep, dup_line
+
+
 def repetition_scores(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 2,
                       max_gram_rep: float = 0.9,
@@ -211,20 +232,7 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id",
     All higher-order array functions on the JVM — narrow, no shuffle, no
     Python. The per-row distinct is O(L^2) worst case in the n-gram list
     length, bounded by document length, never by corpus size."""
-    toks = ws_tokens(clean_text(F.col(text_col)))
-    grams = positional_grams(toks, n, lambda s: F.concat_ws(" ", s))
-    n_grams = F.size(grams)
-    gram_rep = F.when(
-        n_grams > 0,
-        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n_grams
-    ).otherwise(F.lit(0.0))
-    lines = F.filter(F.split(F.col(text_col), "\n"),
-                     lambda x: F.length(F.trim(x)) > 0)
-    n_lines = F.size(lines)
-    dup_line = F.when(
-        n_lines > 0,
-        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines
-    ).otherwise(F.lit(0.0))
+    gram_rep, dup_line = repetition_exprs(text_col, n)
     return df.select(
         id_col,
         F.round(gram_rep, 6).alias("gram_rep"),

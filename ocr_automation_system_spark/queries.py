@@ -749,6 +749,46 @@ FROM final f CROSS JOIN cuts c
 """
 
 
+def q_doc_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-classifier feature store (FineWeb-Edu-style): every
+    row-local signal — Gopher quality ratios, repetition fractions,
+    token counts — fused into ONE whole-stage-codegen projection over a
+    single scan (no joins between them), plus the corpus-LM statistics
+    attached by the one join that genuinely needs a global census.
+    This is the table you train a filter model on."""
+    from .functions import lm
+    from .functions.curation import repetition_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    gram_rep, dup_line = repetition_exprs("text")
+    row_feats = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(T.stopword_ratio(txt), 6).alias("stopword_ratio"),
+        F.round(T.punct_ratio(txt), 6).alias("punct_ratio"),
+        F.round(T.mean_word_length(txt), 6).alias("mean_word_len"),
+        F.round(T.quality_score(txt), 2).alias("quality"),
+        F.round(gram_rep, 6).alias("gram_rep"),
+        F.round(dup_line, 6).alias("dup_line_frac"),
+        T.ws_token_count(txt).alias("ws_tokens"),
+    )
+    lm_feats = lm.lm_score(docs, lm.token_census(docs))
+    return row_feats.join(lm_feats, "doc_id")
+
+
+SQL_DOC_FEATURE_TABLE = f"""
+SELECT q.doc_id, d.n_chars, q.stopword_ratio, q.punct_ratio,
+       q.mean_word_len, q.quality, r.gram_rep, r.dup_line_frac,
+       t.ws_tokens, l.n_tokens, l.mean_token_p, l.rare_token_frac
+FROM ({SQL_QUALITY_SCORES}) q
+JOIN documents d ON q.doc_id = d.doc_id
+JOIN ({SQL_REPETITION_SCORES}) r ON q.doc_id = r.doc_id
+JOIN ({SQL_TOKEN_COUNTS}) t ON q.doc_id = t.doc_id
+JOIN ({SQL_LM_QUALITY_SCORES}) l ON q.doc_id = l.doc_id
+"""
+
+
 #: per-mille keep rates for the stratified-sample contract query — a
 #: deterministic domain mix (downweight src0/src1 hard, src2 mildly,
 #: default 1000 = keep everything else).
@@ -2714,6 +2754,7 @@ REGISTRY: dict = {
     "lm_quality_scores": (q_lm_quality_scores, SQL_LM_QUALITY_SCORES),
     "lm_perplexity_buckets": (q_lm_perplexity_buckets,
                               SQL_LM_PERPLEXITY_BUCKETS),
+    "doc_feature_table": (q_doc_feature_table, SQL_DOC_FEATURE_TABLE),
     "bpe_merge_candidates": (q_bpe_merge_candidates,
                              SQL_BPE_MERGE_CANDIDATES),
     "doc_length_profile": (q_doc_length_profile, SQL_DOC_LENGTH_PROFILE),
