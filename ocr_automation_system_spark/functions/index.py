@@ -194,3 +194,38 @@ def lookup_postings(spark, path: str, token: str,
     b = int(hashlib.md5(token.encode()).hexdigest()[:2], 16) % n_buckets
     return (spark.read.parquet(path)
             .filter((F.col("bucket") == b) & (F.col("token") == token)))
+
+
+def skipgram_pairs(df: DataFrame, text_col: str = "text",
+                   window: int = 3, k: int = 100) -> DataFrame:
+    """Window-k co-occurrence census — the (center, context) pair counts
+    a word2vec/GloVe run trains on, generalizing ``collocations`` from
+    adjacent bigrams to every unordered token pair within ``window``
+    positions. Top-k by count (ties on the pair) keeps the contract
+    surface bounded; the full census is the same plan minus the limit.
+
+    Scale shape: the pair stream is narrow (one codegen projection,
+    window*len pairs per doc); the census groupBy's key space is
+    vocabulary^2 in principle but stopword-pair skew lands in the
+    map-side partial combine (aggregation, never a join); the top-k is
+    a TakeOrdered over the collapsed census."""
+    from .lm import tokens_lower
+    from .text import bind_array, lazy_seq
+
+    def _pairs(tk):
+        n = F.size(tk)
+        return F.flatten(F.transform(
+            lazy_seq(n >= 2, F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.least(i + F.lit(window), n)),
+                lambda j: F.concat_ws(
+                    " ",
+                    F.least(F.element_at(tk, i.cast("int")),
+                            F.element_at(tk, j.cast("int"))),
+                    F.greatest(F.element_at(tk, i.cast("int")),
+                               F.element_at(tk, j.cast("int")))))))
+
+    pairs = df.select(F.explode(
+        bind_array(tokens_lower(F.col(text_col)), _pairs)).alias("pair"))
+    return (pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair")).limit(k))

@@ -749,6 +749,36 @@ FROM final f CROSS JOIN cuts c
 """
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-3 co-occurrence census, top-100 — the word2vec/GloVe
+    training-pair export (collocations generalized beyond adjacency)."""
+    from .functions.index import skipgram_pairs
+
+    return skipgram_pairs(load_table(spark, sf_dir, "documents"),
+                          window=3, k=100)
+
+
+def _sql_skipgram_pairs(window: int = 3, k: int = 100) -> str:
+    from .functions.lm import TOKEN_RE
+
+    return f"""
+WITH toks AS (SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                        '{TOKEN_RE}') AS tk
+              FROM documents),
+pairs AS (SELECT unnest(flatten(list_transform(range(1, len(tk)),
+            i -> list_transform(range(i + 1, least(i + {window}, len(tk)) + 1),
+                   j -> CASE WHEN tk[i] <= tk[j]
+                             THEN tk[i] || ' ' || tk[j]
+                             ELSE tk[j] || ' ' || tk[i] END)))) AS pair
+          FROM toks WHERE len(tk) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT {k}
+"""
+
+
+SQL_SKIPGRAM_PAIRS = _sql_skipgram_pairs()
+
+
 def q_doc_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quality-classifier feature store (FineWeb-Edu-style): every
     row-local signal — Gopher quality ratios, repetition fractions,
@@ -2768,6 +2798,7 @@ REGISTRY: dict = {
     "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
     "curation_verdicts": (q_curation_verdicts, SQL_CURATION_VERDICTS),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
+    "skipgram_pairs": (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS),
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),

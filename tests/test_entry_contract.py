@@ -30,6 +30,9 @@ SUBSET = [
     "dedup_exact_groups", "minhash_lsh_pairs", "simhash_signatures",
     "dedup_cluster_keep", "train_val_split", "domain_quota",
     "embedding_topk", "embedding_lsh_bucket_stats", "embedding_ivf_topk",
+    "embedding_kmeans_cells", "embedding_semdedup_keep",
+    "incremental_dedup", "cms_source_counts", "warc_roundtrip",
+    "doc_feature_table", "lm_perplexity_buckets",
     "entity_join_shape", "report_summary", "topk_per_group",
     "sessionize_events",
 ]
