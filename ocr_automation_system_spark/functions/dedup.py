@@ -228,6 +228,48 @@ def candidate_pairs_from_index(spark, path: str) -> DataFrame:
     )
 
 
+def minhash_recall_sample(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", sample_hex_lt: int = 5,
+                          threshold: float = 0.5, n: int = 3,
+                          bands: int = 4,
+                          rows_per_band: int = 2) -> DataFrame:
+    """LSH quality diagnostic: banded-candidate RECALL against exact
+    Jaccard, measured on a deterministic md5 sample (first hex char of
+    md5(id) < ``sample_hex_lt``, i.e. ~sample_hex_lt/16 of the corpus).
+    Returns per-Jaccard-band (floor(10j)) true-pair and caught-pair
+    counts — the sizing feedback for (bands, rows_per_band), read next
+    to ``lsh_bucket_stats``.
+
+    The exact all-pairs pass runs INSIDE the sample only — that is the
+    point: recall estimation is the one place quadratic work is
+    justified, and the sample rate is the knob that keeps it constant
+    as the corpus grows (10^12 docs at hex<1 with a second md5 char
+    -> ~10^9-row sample is still too big; production drops the rate to
+    ~10^5 rows, where all-pairs is trivial)."""
+    samp = df.filter(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1),
+               16, 10).cast("long") < sample_hex_lt)
+    sh = (samp.select(F.col(id_col).alias("doc_id"),
+                      shingles(F.col(text_col), n).alias("sh"))
+          .filter(F.size("sh") > 0))
+    a, b = sh.alias("a"), sh.alias("b")
+    true_pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                (F.size(F.array_intersect("a.sh", "b.sh"))
+                 / F.size(F.array_union("a.sh", "b.sh"))).alias("j"))
+        .filter(F.col("j") >= threshold))
+    cand = (lsh_candidate_pairs(samp, id_col, text_col, n, bands,
+                                rows_per_band)
+            .withColumn("_c", F.lit(1)))
+    return (true_pairs.join(cand, ["doc_a", "doc_b"], "left")
+            .groupBy(F.floor(F.col("j") * 10).cast("long").alias("band"))
+            .agg(F.count(F.lit(1)).alias("n_true"),
+                 F.sum(F.when(F.col("_c").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("n_caught")))
+
+
 def write_dedup_index(df: DataFrame, path: str, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3, bands: int = 4,
                       rows_per_band: int = 2) -> None:

@@ -1050,6 +1050,47 @@ WHERE d.doc_id % 2 = 1
 """
 
 
+def q_minhash_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH recall vs exact Jaccard on a deterministic ~31% md5
+    sample (the production recall-estimation shape: quadratic work is
+    confined to the sample; the rate is the knob)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_recall_sample(docs, sample_hex_lt=5, threshold=0.5)
+
+
+SQL_MINHASH_RECALL_SAMPLE = f"""
+WITH samp AS (
+  SELECT * FROM documents
+  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+             AS BIGINT) < 5),
+shs AS (SELECT doc_id, {_SQL_SH} AS sh FROM samp),
+shn AS (SELECT * FROM shs WHERE len(sh) > 0),
+tp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) * 1.0
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+  FROM shn a JOIN shn b ON a.doc_id < b.doc_id),
+tpk AS (SELECT * FROM tp WHERE j >= 0.5),
+hs AS (
+  SELECT doc_id, list_transform({_SQL_SH},
+    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {_MP}) AS hm
+  FROM samp),
+sigs AS (SELECT doc_id, {_SQL_MINHASH_SIGS} FROM hs),
+bands AS ({_SQL_BAND_ROWS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.sig <> '{_MP}|{_MP}' AND a.doc_id < b.doc_id)
+SELECT CAST(floor(t.j * 10) AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_caught
+FROM tpk t LEFT JOIN cand c
+  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+GROUP BY 1
+"""
+
+
 def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup end state: LSH -> Jaccard>=0.6 pairs -> connected components
     -> (doc_id, cluster_id=min id in component, keep=is-representative).
@@ -2803,6 +2844,8 @@ REGISTRY: dict = {
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "minhash_recall_sample": (q_minhash_recall_sample,
+                              SQL_MINHASH_RECALL_SAMPLE),
     "dedup_cluster_keep": (q_dedup_cluster_keep, SQL_DEDUP_CLUSTER_KEEP),
     "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH_SIGNATURES),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR_PAIRS),
