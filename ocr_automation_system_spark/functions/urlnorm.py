@@ -141,3 +141,27 @@ def url_duplicates(df: DataFrame, url_col: str = "url") -> DataFrame:
              F.countDistinct("raw_url").alias("n_distinct_raw"),
              F.min("raw_url").alias("keep_url"))
     )
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-shape filter features (FineWeb/RefinedWeb-style URL
+    filtering runs BEFORE fetching or parsing a byte of html): host,
+    TLD, path depth, query-param count, digit-in-path flag, length.
+    One narrow codegen projection — RE2-compatible patterns shared
+    verbatim with the twin; zero shuffle."""
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[a-z]+://([^/?#]+)", 1)
+    path = F.regexp_extract(u, r"^[a-z]+://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    return df.select(
+        u.alias("url"),
+        host.alias("host"),
+        F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1).alias("tld"),
+        F.size(F.filter(F.split(path, "/"),
+                        lambda x: x != "")).cast("long").alias("path_depth"),
+        F.when(query == "", F.lit(0))
+        .otherwise(F.size(F.split(query, "&"))).cast("long")
+        .alias("n_query_params"),
+        path.rlike("[0-9]").alias("digit_in_path"),
+        F.length(u).cast("long").alias("url_len"),
+    )

@@ -786,6 +786,24 @@ def _sql_pagerank_iters(iters: int) -> str:
     return ",\n".join(ctes)
 
 
+SQL_URL_FEATURES = f"""
+SELECT url,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                      '\\.([a-z0-9-]+)$', 1) AS tld,
+       CAST(len(list_filter(string_split(
+            regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1), '/'),
+            x -> x <> '')) AS BIGINT) AS path_depth,
+       CAST(CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN 0
+                 ELSE len(string_split(
+                      regexp_extract(url, '\\?([^#]*)', 1), '&'))
+            END AS BIGINT) AS n_query_params,
+       regexp_matches(regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1),
+                      '[0-9]') AS digit_in_path,
+       CAST(length(url) AS BIGINT) AS url_len
+FROM {CORPUS}
+"""
+
 SQL_HOST_COMPONENTS = f"""
 WITH RECURSIVE
 e0 AS (SELECT DISTINCT {_SQL_URL_PRE % 'url'} AS s, {_sql_outlink(9)} AS d

@@ -2243,6 +2243,15 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("host"), "rank")
 
 
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-shape filter features over the raw crawl (host, TLD, path
+    depth, query params, digit-path flag, length) — the pre-fetch
+    filter surface; one narrow projection, zero shuffle."""
+    from .functions.urlnorm import url_features
+
+    return url_features(corpus_for(spark, sf_dir).select("url"))
+
+
 def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the cross-host link graph — the
     site-community structure a crawl scheduler partitions by. Reuses
@@ -2925,6 +2934,7 @@ REGISTRY: dict = {
     "anchor_text_profile": (q_anchor_text_profile, PSQL.SQL_ANCHOR_TEXT_PROFILE),
     "host_pagerank": (q_host_pagerank, PSQL.SQL_HOST_PAGERANK),
     "host_components": (q_host_components, PSQL.SQL_HOST_COMPONENTS),
+    "url_features": (q_url_features, PSQL.SQL_URL_FEATURES),
     # WARC sink+source roundtrip (Common-Crawl wire format)
     "warc_roundtrip": (q_warc_roundtrip, PSQL.SQL_WARC_ROUNDTRIP),
     # multimodal plumbing (decode stubs; plumbing hash-checked via twin)
@@ -2945,6 +2955,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "snapshot_delta", "crawl_activity", "page_metadata", "link_edges",
     "host_link_graph", "host_pagerank",
     "anchor_text_profile", "warc_roundtrip", "host_components",
+    "url_features",
 })
 
 
