@@ -31,7 +31,11 @@ SUBSET = [
     "dedup_cluster_keep", "train_val_split", "domain_quota",
     "embedding_topk", "embedding_lsh_bucket_stats", "embedding_ivf_topk",
     "embedding_kmeans_cells", "embedding_semdedup_keep",
-    "incremental_dedup", "cms_source_counts", "warc_roundtrip",
+    # NOTE: no __CORPUS__-twin queries here — entry_mod.oracle_sql()
+    # renders them at the driver's sf0.01 corpus, while this test runs
+    # Spark at sf0.001; the full-registry gate below covers them with
+    # per-sf rendering.
+    "incremental_dedup", "cms_source_counts",
     "doc_feature_table", "lm_perplexity_buckets",
     "entity_join_shape", "report_summary", "topk_per_group",
     "sessionize_events",
