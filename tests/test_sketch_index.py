@@ -183,3 +183,24 @@ def test_cms_one_sided_error_and_mergeability(spark):
     whole = cms_table(df, "h")
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, whole.collect()))
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    """Brute-force check of the window: every unordered pair within 3
+    positions counted once per occurrence, nothing beyond the window."""
+    from collections import Counter
+
+    from ocr_automation_system_spark.functions.index import skipgram_pairs
+
+    text = "a b c d e"
+    toks = text.split()
+    want = Counter()
+    for i in range(len(toks)):
+        for j in range(i + 1, min(i + 4, len(toks))):
+            x, y = sorted((toks[i], toks[j]))
+            want[f"{x} {y}"] += 1
+    df = spark.createDataFrame([(1, text), (2, "z")],
+                               "doc_id long, text string")
+    got = {r["pair"]: r["n"]
+           for r in skipgram_pairs(df, window=3, k=100).collect()}
+    assert got == dict(want)  # the 1-token doc contributes nothing
