@@ -44,6 +44,7 @@ HEADLINE = (
     "bpe_merge_candidates", "lm_perplexity_buckets",
     "duplicate_spans", "stratified_sample", "chunk_documents",
     "hll_source_cardinality", "cms_source_counts", "token_postings", "tfidf_top_terms",
+    "bm25_search",
     "importance_weights", "curation_verdicts", "collocations", "skipgram_pairs",
     "doc_feature_table",
     "entity_join_shape", "report_summary", "duplicate_id_groups",

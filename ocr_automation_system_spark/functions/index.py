@@ -229,3 +229,60 @@ def skipgram_pairs(df: DataFrame, text_col: str = "text",
         bind_array(tokens_lower(F.col(text_col)), _pairs)).alias("pair"))
     return (pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("pair")).limit(k))
+
+
+def bm25_search(df: DataFrame, query_terms: list, id_col: str = "doc_id",
+                text_col: str = "text", k: int = 10, k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """Top-k documents for a fixed term set by RATIONAL BM25:
+
+        score = sum_t idf_r(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf_r(t) = (N - df + 0.5) / (df + 0.5)
+
+    idf_r is the inside of the classic BM25 log — monotone in the same
+    direction, kept rational so the cross-engine hash has no 1-ulp
+    ``Math.log`` exposure (same policy as TF-IDF/LM scoring; apply
+    ``ln`` driver-side for the classic scale). The per-doc sum folds in
+    sorted term order (partitioning-independent doubles).
+
+    Scale shape: the token stream is FILTERED to the query terms before
+    any aggregation — tf is at most |terms| rows per doc; doc lengths
+    are one map-side-combined groupBy; N/avgdl/df are broadcast 1-row /
+    |terms|-row aggregates; final ranking is TakeOrdered(k)."""
+    from .lm import tokens_lower
+
+    terms = sorted(set(query_terms))
+    toks = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens_lower(F.col(text_col)))
+                    .alias("token")))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("_n"),
+                   F.sum("dl").alias("_tot"))
+    qtf = (toks.filter(F.col("token").isin(terms))
+           .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    qdf = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    avgdl = (F.col("_tot").cast("double") / F.col("_n").cast("double"))
+    part = (
+        qtf.join(F.broadcast(qdf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "part",
+            ((F.col("_n") - F.col("df_docs")).cast("double") + F.lit(0.5))
+            / (F.col("df_docs").cast("double") + F.lit(0.5))
+            * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+            / (F.col("tf").cast("double")
+               + F.lit(k1) * (F.lit(1.0 - b)
+                              + F.lit(b) * F.col("dl").cast("double")
+                              / avgdl))))
+    scored = (part.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("token", "part"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["part"]).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit")))
+    return (scored
+            .select("doc_id", F.round("score", 6).alias("score"),
+                    F.col("n_terms_hit").cast("long").alias("n_terms_hit"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

@@ -749,6 +749,60 @@ FROM final f CROSS JOIN cuts c
 """
 
 
+_BM25_TERMS = ("column", "scan", "window")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rational-BM25 top-10 for a fixed 3-term query — the retrieval
+    scorer over the inverted-index tier (idf kept rational; ln is
+    driver-side, same policy as TF-IDF/LM)."""
+    from .functions.index import bm25_search
+
+    return bm25_search(load_table(spark, sf_dir, "documents"),
+                       list(_BM25_TERMS), k=10)
+
+
+def _sql_bm25(terms, k=10, k1=1.2, b=0.75) -> str:
+    from .functions.lm import TOKEN_RE
+
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '{TOKEN_RE}')) AS token
+              FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+qtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE token IN ({tl}) GROUP BY 1, 2),
+qdf AS (SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+        FROM qtf GROUP BY 1),
+part AS (
+  SELECT q.doc_id, q.token,
+         (CAST(s.n - d.df_docs AS DOUBLE) + 0.5)
+           / (CAST(d.df_docs AS DOUBLE) + 0.5)
+           * (CAST(q.tf AS DOUBLE) * {k1 + 1.0!r})
+           / (CAST(q.tf AS DOUBLE)
+              + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(l.dl AS DOUBLE)
+                          / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE))))
+         AS part
+  FROM qtf q JOIN qdf d USING (token) JOIN dl l USING (doc_id)
+  CROSS JOIN stats s),
+sc AS (SELECT doc_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                       list(part ORDER BY token)),
+                          (a, x) -> a + x) AS score,
+              CAST(count(*) AS BIGINT) AS n_terms_hit
+       FROM part GROUP BY 1)
+SELECT doc_id, round(score, 6) AS score, n_terms_hit
+FROM sc ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+SQL_BM25_SEARCH = _sql_bm25(_BM25_TERMS)
+
+
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-3 co-occurrence census, top-100 — the word2vec/GloVe
     training-pair export (collocations generalized beyond adjacency)."""
@@ -2849,6 +2903,7 @@ REGISTRY: dict = {
     "curation_verdicts": (q_curation_verdicts, SQL_CURATION_VERDICTS),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "skipgram_pairs": (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS),
+    "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
