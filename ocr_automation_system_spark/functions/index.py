@@ -286,3 +286,22 @@ def bm25_search(df: DataFrame, query_terms: list, id_col: str = "doc_id",
             .select("doc_id", F.round("score", 6).alias("score"),
                     F.col("n_terms_hit").cast("long").alias("n_terms_hit"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def kwic_snippets(df: DataFrame, term: str, width: int = 40,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Keyword-in-context: the first occurrence of ``term``
+    (case-insensitive substring) per matching document, with ``width``
+    characters of context each side — the display surface a retrieval
+    stack pairs with ``bm25_search``. Pure narrow projection + filter
+    (position arithmetic identical across engines), zero shuffle."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    pos = F.instr(F.lower(txt), term.lower())
+    start = F.greatest(pos - width, F.lit(1))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      pos.cast("long").alias("pos"),
+                      txt.substr(start.cast("int"),
+                                 F.lit(2 * width + len(term)))
+                      .alias("snippet"))
+            .filter(F.col("pos") > 0))

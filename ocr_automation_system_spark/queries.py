@@ -803,6 +803,28 @@ FROM sc ORDER BY score DESC, doc_id LIMIT {k}
 SQL_BM25_SEARCH = _sql_bm25(_BM25_TERMS)
 
 
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context windows for the BM25 query's head term — the
+    retrieval display surface; narrow projection, zero shuffle."""
+    from .functions.index import kwic_snippets
+
+    return kwic_snippets(load_table(spark, sf_dir, "documents"),
+                         term=_BM25_TERMS[0], width=40)
+
+
+SQL_KWIC_SNIPPETS = f"""
+SELECT doc_id,
+       CAST(strpos(lower(coalesce(text, '')), '{_BM25_TERMS[0]}')
+            AS BIGINT) AS pos,
+       substr(coalesce(text, ''),
+              greatest(strpos(lower(coalesce(text, '')),
+                              '{_BM25_TERMS[0]}') - 40, 1),
+              {80 + len(_BM25_TERMS[0])}) AS snippet
+FROM documents
+WHERE strpos(lower(coalesce(text, '')), '{_BM25_TERMS[0]}') > 0
+"""
+
+
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-3 co-occurrence census, top-100 — the word2vec/GloVe
     training-pair export (collocations generalized beyond adjacency)."""
@@ -2904,6 +2926,7 @@ REGISTRY: dict = {
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "skipgram_pairs": (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
+    "kwic_snippets": (q_kwic_snippets, SQL_KWIC_SNIPPETS),
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
