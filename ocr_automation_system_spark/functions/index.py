@@ -305,3 +305,38 @@ def kwic_snippets(df: DataFrame, term: str, width: int = 40,
                                  F.lit(2 * width + len(term)))
                       .alias("snippet"))
             .filter(F.col("pos") > 0))
+
+
+def phrase_hits(df: DataFrame, phrase: str, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact-phrase match positions per document (token-adjacency, the
+    quoted-query primitive): returns (doc_id, n_hits, first_pos) for
+    matching docs. Phrase matching against a document is ROW-LOCAL, so
+    this is a narrow zero-shuffle projection — the positional-index
+    join shape only pays off once the index is precomputed; against raw
+    text this plan strictly dominates."""
+    from .lm import tokens_lower
+    from .text import bind_array, lazy_seq
+
+    words = [w.lower() for w in phrase.split()]
+    n = len(words)
+    if n == 0:
+        raise ValueError("phrase_hits needs a non-empty phrase")
+
+    def _hits(tk):
+        span = F.size(tk) - (n - 1)
+        cond = lambda i: reduce_and(tk, i, words)
+        return F.filter(lazy_seq(span > 0, F.lit(1), span), cond)
+
+    def reduce_and(tk, i, ws):
+        c = F.element_at(tk, i.cast("int")) == ws[0]
+        for d, w in enumerate(ws[1:], start=1):
+            c = c & (F.element_at(tk, (i + d).cast("int")) == w)
+        return c
+
+    hits = bind_array(tokens_lower(F.col(text_col)), _hits)
+    return (df.select(F.col(id_col).alias("doc_id"), hits.alias("_h"))
+            .filter(F.size("_h") > 0)
+            .select("doc_id",
+                    F.size("_h").cast("long").alias("n_hits"),
+                    F.element_at("_h", 1).cast("long").alias("first_pos")))

@@ -825,6 +825,42 @@ WHERE strpos(lower(coalesce(text, '')), '{_BM25_TERMS[0]}') > 0
 """
 
 
+_PHRASE = "stream column"
+
+
+def q_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase search (token adjacency) — row-local, zero-shuffle
+    narrow projection; the positional-index join shape only pays once
+    the index is a precomputed artifact."""
+    from .functions.index import phrase_hits
+
+    return phrase_hits(load_table(spark, sf_dir, "documents"),
+                       phrase=_PHRASE)
+
+
+def _sql_phrase_hits(phrase: str) -> str:
+    from .functions.lm import TOKEN_RE
+
+    ws = phrase.lower().split()
+    n = len(ws)
+    cond = " AND ".join(f"tk[i + {d}] = '{w}'" for d, w in enumerate(ws))
+    return f"""
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(coalesce(text, '')),
+                                     '{TOKEN_RE}') AS tk
+           FROM documents),
+h AS (SELECT doc_id,
+             list_filter(range(1, len(tk) - {n - 2}), i -> {cond}) AS hs
+      FROM t WHERE len(tk) >= {n})
+SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_hits,
+       CAST(hs[1] AS BIGINT) AS first_pos
+FROM h WHERE len(hs) > 0
+"""
+
+
+SQL_PHRASE_HITS = _sql_phrase_hits(_PHRASE)
+
+
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-3 co-occurrence census, top-100 — the word2vec/GloVe
     training-pair export (collocations generalized beyond adjacency)."""
@@ -2927,6 +2963,7 @@ REGISTRY: dict = {
     "skipgram_pairs": (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "kwic_snippets": (q_kwic_snippets, SQL_KWIC_SNIPPETS),
+    "phrase_hits": (q_phrase_hits, SQL_PHRASE_HITS),
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
