@@ -340,3 +340,64 @@ def phrase_hits(df: DataFrame, phrase: str, id_col: str = "doc_id",
             .select("doc_id",
                     F.size("_h").cast("long").alias("n_hits"),
                     F.element_at("_h", 1).cast("long").alias("first_pos")))
+
+
+def write_positional_index(df: DataFrame, path: str,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           n_buckets: int = 64) -> None:
+    """Positional inverted index artifact: (token, doc_id, positions)
+    parquet partitioned by the same stable md5 token bucket as
+    ``write_postings_index`` — phrase/proximity queries then read ONLY
+    the buckets of their query terms. Positions are 1-based token
+    offsets, sorted; the expensive tokenize pass runs once per corpus
+    snapshot."""
+    toks = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(tokens_lower(F.col(text_col)))
+                    .alias("pos0", "token")))
+    positional = (toks
+                  .groupBy("token", "doc_id")
+                  .agg(F.sort_array(F.collect_list(F.col("pos0") + 1))
+                       .alias("positions")))
+    (positional
+     .withColumn("bucket",
+                 F.pmod(F.conv(F.substring(F.md5("token"), 1, 2), 16, 10)
+                        .cast("long"), F.lit(n_buckets)))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def phrase_hits_from_index(spark, path: str, phrase: str,
+                           n_buckets: int = 64) -> DataFrame:
+    """Quoted-phrase search against the STORED positional index: reads
+    only the query terms' buckets (partition pruning + token pushdown),
+    then adjacency-joins consecutive terms' position lists doc-by-doc.
+    Identical output contract to the raw-text ``phrase_hits``
+    (doc_id, n_hits, first_pos) — parity pinned by test."""
+    import hashlib
+    from functools import reduce
+
+    words = phrase.lower().split()
+    if not words:
+        raise ValueError("phrase_hits_from_index needs a non-empty phrase")
+    idx = spark.read.parquet(path)
+
+    def term_df(w: str, d: int) -> DataFrame:
+        b = int(hashlib.md5(w.encode()).hexdigest()[:2], 16) % n_buckets
+        return (idx.filter((F.col("bucket") == b) & (F.col("token") == w))
+                .select("doc_id",
+                        F.col("positions").alias(f"p{d}")))
+
+    cur = term_df(words[0], 0)
+    for d, w in enumerate(words[1:], start=1):
+        cur = cur.join(term_df(w, d), "doc_id")
+    # adjacency: position i starts a hit iff every term d has i+d
+    hit_positions = F.filter(
+        F.col("p0"),
+        lambda i: reduce(lambda acc, d: acc & F.array_contains(
+            F.col(f"p{d}"), i + d), range(1, len(words)), F.lit(True)))
+    return (cur.select("doc_id", hit_positions.alias("_h"))
+            .filter(F.size("_h") > 0)
+            .select("doc_id",
+                    F.size("_h").cast("long").alias("n_hits"),
+                    F.element_at("_h", 1).cast("long").alias("first_pos")))

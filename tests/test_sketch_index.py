@@ -204,3 +204,25 @@ def test_skipgram_pairs_window_semantics(spark):
     got = {r["pair"]: r["n"]
            for r in skipgram_pairs(df, window=3, k=100).collect()}
     assert got == dict(want)  # the 1-token doc contributes nothing
+
+
+def test_positional_index_phrase_parity_and_pruning(spark, tmp_path):
+    """Index-backed phrase search must equal the raw-text scan form and
+    must push the token equality into the pruned bucket read."""
+    from ocr_automation_system_spark.functions.index import (
+        phrase_hits, phrase_hits_from_index, write_positional_index,
+    )
+
+    rows = [(i, f"alpha beta gamma w{i} alpha beta", "s")
+            for i in range(20)] + [(99, "beta alpha only", "s")]
+    df = _docs(spark, rows)
+    path = str(tmp_path / "posidx")
+    write_positional_index(df, path, n_buckets=8)
+    want = sorted(map(tuple,
+                      phrase_hits(df, "alpha beta").collect()))
+    got_df = phrase_hits_from_index(spark, path, "alpha beta", n_buckets=8)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want and len(got) == 20  # two hits per doc, doc 99 none
+    assert got[0][1] == 2  # n_hits
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(token,alpha)" in plan and "EqualTo(token,beta)" in plan
