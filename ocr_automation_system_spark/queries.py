@@ -1127,7 +1127,15 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    key = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # key the cached artifact by path + source-file fingerprint so a
+    # regenerated documents.parquet can never serve a stale index
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        fp = "nofile"
+    key = _h.md5(f"{os.path.abspath(sf_dir)}|{fp}".encode()).hexdigest()[:12]
     idx_dir = os.path.join(tempfile.gettempdir(),
                            f"spark_graft_dedup_idx_v1_{key}")
     marker = os.path.join(idx_dir, "_done")
