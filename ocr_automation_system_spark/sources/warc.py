@@ -208,6 +208,10 @@ def read_warc(spark: SparkSession, path: str,
              .select("path"))
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # SWAP POINT (cluster): this opener handles file:// paths (the
+        # sandbox and any POSIX-mounted shared storage). For s3://hdfs://
+        # paths swap `open` for an fsspec/pyarrow.fs input stream — the
+        # record parser consumes any buffered byte stream unchanged.
         for pdf in batches:
             for p in pdf["path"]:
                 local = p[len("file:"):] if p.startswith("file:") else p
