@@ -401,3 +401,35 @@ def phrase_hits_from_index(spark, path: str, phrase: str,
             .select("doc_id",
                     F.size("_h").cast("long").alias("n_hits"),
                     F.element_at("_h", 1).cast("long").alias("first_pos")))
+
+
+def proximity_hits(df: DataFrame, term_a: str, term_b: str,
+                   max_dist: int = 5, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """NEAR/k search: documents where ``term_a`` and ``term_b`` occur
+    within ``max_dist`` token positions (either order). Row-local like
+    ``phrase_hits`` — per doc, the two (bounded) position lists cross
+    inside one codegen expression; zero shuffle. Returns
+    (doc_id, n_hits, min_dist)."""
+    from .lm import tokens_lower
+    from .text import bind_array, lazy_seq
+
+    a, b = term_a.lower(), term_b.lower()
+
+    def _pairs(tk):
+        def positions(w):
+            return F.filter(
+                lazy_seq(F.size(tk) > 0, F.lit(1), F.size(tk)),
+                lambda i: F.element_at(tk, i.cast("int")) == w)
+
+        pa, pb = positions(a), positions(b)
+        dists = F.flatten(F.transform(
+            pa, lambda i: F.transform(pb, lambda j: F.abs(i - j))))
+        return F.filter(dists, lambda d: d <= max_dist)
+
+    hits = bind_array(tokens_lower(F.col(text_col)), _pairs)
+    return (df.select(F.col(id_col).alias("doc_id"), hits.alias("_d"))
+            .filter(F.size("_d") > 0)
+            .select("doc_id",
+                    F.size("_d").cast("long").alias("n_hits"),
+                    F.array_min("_d").cast("long").alias("min_dist")))

@@ -861,6 +861,42 @@ FROM h WHERE len(hs) > 0
 SQL_PHRASE_HITS = _sql_phrase_hits(_PHRASE)
 
 
+def q_proximity_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/5 search for the BM25 query's first two terms — the
+    proximity primitive between phrase and bag-of-words matching;
+    row-local zero-shuffle projection."""
+    from .functions.index import proximity_hits
+
+    return proximity_hits(load_table(spark, sf_dir, "documents"),
+                          _BM25_TERMS[0], _BM25_TERMS[1], max_dist=5)
+
+
+def _sql_proximity_hits(a: str, b: str, max_dist: int = 5) -> str:
+    from .functions.lm import TOKEN_RE
+
+    return f"""
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(coalesce(text, '')),
+                                     '{TOKEN_RE}') AS tk
+           FROM documents),
+h AS (SELECT doc_id,
+             list_filter(
+               flatten(list_transform(
+                 list_filter(range(1, len(tk) + 1), i -> tk[i] = '{a}'),
+                 i -> list_transform(
+                   list_filter(range(1, len(tk) + 1), j -> tk[j] = '{b}'),
+                   j -> abs(i - j)))),
+               d -> d <= {max_dist}) AS ds
+      FROM t)
+SELECT doc_id, CAST(len(ds) AS BIGINT) AS n_hits,
+       CAST(list_min(ds) AS BIGINT) AS min_dist
+FROM h WHERE len(ds) > 0
+"""
+
+
+SQL_PROXIMITY_HITS = _sql_proximity_hits(_BM25_TERMS[0], _BM25_TERMS[1])
+
+
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-3 co-occurrence census, top-100 — the word2vec/GloVe
     training-pair export (collocations generalized beyond adjacency)."""
@@ -2972,6 +3008,7 @@ REGISTRY: dict = {
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "kwic_snippets": (q_kwic_snippets, SQL_KWIC_SNIPPETS),
     "phrase_hits": (q_phrase_hits, SQL_PHRASE_HITS),
+    "proximity_hits": (q_proximity_hits, SQL_PROXIMITY_HITS),
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
