@@ -246,14 +246,15 @@ def semdedup_keep(df: DataFrame, centroids: list, threshold: float = 0.3,
     (``similarity.cosine_pair``), rounded to 6 dp at the contract
     surface like every other similarity query.
     """
-    from pyspark.sql.window import Window
+    from .util import drop_overcap_keys
 
     mem = df.select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).alias("vec"),
                     kmeans_assign(F.col(vec_col), centroids).alias("cell"))
-    w = Window.partitionBy("cell")
-    capped = (mem.withColumn("_cn", F.count(F.lit(1)).over(w))
-              .filter(F.col("_cn") <= max_cell).drop("_cn"))
+    # aggregate + broadcast anti-join (util.drop_overcap_keys): the
+    # over-full cell is exempted map-side without ever being buffered in
+    # one window task.
+    capped = drop_overcap_keys(mem, "cell", max_cell)
     a, b = capped.alias("a"), capped.alias("b")
     drops = (a.join(b, "cell")
              .filter(F.col("a.vec_id") < F.col("b.vec_id"))

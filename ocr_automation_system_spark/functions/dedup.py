@@ -628,11 +628,12 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     sigs = st.select("sim_hi", "sim_lo").distinct()
     blocks = simhash_blocks(sigs)
     if max_bucket is not None:
-        from pyspark.sql.window import Window
+        from .util import drop_overcap_keys
 
-        w = Window.partitionBy("block", "block_val")
-        blocks = (blocks.withColumn("_bn", F.count(F.lit(1)).over(w))
-                  .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+        # aggregate + broadcast anti-join (see util.drop_overcap_keys):
+        # the over-full block is dropped map-side, never co-located.
+        blocks = drop_overcap_keys(blocks, ["block", "block_val"],
+                                   max_bucket)
     a, b = blocks.alias("a"), blocks.alias("b")
     hamming = (F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
                + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))))

@@ -444,11 +444,13 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                           _bucket_expr(F.col(vec_col), n_bits, planes)
                           .alias("bucket"))
     if max_bucket is not None:
-        from pyspark.sql.window import Window
+        from .util import drop_overcap_keys
 
-        w = Window.partitionBy("bucket")
-        t = (t.withColumn("_bn", F.count(F.lit(1)).over(w))
-             .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+        # aggregate + broadcast anti-join: the hot bucket is dropped
+        # map-side without ever being co-located in one task (a Window
+        # count would buffer the whole bucket in a single task's window
+        # buffer — the exact blowup the cap exists to prevent).
+        t = drop_overcap_keys(t, "bucket", max_bucket)
     a, b = t.alias("a"), t.alias("b")
     return (
         a.join(b, "bucket")

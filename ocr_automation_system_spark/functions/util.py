@@ -97,6 +97,36 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
     return joined.drop("_salt")
 
 
+def drop_overcap_keys(df: DataFrame, keys: list[str] | str,
+                      max_count: int) -> DataFrame:
+    """Drop every row whose key group has more than ``max_count`` rows —
+    WITHOUT ever co-locating a group.
+
+    The occupancy caps in the LSH / SimHash / SemDedup candidate generators
+    exist to protect the self-join from a pathological hot bucket (a B-row
+    bucket costs B^2 candidates). The old shape —
+    ``Window.partitionBy(key)`` + ``count().over(w)`` — defeated its own
+    purpose at scale: a window must buffer each bucket inside ONE task to
+    count it, so the 10^9-row bucket the cap exists to drop was first
+    materialized in a single task.
+
+    This shape never concentrates anything:
+      1. ``groupBy(key).count()`` — map-side combinable, so the hot key
+         arrives at its reducer as a handful of partial counts, not rows;
+      2. filter ``count > max_count`` — the over-cap key set is tiny by
+         construction (it IS the pathological tail);
+      3. broadcast LEFT ANTI join — every input partition drops its own
+         over-cap rows locally; the hot bucket's rows die map-side and
+         never shuffle at all.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    over = (df.groupBy(*key_list)
+            .agg(F.count(F.lit(1)).alias("_kc"))
+            .filter(F.col("_kc") > max_count)
+            .select(*key_list))
+    return df.join(F.broadcast(over), key_list, "left_anti")
+
+
 def salted_agg(df: DataFrame, group_col: str, aggs: dict[str, Column],
                n_salt: int = 16) -> DataFrame:
     """Two-phase aggregation over a skewed group key: phase 1 groups by

@@ -152,3 +152,14 @@ def test_semdedup_stage_catches_reordered_paraphrases(spark):
                                   id_col="doc_id", text_col="text",
                                   threshold=0.5)
     assert pairs.count() == 0
+
+
+def test_semdedup_cap_plan_has_no_window_on_cell(spark, emb):
+    """Same plan contract as the ANN/SimHash caps: the max_cell occupancy
+    cap is groupBy(cell).count() + broadcast LEFT ANTI, never a Window
+    count (which would buffer a mega-cell in one task)."""
+    cents = KM.kmeans_fit(emb, k=2, iters=1)
+    out = KM.semdedup_keep(emb, cents, threshold=0.5, max_cell=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan

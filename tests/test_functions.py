@@ -767,3 +767,27 @@ def test_minhash_bands_stateless_parity(spark):
     a = sorted(map(tuple, minhash_bands(docs).collect()))
     b = sorted(map(tuple, minhash_bands_stateless(docs).collect()))
     assert a == b and a
+
+
+def test_occupancy_caps_never_window_on_the_capped_key(spark, vecs):
+    """The occupancy caps must be aggregate + broadcast anti-join, never a
+    Window count: Window.partitionBy(bucket) buffers the whole bucket in
+    ONE task's window buffer — materializing exactly the pathological
+    bucket the cap exists to drop. Plan contract: no Window node anywhere
+    in the capped candidate generation; the over-cap key removal is a
+    BroadcastHashJoin LeftAnti."""
+    from ocr_automation_system_spark.functions import dedup as D
+
+    capped = S.cosine_near_dup_pairs(vecs, threshold=0.9, n_bits=4,
+                                     max_bucket=10)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared tokens here tail{i}") for i in range(6)],
+        ["doc_id", "text"])
+    plan2 = (D.simhash_near_pairs(docs, max_hamming=3, max_bucket=10)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan2
+    assert "LeftAnti" in plan2 and "BroadcastHashJoin" in plan2
