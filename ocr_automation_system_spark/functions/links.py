@@ -56,14 +56,26 @@ HREF_ANCHOR_RE = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
 ABS_URL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 
 
+#: HTML sniff over the head of the payload: optional UTF-8 BOM, optional
+#: whitespace, then a doctype or an <html tag — case-insensitive, the
+#: shapes real crawl captures ('<!DOCTYPE html>', '<HTML>', leading
+#: CRLF/BOM) actually arrive in via --input-warc. The DuckDB twin is
+#: pipeline_sql._SQL_HTML_SNIFF (same alternation over the \xHH-escaped
+#: blob rendering).
+HTML_SNIFF_RE = ("^(?i)(ï»¿)?[ \t\n\r]*"
+                 "(<!doctype[ \t\n\r]+html|<html)")
+
+
 def page_html(html_col: Column) -> Column:
     """Decoded page text, or '' for payloads that don't sniff as HTML.
 
-    The sniff is a BINARY prefix compare (no decode), and the decode sits
-    in the lazy CASE branch — malformed non-HTML bytes never reach the
-    UTF-8 codec (which raises in Spark 4).
+    The sniff runs on the first 256 bytes decoded as ISO-8859-1 (a
+    total byte->char map — it never raises, unlike UTF-8), and the real
+    decode sits in the lazy CASE branch — malformed non-HTML bytes never
+    reach the UTF-8 codec (which raises in Spark 4).
     """
-    sniff = F.substring(html_col, 1, 5) == F.lit(b"<html")
+    head = F.decode(F.substring(html_col, 1, 256), "ISO-8859-1")
+    sniff = head.rlike(HTML_SNIFF_RE)
     return F.when(sniff, F.decode(html_col, "UTF-8")).otherwise(F.lit(""))
 
 

@@ -713,9 +713,18 @@ FROM d LEFT JOIN agg a ON d.url = a.url LEFT JOIN tot t ON d.url = t.url
 
 from .functions.links import HREF_ANCHOR_RE, ABS_URL_RE  # noqa: E402
 
+#: HTML sniff, DuckDB twin of links.HTML_SNIFF_RE. DuckDB renders a BLOB
+#: cast to VARCHAR with non-printable bytes escaped as '\xHH', so BOM and
+#: CR/LF/TAB are matched in their escaped spelling; the doctype/<html
+#: alternation and case-insensitivity mirror the Spark regex exactly.
+_SQL_HTML_SNIFF = (
+    r"regexp_matches(CAST(html AS VARCHAR), "
+    r"'^(?i)(\\xEF\\xBB\\xBF)?( |\\x09|\\x0A|\\x0D)*"
+    r"(<!doctype( |\\x09|\\x0A|\\x0D)+html|<html)')")
+
 #: decoded page or '' — the CASE keeps DuckDB's (throwing) decode() away
 #: from poison payloads, mirroring the Spark sniff-gated CASE.
-_SQL_PAGE = ("CASE WHEN CAST(html AS VARCHAR) LIKE '<html%' "
+_SQL_PAGE = (f"CASE WHEN {_SQL_HTML_SNIFF} "
              "THEN decode(html) ELSE '' END")
 
 _SQL_LINK_BASE = f"""
@@ -905,7 +914,7 @@ SQL_CRAWL_ACTIVITY = f"""
 SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
        CAST(date_trunc('month', warc_ts) AS TIMESTAMP) AS month,
        CAST(count(*) AS BIGINT) AS n_pages,
-       CAST(sum(CASE WHEN CAST(html AS VARCHAR) LIKE '<html%'
+       CAST(sum(CASE WHEN {_SQL_HTML_SNIFF}
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_html,
        max(warc_ts) AS latest_ts
 FROM {CORPUS} GROUP BY 1, 2

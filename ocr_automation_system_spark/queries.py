@@ -38,6 +38,7 @@ from .functions import dedup as D
 from .functions import similarity as S
 from .functions import text as T
 from .functions import windows as W
+from .functions.links import HTML_SNIFF_RE
 from .functions.multimodal import extract_media_metadata, media_type_summary
 from .operators.adapters import (
     build_entities, checksum_consistency_check, duplicate_id_check,
@@ -2565,8 +2566,10 @@ def q_crawl_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("host"),
                 F.date_trunc("month", "warc_ts").alias("month"))
             .agg(F.count(F.lit(1)).alias("n_pages"),
-                 F.sum(F.when(F.substring("html", 1, 5) == F.lit(b"<html"),
-                              1).otherwise(0)).cast("long").alias("n_html"),
+                 F.sum(F.when(
+                     F.decode(F.substring("html", 1, 256), "ISO-8859-1")
+                     .rlike(HTML_SNIFF_RE), 1).otherwise(0))
+                 .cast("long").alias("n_html"),
                  F.max("warc_ts").alias("latest_ts")))
 
 

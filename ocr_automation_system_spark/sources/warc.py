@@ -15,9 +15,18 @@ files. This module implements both directions Spark-first:
   files spread across executors). Paths come from the ``binaryFile``
   reader with ONLY the path column selected (the format prunes the
   content read), and each task stream-parses its files record-by-record
-  through a buffered reader — the whole file is never materialized as a
-  row. Malformed records become ``status='poison'`` rows, never task
-  failures (the repo-wide poison contract).
+  through a buffered reader, flushing an Arrow batch every
+  ``chunk_records`` records — task memory is **O(chunk)**, never
+  O(file). Malformed records become ``status='poison'`` rows, never
+  task failures (the repo-wide poison contract).
+
+Memory bounds, stated honestly: the READ side is O(chunk_records ×
+mean record size) per task. The WRITE side is **O(file)** per task —
+``applyInPandas`` hands each bucket to its writer as one pandas frame
+(the price of the url-sorted byte-deterministic artifact) — so the
+per-task bound is set by the file size target: ``n_files`` defaults to
+``ceil(input_bytes / 1 GiB)`` when the input is file-backed, i.e. each
+writer task holds ~1 GiB, a normal executor working set.
 
 Record layout written (WARC/1.0, ``resource`` records; ``conversion``
 for WET text exports)::
@@ -39,12 +48,19 @@ returned as the payload.
 from __future__ import annotations
 
 import io
+import math
 import os
+import re
+import uuid
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: write-side file size target when ``n_files`` is derived (1 GiB —
+#: the conventional WARC shard size, and the writer task's memory bound).
+TARGET_FILE_BYTES = 1 << 30
 
 #: Read-side output schema (poison rows carry nulls + the reason).
 WARC_READ_SCHEMA = ("url string, warc_ts timestamp, html binary, "
@@ -77,7 +93,37 @@ def _bucket_col(url, n_files: int):
                   .cast("long"), F.lit(n_files))
 
 
-def write_warc(df: DataFrame, out_dir: str, n_files: int = 8,
+def _staging_path(path: str) -> str:
+    """Attempt-unique staging name for the atomic-rename publish: two
+    concurrent task attempts (speculation, zombie retries) must never
+    append into one shared tmp file — each stages privately, and
+    whichever ``os.replace`` lands last wins with identical bytes."""
+    return f"{path}.tmp-{uuid.uuid4().hex}"
+
+
+def _derived_n_files(df: DataFrame,
+                     target_bytes: int = TARGET_FILE_BYTES) -> int | None:
+    """Size-derived file count: ceil(input bytes / 1 GiB). Input bytes
+    come from the scan's file metadata (no data pass); source parquet
+    bytes upper-bound the payload bytes closely enough for a shard-size
+    target. None (caller falls back) for non-file / remote sources —
+    production callers on object stores pass ``n_files`` explicitly from
+    catalog statistics."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        try:
+            total += os.path.getsize(re.sub(r"^file:(//)?", "", f))
+        except OSError:
+            return None
+    return max(1, math.ceil(total / target_bytes))
+
+
+def write_warc(df: DataFrame, out_dir: str, n_files: int | None = None,
                url_col: str = "url", ts_col: str = "warc_ts",
                payload_col: str = "html",
                rec_type: str = "resource",
@@ -85,23 +131,36 @@ def write_warc(df: DataFrame, out_dir: str, n_files: int = 8,
     """Write ``df`` as ``n_files`` WARC files under ``out_dir`` (shared
     storage), one executor task per file. Deterministic: the file a url
     lands in is a stable md5 bucket and records are url-sorted within
-    the file, so re-running (or a speculative retry overwriting the same
-    name) produces identical bytes. Returns the collected manifest —
-    ``n_files`` rows, bounded."""
+    the file, so re-running produces identical bytes. Returns the
+    collected manifest — ``n_files`` rows, bounded.
+
+    ``n_files=None`` derives the count from the input size at ~1 GiB
+    per file (``_derived_n_files``), which is also the writer task's
+    honest memory bound: applyInPandas hands each bucket to ``_write``
+    as ONE pandas frame, so per-task memory is O(file), sized here.
+
+    Concurrent attempts (speculative retries) are safe: each attempt
+    stages into its own uuid-suffixed tmp file, and ``os.replace`` then
+    publishes whole-file atomically — two attempts never interleave
+    bytes in a shared staging file, and both publish identical content
+    (the sort makes the bytes attempt-invariant)."""
     os.makedirs(out_dir, exist_ok=True)
+    if n_files is None:
+        n_files = _derived_n_files(df) or 8
 
     def _write(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(key[0])
         path = os.path.join(out_dir, f"part-{bucket:05d}.warc")
         pdf = pdf.sort_values(url_col, kind="mergesort")
         n = 0
-        with open(path + ".tmp", "wb") as fh:
+        tmp = _staging_path(path)  # attempt-unique staging
+        with open(tmp, "wb") as fh:
             for url, ts, payload in zip(pdf[url_col], pdf[ts_col],
                                         pdf[payload_col]):
                 fh.write(record_bytes(url, ts, bytes(payload or b""),
                                       rec_type, content_type))
                 n += 1
-        os.replace(path + ".tmp", path)  # atomic publish per file
+        os.replace(tmp, path)  # atomic publish per file
         return pd.DataFrame([{
             "bucket": bucket, "warc_file": path, "n_records": n,
             "n_bytes": os.path.getsize(path)}])
@@ -114,7 +173,7 @@ def write_warc(df: DataFrame, out_dir: str, n_files: int = 8,
     return manifest.collect()
 
 
-def write_wet(df: DataFrame, out_dir: str, n_files: int = 8,
+def write_wet(df: DataFrame, out_dir: str, n_files: int | None = None,
               url_col: str = "url", ts_col: str = "warc_ts",
               text_col: str = "text") -> list:
     """WET export: the extracted-text twin of ``write_warc`` —
@@ -195,13 +254,17 @@ def _parse_stream(fh, fname: str) -> Iterator[dict]:
                "warc_file": fname, "rec_offset": rec_off, "status": "ok"}
 
 
-def read_warc(spark: SparkSession, path: str,
-              glob: str = "*.warc") -> DataFrame:
+def read_warc(spark: SparkSession, path: str, glob: str = "*.warc",
+              chunk_records: int = 1024) -> DataFrame:
     """Distributed WARC read: binaryFile lists+shards the files (path
     column only — content is pruned, never loaded as a row), then each
     task stream-parses its files. Files are the parallelism unit, the
     standard shape for record-stream formats with no internal split
-    points."""
+    points.
+
+    Memory bound is O(chunk): the parser is a generator and the task
+    flushes an Arrow batch every ``chunk_records`` records — a 1 GiB
+    WARC file with 10^5 records never exists as one task-side list."""
     paths = (spark.read.format("binaryFile")
              .option("pathGlobFilter", glob)
              .load(path)
@@ -212,20 +275,24 @@ def read_warc(spark: SparkSession, path: str,
         # sandbox and any POSIX-mounted shared storage). For s3://hdfs://
         # paths swap `open` for an fsspec/pyarrow.fs input stream — the
         # record parser consumes any buffered byte stream unchanged.
+        rows: list[dict] = []
         for pdf in batches:
             for p in pdf["path"]:
                 local = p[len("file:"):] if p.startswith("file:") else p
-                rows = []
                 try:
                     with open(local, "rb") as raw:
-                        rows.extend(_parse_stream(
-                            io.BufferedReader(raw), local))
+                        for rec in _parse_stream(io.BufferedReader(raw),
+                                                 local):
+                            rows.append(rec)
+                            if len(rows) >= chunk_records:
+                                yield pd.DataFrame(rows)
+                                rows = []
                 except OSError as exc:
                     rows.append({"url": None, "warc_ts": None, "html": None,
                                  "rec_type": None, "warc_file": local,
                                  "rec_offset": 0,
                                  "status": f"poison:io:{exc.errno}"})
-                if rows:
-                    yield pd.DataFrame(rows)
+        if rows:
+            yield pd.DataFrame(rows)
 
     return paths.mapInPandas(_parse, WARC_READ_SCHEMA)

@@ -204,3 +204,40 @@ def test_page_metadata_profiles_and_poison(spark):
         rows, "url string, html binary"))
         ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_page_html_sniffs_real_capture_shapes(spark):
+    """Crawl captures arrive as '<!DOCTYPE html>', '<HTML>', with leading
+    whitespace or a UTF-8 BOM — the sniff must accept all of them (and
+    still reject junk/PDF/binary payloads) BYTE-FOR-BYTE identically in
+    Spark and in the DuckDB oracle twin."""
+    import duckdb
+
+    from ocr_automation_system_spark.functions.links import page_html
+    from ocr_automation_system_spark.pipeline_sql import _SQL_HTML_SNIFF
+
+    payloads = [b"<html><body>x</body></html>",
+                b"<!DOCTYPE html><HTML>hi</HTML>",
+                b"  \r\n<html>y</html>",
+                b"\xef\xbb\xbf<HTML>z</HTML>",
+                b"<HTML>upper</HTML>",
+                b"<!doctype  \n html><html>",
+                b"%PDF-1.4 junk",
+                b"plain text",
+                b""]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(payloads)],
+                               "i int, html binary")
+    got = {r["i"]: r["page"] != ""
+           for r in df.select("i", page_html(F.col("html")).alias("page"))
+           .collect()}
+    want = {0: True, 1: True, 2: True, 3: True, 4: True, 5: True,
+            6: False, 7: False, 8: False}
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, html BLOB)")
+    for i, p in enumerate(payloads):
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, p])
+    oracle = dict(con.execute(
+        f"SELECT i, {_SQL_HTML_SNIFF} FROM t ORDER BY i").fetchall())
+    assert oracle == want

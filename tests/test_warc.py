@@ -140,3 +140,66 @@ def test_job_ingests_warc_input(spark, tmp_path):
     assert rc == 0
     res = spark.read.parquet(os.path.join(out, "extractions"))
     assert res.count() == 120  # every good record extracted, garbage gone
+
+
+def test_read_warc_chunked_yields_identical_output(spark, tmp_path):
+    """O(chunk) reader contract: a multi-record file streamed through a
+    chunk_records far below the record count yields exactly the rows of
+    a whole-file read — chunk boundaries are invisible in the output."""
+    df = _df(spark)
+    out = str(tmp_path / "warc")
+    write_warc(df, out, n_files=2)
+
+    def rows(chunk):
+        return sorted(
+            (r["url"], r["warc_ts"], bytes(r["html"]), r["status"])
+            for r in read_warc(spark, out, chunk_records=chunk).collect())
+
+    whole = rows(1_000_000)
+    assert rows(3) == whole and rows(1) == whole
+    assert len(whole) == 41
+
+
+def test_write_warc_derives_n_files_from_input_size(spark, tmp_path):
+    """n_files=None sizes files from the scan's input bytes (~1 GiB
+    target -> 1 file for a tiny parquet input), and falls back to a
+    sane default for non-file-backed inputs."""
+    from ocr_automation_system_spark.sources.warc import _derived_n_files
+
+    src = str(tmp_path / "src.parquet")
+    _df(spark).write.parquet(src)
+    disk = spark.read.parquet(src)
+    assert _derived_n_files(disk) == 1
+    # target of 1 byte/file -> one file per input byte bucket, >1 files
+    assert _derived_n_files(disk, target_bytes=1) > 1
+    # in-memory DataFrame has no input files -> None (caller falls back)
+    assert _derived_n_files(_df(spark)) is None
+
+    out = str(tmp_path / "auto")
+    manifest = write_warc(disk, out)  # n_files omitted
+    assert len(manifest) == 1 and manifest[0]["n_records"] == 41
+    got = read_warc(spark, out)
+    assert got.filter(F.col("status") == "ok").count() == 41
+
+
+def test_write_warc_staging_is_attempt_unique(spark, tmp_path):
+    """Concurrent speculative attempts must never share a staging file:
+    staging names are uuid-suffixed per attempt (unit-checked on the
+    helper, since executor workers are separate processes), publish is a
+    whole-file atomic rename, and stale tmp litter from a crashed
+    attempt neither corrupts the output nor blocks the rename."""
+    import ocr_automation_system_spark.sources.warc as W
+
+    p = str(tmp_path / "part-00000.warc")
+    s1, s2 = W._staging_path(p), W._staging_path(p)
+    assert s1 != s2 and s1.startswith(p + ".tmp-")
+
+    out = str(tmp_path / "warc")
+    os.makedirs(out)
+    # crashed-attempt litter: must not interleave into the fresh write
+    with open(os.path.join(out, "part-00000.warc.tmp-dead"), "wb") as fh:
+        fh.write(b"garbage from a dead attempt")
+    df = _df(spark)
+    write_warc(df, out, n_files=1)
+    got = read_warc(spark, out)
+    assert got.filter(F.col("status") == "ok").count() == 41
