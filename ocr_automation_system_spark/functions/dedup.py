@@ -411,13 +411,25 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     skips the compute of every committed round and replays only the
     cheap read-back joins (``test_resume.py::
     test_cc_resumes_from_committed_rounds``). Batch callers pass the
-    job's checkpoint/output dir, exactly as ``--curate`` does."""
+    job's checkpoint/output dir, exactly as ``--curate`` does.
+
+    The checkpoint subdir is keyed by a FINGERPRINT of the edge set
+    (count + order-independent xor of xxhash64(src,dst), computed in
+    the same pass as the threshold count): a resumed job whose input
+    grew (the supported interrupt/resume workflow — extraction resumes
+    with more buckets, then --curate re-runs into the same output dir)
+    gets a fresh subdir instead of silently replaying the stale edge
+    set's rounds; a byte-identical re-run still resumes. Stale
+    fingerprints' subdirs are pruned on entry."""
     sym = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
 
-    n_edges = edges.count()
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("src", "dst")).alias("fp")).collect()[0]
+    n_edges = stats["n"]
     if n_edges <= collect_threshold:
         try:
             parent: dict = {}
@@ -460,12 +472,26 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     # (read back, not recomputed) on a resumed run.
     spark = pairs.sparkSession
 
+    # input-keyed checkpoint namespace + stale-fingerprint pruning
+    fp_hex = f"{(stats['fp'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+    cc_name = f"cc-{n_edges}-{fp_hex}"
+    if checkpoint_dir is not None and os.path.isdir(checkpoint_dir):
+        import re
+        import shutil
+
+        for d in os.listdir(checkpoint_dir):
+            # prune cc-* siblings (and the legacy unkeyed 'cc') ONLY —
+            # the dir is shared with other stages' checkpoints
+            if re.fullmatch(r"cc(-\d+-[0-9a-f]{16})?", d) and d != cc_name:
+                shutil.rmtree(os.path.join(checkpoint_dir, d),
+                              ignore_errors=True)
+
     def commit(df: DataFrame, name: str) -> DataFrame:
         if checkpoint_dir is None:
             return df.localCheckpoint(eager=True)
         import shutil
 
-        dest = os.path.join(checkpoint_dir, "cc", name)
+        dest = os.path.join(checkpoint_dir, cc_name, name)
         if not os.path.exists(dest):
             tmp = dest + ".inprogress"  # killed-run leftovers overwritten
             if os.path.exists(tmp):

@@ -106,7 +106,9 @@ def test_cc_resumes_from_committed_rounds(spark, tmp_path):
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(pairs, collect_threshold=0, max_iter=2,
                                checkpoint_dir=ckpt)
-    cc_dir = os.path.join(ckpt, "cc")
+    cc_dirs = [d for d in os.listdir(ckpt) if d.startswith("cc-")]
+    assert len(cc_dirs) == 1  # fingerprint-keyed subdir
+    cc_dir = os.path.join(ckpt, cc_dirs[0])
     committed = sorted(os.listdir(cc_dir))
     assert "edges" in committed and "round_00002" in committed
     mtimes = {d: os.path.getmtime(os.path.join(cc_dir, d)) for d in committed}
@@ -129,7 +131,16 @@ def test_cc_checkpoint_overwrites_inprogress_leftover(spark, tmp_path):
 
     pairs = spark.createDataFrame([(0, 1), (1, 2)], ["doc_a", "doc_b"])
     ckpt = str(tmp_path / "ck")
-    leftover = os.path.join(ckpt, "cc", "edges.inprogress")
+    # fingerprint of this exact pair set (mirror the impl's keying)
+    from pyspark.sql import functions as SF
+    sym = pairs.select(SF.col("doc_a").alias("src"),
+                       SF.col("doc_b").alias("dst"))
+    e = sym.unionByName(sym.select(SF.col("dst").alias("src"),
+                                   SF.col("src").alias("dst"))).distinct()
+    st = e.agg(SF.count(SF.lit(1)).alias("n"),
+               SF.bit_xor(SF.xxhash64("src", "dst")).alias("fp")).collect()[0]
+    cc_name = f"cc-{st['n']}-{(st['fp'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+    leftover = os.path.join(ckpt, cc_name, "edges.inprogress")
     os.makedirs(leftover)
     with open(os.path.join(leftover, "part-garbage.parquet"), "w") as fh:
         fh.write("not parquet")
@@ -137,3 +148,32 @@ def test_cc_checkpoint_overwrites_inprogress_leftover(spark, tmp_path):
                                  checkpoint_dir=ckpt)
     assert {r["cluster_id"] for r in out.collect()} == {0}
     assert not os.path.exists(leftover)
+
+
+def test_cc_checkpoints_invalidate_when_input_changes(spark, tmp_path):
+    """The supported interrupt/resume workflow: extraction resumes with
+    MORE data, then the dedup ladder re-runs into the same checkpoint
+    dir. The cc checkpoints are keyed by an edge-set fingerprint, so the
+    grown input must NOT silently reuse the old edge set — the new run
+    gets fresh rounds and the right clusters, and the stale fingerprint's
+    subdir is pruned."""
+    from ocr_automation_system_spark.functions import dedup as D
+
+    ckpt = str(tmp_path / "ck")
+    p1 = spark.createDataFrame([(0, 1), (1, 2)], ["doc_a", "doc_b"])
+    out1 = {r["node"]: r["cluster_id"]
+            for r in D.connected_components(
+                p1, collect_threshold=0, checkpoint_dir=ckpt).collect()}
+    assert out1 == {0: 0, 1: 0, 2: 0}
+    first = [d for d in os.listdir(ckpt) if d.startswith("cc-")]
+    assert len(first) == 1
+
+    # input grows: a second component appears
+    p2 = p1.unionByName(spark.createDataFrame([(10, 11)],
+                                              ["doc_a", "doc_b"]))
+    out2 = {r["node"]: r["cluster_id"]
+            for r in D.connected_components(
+                p2, collect_threshold=0, checkpoint_dir=ckpt).collect()}
+    assert out2 == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
+    second = [d for d in os.listdir(ckpt) if d.startswith("cc-")]
+    assert len(second) == 1 and second != first  # stale subdir pruned
