@@ -54,6 +54,11 @@ QUANT_SCALE = 1_000_000
 #: skipped (and should trigger a larger k upstream).
 SEMDEDUP_MAX_CELL = 100_000
 
+#: Target mean cell size for ``semdedup_stage``'s auto-k: k scales as
+#: ceil(n / target) so the cell-keyed self-join's parallelism grows
+#: with the corpus instead of being pinned at a fixed k.
+SEMDEDUP_TARGET_CELL = 2_048
+
 
 def quantize(vec: Column, scale: int = QUANT_SCALE) -> Column:
     """array<float> -> array<bigint> fixed-point quantization."""
@@ -69,8 +74,17 @@ def _sq_dist(q: Column, c: Column) -> Column:
     )
 
 
+def quant_bound(dim: int) -> int:
+    """Largest |q| for which ``_sq_dist`` is int64-exact: the worst
+    case is ``dim`` terms of ``(2B)^2``, so ``dim * 4B^2 < 2^63``.
+    ``kmeans_fit`` asserts the data against this — silent non-ANSI
+    int64 wraparound would corrupt assignments, not raise."""
+    return math.isqrt((2 ** 63 - 1) // dim) // 2
+
+
 def kmeans_assign(vec: Column, centroids: list,
-                  pre_quantized: bool = False) -> Column:
+                  pre_quantized: bool = False,
+                  scale: int = QUANT_SCALE) -> Column:
     """Cell id = argmin over centroids of exact squared distance,
     first-min-wins on ties (== the SQL twin's ``ORDER BY dist, cid``).
 
@@ -86,7 +100,7 @@ def kmeans_assign(vec: Column, centroids: list,
     """
     if not centroids:
         raise ValueError("kmeans_assign needs at least one centroid")
-    q = vec if pre_quantized else quantize(vec)
+    q = vec if pre_quantized else quantize(vec, scale)
     # ONE py4j call for the whole centroid set: building k*dim nested
     # F.lit().cast() columns costs a JVM round-trip per literal
     # (measured ~1.8s per fit iteration at k=8, dim=64)
@@ -103,7 +117,7 @@ def kmeans_assign(vec: Column, centroids: list,
 
 def kmeans_fit(df: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding", k: int = 8,
-               iters: int = 3) -> list:
+               iters: int = 3, scale: int = QUANT_SCALE) -> list:
     """Lloyd's k-means over quantized embeddings; returns the final
     centroids as ``k`` lists of ints (index == cell id), or ``[]`` on an
     empty/too-small table.
@@ -118,15 +132,37 @@ def kmeans_fit(df: DataFrame, id_col: str = "vec_id",
 
     Seeds are the ``k`` smallest ids (== the twin's ``vec_id < k`` on
     the contiguous embeddings table; works for string ids too).
+
+    ``scale``: fixed-point quantization factor. The default (10^6)
+    suits unit-range float embeddings; for features that are ALREADY
+    exact integers (e.g. ``text_feature_vec`` token counts) pass
+    ``scale=1`` — scaling raw counts by 10^6 pushes ``(a-b)^2`` past
+    int64 for a per-slot count difference >= ~3036 (ANSI mode turns
+    that into a mid-job ARITHMETIC_OVERFLOW; non-ANSI it wraps
+    silently and corrupts assignments). The fit asserts every
+    quantized value against ``quant_bound(dim)`` BEFORE the first
+    assignment — one map-side max over the persisted projection the
+    first iteration reuses — so a violation raises with guidance
+    instead of either failure mode.
     """
     init = (df.orderBy(id_col).limit(k).select(vec_col).collect())
-    cents = [[math.floor(float(x) * QUANT_SCALE) for x in r[0]]
+    cents = [[math.floor(float(x) * scale) for x in r[0]]
              for r in init]
     if not cents:
         return []
     dim = len(cents[0])
-    q = df.select(quantize(F.col(vec_col)).alias("q")).persist()
+    bound = quant_bound(dim)
+    q = df.select(quantize(F.col(vec_col), scale).alias("q")).persist()
     try:
+        qabs = q.agg(F.max(F.greatest(
+            F.abs(F.array_max("q")),
+            F.abs(F.array_min("q")))).alias("_qabs")).collect()[0]["_qabs"]
+        if (qabs or 0) > bound:
+            raise ValueError(
+                f"quantized magnitude {qabs} exceeds the int64-exact "
+                f"bound {bound} for dim={dim}; lower the quantization "
+                "scale (integer count features: scale=1) or normalize "
+                "the features")
         for _ in range(iters):
             a = q.select(
                 kmeans_assign(F.col("q"), cents, pre_quantized=True)
@@ -205,14 +241,28 @@ def text_feature_vec(text: Column, dim: int = 32) -> Column:
 
 
 def semdedup_stage(df: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text", k: int = 16, iters: int = 2,
-                   threshold: float = 0.95, dim: int = 256,
+                   text_col: str = "text", k: int | None = None,
+                   iters: int = 2, threshold: float = 0.95, dim: int = 256,
                    max_cell: int = SEMDEDUP_MAX_CELL) -> DataFrame:
     """SemDedup over raw text: featurize (hashed BoW) -> k-means ->
     within-cell cosine drop. Catches what shingle-Jaccard near-dedup
     misses (reordered/paraphrase-shaped duplicates share a bag of words
     but few 3-shingles). Returns (id, cell, keep); empty/degenerate
     input keeps everything.
+
+    ``k=None`` (default) scales the cell count to the corpus:
+    ``ceil(n / SEMDEDUP_TARGET_CELL)`` clamped to [16, 1024] — the
+    within-cell self-join and its occupancy aggregation hash on the
+    cell id, so k IS the stage's parallelism ceiling; a fixed small k
+    caps a 1000-executor cluster at k tasks each holding ~n/k rows.
+    Production SemDedup runs k in the 10^4-10^5 range: beyond the
+    1024-centroid plan-literal clamp, train centroids offline (the IVF
+    path) and call ``semdedup_keep`` with them directly.
+
+    The hashed-BoW features are exact integer counts, so k-means runs
+    at ``scale=1`` — scaling counts by 10^6 overflows the int64 exact
+    distance once a per-slot count difference reaches ~3036 (very long
+    or highly repetitive docs); ``kmeans_fit`` asserts the bound.
 
     Defaults calibrated on the synthetic extraction corpus: dim=256
     keeps hash collisions rare enough that only template-level
@@ -222,19 +272,23 @@ def semdedup_stage(df: DataFrame, id_col: str = "doc_id",
                       text_feature_vec(
                           F.coalesce(F.col(text_col), F.lit("")), dim)
                       .alias("embedding"))
-    cents = kmeans_fit(feats, k=k, iters=iters)
+    if k is None:
+        n = feats.count()
+        k = min(max(16, -(-n // SEMDEDUP_TARGET_CELL)), 1024)
+    cents = kmeans_fit(feats, k=k, iters=iters, scale=1)
     if not cents:
         return df.select(F.col(id_col),
                          F.lit(0).cast("long").alias("cell"),
                          F.lit(True).alias("keep"))
     out = semdedup_keep(feats, cents, threshold=threshold,
-                        max_cell=max_cell)
+                        max_cell=max_cell, scale=1)
     return out.withColumnRenamed("vec_id", id_col)
 
 
 def semdedup_keep(df: DataFrame, centroids: list, threshold: float = 0.3,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  max_cell: int = SEMDEDUP_MAX_CELL) -> DataFrame:
+                  max_cell: int = SEMDEDUP_MAX_CELL,
+                  scale: int = QUANT_SCALE) -> DataFrame:
     """SemDedup verdict per vector: ``keep = false`` iff a same-cell
     vector with a smaller id has cosine >= threshold (keep-earliest, the
     repo-wide dedup convention). Returns (vec_id, cell, keep).
@@ -250,7 +304,8 @@ def semdedup_keep(df: DataFrame, centroids: list, threshold: float = 0.3,
 
     mem = df.select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).alias("vec"),
-                    kmeans_assign(F.col(vec_col), centroids).alias("cell"))
+                    kmeans_assign(F.col(vec_col), centroids,
+                                  scale=scale).alias("cell"))
     # aggregate + broadcast anti-join (util.drop_overcap_keys): the
     # over-full cell is exempted map-side without ever being buffered in
     # one window task.

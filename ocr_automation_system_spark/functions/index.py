@@ -46,6 +46,20 @@ from .util import ensure_parallelism
 POSTINGS_CAP = 32
 
 
+def query_tokens(query: str) -> list:
+    """Normalize a user query string through the SAME tokenizer the
+    document side uses (``lm.TOKEN_RE`` over lowercased text). A
+    punctuated query term (``"don't"``, ``"e-mail"``) split on
+    whitespace can never equal a ``TOKEN_RE`` document token — it
+    silently matches nothing; this folds it to the tokens it would
+    produce in a document (``don t`` / ``e mail``)."""
+    import re
+
+    from .lm import TOKEN_RE
+
+    return re.findall(TOKEN_RE, query.lower())
+
+
 def token_doc_pairs(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Distinct (token, doc) membership pairs — the index's edge list."""
@@ -248,10 +262,16 @@ def bm25_search(df: DataFrame, query_terms: list, id_col: str = "doc_id",
     Scale shape: the token stream is FILTERED to the query terms before
     any aggregation — tf is at most |terms| rows per doc; doc lengths
     are one map-side-combined groupBy; N/avgdl/df are broadcast 1-row /
-    |terms|-row aggregates; final ranking is TakeOrdered(k)."""
+    |terms|-row aggregates; final ranking is TakeOrdered(k).
+
+    Query terms are normalized through ``query_tokens`` (the document
+    tokenizer), so a punctuated term matches the tokens it would
+    produce in a document instead of silently matching nothing."""
     from .lm import tokens_lower
 
-    terms = sorted(set(query_terms))
+    terms = sorted({t for qt in query_terms for t in query_tokens(qt)})
+    if not terms:
+        raise ValueError("bm25_search needs at least one tokenizable term")
     toks = (ensure_parallelism(df)
             .select(F.col(id_col).alias("doc_id"),
                     F.explode(tokens_lower(F.col(text_col)))
@@ -318,7 +338,7 @@ def phrase_hits(df: DataFrame, phrase: str, id_col: str = "doc_id",
     from .lm import tokens_lower
     from .text import bind_array, lazy_seq
 
-    words = [w.lower() for w in phrase.split()]
+    words = query_tokens(phrase)
     n = len(words)
     if n == 0:
         raise ValueError("phrase_hits needs a non-empty phrase")
@@ -377,7 +397,7 @@ def phrase_hits_from_index(spark, path: str, phrase: str,
     import hashlib
     from functools import reduce
 
-    words = phrase.lower().split()
+    words = query_tokens(phrase)
     if not words:
         raise ValueError("phrase_hits_from_index needs a non-empty phrase")
     idx = spark.read.parquet(path)
@@ -410,11 +430,21 @@ def proximity_hits(df: DataFrame, term_a: str, term_b: str,
     within ``max_dist`` token positions (either order). Row-local like
     ``phrase_hits`` — per doc, the two (bounded) position lists cross
     inside one codegen expression; zero shuffle. Returns
-    (doc_id, n_hits, min_dist)."""
+    (doc_id, n_hits, min_dist).
+
+    Terms are normalized through ``query_tokens`` (each must fold to
+    exactly one document token). With ``term_a == term_b`` a position
+    pairs with itself at distance 0 — a spurious hit for every doc
+    containing the term once — so the equal-term case counts each
+    unordered position pair exactly once (``j > i``)."""
     from .lm import tokens_lower
     from .text import bind_array, lazy_seq
 
-    a, b = term_a.lower(), term_b.lower()
+    ta, tb = query_tokens(term_a), query_tokens(term_b)
+    if len(ta) != 1 or len(tb) != 1:
+        raise ValueError("proximity_hits terms must each normalize to "
+                         f"one token, got {ta!r} and {tb!r}")
+    a, b = ta[0], tb[0]
 
     def _pairs(tk):
         def positions(w):
@@ -423,8 +453,13 @@ def proximity_hits(df: DataFrame, term_a: str, term_b: str,
                 lambda i: F.element_at(tk, i.cast("int")) == w)
 
         pa, pb = positions(a), positions(b)
-        dists = F.flatten(F.transform(
-            pa, lambda i: F.transform(pb, lambda j: F.abs(i - j))))
+        if a == b:
+            dists = F.flatten(F.transform(
+                pa, lambda i: F.transform(
+                    F.filter(pb, lambda j: j > i), lambda j: j - i)))
+        else:
+            dists = F.flatten(F.transform(
+                pa, lambda i: F.transform(pb, lambda j: F.abs(i - j))))
         return F.filter(dists, lambda d: d <= max_dist)
 
     hits = bind_array(tokens_lower(F.col(text_col)), _pairs)

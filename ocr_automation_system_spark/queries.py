@@ -764,9 +764,12 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_bm25(terms, k=10, k1=1.2, b=0.75) -> str:
+    from .functions.index import query_tokens
     from .functions.lm import TOKEN_RE
 
-    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    # mirror bm25_search's query normalization (document tokenizer)
+    tl = ", ".join(f"'{t}'" for t in
+                   sorted({t for qt in terms for t in query_tokens(qt)}))
     return f"""
 WITH toks AS (SELECT doc_id,
                      unnest(regexp_extract_all(lower(coalesce(text, '')),
@@ -840,9 +843,10 @@ def q_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_phrase_hits(phrase: str) -> str:
+    from .functions.index import query_tokens
     from .functions.lm import TOKEN_RE
 
-    ws = phrase.lower().split()
+    ws = query_tokens(phrase)
     n = len(ws)
     cond = " AND ".join(f"tk[i + {d}] = '{w}'" for d, w in enumerate(ws))
     return f"""
@@ -873,8 +877,19 @@ def q_proximity_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_proximity_hits(a: str, b: str, max_dist: int = 5) -> str:
+    from .functions.index import query_tokens
     from .functions.lm import TOKEN_RE
 
+    (a,), (b,) = query_tokens(a), query_tokens(b)
+    if a == b:
+        # equal-term NEAR/k: each unordered position pair once (j > i),
+        # never a position paired with itself — mirrors proximity_hits
+        inner = (f"list_filter(range(1, len(tk) + 1), "
+                 f"j -> tk[j] = '{b}' AND j > i)")
+        dist = "j - i"
+    else:
+        inner = f"list_filter(range(1, len(tk) + 1), j -> tk[j] = '{b}')"
+        dist = "abs(i - j)"
     return f"""
 WITH t AS (SELECT doc_id,
                   regexp_extract_all(lower(coalesce(text, '')),
@@ -884,9 +899,7 @@ h AS (SELECT doc_id,
              list_filter(
                flatten(list_transform(
                  list_filter(range(1, len(tk) + 1), i -> tk[i] = '{a}'),
-                 i -> list_transform(
-                   list_filter(range(1, len(tk) + 1), j -> tk[j] = '{b}'),
-                   j -> abs(i - j)))),
+                 i -> list_transform({inner}, j -> {dist}))),
                d -> d <= {max_dist}) AS ds
       FROM t)
 SELECT doc_id, CAST(len(ds) AS BIGINT) AS n_hits,

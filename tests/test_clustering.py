@@ -163,3 +163,51 @@ def test_semdedup_cap_plan_has_no_window_on_cell(spark, emb):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_kmeans_overflow_guard_raises_not_wraps(spark):
+    """Count-scale features at the default 10^6 quantization push
+    (a-b)^2 past int64; the silent non-ANSI wraparound would corrupt
+    assignments — kmeans_fit must raise instead, and the same features
+    at scale=1 (exact integer counts) must fit cleanly."""
+    import pytest
+
+    big = 5000.0  # per-slot count diff ~5000 > the ~3036 wrap point
+    rows = [(0, [0.0, 0.0]), (1, [big, big]),
+            (2, [1.0, 0.0]), (3, [big - 1.0, big])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="int64-exact bound"):
+        KM.kmeans_fit(df, k=2, iters=1)  # default scale=10^6
+    cents = KM.kmeans_fit(df, k=2, iters=2, scale=1)
+    cells = {r["vec_id"]: r["cell"] for r in df.select(
+        "vec_id", KM.kmeans_assign(F.col("embedding"), cents,
+                                   scale=1).alias("cell")).collect()}
+    # the two big-count rows cluster together, away from the small ones
+    assert cells[1] == cells[3] and cells[0] == cells[2]
+    assert cells[0] != cells[1]
+
+
+def test_semdedup_stage_auto_k_scales_with_corpus(spark):
+    """k=None derives the cell count from the corpus size (parallelism
+    grows with n instead of pinning the cell-keyed self-join at a fixed
+    k) and runs the integer count features at scale=1."""
+    from ocr_automation_system_spark.functions.clustering import (
+        SEMDEDUP_TARGET_CELL, semdedup_stage,
+    )
+
+    rows = [(f"d{i:03d}", f"doc {i} text alpha beta w{i % 7}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = semdedup_stage(df, iters=1, threshold=0.99).collect()
+    assert len(out) == 60 and all(r["keep"] is not None for r in out)
+    # small corpus -> the k floor (16) applies; cells stay in range
+    assert 0 <= min(r["cell"] for r in out)
+    assert max(r["cell"] for r in out) < 16
+    # very long repetitive doc (the overflow shape) no longer corrupts:
+    fat = [("fat1", "spam " * 20000), ("fat2", "spam " * 20000),
+           ("thin", "regular words here")]
+    df2 = spark.createDataFrame(rows + fat, "doc_id string, text string")
+    got = {r["doc_id"]: r["keep"]
+           for r in semdedup_stage(df2, k=4, iters=1,
+                                   threshold=0.95).collect()}
+    assert got["fat1"] is True and got["fat2"] is False  # keep-earliest

@@ -226,3 +226,51 @@ def test_positional_index_phrase_parity_and_pruning(spark, tmp_path):
     assert got[0][1] == 2  # n_hits
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "EqualTo(token,alpha)" in plan and "EqualTo(token,beta)" in plan
+
+
+def test_proximity_equal_terms_counts_unordered_pairs_once(spark):
+    """term_a == term_b must not pair a position with itself (a doc with
+    ONE occurrence is not a proximity hit), and each unordered position
+    pair counts exactly once — parity-pinned against the DuckDB twin."""
+    import duckdb
+
+    from ocr_automation_system_spark.functions.index import proximity_hits
+    from ocr_automation_system_spark.queries import _sql_proximity_hits
+
+    rows = [(1, "x y x z x", "s"),     # x at 1,3,5 -> pairs (1,3)(3,5)(1,5)
+            (2, "x alone here", "s"),  # single occurrence: NOT a hit
+            (3, "no term at all", "s"),
+            (4, "x x", "s")]           # adjacent pair, dist 1
+    df = _docs(spark, rows)
+    got = sorted(map(tuple,
+                     proximity_hits(df, "x", "x", max_dist=5).collect()))
+    assert got == [(1, 3, 2), (4, 1, 1)]
+
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = sorted(map(tuple, con.execute(
+        _sql_proximity_hits("x", "x", max_dist=5)).fetchall()))
+    assert got == want
+
+
+def test_query_terms_normalized_through_document_tokenizer(spark):
+    """Punctuated / cased query terms fold to the tokens they would
+    produce in a document (lm.TOKEN_RE) instead of matching nothing."""
+    import pytest
+
+    from ocr_automation_system_spark.functions.index import (
+        bm25_search, phrase_hits, proximity_hits, query_tokens,
+    )
+
+    assert query_tokens("Don't E-Mail") == ["don", "t", "e", "mail"]
+    rows = [(1, "please don t e mail me", "s"),
+            (2, "unrelated text entirely", "s")]
+    df = _docs(spark, rows)
+    hits = phrase_hits(df, '"E-Mail"').collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in hits] == [(1, 1)]
+    scored = bm25_search(df, ["E-Mail!"], k=5).collect()
+    assert [r["doc_id"] for r in scored] == [1]
+    assert scored[0]["n_terms_hit"] == 2  # e AND mail both matched
+    # "Don't" folds to two tokens -> must be rejected, not mis-matched
+    with pytest.raises(ValueError, match="one token"):
+        proximity_hits(df, "Don't", "don t", max_dist=5)
