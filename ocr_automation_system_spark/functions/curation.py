@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from .text import (
     bind_array, bpe_token_count, clean_text, lazy_seq, positional_grams,
-    quality_score, shingles, ws_tokens,
+    quality_score, shingles, ws_token_count, ws_tokens,
 )
 from .util import ensure_parallelism
 
@@ -542,3 +542,71 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
                       F.explode(chunks).alias("_c"))
             .select("doc_id", "_c.chunk_idx", "_c.start_tok",
                     "_c.n_tokens", "_c.chunk_md5"))
+
+
+def token_budget_sample(df: DataFrame, budget_tokens: int,
+                        strat_col: str = "source", id_col: str = "doc_id",
+                        text_col: str = "text",
+                        hash_bits: int = 8) -> DataFrame:
+    """X47 token-budget mixture: per stratum, keep the best documents
+    until the stratum's running token total reaches ``budget_tokens`` —
+    the "give me N billion tokens per source, best first" selection a
+    training-mix composer runs after filtering. Selection order is
+    (quality tier desc, md5 bucket asc, doc_id asc): quality-first,
+    hash-randomized inside a tier, fully deterministic. A document is
+    kept iff its running-total-including-itself <= budget.
+
+    Scale shape — the naive form is ONE window cumsum per stratum over
+    the whole corpus (10^12-row partitions: unusable). Instead:
+
+    1. bucket the order key: ``rb = (4 - quality*4) * 2^hash_bits +
+       md5_bucket`` — ascending rb IS selection order at bucket
+       granularity;
+    2. ONE map-side-combined groupBy(stratum, rb) token histogram
+       (<= n_strata * 5 * 2^hash_bits rows — tiny);
+    3. prefix sums + the full/boundary/overflow split happen on the
+       HISTOGRAM (a window over the tiny table, never the corpus);
+    4. the histogram broadcasts back onto the scan: full buckets pass
+       map-side, overflow buckets drop map-side, and only the single
+       boundary bucket per stratum (~n/2^hash_bits rows) pays a
+       per-document cumsum window. Raise ``hash_bits`` (16 at
+       production scale) to shrink the boundary slice; the histogram
+       stays broadcastable (5 * 65536 * n_strata).
+
+    No driver round-trip, no RNG, no corpus-wide window. Exact-integer
+    token counts and md5 arithmetic — bit-identical on any
+    partitioning and in the DuckDB twin (whose plain per-stratum
+    cumsum formulation this provably equals: within a stratum the
+    bucketized order refines to the same total order because doc_id
+    breaks ties inside a bucket).
+    """
+    cells = 1 << hash_bits
+    budget = int(budget_tokens)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    q4 = (quality_score(txt) * 4).cast("long")
+    rb = (F.lit(4) - q4) * cells + split_bucket(F.col(id_col), cells)
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strat_col).alias("stratum"),
+        ws_token_count(txt).alias("n_tokens"),
+        rb.alias("_rb"))
+    hist = base.groupBy("stratum", "_rb").agg(
+        F.sum("n_tokens").alias("_bt"))
+    wpre = (Window.partitionBy("stratum").orderBy("_rb")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    hist = hist.select(
+        "stratum", "_rb", "_bt",
+        F.coalesce(F.sum("_bt").over(wpre), F.lit(0)).alias("_prefix"))
+    joined = base.join(F.broadcast(hist), ["stratum", "_rb"])
+    full = joined.filter(F.col("_prefix") + F.col("_bt") <= budget)
+    boundary = joined.filter(
+        (F.col("_prefix") <= budget)
+        & (F.col("_prefix") + F.col("_bt") > budget))
+    wdoc = (Window.partitionBy("stratum").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    bsel = (boundary
+            .withColumn("_cum", F.sum("n_tokens").over(wdoc)
+                        + F.col("_prefix"))
+            .filter(F.col("_cum") <= budget))
+    cols = ["doc_id", "stratum", "n_tokens"]
+    return full.select(*cols).unionByName(bsel.select(*cols))

@@ -1779,6 +1779,157 @@ FROM mem m LEFT JOIN drops d USING (vec_id)
 
 
 # ---------------------------------------------------------------------------
+# X46: learned quality-classifier probe (exact fixed-point batch GD)
+# ---------------------------------------------------------------------------
+
+_PROBE_ITERS = 12
+
+
+def q_quality_probe_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the linear quality probe (exact fixed-point batch GD over
+    bucketed integer text features, distilling the rule-based quality
+    gate) and return the weight table — the auditable model artifact."""
+    from .functions.probe import probe_weights_table
+
+    return probe_weights_table(load_table(spark, sf_dir, "documents"),
+                               iters=_PROBE_ITERS)
+
+
+def q_quality_probe_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit + score: the per-document fixed-point logit, the 0.5-
+    threshold prediction, and the teacher label it distills."""
+    from .functions.probe import quality_probe_scores
+
+    return quality_probe_scores(load_table(spark, sf_dir, "documents"),
+                                iters=_PROBE_ITERS)
+
+
+def _sql_probe_ctes(iters: int = _PROBE_ITERS) -> str:
+    """Unrolled exact preconditioned-GD iterations as a CTE chain — the
+    DuckDB twin of ``probe.probe_fit``. HUGEINT carries the
+    decimal(38,0) gradient sums; the per-feature denominator is the
+    exact Hessian diagonal (``dim * sum(x_j^2)``); the positive-mod
+    trick reproduces Python's floor division for negative gradients
+    (plain ``//`` would truncate toward zero). Every CTE is
+    ``MATERIALIZED``: each step references the previous weights twice,
+    so default CTE inlining would expand the chain EXPONENTIALLY
+    (2^iters scans of the corpus — observed as an fd explosion)."""
+    from .functions.probe import PROBE_DIM, PROBE_SCALE
+
+    toks = _sql_toks("text")
+    x = ", ".join([
+        "CAST(8 AS BIGINT)",
+        f"least(CAST(floor(len({toks}) / CAST(32 AS DOUBLE)) AS BIGINT), 15)",
+        "least(CAST(floor(length(text) / CAST(256 AS DOUBLE)) AS BIGINT), 15)",
+        "least(CAST(floor(length(regexp_replace(text, '[^0-9]', '', 'g'))"
+        " / CAST(8 AS DOUBLE)) AS BIGINT), 15)",
+        f"least(CAST(floor(len(list_filter({toks}, t -> t IN {_SQL_STOPS}))"
+        " / CAST(4 AS DOUBLE)) AS BIGINT), 15)",
+        "least(CAST(floor(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
+        " / CAST(4 AS DOUBLE)) AS BIGINT), 15)",
+        "least(CAST(floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '',"
+        " 'g')) AS DOUBLE) * 15 / CAST(greatest(length(text), 1) AS DOUBLE))"
+        " AS BIGINT), 15)",
+    ])
+    parts = [
+        f"""feats AS MATERIALIZED (
+  SELECT doc_id, [{x}] AS x,
+         CAST(({_SQL_QUALITY} >= 0.75) AS BIGINT) * {PROBE_SCALE} AS ys
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents))""",
+        "w0 AS MATERIALIZED (SELECT " + ", ".join(
+            f"CAST(0 AS HUGEINT) AS w{j}" for j in range(PROBE_DIM)) + ")",
+        "sxx AS MATERIALIZED (SELECT " + ", ".join(
+            f"greatest({PROBE_DIM} * sum(CAST(x[{j + 1}] AS HUGEINT)"
+            f" * x[{j + 1}]), 1) AS d{j}"
+            for j in range(PROBE_DIM)) + " FROM feats)",
+    ]
+    dot = " + ".join(f"f.x[{j + 1}] * w.w{j}" for j in range(PROBE_DIM))
+    for it in range(1, iters + 1):
+        gsums = ", ".join(
+            f"sum(CAST(x{j} AS HUGEINT) * r) AS g{j}"
+            for j in range(PROBE_DIM))
+        xs = ", ".join(f"f.x[{j + 1}] AS x{j}" for j in range(PROBE_DIM))
+        parts.append(f"""g{it} AS MATERIALIZED (
+  SELECT {gsums}
+  FROM (SELECT {xs}, ({dot}) - f.ys AS r
+        FROM feats f CROSS JOIN w{it - 1} w))""")
+        upd = ", ".join(
+            f"w.w{j} - ((g.g{j} - ((g.g{j} % d.d{j} + d.d{j}) % d.d{j}))"
+            f" // d.d{j}) AS w{j}" for j in range(PROBE_DIM))
+        parts.append(f"""w{it} AS MATERIALIZED (
+  SELECT {upd} FROM w{it - 1} w CROSS JOIN g{it} g CROSS JOIN sxx d)""")
+    return ",\n".join(parts)
+
+
+def _sql_probe_weights(iters: int = _PROBE_ITERS) -> str:
+    from .functions.probe import PROBE_FEATURES
+
+    rows = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS feature, CAST(w{j} AS BIGINT) AS weight "
+        f"FROM w{iters}" for j, name in enumerate(PROBE_FEATURES))
+    return f"WITH {_sql_probe_ctes(iters)}\n{rows}\n"
+
+
+def _sql_probe_scores(iters: int = _PROBE_ITERS) -> str:
+    from .functions.probe import PROBE_DIM, PROBE_SCALE
+
+    dot = " + ".join(f"f.x[{j + 1}] * w.w{j}" for j in range(PROBE_DIM))
+    return f"""
+WITH {_sql_probe_ctes(iters)}
+SELECT f.doc_id, CAST({dot} AS BIGINT) AS score,
+       ({dot}) * 2 >= {PROBE_SCALE} AS pred,
+       f.ys = {PROBE_SCALE} AS y
+FROM feats f CROSS JOIN w{iters} w
+"""
+
+
+SQL_QUALITY_PROBE_WEIGHTS = _sql_probe_weights()
+SQL_QUALITY_PROBE_SCORES = _sql_probe_scores()
+
+
+# ---------------------------------------------------------------------------
+# X47: per-stratum token-budget mixture selection
+# ---------------------------------------------------------------------------
+
+_TBS_BUDGET = 800
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection (quality-first, hash-random
+    within a tier): histogram/boundary decomposition instead of a
+    corpus-wide window cumsum — see ``curation.token_budget_sample``."""
+    from .functions.curation import token_budget_sample
+
+    return token_budget_sample(load_table(spark, sf_dir, "documents"),
+                               budget_tokens=_TBS_BUDGET)
+
+
+def _sql_token_budget(budget: int, cells: int = 256) -> str:
+    """The twin states the SPEC directly — a per-stratum running-total
+    cutoff in (quality tier desc, md5 bucket asc, doc_id asc) order —
+    which the Spark histogram/boundary plan provably equals (total
+    order refinement; see token_budget_sample's docstring)."""
+    toks = _sql_toks("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source AS stratum,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         (4 - CAST({_SQL_QUALITY} * 4 AS BIGINT)) * {cells}
+         + CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % {cells} AS rb
+  FROM (SELECT doc_id, source, coalesce(text, '') AS text
+        FROM documents)),
+sel AS (SELECT *, sum(n_tokens) OVER (PARTITION BY stratum
+          ORDER BY rb, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM base)
+SELECT doc_id, stratum, n_tokens FROM sel WHERE cum <= {budget}
+"""
+
+
+SQL_TOKEN_BUDGET_SAMPLE = _sql_token_budget(_TBS_BUDGET)
+
+
+# ---------------------------------------------------------------------------
 # Relational legs (TPC-H-ish tables) — the validation-join shapes
 # ---------------------------------------------------------------------------
 
@@ -3058,6 +3209,12 @@ REGISTRY: dict = {
                                 SQL_EMBEDDING_SEMDEDUP_KEEP),
     "embedding_multitable_topk": (q_embedding_multitable_topk,
                                   SQL_EMBEDDING_MULTITABLE_TOPK),
+    "quality_probe_weights": (q_quality_probe_weights,
+                              SQL_QUALITY_PROBE_WEIGHTS),
+    "quality_probe_scores": (q_quality_probe_scores,
+                             SQL_QUALITY_PROBE_SCORES),
+    "token_budget_sample": (q_token_budget_sample,
+                            SQL_TOKEN_BUDGET_SAMPLE),
     # relational / validation shapes
     "name_normalize": (q_name_normalize, SQL_NAME_NORMALIZE),
     "entity_join_shape": (q_entity_join_shape, SQL_ENTITY_JOIN_SHAPE),

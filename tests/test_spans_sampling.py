@@ -139,3 +139,95 @@ def test_chunk_documents_no_shuffle(spark):
     plan = (chunk_documents(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_token_budget_sample_equals_naive_cumsum(spark):
+    """The histogram/boundary decomposition must equal the spec — a
+    per-stratum running-total cutoff in (quality tier desc, md5 bucket
+    asc, doc_id asc) order — including zero-token docs and strata whose
+    first doc already exceeds the budget."""
+    import hashlib
+
+    from ocr_automation_system_spark.functions.curation import (
+        token_budget_sample,
+    )
+
+    rows = []
+    for i in range(200):
+        src = f"s{i % 5}"
+        if i % 11 == 0:
+            text = ""  # zero tokens
+        elif i % 3 == 0:
+            text = ("the fine art of testing is that it is a good "
+                    "thing for the soul. " * 3) + f"doc {i}"
+        else:
+            text = f"short {i} " * (i % 7 + 1)
+        rows.append((i, src, text))
+    rows.append((900, "whale", "tok " * 5000))  # single doc > budget
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budget = 120
+    got = sorted(
+        map(tuple, token_budget_sample(df, budget).collect()))
+
+    # naive reference: python cumsum in the documented order
+    def feats(i, src, text):
+        toks = [t for t in text.strip().lower().split() if t] \
+            if text.strip() else []
+        sw = (sum(1 for t in toks if t in
+                  ("the", "a", "an", "of", "and", "to", "in", "is",
+                   "that", "for")) / len(toks)) if toks else 0.0
+        mwl = (sum(len(t) for t in toks) / len(toks)) if toks else 0.0
+        import re
+        alpha = (len(re.sub(r"[^A-Za-z]", "", text)) / len(text)) \
+            if text else 0.0
+        q = ((0.25 if len(text) >= 200 else 0.0)
+             + (0.25 if alpha >= 0.6 else 0.0)
+             + (0.25 if 3.0 <= mwl <= 10.0 else 0.0)
+             + (0.25 if sw >= 0.05 else 0.0))
+        hb = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 256
+        rb = (4 - int(q * 4)) * 256 + hb
+        return (src, rb, i, len(toks))
+
+    order = sorted((feats(i, s, t) for i, s, t in rows),
+                   key=lambda r: (r[0], r[1], r[2]))
+    want, cum = [], {}
+    for src, rb, i, nt in order:
+        c = cum.get(src, 0) + nt
+        if c <= budget:
+            want.append((i, src, nt))
+            cum[src] = c
+        else:
+            cum[src] = c  # running total keeps growing past budget
+    assert got == sorted(want)
+    # the whale stratum kept nothing (its only doc exceeds the budget);
+    # zero-token docs sort into the last quality tier, so the budget
+    # exhausts before reaching them — covered by the equality above
+    assert all(s != "whale" for _, s, _ in got)
+    assert len(got) >= 10  # the cutoff actually selected a real mix
+
+
+def test_token_budget_sample_plan_broadcasts_histogram(spark):
+    """The corpus side must never see a corpus-wide window: the
+    histogram joins back via broadcast, and the only corpus-side
+    window runs on the boundary-bucket filter output."""
+    from ocr_automation_system_spark.functions.curation import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"w{i} text here") for i in range(50)],
+        "doc_id long, source string, text string")
+    out = token_budget_sample(df, 40)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_token_budget_sample_full_budget_keeps_everything(spark):
+    from ocr_automation_system_spark.functions.curation import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s", "a few tokens here") for i in range(20)],
+        "doc_id long, source string, text string")
+    assert token_budget_sample(df, 10**9).count() == 20
