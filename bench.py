@@ -44,9 +44,9 @@ HEADLINE = (
     "bpe_merge_candidates", "lm_perplexity_buckets",
     "duplicate_spans", "stratified_sample", "chunk_documents",
     "hll_source_cardinality", "cms_source_counts", "token_postings", "tfidf_top_terms",
-    "bm25_search",
+    "bm25_search", "bm25_weighted", "phrase_kwic",
     "importance_weights", "curation_verdicts", "collocations", "skipgram_pairs",
-    "doc_feature_table",
+    "doc_feature_table", "quality_probe_scores", "token_budget_sample",
     "entity_join_shape", "report_summary", "duplicate_id_groups",
     "checksum_existence_join", "topk_per_group",
     "pricing_summary", "top_revenue_orders", "region_nation_rollup",

@@ -247,7 +247,7 @@ def skipgram_pairs(df: DataFrame, text_col: str = "text",
 
 def bm25_search(df: DataFrame, query_terms: list, id_col: str = "doc_id",
                 text_col: str = "text", k: int = 10, k1: float = 1.2,
-                b: float = 0.75) -> DataFrame:
+                b: float = 0.75, weights: dict | None = None) -> DataFrame:
     """Top-k documents for a fixed term set by RATIONAL BM25:
 
         score = sum_t idf_r(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
@@ -266,12 +266,19 @@ def bm25_search(df: DataFrame, query_terms: list, id_col: str = "doc_id",
 
     Query terms are normalized through ``query_tokens`` (the document
     tokenizer), so a punctuated term matches the tokens it would
-    produce in a document instead of silently matching nothing."""
+    produce in a document instead of silently matching nothing.
+
+    ``weights``: optional per-term boost factors (keyed by the
+    NORMALIZED term; unlisted terms default to 1.0) — field/recency
+    boosts, user term weighting. Each term's rational BM25 part is
+    multiplied by its boost before the sorted-order per-doc fold, so
+    the weighted score stays bit-reproducible."""
     from .lm import tokens_lower
 
     terms = sorted({t for qt in query_terms for t in query_tokens(qt)})
     if not terms:
         raise ValueError("bm25_search needs at least one tokenizable term")
+    wmap = {t: float((weights or {}).get(t, 1.0)) for t in terms}
     toks = (ensure_parallelism(df)
             .select(F.col(id_col).alias("doc_id"),
                     F.explode(tokens_lower(F.col(text_col)))
@@ -283,6 +290,9 @@ def bm25_search(df: DataFrame, query_terms: list, id_col: str = "doc_id",
            .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
     qdf = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
     avgdl = (F.col("_tot").cast("double") / F.col("_n").cast("double"))
+    boost = F.element_at(
+        F.create_map(*[F.lit(v) for t in terms
+                       for v in (t, wmap[t])]), F.col("token"))
     part = (
         qtf.join(F.broadcast(qdf), "token")
         .join(dl, "doc_id")
@@ -295,7 +305,8 @@ def bm25_search(df: DataFrame, query_terms: list, id_col: str = "doc_id",
             / (F.col("tf").cast("double")
                + F.lit(k1) * (F.lit(1.0 - b)
                               + F.lit(b) * F.col("dl").cast("double")
-                              / avgdl))))
+                              / avgdl))
+            * boost))
     scored = (part.groupBy("doc_id").agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("token", "part"))),
@@ -325,6 +336,38 @@ def kwic_snippets(df: DataFrame, term: str, width: int = 40,
                                  F.lit(2 * width + len(term)))
                       .alias("snippet"))
             .filter(F.col("pos") > 0))
+
+
+def phrase_kwic(df: DataFrame, phrase: str, width: int = 40,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Snippet highlighting for quoted-phrase search: the FIRST token-
+    adjacent occurrence of ``phrase`` per document with up to ``width``
+    chars of same-line context each side — the display surface for
+    ``phrase_hits`` (whose match set this reproduces exactly: the
+    regex encodes the same token-adjacency, boundary-guarded).
+
+    One RE2-safe regex shared verbatim with the DuckDB twin: tokens
+    are ``[a-z0-9]+`` (no escaping needed), separators are
+    ``[^a-z0-9]+``, and ``.`` keeps snippets on one line in both
+    engines. Narrow zero-shuffle projection + filter."""
+    words = query_tokens(phrase)
+    if not words:
+        raise ValueError("phrase_kwic needs a non-empty phrase")
+    pat = phrase_kwic_pattern(words, width)
+    snip = F.regexp_extract(F.lower(F.coalesce(F.col(text_col),
+                                               F.lit(""))), pat, 1)
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      snip.alias("snippet"))
+            .filter(F.length("snippet") > 0))
+
+
+def phrase_kwic_pattern(words: list, width: int) -> str:
+    """The shared Spark/DuckDB context-window regex for a normalized
+    token list: bounded greedy context, boundary-guarded core."""
+    core = "[^a-z0-9]+".join(words)
+    return (f"(.{{0,{width}}}(?:^|[^a-z0-9]){core}"
+            f"(?:[^a-z0-9]|$).{{0,{width}}})")
 
 
 def phrase_hits(df: DataFrame, phrase: str, id_col: str = "doc_id",

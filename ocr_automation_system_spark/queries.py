@@ -763,13 +763,21 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                        list(_BM25_TERMS), k=10)
 
 
-def _sql_bm25(terms, k=10, k1=1.2, b=0.75) -> str:
+def _sql_bm25(terms, k=10, k1=1.2, b=0.75, weights=None) -> str:
     from .functions.index import query_tokens
     from .functions.lm import TOKEN_RE
 
     # mirror bm25_search's query normalization (document tokenizer)
-    tl = ", ".join(f"'{t}'" for t in
-                   sorted({t for qt in terms for t in query_tokens(qt)}))
+    norm = sorted({t for qt in terms for t in query_tokens(qt)})
+    tl = ", ".join(f"'{t}'" for t in norm)
+    if weights:
+        wmap = {t: float(weights.get(t, 1.0)) for t in norm}
+        boost = (" * (CASE q.token "
+                 + " ".join(f"WHEN '{t}' THEN {wmap[t]!r}" for t in norm)
+                 + " END)")
+    else:
+        boost = " * 1.0"  # Spark always multiplies by the boost (1.0
+        # default); x * 1.0 is bit-exact, mirrored for plan honesty
     return f"""
 WITH toks AS (SELECT doc_id,
                      unnest(regexp_extract_all(lower(coalesce(text, '')),
@@ -790,7 +798,7 @@ part AS (
            / (CAST(q.tf AS DOUBLE)
               + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(l.dl AS DOUBLE)
                           / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE))))
-         AS part
+         {boost} AS part
   FROM qtf q JOIN qdf d USING (token) JOIN dl l USING (doc_id)
   CROSS JOIN stats s),
 sc AS (SELECT doc_id,
@@ -805,6 +813,23 @@ FROM sc ORDER BY score DESC, doc_id LIMIT {k}
 
 
 SQL_BM25_SEARCH = _sql_bm25(_BM25_TERMS)
+
+#: per-term boosts for the weighted-BM25 contract query (head term
+#: doubled, tail term halved — a field/recency-boost stand-in)
+_BM25_WEIGHTS = {"column": 2.0, "scan": 1.0, "window": 0.5}
+
+
+def q_bm25_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted rational BM25: per-term boost factors fold into each
+    term's part before the sorted-order per-doc sum — user term
+    weighting / field boosts without losing bit reproducibility."""
+    from .functions.index import bm25_search
+
+    return bm25_search(load_table(spark, sf_dir, "documents"),
+                       list(_BM25_TERMS), k=10, weights=_BM25_WEIGHTS)
+
+
+SQL_BM25_WEIGHTED = _sql_bm25(_BM25_TERMS, weights=_BM25_WEIGHTS)
 
 
 def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -864,6 +889,30 @@ FROM h WHERE len(hs) > 0
 
 
 SQL_PHRASE_HITS = _sql_phrase_hits(_PHRASE)
+
+
+def q_phrase_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet highlighting for the quoted-phrase query: first token-
+    adjacent occurrence with same-line context, one shared RE2 regex."""
+    from .functions.index import phrase_kwic
+
+    return phrase_kwic(load_table(spark, sf_dir, "documents"),
+                       phrase=_PHRASE, width=40)
+
+
+def _sql_phrase_kwic(phrase: str, width: int = 40) -> str:
+    from .functions.index import phrase_kwic_pattern, query_tokens
+
+    pat = phrase_kwic_pattern(query_tokens(phrase), width)
+    return f"""
+SELECT doc_id,
+       regexp_extract(lower(coalesce(text, '')), '{pat}', 1) AS snippet
+FROM documents
+WHERE length(regexp_extract(lower(coalesce(text, '')), '{pat}', 1)) > 0
+"""
+
+
+SQL_PHRASE_KWIC = _sql_phrase_kwic(_PHRASE)
 
 
 def q_proximity_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3215,6 +3264,8 @@ REGISTRY: dict = {
                              SQL_QUALITY_PROBE_SCORES),
     "token_budget_sample": (q_token_budget_sample,
                             SQL_TOKEN_BUDGET_SAMPLE),
+    "bm25_weighted": (q_bm25_weighted, SQL_BM25_WEIGHTED),
+    "phrase_kwic": (q_phrase_kwic, SQL_PHRASE_KWIC),
     # relational / validation shapes
     "name_normalize": (q_name_normalize, SQL_NAME_NORMALIZE),
     "entity_join_shape": (q_entity_join_shape, SQL_ENTITY_JOIN_SHAPE),

@@ -76,6 +76,12 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "policy (repetition/quality/PII gates) before "
                         "dedup; per-reason drop counts land in the "
                         "lineage file")
+    p.add_argument("--token-budget", type=int, default=0,
+                   help="--curate only: per-host token budget — after "
+                        "the quota stage keep the best documents per "
+                        "host until their running token total reaches "
+                        "N (quality-first, hash-random within a tier; "
+                        "0 = off)")
     args = p.parse_args(argv)
 
     spark = build_session(app_name="ocr_automation_system_spark_job", master=args.master)
@@ -123,7 +129,8 @@ def main(argv=None, stop_session: bool = True) -> int:
     if args.curate:
         curate(spark, results, args.output, quota=args.domain_quota,
                chunk_tokens=args.chunk_tokens, policy=args.policy,
-               semdedup=args.semdedup, wet_files=args.wet_export)
+               semdedup=args.semdedup, wet_files=args.wet_export,
+               token_budget=args.token_budget)
 
     summary = lineage_summary(args.output, args.n_buckets)
     print(f"done: {summary['total_rows']} docs across "
@@ -137,7 +144,8 @@ def main(argv=None, stop_session: bool = True) -> int:
 
 def curate(spark, results, output: str, quota: int = 1000,
            chunk_tokens: int = 0, policy: bool = False,
-           semdedup: bool = False, wet_files: int = 0) -> None:
+           semdedup: bool = False, wet_files: int = 0,
+           token_budget: int = 0) -> None:
     """Committed extractions -> curated training corpus.
 
     Chain (each stage a documented survivor count): usable docs only ->
@@ -150,7 +158,10 @@ def curate(spark, results, output: str, quota: int = 1000,
     (``curation.chunk_documents``) under ``<output>/chunks``.
     ``semdedup`` inserts the semantic stage (hashed-BoW k-means +
     within-cell cosine drop, ``clustering.semdedup_stage``) after
-    near-dup dedup."""
+    near-dup dedup. ``token_budget`` > 0 caps each host's contribution
+    at that many tokens, best-quality-first
+    (``curation.token_budget_sample``) — the training-mix composition
+    step, applied after the quota stage."""
     from pyspark.sql import functions as F
 
     from ocr_automation_system_spark.functions import curation as C
@@ -213,6 +224,14 @@ def curate(spark, results, output: str, quota: int = 1000,
         deduped.join(quota_kept.select("doc_id", "quality"), "doc_id")
     )
     counts["after_domain_quota"] = curated.count()
+
+    if token_budget:
+        sel = C.token_budget_sample(curated, token_budget,
+                                    strat_col="host", id_col="doc_id",
+                                    text_col="text")
+        curated = curated.join(sel.select("doc_id"), "doc_id",
+                               "left_semi")
+        counts["after_token_budget"] = curated.count()
 
     curated = C.train_val_split(curated, id_col="doc_id")
     out = os.path.join(output, "curated")

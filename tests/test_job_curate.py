@@ -133,3 +133,32 @@ def test_curate_wet_export(spark, tmp_path):
         F.col("split") == "train")
     want = sorted((r["doc_id"], r["text"] or "") for r in train.collect())
     assert got == want
+
+
+def test_curate_token_budget_stage(spark, tmp_path):
+    """--token-budget caps each host's token contribution after the
+    quota stage; rerunning writes byte-identical curated rows (the
+    selection is hash/quality-deterministic, no RNG)."""
+    out = str(tmp_path / "jobtb")
+    args = ["--synthetic", "400", "--output", out, "--curate",
+            "--token-budget", "300"]
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert 0 < counts["after_token_budget"] <= counts["after_domain_quota"]
+    cur = spark.read.parquet(os.path.join(out, "curated"))
+    assert cur.count() == counts["after_token_budget"]
+    # per-host token totals respect the budget
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.text import ws_token_count
+    per_host = (cur.withColumn(
+        "host", F.regexp_extract("doc_id", r"https?://([^/]+)", 1))
+        .groupBy("host")
+        .agg(F.sum(ws_token_count(F.col("text"))).alias("toks"))
+        .collect())
+    assert all(r["toks"] <= 300 for r in per_host)
+    first = sorted(map(tuple, cur.select("doc_id").collect()))
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    again = spark.read.parquet(os.path.join(out, "curated"))
+    assert sorted(map(tuple, again.select("doc_id").collect())) == first

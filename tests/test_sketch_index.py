@@ -274,3 +274,49 @@ def test_query_terms_normalized_through_document_tokenizer(spark):
     # "Don't" folds to two tokens -> must be rejected, not mis-matched
     with pytest.raises(ValueError, match="one token"):
         proximity_hits(df, "Don't", "don t", max_dist=5)
+
+
+def test_phrase_kwic_matches_phrase_hits_docset(spark):
+    """The snippet regex must encode EXACTLY the token-adjacency
+    semantics of phrase_hits — same matching documents, including
+    punctuation-separated and newline-separated adjacency, and no
+    substring false positives (e.g. 'alphabeta')."""
+    from ocr_automation_system_spark.functions.index import (
+        phrase_hits, phrase_kwic,
+    )
+
+    rows = [(1, "say alpha beta now", "s"),
+            (2, "alpha, beta punctuation separated", "s"),
+            (3, "alpha\nbeta across a newline", "s"),
+            (4, "alphabeta merged is one token", "s"),
+            (5, "alpha gamma beta not adjacent", "s"),
+            (6, "beta alpha wrong order", "s"),
+            (7, "ALPHA BETA upper case", "s")]
+    df = _docs(spark, rows)
+    hit_docs = {r["doc_id"] for r in phrase_hits(df, "alpha beta").collect()}
+    kwic = {r["doc_id"]: r["snippet"]
+            for r in phrase_kwic(df, "alpha beta", width=10).collect()}
+    assert set(kwic) == hit_docs == {1, 2, 3, 7}
+    assert "alpha beta" in kwic[1]
+
+
+def test_bm25_weighted_boost_changes_ranking(spark):
+    """A term boost must reorder results; all-1.0 weights must be
+    bit-identical to the unweighted call."""
+    from ocr_automation_system_spark.functions.index import bm25_search
+
+    rows = [(1, "cat cat cat filler words here", "s"),
+            (2, "dog dog dog filler words here", "s"),
+            (3, "cat dog mixed filler words here", "s"),
+            (4, "entirely unrelated text body", "s")]
+    df = _docs(spark, rows)
+    plain = [r["doc_id"] for r in
+             bm25_search(df, ["cat", "dog"], k=4).collect()]
+    boosted = [r["doc_id"] for r in
+               bm25_search(df, ["cat", "dog"], k=4,
+                           weights={"dog": 10.0}).collect()]
+    assert boosted[0] == 2 and boosted != plain
+    ones = bm25_search(df, ["cat", "dog"], k=4,
+                       weights={"cat": 1.0, "dog": 1.0}).collect()
+    assert sorted(map(tuple, ones)) == sorted(
+        map(tuple, bm25_search(df, ["cat", "dog"], k=4).collect()))
