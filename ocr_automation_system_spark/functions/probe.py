@@ -112,7 +112,8 @@ def probe_dot(vec: Column, weights: list) -> Column:
 def probe_fit(df: DataFrame, text_col: str = "text",
               iters: int = PROBE_ITERS) -> list:
     """Fit the probe by ``iters`` exact preconditioned-GD steps;
-    returns the int64 weight vector (empty input -> zeros).
+    returns the int64 weight vector (empty input -> ``[]``, the
+    kmeans_fit convention: no data, no model).
 
     One pre-pass aggregates the exact Hessian diagonal ``sxx_j`` (and
     warms the persisted feature projection every step reuses); each
@@ -131,7 +132,7 @@ def probe_fit(df: DataFrame, text_col: str = "text",
                      * F.element_at("x", j + 1)).cast("decimal(38,0)"))
               .alias(f"s{j}") for j in range(PROBE_DIM)]).collect()[0]
         if not pre["n"]:
-            return w
+            return []
         dens = [max(PROBE_DIM * int(pre[f"s{j}"] or 0), 1)
                 for j in range(PROBE_DIM)]
         for _ in range(iters):
@@ -160,7 +161,8 @@ def quality_probe_scores(df: DataFrame, id_col: str = "doc_id",
     label the probe distills. Scoring is one narrow projection — at
     100 TB the fit runs on a sample and the frozen weights broadcast
     into this same projection."""
-    w = probe_fit(df, text_col=text_col, iters=iters)
+    w = probe_fit(df, text_col=text_col, iters=iters) \
+        or [0] * PROBE_DIM  # empty corpus: projection yields 0 rows
     score = probe_dot(probe_features(F.col(text_col)), w)
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -172,7 +174,8 @@ def quality_probe_scores(df: DataFrame, id_col: str = "doc_id",
 def probe_weights_table(df: DataFrame, text_col: str = "text",
                         iters: int = PROBE_ITERS) -> DataFrame:
     """The trained model as a (feature, weight) table — the auditable
-    artifact a production run would persist and broadcast."""
+    artifact a production run would persist and broadcast. Empty
+    corpus -> empty table (no data, no model)."""
     w = probe_fit(df, text_col=text_col, iters=iters)
     spark = df.sparkSession
     return spark.createDataFrame(

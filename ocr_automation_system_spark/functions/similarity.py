@@ -398,7 +398,13 @@ def lsh_topk_multitable(embeddings: DataFrame, query_vec: list[float],
     Expressed as ONE narrow scan with an OR of per-table bucket equalities
     — no union of T subqueries, no shuffle before the TakeOrdered(k). At
     production scale the T bucket ids are precomputed index columns and
-    this predicate partition-prunes per table."""
+    this predicate partition-prunes per table.
+
+    Sizing: a candidate set is ~T * n / 2^n_bits vectors, so set
+    ``n_bits ~ log2(n / target_bucket)`` — the contract query's 8 bits
+    suit the 10^2..10^5-row test corpora; a 10^9-vector table wants
+    ~20+ bits (and the cosine verify still touches only the matched
+    buckets, never all-pairs)."""
     q = [float(x) for x in query_vec]
     d = dim if dim is not None else len(q)
     plane_sets = [hyperplanes(n_bits, d, seed=seed + t) for t in range(n_tables)]

@@ -82,6 +82,11 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "host until their running token total reaches "
                         "N (quality-first, hash-random within a tier; "
                         "0 = off)")
+    p.add_argument("--probe-drop-pct", type=int, default=0,
+                   help="--curate only: train the learned quality "
+                        "probe on the deduped corpus and drop the "
+                        "bottom P percent by probe score (the "
+                        "classifier-filter stage; 0 = off)")
     args = p.parse_args(argv)
 
     spark = build_session(app_name="ocr_automation_system_spark_job", master=args.master)
@@ -130,7 +135,8 @@ def main(argv=None, stop_session: bool = True) -> int:
         curate(spark, results, args.output, quota=args.domain_quota,
                chunk_tokens=args.chunk_tokens, policy=args.policy,
                semdedup=args.semdedup, wet_files=args.wet_export,
-               token_budget=args.token_budget)
+               token_budget=args.token_budget,
+               probe_drop_pct=args.probe_drop_pct)
 
     summary = lineage_summary(args.output, args.n_buckets)
     print(f"done: {summary['total_rows']} docs across "
@@ -145,7 +151,7 @@ def main(argv=None, stop_session: bool = True) -> int:
 def curate(spark, results, output: str, quota: int = 1000,
            chunk_tokens: int = 0, policy: bool = False,
            semdedup: bool = False, wet_files: int = 0,
-           token_budget: int = 0) -> None:
+           token_budget: int = 0, probe_drop_pct: int = 0) -> None:
     """Committed extractions -> curated training corpus.
 
     Chain (each stage a documented survivor count): usable docs only ->
@@ -216,6 +222,33 @@ def curate(spark, results, output: str, quota: int = 1000,
         counts["after_semdedup"] = sd.count()
         deduped.unpersist()
         deduped = sd
+
+    if probe_drop_pct:
+        # classifier-filter stage (FineWeb-Edu-shape): fit the learned
+        # quality probe on the deduped corpus, drop the bottom P% by
+        # score. Exact `percentile` is fine here (probe scores are
+        # bounded small ints, so the agg state is a tiny count map);
+        # swap in approx_percentile at extreme cardinalities. Ties AT
+        # the threshold are kept (all-or-none per score value — the
+        # only partitioning-independent choice), so a score-homogeneous
+        # corpus drops fewer than P%.
+        from ocr_automation_system_spark.functions.probe import (
+            PROBE_DIM, probe_dot, probe_features, probe_fit,
+        )
+
+        w = probe_fit(deduped, text_col="text") or [0] * PROBE_DIM
+        scored = deduped.select(
+            "doc_id",
+            probe_dot(probe_features(F.col("text")), w).alias("_ps"))
+        thr = scored.agg(F.expr(
+            f"percentile(_ps, {probe_drop_pct / 100.0!r})")
+            .alias("t")).collect()[0]["t"]
+        pf = deduped.join(
+            scored.filter(F.col("_ps") >= thr).select("doc_id"),
+            "doc_id", "left_semi").persist()
+        counts["after_probe_filter"] = pf.count()
+        deduped.unpersist()
+        deduped = pf
 
     quota_kept = C.domain_quota(deduped, domain_col="host",
                                 text_col="text", id_col="doc_id",

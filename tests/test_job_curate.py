@@ -162,3 +162,19 @@ def test_curate_token_budget_stage(spark, tmp_path):
     assert spark_submit_job.main(args, stop_session=False) == 0
     again = spark.read.parquet(os.path.join(out, "curated"))
     assert sorted(map(tuple, again.select("doc_id").collect())) == first
+
+
+def test_curate_probe_filter_stage(spark, tmp_path):
+    """--probe-drop-pct inserts the classifier-filter stage between
+    dedup and the quota; threshold ties are kept (deterministic), so
+    the count is bounded by the dedup survivor count and never zero."""
+    out = str(tmp_path / "jobpf")
+    rc = spark_submit_job.main([
+        "--synthetic", "300", "--output", out, "--curate",
+        "--probe-drop-pct", "25",
+    ], stop_session=False)
+    assert rc == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert 0 < counts["after_probe_filter"] <= counts["after_near_dedup"]
+    assert counts["after_domain_quota"] <= counts["after_probe_filter"]

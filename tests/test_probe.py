@@ -123,9 +123,11 @@ def test_probe_scoring_plan_is_jvm_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_probe_empty_input_returns_zero_weights(spark):
+def test_probe_empty_input_returns_no_model(spark):
     df = _df(spark, []).limit(0)
-    assert P.probe_fit(df, iters=3) == [0] * P.PROBE_DIM
+    assert P.probe_fit(df, iters=3) == []
+    assert P.probe_weights_table(df).count() == 0
+    assert P.quality_probe_scores(df).count() == 0
 
 
 def test_probe_weight_bound_guard():
@@ -138,3 +140,36 @@ def test_probe_weights_table_names(spark):
     t = P.probe_weights_table(_df(spark, _rows(30)), iters=2)
     rows = {r["feature"]: r["weight"] for r in t.collect()}
     assert set(rows) == set(P.PROBE_FEATURES)
+
+
+def test_probe_scoring_streams_with_frozen_weights(spark, tmp_path):
+    """Production shape: fit on a batch sample, freeze the weights,
+    score the stream — the scoring projection is stateless, so the SAME
+    expression runs under readStream and reproduces the batch rows
+    (the repo's one-definition/two-modes property)."""
+    import os
+
+    rows = _rows(40)
+    batch = _df(spark, rows)
+    w = P.probe_fit(batch, iters=3)
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    batch.write.parquet(os.path.join(d, "drop1"))
+    stream_in = (spark.readStream.schema("doc_id long, text string")
+                 .parquet(os.path.join(d, "*")))
+
+    def score(df):
+        s = P.probe_dot(P.probe_features(F.col("text")), w)
+        return df.select("doc_id", s.alias("score"),
+                         (s * 2 >= P.PROBE_SCALE).alias("pred"))
+
+    out = str(tmp_path / "out")
+    q = (score(stream_in).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in score(batch).collect())
+    assert got == want and len(got) == 41
