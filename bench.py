@@ -40,7 +40,8 @@ HEADLINE = (
     "pii_scrub", "repetition_scores", "source_blocklist",
     "url_dup_groups", "latest_capture", "snapshot_delta",
     "pipeline_line_dedup",
-    "link_edges", "host_pagerank", "host_components", "lm_quality_scores",
+    "link_edges", "host_pagerank", "host_trustrank", "host_components",
+    "lm_quality_scores",
     "bpe_merge_candidates", "lm_perplexity_buckets",
     "duplicate_spans", "stratified_sample", "chunk_documents",
     "hll_source_cardinality", "cms_source_counts", "token_postings", "tfidf_top_terms",

@@ -173,7 +173,8 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
              weight_col: str = "weight",
              broadcast_ranks: bool = True,
              checkpoint_every: int = 0,
-             persist_static: bool = True) -> DataFrame:
+             persist_static: bool = True,
+             seeds: list | None = None) -> DataFrame:
     """Damped PageRank over a weighted edge list -> (node, rank).
 
     Recurrence (no dangling-mass redistribution — a node with no
@@ -183,6 +184,15 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
         rank_0(n)   = 1/N
         rank_k(n)   = (1-d)/N + d * sum_{(s,n) in E} rank_{k-1}(s) * w(s,n)/out_w(s)
 
+    ``seeds`` switches to SEED-PERSONALIZED teleportation (TrustRank,
+    Gyongyi et al. 2004): the ``1/N`` teleport vector becomes ``1/|S|``
+    on the trusted seed nodes and 0 elsewhere, so trust decays with
+    link distance from the seeds — the standard spam-demotion /
+    quality-propagation score over a crawl's host graph:
+
+        rank_0(n)   = tele(n)
+        rank_k(n)   = (1-d)*tele(n) + d * sum(...)        (same sum)
+
     Determinism: the inbound sum folds contributions sorted by source
     node, left-associatively, and every scalar is built from DOUBLE
     expression arithmetic (``lit(1.0) - lit(d)``, never a pre-folded
@@ -190,7 +200,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
 
     N is attached with a broadcast cross-join of the 1-row count
     aggregate (no driver-side action; the whole thing stays one lazy
-    plan).
+    plan); a seed set enters as one broadcast ``isin`` literal.
 
     ``persist_static`` caches the per-iteration-reused node and
     edge-fraction tables (otherwise every iteration re-derives them from
@@ -198,6 +208,8 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     cluster scale prefer writing ``frac`` bucketed by ``src`` once and
     passing ``persist_static=False``.
     """
+    if seeds is not None and not seeds:
+        raise ValueError("seeds must be a non-empty list (or None)")
     e = edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst"),
                      F.col(weight_col).cast("double").alias("w"))
@@ -213,10 +225,19 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
         frac = frac.persist()
 
     d = F.lit(float(damping))
-    base = (F.lit(1.0) - d) / F.col("_n")
+    if seeds is None:
+        tele = F.lit(1.0) / F.col("_n")
+        # division, not (1-d)*(1/N): keeps the classic path bitwise
+        # identical to its long-pinned twin (`(1.0 - d) / n`)
+        base = (F.lit(1.0) - d) / F.col("_n")
+    else:
+        tele = F.when(F.col("node").isin([str(s) for s in seeds]),
+                      F.lit(1.0) / F.lit(float(len(seeds)))) \
+                .otherwise(F.lit(0.0))
+        base = (F.lit(1.0) - d) * tele
 
     ranks = (nodes.crossJoin(F.broadcast(n_nodes))
-             .select("node", (F.lit(1.0) / F.col("_n")).alias("rank")))
+             .select("node", tele.alias("rank")))
     for i in range(iters):
         rv = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (

@@ -776,18 +776,21 @@ def _sql_outlink(off: int) -> str:
             "2, '0') || '.example.com'").replace("%%", "%")
 
 
-def _sql_pagerank_iters(iters: int) -> str:
+def _sql_pagerank_iters(iters: int, base_sql: str | None = None) -> str:
     """Chained per-iteration CTEs r1..r{iters}; each = ordered-list fold
-    of inbound contributions (bit-exact twin of links._det_sum)."""
+    of inbound contributions (bit-exact twin of links._det_sum).
+    ``base_sql`` overrides the classic ``(1-d)/N`` teleport term — the
+    TrustRank twin passes ``(1-d) * tele(node)``."""
     d = "CAST(0.85 AS DOUBLE)"
     zero = "CAST(0.0 AS DOUBLE)"
+    base = base_sql or f"(CAST(1.0 AS DOUBLE) - {d}) / nn.n"
     ctes = []
     for k in range(1, iters + 1):
         ctes.append(
             f"c{k} AS (SELECT f.dst, list(r.rank * f.f ORDER BY f.src) AS cs\n"
             f"       FROM frac f JOIN r{k-1} r ON f.src = r.node GROUP BY f.dst),\n"
             f"r{k} AS (SELECT nodes.node,\n"
-            f"         (CAST(1.0 AS DOUBLE) - {d}) / nn.n + {d} *\n"
+            f"         {base} + {d} *\n"
             f"         coalesce(list_reduce(list_prepend({zero}, c{k}.cs),\n"
             f"                              (a, b) -> a + b), {zero}) AS rank\n"
             f"       FROM nodes CROSS JOIN nn\n"
@@ -844,6 +847,33 @@ frac AS (SELECT e.src, e.dst, e.w / o.ow AS f
 r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
        FROM nodes CROSS JOIN nn),
 {_sql_pagerank_iters(3)}
+SELECT node AS host, rank FROM r3
+"""
+
+#: trusted seed hosts for the TrustRank contract query (two synthetic
+#: outlink hubs — shared verbatim between the Spark call and the twin).
+TRUST_SEEDS = ("https://host00.example.com", "https://host07.example.com")
+
+_SQL_TELE = ("CASE WHEN nodes.node IN ("
+             + ", ".join(f"'{s}'" for s in TRUST_SEEDS)
+             + f") THEN CAST(1.0 AS DOUBLE) / CAST({len(TRUST_SEEDS)}.0"
+             " AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END")
+
+SQL_HOST_TRUSTRANK = f"""
+WITH e0 AS (SELECT {_SQL_URL_PRE % 'url'} AS src, {_sql_outlink(9)} AS dst
+            FROM {CORPUS}
+            UNION ALL
+            SELECT {_SQL_URL_PRE % 'url'}, {_sql_outlink(17)} FROM {CORPUS}),
+edges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+          FROM e0 GROUP BY 1, 2),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+frac AS (SELECT e.src, e.dst, e.w / o.ow AS f
+         FROM edges e JOIN outw o ON e.src = o.src),
+r0 AS (SELECT nodes.node, {_SQL_TELE} AS rank FROM nodes),
+{_sql_pagerank_iters(3, base_sql=f"(CAST(1.0 AS DOUBLE)"
+                     f" - CAST(0.85 AS DOUBLE)) * ({_SQL_TELE})")}
 SELECT node AS host, rank FROM r3
 """
 

@@ -2613,6 +2613,28 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("host"), "rank")
 
 
+def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (seed-personalized PageRank) over the same host graph:
+    teleport mass returns only to two trusted seed hubs, so trust decays
+    with link distance — the spam-demotion companion to host_pagerank.
+    Identical per-iteration plan (broadcast rank vector + one groupBy on
+    dst with a sorted fold); the seed set enters as one isin literal."""
+    from . import pipeline_sql as PSQL
+    from .functions import links as L
+    from .functions.urlnorm import URL_PREFIX_RE
+
+    c = corpus_for(spark, sf_dir).select("url")
+    src = F.regexp_extract("url", URL_PREFIX_RE, 1)
+    e0 = (c.select(src.alias("src"),
+                   _synth_outlink(F.col("url"), 9).alias("dst"))
+          .unionByName(
+              c.select(src.alias("src"),
+                       _synth_outlink(F.col("url"), 17).alias("dst"))))
+    edges = e0.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+    tr = L.pagerank(edges, iters=3, seeds=list(PSQL.TRUST_SEEDS))
+    return tr.select(F.col("node").alias("host"), "rank")
+
+
 def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-shape filter features over the raw crawl (host, TLD, path
     depth, query params, digit-path flag, length) — the pre-fetch
@@ -3317,6 +3339,7 @@ REGISTRY: dict = {
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
     "anchor_text_profile": (q_anchor_text_profile, PSQL.SQL_ANCHOR_TEXT_PROFILE),
     "host_pagerank": (q_host_pagerank, PSQL.SQL_HOST_PAGERANK),
+    "host_trustrank": (q_host_trustrank, PSQL.SQL_HOST_TRUSTRANK),
     "host_components": (q_host_components, PSQL.SQL_HOST_COMPONENTS),
     "url_features": (q_url_features, PSQL.SQL_URL_FEATURES),
     # WARC sink+source roundtrip (Common-Crawl wire format)
@@ -3337,7 +3360,7 @@ CORPUS_QUERIES: frozenset = frozenset(
 ) | frozenset({
     "url_canonicalize", "url_dup_groups", "latest_capture",
     "snapshot_delta", "crawl_activity", "page_metadata", "link_edges",
-    "host_link_graph", "host_pagerank",
+    "host_link_graph", "host_pagerank", "host_trustrank",
     "anchor_text_profile", "warc_roundtrip", "host_components",
     "url_features",
 })

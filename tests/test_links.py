@@ -241,3 +241,28 @@ def test_page_html_sniffs_real_capture_shapes(spark):
     oracle = dict(con.execute(
         f"SELECT i, {_SQL_HTML_SNIFF} FROM t ORDER BY i").fetchall())
     assert oracle == want
+
+
+def test_trustrank_decays_with_distance_from_seeds(spark):
+    """Seed-personalized teleport: a chain seed -> a -> b -> spam gives
+    strictly decreasing trust along the chain, and an unreachable spam
+    clique gets exactly zero (unlike classic PageRank, which gives every
+    node the (1-d)/N floor)."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.links import pagerank
+
+    edges = [("seed", "a", 1), ("a", "b", 1), ("b", "spam1", 1),
+             ("spam1", "spam2", 1), ("spam2", "spam1", 1),
+             ("isolated1", "isolated2", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight int")
+    tr = {r["node"]: r["rank"]
+          for r in pagerank(df, iters=4, seeds=["seed"]).collect()}
+    assert tr["seed"] > tr["a"] > tr["b"] > 0
+    assert tr["isolated1"] == 0.0 and tr["isolated2"] == 0.0
+    pr = {r["node"]: r["rank"] for r in pagerank(df, iters=4).collect()}
+    assert pr["isolated2"] > 0.0  # classic floor, for contrast
+    # empty seed list is a misconfiguration, not an empty teleport
+    import pytest
+    with pytest.raises(ValueError):
+        pagerank(df, seeds=[])
