@@ -35,13 +35,18 @@ HEADLINE = (
     "simhash_near_pairs",
     "embedding_topk", "embedding_lsh_topk", "embedding_near_dup_pairs",
     "embedding_rp_near_dup_pairs", "embedding_multitable_topk",
+    "embedding_ivf_topk", "embedding_lsh_topk_multiprobe",
     "embedding_kmeans_cells", "embedding_semdedup_keep",
     "pack_bins", "benchmark_contamination", "domain_quota",
     "pii_scrub", "repetition_scores", "source_blocklist",
-    "url_dup_groups", "latest_capture", "snapshot_delta",
+    "url_dup_groups", "url_canonicalize", "url_features",
+    "latest_capture", "snapshot_delta", "crawl_activity", "page_metadata",
     "pipeline_line_dedup",
-    "link_edges", "host_pagerank", "host_trustrank", "host_components",
+    "link_edges", "host_link_graph", "anchor_text_profile",
+    "host_pagerank", "host_trustrank", "host_components",
     "lm_quality_scores",
+    "media_metadata", "media_resize", "media_frame_census", "media_census",
+    "warc_roundtrip",
     "bpe_merge_candidates", "lm_perplexity_buckets",
     "duplicate_spans", "stratified_sample", "chunk_documents",
     "hll_source_cardinality", "cms_source_counts", "token_postings", "tfidf_top_terms",
@@ -53,6 +58,8 @@ HEADLINE = (
     "pricing_summary", "top_revenue_orders", "region_nation_rollup",
     "window_agg_events", "sessionize_events",
     "pipeline_validation", "pipeline_entity_reports",
+    "pipeline_host_stats", "pipeline_block_scores",
+    "pipeline_legacy_verification",
 )
 
 

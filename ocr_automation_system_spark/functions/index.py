@@ -511,3 +511,47 @@ def proximity_hits(df: DataFrame, term_a: str, term_b: str,
             .select("doc_id",
                     F.size("_d").cast("long").alias("n_hits"),
                     F.array_min("_d").cast("long").alias("min_dist")))
+
+
+def proximity_hits_from_index(spark, path: str, term_a: str, term_b: str,
+                              max_dist: int = 5,
+                              n_buckets: int = 64) -> DataFrame:
+    """NEAR/k search against the STORED positional index written by
+    ``write_positional_index``: reads ONLY the two query terms' buckets
+    (partition pruning + token pushdown — the same pruned-read shape as
+    ``phrase_hits_from_index``), then crosses the two (bounded) position
+    lists per doc inside one codegen expression. Identical output
+    contract to the raw-text ``proximity_hits`` (doc_id, n_hits,
+    min_dist) — parity pinned by test. At corpus scale this turns a
+    full-text scan into two bucket reads plus one uniform doc_id join."""
+    import hashlib
+
+    ta, tb = query_tokens(term_a), query_tokens(term_b)
+    if len(ta) != 1 or len(tb) != 1:
+        raise ValueError("proximity_hits_from_index terms must each "
+                         f"normalize to one token, got {ta!r} and {tb!r}")
+    a, b = ta[0], tb[0]
+    idx = spark.read.parquet(path)
+
+    def term_df(w: str, col: str) -> DataFrame:
+        bk = int(hashlib.md5(w.encode()).hexdigest()[:2], 16) % n_buckets
+        return (idx.filter((F.col("bucket") == bk) & (F.col("token") == w))
+                .select("doc_id", F.col("positions").alias(col)))
+
+    if a == b:
+        # one bucket read; unordered pairs within one list, each once
+        cur = term_df(a, "pa")
+        dists = F.flatten(F.transform(
+            F.col("pa"), lambda i: F.transform(
+                F.filter(F.col("pa"), lambda j: j > i), lambda j: j - i)))
+    else:
+        cur = term_df(a, "pa").join(term_df(b, "pb"), "doc_id")
+        dists = F.flatten(F.transform(
+            F.col("pa"),
+            lambda i: F.transform(F.col("pb"), lambda j: F.abs(i - j))))
+    hits = F.filter(dists, lambda d: d <= max_dist)
+    return (cur.select("doc_id", hits.alias("_d"))
+            .filter(F.size("_d") > 0)
+            .select("doc_id",
+                    F.size("_d").cast("long").alias("n_hits"),
+                    F.array_min("_d").cast("long").alias("min_dist")))

@@ -1564,9 +1564,11 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 
 _EMB_DIM = 64
 _RP_BITS = 16
-#: multi-table demo runs at 8 bits so buckets have company at test scale;
-#: production raises bits with corpus size (the tables stay independent).
-_RP_BITS_MT = 8
+#: multi-table contract runs the production 16 bits/table; the 8-bit
+#: configuration survives as `embedding_multitable_topk_demo8` (buckets
+#: have company at test scale, exercising the OR-candidate union densely).
+_RP_BITS_MT = 16
+_RP_BITS_MT_DEMO = 8
 
 
 def _sql_plane_bucket(vec: str, planes: list) -> str:
@@ -1623,20 +1625,34 @@ WHERE round({_sql_cosine('a.vec', 'b.vec')}, 6) >= 0.3
 """
 
 
-def q_embedding_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table random-plane ANN top-10 (4 tables x 8 bits): candidate
-    iff the vector shares the query's bucket in ANY table — ONE narrow
-    scan, one Arrow pass computing all 4 bucket ids, then TakeOrdered(k).
-    The standard recall fix for single-table LSH, shuffle-free. The query
-    vector is a one-row lookup collected once (a plan literal thereafter,
-    exactly like a broadcast dim)."""
+def _q_multitable_topk(spark: SparkSession, sf_dir: str,
+                       n_bits: int) -> DataFrame:
+    """Multi-table random-plane ANN top-10 (4 tables x ``n_bits``):
+    candidate iff the vector shares the query's bucket in ANY table —
+    ONE narrow scan, one Arrow pass computing all 4 bucket ids, then
+    TakeOrdered(k). The standard recall fix for single-table LSH,
+    shuffle-free. The query vector is a one-row lookup collected once
+    (a plan literal thereafter, exactly like a broadcast dim)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vec(spark, sf_dir)
     if qvec is None:  # empty table: no query vector -> empty result
         return emb.select(F.col("vec_id"),
                           F.lit(0.0).alias("cos_sim")).limit(0)
     return S.lsh_topk_multitable(emb, qvec, k=10, n_tables=4,
-                                 n_bits=_RP_BITS_MT, seed=0, dim=_EMB_DIM)
+                                 n_bits=n_bits, seed=0, dim=_EMB_DIM)
+
+
+def q_embedding_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production configuration: 4 tables x 16 bits/table."""
+    return _q_multitable_topk(spark, sf_dir, _RP_BITS_MT)
+
+
+def q_embedding_multitable_topk_demo8(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """8-bit demo configuration: 256 buckets/table, so buckets have
+    company even at test scale and the OR-candidate union is exercised
+    densely (at 16 bits the toy corpus yields near-singleton buckets)."""
+    return _q_multitable_topk(spark, sf_dir, _RP_BITS_MT_DEMO)
 
 
 _IVF_K = 16
@@ -1711,16 +1727,21 @@ ORDER BY cos_sim DESC, t.vec_id LIMIT 10
 """
 
 
-SQL_EMBEDDING_MULTITABLE_TOPK = f"""
+def _sql_multitable_topk(n_bits: int) -> str:
+    return f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id, round({_sql_cosine('e.embedding', 'qe')}, 6) AS cos_sim
 FROM embeddings e, q
 WHERE {" OR ".join(
-    f"{_sql_plane_bucket('e.embedding', S.hyperplanes(_RP_BITS_MT, _EMB_DIM, seed=t))}"
-    f" = {_sql_plane_bucket('qe', S.hyperplanes(_RP_BITS_MT, _EMB_DIM, seed=t))}"
-    for t in range(4))}
+        f"{_sql_plane_bucket('e.embedding', S.hyperplanes(n_bits, _EMB_DIM, seed=t))}"
+        f" = {_sql_plane_bucket('qe', S.hyperplanes(n_bits, _EMB_DIM, seed=t))}"
+        for t in range(4))}
 ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """
+
+
+SQL_EMBEDDING_MULTITABLE_TOPK = _sql_multitable_topk(_RP_BITS_MT)
+SQL_EMBEDDING_MULTITABLE_TOPK_DEMO8 = _sql_multitable_topk(_RP_BITS_MT_DEMO)
 
 
 SQL_EMBEDDING_NEAR_DUP_PAIRS = f"""
@@ -3280,6 +3301,8 @@ REGISTRY: dict = {
                                 SQL_EMBEDDING_SEMDEDUP_KEEP),
     "embedding_multitable_topk": (q_embedding_multitable_topk,
                                   SQL_EMBEDDING_MULTITABLE_TOPK),
+    "embedding_multitable_topk_demo8": (q_embedding_multitable_topk_demo8,
+                                        SQL_EMBEDDING_MULTITABLE_TOPK_DEMO8),
     "quality_probe_weights": (q_quality_probe_weights,
                               SQL_QUALITY_PROBE_WEIGHTS),
     "quality_probe_scores": (q_quality_probe_scores,

@@ -253,6 +253,39 @@ def test_proximity_equal_terms_counts_unordered_pairs_once(spark):
     assert got == want
 
 
+def test_positional_index_proximity_parity_and_pruning(spark, tmp_path):
+    """Index-backed NEAR/k must equal the raw-text scan form (distinct
+    and equal terms, including the no-self-pair rule) and push the token
+    equality into the pruned bucket read."""
+    from ocr_automation_system_spark.functions.index import (
+        proximity_hits, proximity_hits_from_index, write_positional_index,
+    )
+
+    rows = [(1, "alpha w w w beta tail", "s"),     # dist 4 -> hit
+            (2, "alpha w w w w w beta", "s"),      # dist 6 -> no hit
+            (3, "beta leads then alpha", "s"),     # either order, dist 3
+            (4, "alpha only here", "s"),           # one term -> no hit
+            (5, "x y x z x", "s"),                 # equal-term pairs
+            (6, "x alone", "s")]                   # single occ -> no hit
+    df = _docs(spark, rows)
+    path = str(tmp_path / "posidx")
+    write_positional_index(df, path, n_buckets=8)
+
+    for a, b in [("alpha", "beta"), ("x", "x")]:
+        want = sorted(map(tuple,
+                          proximity_hits(df, a, b, max_dist=5).collect()))
+        got_df = proximity_hits_from_index(spark, path, a, b, max_dist=5,
+                                           n_buckets=8)
+        got = sorted(map(tuple, got_df.collect()))
+        assert got == want, (a, b)
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert f"EqualTo(token,{a})" in plan
+    assert sorted(r[0] for r in
+                  proximity_hits_from_index(spark, path, "alpha", "beta",
+                                            max_dist=5,
+                                            n_buckets=8).collect()) == [1, 3]
+
+
 def test_query_terms_normalized_through_document_tokenizer(spark):
     """Punctuated / cased query terms fold to the tokens they would
     produce in a document (lm.TOKEN_RE) instead of matching nothing."""
