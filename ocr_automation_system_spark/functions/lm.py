@@ -141,3 +141,110 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text",
         lambda i: F.col("t").substr(i, F.lit(2)))).alias("pair"))
     return (pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("pair")).limit(k))
+
+
+def _merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Apply ONE BPE merge to a symbol array: leftmost non-overlapping,
+    single left-to-right pass (Sennrich et al. 2016 semantics), as a
+    fold — if the accumulator's last symbol is exactly ``left`` and the
+    current symbol is ``right``, the last symbol becomes ``left+right``
+    (which can never re-merge within the same pass: left+right != left).
+    ``try_element_at`` keeps the empty-accumulator probe null-safe under
+    ANSI mode."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms, F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)))
+        .otherwise(F.concat(acc, F.array(x))))
+
+
+def bpe_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) census — the BPE trainer's working set. THE scale
+    insight of the classic trainer: after this one corpus-wide map-side
+    combined groupBy, every merge iteration runs over the distinct-word
+    table (10^5-10^7 rows at web scale), never the corpus again."""
+    return (df.select(F.explode(tokens_lower(F.col(text_col)))
+                      .alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def bpe_train(df: DataFrame, n_merges: int = 6, text_col: str = "text",
+              checkpoint_every: int = 0) -> "DataFrame":
+    """Full iterative BPE tokenizer training (Sennrich et al. 2016):
+    n_merges rounds of [adjacent-pair census over the (word, freq)
+    vocab -> pick argmax pair (count DESC, then pair lexicographic) ->
+    apply the merge to every word's symbol array]. Returns the merge
+    table (rank, left, right, merged, pair_count) — the tokenizer
+    artifact ``bpe_segment`` applies.
+
+    Scale shape: the corpus is touched ONCE (``bpe_vocab``'s map-side
+    combined groupBy); each round is one groupBy over the exploded
+    adjacent pairs of the vocab table (key space bounded by the live
+    symbol vocabulary, so the partial combine collapses it map-side), a
+    TakeOrdered(1) to the driver (one bounded row per round, the k-means
+    centroid precedent), and one narrow fold projection. No joins, no
+    skew exposure. For production merge counts (10^4+), set
+    ``checkpoint_every`` (~50): each round chains a fold onto the plan,
+    and localCheckpoint truncates the lineage before plan-compile time
+    grows quadratic."""
+    spark = df.sparkSession
+    vocab = bpe_vocab(df, text_col).select(
+        "freq", F.split("word", "").alias("syms")).persist()
+    merges = []
+    prev = vocab
+    for rank in range(1, n_merges + 1):
+        pairs = prev.select(
+            "freq",
+            F.explode(F.zip_with(
+                F.slice("syms", 1, F.size("syms") - 1),
+                F.slice("syms", 2, F.size("syms") - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r"))))
+            .alias("pr"))
+        top = (pairs.groupBy("pr.l", "pr.r")
+               .agg(F.sum("freq").alias("n"))
+               .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+               .limit(1).collect())
+        if not top:  # vocabulary of single-symbol words: nothing to merge
+            break
+        left, right, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merges.append((rank, left, right, left + right, int(n)))
+        nxt = prev.select("freq",
+                          _merge_pair(F.col("syms"), left, right)
+                          .alias("syms"))
+        if checkpoint_every and rank % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint()
+        else:
+            nxt = nxt.persist()
+        prev.unpersist()
+        prev = nxt
+    prev.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "rank long, left string, right string, merged string, "
+        "pair_count long")
+
+
+def bpe_segment(df: DataFrame, merges: list, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Apply a trained merge list to a corpus: per document, tokenize,
+    split each token to characters, replay the merges IN RANK ORDER
+    (the standard greedy encoder), and return (id, n_tokens, n_subwords,
+    subword-per-token ratio) — the fertility diagnostic used to size a
+    tokenizer against a corpus. One narrow projection, zero shuffle;
+    each merge is one fold layer in the same codegen expression."""
+    toks = tokens_lower(F.col(text_col))
+    subs = F.transform(toks, lambda t: F.split(t, ""))
+    for _rank, left, right, _m, _n in sorted(merges):
+        subs = F.transform(subs, lambda s: _merge_pair(s, left, right))
+    n_sub = F.aggregate(subs, F.lit(0),
+                        lambda acc, s: acc + F.size(s))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_sub.cast("long").alias("n_subwords"),
+        F.when(F.size(toks) > 0,
+               F.round(n_sub.cast("double") / F.size(toks), 6))
+        .otherwise(F.lit(0.0)).alias("fertility"))

@@ -660,6 +660,115 @@ FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50
 
 SQL_BPE_MERGE_CANDIDATES = _sql_bpe_merge_candidates()
 
+_BPE_N_MERGES = 6
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL iterative BPE tokenizer training (X48): 6 merge rounds over
+    the (word, freq) vocab census — the corpus is scanned once, every
+    round runs on the distinct-word table (see lm.bpe_train). Returns
+    the ranked merge table, the tokenizer artifact itself."""
+    from .functions import lm
+
+    return lm.bpe_train(load_table(spark, sf_dir, "documents"),
+                        n_merges=_BPE_N_MERGES)
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility diagnostic: train the 6-merge BPE, then
+    replay the merges over every document (lm.bpe_segment — one narrow
+    fold projection, zero shuffle) -> per-doc subwords-per-token ratio,
+    the statistic used to size a tokenizer against a target corpus."""
+    from .functions import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [tuple(r) for r in
+              lm.bpe_train(docs, n_merges=_BPE_N_MERGES).collect()]
+    return lm.bpe_segment(docs, merges)
+
+
+#: DuckDB lambda twin of lm._merge_pair's replace-last fold: the
+#: accumulator IS the space-joined symbol string, so "last symbol == L"
+#: is one suffix probe and the merge appends R to the accumulator
+#: (last token L becomes L||R — bit-identical leftmost-non-overlapping
+#: semantics, L||R can never re-merge as L within the same pass).
+_SQL_BPE_FOLD = ("(acc, x) -> CASE WHEN (acc = m.l OR "
+                 "ends_with(acc, ' ' || m.l)) AND x = m.r "
+                 "THEN acc || m.r ELSE acc || ' ' || x END")
+
+
+def _sql_bpe_levels(n: int) -> str:
+    """Shared unrolled-CTE ladder: vocab census -> v1..vn symbol-string
+    tables with m1..mn argmax merge picks (MATERIALIZED — the probe twin
+    lesson: default CTE inlining is 2^levels-exponential)."""
+    from .functions.lm import TOKEN_RE
+
+    ctes = [f"""vocab AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                     '{TOKEN_RE}')) AS word
+    FROM documents) GROUP BY 1)""",
+            "v1 AS MATERIALIZED (SELECT freq, array_to_string("
+            "regexp_extract_all(word, '.'), ' ') AS s FROM vocab)"]
+    for k in range(1, n + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS n FROM (
+    SELECT freq, unnest(list_zip(list_slice(tk, 1, len(tk) - 1),
+                                 list_slice(tk, 2, len(tk)))) AS pr
+    FROM (SELECT freq, str_split(s, ' ') AS tk FROM v{k})) GROUP BY 1, 2)""")
+        ctes.append(f"m{k} AS MATERIALIZED "
+                    f"(SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r "
+                    f"LIMIT 1)")
+        if k < n:
+            ctes.append(f"""v{k + 1} AS MATERIALIZED (
+  SELECT freq, list_reduce(str_split(s, ' '), {_SQL_BPE_FOLD}) AS s
+  FROM v{k} CROSS JOIN m{k} m)""")
+    return ",\n".join(ctes)
+
+
+def _sql_bpe_merges(n: int) -> str:
+    sel = "\nUNION ALL ".join(
+        f'SELECT CAST({k} AS BIGINT) AS rank, l AS "left", r AS "right", '
+        f"l || r AS merged, n AS pair_count FROM m{k}"
+        for k in range(1, n + 1))
+    return (f"WITH {_sql_bpe_levels(n)}\n"
+            f"SELECT * FROM ({sel}) ORDER BY rank")
+
+
+def _sql_bpe_fertility(n: int) -> str:
+    """Per-doc merge replay: the same m1..mn picks applied to every
+    document's token stream, rank order; token-less docs keep a
+    (0, 0, 0.0) row via the left join (the empty-profile convention)."""
+    from .functions.lm import TOKEN_RE
+
+    ctes = [_sql_bpe_levels(n),
+            f"""t1 AS MATERIALIZED (
+  SELECT doc_id, array_to_string(regexp_extract_all(tok, '.'), ' ') AS s
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                         '{TOKEN_RE}')) AS tok
+        FROM documents))"""]
+    for k in range(1, n + 1):
+        ctes.append(f"""t{k + 1} AS MATERIALIZED (
+  SELECT doc_id, list_reduce(str_split(s, ' '), {_SQL_BPE_FOLD}) AS s
+  FROM t{k} CROSS JOIN m{k} m)""")
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined},
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(len(str_split(s, ' '))) AS BIGINT) AS n_subwords
+        FROM t{n + 1} GROUP BY 1)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_subwords, 0) AS n_subwords,
+       CASE WHEN coalesce(a.n_tokens, 0) > 0
+            THEN round(CAST(a.n_subwords AS DOUBLE) / a.n_tokens, 6)
+            ELSE 0.0 END AS fertility
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+SQL_BPE_MERGES = _sql_bpe_merges(_BPE_N_MERGES)
+SQL_BPE_FERTILITY = _sql_bpe_fertility(_BPE_N_MERGES)
+
 
 def _sql_lm_base() -> str:
     from .functions.lm import TOKEN_RE
@@ -3252,6 +3361,8 @@ REGISTRY: dict = {
     "doc_feature_table": (q_doc_feature_table, SQL_DOC_FEATURE_TABLE),
     "bpe_merge_candidates": (q_bpe_merge_candidates,
                              SQL_BPE_MERGE_CANDIDATES),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_fertility": (q_bpe_fertility, SQL_BPE_FERTILITY),
     "doc_length_profile": (q_doc_length_profile, SQL_DOC_LENGTH_PROFILE),
     # deterministic sketches + index/export surfaces
     "hll_source_cardinality": (q_hll_source_cardinality,

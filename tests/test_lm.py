@@ -101,3 +101,91 @@ def test_lm_score_broadcasts_model(spark, docs):
     plan = (lm.lm_score(docs, lm.token_census(docs))
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer (lm.bpe_train / lm.bpe_segment)
+# ---------------------------------------------------------------------------
+
+def _py_bpe(texts, k):
+    """Reference trainer: Sennrich et al. 2016 greedy loop, leftmost
+    non-overlapping merge application, (count DESC, pair ASC) tie-break."""
+    import collections
+    import re
+
+    vocab = collections.Counter()
+    for t in texts:
+        for w in re.findall(lm.TOKEN_RE, (t or "").lower()):
+            vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+    merges = []
+    for rank in range(1, k + 1):
+        pc = collections.Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += vocab[w]
+        if not pc:
+            break
+        (left, right), n = sorted(pc.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, left, right, left + right, n))
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            words[w] = out
+    return merges, words
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    texts = ["the cat sat on the mat", "the thin cat, that fat cat!",
+             "banana bandana banner", "aaaa aa aaa a", "singleton", None]
+    want, _ = _py_bpe(texts, 8)
+    df = spark.createDataFrame(list(enumerate(texts)), SCHEMA)
+    got = [tuple(r) for r in lm.bpe_train(df, 8).collect()]
+    assert got == want
+
+
+def test_bpe_merge_leftmost_nonoverlapping(spark):
+    """'aaaa' under merge (a,a) must become (aa)(aa), never (a)(aa)(a)
+    or a re-merged (aaaa); 'aaa' -> (aa)(a)."""
+    df = spark.createDataFrame([(0, "aaaa aaa")], SCHEMA)
+    merged = df.select(
+        lm._merge_pair(F.split(F.lit("aaaa"), ""), "a", "a").alias("m1"),
+        lm._merge_pair(F.split(F.lit("aaa"), ""), "a", "a").alias("m2"),
+    ).first()
+    assert merged["m1"] == ["aa", "aa"] and merged["m2"] == ["aa", "a"]
+
+
+def test_bpe_train_checkpoint_parity(spark):
+    texts = ["ababab abab", "banana bandana", "cabbage baggage"]
+    df = spark.createDataFrame(list(enumerate(texts)), SCHEMA)
+    base = [tuple(r) for r in lm.bpe_train(df, 6).collect()]
+    ckpt = [tuple(r) for r in
+            lm.bpe_train(df, 6, checkpoint_every=2).collect()]
+    assert base == ckpt and len(base) == 6
+
+
+def test_bpe_train_single_symbol_vocab_stops(spark):
+    df = spark.createDataFrame([(0, "a b c d"), (1, "e f")], SCHEMA)
+    assert lm.bpe_train(df, 4).collect() == []
+
+
+def test_bpe_segment_fertility(spark):
+    texts = ["the cat sat on the mat", "the thin cat, that fat cat!",
+             "banana bandana banner", "aaaa aa aaa a"]
+    merges, words = _py_bpe(texts, 8)
+    df = spark.createDataFrame(
+        list(enumerate(texts)) + [(9, None), (10, "")], SCHEMA)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_subwords"], r["fertility"])
+           for r in lm.bpe_segment(df, merges).collect()}
+    import re
+    for i, t in enumerate(texts):
+        toks = re.findall(lm.TOKEN_RE, t.lower())
+        n_sub = sum(len(words[w]) for w in toks)
+        assert got[i] == (len(toks), n_sub,
+                          round(n_sub / len(toks), 6)), i
+    assert got[9] == (0, 0, 0.0) and got[10] == (0, 0, 0.0)
