@@ -47,12 +47,17 @@ HEADLINE = (
     "lm_quality_scores",
     "media_metadata", "media_resize", "media_frame_census", "media_census",
     "warc_roundtrip",
-    "bpe_merge_candidates", "lm_perplexity_buckets",
+    "bpe_merge_candidates", "bpe_merges", "bpe_fertility",
+    "lm_perplexity_buckets", "doc_length_profile",
     "duplicate_spans", "stratified_sample", "chunk_documents",
-    "hll_source_cardinality", "cms_source_counts", "token_postings", "tfidf_top_terms",
+    "hll_source_cardinality", "bloom_dedup_census", "cms_source_counts",
+    "token_postings", "tfidf_top_terms",
     "bm25_search", "bm25_weighted", "phrase_kwic",
+    "phrase_hits", "proximity_hits", "kwic_snippets", "minhash_recall_sample",
     "importance_weights", "curation_verdicts", "collocations", "skipgram_pairs",
-    "doc_feature_table", "quality_probe_scores", "token_budget_sample",
+    "doc_feature_table", "quality_probe_weights", "quality_probe_scores",
+    "quality_probe_calibrated",
+    "token_budget_sample", "train_val_split",
     "entity_join_shape", "report_summary", "duplicate_id_groups",
     "checksum_existence_join", "topk_per_group",
     "pricing_summary", "top_revenue_orders", "region_nation_rollup",

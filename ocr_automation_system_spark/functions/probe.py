@@ -110,7 +110,8 @@ def probe_dot(vec: Column, weights: list) -> Column:
 
 
 def probe_fit(df: DataFrame, text_col: str = "text",
-              iters: int = PROBE_ITERS) -> list:
+              iters: int = PROBE_ITERS,
+              init_w: list | None = None) -> list:
     """Fit the probe by ``iters`` exact preconditioned-GD steps;
     returns the int64 weight vector (empty input -> ``[]``, the
     kmeans_fit convention: no data, no model).
@@ -119,12 +120,22 @@ def probe_fit(df: DataFrame, text_col: str = "text",
     warms the persisted feature projection every step reuses); each
     iteration is then ONE groupless aggregate of ``dim`` DECIMAL(38,0)
     gradient sums — the partial combine means ~``dim`` numbers reach
-    the driver per step regardless of corpus size."""
+    the driver per step regardless of corpus size.
+
+    ``init_w`` warm-starts from a stored weight vector (the persisted
+    probe artifact): because every quantity is exact integer arithmetic,
+    continuing a fit is EXACTLY the longer fit on the same data —
+    ``probe_fit(df, iters=a+b) == probe_fit(df, iters=b,
+    init_w=probe_fit(df, iters=a))`` — so incremental re-fits resume
+    bit-for-bit, the same resume discipline as the CC round checkpoints."""
+    if init_w is not None and len(init_w) != PROBE_DIM:
+        raise ValueError(f"init_w must have {PROBE_DIM} entries, "
+                         f"got {len(init_w)}")
     feats = df.select(
         probe_features(F.col(text_col)).alias("x"),
         (probe_label(F.col(text_col)).cast("long")
          * PROBE_SCALE).alias("ys")).persist()
-    w = [0] * PROBE_DIM
+    w = [int(v) for v in init_w] if init_w is not None else [0] * PROBE_DIM
     try:
         pre = feats.agg(
             F.count(F.lit(1)).alias("n"),
@@ -181,3 +192,91 @@ def probe_weights_table(df: DataFrame, text_col: str = "text",
     return spark.createDataFrame(
         [(name, int(wi)) for name, wi in zip(PROBE_FEATURES, w)],
         "feature string, weight long")
+
+
+def write_probe_weights(spark, weights: list, path: str) -> None:
+    """Persist a trained weight vector as the (feature, weight) parquet
+    artifact (atomic via Spark's commit protocol). An empty vector is a
+    contract error — no data, no artifact."""
+    if len(weights) != PROBE_DIM:
+        raise ValueError(f"expected {PROBE_DIM} weights, got {len(weights)}")
+    spark.createDataFrame(
+        [(name, int(wi)) for name, wi in zip(PROBE_FEATURES, weights)],
+        "feature string, weight long").coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+
+
+def read_probe_weights(spark, path: str) -> list:
+    """Load a persisted weight artifact back into feature order (the
+    parquet row order is not contractual)."""
+    by_name = {r["feature"]: int(r["weight"])
+               for r in spark.read.parquet(path).collect()}
+    missing = [n for n in PROBE_FEATURES if n not in by_name]
+    if missing:
+        raise ValueError(f"weight artifact at {path} missing {missing}")
+    return [by_name[n] for n in PROBE_FEATURES]
+
+
+def probe_calibrated_keep(df: DataFrame, keep_pct: int = 60,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          source_col: str = "source",
+                          iters: int = PROBE_ITERS,
+                          weights: list | None = None) -> DataFrame:
+    """PER-SOURCE calibrated selection: keep each source's top
+    ``ceil(n_source * keep_pct / 100)`` documents by (probe score desc,
+    doc_id asc). A single global threshold (0.5 logit or a corpus
+    percentile) is miscalibrated on skewed corpora — a high-quality
+    source would survive wholesale while a boilerplate-heavy source is
+    wiped out; ranking WITHIN each source keeps the mixture while
+    still dropping each source's worst tail. Returns
+    (doc_id, source, score).
+
+    Scale shape (the X47 boundary-bucket discipline — NOT a corpus-wide
+    window): scores take at most |feature-bucket lattice| distinct
+    values (7 features x 16 buckets), so ``groupBy(source, score)``
+    is a bounded-key map-side-combined histogram. Per-source cutoffs
+    come from a window over that TINY histogram, broadcast back; whole
+    score groups are kept/dropped by the verdict, and only the single
+    boundary (source, score) group per source pays a per-doc
+    row_number tie-break."""
+    from pyspark.sql import Window
+
+    if not 0 <= keep_pct <= 100:
+        raise ValueError(f"keep_pct must be 0..100, got {keep_pct}")
+    w = (list(weights) if weights is not None
+         else probe_fit(df, text_col=text_col, iters=iters)) \
+        or [0] * PROBE_DIM
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(source_col), F.lit("")).alias("source"),
+        probe_dot(probe_features(F.col(text_col)), w).alias("score"))
+
+    hist = scored.groupBy("source", "score") \
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    # histogram-side window: partitions are sources, rows are distinct
+    # scores — bounded by the feature lattice, never corpus-sized
+    hw = Window.partitionBy("source").orderBy(F.desc("score")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cuts = hist.select(
+        "source", "score", "cnt",
+        F.sum("cnt").over(hw).alias("cum"),
+        # ceil-div via double: exact while n_source*keep_pct+99 < 2^53
+        # (10^12 rows x 100 ~ 2^47 — 64x of headroom)
+        ((F.sum("cnt").over(Window.partitionBy("source"))
+          * keep_pct + 99) / 100).cast("long").alias("k"))
+    cuts = cuts.select(
+        "source", "score",
+        F.when(F.col("cum") - F.col("cnt") >= F.col("k"), F.lit(0))
+        .when(F.col("cum") <= F.col("k"), F.lit(-1))  # -1 = keep all
+        .otherwise(F.col("k") - (F.col("cum") - F.col("cnt")))
+        .alias("take_n"))
+
+    joined = scored.join(F.broadcast(cuts), ["source", "score"])
+    kept_full = joined.filter(F.col("take_n") == -1)
+    boundary = joined.filter(F.col("take_n") > 0)
+    bw = Window.partitionBy("source", "score").orderBy(F.asc("doc_id"))
+    kept_boundary = boundary \
+        .withColumn("_rk", F.row_number().over(bw)) \
+        .filter(F.col("_rk") <= F.col("take_n")).drop("_rk")
+    return kept_full.unionByName(kept_boundary) \
+        .select("doc_id", "source", "score")

@@ -2065,6 +2065,46 @@ FROM feats f CROSS JOIN w{iters} w
 SQL_QUALITY_PROBE_WEIGHTS = _sql_probe_weights()
 SQL_QUALITY_PROBE_SCORES = _sql_probe_scores()
 
+_PROBE_KEEP_PCT = 60
+
+
+def q_quality_probe_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE calibrated probe selection: fit the probe, then keep
+    each source's top ceil(n*60%) docs by (score desc, doc_id) — the
+    skew-proof alternative to one global threshold (probe.
+    probe_calibrated_keep: bounded (source, score) histogram, broadcast
+    cutoffs, boundary-only tie-break window)."""
+    from .functions.probe import probe_calibrated_keep
+
+    return probe_calibrated_keep(load_table(spark, sf_dir, "documents"),
+                                 keep_pct=_PROBE_KEEP_PCT,
+                                 iters=_PROBE_ITERS)
+
+
+def _sql_probe_calibrated(iters: int = _PROBE_ITERS,
+                          keep_pct: int = _PROBE_KEEP_PCT) -> str:
+    from .functions.probe import PROBE_DIM
+
+    dot = " + ".join(f"f.x[{j + 1}] * w.w{j}" for j in range(PROBE_DIM))
+    return f"""
+WITH {_sql_probe_ctes(iters)},
+scored AS MATERIALIZED (
+  SELECT f.doc_id, coalesce(d.source, '') AS source,
+         CAST({dot} AS BIGINT) AS score
+  FROM feats f CROSS JOIN w{iters} w
+  JOIN documents d ON d.doc_id = f.doc_id)
+SELECT doc_id, source, score FROM (
+  SELECT scored.*,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM scored) t
+WHERE rk <= (n * {keep_pct} + 99) // 100
+"""
+
+
+SQL_QUALITY_PROBE_CALIBRATED = _sql_probe_calibrated()
+
 
 # ---------------------------------------------------------------------------
 # X47: per-stratum token-budget mixture selection
@@ -3359,6 +3399,8 @@ REGISTRY: dict = {
     "lm_perplexity_buckets": (q_lm_perplexity_buckets,
                               SQL_LM_PERPLEXITY_BUCKETS),
     "doc_feature_table": (q_doc_feature_table, SQL_DOC_FEATURE_TABLE),
+    "quality_probe_calibrated": (q_quality_probe_calibrated,
+                                 SQL_QUALITY_PROBE_CALIBRATED),
     "bpe_merge_candidates": (q_bpe_merge_candidates,
                              SQL_BPE_MERGE_CANDIDATES),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),

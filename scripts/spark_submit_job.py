@@ -87,6 +87,16 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "probe on the deduped corpus and drop the "
                         "bottom P percent by probe score (the "
                         "classifier-filter stage; 0 = off)")
+    p.add_argument("--probe-per-source", action="store_true",
+                   help="with --probe-drop-pct: calibrate the cut "
+                        "PER HOST (keep each host's top (100-P)%% by "
+                        "score) instead of one corpus-wide percentile "
+                        "— the skew-proof form for mixed corpora")
+    p.add_argument("--probe-weights", default="",
+                   help="with --probe-drop-pct: path of the persisted "
+                        "probe weight artifact — warm-start the fit "
+                        "from it when present (exact incremental "
+                        "refit) and rewrite it after fitting")
     args = p.parse_args(argv)
 
     spark = build_session(app_name="ocr_automation_system_spark_job", master=args.master)
@@ -136,7 +146,9 @@ def main(argv=None, stop_session: bool = True) -> int:
                chunk_tokens=args.chunk_tokens, policy=args.policy,
                semdedup=args.semdedup, wet_files=args.wet_export,
                token_budget=args.token_budget,
-               probe_drop_pct=args.probe_drop_pct)
+               probe_drop_pct=args.probe_drop_pct,
+               probe_per_source=args.probe_per_source,
+               probe_weights_path=args.probe_weights)
 
     summary = lineage_summary(args.output, args.n_buckets)
     print(f"done: {summary['total_rows']} docs across "
@@ -151,7 +163,9 @@ def main(argv=None, stop_session: bool = True) -> int:
 def curate(spark, results, output: str, quota: int = 1000,
            chunk_tokens: int = 0, policy: bool = False,
            semdedup: bool = False, wet_files: int = 0,
-           token_budget: int = 0, probe_drop_pct: int = 0) -> None:
+           token_budget: int = 0, probe_drop_pct: int = 0,
+           probe_per_source: bool = False,
+           probe_weights_path: str = "") -> None:
     """Committed extractions -> curated training corpus.
 
     Chain (each stage a documented survivor count): usable docs only ->
@@ -233,19 +247,36 @@ def curate(spark, results, output: str, quota: int = 1000,
         # only partitioning-independent choice), so a score-homogeneous
         # corpus drops fewer than P%.
         from ocr_automation_system_spark.functions.probe import (
-            PROBE_DIM, probe_dot, probe_features, probe_fit,
+            PROBE_DIM, probe_calibrated_keep, probe_dot, probe_features,
+            probe_fit, read_probe_weights, write_probe_weights,
         )
 
-        w = probe_fit(deduped, text_col="text") or [0] * PROBE_DIM
-        scored = deduped.select(
-            "doc_id",
-            probe_dot(probe_features(F.col("text")), w).alias("_ps"))
-        thr = scored.agg(F.expr(
-            f"percentile(_ps, {probe_drop_pct / 100.0!r})")
-            .alias("t")).collect()[0]["t"]
-        pf = deduped.join(
-            scored.filter(F.col("_ps") >= thr).select("doc_id"),
-            "doc_id", "left_semi").persist()
+        # warm-start from the persisted artifact when present: exact
+        # integer GD means the refit continues the stored fit
+        # bit-for-bit (probe.probe_fit's resume contract)
+        init_w = None
+        if probe_weights_path and os.path.isdir(probe_weights_path):
+            init_w = read_probe_weights(spark, probe_weights_path)
+        w = probe_fit(deduped, text_col="text", init_w=init_w) \
+            or [0] * PROBE_DIM
+        if probe_weights_path:
+            write_probe_weights(spark, w, probe_weights_path)
+        if probe_per_source:
+            # per-host calibrated cut: keep each host's top (100-P)%
+            # by score — bounded (host, score) histogram + broadcast
+            # cutoffs, boundary-only tie-break (probe_calibrated_keep)
+            kept_ids = probe_calibrated_keep(
+                deduped, keep_pct=100 - probe_drop_pct,
+                source_col="host", weights=w).select("doc_id")
+        else:
+            scored = deduped.select(
+                "doc_id",
+                probe_dot(probe_features(F.col("text")), w).alias("_ps"))
+            thr = scored.agg(F.expr(
+                f"percentile(_ps, {probe_drop_pct / 100.0!r})")
+                .alias("t")).collect()[0]["t"]
+            kept_ids = scored.filter(F.col("_ps") >= thr).select("doc_id")
+        pf = deduped.join(kept_ids, "doc_id", "left_semi").persist()
         counts["after_probe_filter"] = pf.count()
         deduped.unpersist()
         deduped = pf

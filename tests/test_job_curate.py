@@ -178,3 +178,36 @@ def test_curate_probe_filter_stage(spark, tmp_path):
         counts = json.load(fh)
     assert 0 < counts["after_probe_filter"] <= counts["after_near_dedup"]
     assert counts["after_domain_quota"] <= counts["after_probe_filter"]
+
+
+def test_curate_probe_per_source_and_weights_artifact(spark, tmp_path):
+    """--probe-per-source cuts per host (each host keeps ceil(75%) of
+    its deduped docs); --probe-weights persists the trained weights and
+    a rerun warm-starts from them — the artifact exists and reloads in
+    feature order."""
+    out = str(tmp_path / "jobppс")
+    wpath = str(tmp_path / "probe_weights")
+    args = ["--synthetic", "300", "--output", out, "--curate",
+            "--probe-drop-pct", "25", "--probe-per-source",
+            "--probe-weights", wpath]
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert 0 < counts["after_probe_filter"] <= counts["after_near_dedup"]
+
+    from ocr_automation_system_spark.functions.probe import (
+        PROBE_DIM, read_probe_weights)
+    w1 = read_probe_weights(spark, wpath)
+    assert len(w1) == PROBE_DIM and any(w1)
+
+    # rerun: resumes extraction and warm-starts the probe from the
+    # stored artifact — the refit CONTINUES the fit (more total GD
+    # steps), so weights move and the cut's membership may change, but
+    # the per-source keep COUNT is weight-independent (ceil(75% per
+    # host)) and must hold exactly
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts2 = json.load(fh)
+    assert counts2["after_probe_filter"] == counts["after_probe_filter"]
+    w2 = read_probe_weights(spark, wpath)
+    assert len(w2) == PROBE_DIM and w2 != w1  # the refit really resumed

@@ -173,3 +173,102 @@ def test_probe_scoring_streams_with_frozen_weights(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     want = sorted(tuple(r) for r in score(batch).collect())
     assert got == want and len(got) == 41
+
+
+# ---------------------------------------------------------------------------
+# warm-start refit, weight artifact, per-source calibrated keep
+# ---------------------------------------------------------------------------
+
+def test_probe_warm_start_resumes_exactly(spark):
+    """Exact arithmetic makes a warm-started continuation bit-identical
+    to the longer cold fit on the same data — the incremental-refit
+    contract."""
+    df = _df(spark, _rows(45))
+    cold8 = P.probe_fit(df, iters=8)
+    w5 = P.probe_fit(df, iters=5)
+    assert P.probe_fit(df, iters=3, init_w=w5) == cold8
+
+
+def test_probe_init_w_validates_dim(spark):
+    with pytest.raises(ValueError, match="init_w"):
+        P.probe_fit(_df(spark, _rows(6)), iters=1, init_w=[1, 2])
+
+
+def test_probe_weights_artifact_roundtrip(spark, tmp_path):
+    w = P.probe_fit(_df(spark, _rows(30)), iters=4)
+    path = str(tmp_path / "probe_weights")
+    P.write_probe_weights(spark, w, path)
+    assert P.read_probe_weights(spark, path) == w
+    with pytest.raises(ValueError, match="expected"):
+        P.write_probe_weights(spark, [1, 2, 3], path)
+
+
+def _src_rows(n=90):
+    """Three sources with skewed quality mixes: srcA mostly good, srcB
+    mostly junk, srcC mixed — the shape where one global threshold
+    keeps ~all of A and ~none of B."""
+    base = _rows(n)  # (doc_id, text) rotating good/junk/mid
+    out = []
+    for i, (doc_id, text) in enumerate(base):
+        src = ("srcA" if i % 3 == 0 else "srcB" if i % 3 == 1
+               else "srcC") if i % 7 else None  # some null sources
+        out.append((doc_id, text, src))
+    return out
+
+
+def _sdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+
+
+def _brute_calibrated(rows, w, keep_pct):
+    import collections
+    by_src = collections.defaultdict(list)
+    for doc_id, text, src in rows:
+        score = sum(x * wi for x, wi in zip(_py_features(text), w))
+        by_src[src or ""].append((-score, doc_id, score))
+    kept = set()
+    for src, docs in by_src.items():
+        docs.sort()
+        k = (len(docs) * keep_pct + 99) // 100
+        kept.update((d, src, s) for _, d, s in docs[:k])
+    return kept
+
+
+@pytest.mark.parametrize("keep_pct", [0, 37, 60, 100])
+def test_probe_calibrated_keep_matches_bruteforce(spark, keep_pct):
+    rows = _src_rows(60)
+    w = P.probe_fit(_sdf(spark, rows), iters=4)
+    got = {(r["doc_id"], r["source"], r["score"])
+           for r in P.probe_calibrated_keep(
+               _sdf(spark, rows), keep_pct=keep_pct, weights=w).collect()}
+    assert got == _brute_calibrated(rows, w, keep_pct)
+
+
+def test_probe_calibrated_keeps_every_source_tail(spark):
+    """The calibration property itself: with one global threshold the
+    junk-heavy source would lose (or keep) everything; per-source
+    ranking keeps exactly ceil(60%) of EACH source."""
+    import collections
+    rows = _src_rows(63)
+    kept = P.probe_calibrated_keep(_sdf(spark, rows), keep_pct=60).collect()
+    per_src_total = collections.Counter(
+        (s or "") for _, _, s in rows)
+    per_src_kept = collections.Counter(r["source"] for r in kept)
+    for src, n in per_src_total.items():
+        assert per_src_kept[src] == (n * 60 + 99) // 100, src
+
+
+def test_probe_calibrated_plan_broadcasts_cutoffs(spark):
+    """The cutoff table joins back as a broadcast (never a shuffled
+    sort-merge join of the corpus against per-source cutoffs)."""
+    df = _sdf(spark, _src_rows(30))
+    w = [1, 2, 3, 4, 5, 6, 7]
+    plan = P.probe_calibrated_keep(df, weights=w) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_probe_calibrated_keep_pct_validates(spark):
+    with pytest.raises(ValueError, match="keep_pct"):
+        P.probe_calibrated_keep(_sdf(spark, _src_rows(9)), keep_pct=101)
