@@ -50,6 +50,7 @@ HEADLINE = (
     "bpe_merge_candidates", "bpe_merges", "bpe_fertility",
     "lm_perplexity_buckets", "doc_length_profile",
     "duplicate_spans", "stratified_sample", "chunk_documents",
+    "alpha_mixture_rates", "alpha_sample",
     "hll_source_cardinality", "bloom_dedup_census", "cms_source_counts",
     "token_postings", "tfidf_top_terms",
     "bm25_search", "bm25_weighted", "phrase_kwic",

@@ -348,6 +348,63 @@ def stratified_sample(df: DataFrame, rates_per_mille: dict,
             .drop("_pm"))
 
 
+def alpha_sampling_rates(df: DataFrame, alpha: float = 0.5,
+                         source_col: str = "source") -> DataFrame:
+    """Acceptance rates for temperature-based source rebalancing
+    (the mT5/XLM-R alpha-sampling mixture, Xue et al. 2021 §3.1 /
+    Conneau et al. 2020 §3): target distribution q_s ∝ n_s^alpha, hit
+    by pure downsampling with keep rate r_s = (n_min / n_s)^(1-alpha)
+    — the smallest source keeps everything, larger sources shed their
+    excess mass. Returns (source, n_docs, keep_threshold) where
+    ``keep_threshold = floor(r_s * 2^32)`` gates a 32-bit md5 fraction.
+
+    Cross-engine exactness: ``n_min/n_s`` (IEEE division) and ``sqrt``
+    (alpha = 0.5, the usual temperature) are correctly-rounded ops, and
+    scaling by 2^32 is exact (power of two), so the integer threshold
+    is bit-identical in every engine. Other alphas go through ``pow``,
+    which libms only guarantee to 1 ulp — documented hazard, keep the
+    contract surface on 0.5.
+
+    Scale shape: one map-side-combined groupBy(source) census, a 1-row
+    min aggregate broadcast-crossed back — no corpus shuffle, no
+    driver round-trip."""
+    counts = df.groupBy(F.coalesce(F.col(source_col), F.lit(""))
+                        .alias("source")) \
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    nmin = counts.agg(F.min("n_docs").alias("_nmin"))
+    ratio = (F.col("_nmin").cast("double")
+             / F.col("n_docs").cast("double"))
+    rate = F.sqrt(ratio) if alpha == 0.5 \
+        else F.pow(ratio, F.lit(1.0 - alpha))
+    return (counts.crossJoin(F.broadcast(nmin))
+            .select("source", "n_docs",
+                    F.floor(rate * F.lit(4294967296.0))
+                    .cast("long").alias("keep_threshold")))
+
+
+def alpha_sample(df: DataFrame, alpha: float = 0.5,
+                 id_col: str = "doc_id",
+                 source_col: str = "source") -> DataFrame:
+    """Apply alpha-sampling: keep a row iff its 32-bit md5 fraction is
+    below its source's acceptance threshold. No RNG — the same rows
+    survive under any partitioning, rerun or engine (same discipline
+    as ``stratified_sample``, but the rates are COMPUTED from the
+    corpus instead of supplied). Returns (doc_id, source).
+
+    Scale shape: the rates table (one row per source) broadcasts onto
+    the scan; the md5 gate is a narrow JVM projection — at 10^12 rows
+    this is one census plus one map-side pass."""
+    rates = alpha_sampling_rates(df, alpha=alpha, source_col=source_col)
+    h32 = F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.coalesce(F.col(source_col), F.lit(""))
+                      .alias("source"))
+            .join(F.broadcast(rates), "source")
+            .filter(h32 < F.col("keep_threshold"))
+            .select("doc_id", "source"))
+
+
 def curation_verdicts(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       lang_col: str | None = "lang",

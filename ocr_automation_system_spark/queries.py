@@ -1168,6 +1168,50 @@ WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
 """
 
 
+def q_alpha_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (alpha=0.5) acceptance rates per language — the
+    mT5/XLM-R mixture computed FROM the corpus census rather than handed
+    in. The synthetic corpus is en-heavy, so en sheds mass while the
+    smallest language keeps everything. One map-side census + a 1-row
+    broadcast; no corpus shuffle."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.alpha_sampling_rates(docs, alpha=0.5, source_col="lang")
+
+
+SQL_ALPHA_MIXTURE_RATES = """
+WITH counts AS (
+  SELECT coalesce(lang, '') AS source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs,
+       CAST(floor(sqrt(CAST((SELECT min(n_docs) FROM counts) AS DOUBLE)
+                       / CAST(n_docs AS DOUBLE)) * 4294967296.0)
+            AS BIGINT) AS keep_threshold
+FROM counts
+"""
+
+
+def q_alpha_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the alpha=0.5 language rebalancing: deterministic md5-gate
+    downsampling toward q_s ∝ n_s^0.5. Rates dim broadcasts onto the
+    scan — at 10^12 rows this is one census plus one narrow pass."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.alpha_sample(docs, alpha=0.5, source_col="lang")
+
+
+SQL_ALPHA_SAMPLE = f"""
+WITH rates AS ({SQL_ALPHA_MIXTURE_RATES})
+SELECT d.doc_id, coalesce(d.lang, '') AS source
+FROM documents d JOIN rates r ON coalesce(d.lang, '') = r.source
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) < r.keep_threshold
+"""
+
+
 CHUNK_TOKENS, CHUNK_OVERLAP = 64, 8
 
 
@@ -3382,6 +3426,8 @@ REGISTRY: dict = {
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "alpha_mixture_rates": (q_alpha_mixture_rates, SQL_ALPHA_MIXTURE_RATES),
+    "alpha_sample": (q_alpha_sample, SQL_ALPHA_SAMPLE),
     "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "domain_quota": (q_domain_quota, SQL_DOMAIN_QUOTA),

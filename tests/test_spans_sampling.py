@@ -92,6 +92,58 @@ def test_stratified_sample_is_map_side_only(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def _alpha_df(spark, sizes: dict):
+    rows, i = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, "t", src))
+            i += 1
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_alpha_rates_smallest_source_keeps_everything(spark):
+    from ocr_automation_system_spark.functions.curation import (
+        alpha_sample, alpha_sampling_rates,
+    )
+
+    df = _alpha_df(spark, {"small": 64, "big": 1024})
+    rates = {r["source"]: r for r in alpha_sampling_rates(df).collect()}
+    # r_small = (64/64)^0.5 = 1 -> threshold 2^32: every 32-bit md5
+    # fraction passes, the smallest source is untouched.
+    assert rates["small"]["keep_threshold"] == 2 ** 32
+    assert rates["small"]["n_docs"] == 64
+    # r_big = sqrt(64/1024) = 0.25 exactly (power of 4) -> 2^30.
+    assert rates["big"]["keep_threshold"] == 2 ** 30
+    kept = alpha_sample(df).groupBy("source").count().collect()
+    kept = {r["source"]: r["count"] for r in kept}
+    assert kept["small"] == 64
+    # md5 is uniform: expect ~256 of 1024; allow generous slack but pin
+    # that the mass moved toward n^alpha (would be 1024 without sampling)
+    assert 160 <= kept["big"] <= 360
+
+
+def test_alpha_sample_deterministic_under_repartition(spark):
+    from ocr_automation_system_spark.functions.curation import alpha_sample
+
+    df = _alpha_df(spark, {"a": 30, "b": 300})
+    one = {r["doc_id"] for r in alpha_sample(df).collect()}
+    two = {r["doc_id"]
+           for r in alpha_sample(df.repartition(13)).collect()}
+    assert one == two and one  # same survivors under any partitioning
+
+
+def test_alpha_sample_no_corpus_shuffle(spark):
+    from ocr_automation_system_spark.functions.curation import alpha_sample
+
+    df = _alpha_df(spark, {"a": 3, "b": 9})
+    plan = (alpha_sample(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the rates dim broadcasts; the corpus side must never hash-exchange
+    assert "BroadcastHashJoin" in plan
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_side
+
+
 def test_chunk_documents_coverage_and_overlap(spark):
     from ocr_automation_system_spark.functions.curation import (
         chunk_documents,
