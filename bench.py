@@ -43,7 +43,7 @@ HEADLINE = (
     "latest_capture", "snapshot_delta", "crawl_activity", "page_metadata",
     "pipeline_line_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile",
-    "host_pagerank", "host_trustrank", "host_components",
+    "host_pagerank", "host_trustrank", "host_hits", "host_components",
     "lm_quality_scores",
     "media_metadata", "media_resize", "media_frame_census", "media_census",
     "warc_roundtrip",

@@ -260,6 +260,83 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     return ranks
 
 
+_DEC = "decimal(38,0)"
+
+
+def hits(edges: DataFrame, iters: int = 2,
+         src_col: str = "src", dst_col: str = "dst",
+         broadcast_scores: bool = True,
+         persist_static: bool = True) -> DataFrame:
+    """Kleinberg HITS (hubs & authorities) over an edge list ->
+    (node, authority, hub) with both scores L1-normalized.
+
+    EXACT-INTEGER power iteration: with hub_0 = 1 everywhere and no
+    per-iteration normalization, every intermediate score is a count of
+    alternating link paths — held as DECIMAL(38,0), whose sums are
+    order-independent and exact. That removes the sorted-fold machinery
+    ``pagerank`` needs to keep double accumulation deterministic: any
+    partitioning, any engine, bit-identical scores. Normalization
+    happens ONCE at the end — two exact 1-row totals, then a single
+    correctly-rounded decimal->double cast + one IEEE division per
+    side, so the doubles are bit-identical cross-engine too.
+
+    Update order is the classic in-place sweep (Kleinberg 1999):
+    auth_k from hub_{k-1}, hub_k from the NEW auth_k.
+
+    Magnitude bound: path counts grow as degree^(2k); DECIMAL(38,0)
+    holds ~10^38, so with host out-degrees <= 10^6 the default
+    ``iters=2`` is safe past 10^12 docs (10^6^4 * 10^8 hosts = 10^32);
+    Spark's non-ANSI decimal sum returns NULL (not garbage) on
+    overflow, so a too-deep run surfaces as nulls, never wrong ranks.
+
+    Scale shape mirrors ``pagerank``: the score vector (one row per
+    HOST, not per page) broadcasts onto the edge list; each half-step
+    is one map-side-combinable groupBy. ``broadcast_scores=False``
+    switches to shuffle joins when the node table outgrows broadcast.
+    """
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    if persist_static:
+        e = e.persist()
+        nodes = nodes.persist()
+
+    def _bc(df):
+        return F.broadcast(df) if broadcast_scores else df
+
+    zero = F.lit(0).cast(_DEC)
+    hub = nodes.select("node", F.lit(1).cast(_DEC).alias("hub"))
+    auth = nodes.select("node", F.lit(1).cast(_DEC).alias("auth"))
+    for _ in range(iters):
+        hv = _bc(hub)
+        a_in = (e.join(hv, e["src"] == hv["node"])
+                .groupBy("dst")
+                .agg(F.sum("hub").cast(_DEC).alias("_a")))
+        auth = (nodes.join(_bc(a_in), nodes["node"] == a_in["dst"], "left")
+                .select("node",
+                        F.coalesce(F.col("_a"), zero).alias("auth")))
+        av = _bc(auth)
+        h_in = (e.join(av, e["dst"] == av["node"])
+                .groupBy("src")
+                .agg(F.sum("auth").cast(_DEC).alias("_h")))
+        hub = (nodes.join(_bc(h_in), nodes["node"] == h_in["src"], "left")
+               .select("node",
+                       F.coalesce(F.col("_h"), zero).alias("hub")))
+    ta = auth.agg(F.sum("auth").cast(_DEC).alias("_ta"))
+    th = hub.agg(F.sum("hub").cast(_DEC).alias("_th"))
+    return (auth.join(hub, "node")
+            .crossJoin(F.broadcast(ta))
+            .crossJoin(F.broadcast(th))
+            .select("node",
+                    (F.col("auth").cast("double")
+                     / F.col("_ta").cast("double")).alias("authority"),
+                    (F.col("hub").cast("double")
+                     / F.col("_th").cast("double")).alias("hub")))
+
+
 #: page-metadata patterns — RE2-compatible, shared verbatim with the twin.
 TITLE_RE = r"<title>([^<]*)</title>"
 SCRIPT_RE = r"<script"

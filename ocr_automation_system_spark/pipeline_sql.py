@@ -850,6 +850,48 @@ r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
 SELECT node AS host, rank FROM r3
 """
 
+def _sql_hits_iters(iters: int) -> str:
+    """Chained a{k}/h{k} CTEs for the exact-integer HITS iteration —
+    twin of ``links.hits``. HUGEINT (int128) carries the path counts
+    that Spark holds as DECIMAL(38,0); integer sums are
+    order-independent, so no ordered folds are needed."""
+    ctes = []
+    for k in range(1, iters + 1):
+        prev_hub = "h0" if k == 1 else f"h{k-1}"
+        ctes.append(
+            f"ai{k} AS (SELECT e.dst AS node, sum(h.hub) AS v\n"
+            f"        FROM edges e JOIN {prev_hub} h ON e.src = h.node"
+            " GROUP BY 1),\n"
+            f"a{k} AS (SELECT nodes.node,"
+            f" coalesce(ai{k}.v, CAST(0 AS HUGEINT)) AS auth\n"
+            f"        FROM nodes LEFT JOIN ai{k} USING (node)),\n"
+            f"hi{k} AS (SELECT e.src AS node, sum(a.auth) AS v\n"
+            f"        FROM edges e JOIN a{k} a ON e.dst = a.node"
+            " GROUP BY 1),\n"
+            f"h{k} AS (SELECT nodes.node,"
+            f" coalesce(hi{k}.v, CAST(0 AS HUGEINT)) AS hub\n"
+            f"        FROM nodes LEFT JOIN hi{k} USING (node))")
+    return ",\n".join(ctes)
+
+
+SQL_HOST_HITS = f"""
+WITH e0 AS (SELECT {_SQL_URL_PRE % 'url'} AS src, {_sql_outlink(9)} AS dst
+            FROM {CORPUS}
+            UNION ALL
+            SELECT {_SQL_URL_PRE % 'url'}, {_sql_outlink(17)} FROM {CORPUS}),
+edges AS (SELECT DISTINCT src, dst FROM e0),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, CAST(1 AS HUGEINT) AS hub FROM nodes),
+{_sql_hits_iters(2)},
+ta AS (SELECT sum(auth) AS t FROM a2),
+th AS (SELECT sum(hub) AS t FROM h2)
+SELECT a2.node AS host,
+       CAST(a2.auth AS DOUBLE) / CAST(ta.t AS DOUBLE) AS authority,
+       CAST(h2.hub AS DOUBLE) / CAST(th.t AS DOUBLE) AS hub
+FROM a2 JOIN h2 USING (node) CROSS JOIN ta CROSS JOIN th
+"""
+
+
 #: trusted seed hosts for the TrustRank contract query (two synthetic
 #: outlink hubs — shared verbatim between the Spark call and the twin).
 TRUST_SEEDS = ("https://host00.example.com", "https://host07.example.com")

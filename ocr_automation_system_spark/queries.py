@@ -2849,6 +2849,26 @@ def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select(F.col("node").alias("host"), "rank")
 
 
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration HITS hubs/authorities over the synthetic cross-host
+    graph — the link-spam/navigation-hub diagnostic published next to a
+    crawl's host rank. Exact-integer (DECIMAL) path-count iteration, so
+    scores are bit-identical to the HUGEINT DuckDB twin with no sorted
+    folds; one L1 normalization at the end."""
+    from .functions import links as L
+    from .functions.urlnorm import URL_PREFIX_RE
+
+    c = corpus_for(spark, sf_dir).select("url")
+    src = F.regexp_extract("url", URL_PREFIX_RE, 1)
+    e0 = (c.select(src.alias("src"),
+                   _synth_outlink(F.col("url"), 9).alias("dst"))
+          .unionByName(
+              c.select(src.alias("src"),
+                       _synth_outlink(F.col("url"), 17).alias("dst"))))
+    return (L.hits(e0, iters=2)
+            .select(F.col("node").alias("host"), "authority", "hub"))
+
+
 def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-shape filter features over the raw crawl (host, TLD, path
     depth, query params, digit-path flag, length) — the pre-fetch
@@ -3562,6 +3582,7 @@ REGISTRY: dict = {
     "anchor_text_profile": (q_anchor_text_profile, PSQL.SQL_ANCHOR_TEXT_PROFILE),
     "host_pagerank": (q_host_pagerank, PSQL.SQL_HOST_PAGERANK),
     "host_trustrank": (q_host_trustrank, PSQL.SQL_HOST_TRUSTRANK),
+    "host_hits": (q_host_hits, PSQL.SQL_HOST_HITS),
     "host_components": (q_host_components, PSQL.SQL_HOST_COMPONENTS),
     "url_features": (q_url_features, PSQL.SQL_URL_FEATURES),
     # WARC sink+source roundtrip (Common-Crawl wire format)
@@ -3582,7 +3603,7 @@ CORPUS_QUERIES: frozenset = frozenset(
 ) | frozenset({
     "url_canonicalize", "url_dup_groups", "latest_capture",
     "snapshot_delta", "crawl_activity", "page_metadata", "link_edges",
-    "host_link_graph", "host_pagerank", "host_trustrank",
+    "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",
     "anchor_text_profile", "warc_roundtrip", "host_components",
     "url_features",
 })

@@ -266,3 +266,48 @@ def test_trustrank_decays_with_distance_from_seeds(spark):
     import pytest
     with pytest.raises(ValueError):
         pagerank(df, seeds=[])
+
+
+def _hits(spark, edges, **kw):
+    from ocr_automation_system_spark.functions.links import hits
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: (r["authority"], r["hub"])
+            for r in hits(df, **kw).collect()}
+
+
+def test_hits_path_counts_by_hand(spark):
+    """a->c, b->c, c->d. Unnormalized integer path counts:
+
+    k=1: auth(c)=hub(a)+hub(b)=2, auth(d)=hub(c)=1;
+         hub(a)=hub(b)=auth(c)=2, hub(c)=auth(d)=1.
+    k=2: auth(c)=hub(a)+hub(b)=4, auth(d)=hub(c)=1;
+         hub(a)=hub(b)=4, hub(c)=1.
+    L1-normalized: authority c=4/5, d=1/5; hub a=b=4/9, c=1/9.
+    """
+    got = _hits(spark, [("a", "c"), ("b", "c"), ("c", "d")], iters=2)
+    assert got["c"] == (4 / 5, 1 / 9)
+    assert got["d"] == (1 / 5, 0.0)
+    assert got["a"] == (0.0, 4 / 9) and got["b"] == (0.0, 4 / 9)
+
+
+def test_hits_one_iteration_and_duplicate_edges_collapse(spark):
+    """iters=1 on the same graph, with a duplicated edge (the page->host
+    rollup produces multiplicities; HITS runs on the simple graph)."""
+    got = _hits(spark, [("a", "c"), ("a", "c"), ("b", "c"), ("c", "d")],
+                iters=1)
+    assert got["c"] == (2 / 3, 1 / 5)
+    assert got["d"] == (1 / 3, 0.0)
+    assert got["a"] == (0.0, 2 / 5)
+
+
+def test_hits_partitioning_invariant_bit_exact(spark):
+    """Integer path counts make the scores partition-invariant without
+    any ordered folds — repartition(1) vs (7) must be bitwise equal."""
+    from ocr_automation_system_spark.functions.links import hits
+
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(60)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    one = sorted(hits(df.repartition(1), iters=3).collect())
+    seven = sorted(hits(df.repartition(7), iters=3).collect())
+    assert one == seven
