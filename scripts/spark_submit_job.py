@@ -92,6 +92,12 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "PER HOST (keep each host's top (100-P)%% by "
                         "score) instead of one corpus-wide percentile "
                         "— the skew-proof form for mixed corpora")
+    p.add_argument("--alpha", type=float, default=None, metavar="A",
+                   help="temperature-rebalance the HOST mixture after "
+                        "the quota stage: downsample toward "
+                        "q_h ~ n_h^A (mT5/XLM-R alpha sampling; the "
+                        "smallest host keeps everything). Deterministic "
+                        "md5 gate - reruns keep the same rows")
     p.add_argument("--probe-weights", default="",
                    help="with --probe-drop-pct: path of the persisted "
                         "probe weight artifact — warm-start the fit "
@@ -148,7 +154,8 @@ def main(argv=None, stop_session: bool = True) -> int:
                token_budget=args.token_budget,
                probe_drop_pct=args.probe_drop_pct,
                probe_per_source=args.probe_per_source,
-               probe_weights_path=args.probe_weights)
+               probe_weights_path=args.probe_weights,
+               alpha=args.alpha)
 
     summary = lineage_summary(args.output, args.n_buckets)
     print(f"done: {summary['total_rows']} docs across "
@@ -165,7 +172,8 @@ def curate(spark, results, output: str, quota: int = 1000,
            semdedup: bool = False, wet_files: int = 0,
            token_budget: int = 0, probe_drop_pct: int = 0,
            probe_per_source: bool = False,
-           probe_weights_path: str = "") -> None:
+           probe_weights_path: str = "",
+           alpha: float | None = None) -> None:
     """Committed extractions -> curated training corpus.
 
     Chain (each stage a documented survivor count): usable docs only ->
@@ -181,7 +189,10 @@ def curate(spark, results, output: str, quota: int = 1000,
     near-dup dedup. ``token_budget`` > 0 caps each host's contribution
     at that many tokens, best-quality-first
     (``curation.token_budget_sample``) — the training-mix composition
-    step, applied after the quota stage."""
+    step, applied after the quota stage. ``alpha`` (not None) inserts
+    temperature-based host-mixture rebalancing after the quota
+    (``curation.alpha_sample``): downsample toward q_h ∝ n_h^alpha with
+    rates computed from the surviving census."""
     from pyspark.sql import functions as F
 
     from ocr_automation_system_spark.functions import curation as C
@@ -288,6 +299,17 @@ def curate(spark, results, output: str, quota: int = 1000,
         deduped.join(quota_kept.select("doc_id", "quality"), "doc_id")
     )
     counts["after_domain_quota"] = curated.count()
+
+    if alpha is not None:
+        # temperature-based host-mixture rebalancing (mT5/XLM-R alpha
+        # sampling) after the per-host quality quota: rates computed
+        # from the surviving census, applied as a deterministic md5
+        # gate — same survivors on any rerun/partitioning
+        sel = C.alpha_sample(curated, alpha=alpha, id_col="doc_id",
+                             source_col="host")
+        curated = curated.join(sel.select("doc_id"), "doc_id",
+                               "left_semi")
+        counts["after_alpha_sample"] = curated.count()
 
     if token_budget:
         sel = C.token_budget_sample(curated, token_budget,

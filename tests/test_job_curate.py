@@ -211,3 +211,22 @@ def test_curate_probe_per_source_and_weights_artifact(spark, tmp_path):
     assert counts2["after_probe_filter"] == counts["after_probe_filter"]
     w2 = read_probe_weights(spark, wpath)
     assert len(w2) == PROBE_DIM and w2 != w1  # the refit really resumed
+
+
+def test_curate_alpha_sample_stage(spark, tmp_path):
+    """--alpha rebalances the host mixture after the quota stage: the
+    smallest surviving host keeps everything, larger hosts shed mass
+    toward n^alpha; deterministic across reruns (md5 gate, no RNG)."""
+    out = str(tmp_path / "jobalpha")
+    args = ["--synthetic", "400", "--output", out, "--curate",
+            "--alpha", "0.5"]
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert 0 < counts["after_alpha_sample"] <= counts["after_domain_quota"]
+    cur = spark.read.parquet(os.path.join(out, "curated"))
+    assert cur.count() == counts["after_alpha_sample"]
+    first = sorted(map(tuple, cur.select("doc_id").collect()))
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    again = spark.read.parquet(os.path.join(out, "curated"))
+    assert sorted(map(tuple, again.select("doc_id").collect())) == first
