@@ -28,8 +28,11 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import MINHASH_P, clean_text, content_hash, shingles, ws_tokens
-from .util import ensure_parallelism
+from .text import (
+    MINHASH_P, clean_text, content_hash, shingle_hashes, shingles,
+    ws_tokens,
+)
+from .util import drop_overcap_keys, ensure_parallelism
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -370,6 +373,69 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return j
 
 
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.5,
+                      max_docs_per_shingle: int = 64,
+                      persist_survivors: bool = True) -> DataFrame:
+    """One-sided near-containment pairs (Broder 1997's containment
+    c(A,B) = |S(A)∩S(B)| / |S(A)| — the quote/subset signal): pairs
+    where either doc's shingle set is >= ``threshold`` covered by the
+    other's. Returns (doc_a, doc_b, common, size_a, size_b,
+    containment_a_in_b, containment_b_in_a).
+
+    Why this is a separate operator from the Jaccard ladder: resemblance
+    LSH MISSES asymmetric overlap by design — a paragraph quoted inside
+    a book has Jaccard ≈ |A|/|B| ≈ 0, so no band ever collides.
+    Candidate generation here is the exact shared-shingle equi-join of
+    ``duplicate_spans``: any pair with c >= threshold shares >= 1
+    shingle, so recall is exact over the surviving shingle vocabulary.
+
+    The occupancy cap censors shingles present in more than
+    ``max_docs_per_shingle`` docs (boilerplate n-grams — the skew AND
+    the noise), and both the intersection and the sizes are computed
+    over that SURVIVING vocabulary, so the ratio stays self-consistent:
+    c = coverage of A's discriminative shingles. A doc made entirely of
+    boilerplate has no surviving shingles and appears in no pair.
+
+    Scale shape: one shingle census (map-side combinable groupBy) +
+    broadcast anti-join for the cap, one self-equi-join keyed by the
+    8-byte shingle hash (bounded buckets by construction), two hash
+    aggs; never all-pairs, nothing driver-side. Determinism: counts are
+    exact integers; each containment is a single correctly-rounded
+    division — bit-identical in any engine/partitioning."""
+    sh = (ensure_parallelism(df)
+          .select(F.col(id_col).alias("_doc"),
+                  F.explode(shingle_hashes(
+                      shingles(F.col(text_col), n))).alias("_h")))
+    surv = drop_overcap_keys(sh, "_h", max_docs_per_shingle)
+    if persist_survivors:
+        # read 3x (sizes + both self-join sides); survivors are the
+        # non-boilerplate shingle stream — at cluster scale write them
+        # bucketed by hash instead (the duplicate_spans convention)
+        surv = surv.persist()
+    sizes = surv.groupBy("_doc").agg(F.count(F.lit(1)).alias("_sz"))
+    a, b = surv.alias("a"), surv.alias("b")
+    common = (a.join(b, "_h")
+              .filter(F.col("a._doc") < F.col("b._doc"))
+              .groupBy(F.col("a._doc").alias("doc_a"),
+                       F.col("b._doc").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("common")))
+    c_ab = F.col("common").cast("double") / F.col("size_a").cast("double")
+    c_ba = F.col("common").cast("double") / F.col("size_b").cast("double")
+    return (common
+            .join(sizes.select(F.col("_doc").alias("doc_a"),
+                               F.col("_sz").alias("size_a")), "doc_a")
+            .join(sizes.select(F.col("_doc").alias("doc_b"),
+                               F.col("_sz").alias("size_b")), "doc_b")
+            .select("doc_a", "doc_b", "common", "size_a", "size_b",
+                    c_ab.alias("containment_a_in_b"),
+                    c_ba.alias("containment_b_in_a"))
+            .filter(F.greatest(F.col("containment_a_in_b"),
+                               F.col("containment_b_in_a"))
+                    >= F.lit(float(threshold))))
+
+
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b", max_iter: int = 50,
                          collect_threshold: int = 1_000_000,
@@ -654,8 +720,6 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     sigs = st.select("sim_hi", "sim_lo").distinct()
     blocks = simhash_blocks(sigs)
     if max_bucket is not None:
-        from .util import drop_overcap_keys
-
         # aggregate + broadcast anti-join (see util.drop_overcap_keys):
         # the over-full block is dropped map-side, never co-located.
         blocks = drop_overcap_keys(blocks, ["block", "block_val"],

@@ -1366,6 +1366,45 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jp
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided near-containment (quote/subset) pairs — the asymmetric
+    overlap resemblance-LSH misses by design. Shared-shingle equi-join
+    candidates (occupancy-capped, exact recall over the surviving
+    vocabulary) + integer-count coverage ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, threshold=0.5)
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_transform({_SQL_SH},
+      s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS h
+  FROM documents
+),
+surv AS MATERIALIZED (
+  SELECT doc_id, h FROM sh
+  WHERE h NOT IN (SELECT h FROM sh GROUP BY h HAVING count(*) > 64)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+          FROM surv GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS common
+  FROM surv a JOIN surv b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.common, sa.sz AS size_a, sb.sz AS size_b,
+       CAST(c.common AS DOUBLE) / CAST(sa.sz AS DOUBLE)
+         AS containment_a_in_b,
+       CAST(c.common AS DOUBLE) / CAST(sb.sz AS DOUBLE)
+         AS containment_b_in_a
+FROM common c JOIN sizes sa ON c.doc_a = sa.doc_id
+              JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE greatest(CAST(c.common AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+               CAST(c.common AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.5
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The monthly-crawl pattern: even doc_ids play the INDEXED corpus
     (band table + shingle store written once as a parquet artifact,
@@ -3490,6 +3529,7 @@ REGISTRY: dict = {
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "minhash_recall_sample": (q_minhash_recall_sample,
                               SQL_MINHASH_RECALL_SAMPLE),

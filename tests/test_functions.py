@@ -791,3 +791,43 @@ def test_occupancy_caps_never_window_on_the_capped_key(spark, vecs):
              ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan2
     assert "LeftAnti" in plan2 and "BroadcastHashJoin" in plan2
+
+
+def test_containment_detects_quote_inside_long_doc(spark):
+    """A short passage quoted verbatim inside a much longer document:
+    Jaccard is tiny (the resemblance ladder misses it by design), but
+    containment of the short doc is ~1."""
+    quote = " ".join(f"q{i}" for i in range(12))
+    book = " ".join(f"b{i}" for i in range(200)) + " " + quote \
+        + " " + " ".join(f"c{i}" for i in range(200))
+    rows = [(1, quote), (2, book),
+            (3, " ".join(f"z{i}" for i in range(30)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r
+           for r in D.containment_pairs(df, threshold=0.5).collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    # all 10 of the quote's 3-shingles appear in the book
+    assert r["size_a"] == 10 and r["common"] == 10
+    assert r["containment_a_in_b"] == 1.0
+    assert r["containment_b_in_a"] < 0.05
+    # the symmetric ladder scores this pair near zero
+    jac = {(p["doc_a"], p["doc_b"]): p["jaccard"]
+           for p in D.ngram_jaccard_pairs(df).collect()}
+    assert jac.get((1, 2), 0.0) < 0.05
+
+
+def test_containment_cap_censors_boilerplate_vocabulary(spark):
+    """A nav-chrome shingle shared by 70 docs is over the cap: it joins
+    nothing and is excluded from the size denominators, so pure-chrome
+    docs appear in no pair while a genuine quote still scores 1."""
+    chrome = " ".join(f"nav{i}" for i in range(10))
+    quote = " ".join(f"q{i}" for i in range(10))
+    rows = [(i, chrome) for i in range(70)]
+    rows += [(100, quote), (101, quote + " unique tail here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r
+           for r in D.containment_pairs(df, threshold=0.9,
+                                        max_docs_per_shingle=64).collect()}
+    assert set(got) == {(100, 101)}
+    assert got[(100, 101)]["containment_a_in_b"] == 1.0
