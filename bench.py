@@ -41,7 +41,8 @@ HEADLINE = (
     "pack_bins", "benchmark_contamination", "domain_quota",
     "pii_scrub", "repetition_scores", "source_blocklist",
     "url_dup_groups", "url_canonicalize", "url_features",
-    "latest_capture", "snapshot_delta", "crawl_activity", "page_metadata",
+    "latest_capture", "snapshot_delta", "content_drift", "crawl_activity",
+    "page_metadata",
     "pipeline_line_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",

@@ -79,3 +79,50 @@ def host_change_rates(delta: DataFrame) -> DataFrame:
         F.when(both > 0,
                F.col("n_changed").cast("double") / both.cast("double"))
         .otherwise(F.lit(0.0)))
+
+
+def content_drift(old: DataFrame, new: DataFrame, id_col: str = "url",
+                  text_col: str = "text",
+                  cosmetic_bits: int = 3) -> DataFrame:
+    """GRADED change detection between two captures of the same key:
+    (key, hamming, drift) with drift in {identical, cosmetic, drifted}.
+
+    ``snapshot_delta``'s byte-hash answer is binary — a copyright-year
+    tick and a full rewrite both read "changed". The recrawl scheduler
+    needs the grade: 64-bit SimHash Hamming distance between the two
+    captures' texts flips ~0-``cosmetic_bits`` bits for chrome/date
+    noise (skip re-extraction, keep the old text) and ~half the bits
+    for a real rewrite (re-extract + invalidate). Inner join — only
+    keys present in both snapshots are gradable (``snapshot_delta``
+    already names the added/removed sets).
+
+    Scale shape: one signature table per side (simhash_table's single
+    wide map-side-combined aggregate each) + one equi-join on the key;
+    the popcount grade is a codegen row expression. At production scale
+    the signature column PERSISTS with each snapshot (it is the same
+    signature the near-dup tier stores), so per crawl only the join
+    runs. Exact integer votes end-to-end — bit-identical cross-engine.
+    """
+    from .dedup import simhash_table
+
+    def _sig(df, ha, lo):
+        # NULL captures sign as '' (the canonical all-zero signature)
+        # rather than silently dropping the key from the grade
+        src = df.select(F.col(id_col),
+                        F.coalesce(F.col(text_col), F.lit(""))
+                        .alias(text_col))
+        return (simhash_table(src, id_col=id_col, text_col=text_col)
+                .select(F.col("doc_id").alias("_k"),
+                        F.col("sim_hi").alias(ha),
+                        F.col("sim_lo").alias(lo)))
+
+    a = _sig(old, "_hi_a", "_lo_a")
+    b = _sig(new, "_hi_b", "_lo_b")
+    ham = (F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
+           + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b"))))
+    return (a.join(b, "_k")
+            .select(F.col("_k").alias(id_col),
+                    ham.cast("int").alias("hamming"),
+                    F.when(ham == 0, F.lit("identical"))
+                    .when(ham <= cosmetic_bits, F.lit("cosmetic"))
+                    .otherwise(F.lit("drifted")).alias("drift")))

@@ -124,22 +124,27 @@ def _sql_simhash_pack(prefix: str) -> str:
     return f"({terms})"
 
 
-def _sql_simhash_ctes(toks: str) -> str:
-    """CTE chain (no WITH keyword) ending in ``st(doc_id, sim_hi, sim_lo)``
-    — the relational twin of dedup.simhash_table's explode->aggregate
-    shape, including the all-zero signature for token-less docs."""
-    return f"""base AS MATERIALIZED (
-  SELECT doc_id, list_distinct({toks}) AS toks FROM documents),
-tok AS (SELECT doc_id, unnest(toks) AS t FROM base),
-hh AS (SELECT doc_id,
+def _sql_simhash_ctes(toks: str, table: str = "documents",
+                      sfx: str = "") -> str:
+    """CTE chain (no WITH keyword) ending in ``st{sfx}(doc_id, sim_hi,
+    sim_lo)`` — the relational twin of dedup.simhash_table's
+    explode->aggregate shape, including the all-zero signature for
+    token-less docs. ``table``/``sfx`` let one query instantiate the
+    chain twice (the content-drift twin signs both captures)."""
+    return f"""base{sfx} AS MATERIALIZED (
+  SELECT doc_id, list_distinct({toks}) AS toks FROM {table}),
+tok{sfx} AS (SELECT doc_id, unnest(toks) AS t FROM base{sfx}),
+hh{sfx} AS (SELECT doc_id,
          CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h1,
-         CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS h2 FROM tok),
-v AS (SELECT doc_id, {_sql_simhash_sums()} FROM hh GROUP BY doc_id),
-st AS (SELECT doc_id, {_sql_simhash_pack('b')} AS sim_hi,
-              {_sql_simhash_pack('c')} AS sim_lo FROM v
+         CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS h2
+       FROM tok{sfx}),
+v{sfx} AS (SELECT doc_id, {_sql_simhash_sums()}
+       FROM hh{sfx} GROUP BY doc_id),
+st{sfx} AS (SELECT doc_id, {_sql_simhash_pack('b')} AS sim_hi,
+              {_sql_simhash_pack('c')} AS sim_lo FROM v{sfx}
        UNION ALL
        SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-       FROM base WHERE len(toks) = 0)"""
+       FROM base{sfx} WHERE len(toks) = 0)"""
 
 
 _EXACT_SUM = "CAST(sum(CAST({col} AS DECIMAL(20,8))) AS DOUBLE)"
@@ -3109,6 +3114,50 @@ def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.host_change_rates(D.snapshot_delta(c, recrawl))
 
 
+def q_content_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded recrawl change detection: SimHash Hamming distance between
+    each document and its deterministic recrawl (doc_id%3==0 gains a
+    4-token policy footer -> cosmetic; %3==2 is vowel-rotated -> drifted;
+    %3==1 unchanged -> identical). Exact integer votes end-to-end; two
+    wide map-side aggs + one key join (functions/delta.py)."""
+    from .functions import delta as DL
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 3
+    recrawl = docs.select(
+        "doc_id",
+        F.when(m == 0, F.concat(F.col("text"),
+                                F.lit(" policy update effective 2026")))
+        .when(m == 2, F.translate(F.col("text"), "aeiou", "xyzwv"))
+        .otherwise(F.col("text")).alias("text"))
+    return DL.content_drift(docs, recrawl, id_col="doc_id",
+                            text_col="text")
+
+
+SQL_CONTENT_DRIFT = f"""
+WITH caps1 AS MATERIALIZED (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents),
+caps2 AS MATERIALIZED (
+  SELECT doc_id,
+         coalesce(CASE WHEN doc_id % 3 = 0
+                THEN text || ' policy update effective 2026'
+              WHEN doc_id % 3 = 2 THEN translate(text, 'aeiou', 'xyzwv')
+              ELSE text END, '') AS text
+  FROM documents),
+{_sql_simhash_ctes(_SQL_CLEAN_TOKS, table='caps1')},
+{_sql_simhash_ctes(_SQL_CLEAN_TOKS, table='caps2', sfx='2')}
+SELECT a.doc_id,
+       CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+            + bit_count(xor(a.sim_lo, b.sim_lo)) AS INTEGER) AS hamming,
+       CASE WHEN bit_count(xor(a.sim_hi, b.sim_hi))
+                 + bit_count(xor(a.sim_lo, b.sim_lo)) = 0 THEN 'identical'
+            WHEN bit_count(xor(a.sim_hi, b.sim_hi))
+                 + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3 THEN 'cosmetic'
+            ELSE 'drifted' END AS drift
+FROM st a JOIN st2 b ON a.doc_id = b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sketches (deterministic HLL / Bloom census) + inverted index / TF-IDF
 # ---------------------------------------------------------------------------
@@ -3614,6 +3663,7 @@ REGISTRY: dict = {
     "url_dup_groups": (q_url_dup_groups, PSQL.SQL_URL_DUP_GROUPS),
     "latest_capture": (q_latest_capture, PSQL.SQL_LATEST_CAPTURE),
     "snapshot_delta": (q_snapshot_delta, PSQL.SQL_SNAPSHOT_DELTA),
+    "content_drift": (q_content_drift, SQL_CONTENT_DRIFT),
     "crawl_activity": (q_crawl_activity, PSQL.SQL_CRAWL_ACTIVITY),
     "page_metadata": (q_page_metadata, PSQL.SQL_PAGE_METADATA),
     # link graph: anchors from raw html, host graph, iterative PageRank

@@ -66,3 +66,28 @@ def test_host_change_rates_rollup(spark):
     # no URL present in both snapshots -> rate defined as 0.0, not NaN
     assert (b["n_added"], b["n_removed"]) == (1, 1)
     assert b["change_rate"] == 0.0
+
+
+def test_content_drift_grades(spark):
+    """identical / cosmetic / drifted grading: unchanged text -> 0 bits;
+    a short appended footer flips few bits; a rewrite flips many."""
+    from ocr_automation_system_spark.functions.delta import content_drift
+
+    base = " ".join(f"w{i}" for i in range(120))
+    old_rows = [("u1", base), ("u2", base), ("u3", base),
+                ("u4", None), ("only_old", base)]
+    new_rows = [("u1", base),
+                ("u2", base + " tiny footer"),
+                ("u3", " ".join(f"z{i}" for i in range(120))),
+                ("u4", None), ("only_new", base)]
+    old = spark.createDataFrame(old_rows, "url string, text string")
+    new = spark.createDataFrame(new_rows, "url string, text string")
+    got = {r["url"]: r for r in content_drift(old, new).collect()}
+    # inner join: singletons don't grade
+    assert set(got) == {"u1", "u2", "u3", "u4"}
+    assert got["u1"]["drift"] == "identical" and got["u1"]["hamming"] == 0
+    assert got["u2"]["drift"] == "cosmetic"
+    assert 0 < got["u2"]["hamming"] <= 3
+    assert got["u3"]["drift"] == "drifted" and got["u3"]["hamming"] > 10
+    # token-less on both sides: canonical all-zero signatures -> identical
+    assert got["u4"]["drift"] == "identical"
