@@ -50,7 +50,7 @@ HEADLINE = (
     "media_metadata", "media_resize", "media_frame_census", "media_census",
     "warc_roundtrip",
     "bpe_merge_candidates", "bpe_merges", "bpe_fertility",
-    "lm_perplexity_buckets", "doc_length_profile",
+    "lm_perplexity_buckets", "bigram_backoff_scores", "doc_length_profile",
     "duplicate_spans", "stratified_sample", "chunk_documents",
     "alpha_mixture_rates", "alpha_sample",
     "hll_source_cardinality", "bloom_dedup_census", "cms_source_counts",

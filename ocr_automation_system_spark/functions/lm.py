@@ -120,6 +120,101 @@ def lm_score(df: DataFrame, model: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _bigram_structs(text: Column) -> Column:
+    """Positional (w1, w2) adjacent-pair structs over the LM token
+    stream (codegen-safe: lazy_seq + bind_array via positional_grams)."""
+    from .text import positional_grams
+
+    return positional_grams(
+        tokens_lower(text), 2,
+        lambda s: F.struct(F.element_at(s, 1).alias("w1"),
+                           F.element_at(s, 2).alias("w2")))
+
+
+def bigram_census(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w1, w2, n12) — the bigram model table. Same shape as the unigram
+    census: one map-side-combined groupBy over the exploded pair stream;
+    at web scale the table is ~10^10 rows — keep it bucketed by (w1,w2),
+    never broadcast (the ``broadcast_model`` knob is for test scale)."""
+    bg = df.select(F.explode(_bigram_structs(F.col(text_col))).alias("b"))
+    return (bg.groupBy(F.col("b.w1").alias("w1"),
+                       F.col("b.w2").alias("w2"))
+            .agg(F.count(F.lit(1)).alias("n12")))
+
+
+def stupid_backoff_score(df: DataFrame, unigrams: DataFrame,
+                         bigrams: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", alpha: float = 0.4,
+                         broadcast_model: bool = True) -> DataFrame:
+    """Per-document bigram fluency against a trained reference model —
+    Brants et al. 2007's stupid backoff, the KenLM-shaped upgrade of
+    ``lm_score``'s unigram statistics:
+
+        S(w2|w1) = n12 / n1           when the model saw the bigram
+                 = alpha * p(w2)      otherwise (0.4, the published const)
+
+    (denominator = the model's unigram count of w1 — the standard
+    corpus approximation of the prefix count). Returns
+    (id, n_bigrams, mean_bigram_s, backoff_frac): fluent prose on
+    in-model vocabulary scores high conditional mass; word-salad or
+    out-of-domain text backs off constantly (backoff_frac -> 1) and its
+    mean collapses toward alpha * unigram mass. Scores stay RATIONAL —
+    every S is one or two correctly-rounded double ops, folded in
+    position order — so the DuckDB twin matches bit-for-bit (same
+    discipline as ``lm_score``; no ``ln`` in the contract surface).
+
+    Scale shape: the pair stream left-joins the bigram table on
+    (w1, w2) and the unigram table twice (w1 denominator, w2 backoff);
+    with ``broadcast_model=False`` those are shuffle joins against the
+    bucketed model tables — stopword-hot keys spread over the hash
+    space with AQE skew handling; the per-doc fold groups on the
+    uniform id. Empty/one-token docs: n_bigrams=0, mean 0.0, frac 0.0.
+    """
+    bg = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_bigram_structs(F.col(text_col)))
+        .alias("_pos", "b"))
+    bg = bg.select("_id", "_pos",
+                   F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bm = bigrams.select("w1", "w2", "n12")
+    u1 = unigrams.select(F.col("token").alias("w1"),
+                         F.col("n").alias("_n1"))
+    u2 = unigrams.select(F.col("token").alias("w2"),
+                         F.col("p").alias("_p2"))
+    if broadcast_model:
+        bm, u1, u2 = F.broadcast(bm), F.broadcast(u1), F.broadcast(u2)
+    s = F.when(F.col("n12").isNotNull(),
+               F.col("n12").cast("double") / F.col("_n1").cast("double")) \
+        .otherwise(F.lit(float(alpha))
+                   * F.coalesce(F.col("_p2"), F.lit(0.0)))
+    scored = (bg.join(bm, ["w1", "w2"], "left")
+              .join(u1, "w1", "left")
+              .join(u2, "w2", "left")
+              .select("_id", "_pos", s.alias("_s"),
+                      F.when(F.col("n12").isNull(), 1).otherwise(0)
+                      .alias("_backed")))
+    agg = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(F.array_sort(F.collect_list(F.struct("_pos", "_s"))),
+                    F.lit(0.0), lambda acc, x: acc + x["_s"])
+        .alias("_sum_s"),
+        F.sum("_backed").alias("_n_back"))
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.when(F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                   F.col("_sum_s") / F.col("n_bigrams").cast("double"))
+            .otherwise(F.lit(0.0)).alias("mean_bigram_s"),
+            F.when(F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                   F.col("_n_back").cast("double")
+                   / F.col("n_bigrams").cast("double"))
+            .otherwise(F.lit(0.0)).alias("backoff_frac")))
+
+
 def bpe_pair_counts(df: DataFrame, text_col: str = "text",
                     k: int = 50) -> DataFrame:
     """One BPE merge round's candidate table: the census of adjacent

@@ -3492,6 +3492,75 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 SQL_IMPORTANCE_WEIGHTS = _sql_dsir()
 
 
+def q_bigram_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram fluency (Brants 2007): model (unigram +
+    bigram censuses) trained on the even-doc_id reference half, every
+    document scored against it — the CCNet trusted-corpus-vs-crawl
+    shape, which also exercises the backoff path on the odd half."""
+    from .functions import lm as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    return LM.stupid_backoff_score(docs, LM.token_census(ref),
+                                   LM.bigram_census(ref))
+
+
+def _sql_bigram_backoff() -> str:
+    from .functions.lm import TOKEN_RE
+
+    tk = f"regexp_extract_all(lower(coalesce(text, '')), '{TOKEN_RE}')"
+    return f"""
+WITH ref AS MATERIALIZED (SELECT doc_id, text FROM documents
+                          WHERE doc_id % 2 = 0),
+uni AS MATERIALIZED (
+  SELECT token, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({tk}) AS token FROM ref) GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM uni),
+refbg AS (
+  SELECT b.w1, b.w2, CAST(count(*) AS BIGINT) AS n12
+  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+          i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+        FROM (SELECT {tk} AS tk FROM ref) WHERE len(tk) >= 2)
+  GROUP BY 1, 2),
+bgf AS (
+  SELECT doc_id, b.pos AS pos, b.w1 AS w1, b.w2 AS w2
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+          i -> struct_pack(pos := i, w1 := tk[i], w2 := tk[i+1]))) AS b
+        FROM (SELECT doc_id, {tk} AS tk FROM documents)
+        WHERE len(tk) >= 2)),
+scored AS (
+  SELECT f.doc_id, f.pos,
+         CASE WHEN g.n12 IS NOT NULL
+              THEN CAST(g.n12 AS DOUBLE) / CAST(u1.n AS DOUBLE)
+              ELSE 0.4 * coalesce(CAST(u2.n AS DOUBLE)
+                                  / CAST(tot.t AS DOUBLE), 0.0) END AS s,
+         CASE WHEN g.n12 IS NULL THEN 1 ELSE 0 END AS backed
+  FROM bgf f
+  LEFT JOIN refbg g ON f.w1 = g.w1 AND f.w2 = g.w2
+  LEFT JOIN uni u1 ON f.w1 = u1.token
+  LEFT JOIN uni u2 ON f.w2 = u2.token
+  CROSS JOIN tot),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(s ORDER BY pos)),
+                     (a, b) -> a + b) AS sum_s,
+         CAST(sum(backed) AS BIGINT) AS n_back
+  FROM scored GROUP BY 1)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       CASE WHEN coalesce(a.n_bigrams, 0) > 0
+            THEN a.sum_s / CAST(a.n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS mean_bigram_s,
+       CASE WHEN coalesce(a.n_bigrams, 0) > 0
+            THEN CAST(a.n_back AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS backoff_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+SQL_BIGRAM_BACKOFF_SCORES = _sql_bigram_backoff()
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 salient terms per document by rational TF-IDF
     (score = tf * N / df — transcendental-free; see functions/index.py
@@ -3552,6 +3621,8 @@ REGISTRY: dict = {
     "lm_quality_scores": (q_lm_quality_scores, SQL_LM_QUALITY_SCORES),
     "lm_perplexity_buckets": (q_lm_perplexity_buckets,
                               SQL_LM_PERPLEXITY_BUCKETS),
+    "bigram_backoff_scores": (q_bigram_backoff_scores,
+                              SQL_BIGRAM_BACKOFF_SCORES),
     "doc_feature_table": (q_doc_feature_table, SQL_DOC_FEATURE_TABLE),
     "quality_probe_calibrated": (q_quality_probe_calibrated,
                                  SQL_QUALITY_PROBE_CALIBRATED),

@@ -189,3 +189,43 @@ def test_bpe_segment_fertility(spark):
         assert got[i] == (len(toks), n_sub,
                           round(n_sub / len(toks), 6)), i
     assert got[9] == (0, 0, 0.0) and got[10] == (0, 0, 0.0)
+
+
+def test_stupid_backoff_by_hand(spark):
+    """Reference 'a b a c': unigrams a:2 b:1 c:1 (total 4), bigrams
+    (a,b):1 (b,a):1 (a,c):1. Scoring:
+      'a b x' -> (a,b) seen: 1/2; (b,x) unseen, x OOV: 0.4*0 = 0
+                 mean 0.25, backoff_frac 0.5
+      'a c'   -> (a,c) seen: 1/2 -> mean 0.5, frac 0.0
+      'c b'   -> (c,b) unseen, b in-vocab: 0.4 * 1/4 = 0.1, frac 1.0
+      ''      -> n_bigrams 0, mean 0.0, frac 0.0
+    """
+    ref = spark.createDataFrame([(0, "a b a c")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b x"), (2, "a c"), (3, "c b"), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm.stupid_backoff_score(
+        docs, lm.token_census(ref), lm.bigram_census(ref)).collect()}
+    assert got[1]["n_bigrams"] == 2
+    assert got[1]["mean_bigram_s"] == 0.25
+    assert got[1]["backoff_frac"] == 0.5
+    assert got[2]["mean_bigram_s"] == 0.5 and got[2]["backoff_frac"] == 0.0
+    assert got[3]["mean_bigram_s"] == pytest.approx(0.1)
+    assert got[3]["backoff_frac"] == 1.0
+    assert got[4]["n_bigrams"] == 0 and got[4]["mean_bigram_s"] == 0.0
+
+
+def test_stupid_backoff_ranks_fluency(spark):
+    """In-model prose outscores word salad over the same vocabulary
+    (the property the quality filter keys on)."""
+    sent = "the quick brown fox jumps over the lazy dog"
+    ref = spark.createDataFrame([(i, sent) for i in range(5)],
+                                "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(100, sent), (101, "dog the over fox lazy brown jumps quick the")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm.stupid_backoff_score(
+        docs, lm.token_census(ref), lm.bigram_census(ref)).collect()}
+    assert got[100]["mean_bigram_s"] > got[101]["mean_bigram_s"]
+    assert got[100]["backoff_frac"] == 0.0
+    assert got[101]["backoff_frac"] > 0.5
