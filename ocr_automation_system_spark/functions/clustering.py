@@ -216,6 +216,100 @@ def kmeans_cell_stats(df: DataFrame, id_col: str = "vec_id",
                                      .cast("int"))))
 
 
+def pq_fit(df: DataFrame, id_col: str = "vec_id",
+           vec_col: str = "embedding", m: int = 4, k: int = 16,
+           iters: int = 2, scale: int = QUANT_SCALE) -> list:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    vector into ``m`` contiguous subspaces and run the SAME
+    deterministic quantized ``kmeans_fit`` on each slice. Returns
+    ``m`` codebooks of ``k`` integer centroids each (or ``[]`` on an
+    empty table). PQ compresses a dim-D float vector to ``m`` small
+    codes (m=4, k=16 -> 16 bits/vector vs 2048 for dim=64 floats) —
+    the storage tier under an IVF coarse quantizer.
+
+    Scale shape: ``m`` independent fits, each the bounded-collect
+    kmeans loop (k·(sub+1) longs per iteration to the driver); the
+    corpus is scanned per fit — at production scale persist the
+    quantized projection once and slice it per subspace."""
+    first = df.select(vec_col).head(1)
+    if not first:
+        return []
+    dim = len(first[0][0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col))
+        book = kmeans_fit(sliced, id_col=id_col, vec_col=vec_col,
+                          k=k, iters=iters, scale=scale)
+        if not book:
+            return []
+        books.append(book)
+    return books
+
+
+def pq_code(vec: Column, books: list, scale: int = QUANT_SCALE) -> Column:
+    """Packed PQ code: ``sum_s code_s * k^s`` — one BIGINT carrying all
+    ``m`` subspace assignments (code_s = first-min-wins argmin against
+    codebook s, the ``kmeans_assign`` contract). Pure JVM codegen."""
+    k = len(books[0])
+    sub = len(books[0][0])
+    code = F.lit(0).cast("long")
+    for s, book in enumerate(books):
+        a = kmeans_assign(F.slice(vec, s * sub + 1, sub), book,
+                          scale=scale)
+        code = code + a * F.lit(k ** s).cast("long")
+    return code
+
+
+def pq_codes(df: DataFrame, books: list, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             scale: int = QUANT_SCALE) -> DataFrame:
+    """(vec_id, pq_code) — the encoded corpus artifact. One narrow
+    zero-shuffle projection; at 10^12 vectors this is the table you
+    persist (8 bytes/vector) while the float embeddings stay cold."""
+    return df.select(F.col(id_col).alias("vec_id"),
+                     pq_code(F.col(vec_col), books, scale)
+                     .alias("pq_code"))
+
+
+def pq_topk(df: DataFrame, books: list, query_vec: list,
+            k_results: int = 10, id_col: str = "vec_id",
+            vec_col: str = "embedding",
+            scale: int = QUANT_SCALE) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays un-quantized to
+    codes — its exact int64 squared distance to every codebook centroid
+    is precomputed DRIVER-SIDE into ``m`` tiny lookup tables (pure
+    Python ints, same floor quantization as the data path), and each
+    row's approximate distance is ``m`` array lookups + an integer sum.
+    Returns (vec_id, pq_dist) — top ``k_results`` by (pq_dist, vec_id),
+    TakeOrdered, never a global sort.
+
+    Everything is exact int64 (asserted against ``quant_bound``), so
+    the ranking — including ties — is bit-identical cross-engine."""
+    m = len(books)
+    sub = len(books[0][0])
+    bound = quant_bound(sub)
+    qq = [math.floor(float(x) * scale) for x in query_vec]
+    if max(abs(v) for v in qq) > bound:
+        raise ValueError("query magnitude exceeds the int64-exact bound")
+    adc = [[sum((qq[s * sub + j] - c[j]) ** 2 for j in range(sub))
+            for c in book] for s, book in enumerate(books)]
+    assert all(d < 2 ** 63 for row in adc for d in row)
+    dist = F.lit(0).cast("long")
+    for s, book in enumerate(books):
+        a = kmeans_assign(F.slice(F.col(vec_col), s * sub + 1, sub),
+                          book, scale=scale)
+        dist = dist + F.element_at(
+            F.lit(adc[s]).cast("array<long>"), (a + 1).cast("int"))
+    return (df.select(F.col(id_col).alias("vec_id"),
+                      dist.alias("pq_dist"))
+            .orderBy("pq_dist", "vec_id").limit(k_results))
+
+
 def text_feature_vec(text: Column, dim: int = 32) -> Column:
     """Hashed bag-of-words count vector (array<float>) for documents
     that have no learned embedding — the featurizer that lets the

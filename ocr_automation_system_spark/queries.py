@@ -1960,39 +1960,45 @@ _KM_ITERS = 3
 
 
 def _sql_kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS,
-                     dim: int = _EMB_DIM) -> str:
+                     dim: int = _EMB_DIM, vec_expr: str = "embedding",
+                     sfx: str = "") -> str:
     """Unrolled Lloyd iterations as a CTE chain — the DuckDB twin of
-    ``clustering.kmeans_fit`` + final assignment. Exact int64 quantized
+    ``clustering.kmeans_fit`` + final assignment (names suffixed by
+    ``sfx`` so one query can instantiate several chains — the PQ twin
+    fits one per subspace slice via ``vec_expr``). Exact int64 quantized
     math end-to-end (see the clustering module docstring), so the chain
     is bit-identical to the Spark driver loop regardless of engine."""
     from .functions.clustering import QUANT_SCALE
 
     parts = [
-        f"""qv AS (SELECT vec_id,
-  list_transform(embedding,
+        f"""qv{sfx} AS (SELECT vec_id,
+  list_transform({vec_expr},
     x -> CAST(floor(CAST(x AS DOUBLE)*{QUANT_SCALE}) AS BIGINT)) AS q
   FROM embeddings)""",
-        f"c0 AS (SELECT vec_id AS cid, q AS cv FROM qv WHERE vec_id < {k})",
+        f"c0{sfx} AS (SELECT vec_id AS cid, q AS cv "
+        f"FROM qv{sfx} WHERE vec_id < {k})",
     ]
 
     def _assign(name: str, cents: str) -> str:
         return f"""{name} AS (
-  SELECT e.vec_id, e.q, c.cid AS cell FROM qv e CROSS JOIN {cents} c
+  SELECT e.vec_id, e.q, c.cid AS cell FROM qv{sfx} e CROSS JOIN {cents} c
   QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
     list_sum(list_transform(range(1, {dim + 1}),
       i -> (e.q[i]-c.cv[i])*(e.q[i]-c.cv[i]))) ASC, c.cid ASC) = 1)"""
 
     for it in range(iters):
-        parts.append(_assign(f"a{it}", f"c{it}"))
-        parts.append(f"""m{it} AS (
+        parts.append(_assign(f"a{it}{sfx}", f"c{it}{sfx}"))
+        parts.append(f"""m{it}{sfx} AS (
   SELECT a.cell AS cid, t.i,
          CAST(floor(CAST(sum(a.q[t.i]) AS DOUBLE)/count(*)) AS BIGINT) AS v
-  FROM a{it} a CROSS JOIN range(1, {dim + 1}) t(i) GROUP BY a.cell, t.i)""")
-        parts.append(f"""c{it + 1} AS (
-  SELECT p.cid, coalesce(n.cv, p.cv) AS cv FROM c{it} p
-  LEFT JOIN (SELECT cid, list(v ORDER BY i) AS cv FROM m{it} GROUP BY cid) n
+  FROM a{it}{sfx} a CROSS JOIN range(1, {dim + 1}) t(i)
+  GROUP BY a.cell, t.i)""")
+        parts.append(f"""c{it + 1}{sfx} AS (
+  SELECT p.cid, coalesce(n.cv, p.cv) AS cv FROM c{it}{sfx} p
+  LEFT JOIN (SELECT cid, list(v ORDER BY i) AS cv FROM m{it}{sfx}
+             GROUP BY cid) n
   USING (cid))""")
-    parts.append(_assign("afin", f"c{iters}"))
+    parts.append(_assign(f"afin{sfx}", f"c{iters}{sfx}"))
     return ",\n".join(parts)
 
 
@@ -2042,6 +2048,93 @@ drops AS (SELECT DISTINCT b.vec_id
           WHERE round({_sql_cosine('a.vec', 'b.vec')}, 6) >= 0.3)
 SELECT m.vec_id, m.cell, (d.vec_id IS NULL) AS keep
 FROM mem m LEFT JOIN drops d USING (vec_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# X53: product quantization (PQ codes + ADC top-k)
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_ITERS = 4, 16, 2
+_PQ_SUB = _EMB_DIM // _PQ_M
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    from .functions import clustering as KM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, KM.pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+
+
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou 2011): m=4 per-subspace
+    deterministic k-means codebooks (k=16, 2 Lloyd iterations each),
+    every vector packed to ONE 16-bit code — the 8-bytes-per-vector
+    storage tier under the IVF coarse quantizer. Encoding is a single
+    narrow codegen projection."""
+    from .functions import clustering as KM
+
+    emb, books = _pq_books(spark, sf_dir)
+    if not books:
+        return emb.select(F.col("vec_id"),
+                          F.lit(0).cast("long").alias("pq_code")).limit(0)
+    return KM.pq_codes(emb, books)
+
+
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 against the vec_id=0 query: the
+    m driver-computed exact-int64 ADC tables make per-row scoring m
+    array lookups + an integer sum; TakeOrdered(k), never a global
+    sort. Exact integers end-to-end -> bit-identical ranking incl.
+    ties cross-engine."""
+    from .functions import clustering as KM
+
+    emb, books = _pq_books(spark, sf_dir)
+    if not books:
+        return emb.select(F.col("vec_id"),
+                          F.lit(0).cast("long").alias("pq_dist")).limit(0)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return KM.pq_topk(emb, books, list(qrow[0]), k_results=10)
+
+
+def _sql_pq_chains() -> str:
+    return ",\n".join(
+        _sql_kmeans_ctes(k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_SUB,
+                         vec_expr=f"embedding[{s * _PQ_SUB + 1}:"
+                                  f"{(s + 1) * _PQ_SUB}]",
+                         sfx=f"p{s}")
+        for s in range(_PQ_M))
+
+
+SQL_EMBEDDING_PQ_CODES = f"""
+WITH {_sql_pq_chains()}
+SELECT a0.vec_id,
+       CAST({' + '.join(f'a{s}.cell * {_PQ_K ** s}'
+                        for s in range(_PQ_M))} AS BIGINT) AS pq_code
+FROM afinp0 a0
+{' '.join(f'JOIN afinp{s} a{s} ON a0.vec_id = a{s}.vec_id'
+          for s in range(1, _PQ_M))}
+"""
+
+_SQL_PQ_ADC = ",\n".join(
+    f"""qsl{s} AS (SELECT q AS qs FROM qvp{s} WHERE vec_id = 0),
+adc{s} AS (SELECT c.cid,
+  CAST(list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+    i -> (q.qs[i]-c.cv[i])*(q.qs[i]-c.cv[i]))) AS BIGINT) AS d
+  FROM c{_PQ_ITERS}p{s} c CROSS JOIN qsl{s} q)"""
+    for s in range(_PQ_M))
+
+SQL_EMBEDDING_PQ_TOPK = f"""
+WITH {_sql_pq_chains()},
+{_SQL_PQ_ADC}
+SELECT a0.vec_id,
+       CAST({' + '.join(f'd{s}.d' for s in range(_PQ_M))} AS BIGINT)
+         AS pq_dist
+FROM afinp0 a0 JOIN adc0 d0 ON a0.cell = d0.cid
+{' '.join(f'JOIN afinp{s} a{s} ON a0.vec_id = a{s}.vec_id '
+          f'JOIN adc{s} d{s} ON a{s}.cell = d{s}.cid'
+          for s in range(1, _PQ_M))}
+ORDER BY pq_dist, a0.vec_id LIMIT 10
 """
 
 
@@ -3676,6 +3769,8 @@ REGISTRY: dict = {
     "embedding_ivf_topk": (q_embedding_ivf_topk, SQL_EMBEDDING_IVF_TOPK),
     "embedding_kmeans_cells": (q_embedding_kmeans_cells,
                                SQL_EMBEDDING_KMEANS_CELLS),
+    "embedding_pq_codes": (q_embedding_pq_codes, SQL_EMBEDDING_PQ_CODES),
+    "embedding_pq_topk": (q_embedding_pq_topk, SQL_EMBEDDING_PQ_TOPK),
     "embedding_semdedup_keep": (q_embedding_semdedup_keep,
                                 SQL_EMBEDDING_SEMDEDUP_KEEP),
     "embedding_multitable_topk": (q_embedding_multitable_topk,

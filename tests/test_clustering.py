@@ -211,3 +211,50 @@ def test_semdedup_stage_auto_k_scales_with_corpus(spark):
            for r in semdedup_stage(df2, k=4, iters=1,
                                    threshold=0.95).collect()}
     assert got["fat1"] is True and got["fat2"] is False  # keep-earliest
+
+
+def _pq_df(spark):
+    """Two well-separated clusters; ids alternate so the k=2 seeds
+    (smallest ids 0, 1) start one per cluster."""
+    rows = []
+    for i in range(6):
+        rows.append((2 * i, [0.01 * i] * 8))          # cluster A, even ids
+        rows.append((2 * i + 1, [0.5 + 0.01 * i] * 8))  # cluster B, odd
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_codes_separate_clusters(spark):
+    df = _pq_df(spark)
+    books = KM.pq_fit(df, m=2, k=2, iters=2)
+    assert len(books) == 2 and all(len(b) == 2 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)  # dim 8 / m 2
+    codes = {r["vec_id"]: r["pq_code"]
+             for r in KM.pq_codes(df, books).collect()}
+    a_codes = {codes[i] for i in codes if i % 2 == 0}
+    b_codes = {codes[i] for i in codes if i % 2 == 1}
+    assert len(a_codes) == 1 and len(b_codes) == 1
+    assert a_codes != b_codes
+    assert all(0 <= c < 2 ** 2 for c in codes.values())  # k^m packings
+
+
+def test_pq_topk_adc_returns_query_cluster(spark):
+    df = _pq_df(spark)
+    books = KM.pq_fit(df, m=2, k=2, iters=2)
+    top = KM.pq_topk(df, books, [0.02] * 8, k_results=6).collect()
+    assert {r["vec_id"] for r in top} == {0, 2, 4, 6, 8, 10}
+    # scores are exact ints, ties broken by vec_id ascending
+    dists = [(r["pq_dist"], r["vec_id"]) for r in top]
+    assert dists == sorted(dists)
+
+
+def test_pq_partition_invariant_and_empty(spark):
+    df = _pq_df(spark)
+    books = KM.pq_fit(df, m=2, k=2, iters=2)
+    one = sorted(map(tuple, KM.pq_codes(df.repartition(1), books).collect()))
+    seven = sorted(map(tuple,
+                       KM.pq_codes(df.repartition(7), books).collect()))
+    assert one == seven
+    empty = df.limit(0)
+    assert KM.pq_fit(empty, m=2, k=2) == []
+    with pytest.raises(ValueError):
+        KM.pq_fit(df, m=3)  # dim 8 not divisible
