@@ -38,7 +38,7 @@ HEADLINE = (
     "embedding_rp_near_dup_pairs", "embedding_multitable_topk",
     "embedding_ivf_topk", "embedding_lsh_topk_multiprobe",
     "embedding_kmeans_cells", "embedding_semdedup_keep",
-    "embedding_pq_codes", "embedding_pq_topk",
+    "embedding_pq_codes", "embedding_pq_topk", "embedding_ivfpq_topk",
     "pack_bins", "benchmark_contamination", "domain_quota",
     "pii_scrub", "repetition_scores", "source_blocklist",
     "url_dup_groups", "url_canonicalize", "url_features",

@@ -310,6 +310,32 @@ def pq_topk(df: DataFrame, books: list, query_vec: list,
             .orderBy("pq_dist", "vec_id").limit(k_results))
 
 
+def ivfpq_topk(df: DataFrame, coarse: list, books: list, query_vec: list,
+               n_probe: int = 2, k_results: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               scale: int = QUANT_SCALE) -> DataFrame:
+    """IVF+PQ search (the full FAISS IVFPQ shape): the coarse k-means
+    quantizer prunes the corpus to the ``n_probe`` cells nearest the
+    query, then PQ ADC ranks only the survivors. Probe cells are picked
+    DRIVER-SIDE with the same exact int64 arithmetic as the data path
+    (ties by cell id), so the pruned set — and therefore the result —
+    is deterministic cross-engine.
+
+    Scale shape: at production scale the corpus is STORED partitioned
+    by coarse cell, so the probe filter is partition pruning (reads
+    n_probe/k of the data); scoring is the PQ lookup projection +
+    TakeOrdered. Recall knob = ``n_probe`` (same contract as the IVF
+    and multi-probe LSH tiers)."""
+    qq = [math.floor(float(x) * scale) for x in query_vec]
+    cd = sorted((sum((qq[i] - c[i]) ** 2 for i in range(len(c))), cid)
+                for cid, c in enumerate(coarse))
+    cells = [cid for _, cid in cd[:n_probe]]
+    pruned = df.filter(
+        kmeans_assign(F.col(vec_col), coarse, scale=scale).isin(cells))
+    return pq_topk(pruned, books, query_vec, k_results=k_results,
+                   id_col=id_col, vec_col=vec_col, scale=scale)
+
+
 def text_feature_vec(text: Column, dim: int = 32) -> Column:
     """Hashed bag-of-words count vector (array<float>) for documents
     that have no learned embedding — the featurizer that lets the

@@ -258,3 +258,18 @@ def test_pq_partition_invariant_and_empty(spark):
     assert KM.pq_fit(empty, m=2, k=2) == []
     with pytest.raises(ValueError):
         KM.pq_fit(df, m=3)  # dim 8 not divisible
+
+
+def test_ivfpq_probe_prunes_to_query_cluster(spark):
+    df = _pq_df(spark)
+    coarse = KM.kmeans_fit(df, k=2, iters=2)
+    books = KM.pq_fit(df, m=2, k=2, iters=2)
+    # n_probe=1: only the query's coarse cell is scanned, so even with
+    # k_results > |cluster| the other cluster can never appear
+    top = KM.ivfpq_topk(df, coarse, books, [0.02] * 8,
+                        n_probe=1, k_results=12).collect()
+    assert {r["vec_id"] for r in top} == {0, 2, 4, 6, 8, 10}
+    # n_probe=2 scans everything: falls back to plain PQ ADC ranking
+    both = KM.ivfpq_topk(df, coarse, books, [0.02] * 8,
+                         n_probe=2, k_results=12).collect()
+    assert len(both) == 12
