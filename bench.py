@@ -39,6 +39,7 @@ HEADLINE = (
     "embedding_ivf_topk", "embedding_lsh_topk_multiprobe",
     "embedding_kmeans_cells", "embedding_semdedup_keep",
     "embedding_pq_codes", "embedding_pq_topk", "embedding_ivfpq_topk",
+    "embedding_pq_recall",
     "pack_bins", "benchmark_contamination", "domain_quota",
     "pii_scrub", "repetition_scores", "source_blocklist",
     "url_dup_groups", "url_canonicalize", "url_features",

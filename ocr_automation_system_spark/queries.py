@@ -2061,7 +2061,7 @@ FROM mem m LEFT JOIN drops d USING (vec_id)
 # X53: product quantization (PQ codes + ADC top-k)
 # ---------------------------------------------------------------------------
 
-_PQ_M, _PQ_K, _PQ_ITERS = 4, 16, 2
+_PQ_M, _PQ_K, _PQ_ITERS = 8, 16, 2
 _PQ_SUB = _EMB_DIM // _PQ_M
 
 
@@ -2141,6 +2141,48 @@ FROM afinp0 a0 JOIN adc0 d0 ON a0.cell = d0.cid
           f'JOIN adc{s} d{s} ON a{s}.cell = d{s}.cid'
           for s in range(1, _PQ_M))}
 ORDER BY pq_dist, a0.vec_id LIMIT 10
+"""
+
+
+def q_embedding_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality diagnostic: overlap@10 between the ADC top-10 and the
+    exact brute-force cosine top-10 for the vec_id=0 query — the same
+    self-audit role minhash_recall_sample plays for the LSH tier.
+    One row (k, n_overlap); both sides are the already-pinned contract
+    queries' plans joined on vec_id.
+
+    Expectation setting: the synthetic embeddings are near-uniform
+    random — PQ's worst case (its distortion model presumes cluster
+    structure), so overlap@10 is LOW here by construction (~3/10 at
+    m=8). That is the diagnostic working, not failing: on real
+    clustered embeddings the same query is the recall gauge that sizes
+    (m, k, n_probe)."""
+    from .functions import clustering as KM
+
+    emb, books = _pq_books(spark, sf_dir)
+    if not books:
+        return (spark.range(0)
+                .select(F.lit(10).cast("long").alias("k"),
+                        F.lit(0).cast("long").alias("n_overlap")))
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    pq = KM.pq_topk(emb, books, list(qrow[0]), k_results=10) \
+        .select("vec_id")
+    q = _query_vec_df(spark, sf_dir)
+    brute = (emb.crossJoin(F.broadcast(q))
+             .select("vec_id",
+                     F.round(S.cosine(F.col("embedding"), F.col("qe")), 6)
+                     .alias("cos_sim"))
+             .orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+             .select("vec_id"))
+    return (pq.join(brute, "vec_id")
+            .agg(F.lit(10).cast("long").alias("k"),
+                 F.count(F.lit(1)).alias("n_overlap")))
+
+
+SQL_EMBEDDING_PQ_RECALL = f"""
+SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_overlap
+FROM ({SQL_EMBEDDING_PQ_TOPK}) p
+JOIN ({SQL_EMBEDDING_TOPK}) b USING (vec_id)
 """
 
 
@@ -3821,6 +3863,8 @@ REGISTRY: dict = {
     "embedding_pq_topk": (q_embedding_pq_topk, SQL_EMBEDDING_PQ_TOPK),
     "embedding_ivfpq_topk": (q_embedding_ivfpq_topk,
                              SQL_EMBEDDING_IVFPQ_TOPK),
+    "embedding_pq_recall": (q_embedding_pq_recall,
+                            SQL_EMBEDDING_PQ_RECALL),
     "embedding_semdedup_keep": (q_embedding_semdedup_keep,
                                 SQL_EMBEDDING_SEMDEDUP_KEEP),
     "embedding_multitable_topk": (q_embedding_multitable_topk,
