@@ -320,3 +320,54 @@ def simhash_pack(bit_sums: list[Column], n_tokens: Column) -> Column:
                            F.lit(2 ** (31 - j)).cast("long")) \
                      .otherwise(F.lit(0).cast("long"))
     return out
+
+
+#: MSB-first bit masks for one 32-bit digest half.
+_SIMHASH_MASKS = [2 ** (31 - j) for j in range(32)]
+
+
+def simhash_row(text: Column) -> tuple[Column, Column]:
+    """ROW-LOCAL 64-bit SimHash (sim_hi, sim_lo) — the same signature
+    ``dedup.simhash_table`` derives with explode -> aggregate, computed
+    instead as ONE fold over the distinct-token array. No shuffle, no
+    aggregation state: the shape a STREAMING stage is allowed to use
+    (stream-static joins and projections only), and what a narrow batch
+    projection wants when the signature is one column among many.
+
+    Cost note: the fold accumulates all 64 per-bit counters in a single
+    pass (array<long>[64] accumulator, per-token bits via mask
+    bitwiseAND), so the token array is walked once — not once per bit.
+    Token-less/NULL text packs the canonical all-zero signature, same
+    as the aggregate path's zero-sig union. Parity with simhash_table
+    is pinned by test."""
+    toks = F.array_distinct(ws_tokens(clean_text(text)))
+    masks = F.lit(_SIMHASH_MASKS).cast("array<long>")
+
+    def _token_bits(t: Column) -> Column:
+        h1, h2 = token_digest_halves(t)
+        one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+        return F.concat(
+            F.transform(masks, lambda m:
+                        F.when(h1.bitwiseAND(m) != 0, one).otherwise(zero)),
+            F.transform(masks, lambda m:
+                        F.when(h2.bitwiseAND(m) != 0, one).otherwise(zero)))
+
+    def _sig(tk: Column) -> Column:
+        # tk and s are bound lambda variables — every reference below
+        # is free; the fold and the tokenizer each evaluate once
+        sums = F.aggregate(
+            tk, F.array_repeat(F.lit(0).cast("long"), 64),
+            lambda acc, t: F.zip_with(acc, _token_bits(t),
+                                      lambda a, b: a + b))
+        n = F.size(tk).cast("long")
+
+        def _half(s: Column, off: int) -> Column:
+            return simhash_pack(
+                [F.element_at(s, off + j + 1) for j in range(32)], n)
+
+        return bind_array(sums, lambda s: F.struct(
+            _half(s, 0).alias("hi"), _half(s, 32).alias("lo")))
+
+    sig = bind_array(toks, _sig)
+    zero = F.lit(0).cast("long")
+    return (F.coalesce(sig["hi"], zero), F.coalesce(sig["lo"], zero))

@@ -171,3 +171,32 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
         .select("user_id", F.col("w.start").alias("session_start"),
                 F.col("w.end").alias("session_end"), "n_events", "session_value")
     )
+
+
+def streaming_content_drift(captures: DataFrame, signatures: DataFrame,
+                            id_col: str = "url", text_col: str = "text",
+                            cosmetic_bits: int = 3) -> DataFrame:
+    """Streaming twin of ``delta.content_drift``: arriving captures are
+    signed ROW-LOCALLY (``text.simhash_row`` — one fold, no aggregation,
+    so the plan stays legal under readStream) and stream-static joined
+    against the STORED signature snapshot ``signatures``
+    (key, sim_hi, sim_lo — the same table the batch near-dup tier
+    persists with each crawl). Emits (key, hamming, drift[, passthrough
+    cols]) per arriving capture: the live recrawl-scheduler feed, with
+    zero streaming state — the static side broadcasts/rescans per
+    micro-batch."""
+    from ..functions.text import simhash_row
+
+    hi, lo = simhash_row(F.coalesce(F.col(text_col), F.lit("")))
+    new = captures.withColumn("_hi_n", hi).withColumn("_lo_n", lo)
+    old = signatures.select(F.col(id_col),
+                            F.col("sim_hi").alias("_hi_o"),
+                            F.col("sim_lo").alias("_lo_o"))
+    ham = (F.bit_count(F.col("_hi_n").bitwiseXOR(F.col("_hi_o")))
+           + F.bit_count(F.col("_lo_n").bitwiseXOR(F.col("_lo_o"))))
+    return (new.join(old, id_col)
+            .select(F.col(id_col),
+                    ham.cast("int").alias("hamming"),
+                    F.when(ham == 0, F.lit("identical"))
+                    .when(ham <= cosmetic_bits, F.lit("cosmetic"))
+                    .otherwise(F.lit("drifted")).alias("drift")))

@@ -440,3 +440,72 @@ def test_streaming_incremental_dedup_against_static_index(spark, tmp_path):
         spark.createDataFrame(new_rows, schema), spark, idx,
         threshold=0.5).collect()}
     assert batch == {1: False, 3: True}
+
+
+def test_simhash_row_matches_aggregate_table(spark):
+    """The row-local fold signature must equal the explode->aggregate
+    signature bit-for-bit (the property that makes the streaming drift
+    monitor exact, not approximate)."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.dedup import simhash_table
+    from ocr_automation_system_spark.functions.text import simhash_row
+
+    rows = [(i, f"alpha beta doc{i} " + " ".join(
+        f"w{(i * 7 + j) % 23}" for j in range(30))) for i in range(40)]
+    rows += [(100, ""), (101, "one"), (102, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hi, lo = simhash_row(F.coalesce(F.col("text"), F.lit("")))
+    got = {r["doc_id"]: (r["hi"], r["lo"])
+           for r in df.select("doc_id", hi.alias("hi"),
+                              lo.alias("lo")).collect()}
+    want = {r["doc_id"]: (r["sim_hi"], r["sim_lo"])
+            for r in simhash_table(
+                df.select("doc_id",
+                          F.coalesce("text", F.lit("")).alias("text"))
+            ).collect()}
+    assert got == want and len(got) == 43
+
+
+def test_streaming_content_drift_matches_batch(spark, tmp_path):
+    """Arriving captures graded against a stored signature snapshot
+    reproduce the batch content_drift rows exactly — stream-static
+    join + row-local signing, zero streaming state."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.delta import content_drift
+    from ocr_automation_system_spark.functions.dedup import simhash_table
+    from ocr_automation_system_spark.streaming.stream import (
+        streaming_content_drift,
+    )
+
+    base = " ".join(f"w{i}" for i in range(80))
+    old_rows = [(f"u{i}", base + f" tail{i}") for i in range(12)]
+    new_rows = ([(f"u{i}", base + f" tail{i}") for i in range(4)]       # same
+                + [(f"u{i}", base + f" tail{i} footer") for i in range(4, 8)]
+                + [(f"u{i}", " ".join(f"z{j}" for j in range(80)))
+                   for i in range(8, 12)])                               # rewrite
+    old = spark.createDataFrame(old_rows, "url string, text string")
+    sigs = simhash_table(old, id_col="url", text_col="text") \
+        .select(F.col("doc_id").alias("url"), "sim_hi", "sim_lo")
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    schema = "url string, text string"
+    spark.createDataFrame(new_rows, schema).write.parquet(
+        os.path.join(d, "drop1"))
+    stream_in = spark.readStream.schema(schema).parquet(os.path.join(d, "*"))
+    out = str(tmp_path / "out")
+    q = (streaming_content_drift(stream_in, sigs)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in content_drift(
+        old, spark.createDataFrame(new_rows, schema)).collect())
+    assert got == want and len(got) == 12
+    grades = {u: g for u, _h, g in got}
+    assert grades["u0"] == "identical"
+    assert grades["u5"] in ("cosmetic",)
+    assert grades["u9"] == "drifted"
