@@ -31,7 +31,7 @@ from ocr_automation_system_spark.session import build_session  # noqa: E402
 HEADLINE = (
     "usability_gate", "field_extract_chain", "quality_scores", "lang_id",
     "dedup_exact_groups", "minhash_lsh_pairs", "containment_pairs",
-    "dedup_cluster_keep",
+    "dedup_cluster_keep", "dedup_cluster_keep_best",
     "incremental_dedup",
     "simhash_near_pairs",
     "embedding_topk", "embedding_lsh_topk", "embedding_near_dup_pairs",

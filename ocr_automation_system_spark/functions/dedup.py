@@ -646,6 +646,39 @@ def dedup_cluster_keep(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def cluster_keep_best(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      quality_col: str = "quality", n: int = 3,
+                      jaccard_threshold: float = 0.6,
+                      checkpoint_dir: str | None = None) -> DataFrame:
+    """Quality-aware cluster representative: (doc_id, cluster_id, keep)
+    where ``keep`` marks the BEST member of each near-dup cluster —
+    highest ``quality_col``, smallest id on ties — instead of
+    ``dedup_cluster_keep``'s min-id convention. This is what a
+    production ladder actually retains (the cleanest extraction among
+    near-identical captures), while ``cluster_id`` stays the min-id
+    component label so the lineage key is stable even if the quality
+    signal is later re-scored.
+
+    Scale shape: the ladder (LSH -> Jaccard verify -> CC) is unchanged;
+    the representative pick adds ONE map-side-combinable
+    ``max_by(id, struct(quality, -id))`` aggregation over the labeled
+    table plus a broadcast-size join of the per-cluster winners — no
+    window over the corpus."""
+    labels = dedup_cluster_keep(df, id_col=id_col, text_col=text_col,
+                                n=n, jaccard_threshold=jaccard_threshold,
+                                checkpoint_dir=checkpoint_dir) \
+        .select("doc_id", "cluster_id")
+    q = df.select(F.col(id_col).alias("doc_id"),
+                  F.col(quality_col).alias("_q"))
+    member = labels.join(q, "doc_id")
+    best = member.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(_q, -doc_id))").alias("_best"))
+    return (member.join(best, "cluster_id")
+            .select("doc_id", "cluster_id",
+                    (F.col("doc_id") == F.col("_best")).alias("keep")))
+
+
 def simhash_table(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """(doc_id, sim_hi, sim_lo) 64-bit signatures stored as two 32-bit

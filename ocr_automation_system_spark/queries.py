@@ -1544,6 +1544,42 @@ FROM documents d LEFT JOIN cc ON d.doc_id = cc.src
 """
 
 
+def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup representative: keep the LONGEST member of
+    each near-dup cluster (n_chars as the quality signal, min-id ties)
+    — the cleanest-extraction-wins retention a production ladder uses,
+    with cluster_id still the stable min-id lineage label."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.cluster_keep_best(docs, quality_col="n_chars",
+                               jaccard_threshold=0.6)
+
+
+SQL_DEDUP_CLUSTER_KEEP_BEST = f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM jp WHERE jaccard >= 0.6
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM jp WHERE jaccard >= 0.6
+),
+reach(src, node) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s
+),
+cc AS (SELECT src, min(node) AS cluster_id FROM reach GROUP BY src),
+member AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         d.n_chars
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.src),
+ranked AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM member)
+SELECT doc_id, cluster_id, (rk = 1) AS keep FROM ranked
+"""
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_table(docs)
@@ -3869,6 +3905,8 @@ REGISTRY: dict = {
     "minhash_recall_sample": (q_minhash_recall_sample,
                               SQL_MINHASH_RECALL_SAMPLE),
     "dedup_cluster_keep": (q_dedup_cluster_keep, SQL_DEDUP_CLUSTER_KEEP),
+    "dedup_cluster_keep_best": (q_dedup_cluster_keep_best,
+                                SQL_DEDUP_CLUSTER_KEEP_BEST),
     "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH_SIGNATURES),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR_PAIRS),
     # similarity search

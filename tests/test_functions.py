@@ -831,3 +831,24 @@ def test_containment_cap_censors_boilerplate_vocabulary(spark):
                                         max_docs_per_shingle=64).collect()}
     assert set(got) == {(100, 101)}
     assert got[(100, 101)]["containment_a_in_b"] == 1.0
+
+
+def test_cluster_keep_best_picks_quality_winner(spark):
+    """Near-dup cluster {1,2,3}: doc 2 has the highest quality so it is
+    kept; cluster_id stays the min-id label; singleton keeps itself;
+    quality ties fall back to the smallest id."""
+    base = " ".join(f"t{i}" for i in range(40))
+    rows = [(1, base, 10), (2, base + " extra", 99), (3, base, 10),
+            (9, " ".join(f"u{i}" for i in range(30)), 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q long")
+    got = {r["doc_id"]: r for r in D.cluster_keep_best(
+        df, quality_col="q", jaccard_threshold=0.6).collect()}
+    assert {i: got[i]["cluster_id"] for i in got} == {1: 1, 2: 1, 3: 1, 9: 9}
+    assert [i for i in got if got[i]["keep"]] == sorted(
+        [i for i in got if got[i]["keep"]]) == [2, 9]
+    # tie on quality -> min id wins
+    tie = spark.createDataFrame(
+        [(5, base, 7), (6, base, 7)], "doc_id long, text string, q long")
+    tg = {r["doc_id"]: r["keep"]
+          for r in D.cluster_keep_best(tie, quality_col="q").collect()}
+    assert tg == {5: True, 6: False}
