@@ -662,9 +662,11 @@ def cluster_keep_best(df: DataFrame, id_col: str = "doc_id",
 
     Scale shape: the ladder (LSH -> Jaccard verify -> CC) is unchanged;
     the representative pick adds ONE map-side-combinable
-    ``max_by(id, struct(quality, -id))`` aggregation over the labeled
+    ``min_by(id, struct(-quality, id))`` aggregation over the labeled
     table plus a broadcast-size join of the per-cluster winners — no
-    window over the corpus."""
+    window over the corpus. (min_by + negated quality rather than
+    max_by + negated id, so STRING ids — production urls — order
+    naturally in the tie-break; ``quality_col`` must be numeric.)"""
     labels = dedup_cluster_keep(df, id_col=id_col, text_col=text_col,
                                 n=n, jaccard_threshold=jaccard_threshold,
                                 checkpoint_dir=checkpoint_dir) \
@@ -673,7 +675,7 @@ def cluster_keep_best(df: DataFrame, id_col: str = "doc_id",
                   F.col(quality_col).alias("_q"))
     member = labels.join(q, "doc_id")
     best = member.groupBy("cluster_id").agg(
-        F.expr("max_by(doc_id, struct(_q, -doc_id))").alias("_best"))
+        F.expr("min_by(doc_id, struct(-_q, doc_id))").alias("_best"))
     return (member.join(best, "cluster_id")
             .select("doc_id", "cluster_id",
                     (F.col("doc_id") == F.col("_best")).alias("keep")))

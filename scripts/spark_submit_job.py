@@ -92,6 +92,10 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "PER HOST (keep each host's top (100-P)%% by "
                         "score) instead of one corpus-wide percentile "
                         "— the skew-proof form for mixed corpora")
+    p.add_argument("--keep-best", action="store_true",
+                   help="near-dup stage keeps the highest-QUALITY "
+                        "cluster member (curation.quality_score; min-id "
+                        "ties) instead of the min-id representative")
     p.add_argument("--alpha", type=float, default=None, metavar="A",
                    help="temperature-rebalance the HOST mixture after "
                         "the quota stage: downsample toward "
@@ -155,7 +159,7 @@ def main(argv=None, stop_session: bool = True) -> int:
                probe_drop_pct=args.probe_drop_pct,
                probe_per_source=args.probe_per_source,
                probe_weights_path=args.probe_weights,
-               alpha=args.alpha)
+               alpha=args.alpha, keep_best=args.keep_best)
 
     summary = lineage_summary(args.output, args.n_buckets)
     print(f"done: {summary['total_rows']} docs across "
@@ -173,7 +177,7 @@ def curate(spark, results, output: str, quota: int = 1000,
            token_budget: int = 0, probe_drop_pct: int = 0,
            probe_per_source: bool = False,
            probe_weights_path: str = "",
-           alpha: float | None = None) -> None:
+           alpha: float | None = None, keep_best: bool = False) -> None:
     """Committed extractions -> curated training corpus.
 
     Chain (each stage a documented survivor count): usable docs only ->
@@ -227,8 +231,21 @@ def curate(spark, results, output: str, quota: int = 1000,
     # interrupted dedup ladder resumes instead of restarting (the toy
     # corpus takes the driver union-find path; production edge sets above
     # the collect threshold are exactly where resume matters)
-    near = D.dedup_cluster_keep(exact, id_col="doc_id", text_col="text",
-                                checkpoint_dir=os.path.join(output, "_checkpoints"))
+    ck = os.path.join(output, "_checkpoints")
+    if keep_best:
+        # quality-aware representative: the cleanest extraction among
+        # near-identical captures survives, not the smallest url hash
+        from ocr_automation_system_spark.functions.curation import (
+            quality_score,
+        )
+
+        scored = exact.withColumn("_kq", quality_score(F.col("text")))
+        near = D.cluster_keep_best(scored, id_col="doc_id",
+                                   text_col="text", quality_col="_kq",
+                                   checkpoint_dir=ck)
+    else:
+        near = D.dedup_cluster_keep(exact, id_col="doc_id",
+                                    text_col="text", checkpoint_dir=ck)
     keep_ids = near.filter(F.col("keep")).select("doc_id")
     deduped = exact.join(keep_ids, "doc_id", "left_semi").persist()
     counts["after_exact_dedup"] = exact.count()

@@ -230,3 +230,22 @@ def test_curate_alpha_sample_stage(spark, tmp_path):
     assert spark_submit_job.main(args, stop_session=False) == 0
     again = spark.read.parquet(os.path.join(out, "curated"))
     assert sorted(map(tuple, again.select("doc_id").collect())) == first
+
+
+def test_curate_keep_best_stage(spark, tmp_path):
+    """--keep-best swaps the near-dup representative to the
+    highest-quality cluster member; chain stays monotone and reruns
+    byte-identical (quality + hash deterministic, no RNG)."""
+    out = str(tmp_path / "jobkb")
+    args = ["--synthetic", "400", "--output", out, "--curate",
+            "--keep-best"]
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert (0 < counts["after_near_dedup"]
+            <= counts["after_exact_dedup"] <= counts["usable"])
+    cur = spark.read.parquet(os.path.join(out, "curated"))
+    first = sorted(map(tuple, cur.select("doc_id").collect()))
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    again = spark.read.parquet(os.path.join(out, "curated"))
+    assert sorted(map(tuple, again.select("doc_id").collect())) == first
