@@ -1017,3 +1017,16 @@ SELECT url,
     AS has_main_content
 FROM p
 """
+
+
+SQL_CRAWL_PRIORITIES = f"""
+WITH pr AS ({SQL_HOST_PAGERANK}),
+rates AS ({SQL_SNAPSHOT_DELTA})
+SELECT regexp_replace(pr.host, '^[a-z]+://', '') AS host, pr.rank,
+       coalesce(r.change_rate, CAST(0.0 AS DOUBLE)) AS change_rate,
+       pr.rank * (CAST(1.0 AS DOUBLE)
+                  + coalesce(r.change_rate, CAST(0.0 AS DOUBLE)))
+         AS priority
+FROM pr LEFT JOIN rates r
+  ON regexp_replace(pr.host, '^[a-z]+://', '') = r.host
+"""

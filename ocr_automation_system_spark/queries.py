@@ -3365,6 +3365,27 @@ def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.host_change_rates(D.snapshot_delta(c, recrawl))
 
 
+def q_crawl_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl frontier scoring — the crawl-scheduler capstone joining
+    two green tiers: host importance (3-iteration PageRank over the
+    cross-host graph) × freshness pressure (per-host change rate from
+    the snapshot delta): priority = rank · (1 + change_rate). A host
+    that is both central AND churning gets recrawled first; hosts with
+    no both-snapshot urls keep change_rate 0. One broadcast-size join
+    of two host-dimension tables; both inputs are the already-pinned
+    contract plans, every op a correctly-rounded double."""
+    from . import pipeline_sql as PSQL  # noqa: F401  (twin lives there)
+
+    pr = q_host_pagerank(spark, sf_dir)
+    rates = q_snapshot_delta(spark, sf_dir).select("host", "change_rate")
+    bare = F.regexp_replace(F.col("host"), r"^[a-z]+://", "")
+    cr = F.coalesce(F.col("change_rate"), F.lit(0.0))
+    return (pr.select(bare.alias("host"), "rank")
+            .join(rates, "host", "left")
+            .select("host", "rank", cr.alias("change_rate"),
+                    (F.col("rank") * (F.lit(1.0) + cr)).alias("priority")))
+
+
 def q_content_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded recrawl change detection: SimHash Hamming distance between
     each document and its deterministic recrawl (doc_id%3==0 gains a
@@ -3994,6 +4015,7 @@ REGISTRY: dict = {
     "latest_capture": (q_latest_capture, PSQL.SQL_LATEST_CAPTURE),
     "snapshot_delta": (q_snapshot_delta, PSQL.SQL_SNAPSHOT_DELTA),
     "content_drift": (q_content_drift, SQL_CONTENT_DRIFT),
+    "crawl_priorities": (q_crawl_priorities, PSQL.SQL_CRAWL_PRIORITIES),
     "crawl_activity": (q_crawl_activity, PSQL.SQL_CRAWL_ACTIVITY),
     "page_metadata": (q_page_metadata, PSQL.SQL_PAGE_METADATA),
     # link graph: anchors from raw html, host graph, iterative PageRank
@@ -4022,7 +4044,8 @@ CORPUS_QUERIES: frozenset = frozenset(
     if name.startswith(("pipeline_", "media_"))
 ) | frozenset({
     "url_canonicalize", "url_dup_groups", "latest_capture",
-    "snapshot_delta", "crawl_activity", "page_metadata", "link_edges",
+    "snapshot_delta", "crawl_activity", "crawl_priorities",
+    "page_metadata", "link_edges",
     "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",
     "anchor_text_profile", "warc_roundtrip", "host_components",
     "url_features",
