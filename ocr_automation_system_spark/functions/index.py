@@ -95,6 +95,48 @@ def token_postings(df: DataFrame, id_col: str = "doc_id",
     return counts.join(heads, "token")
 
 
+def merge_token_postings(a: DataFrame, b: DataFrame,
+                         cap: int = POSTINGS_CAP) -> DataFrame:
+    """Merge two ``token_postings`` artifacts built over DISJOINT doc-id
+    sets — the monthly-crawl index-maintenance op: the new snapshot's
+    small index folds into the stored one WITHOUT re-touching either
+    corpus.
+
+    Exactness: ``df_docs`` adds exactly (disjoint doc sets), and the
+    capped heads are EXACTLY mergeable — the ``cap`` smallest doc ids
+    of the union are always a subset of the union of each half's
+    ``cap``-smallest — so ``merge(postings(A), postings(B)) ==
+    postings(A ∪ B)`` identically (the contract query pins this against
+    the full-corpus oracle). Both halves must use the same ``cap``.
+
+    Scale shape: ONE full-outer join keyed on token (two index tables,
+    orders of magnitude smaller than the corpora); the head merge is a
+    per-row codegen array op. Bucket both artifacts by token and the
+    join is co-located."""
+    def _side(df: DataFrame, sfx: str) -> DataFrame:
+        return df.select("token", F.col("df_docs").alias("df" + sfx),
+                         F.col("postings").alias("p" + sfx))
+
+    def _arr(c: str):
+        return F.when(
+            F.col(c).isNull() | (F.col(c) == ""),
+            F.array().cast("array<bigint>")
+        ).otherwise(
+            F.transform(F.split(F.col(c), ","),
+                        lambda x: x.cast("long")))
+
+    j = _side(a, "_a").join(_side(b, "_b"), "token", "full_outer")
+    merged = F.slice(F.array_sort(F.concat(_arr("p_a"), _arr("p_b"))),
+                     1, cap)
+    zero = F.lit(0).cast("long")
+    return j.select(
+        "token",
+        (F.coalesce(F.col("df_a"), zero)
+         + F.coalesce(F.col("df_b"), zero)).alias("df_docs"),
+        F.array_join(F.transform(merged, lambda x: x.cast("string")),
+                     ",").alias("postings"))
+
+
 def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 5) -> DataFrame:
     """Top-``k`` salient terms per document by rational TF-IDF:

@@ -3578,6 +3578,24 @@ SELECT token, df_docs, postings FROM cnt JOIN heads USING (token)
 """
 
 
+def q_postings_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance: build postings over the even- and odd-doc_id
+    halves independently, then merge the two ARTIFACTS (never
+    re-touching the corpora). The oracle is the full-corpus postings
+    SQL — i.e. the query asserts merge(postings(A), postings(B)) ==
+    postings(A ∪ B) exactly, including the capped heads (the cap
+    smallest ids of a union come from the halves' cap-smallest sets)."""
+    from .functions import index as I
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = I.token_postings(docs.filter(F.col("doc_id") % 2 == 0))
+    b = I.token_postings(docs.filter(F.col("doc_id") % 2 == 1))
+    return I.merge_token_postings(a, b)
+
+
+SQL_POSTINGS_MERGE = SQL_TOKEN_POSTINGS
+
+
 def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FineWeb-style composite filter policy: usability -> repetition ->
     quality -> language-mismatch -> PII gates, first-fail-wins with a
@@ -3909,6 +3927,7 @@ REGISTRY: dict = {
     "bloom_dedup_census": (q_bloom_dedup_census, SQL_BLOOM_DEDUP_CENSUS),
     "cms_source_counts": (q_cms_source_counts, SQL_CMS_SOURCE_COUNTS),
     "token_postings": (q_token_postings, SQL_TOKEN_POSTINGS),
+    "postings_merge": (q_postings_merge, SQL_POSTINGS_MERGE),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
     "curation_verdicts": (q_curation_verdicts, SQL_CURATION_VERDICTS),

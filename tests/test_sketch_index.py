@@ -353,3 +353,41 @@ def test_bm25_weighted_boost_changes_ranking(spark):
                        weights={"cat": 1.0, "dog": 1.0}).collect()
     assert sorted(map(tuple, ones)) == sorted(
         map(tuple, bm25_search(df, ["cat", "dog"], k=4).collect()))
+
+
+def test_merge_token_postings_equals_full_index(spark):
+    """merge(postings(A), postings(B)) == postings(A ∪ B) EXACTLY,
+    including truncated heads: the cap-smallest ids of the union are a
+    subset of the union of each half's cap-smallest. Exercised with a
+    cap small enough that heads actually truncate."""
+    from ocr_automation_system_spark.functions.index import (
+        merge_token_postings, token_postings,
+    )
+
+    rows = [(i, "shared tok" + str(i % 7) + " filler" + str(i % 3))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = token_postings(df.filter("doc_id % 2 = 0"), cap=5)
+    b = token_postings(df.filter("doc_id % 2 = 1"), cap=5)
+    merged = sorted(map(tuple, merge_token_postings(a, b, cap=5).collect()))
+    full = sorted(map(tuple, token_postings(df, cap=5).collect()))
+    assert merged == full and merged
+    # 'shared' appears in all 40 docs -> head truncates at 5
+    shared = [r for r in merged if r[0] == "shared"][0]
+    assert shared[1] == 40 and shared[2] == "0,1,2,3,4"
+
+
+def test_merge_token_postings_disjoint_vocab(spark):
+    """Tokens present in only one half pass through unchanged (the
+    full-outer side with an empty opposite head)."""
+    from ocr_automation_system_spark.functions.index import (
+        merge_token_postings, token_postings,
+    )
+
+    a = token_postings(spark.createDataFrame(
+        [(1, "onlyina")], "doc_id long, text string"))
+    b = token_postings(spark.createDataFrame(
+        [(2, "onlyinb")], "doc_id long, text string"))
+    got = {r["token"]: (r["df_docs"], r["postings"])
+           for r in merge_token_postings(a, b).collect()}
+    assert got == {"onlyina": (1, "1"), "onlyinb": (1, "2")}
