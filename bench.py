@@ -56,7 +56,8 @@ HEADLINE = (
     "lm_perplexity_buckets", "bigram_backoff_scores", "doc_length_profile",
     "duplicate_spans", "stratified_sample", "chunk_documents",
     "alpha_mixture_rates", "alpha_sample",
-    "hll_source_cardinality", "bloom_dedup_census", "cms_source_counts",
+    "hll_source_cardinality", "hll_merge", "bloom_dedup_census",
+    "cms_source_counts",
     "token_postings", "postings_merge", "tfidf_top_terms",
     "bm25_search", "bm25_weighted", "phrase_kwic",
     "phrase_hits", "proximity_hits", "kwic_snippets", "minhash_recall_sample",

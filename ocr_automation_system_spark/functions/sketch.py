@@ -223,3 +223,17 @@ def cms_estimates(df: DataFrame, item_col: str) -> DataFrame:
     return (probes.join(F.broadcast(sketch), ["row", "bucket"])
             .groupBy("item", "exact_n")
             .agg(F.min("n").alias("cms_n")))
+
+
+def merge_hll_registers(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union-merge two HLL register tables (the op that makes the
+    sketch a sketch): per (group, register) the rank is the max of
+    maxes and the item count adds, so
+    ``merge(regs(A), regs(B)) == regs(A ∪ B)`` identically for
+    disjoint inputs — daily crawl sketches fold into the running one
+    without re-touching any corpus. One map-side-combined groupBy over
+    the tiny (group, j) key space (<= m rows per group per side)."""
+    return (a.unionByName(b)
+            .groupBy("grp", "j")
+            .agg(F.max("r").alias("r"),
+                 F.sum("c").cast("long").alias("c")))

@@ -3514,6 +3514,36 @@ FROM agg a JOIN ex USING (source)
 """
 
 
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch maintenance: HLL register tables built over the even- and
+    odd-doc_id halves, merged as ARTIFACTS (max rank per register,
+    counts add). The oracle is the full-corpus register table — the
+    query asserts merge(regs(A), regs(B)) == regs(A ∪ B) exactly, the
+    property that lets daily crawl sketches fold into the running one
+    without re-touching any corpus."""
+    from .functions import sketch as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = S.hll_register_table(docs.filter(F.col("doc_id") % 2 == 0))
+    b = S.hll_register_table(docs.filter(F.col("doc_id") % 2 == 1))
+    return (S.merge_hll_registers(a, b)
+            .select("grp", "j", F.col("r").cast("long").alias("r"),
+                    F.col("c").cast("long").alias("c")))
+
+
+SQL_HLL_MERGE = f"""
+WITH h AS (SELECT source, md5(coalesce(text, '')) AS h FROM documents),
+t AS (SELECT source, h,
+             CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS j,
+             ltrim(substr(h, 3, 15), '0') AS st
+      FROM h),
+r AS (SELECT source, j, {_sql_hll_rank('st')} AS rho FROM t)
+SELECT source AS grp, j, CAST(max(rho) AS BIGINT) AS r,
+       CAST(count(*) AS BIGINT) AS c
+FROM r GROUP BY 1, 2
+"""
+
+
 def q_bloom_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Bloom-filter occupancy census (k=4 md5-slice hashes,
     m=4096): bits set, fill fraction, fill^k false-positive estimate —
@@ -3925,6 +3955,7 @@ REGISTRY: dict = {
     "hll_source_cardinality": (q_hll_source_cardinality,
                                SQL_HLL_SOURCE_CARDINALITY),
     "bloom_dedup_census": (q_bloom_dedup_census, SQL_BLOOM_DEDUP_CENSUS),
+    "hll_merge": (q_hll_merge, SQL_HLL_MERGE),
     "cms_source_counts": (q_cms_source_counts, SQL_CMS_SOURCE_COUNTS),
     "token_postings": (q_token_postings, SQL_TOKEN_POSTINGS),
     "postings_merge": (q_postings_merge, SQL_POSTINGS_MERGE),

@@ -391,3 +391,20 @@ def test_merge_token_postings_disjoint_vocab(spark):
     got = {r["token"]: (r["df_docs"], r["postings"])
            for r in merge_token_postings(a, b).collect()}
     assert got == {"onlyina": (1, "1"), "onlyinb": (1, "2")}
+
+
+def test_merge_hll_registers_identity(spark):
+    """merge(regs(A), regs(B)) == regs(A ∪ B) exactly — max of maxes
+    per register, counts add — over disjoint halves."""
+    from ocr_automation_system_spark.functions.sketch import (
+        hll_register_table, merge_hll_registers,
+    )
+
+    rows = [(i, f"text body number {i}", ["s1", "s2"][i % 2])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = hll_register_table(df.filter("doc_id % 2 = 0"))
+    b = hll_register_table(df.filter("doc_id % 2 = 1"))
+    merged = sorted(map(tuple, merge_hll_registers(a, b).collect()))
+    full = sorted(map(tuple, hll_register_table(df).collect()))
+    assert merged == full and merged
