@@ -237,3 +237,13 @@ def merge_hll_registers(a: DataFrame, b: DataFrame) -> DataFrame:
             .groupBy("grp", "j")
             .agg(F.max("r").alias("r"),
                  F.sum("c").cast("long").alias("c")))
+
+
+def merge_cms_tables(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union-merge two count-min sketches: counters SUM, so
+    ``merge(cms(A), cms(B)) == cms(A ∪ B)`` identically — the third leg
+    of the mergeable-sketch maintenance trio (postings / HLL / CMS).
+    One groupBy over the fixed d·w (1,024) key space."""
+    return (a.unionByName(b)
+            .groupBy("row", "bucket")
+            .agg(F.sum("n").cast("long").alias("n")))

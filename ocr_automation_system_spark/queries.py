@@ -3531,6 +3531,28 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c").cast("long").alias("c")))
 
 
+def q_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintenance: SUM-merge the even/odd half
+    sketches and assert equality with the full-corpus sketch (the
+    oracle) — counters add, so merge(cms(A), cms(B)) == cms(A ∪ B)."""
+    from .functions import sketch as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = S.cms_table(docs.filter(F.col("doc_id") % 2 == 0), "source")
+    b = S.cms_table(docs.filter(F.col("doc_id") % 2 == 1), "source")
+    return (S.merge_cms_tables(a, b)
+            .select(F.col("row").cast("int").alias("row"),
+                    "bucket", F.col("n").cast("long").alias("n")))
+
+
+SQL_CMS_MERGE = f"""
+WITH stream AS (SELECT r.rw, {_sql_cms_bucket('source', 'r.rw')} AS bucket
+                FROM documents CROSS JOIN range(0, 4) r(rw))
+SELECT CAST(rw AS INT) AS row, bucket, CAST(count(*) AS BIGINT) AS n
+FROM stream GROUP BY 1, 2
+"""
+
+
 SQL_HLL_MERGE = f"""
 WITH h AS (SELECT source, md5(coalesce(text, '')) AS h FROM documents),
 t AS (SELECT source, h,
@@ -3956,6 +3978,7 @@ REGISTRY: dict = {
                                SQL_HLL_SOURCE_CARDINALITY),
     "bloom_dedup_census": (q_bloom_dedup_census, SQL_BLOOM_DEDUP_CENSUS),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE),
+    "cms_merge": (q_cms_merge, SQL_CMS_MERGE),
     "cms_source_counts": (q_cms_source_counts, SQL_CMS_SOURCE_COUNTS),
     "token_postings": (q_token_postings, SQL_TOKEN_POSTINGS),
     "postings_merge": (q_postings_merge, SQL_POSTINGS_MERGE),

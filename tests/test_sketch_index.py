@@ -408,3 +408,18 @@ def test_merge_hll_registers_identity(spark):
     merged = sorted(map(tuple, merge_hll_registers(a, b).collect()))
     full = sorted(map(tuple, hll_register_table(df).collect()))
     assert merged == full and merged
+
+
+def test_merge_cms_tables_identity(spark):
+    """merge(cms(A), cms(B)) == cms(A ∪ B) exactly — counters sum."""
+    from ocr_automation_system_spark.functions.sketch import (
+        cms_table, merge_cms_tables,
+    )
+
+    rows = [(i, ["x", "y", "z"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = cms_table(df.filter("doc_id % 2 = 0"), "source")
+    b = cms_table(df.filter("doc_id % 2 = 1"), "source")
+    merged = sorted(map(tuple, merge_cms_tables(a, b).collect()))
+    full = sorted(map(tuple, cms_table(df, "source").collect()))
+    assert merged == full and merged
