@@ -158,24 +158,172 @@ def _segment_blocks_htmlparser(html: str) -> list[dict]:
 # HTMLParser is pure-Python per-callback dispatch: ~1.3 MB/s/core on
 # production-sized (~100KB) pages, which makes it the engine's hot-path
 # bottleneck. This scanner walks the same token stream with one C-level
-# finditer + raw-text skips for script/style, feeding the identical block
-# state machine — same blocks, byte for byte (test_fast_segmenter_ab).
+# search loop + raw-text skips for script/style, feeding the identical
+# block state machine — same blocks, byte for byte (test_fast_segmenter).
+#
+# Parity strategy (three tiers):
+#   1. CLEAN tokens — well-formed comments/doctypes/tags where the big
+#      token regex's span and semantics provably equal html.parser's —
+#      are handled inline (the common case on real pages).
+#   2. Tag-shaped constructs outside the clean form (odd name chars,
+#      unquoted-value edge cases, bogus end tags like ``</ div>``) go
+#      through exact mirrors of ``parse_starttag``/``parse_endtag``/
+#      ``parse_marked_section`` built on html.parser's OWN compiled
+#      regexes, so the span/name math cannot drift from the stdlib.
+#   3. Anything html.parser would treat via its incomplete-at-EOF
+#      raw-data tail, malformed-tag raw emission, or error() paths
+#      raises ``_Anomaly`` and the WHOLE document re-parses on the
+#      reference parser — byte-identity by construction, at reference
+#      speed, only for pathological inputs (hypothesis-discovered:
+#      truncated markup like ``'<!'`` at EOF).
 
 import re as _re
 from html import unescape as _unescape
 
+import _markupbase as _mb
+import html.parser as _hp
+
+
+class _Anomaly(Exception):
+    """Markup construct outside the fast scanner's provable subset."""
+
+
 _TOKEN_RE = _re.compile(
-    r"<!--.*?(?:-->|$)"                       # comments (unterminated: to EOF)
-    r"|<!\[CDATA\[.*?(?:\]\]>|$)"             # CDATA sections
-    r"|<[!?][^>]*>?"                          # doctype / processing instr.
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)"       # tag open: (1)=/, (2)=name
-    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"      # attrs (quoted '>' safe)
-    r"(/?)>",                                 # (4) self-closing slash
+    r"<!--.*?--\s*>"                           # 1 clean comment (stdlib close)
+    r"|<!--"                                   # 2 unterminated comment
+    r"|<!\["                                   # 3 marked section (handler)
+    r"|<[!?][^>]*>"                            # 4 doctype/bogus/PI: first '>'
+    r"|<[!?]"                                  # 5 unterminated decl/PI
+    r"|<([a-zA-Z][a-zA-Z0-9:._-]*)"            # 6 clean start tag: (1)=name
+    r"(?=[\t\n\r\f />])"                       #   stdlib name-boundary chars
+    r"((?:[\t\n\r\f ]+[^\s/>=]+"               #   (2)=attrs: WS+ name
+    r"(?:[\t\n\r\f ]*=[\t\n\r\f ]*"            #   optional = value
+    r"(?:\"[^\"]*\"|'[^']*'"                   #   quoted value
+    r"|[^\s>\"'=/]+(?=[\t\n\r\f >])))?)*)"     #   bare value (not before '/')
+    r"[\t\n\r\f ]*(/?)>"                       # (3)=self-closing slash
+    r"|</([a-zA-Z][a-zA-Z0-9:._-]*)"           # 7 clean end tag: (4)=name
+    r"[\t\n\r\f ]*>"                           #   (same span as endtagfind)
+    r"|<[a-zA-Z]"                              # 8 non-clean start tag (handler)
+    r"|</",                                    # 9 non-clean end tag (handler)
     _re.S,
 )
 #: script/style content is raw text until the matching close tag
 #: (HTMLParser CDATA_CONTENT_ELEMENTS).
 _RAWTEXT_TAGS = ("script", "style")
+
+#: ``</\s*script`` / ``</\s*style`` — html.parser's cdata-mode
+#: ``interesting`` pattern (set_cdata_mode), verbatim semantics.
+_CDATA_CLOSE = {t: _re.compile(r"</\s*%s" % t, _re.IGNORECASE)
+                for t in _RAWTEXT_TAGS}
+
+#: check_for_whole_start_tag's "end of input in or before attribute
+#: value" character class, verbatim.
+_NEXT_INCOMPLETE = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _starttag_exact(html: str, i: int) -> tuple[str, bool, int]:
+    """(tag, self_closing, endpos) for a start tag at ``i``, mirroring
+    ``HTMLParser.parse_starttag`` + ``check_for_whole_start_tag`` on the
+    stdlib's own compiled regexes. Raises ``_Anomaly`` exactly where the
+    stdlib would defer (incomplete at EOF), emit the raw tag slice as
+    data (malformed innards), or call ``error()``."""
+    m = _hp.locatestarttagend_tolerant.match(html, i)
+    if m is None:  # stdlib: AssertionError -> salvage-abort
+        raise _Anomaly
+    j = m.end()
+    nxt = html[j:j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/" and html.startswith("/>", j):
+        endpos = j + 2
+    else:
+        # '', letters/=// (incomplete), lone '/', or the return-j
+        # malformed path — all end in raw data or error() upstream.
+        raise _Anomaly
+    mt = _hp.tagfind_tolerant.match(html, i + 1)
+    if mt is None:
+        raise _Anomaly
+    tag = mt.group(1).lower()
+    k = mt.end()
+    while k < endpos:
+        ma = _hp.attrfind_tolerant.match(html, k)
+        if ma is None:
+            break
+        k = ma.end()
+    end = html[k:endpos].strip()
+    if end == ">":
+        return tag, False, endpos
+    if end == "/>":
+        return tag, True, endpos
+    raise _Anomaly  # stdlib: handle_data(rawdata[i:endpos]) raw
+
+
+def _endtag_exact(html: str, i: int) -> tuple[str | None, int]:
+    """(tag_or_None, endpos) for ``</`` at ``i``, mirroring
+    ``HTMLParser.parse_endtag`` outside cdata mode: full ``endtagfind``
+    match, tolerant-name discarded-junk form, silent ``</>``, and the
+    bogus-comment fallthrough. ``None`` = no endtag callback fires."""
+    mgt = _hp.endendtag.search(html, i + 1)
+    if mgt is None:  # incomplete at EOF -> raw-data tail path
+        raise _Anomaly
+    m = _hp.endtagfind.match(html, i)
+    if m is not None:
+        return m.group(1).lower(), m.end()
+    mn = _hp.tagfind_tolerant.match(html, i + 2)
+    if mn is not None:
+        # name can't contain '>', so find() is >= 0 here (endendtag hit)
+        return mn.group(1).lower(), html.find(">", mn.end()) + 1
+    if html.startswith("</>", i):
+        return None, i + 3
+    g = html.find(">", i + 2)  # parse_bogus_comment: no state change
+    if g < 0:
+        raise _Anomaly
+    return None, g + 1
+
+
+def _marked_exact(html: str, i: int) -> int:
+    """Span end of a ``<![`` marked section at ``i``, mirroring
+    ``_markupbase.parse_marked_section`` (``unknown_decl`` is a no-op in
+    the block parser, so only the resume position matters)."""
+    m = _mb._declname_match(html, i + 3)  # bound .match in _markupbase
+    if m is None:  # _scan_name error() -> salvage-abort
+        raise _Anomaly
+    if m.end() == len(html):  # name runs to end of buffer -> incomplete
+        raise _Anomaly
+    name = m.group().strip().lower()
+    if name in ("temp", "cdata", "ignore", "include", "rcdata"):
+        mc = _mb._markedsectionclose.search(html, i + 3)
+    elif name in ("if", "else", "endif"):
+        mc = _mb._msmarkedsectionclose.search(html, i + 3)
+    else:  # unknown status keyword -> error()
+        raise _Anomaly
+    if mc is None:  # unterminated -> raw-data tail path
+        raise _Anomaly
+    return mc.end()
+
+
+def _cdata_skip(html: str, pos: int, tag: str) -> tuple[int, bool]:
+    """(resume_pos, close_tag_fired) across script/style raw content,
+    mirroring html.parser cdata mode: the ``</\\s*tag`` interesting
+    pattern, ``parse_endtag``'s stay-in-cdata branches for bogus or
+    wrong-name closes, and silent swallow-to-EOF when unterminated.
+    The content itself is dropped by the caller (DROP_TAGS), so only
+    the resume position and the close-fired flag are observable."""
+    search = _CDATA_CLOSE[tag].search
+    i = pos
+    while True:
+        m = search(html, i)
+        if m is None:
+            return len(html), False  # unterminated: swallowed, stays open
+        j = m.start()
+        mgt = _hp.endendtag.search(html, j + 1)
+        if mgt is None:  # '</tag' then EOF without '>': rest swallowed
+            return len(html), False
+        mfull = _hp.endtagfind.match(html, j)
+        if mfull is not None and mfull.group(1).lower() == tag:
+            return mfull.end(), True
+        # bogus / wrong-name close: raw data (dropped), stay in cdata
+        i = mgt.end()
 
 
 #: Per-tag action codes for the inline state machine below. The tag sets
@@ -197,12 +345,25 @@ assert len(_TAG_ACTION) == (len(BLOCK_TAGS) + len(BOILERPLATE_CONTAINERS)
 
 
 def _fast_segment(html: str) -> list[dict]:
-    """One finditer walk with the _BlockParser state machine INLINED —
-    ~450k Python callback invocations per 3k thin pages were pure call
-    overhead (57% of extraction time was segmentation). Byte-identical
-    to `_segment_blocks_htmlparser` by the A/B suite
+    """Fast scanner with reference fallback: clean markup runs through
+    `_fast_segment_strict`; any `_Anomaly` (markup html.parser handles
+    via its raw-tail / malformed / error paths) re-parses the whole
+    document on the reference parser. Byte-identical to
+    `_segment_blocks_htmlparser` on EVERY input by the A/B suite
     (tests/test_fast_segmenter.py: adversarial cases + 800-doc corpus +
-    two hypothesis fuzzers)."""
+    hypothesis fuzzers)."""
+    try:
+        return _fast_segment_strict(html)
+    except _Anomaly:
+        return _segment_blocks_htmlparser(html)
+
+
+def _fast_segment_strict(html: str) -> list[dict]:
+    """One search-loop walk with the _BlockParser state machine INLINED —
+    ~450k Python callback invocations per 3k thin pages were pure call
+    overhead (57% of extraction time was segmentation). Raises
+    ``_Anomaly`` for constructs outside the provable-parity subset
+    (see the tier comment above `_TOKEN_RE`)."""
     blocks: list[dict] = []
     lines: list[str] = []
     buf: list[str] = []
@@ -211,7 +372,6 @@ def _fast_segment(html: str) -> list[dict]:
     search = _TOKEN_RE.search
     unescape = _unescape
     act_of = _TAG_ACTION.get
-    lower = None  # lazily built lowercase copy for raw-text close search
     pos = 0
     n = len(html)
     while pos < n:
@@ -229,81 +389,107 @@ def _fast_segment(html: str) -> list[dict]:
                     link_chars += c
         if m is None:
             break
-        pos = m.end()
-        name = m.group(2)
-        if name is None:
-            continue  # comment / doctype / CDATA — no state change
-        act = act_of(name.lower())
+        name = m.group(1)
+        if name is not None:  # ---- clean start tag (the hot path) ----
+            pos = m.end()
+            tag = name.lower()
+            self_closing = m.group(3) == "/"
+        else:
+            etag = m.group(4)
+            if etag is not None:  # ---- clean end tag (hot path) ------
+                pos = m.end()
+                etag = etag.lower()
+            else:
+                t = m.group(0)
+                c1 = t[1:2]
+                if c1 == "/":  # non-clean end tag: exact stdlib mirror
+                    etag, pos = _endtag_exact(html, m.start())
+                    if etag is None:
+                        continue  # </> / bogus comment: no callback
+                elif t.startswith("<!["):  # marked section
+                    pos = _marked_exact(html, m.start())
+                    continue
+                elif t.startswith("<!--"):  # comment: clean or anomaly
+                    if len(t) == 4:
+                        raise _Anomaly  # unterminated -> raw-tail path
+                    pos = m.end()
+                    continue
+                elif c1 == "!" or c1 == "?":  # doctype / bogus / PI
+                    if not t.endswith(">"):
+                        raise _Anomaly  # unterminated -> raw-tail path
+                    pos = m.end()
+                    continue
+                else:  # non-clean start tag: exact stdlib mirror
+                    tag, self_closing, pos = _starttag_exact(
+                        html, m.start())
+                    etag = None
+            if etag is not None:  # ---- end-tag state machine ---------
+                act = act_of(etag)
+                if act is None:
+                    continue
+                if act == _ACT_DROP:
+                    if drop_depth:
+                        drop_depth -= 1
+                elif act == _ACT_BLOCK or act == _ACT_BOILER:
+                    # _flush_block, inlined (boilerplate read pre-depth--)
+                    line = " ".join("".join(buf).split())
+                    del buf[:]
+                    if line:
+                        lines.append(line)
+                    if lines:
+                        blocks.append({
+                            "text": "\n".join(lines), "n_chars": chars,
+                            "link_chars": link_chars,
+                            "boilerplate": boiler_depth > 0,
+                        })
+                        del lines[:]
+                    chars = link_chars = 0
+                    if act == _ACT_BOILER and boiler_depth:
+                        boiler_depth -= 1
+                elif act == _ACT_A:
+                    if anchor_depth:
+                        anchor_depth -= 1
+                # br end tag: no-op
+                continue
+        # ---- start tag state machine (clean + non-clean paths) ------
+        act = act_of(tag)
         if act is None:
             continue  # unknown tag: every callback falls through
-        if m.group(1):  # ---- end tag --------------------------------
-            if act == _ACT_DROP:
-                if drop_depth:
-                    drop_depth -= 1
-            elif act == _ACT_BLOCK or act == _ACT_BOILER:
-                # _flush_block, inlined (boilerplate read BEFORE depth--)
-                line = " ".join("".join(buf).split())
-                del buf[:]
-                if line:
-                    lines.append(line)
-                if lines:
-                    blocks.append({
-                        "text": "\n".join(lines), "n_chars": chars,
-                        "link_chars": link_chars,
-                        "boilerplate": boiler_depth > 0,
-                    })
-                    del lines[:]
-                chars = link_chars = 0
-                if act == _ACT_BOILER and boiler_depth:
-                    boiler_depth -= 1
-            elif act == _ACT_A:
-                if anchor_depth:
-                    anchor_depth -= 1
-            # br end tag: no-op
-        elif m.group(4):  # ---- self-closing: only <br/> acts --------
+        if self_closing:  # handle_startendtag: only <br/> acts
             if act == _ACT_BR:
                 line = " ".join("".join(buf).split())
                 del buf[:]
                 if line:
                     lines.append(line)
-        else:  # ---- start tag ---------------------------------------
-            if act == _ACT_DROP:
-                drop_depth += 1
-                tag = name.lower()
-                if tag == "script" or tag == "style":
-                    # raw text until the matching close (CDATA content)
-                    if lower is None:
-                        lower = html.lower()
-                    close = lower.find("</" + tag, pos)
-                    if close == -1:  # unterminated: swallow to EOF
-                        pos = n
-                    else:
-                        gt = lower.find(">", close)
-                        if drop_depth:  # the skipped close tag's effect
-                            drop_depth -= 1
-                        pos = n if gt == -1 else gt + 1
-            elif act == _ACT_BR:
-                line = " ".join("".join(buf).split())
-                del buf[:]
-                if line:
-                    lines.append(line)
-            elif act == _ACT_BLOCK or act == _ACT_BOILER:
-                line = " ".join("".join(buf).split())
-                del buf[:]
-                if line:
-                    lines.append(line)
-                if lines:
-                    blocks.append({
-                        "text": "\n".join(lines), "n_chars": chars,
-                        "link_chars": link_chars,
-                        "boilerplate": boiler_depth > 0,
-                    })
-                    del lines[:]
-                chars = link_chars = 0
-                if act == _ACT_BOILER:
-                    boiler_depth += 1
-            else:  # _ACT_A
-                anchor_depth += 1
+        elif act == _ACT_DROP:
+            drop_depth += 1
+            if tag == "script" or tag == "style":
+                # raw text until the matching close (cdata mode)
+                pos, closed = _cdata_skip(html, pos, tag)
+                if closed and drop_depth:  # the close tag's endtag effect
+                    drop_depth -= 1
+        elif act == _ACT_BR:
+            line = " ".join("".join(buf).split())
+            del buf[:]
+            if line:
+                lines.append(line)
+        elif act == _ACT_BLOCK or act == _ACT_BOILER:
+            line = " ".join("".join(buf).split())
+            del buf[:]
+            if line:
+                lines.append(line)
+            if lines:
+                blocks.append({
+                    "text": "\n".join(lines), "n_chars": chars,
+                    "link_chars": link_chars,
+                    "boilerplate": boiler_depth > 0,
+                })
+                del lines[:]
+            chars = link_chars = 0
+            if act == _ACT_BOILER:
+                boiler_depth += 1
+        else:  # _ACT_A
+            anchor_depth += 1
     # final flush (matches sink._flush_block() after the loop)
     line = " ".join("".join(buf).split())
     if line:

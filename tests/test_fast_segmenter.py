@@ -9,7 +9,8 @@ from hypothesis import strategies as st
 
 from ocr_automation_system_spark.corpus import generate_rows
 from ocr_automation_system_spark.oracle.html_extract import (
-    _fast_segment, _segment_blocks_htmlparser, extract_main_text,
+    _Anomaly, _fast_segment, _fast_segment_strict,
+    _segment_blocks_htmlparser, extract_main_text,
 )
 from ocr_automation_system_spark.oracle.pdf_stub import is_pdf_payload
 
@@ -33,6 +34,31 @@ CASES = [
     "<!DOCTYPE html><?xml version='1.0'?><p>after doctype</p>",
     "<![CDATA[ raw <p>cdata</p> ]]><p>after cdata</p>",
     "a < b and c > d <p>math soup</p>",
+    # --- truncated-markup tail paths (hypothesis-discovered family:
+    # html.parser emits incomplete constructs at EOF as raw data) ------
+    "<!", "<?", "<?x", "<!x", "<!doctype html", "<!--", "<!--abc",
+    "<!--abc--", "<![CDATA[x", "p<![CDATA[", "<p>x<!", "x<!", "<!-",
+    "<div>x</div><!q", "<!-->", "<!--->", "<!---->",
+    # --- comment close is --\s*> (not just -->) -----------------------
+    "<!--x-- >y<p>after loose comment close stays in sync</p>",
+    # --- bogus / tolerant end-tag forms --------------------------------
+    "</ >", "</>", "</ div>in-div-closed-by-spaced-endtag</div>",
+    "</div attr='>'>quote-naive endtag span</div>",
+    "</a@>x", "</a b='>'>x",
+    # --- start-tag name charset / malformed innards -------------------
+    "<a@b>not an anchor: tolerant name is 'a@b'</a@b><p>done</p>",
+    "<a\vhref>vertical tab is a stdlib name char</a>",
+    "<a href=x/>bare-value-then-slash is NOT self-closing</a>",
+    "<a href=''x>", "<a ,>x", "<td x=1, y=2>cell</td>",
+    "<a =>x", "<a href=>x", "<br clear=x/>next", "<!DOCTYPEjunk>x",
+    # --- cdata-mode close edge cases -----------------------------------
+    "<script>x</script y></script><p>bogus close stays in cdata</p>",
+    "<script>a</ScRiPt >b<p>case+space close</p>",
+    "<script>a</ script>b<p>spaced close</p>",
+    "<script><!--</script>--></script>ok",
+    # --- marked sections beyond CDATA ----------------------------------
+    "<![if x]>y", "<![unknown[x]]>y", "<![ignore[ hidden ]]>shown",
+    "<![CDATA[x] ]>loose marked close<p>after</p>",
 ]
 
 
@@ -68,6 +94,45 @@ def test_ab_fuzz(text):
           suppress_health_check=[HealthCheck.too_slow])
 def test_ab_fuzz_taggy(html):
     assert _fast_segment(html) == _segment_blocks_htmlparser(html)
+
+
+#: Markup fragments chosen to hit parser-boundary seams: truncation,
+#: bogus closes, marked sections, loose comment closes, cdata escapes.
+_SOUP_ATOMS = [
+    "<", ">", "/", "!", "?", "-", "[", "]", "=", '"', "'", "&", ";",
+    " ", "\t", "\n", "\v", "\f", "a", "b", "p", "x", "1", "@", "\x00",
+    "<p>", "</p>", "<div>", "</div>", "<a href='x'>", "</a>", "<br>",
+    "<br/>", "<script>", "</script>", "<style>", "</style>",
+    "<!--", "-->", "<![CDATA[", "]]>", "<!doctype html>", "<?pi?>",
+    "&amp;", "&lt", "&#65;", "word ", "</ div>", "<a@b>", "<td x=1>",
+    "</tr>", "-- >", "] ]>", "<![if x]>", "<![ignore[", "<!x>", "</>",
+]
+
+
+@given(st.lists(st.sampled_from(_SOUP_ATOMS), max_size=30).map("".join))
+@settings(max_examples=400, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_ab_fuzz_markup_soup(html):
+    assert _fast_segment(html) == _segment_blocks_htmlparser(html)
+
+
+def test_strict_path_is_the_common_path():
+    """The anomaly fallback exists for pathological rows only: clean
+    pages must run the strict scanner (perf guarantee), while truncated
+    markup must raise _Anomaly (correctness guarantee — remove the
+    anomaly raises and the A/B assertions above go red)."""
+    # clean page: no fallback
+    blocks = _fast_segment_strict(
+        "<nav><a href='/'>Home</a></nav><article><p>body text ok</p>"
+        "</article>")
+    assert blocks
+    # truncated markup: must defer to the reference parser
+    for bad in ("<!", "<?x", "<!--abc", "<![CDATA[x", "\x00\xff<not html"):
+        try:
+            _fast_segment_strict(bad)
+        except _Anomaly:
+            continue
+        raise AssertionError(f"expected _Anomaly for {bad!r}")
 
 
 def test_extract_main_text_still_works():
