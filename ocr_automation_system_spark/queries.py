@@ -2928,6 +2928,95 @@ FROM y GROUP BY 1, 2
 """
 
 
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (X56): each click event matched to the user's most
+    recent purchase at or before its timestamp — the "config in force
+    when the fetch happened" temporal-join shape. One shuffle on the
+    key (union + running last-fill), never a range join."""
+    from .functions.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("last_purchase_value")))
+    return asof_join(clicks, purchases, on="user_id", ts="ts",
+                     value_cols=["last_purchase_value"])
+
+
+SQL_EVENTS_ASOF_PURCHASE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, ts, max(value) AS last_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.user_id, c.ts, c.event_id,
+       p.ts AS asof_ts, p.last_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap / range join (X57): user sessions joined to
+    global high-severity error windows ([ts, ts+30min] for errors with
+    value > 198) on time overlap. Bucketized to an hourly equi-join key
+    and the tiny window side broadcast — no shuffle beyond the
+    sessionization itself."""
+    from .functions.temporal import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = W.sessionize(ev, gap_minutes=30)
+    wins = (ev.filter((F.col("event_type") == "error")
+                      & (F.col("value") > 198.0))
+            .select(F.col("event_id").alias("window_id"),
+                    F.col("ts").alias("w_start"),
+                    (F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+                    .alias("w_end")))
+    pairs = interval_overlap_join(
+        sess.select("user_id", "session_id", "session_start",
+                    "session_end"),
+        wins, l_start="session_start", l_end="session_end",
+        r_start="w_start", r_end="w_end",
+        bucket_seconds=3600, broadcast_right=True)
+    hits = (pairs.groupBy("user_id", "session_id")
+            .agg(F.count("window_id").alias("n_error_windows")))
+    return (
+        sess.join(hits, ["user_id", "session_id"], "left")
+        .select("user_id", "session_id", "session_start",
+                F.coalesce(F.col("n_error_windows"), F.lit(0))
+                .cast("long").alias("n_error_windows"))
+    )
+
+
+SQL_SESSION_ERROR_OVERLAP = """
+WITH x AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+y AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x),
+sess AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM y GROUP BY 1, 2),
+wins AS (
+  SELECT event_id AS window_id, ts AS w_start,
+         ts + INTERVAL 30 MINUTE AS w_end
+  FROM events WHERE event_type = 'error' AND value > 198.0)
+SELECT s.user_id, s.session_id, s.session_start,
+       CAST(count(w.window_id) AS BIGINT) AS n_error_windows
+FROM sess s LEFT JOIN wins w
+  ON s.session_start <= w.w_end AND w.w_start <= s.session_end
+GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Pipeline queries over the synthetic html corpus (rows-only checks: the
 # binary-payload extraction semantics are not ANSI-SQL-expressible; their
@@ -4060,9 +4149,13 @@ REGISTRY: dict = {
     "region_nation_rollup": (q_region_nation_rollup, SQL_REGION_NATION_ROLLUP),
     "json_field_extract": (q_json_field_extract, SQL_JSON_FIELD_EXTRACT),
     "source_length_profile": (q_source_length_profile, SQL_SOURCE_LENGTH_PROFILE),
-    # windowed / sessionized
+    # windowed / sessionized / temporal joins
     "window_agg_events": (q_window_agg_events, SQL_WINDOW_AGG_EVENTS),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
+    "events_asof_purchase": (q_events_asof_purchase,
+                             SQL_EVENTS_ASOF_PURCHASE),
+    "session_error_overlap": (q_session_error_overlap,
+                              SQL_SESSION_ERROR_OVERLAP),
     # extraction pipeline over the html corpus. The oracle side runs
     # against the serially-precomputed extraction twin parquet
     # (oracle/twin.py) — placeholders in the SQL are substituted by
