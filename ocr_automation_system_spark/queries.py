@@ -2929,7 +2929,7 @@ FROM y GROUP BY 1, 2
 
 
 def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (X56): each click event matched to the user's most
+    """As-of join (X58): each click event matched to the user's most
     recent purchase at or before its timestamp — the "config in force
     when the fetch happened" temporal-join shape. One shuffle on the
     key (union + running last-fill), never a range join."""
@@ -2959,7 +2959,7 @@ FROM clicks c ASOF LEFT JOIN purchases p
 
 
 def q_session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval overlap / range join (X57): user sessions joined to
+    """Interval overlap / range join (X59): user sessions joined to
     global high-severity error windows ([ts, ts+30min] for errors with
     value > 198) on time overlap. Bucketized to an hourly equi-join key
     and the tiny window side broadcast — no shuffle beyond the
