@@ -69,7 +69,7 @@ HEADLINE = (
     "checksum_existence_join", "topk_per_group",
     "pricing_summary", "top_revenue_orders", "region_nation_rollup",
     "window_agg_events", "sessionize_events",
-    "events_asof_purchase", "session_error_overlap",
+    "events_asof_purchase", "session_error_overlap", "fuzzy_name_match",
     "pipeline_validation", "pipeline_entity_reports",
     "pipeline_host_stats", "pipeline_block_scores",
     "pipeline_legacy_verification",

@@ -3017,6 +3017,53 @@ GROUP BY 1, 2, 3
 """
 
 
+#: Deterministic "OCR noise": delete the char at an md5-picked position.
+#: The md5-hex-to-int idiom is split_bucket's (curation.py:23) — both
+#: engines compute the identical position, so the noisy vocabulary is
+#: bit-identical cross-engine.
+_NOISY_POS = ("cast(pmod(cast(conv(substring(md5(cast(p_partkey as string))"
+              ", 1, 8), 16, 10) as bigint), length(p_name)) as int)")
+_NOISY_NAME_EXPR = (f"concat(substring(p_name, 1, {_NOISY_POS}), "
+                    f"substring(p_name, {_NOISY_POS} + 2))")
+_SQL_NOISY_POS = ("CAST(CAST(concat('0x', substr(md5(CAST(p_partkey AS "
+                  "VARCHAR)), 1, 8)) AS BIGINT) % length(p_name) AS INT)")
+
+
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string join (X60): the clean part-name vocabulary
+    fuzzy-joined (Levenshtein <= 2) against a deterministically
+    OCR-noised copy — the record-linkage shape for matching extracted
+    entity names to a registry. Blocking = recall-lossless q-gram
+    prefix filtering (functions/fuzzy.py); the oracle twin is the
+    quadratic cross join, so the hash match certifies zero recall loss."""
+    from .functions.fuzzy import fuzzy_join
+
+    part = load_table(spark, sf_dir, "part")
+    clean = (part.select(F.col("p_name").alias("clean_name"))
+             .distinct().withColumn("_cid", F.col("clean_name")))
+    noisy = (part.select(F.expr(_NOISY_NAME_EXPR).alias("noisy_name"))
+             .distinct().withColumn("_nid", F.col("noisy_name")))
+    return (
+        fuzzy_join(clean, noisy, "_cid", "clean_name", "_nid", "noisy_name",
+                   max_dist=2, q=2)
+        .select("clean_name", "noisy_name",
+                F.col("dist").cast("long").alias("dist"))
+    )
+
+
+SQL_FUZZY_NAME_MATCH = f"""
+WITH clean AS (SELECT DISTINCT p_name AS clean_name FROM part),
+noisy AS (
+  SELECT DISTINCT concat(substr(p_name, 1, {_SQL_NOISY_POS}),
+                         substr(p_name, {_SQL_NOISY_POS} + 2)) AS noisy_name
+  FROM part)
+SELECT c.clean_name, n.noisy_name,
+       CAST(levenshtein(c.clean_name, n.noisy_name) AS BIGINT) AS dist
+FROM clean c, noisy n
+WHERE levenshtein(c.clean_name, n.noisy_name) <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Pipeline queries over the synthetic html corpus (rows-only checks: the
 # binary-payload extraction semantics are not ANSI-SQL-expressible; their
@@ -4156,6 +4203,7 @@ REGISTRY: dict = {
                              SQL_EVENTS_ASOF_PURCHASE),
     "session_error_overlap": (q_session_error_overlap,
                               SQL_SESSION_ERROR_OVERLAP),
+    "fuzzy_name_match": (q_fuzzy_name_match, SQL_FUZZY_NAME_MATCH),
     # extraction pipeline over the html corpus. The oracle side runs
     # against the serially-precomputed extraction twin parquet
     # (oracle/twin.py) — placeholders in the SQL are substituted by
