@@ -37,6 +37,7 @@ HEADLINE = (
     "embedding_topk", "embedding_lsh_topk", "embedding_near_dup_pairs",
     "embedding_rp_near_dup_pairs", "embedding_multitable_topk",
     "embedding_ivf_topk", "embedding_lsh_topk_multiprobe",
+    "embedding_batch_topk",
     "embedding_kmeans_cells", "embedding_semdedup_keep",
     "embedding_pq_codes", "embedding_pq_topk", "embedding_ivfpq_topk",
     "embedding_pq_recall",

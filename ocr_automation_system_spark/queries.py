@@ -1740,6 +1740,77 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """
 
 
+def q_embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN (X61): a TABLE of query vectors (vec_id < 8), each
+    answered with its multi-probe LSH top-3 in ONE pass — the
+    production retrieval shape (single-literal-query plans don't batch).
+
+    Scale shape: the corpus computes its 16-bit bucket once (narrow
+    projection); the QUERY side explodes to its n_bits+1 Hamming<=1
+    probe buckets (tiny: n_queries x 17 rows) and broadcasts, so
+    candidate generation is a BroadcastHashJoin on the bucket key —
+    the corpus never shuffles. Only the candidate set pays the
+    per-query top-k (rank window, WindowGroupLimit map-side)."""
+    return _batch_topk(spark, sf_dir, n_bits=16)
+
+
+def _batch_topk(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"),
+                S.sign_bucket(F.col("embedding"), n_bits).alias("_qb"))
+        .select("q_id", "qe", F.explode(F.array(
+            F.col("_qb"), *[F.col("_qb").bitwiseXOR(F.lit(1 << i))
+                            for i in range(n_bits)])).alias("_bucket"))
+    )
+    cand = (
+        emb.withColumn("_bucket", S.sign_bucket(F.col("embedding"), n_bits))
+        .join(F.broadcast(queries), "_bucket")
+        .select("q_id", "vec_id",
+                F.round(S.cosine(F.col("embedding"), F.col("qe")), 6)
+                .alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(),
+                                           F.col("vec_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("q_id", "rank", "vec_id", "cos_sim"))
+
+
+def _sql_batch_topk(n_bits: int) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+cand AS (
+  SELECT q.q_id, e.vec_id,
+         round({_sql_cosine('e.embedding', 'qe')}, 6) AS cos_sim
+  FROM embeddings e, q
+  WHERE bit_count(xor({_sql_sign_bucket('e.embedding', n_bits)},
+                      {_sql_sign_bucket('qe', n_bits)})) <= 1)
+SELECT q_id, rank, vec_id, cos_sim FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM cand)
+WHERE rank <= 3
+"""
+
+
+SQL_EMBEDDING_BATCH_TOPK = _sql_batch_topk(16)
+
+
+def q_embedding_batch_topk_demo8(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """DEMO (8-bit buckets): the batched-ANN join with populated probe
+    buckets at test scale, so every query's top-3 window has real
+    company; see the demo-variant module comment below."""
+    return _batch_topk(spark, sf_dir, n_bits=8)
+
+
+SQL_EMBEDDING_BATCH_TOPK_DEMO8 = _sql_batch_topk(8)
+
+
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within LSH buckets (cosine >= 0.3 —
     threshold is a parameter; 0.3 exercises the op on this corpus)."""
@@ -4145,6 +4216,10 @@ REGISTRY: dict = {
     "embedding_lsh_topk": (q_embedding_lsh_topk, SQL_EMBEDDING_LSH_TOPK),
     "embedding_lsh_topk_multiprobe": (q_embedding_lsh_topk_multiprobe,
                                       SQL_EMBEDDING_LSH_TOPK_MULTIPROBE),
+    "embedding_batch_topk": (q_embedding_batch_topk,
+                             SQL_EMBEDDING_BATCH_TOPK),
+    "embedding_batch_topk_demo8": (q_embedding_batch_topk_demo8,
+                                   SQL_EMBEDDING_BATCH_TOPK_DEMO8),
     "embedding_near_dup_pairs": (q_embedding_near_dup_pairs, SQL_EMBEDDING_NEAR_DUP_PAIRS),
     "embedding_near_dup_pairs_demo8": (q_embedding_near_dup_pairs_demo8,
                                        SQL_EMBEDDING_NEAR_DUP_PAIRS_DEMO8),

@@ -852,3 +852,24 @@ def test_cluster_keep_best_picks_quality_winner(spark):
     tg = {r["doc_id"]: r["keep"]
           for r in D.cluster_keep_best(tie, quality_col="q").collect()}
     assert tg == {5: True, 6: False}
+
+
+def test_batch_topk_corpus_never_shuffles_for_candidates(spark, sf_dir):
+    """Batched ANN (X61): candidate generation must be a broadcast join
+    of the exploded query probes onto the corpus bucket projection —
+    the only exchange in the plan is the per-query rank window over
+    the (tiny) candidate set."""
+    from ocr_automation_system_spark.queries import q_embedding_batch_topk
+
+    df = q_embedding_batch_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # rank window only
+    assert "WindowGroupLimit" in plan  # top-3 pruned map-side
+    # per-query semantics: every returned rank run starts at 1
+    rows = df.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    for q_id, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q_id
