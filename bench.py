@@ -71,6 +71,7 @@ HEADLINE = (
     "pricing_summary", "top_revenue_orders", "region_nation_rollup",
     "window_agg_events", "sessionize_events",
     "events_asof_purchase", "session_error_overlap", "fuzzy_name_match",
+    "trailing_user_volume", "corpus_cube_rollup", "bitext_candidates",
     "pipeline_validation", "pipeline_entity_reports",
     "pipeline_host_stats", "pipeline_block_scores",
     "pipeline_legacy_verification",

@@ -63,3 +63,35 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.sum(F.col("value").cast("decimal(20,8)")).cast("double").alias("session_value"),
         )
     )
+
+
+def trailing_window_agg(events: DataFrame, trail_seconds: int = 600,
+                        key: str = "user_id", ts: str = "ts",
+                        value: str = "value") -> DataFrame:
+    """Per-row trailing time-window stats: for every event, the count
+    and exact value sum of the SAME key's events in the closed interval
+    [ts - trail_seconds, ts] — the rate-limiter / burst-detection shape
+    (events per user per trailing 10 minutes).
+
+    A RANGE frame over calendar epoch seconds (timezone-independent:
+    ``timestamp_diff`` from the NTZ epoch, never a session-zone cast).
+    RANGE includes order-key peers, so equal-timestamp events see each
+    other symmetrically in both engines — deterministic under ties.
+    One shuffle on the key; the frame is evaluated in a single
+    streaming pass per partition (Spark's sliding RANGE frame keeps a
+    bounded buffer of trail_seconds worth of rows, not the partition).
+    The sum folds in DECIMAL(20,8) and rounds once at the end — the
+    repo's exact-sum discipline, bit-identical cross-engine."""
+    ep = F.timestamp_diff(
+        "SECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts).cast("timestamp_ntz"))
+    w = (Window.partitionBy(key).orderBy(F.col("_ep"))
+         .rangeBetween(-trail_seconds, 0))
+    return (
+        events.withColumn("_ep", ep)
+        .select(
+            "event_id", key, ts,
+            F.count(F.lit(1)).over(w).alias("n_trail"),
+            F.sum(F.col(value).cast("decimal(20,8)")).over(w)
+            .cast("double").alias("value_trail"))
+    )

@@ -1811,6 +1811,79 @@ def q_embedding_batch_topk_demo8(spark: SparkSession,
 SQL_EMBEDDING_BATCH_TOPK_DEMO8 = _sql_batch_topk(8)
 
 
+def _bitext_candidates(spark: SparkSession, sf_dir: str,
+                       n_bits: int) -> DataFrame:
+    """Shared body for the bitext-mining tier (X64): every non-English
+    document's nearest ENGLISH document by embedding cosine, candidates
+    confined to the shared LSH bucket — the CCMatrix/CCAligned
+    bitext-candidate shape (cross-lingual parallel-corpus mining).
+
+    Scale shape: both sides derive (bucket, lang) narrowly from the
+    same scan (embedding join to the doc dimension is on the id key);
+    candidate generation is a bucketed equi-join with the lang split as
+    pushed-down scan filters, never corpus x corpus; the per-source
+    top-1 is a rank window on the candidate set only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang")
+    x = (emb.join(docs, "vec_id")
+         .select("vec_id", "lang", "embedding",
+                 S.sign_bucket(F.col("embedding"), n_bits).alias("_b")))
+    src = (x.filter(F.col("lang") != "en")
+           .select(F.col("vec_id").alias("src_id"),
+                   F.col("lang").alias("src_lang"),
+                   F.col("embedding").alias("src_emb"), "_b"))
+    en = (x.filter(F.col("lang") == "en")
+          .select(F.col("vec_id").alias("en_id"),
+                  F.col("embedding").alias("en_emb"), "_b"))
+    cand = (src.join(en, "_b")
+            .select("src_id", "src_lang", "en_id",
+                    F.round(S.cosine(F.col("src_emb"), F.col("en_emb")), 6)
+                    .alias("cos_sim")))
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(),
+                                             F.col("en_id").asc())
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("src_id", "src_lang", "en_id", "cos_sim"))
+
+
+def q_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining candidates (X64) at the production 16-bit bucket
+    width; near-singleton buckets at test scale (the 8-bit demo below
+    carries the differential coverage, per the demo8 convention)."""
+    return _bitext_candidates(spark, sf_dir, n_bits=16)
+
+
+def q_bitext_candidates_demo8(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """DEMO (8-bit buckets): bitext candidates with real bucket company
+    at test scale; see the demo-variant module comment below."""
+    return _bitext_candidates(spark, sf_dir, n_bits=8)
+
+
+def _sql_bitext(n_bits: int) -> str:
+    return f"""
+WITH x AS (
+  SELECT e.vec_id, d.lang, e.embedding,
+         {_sql_sign_bucket('e.embedding', n_bits)} AS b
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+cand AS (
+  SELECT s.vec_id AS src_id, s.lang AS src_lang, t.vec_id AS en_id,
+         round({_sql_cosine('s.embedding', 't.embedding')}, 6) AS cos_sim
+  FROM x s JOIN x t ON s.b = t.b
+  WHERE s.lang <> 'en' AND t.lang = 'en')
+SELECT src_id, src_lang, en_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+                               ORDER BY cos_sim DESC, en_id) AS rn
+  FROM cand)
+WHERE rn = 1
+"""
+
+
+SQL_BITEXT_CANDIDATES = _sql_bitext(16)
+SQL_BITEXT_CANDIDATES_DEMO8 = _sql_bitext(8)
+
+
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within LSH buckets (cosine >= 0.3 —
     threshold is a parameter; 0.3 exercises the op on this corpus)."""
@@ -2977,6 +3050,26 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_trailing_user_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding time-range window (X63): per event, the same user's
+    event count and exact value sum over the trailing 10 minutes —
+    RANGE frame over calendar epoch seconds (see
+    functions/windows.py:trailing_window_agg for the scale notes)."""
+    return W.trailing_window_agg(load_table(spark, sf_dir, "events"),
+                                 trail_seconds=600)
+
+
+SQL_TRAILING_USER_VOLUME = """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_trail,
+       CAST(sum(CAST(value AS DECIMAL(20,8))) OVER w AS DOUBLE)
+         AS value_trail
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
 
@@ -3085,6 +3178,34 @@ SELECT s.user_id, s.session_id, s.session_start,
 FROM sess s LEFT JOIN wins w
   ON s.session_start <= w.w_end AND w.w_start <= s.session_end
 GROUP BY 1, 2, 3
+"""
+
+
+def q_corpus_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP cube (X62): doc counts + char volume by (source, lang) with
+    every subtotal level in one pass — the mixture-dashboard query a
+    curation pipeline reports from. GROUPING() markers disambiguate
+    subtotal NULLs from data NULLs.
+
+    Scale shape: cube = an Expand (4 grouping sets -> 4x pre-agg rows)
+    feeding ONE hash aggregate with map-side partial combine — the 4x
+    blowup collapses inside each task; never four separate scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.grouping("source").cast("long").alias("g_src"),
+             F.grouping("lang").cast("long").alias("g_lang"))
+    )
+
+
+SQL_CORPUS_CUBE_ROLLUP = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(GROUPING(source) AS BIGINT) AS g_src,
+       CAST(GROUPING(lang) AS BIGINT) AS g_lang
+FROM documents GROUP BY CUBE (source, lang)
 """
 
 
@@ -4220,6 +4341,9 @@ REGISTRY: dict = {
                              SQL_EMBEDDING_BATCH_TOPK),
     "embedding_batch_topk_demo8": (q_embedding_batch_topk_demo8,
                                    SQL_EMBEDDING_BATCH_TOPK_DEMO8),
+    "bitext_candidates": (q_bitext_candidates, SQL_BITEXT_CANDIDATES),
+    "bitext_candidates_demo8": (q_bitext_candidates_demo8,
+                                SQL_BITEXT_CANDIDATES_DEMO8),
     "embedding_near_dup_pairs": (q_embedding_near_dup_pairs, SQL_EMBEDDING_NEAR_DUP_PAIRS),
     "embedding_near_dup_pairs_demo8": (q_embedding_near_dup_pairs_demo8,
                                        SQL_EMBEDDING_NEAR_DUP_PAIRS_DEMO8),
@@ -4274,6 +4398,9 @@ REGISTRY: dict = {
     # windowed / sessionized / temporal joins
     "window_agg_events": (q_window_agg_events, SQL_WINDOW_AGG_EVENTS),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
+    "trailing_user_volume": (q_trailing_user_volume,
+                             SQL_TRAILING_USER_VOLUME),
+    "corpus_cube_rollup": (q_corpus_cube_rollup, SQL_CORPUS_CUBE_ROLLUP),
     "events_asof_purchase": (q_events_asof_purchase,
                              SQL_EVENTS_ASOF_PURCHASE),
     "session_error_overlap": (q_session_error_overlap,

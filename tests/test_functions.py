@@ -873,3 +873,22 @@ def test_batch_topk_corpus_never_shuffles_for_candidates(spark, sf_dir):
         by_q.setdefault(r["q_id"], []).append(r["rank"])
     for q_id, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q_id
+
+
+def test_bitext_candidates_shape(spark, sf_dir):
+    """X64: one row per non-English source doc that found an English
+    bucket-mate; the match is always English-side and top-1 is the
+    rounded-cosine/min-id winner."""
+    from ocr_automation_system_spark.queries import (
+        load_table,
+        q_bitext_candidates_demo8,
+    )
+
+    out = q_bitext_candidates_demo8(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert out["src_id"].is_unique
+    assert (out["src_lang"] != "en").all()
+    en_ids = set(
+        load_table(spark, sf_dir, "documents")
+        .filter("lang = 'en'").select("doc_id").toPandas()["doc_id"])
+    assert set(out["en_id"]) <= en_ids

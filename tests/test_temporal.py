@@ -119,3 +119,30 @@ def test_interval_overlap_join_wide_intervals_small_buckets(spark):
         bucket_seconds=60, broadcast_right=False)
     got = sorted((r["lid"], r["rid"]) for r in pairs.collect())
     assert got == [("L1", "R1"), ("L2", "R2")], got
+
+
+def test_trailing_window_agg_semantics(spark):
+    """Hand-computed trailing counts, including equal-timestamp peers
+    (RANGE includes order-key peers symmetrically)."""
+    from ocr_automation_system_spark.functions.windows import (
+        trailing_window_agg,
+    )
+
+    rows = [
+        (1, 7, _ts("2024-01-01 10:00:00"), 1.0),
+        (2, 7, _ts("2024-01-01 10:05:00"), 2.0),
+        (3, 7, _ts("2024-01-01 10:05:00"), 4.0),   # tie with event 2
+        (4, 7, _ts("2024-01-01 10:16:00"), 8.0),   # 11 min after the tie
+        (5, 8, _ts("2024-01-01 10:05:00"), 16.0),  # other user
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    out = {r["event_id"]: r for r in
+           trailing_window_agg(ev, trail_seconds=600).collect()}
+    assert (out[1]["n_trail"], out[1]["value_trail"]) == (1, 1.0)
+    # ties see each other: both 10:05 events count {1, 2, 3}
+    assert (out[2]["n_trail"], out[2]["value_trail"]) == (3, 7.0)
+    assert (out[3]["n_trail"], out[3]["value_trail"]) == (3, 7.0)
+    # 10:16 sees nothing from 10:05 (11 min > 10) -> itself only
+    assert (out[4]["n_trail"], out[4]["value_trail"]) == (1, 8.0)
+    assert (out[5]["n_trail"], out[5]["value_trail"]) == (1, 16.0)
