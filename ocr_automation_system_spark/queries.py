@@ -3070,6 +3070,98 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
 """
 
 
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts (X65): users grouped by first-event week,
+    distinct-user counts per weeks-since-cohort — THE engagement table
+    of product analytics.
+
+    Scale shape: two map-side-combined aggregates (first-event per
+    user, then the cohort cells) joined on the user key; the dimension
+    join reuses the user partitioning, the final cell table is tiny
+    (weeks x weeks)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("_first_ts"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.to_date(F.date_trunc("week", F.col("_first_ts")))
+            .alias("cohort_week"),
+            F.floor(F.datediff(F.col("ts"), F.col("_first_ts")) / 7)
+            .alias("weeks_since"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+SQL_USER_RETENTION_COHORTS = """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1)
+SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+       CAST(floor(date_diff('day', CAST(f.first_ts AS DATE),
+                            CAST(e.ts AS DATE)) / 7) AS BIGINT)
+         AS weeks_since,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (X66): per user, the first view, the first click
+    AT OR AFTER that view, and the first purchase at or after that
+    click — order-respecting stage timestamps (a click before any view
+    does not count), plus the stage reached.
+
+    Scale shape: three conditional-min aggregates on the user key; the
+    stage joins reuse the same hash partitioning (no extra exchange
+    shape at scale), every aggregate map-side combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") >= F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") >= F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    users = ev.select("user_id").distinct()
+    stage = (F.when(F.col("t_purchase").isNotNull(), 3)
+             .when(F.col("t_click").isNotNull(), 2)
+             .when(F.col("t_view").isNotNull(), 1)
+             .otherwise(0)).cast("long")
+    return (
+        users.join(v, "user_id", "left")
+        .join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase",
+                stage.alias("stage_reached"))
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                 WHEN c.t_click IS NOT NULL THEN 2
+                 WHEN v.t_view IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage_reached
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
 
@@ -4401,6 +4493,9 @@ REGISTRY: dict = {
     "trailing_user_volume": (q_trailing_user_volume,
                              SQL_TRAILING_USER_VOLUME),
     "corpus_cube_rollup": (q_corpus_cube_rollup, SQL_CORPUS_CUBE_ROLLUP),
+    "user_retention_cohorts": (q_user_retention_cohorts,
+                               SQL_USER_RETENTION_COHORTS),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "events_asof_purchase": (q_events_asof_purchase,
                              SQL_EVENTS_ASOF_PURCHASE),
     "session_error_overlap": (q_session_error_overlap,

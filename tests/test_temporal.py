@@ -146,3 +146,34 @@ def test_trailing_window_agg_semantics(spark):
     # 10:16 sees nothing from 10:05 (11 min > 10) -> itself only
     assert (out[4]["n_trail"], out[4]["value_trail"]) == (1, 8.0)
     assert (out[5]["n_trail"], out[5]["value_trail"]) == (1, 16.0)
+
+
+def test_event_funnel_order_respecting(spark, sf_dir, tmp_path):
+    """A click BEFORE the first view must not count as funnel stage 2."""
+    import os
+
+    from ocr_automation_system_spark.queries import q_event_funnel
+
+    rows = [
+        # user 1: click precedes view -> stage stops at 1 (that click
+        # doesn't count), later purchase without a qualifying click
+        # doesn't count either
+        (1, _ts("2024-01-01 09:00:00"), 1, "click", 1.0, "{}"),
+        (2, _ts("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+        (3, _ts("2024-01-01 11:00:00"), 1, "purchase", 1.0, "{}"),
+        # user 2: full ordered funnel
+        (4, _ts("2024-01-01 09:00:00"), 2, "view", 1.0, "{}"),
+        (5, _ts("2024-01-01 10:00:00"), 2, "click", 1.0, "{}"),
+        (6, _ts("2024-01-01 11:00:00"), 2, "purchase", 1.0, "{}"),
+        # user 3: never viewed
+        (7, _ts("2024-01-01 09:00:00"), 3, "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path)
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["user_id"]: r for r in q_event_funnel(spark, d).collect()}
+    assert out[1]["stage_reached"] == 1 and out[1]["t_click"] is None
+    assert out[2]["stage_reached"] == 3
+    assert out[3]["stage_reached"] == 0 and out[3]["t_purchase"] is None
