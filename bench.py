@@ -41,7 +41,8 @@ HEADLINE = (
     "embedding_kmeans_cells", "embedding_semdedup_keep",
     "embedding_pq_codes", "embedding_pq_topk", "embedding_ivfpq_topk",
     "embedding_pq_recall",
-    "pack_bins", "benchmark_contamination", "domain_quota",
+    "pack_bins", "packing_efficiency", "benchmark_contamination",
+    "domain_quota", "host_disjoint_split", "knn_label_eval",
     "pii_scrub", "repetition_scores", "source_blocklist",
     "url_dup_groups", "url_canonicalize", "url_features",
     "latest_capture", "snapshot_delta", "content_drift", "crawl_activity",

@@ -375,6 +375,120 @@ FROM s
 """
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency diagnostic (X67): one summary row over the
+    pack_bins export — bins used vs the ceil(total/budget) lower bound,
+    fill ratio, and how many docs straddle a bin boundary (the
+    attention-mask fragmentation cost). All stats fold from the green
+    pack_bins stage: two map-side aggregates, no new corpus pass."""
+    packed = q_pack_bins(spark, sf_dir)
+    budget = 2048
+    straddles = (F.col("offset_in_bin") + F.col("n_tokens")
+                 > F.lit(budget)).cast("long")
+    return packed.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max(F.col("bin_id")) + 1).alias("bins_used"),
+        F.ceil(F.sum("n_tokens") / budget).alias("bins_lower_bound"),
+        F.round(F.sum("n_tokens")
+                / ((F.max("bin_id") + 1) * budget), 6).alias("fill_ratio"),
+        F.sum(straddles).alias("n_straddling_docs"),
+    )
+
+
+SQL_PACKING_EFFICIENCY = f"""
+WITH base AS ({SQL_PACK_BINS})
+SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(bin_id) + 1 AS BIGINT) AS bins_used,
+       CAST(ceil(sum(n_tokens) / 2048.0) AS BIGINT) AS bins_lower_bound,
+       round(sum(n_tokens) / ((max(bin_id) + 1) * 2048.0), 6)
+         AS fill_ratio,
+       CAST(sum(CASE WHEN offset_in_bin + n_tokens > 2048
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling_docs
+FROM base
+"""
+
+
+def q_host_disjoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split (X68): train/val/test cut on the HOST hash,
+    not the doc hash — near-duplicate pages from one site can never
+    land on both sides of the split (the contamination mode a per-doc
+    split invites). Same md5-bucket idiom as train_val_split; narrow
+    zero-shuffle projection."""
+    from .functions.curation import split_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = split_bucket(F.col("source"))
+    split = (F.when(b < 800, F.lit("train"))
+             .when(b < 900, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return docs.select("doc_id", "source", split.alias("split"))
+
+
+SQL_HOST_DISJOINT_SPLIT = """
+SELECT doc_id, source,
+  CASE WHEN CAST(concat('0x', substr(md5(source), 1, 8))
+            AS BIGINT) % 1000 < 800 THEN 'train'
+       WHEN CAST(concat('0x', substr(md5(source), 1, 8))
+            AS BIGINT) % 1000 < 900 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality diagnostic (X69): leave-one-out 1-NN label
+    accuracy within 8-bit LSH buckets — does the embedding space
+    cluster by label? Per label: how many vectors had a bucket-mate to
+    evaluate against, and how often the nearest mate agreed.
+
+    Scale shape: the same bucketed self-join as the near-dup tier
+    (never all-pairs; the demo8 bucket width gives real company at
+    test scale), per-vector top-1 by rank window over candidates only,
+    then one tiny groupBy(label)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select("vec_id", "label",
+                   S.sign_bucket(F.col("embedding"), 8).alias("_b"),
+                   "embedding")
+    a = x.select(F.col("vec_id").alias("a_id"), F.col("label").alias("a_label"),
+                 F.col("embedding").alias("a_emb"), "_b")
+    bb = x.select(F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"),
+                  F.col("embedding").alias("b_emb"), "_b")
+    cand = (a.join(bb, "_b")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select("a_id", "a_label", "b_id", "b_label",
+                    F.round(S.cosine(F.col("a_emb"), F.col("b_emb")), 6)
+                    .alias("cos_sim")))
+    w = Window.partitionBy("a_id").orderBy(F.col("cos_sim").desc(),
+                                           F.col("b_id").asc())
+    nn = (cand.withColumn("_rn", F.row_number().over(w))
+          .filter(F.col("_rn") == 1))
+    return (nn.groupBy(F.col("a_label").alias("label"))
+            .agg(F.count(F.lit(1)).alias("n_eval"),
+                 F.sum((F.col("a_label") == F.col("b_label"))
+                       .cast("long")).alias("n_correct")))
+
+
+SQL_KNN_LABEL_EVAL = f"""
+WITH x AS (
+  SELECT vec_id, label, embedding,
+         {_sql_sign_bucket('embedding', 8)} AS b FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS a_id, a.label AS a_label, t.label AS b_label,
+         round({_sql_cosine('a.embedding', 't.embedding')}, 6) AS cos_sim,
+         t.vec_id AS b_id
+  FROM x a JOIN x t ON a.b = t.b AND a.vec_id <> t.vec_id),
+nn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY a_id
+                                 ORDER BY cos_sim DESC, b_id) AS rn
+    FROM cand) WHERE rn = 1)
+SELECT a_label AS label, count(*) AS n_eval,
+       CAST(sum(CASE WHEN a_label = b_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM nn GROUP BY 1
+"""
+
+
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination scan: corpus docs sharing >= 1 5-gram with the
     (synthetic) benchmark subset; benchmark side broadcast."""
@@ -4371,6 +4485,9 @@ REGISTRY: dict = {
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "domain_quota": (q_domain_quota, SQL_DOMAIN_QUOTA),
     "pack_bins": (q_pack_bins, SQL_PACK_BINS),
+    "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFFICIENCY),
+    "host_disjoint_split": (q_host_disjoint_split, SQL_HOST_DISJOINT_SPLIT),
+    "knn_label_eval": (q_knn_label_eval, SQL_KNN_LABEL_EVAL),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     "source_blocklist": (q_source_blocklist, SQL_SOURCE_BLOCKLIST),

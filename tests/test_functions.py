@@ -892,3 +892,50 @@ def test_bitext_candidates_shape(spark, sf_dir):
         load_table(spark, sf_dir, "documents")
         .filter("lang = 'en'").select("doc_id").toPandas()["doc_id"])
     assert set(out["en_id"]) <= en_ids
+
+
+def test_host_disjoint_split_leakage_safe(spark, sf_dir):
+    """X68: the property the per-doc split can't give — every host maps
+    to exactly one split, and the split is the host-hash function."""
+    from ocr_automation_system_spark.queries import q_host_disjoint_split
+
+    out = q_host_disjoint_split(spark, sf_dir)
+    per_host = (out.groupBy("source")
+                .agg(F.count_distinct("split").alias("n_splits"))
+                .filter("n_splits > 1"))
+    assert per_host.count() == 0
+    assert set(r["split"] for r in out.select("split").distinct().collect()) \
+        <= {"train", "val", "test"}
+
+
+def test_packing_efficiency_bounds(spark, sf_dir):
+    """X67: bins_used >= the ceil lower bound; fill ratio in (0, 1];
+    straddle count below doc count."""
+    from ocr_automation_system_spark.queries import (
+        q_pack_bins,
+        q_packing_efficiency,
+    )
+
+    row = q_packing_efficiency(spark, sf_dir).collect()[0]
+    assert row["bins_used"] >= row["bins_lower_bound"] >= 1
+    assert 0.0 < row["fill_ratio"] <= 1.0
+    assert 0 <= row["n_straddling_docs"] <= q_pack_bins(spark, sf_dir).count()
+
+
+def test_knn_label_eval_consistency(spark, sf_dir):
+    """X69: per-label counts are sane and the evaluated population is
+    exactly the vectors with at least one bucket-mate."""
+    from ocr_automation_system_spark.queries import (
+        load_table,
+        q_knn_label_eval,
+    )
+
+    out = q_knn_label_eval(spark, sf_dir).toPandas()
+    assert (out["n_correct"] <= out["n_eval"]).all()
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = S.sign_bucket(F.col("embedding"), 8).alias("b")
+    mates = (emb.select("vec_id", b)
+             .groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+             .filter("n > 1")
+             .agg(F.sum("n")).collect()[0][0]) or 0
+    assert int(out["n_eval"].sum()) == int(mates)
