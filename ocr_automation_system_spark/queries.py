@@ -385,7 +385,7 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = 2048
     straddles = (F.col("offset_in_bin") + F.col("n_tokens")
                  > F.lit(budget)).cast("long")
-    return packed.agg(
+    agg = packed.agg(
         F.sum("n_tokens").alias("total_tokens"),
         (F.max(F.col("bin_id")) + 1).alias("bins_used"),
         F.ceil(F.sum("n_tokens") / budget).alias("bins_lower_bound"),
@@ -393,6 +393,9 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / ((F.max("bin_id") + 1) * budget), 6).alias("fill_ratio"),
         F.sum(straddles).alias("n_straddling_docs"),
     )
+    # empty-corpus convention: a groupless agg yields one all-null row
+    # on zero input; the contract surface returns zero rows instead.
+    return agg.where(F.col("total_tokens").isNotNull())
 
 
 SQL_PACKING_EFFICIENCY = f"""
