@@ -73,7 +73,8 @@ HEADLINE = (
     "window_agg_events", "sessionize_events",
     "events_asof_purchase", "session_error_overlap", "fuzzy_name_match",
     "trailing_user_volume", "corpus_cube_rollup", "bitext_candidates",
-    "user_retention_cohorts", "event_funnel",
+    "user_retention_cohorts", "event_funnel", "event_transitions",
+    "gram_novelty", "host_triangles", "host_cocitation",
     "pipeline_validation", "pipeline_entity_reports",
     "pipeline_host_stats", "pipeline_block_scores",
     "pipeline_legacy_verification",

@@ -366,3 +366,107 @@ def page_metadata(df: DataFrame, url_col: str = "url",
         .alias("n_scripts"),
         (F.regexp_count(page, F.lit(ARTICLE_RE)) > 0)
         .alias("has_main_content"))
+
+
+def triangle_stats(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    UNDIRECTED simplification of ``edges`` (self-loops dropped,
+    direction and multiplicity collapsed) — the web-graph cohesion
+    diagnostic published next to PageRank/HITS (spam farms and link
+    rings show up as abnormal clustering).
+
+    Scale shape — the MapReduce orientation trick (Suri &
+    Vassilvitskii, WWW 2011): orient every undirected edge from its
+    lower-``(degree, node)`` endpoint to the higher one, so each node's
+    oriented out-degree is O(sqrt(m)) even for the hottest hub — the
+    wedge self-join can never quadratically explode on a celebrity
+    node. Wedges come from ONE equi-join of the oriented edge list on
+    the pivot; each triangle closes with ONE more equi-join against the
+    oriented edges keyed on (v, w) and is generated exactly once (at
+    its lowest-ordered vertex). Per-node counts explode 3 rows per
+    triangle into a map-side-combined groupBy. Every quantity is an
+    exact integer; the coefficient is one correctly-rounded double op.
+    """
+    und = (edges.select(F.least(src_col, dst_col).alias("a"),
+                        F.greatest(src_col, dst_col).alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionByName(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    e = (und
+         .join(deg.select(F.col("node").alias("a"),
+                          F.col("degree").alias("da")), "a")
+         .join(deg.select(F.col("node").alias("b"),
+                          F.col("degree").alias("db")), "b"))
+    a_first = (F.col("da") < F.col("db")) | \
+        ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    ori = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"))
+    e1 = ori.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    e2 = ori.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2"))))
+    tri = wedges.join(
+        ori.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"])
+    tn = (tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+          .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    d, t = F.col("degree"), F.coalesce(F.col("n_triangles"), F.lit(0))
+    coeff = F.when(
+        d >= 2,
+        F.round(F.lit(2.0) * t.cast("double")
+                / (d * (d - 1)).cast("double"), 6)).otherwise(F.lit(0.0))
+    return (deg.join(tn, "node", "left")
+            .select(F.col("node").alias("host"), "degree",
+                    t.cast("long").alias("n_triangles"),
+                    coeff.alias("clustering")))
+
+
+def cocitation_pairs(edges: DataFrame, src_col: str = "src",
+                     dst_col: str = "dst",
+                     max_fanin: int | None = 1000) -> DataFrame:
+    """Related-host discovery by co-citation: two hosts are similar when
+    they link the same destinations (HITS' hub-side similarity, the
+    "sites like this" signal). Output: every src pair sharing >= 1
+    destination, with the shared count and the outlink-set Jaccard.
+
+    Scale shape: ONE self-equi-join of the distinct edge list keyed on
+    dst — never src x src. A pathological fan-in dst (everyone links
+    example.com) would make that join quadratic in its in-degree, so
+    over-``max_fanin`` destinations are dropped FIRST via the
+    aggregate + broadcast anti-join cap (util.drop_overcap_keys); such
+    hubs carry no similarity signal anyway. Out-degrees fold from the
+    CAP-SURVIVING edge list (the containment_pairs precedent: both the
+    intersection and the set sizes cover the same surviving vocabulary,
+    so the ratio is self-consistent); the Jaccard is integer counts +
+    one correctly-rounded division."""
+    from .util import drop_overcap_keys
+
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct()
+    if max_fanin is not None:
+        e = drop_overcap_keys(e, "dst", max_fanin)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_d"))
+    x = e.select(F.col("src").alias("host_a"), "dst")
+    y = e.select(F.col("src").alias("host_b"), "dst")
+    common = (x.join(y, "dst")
+              .filter(F.col("host_a") < F.col("host_b"))
+              .groupBy("host_a", "host_b")
+              .agg(F.count(F.lit(1)).alias("common_dsts")))
+    da = outdeg.select(F.col("src").alias("host_a"),
+                       F.col("out_d").alias("out_a"))
+    db = outdeg.select(F.col("src").alias("host_b"),
+                       F.col("out_d").alias("out_b"))
+    c = F.col("common_dsts")
+    return (common.join(da, "host_a").join(db, "host_b")
+            .select("host_a", "host_b", c.cast("long").alias("common_dsts"),
+                    F.col("out_a").cast("long").alias("out_a"),
+                    F.col("out_b").cast("long").alias("out_b"),
+                    F.round(c.cast("double")
+                            / (F.col("out_a") + F.col("out_b") - c)
+                            .cast("double"), 6).alias("jaccard")))

@@ -892,6 +892,74 @@ FROM a2 JOIN h2 USING (node) CROSS JOIN ta CROSS JOIN th
 """
 
 
+_SQL_SYNTH_EDGES = (
+    f"e0 AS (SELECT {_SQL_URL_PRE % 'url'} AS src, {_sql_outlink(9)} AS dst\n"
+    f"       FROM {CORPUS}\n"
+    f"       UNION ALL\n"
+    f"       SELECT {_SQL_URL_PRE % 'url'}, {_sql_outlink(17)} FROM {CORPUS})")
+
+# twin of links.triangle_stats over the synthetic cross-host graph:
+# same (degree, node)-ordered edge orientation, wedge join, exact-once
+# triangle close, per-node explode; coefficient = 2.0 * T first, then
+# one correctly-rounded division (op order matches the Spark side).
+SQL_HOST_TRIANGLES = f"""
+WITH {_SQL_SYNTH_EDGES},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+ori AS (SELECT CASE WHEN da.degree < db.degree
+                      OR (da.degree = db.degree AND u.a < u.b)
+                    THEN u.a ELSE u.b END AS u,
+               CASE WHEN da.degree < db.degree
+                      OR (da.degree = db.degree AND u.a < u.b)
+                    THEN u.b ELSE u.a END AS v,
+               CASE WHEN da.degree < db.degree
+                      OR (da.degree = db.degree AND u.a < u.b)
+                    THEN db.degree ELSE da.degree END AS dv
+        FROM und u JOIN deg da ON u.a = da.node
+                   JOIN deg db ON u.b = db.node),
+wed AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
+        FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+        WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+tri AS (SELECT w.u, w.v1, w.v2
+        FROM wed w JOIN ori o ON o.u = w.v1 AND o.v = w.v2),
+tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM (SELECT u AS node FROM tri UNION ALL SELECT v1 FROM tri
+             UNION ALL SELECT v2 FROM tri) GROUP BY 1)
+SELECT d.node AS host, d.degree,
+       coalesce(tn.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2 THEN
+         round(2.0 * coalesce(tn.n_triangles, 0)
+               / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+       ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN tn ON d.node = tn.node
+"""
+
+# twin of links.cocitation_pairs (max_fanin=1000): out-degrees fold
+# over the cap-surviving edge list so the Jaccard is self-consistent.
+SQL_HOST_COCITATION = f"""
+WITH {_SQL_SYNTH_EDGES},
+e AS (SELECT DISTINCT src, dst FROM e0),
+ee AS (SELECT * FROM e WHERE dst NOT IN
+        (SELECT dst FROM e GROUP BY dst HAVING count(*) > 1000)),
+outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_d
+           FROM ee GROUP BY 1),
+common AS (SELECT x.src AS host_a, y.src AS host_b,
+                  CAST(count(*) AS BIGINT) AS common_dsts
+           FROM ee x JOIN ee y ON x.dst = y.dst AND x.src < y.src
+           GROUP BY 1, 2)
+SELECT c.host_a, c.host_b, c.common_dsts,
+       da.out_d AS out_a, db.out_d AS out_b,
+       round(CAST(c.common_dsts AS DOUBLE)
+             / CAST(da.out_d + db.out_d - c.common_dsts AS DOUBLE), 6)
+         AS jaccard
+FROM common c JOIN outdeg da ON c.host_a = da.src
+              JOIN outdeg db ON c.host_b = db.src
+"""
+
+
 #: trusted seed hosts for the TrustRank contract query (two synthetic
 #: outlink hubs — shared verbatim between the Spark call and the twin).
 TRUST_SEEDS = ("https://host00.example.com", "https://host07.example.com")

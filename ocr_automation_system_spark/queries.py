@@ -1527,6 +1527,55 @@ WHERE greatest(CAST(c.common AS DOUBLE) / CAST(sa.sz AS DOUBLE),
 """
 
 
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty attribution (X71): every distinct 5-gram is
+    attributed to its min-doc_id first occurrence; a doc's novelty is
+    the fraction of its distinct 5-grams it OWNS — "how much text does
+    this doc add that the corpus doesn't already have", the
+    deduplication-aware contribution score (the per-doc readout of the
+    ExactSubstr/suffix-array attribution idea).
+
+    Scale shape: the gram-owner census is ONE map-side-combinable
+    min aggregate over the hashed gram stream (never a window, never
+    all-pairs); the owned-count rollup and the join back to docs both
+    key on doc_id. Novelty = integer counts + one correctly-rounded
+    division."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        T.shingle_hashes(T.shingles(F.col("text"), 5)).alias("hs"))
+    g = sh.select("doc_id", F.explode("hs").alias("h"))
+    own = g.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    oc = own.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_novel"))
+    n_grams = F.size("hs").cast("long")
+    nn = F.coalesce(F.col("_n_novel"), F.lit(0)).cast("long")
+    novelty = (F.when(n_grams > 0,
+                      F.round(nn.cast("double") / n_grams.cast("double"), 6))
+               .otherwise(F.lit(0.0)))
+    return (sh.join(oc, "doc_id", "left")
+            .select("doc_id", n_grams.alias("n_grams"),
+                    nn.alias("n_novel"), novelty.alias("novelty")))
+
+
+SQL_GRAM_NOVELTY = f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, list_transform({_SQL_SH5},
+    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+  FROM documents),
+g AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+own AS (SELECT h, min(doc_id) AS doc_id FROM g GROUP BY 1),
+oc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+       FROM own GROUP BY 1)
+SELECT s.doc_id, CAST(len(s.hs) AS BIGINT) AS n_grams,
+       coalesce(oc.n_novel, 0) AS n_novel,
+       CASE WHEN len(s.hs) > 0 THEN
+         round(CAST(coalesce(oc.n_novel, 0) AS DOUBLE)
+               / CAST(len(s.hs) AS DOUBLE), 6)
+       ELSE 0.0 END AS novelty
+FROM sh s LEFT JOIN oc USING (doc_id)
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The monthly-crawl pattern: even doc_ids play the INDEXED corpus
     (band table + shingle store written once as a parquet artifact,
@@ -3279,6 +3328,54 @@ LEFT JOIN p USING (user_id)
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition census (X70): for every ordered pair of
+    consecutive events of one user, the (event_type -> next_type)
+    count and the conditional probability P(next | current) — the
+    behavioral transition matrix under funnel/retention dashboards.
+
+    Scale shape: the only corpus shuffle is the user-key window (lead
+    is a streaming frame — one bounded pass per user partition, no
+    buffer growth); the census is a map-side-combined groupBy over the
+    tiny type x type key space, and the row-total join is
+    dimension-sized. Probability = integer counts + one
+    correctly-rounded division."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = (ev.select("user_id", "ts", "event_id", "event_type")
+           .withColumn("next_type", F.lead("event_type").over(w))
+           .filter(F.col("next_type").isNotNull()))
+    census = (nxt.groupBy("event_type", "next_type")
+              .agg(F.count(F.lit(1)).alias("n_transitions")))
+    totals = (census.groupBy("event_type")
+              .agg(F.sum("n_transitions").alias("_tot")))
+    return (census.join(totals, "event_type")
+            .select("event_type", "next_type",
+                    F.col("n_transitions").cast("long")
+                    .alias("n_transitions"),
+                    F.round(F.col("n_transitions").cast("double")
+                            / F.col("_tot").cast("double"), 6)
+                    .alias("p_next")))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+c AS (SELECT event_type, next_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT event_type, sum(n_transitions) AS tot
+      FROM c GROUP BY 1)
+SELECT c.event_type, c.next_type, c.n_transitions,
+       round(CAST(c.n_transitions AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+         AS p_next
+FROM c JOIN t USING (event_type)
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
 
@@ -3699,6 +3796,44 @@ def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                        _synth_outlink(F.col("url"), 17).alias("dst"))))
     return (L.hits(e0, iters=2)
             .select(F.col("node").alias("host"), "authority", "hub"))
+
+
+def _synth_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared synthetic cross-host edge list (2 md5-keyed outlinks
+    per page) the PageRank/TrustRank/HITS contracts iterate over."""
+    from .functions.urlnorm import URL_PREFIX_RE
+
+    c = corpus_for(spark, sf_dir).select("url")
+    src = F.regexp_extract("url", URL_PREFIX_RE, 1)
+    return (c.select(src.alias("src"),
+                     _synth_outlink(F.col("url"), 9).alias("dst"))
+            .unionByName(
+                c.select(src.alias("src"),
+                         _synth_outlink(F.col("url"), 17).alias("dst"))))
+
+
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle count + local clustering coefficient (X72)
+    over the undirected simplification of the cross-host graph — the
+    cohesion diagnostic next to PageRank/HITS (link rings and spam
+    farms surface as abnormal clustering). Oriented wedge join (Suri &
+    Vassilvitskii 2011): out-degree O(sqrt(m)) per node, each triangle
+    found exactly once; see links.triangle_stats."""
+    from .functions import links as L
+
+    return L.triangle_stats(_synth_host_edges(spark, sf_dir))
+
+
+def q_host_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-host pairs by co-citation (X73): hosts linking the same
+    destinations, with shared-destination counts and outlink-set
+    Jaccard — the "sites like this" similarity. One self-equi-join on
+    dst with the aggregate+anti-join fan-in cap; see
+    links.cocitation_pairs."""
+    from .functions import links as L
+
+    return L.cocitation_pairs(_synth_host_edges(spark, sf_dir),
+                              max_fanin=1000)
 
 
 def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4535,6 +4670,7 @@ REGISTRY: dict = {
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
+    "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "minhash_recall_sample": (q_minhash_recall_sample,
                               SQL_MINHASH_RECALL_SAMPLE),
@@ -4616,6 +4752,7 @@ REGISTRY: dict = {
     "user_retention_cohorts": (q_user_retention_cohorts,
                                SQL_USER_RETENTION_COHORTS),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "events_asof_purchase": (q_events_asof_purchase,
                              SQL_EVENTS_ASOF_PURCHASE),
     "session_error_overlap": (q_session_error_overlap,
@@ -4656,6 +4793,8 @@ REGISTRY: dict = {
     "host_pagerank": (q_host_pagerank, PSQL.SQL_HOST_PAGERANK),
     "host_trustrank": (q_host_trustrank, PSQL.SQL_HOST_TRUSTRANK),
     "host_hits": (q_host_hits, PSQL.SQL_HOST_HITS),
+    "host_triangles": (q_host_triangles, PSQL.SQL_HOST_TRIANGLES),
+    "host_cocitation": (q_host_cocitation, PSQL.SQL_HOST_COCITATION),
     "host_components": (q_host_components, PSQL.SQL_HOST_COMPONENTS),
     "url_features": (q_url_features, PSQL.SQL_URL_FEATURES),
     # WARC sink+source roundtrip (Common-Crawl wire format)
@@ -4678,6 +4817,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "snapshot_delta", "crawl_activity", "crawl_priorities",
     "page_metadata", "link_edges",
     "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",
+    "host_triangles", "host_cocitation",
     "anchor_text_profile", "warc_roundtrip", "host_components",
     "url_features",
 })

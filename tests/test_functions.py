@@ -939,3 +939,79 @@ def test_knn_label_eval_consistency(spark, sf_dir):
              .filter("n > 1")
              .agg(F.sum("n")).collect()[0][0]) or 0
     assert int(out["n_eval"].sum()) == int(mates)
+
+
+def test_event_transitions_is_a_probability_table(spark, sf_dir):
+    """X70: per current type the p_next column sums to ~1 (rounding
+    slack) and the transition total is exactly n_events - n_users
+    (every user contributes n_i - 1 consecutive pairs)."""
+    from ocr_automation_system_spark.queries import (
+        load_table,
+        q_event_transitions,
+    )
+
+    out = q_event_transitions(spark, sf_dir).toPandas()
+    sums = out.groupby("event_type")["p_next"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    ev = load_table(spark, sf_dir, "events")
+    expect = ev.count() - ev.select("user_id").distinct().count()
+    assert int(out["n_transitions"].sum()) == expect
+
+
+def test_gram_novelty_attribution(spark, sf_dir):
+    """X71: every distinct gram is owned exactly once; the smallest
+    doc_id with any grams owns all of its own (novelty 1.0)."""
+    from ocr_automation_system_spark.queries import (
+        load_table,
+        q_gram_novelty,
+    )
+
+    out = q_gram_novelty(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct = (docs.select(F.explode(
+        T.shingle_hashes(T.shingles(F.col("text"), 5))).alias("h"))
+        .select("h").distinct().count())
+    assert int(out["n_novel"].sum()) == n_distinct
+    assert ((0.0 <= out["novelty"]) & (out["novelty"] <= 1.0)).all()
+    first = out[out["n_grams"] > 0].sort_values("doc_id").iloc[0]
+    assert first["novelty"] == 1.0 and first["n_novel"] == first["n_grams"]
+
+
+def test_triangle_stats_hand_computed(spark):
+    """X72 on a known graph: triangle {a,b,c} + pendant d off c, with
+    duplicate and reversed edges (direction/multiplicity collapse)."""
+    from ocr_automation_system_spark.functions.links import triangle_stats
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("c", "d"),
+         ("a", "b"), ("d", "d")],  # dup + reverse + self-loop
+        ["src", "dst"])
+    got = {r["host"]: r for r in triangle_stats(edges).collect()}
+    assert got["a"]["n_triangles"] == 1 and got["a"]["clustering"] == 1.0
+    assert got["b"]["n_triangles"] == 1 and got["b"]["clustering"] == 1.0
+    assert got["c"]["n_triangles"] == 1 and got["c"]["degree"] == 3
+    assert got["c"]["clustering"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got["d"]["n_triangles"] == 0 and got["d"]["clustering"] == 0.0
+
+
+def test_cocitation_pairs_and_fanin_cap(spark):
+    """X73 hand-computed Jaccards; the over-fan-in destination is
+    dropped by the cap and the ratios stay self-consistent."""
+    from ocr_automation_system_spark.functions.links import cocitation_pairs
+
+    edges = spark.createDataFrame(
+        [("s1", "x"), ("s1", "y"), ("s2", "x"), ("s2", "y"), ("s3", "x")],
+        ["src", "dst"])
+    got = {(r["host_a"], r["host_b"]): r
+           for r in cocitation_pairs(edges, max_fanin=None).collect()}
+    assert got[("s1", "s2")]["common_dsts"] == 2
+    assert got[("s1", "s2")]["jaccard"] == 1.0
+    assert got[("s1", "s3")]["jaccard"] == 0.5
+    assert got[("s2", "s3")]["jaccard"] == 0.5
+    # cap: x has fan-in 3 > 2 -> only y survives; s3 has no edges left
+    capped = {(r["host_a"], r["host_b"]): r
+              for r in cocitation_pairs(edges, max_fanin=2).collect()}
+    assert set(capped) == {("s1", "s2")}
+    assert capped[("s1", "s2")]["common_dsts"] == 1
+    assert capped[("s1", "s2")]["out_a"] == 1
+    assert capped[("s1", "s2")]["jaccard"] == 1.0
