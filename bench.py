@@ -59,6 +59,7 @@ HEADLINE = (
     "duplicate_spans", "stratified_sample", "chunk_documents",
     "alpha_mixture_rates", "alpha_sample",
     "hll_source_cardinality", "hll_merge", "bloom_dedup_census",
+    "minhash_sig_merge", "bloom_bits_merge",
     "cms_source_counts", "cms_merge",
     "token_postings", "postings_merge", "tfidf_top_terms",
     "bm25_search", "bm25_weighted", "phrase_kwic",

@@ -247,3 +247,64 @@ def merge_cms_tables(a: DataFrame, b: DataFrame) -> DataFrame:
     return (a.unionByName(b)
             .groupBy("row", "bucket")
             .agg(F.sum("n").cast("long").alias("n")))
+
+
+def minhash_sig_table(df: DataFrame, group_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Per-group MinHash signature as a long-form artifact
+    (grp, i, m): hash i's min over every shingle of every doc in the
+    group — the group-level resemblance sketch kept per host/source
+    across crawls (host-to-host Jaccard estimates without re-reading
+    either corpus). Same 8 universal-hash permutations as the doc-level
+    LSH tier (text.MINHASH_A/C over md5 base hashes mod P).
+
+    ONE map-side-combined groupBy over the (group, 8) key space; groups
+    with zero shingles are absent (the empty sketch). Mergeable by MIN:
+    ``merge(sig(A), sig(B)) == sig(A ∪ B)`` identically."""
+    from . import text as T
+
+    hm = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(T.shingle_hashes(T.shingles(F.col(text_col), 3)))
+        .alias("h0"))
+    h = F.pmod(F.col("h0"), F.lit(T.MINHASH_P))
+    rows = hm.select("grp", F.posexplode(F.array(*[
+        F.pmod(F.lit(T.MINHASH_A[i]) * h + F.lit(T.MINHASH_C[i]),
+               F.lit(T.MINHASH_P))
+        for i in range(8)])).alias("i", "m"))
+    return (rows.groupBy("grp", "i")
+            .agg(F.min("m").alias("m"))
+            .select("grp", F.col("i").cast("int").alias("i"),
+                    F.col("m").cast("long").alias("m")))
+
+
+def merge_minhash_sigs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union-merge two MinHash signature tables: per (group, hash) the
+    min of mins — MIN is the signature's merge algebra (idempotent and
+    associative, so re-merging a day twice is harmless, unlike the CMS
+    SUM). One groupBy over the tiny (group, 8) key space."""
+    return (a.unionByName(b)
+            .groupBy("grp", "i")
+            .agg(F.min("m").alias("m"))
+            .select("grp", "i", F.col("m").cast("long").alias("m")))
+
+
+def bloom_bit_table(df: DataFrame, group_col: str = "source",
+                    item: Column | None = None) -> DataFrame:
+    """Per-group Bloom filter as a set-of-set-bits artifact (grp, bit)
+    — the row form of the bitmap shipped to the next crawl's dedup
+    pass (``bloom_census`` is its occupancy readout). Distinct is the
+    filter's OR: each partition's partial hash-distinct collapses to
+    <= m rows per group before the shuffle. Mergeable by set union:
+    ``merge(bits(A), bits(B)) == bits(A ∪ B)`` identically."""
+    it = item if item is not None else F.coalesce("text", F.lit(""))
+    return (df.select(F.col(group_col).alias("grp"),
+                      F.explode(bloom_positions(it)).alias("bit"))
+            .distinct())
+
+
+def merge_bloom_bits(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union-merge two Bloom bit tables: set union (the bitmap OR) —
+    idempotent like the MinHash MIN, so replayed inputs never corrupt
+    the filter. One distinct over the bounded (group, m) key space."""
+    return a.unionByName(b).distinct()

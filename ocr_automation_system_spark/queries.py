@@ -4238,6 +4238,63 @@ FROM r GROUP BY 1, 2
 """
 
 
+def q_minhash_sig_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch maintenance (X74): per-source MinHash signatures built
+    over the even- and odd-doc_id halves, merged as ARTIFACTS
+    (element-wise MIN). The oracle is the full-corpus signature table —
+    the query asserts merge(sig(A), sig(B)) == sig(A ∪ B) exactly, so
+    per-host resemblance sketches fold across crawls without re-reading
+    any corpus."""
+    from .functions import sketch as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = SK.minhash_sig_table(docs.filter(F.col("doc_id") % 2 == 0))
+    b = SK.minhash_sig_table(docs.filter(F.col("doc_id") % 2 == 1))
+    return SK.merge_minhash_sigs(a, b)
+
+
+_SQL_MINHASH_SIG_A = ", ".join(str(a) for a in T.MINHASH_A)
+_SQL_MINHASH_SIG_C = ", ".join(str(c) for c in T.MINHASH_C)
+SQL_MINHASH_SIG_MERGE = f"""
+WITH hm AS (
+  SELECT source, unnest(list_transform({_SQL_SH},
+    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {_MP}))
+    AS h
+  FROM documents),
+p AS (SELECT source, i,
+             ([{_SQL_MINHASH_SIG_A}][i + 1] * h
+              + [{_SQL_MINHASH_SIG_C}][i + 1]) % {_MP} AS v
+      FROM hm CROSS JOIN range(0, 8) r(i))
+SELECT source AS grp, CAST(i AS INT) AS i, CAST(min(v) AS BIGINT) AS m
+FROM p GROUP BY 1, 2
+"""
+
+
+def q_bloom_bits_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom maintenance (X74): per-source set-bit tables built over
+    the even- and odd-doc_id halves, merged as ARTIFACTS (set union =
+    the bitmap OR). The oracle is the full-corpus bit table — the
+    query asserts merge(bits(A), bits(B)) == bits(A ∪ B) exactly."""
+    from .functions import sketch as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = SK.bloom_bit_table(docs.filter(F.col("doc_id") % 2 == 0))
+    b = SK.bloom_bit_table(docs.filter(F.col("doc_id") % 2 == 1))
+    return SK.merge_bloom_bits(a, b)
+
+
+SQL_BLOOM_BITS_MERGE = """
+WITH it AS (SELECT source, md5(coalesce(text, '')) AS h FROM documents),
+pos AS (SELECT source AS grp, unnest([
+          CAST(concat('0x', substr(h, 1, 4)) AS BIGINT) % 4096,
+          CAST(concat('0x', substr(h, 5, 4)) AS BIGINT) % 4096,
+          CAST(concat('0x', substr(h, 9, 4)) AS BIGINT) % 4096,
+          CAST(concat('0x', substr(h, 13, 4)) AS BIGINT) % 4096]) AS bit
+       FROM it)
+SELECT DISTINCT grp, bit FROM pos
+"""
+
+
 def q_bloom_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Bloom-filter occupancy census (k=4 md5-slice hashes,
     m=4096): bits set, fill fraction, fill^k false-positive estimate —
@@ -4653,6 +4710,8 @@ REGISTRY: dict = {
                                SQL_HLL_SOURCE_CARDINALITY),
     "bloom_dedup_census": (q_bloom_dedup_census, SQL_BLOOM_DEDUP_CENSUS),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE),
+    "minhash_sig_merge": (q_minhash_sig_merge, SQL_MINHASH_SIG_MERGE),
+    "bloom_bits_merge": (q_bloom_bits_merge, SQL_BLOOM_BITS_MERGE),
     "cms_merge": (q_cms_merge, SQL_CMS_MERGE),
     "cms_source_counts": (q_cms_source_counts, SQL_CMS_SOURCE_COUNTS),
     "token_postings": (q_token_postings, SQL_TOKEN_POSTINGS),

@@ -1015,3 +1015,27 @@ def test_cocitation_pairs_and_fanin_cap(spark):
     assert capped[("s1", "s2")]["common_dsts"] == 1
     assert capped[("s1", "s2")]["out_a"] == 1
     assert capped[("s1", "s2")]["jaccard"] == 1.0
+
+
+def test_minhash_and_bloom_merges_are_idempotent(spark, sf_dir):
+    """X74: MIN and set-union are idempotent merge algebras — folding
+    the same day twice must not change the artifact (the property the
+    CMS SUM deliberately lacks), and the half-merge equals the
+    full-corpus build exactly."""
+    from ocr_automation_system_spark.functions import sketch as SK
+    from ocr_automation_system_spark.queries import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full_sig = SK.minhash_sig_table(docs)
+    twice = SK.merge_minhash_sigs(full_sig, full_sig)
+    assert twice.exceptAll(full_sig).count() == 0
+    assert full_sig.exceptAll(twice).count() == 0
+
+    a = SK.bloom_bit_table(docs.filter(F.col("doc_id") % 2 == 0))
+    b = SK.bloom_bit_table(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = SK.merge_bloom_bits(a, b)
+    full_bits = SK.bloom_bit_table(docs)
+    assert merged.exceptAll(full_bits).count() == 0
+    assert full_bits.exceptAll(merged).count() == 0
+    re_merged = SK.merge_bloom_bits(merged, a)
+    assert re_merged.count() == merged.count()
