@@ -485,3 +485,79 @@ def semdedup_keep(df: DataFrame, centroids: list, threshold: float = 0.3,
     return (mem.join(drops, "vec_id", "left")
             .select("vec_id", "cell",
                     F.col("_dropped").isNull().alias("keep")))
+
+
+def pca_power_loadings(df: DataFrame, vec_col: str = "embedding",
+                       iters: int = 6,
+                       scale: int = QUANT_SCALE) -> list[float]:
+    """Power-iteration estimate of the dominant principal component of
+    an embedding column, by exact distributed covariance + driver-side
+    iteration — the whitening/compression diagnostic run before
+    trusting PQ subspace splits or random-projection LSH (a single
+    dominant direction makes sign-bit buckets degenerate).
+    Convergence is governed by the eigengap: the angle to the true
+    eigenvector shrinks as (λ2/λ1)^iters, so on a corpus with a real
+    dominant direction a handful of steps suffice, while on a
+    near-isotropic corpus the iterate is reported as-is (still
+    deterministic and twin-exact) and its meaning is "no dominant
+    direction" — exactly the diagnostic answer the caller needs.
+
+    Exactness: the scaled covariance ``M = n·S - s·sᵀ`` (S = second
+    moment, s = column sums over quantized int64 vectors) is computed
+    as EXACT integers — DECIMAL(38,0) sums, no mean subtraction in
+    floating point, order-independent — so the matrix is bit-identical
+    under any partitioning. |M| <= n²·(scale·|x|)²·dim stays inside
+    DECIMAL(38,0) up to ~10^12 unit-range rows. The power iteration
+    runs on the driver over the collected 64x64 matrix in IEEE doubles
+    with a PINNED fold order (left-assoc over j, then one max-abs
+    normalization per step) — the DuckDB twin replays the identical op
+    sequence, so the loadings are bit-exact cross-engine.
+
+    Scale shape: ONE corpus pass — posexplode to (i, qi) rows (dim x),
+    per-row products via a bound transform, one map-side-combined
+    groupBy(i) shipping dim·(dim+2) decimals to the driver (the
+    k-means-stats bounded-collect precedent); iterations touch only
+    the driver-side dim² matrix. Returns [] on an empty table."""
+    row0 = df.select(vec_col).limit(1).collect()
+    if not row0 or row0[0][0] is None:
+        return []
+    dim = len(row0[0][0])
+    bound = math.isqrt(2 ** 63 - 1)  # per-element product must fit int64
+    q = df.select(quantize(F.col(vec_col), scale).alias("q"))
+    ex = q.select(F.posexplode("q").alias("i", "qi"), "q")
+    pr = ex.select(
+        "i", F.col("qi").cast("decimal(38,0)").alias("qi_d"),
+        F.abs("qi").alias("qa"),
+        F.transform("q", lambda x: (x * F.col("qi"))
+                    .cast("decimal(38,0)")).alias("p"))
+    stats = pr.groupBy("i").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("qa").alias("qabs"),
+        F.sum("qi_d").alias("s1"),
+        *[F.expr(f"sum(p[{j}]) AS s2_{j}")  # 1 py4j call per dim
+          for j in range(dim)]).collect()
+    if not stats:
+        return []
+    by_i = {r["i"]: r for r in stats}
+    qabs = max(int(r["qabs"]) for r in stats)
+    if qabs > bound:
+        raise ValueError(
+            f"quantized magnitude {qabs} exceeds the int64-exact product "
+            f"bound {bound}; lower the quantization scale or normalize")
+    n = int(by_i[0]["cnt"])
+    s = [int(by_i[i]["s1"]) for i in range(dim)]
+    m = [[n * int(by_i[i][f"s2_{j}"]) - s[i] * s[j] for j in range(dim)]
+         for i in range(dim)]
+    v = [1.0] * dim
+    for _ in range(iters):
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):  # left-assoc fold, j ascending (== twin)
+                acc = acc + float(m[i][j]) * v[j]
+            w.append(acc)
+        mx = 0.0
+        for x in w:
+            mx = max(mx, abs(x))
+        v = [x / mx for x in w] if mx > 0 else w
+    return v

@@ -2354,6 +2354,69 @@ def _sql_kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS,
     return ",\n".join(parts)
 
 
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component (X75): exact-integer distributed
+    covariance (``n·S - s·sᵀ`` over quantized vectors, DECIMAL(38,0)
+    sums — no floating-point mean subtraction) + driver-side power
+    iteration (6 steps, max-abs normalization) with a pinned IEEE fold
+    order, so the 64 loadings are bit-exact vs the unrolled-CTE DuckDB
+    twin. One corpus pass ships dim·(dim+2) decimals to the driver;
+    see clustering.pca_power_loadings."""
+    from .functions import clustering as C
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = C.pca_power_loadings(emb, iters=6)
+    schema = "dim_idx int, loading double"
+    if not v:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(v)], schema)
+
+
+def _sql_pca_power(iters: int = 6, dim: int = 64,
+                   scale: int = 10 ** 6) -> str:
+    """Unrolled power-iteration twin of ``clustering.pca_power_loadings``
+    — HUGEINT exact covariance, per-step ordered-list fold (the
+    ``_det_sum`` device) + max-abs normalization. Every intermediate is
+    MATERIALIZED: with default CTE inlining each step's double
+    reference to the previous one expands 2^iters-fold (the learned-
+    probe twin lesson)."""
+    head = f"""q AS MATERIALIZED (
+  SELECT list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
+  FROM embeddings),
+g AS MATERIALIZED (
+  SELECT i, q[i + 1] AS qi, q FROM q CROSS JOIN range(0, {dim}) r(i)),
+s1 AS MATERIALIZED (SELECT i, sum(CAST(qi AS HUGEINT)) AS s
+                    FROM g GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+m2 AS MATERIALIZED (
+  SELECT g.i, j.j, sum(CAST(g.qi AS HUGEINT)
+                       * CAST(g.q[j.j + 1] AS HUGEINT)) AS s2
+  FROM g CROSS JOIN range(0, {dim}) j(j) GROUP BY 1, 2),
+mm AS MATERIALIZED (
+  SELECT m2.i, m2.j, nn.n * m2.s2 - sa.s * sb.s AS m
+  FROM m2 CROSS JOIN nn
+  JOIN s1 sa ON sa.i = m2.i JOIN s1 sb ON sb.i = m2.j),
+v0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS v FROM range(0, {dim}) r(i))"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""w{k} AS MATERIALIZED (
+  SELECT m.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(CAST(m.m AS DOUBLE) * v.v ORDER BY m.j)), (a, b) -> a + b) AS w
+  FROM mm m JOIN v{k - 1} v ON m.j = v.i GROUP BY m.i),
+x{k} AS (SELECT max(abs(w)) AS mx FROM w{k}),
+v{k} AS MATERIALIZED (
+  SELECT i, CASE WHEN mx > 0 THEN w / mx ELSE w END AS v
+  FROM w{k} CROSS JOIN x{k})""")
+    return ("WITH " + head + ",\n" + ",\n".join(steps)
+            + f"\nSELECT CAST(i AS INT) AS dim_idx, v AS loading"
+              f" FROM v{iters}")
+
+
+SQL_EMBEDDING_PCA_POWER = _sql_pca_power()
+
+
 def q_embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quantized k-means (k=8, 3 Lloyd iterations) — the
     trainer for the IVF coarse quantizer, audited per cell with a
@@ -4763,6 +4826,8 @@ REGISTRY: dict = {
     "embedding_ivf_cell_stats": (q_embedding_ivf_cell_stats,
                                  SQL_EMBEDDING_IVF_CELL_STATS),
     "embedding_ivf_topk": (q_embedding_ivf_topk, SQL_EMBEDDING_IVF_TOPK),
+    "embedding_pca_power": (q_embedding_pca_power,
+                            SQL_EMBEDDING_PCA_POWER),
     "embedding_kmeans_cells": (q_embedding_kmeans_cells,
                                SQL_EMBEDDING_KMEANS_CELLS),
     "embedding_pq_codes": (q_embedding_pq_codes, SQL_EMBEDDING_PQ_CODES),

@@ -1039,3 +1039,53 @@ def test_minhash_and_bloom_merges_are_idempotent(spark, sf_dir):
     assert full_bits.exceptAll(merged).count() == 0
     re_merged = SK.merge_bloom_bits(merged, a)
     assert re_merged.count() == merged.count()
+
+
+def test_pca_power_is_the_dominant_eigenvector(spark):
+    """X75 convergence: on a corpus with a PLANTED dominant direction
+    (eigengap large enough that (lambda2/lambda1)^6 is tiny) the
+    loadings align with numpy's dominant covariance eigenvector
+    (|cos| ~ 1). The synthetic sf embeddings are near-isotropic
+    (lambda2/lambda1 ~ 0.99) where NO fixed iteration count converges
+    — that's a property of the data, so alignment is pinned on a
+    conditioned fixture and determinism on the real table (next test)."""
+    import numpy as np
+
+    from ocr_automation_system_spark.functions.clustering import (
+        pca_power_loadings,
+    )
+
+    rng = np.random.RandomState(7)
+    direction = rng.randn(16)
+    direction /= np.linalg.norm(direction)
+    x = rng.randn(300, 16) * 0.05 + np.outer(rng.randn(300), direction)
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "id int, embedding array<float>")
+    v = pca_power_loadings(df, iters=6)
+    assert len(v) == 16
+    xf = np.array(
+        df.select("embedding").toPandas()["embedding"].tolist(),
+        dtype=np.float64)
+    xq = np.floor(xf * 1_000_000)
+    cov = len(xq) * (xq.T @ xq) - np.outer(xq.sum(0), xq.sum(0))
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    cos = abs(np.dot(v, top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos > 0.999
+
+
+def test_pca_power_is_partition_invariant(spark, sf_dir):
+    """X75 determinism: exact-integer covariance + pinned driver fold
+    means the loadings are bit-identical under repartitioning; empty
+    table yields []."""
+    from ocr_automation_system_spark.functions.clustering import (
+        pca_power_loadings,
+    )
+    from ocr_automation_system_spark.queries import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = pca_power_loadings(emb, iters=6)
+    assert len(v) == 64
+    v2 = pca_power_loadings(emb.repartition(7), iters=6)
+    assert v == v2
+    assert pca_power_loadings(emb.limit(0)) == []
