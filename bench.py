@@ -40,7 +40,7 @@ HEADLINE = (
     "embedding_batch_topk",
     "embedding_kmeans_cells", "embedding_semdedup_keep",
     "embedding_pq_codes", "embedding_pq_topk", "embedding_ivfpq_topk",
-    "embedding_pq_recall",
+    "embedding_pq_recall", "embedding_pca_power",
     "pack_bins", "packing_efficiency", "benchmark_contamination",
     "domain_quota", "host_disjoint_split", "knn_label_eval",
     "pii_scrub", "repetition_scores", "source_blocklist",
@@ -61,7 +61,8 @@ HEADLINE = (
     "hll_source_cardinality", "hll_merge", "bloom_dedup_census",
     "minhash_sig_merge", "bloom_bits_merge",
     "cms_source_counts", "cms_merge",
-    "token_postings", "postings_merge", "tfidf_top_terms",
+    "token_postings", "postings_merge", "postings_takedown",
+    "tfidf_top_terms",
     "bm25_search", "bm25_weighted", "phrase_kwic",
     "phrase_hits", "proximity_hits", "kwic_snippets", "minhash_recall_sample",
     "importance_weights", "curation_verdicts", "collocations", "skipgram_pairs",

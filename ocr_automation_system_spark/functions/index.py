@@ -137,6 +137,97 @@ def merge_token_postings(a: DataFrame, b: DataFrame,
                      ",").alias("postings"))
 
 
+def takedown_postings(index: DataFrame, corpus: DataFrame,
+                      takedown: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      cap: int = POSTINGS_CAP) -> DataFrame:
+    """Deletion propagation (right-to-be-forgotten / DMCA takedown)
+    through a stored ``token_postings`` artifact: given the index built
+    over ``corpus`` and a small ``takedown`` id set, produce EXACTLY
+    ``token_postings(corpus minus takedown)`` without rebuilding the
+    index — the maintenance op that makes honoring deletions affordable
+    when the index is orders of magnitude cheaper to patch than to
+    recompute (the reference's closest analogue is the first-wins
+    idempotent re-run discipline around its JSON outputs,
+    /root/reference/project/main.py:60-96; deletion is the inverse op
+    its single-node world never needs).
+
+    Exact algebra where the artifact allows it, targeted refill where
+    it doesn't:
+
+    * ``df_docs`` subtracts exactly — the removed per-token doc counts
+      come from tokenizing ONLY the takedown docs (a semi-join the size
+      of the takedown set). Tokens whose count reaches 0 drop.
+    * a head repaired by ``array_except`` is PROVABLY complete iff
+      ``size(filtered) == least(new_df, cap)``: an untruncated head
+      lists every doc, and a truncated head that lost no member still
+      holds the cap-smallest survivors (if it had lost rank there would
+      have to be < cap survivors in it, contradiction).
+    * every other token (truncated head that lost a member — in
+      practice the stopword tier) is refilled by ONE pass over the
+      surviving corpus filtered to that token set BEFORE the rank: the
+      giant all-token shuffle and distinct never happen again.
+
+    Scale shape: removed-token censuses are bounded by the takedown
+    text volume (per-token removed-id lists are O(|takedown|), the
+    id set and the refill vocabulary broadcast); the refill pass is a
+    corpus scan whose explode is pre-filtered to the refill vocabulary,
+    so the shuffle carries only refill tokens. Never all-pairs, never a
+    full index rebuild."""
+    ids = takedown.select(F.col(id_col).alias("_td_id")).distinct()
+    gone = corpus.join(F.broadcast(ids),
+                       F.col(id_col) == F.col("_td_id"), "left_semi")
+    rm = (token_doc_pairs(gone, id_col, text_col)
+          .groupBy("token")
+          .agg(F.count(F.lit(1)).alias("_rm_cnt"),
+               F.sort_array(F.collect_set("doc_id")).alias("_rm_ids")))
+
+    def _arr(c: str):
+        return F.when(
+            F.col(c).isNull() | (F.col(c) == ""),
+            F.array().cast("array<bigint>")
+        ).otherwise(
+            F.transform(F.split(F.col(c), ","),
+                        lambda x: x.cast("long")))
+
+    zero = F.lit(0).cast("long")
+    upd = (index.join(F.broadcast(rm), "token", "left")
+           .select(
+               "token",
+               (F.col("df_docs")
+                - F.coalesce("_rm_cnt", zero)).alias("new_df"),
+               F.array_except(
+                   _arr("postings"),
+                   F.coalesce(F.col("_rm_ids"),
+                              F.array().cast("array<bigint>")))
+               .alias("_filt"))
+           .filter(F.col("new_df") > 0))
+    exact = F.size("_filt") == F.least(F.col("new_df"), F.lit(cap))
+    refill_tokens = upd.filter(~exact).select("token")
+
+    survivors = corpus.join(F.broadcast(ids),
+                            F.col(id_col) == F.col("_td_id"), "left_anti")
+    pairs = (token_doc_pairs(survivors, id_col, text_col)
+             .join(F.broadcast(refill_tokens), "token", "left_semi"))
+    w = Window.partitionBy("token").orderBy(F.col("doc_id").asc())
+    refill = (pairs
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= cap)
+              .groupBy("token")
+              .agg(F.array_join(
+                  F.transform(F.sort_array(F.collect_list("doc_id")),
+                              lambda x: x.cast("string")),
+                  ",").alias("_new_p")))
+    return (upd.join(F.broadcast(refill), "token", "left")
+            .select(
+                "token", F.col("new_df").alias("df_docs"),
+                F.coalesce(
+                    "_new_p",
+                    F.array_join(F.transform(
+                        "_filt", lambda x: x.cast("string")), ","))
+                .alias("postings")))
+
+
 def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 5) -> DataFrame:
     """Top-``k`` salient terms per document by rational TF-IDF:

@@ -4440,6 +4440,50 @@ def q_postings_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_POSTINGS_MERGE = SQL_TOKEN_POSTINGS
 
 
+def q_postings_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion propagation (X76): build the postings artifact over the
+    full corpus, take down the ~1/16 md5-selected doc set, and PATCH the
+    artifact (exact df subtraction + array_except head repair + targeted
+    refill of truncated heads that lost a member — see
+    functions/index.takedown_postings). The oracle is the full postings
+    recompute over the surviving corpus, so the hash match certifies
+    takedown(index, T) == token_postings(corpus minus T) exactly,
+    including every refilled stopword head."""
+    from .functions import index as I
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = I.token_postings(docs)
+    take = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    ).select("doc_id")
+    return I.takedown_postings(idx, docs, take)
+
+
+def _sql_postings_takedown() -> str:
+    from .functions.lm import TOKEN_RE
+
+    return f"""
+WITH keep AS (SELECT doc_id, text FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(
+           coalesce(text, '')), '{TOKEN_RE}')) AS token FROM keep),
+pairs AS (SELECT DISTINCT token, doc_id FROM toks),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+        FROM pairs GROUP BY 1),
+rk AS (SELECT token, doc_id,
+              row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+       FROM pairs),
+heads AS (SELECT token,
+                 array_to_string(list(CAST(doc_id AS VARCHAR)
+                                      ORDER BY doc_id), ',') AS postings
+          FROM rk WHERE rn <= 32 GROUP BY 1)
+SELECT token, df_docs, postings FROM cnt JOIN heads USING (token)
+"""
+
+
+SQL_POSTINGS_TAKEDOWN = _sql_postings_takedown()
+
+
 def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FineWeb-style composite filter policy: usability -> repetition ->
     quality -> language-mismatch -> PII gates, first-fail-wins with a
@@ -4779,6 +4823,7 @@ REGISTRY: dict = {
     "cms_source_counts": (q_cms_source_counts, SQL_CMS_SOURCE_COUNTS),
     "token_postings": (q_token_postings, SQL_TOKEN_POSTINGS),
     "postings_merge": (q_postings_merge, SQL_POSTINGS_MERGE),
+    "postings_takedown": (q_postings_takedown, SQL_POSTINGS_TAKEDOWN),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
     "curation_verdicts": (q_curation_verdicts, SQL_CURATION_VERDICTS),

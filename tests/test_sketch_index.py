@@ -423,3 +423,46 @@ def test_merge_cms_tables_identity(spark):
     merged = sorted(map(tuple, merge_cms_tables(a, b).collect()))
     full = sorted(map(tuple, cms_table(df, "source").collect()))
     assert merged == full and merged
+
+
+def test_takedown_postings_matches_full_recompute(spark):
+    """X76 contract at unit scale with a tiny cap (3) so every repair
+    path fires: exact df subtraction, untruncated-head array repair,
+    truncated-head-lost-a-member refill, and whole-token drop."""
+    from ocr_automation_system_spark.functions.index import (
+        takedown_postings,
+        token_postings,
+    )
+
+    rows = ([(i, "common alpha", "s") for i in range(10)]
+            + [(50, "only_gone beta", "s"), (51, "beta gamma", "s")])
+    docs = _docs(spark, rows)
+    take = _docs(spark, [(0, "", "s"), (2, "", "s"), (50, "", "s")])
+    idx = token_postings(docs, cap=3)
+
+    # the fixture MUST exercise the refill path: 'common' df=10 > cap=3
+    # and loses head members 0 and 2
+    assert {r["token"] for r in idx.collect()} >= {"common", "beta"}
+    got = sorted(map(tuple, takedown_postings(
+        idx, docs, take.select("doc_id"), cap=3).collect()))
+    want = sorted(map(tuple, token_postings(
+        docs.filter(~F.col("doc_id").isin([0, 2, 50])), cap=3).collect()))
+    assert got == want
+    by_tok = dict((t, (d, p)) for t, d, p in got)
+    assert by_tok["common"] == (8, "1,3,4")   # refilled past the cap
+    assert "only_gone" not in by_tok          # df reached 0 -> dropped
+    assert by_tok["beta"] == (1, "51")        # untruncated array repair
+
+
+def test_takedown_postings_empty_takedown_is_identity(spark):
+    from ocr_automation_system_spark.functions.index import (
+        takedown_postings,
+        token_postings,
+    )
+
+    docs = _docs(spark, [(i, f"tok{i % 3} shared", "s") for i in range(9)])
+    idx = token_postings(docs, cap=4)
+    out = takedown_postings(idx, docs, docs.filter("doc_id < 0")
+                            .select("doc_id"), cap=4)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, idx.collect()))
