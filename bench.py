@@ -51,7 +51,7 @@ HEADLINE = (
     "pipeline_line_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",
-    "lm_quality_scores",
+    "lm_quality_scores", "lexical_diversity",
     "media_metadata", "media_resize", "media_frame_census", "media_census",
     "warc_roundtrip",
     "bpe_merge_candidates", "bpe_merges", "bpe_fertility",

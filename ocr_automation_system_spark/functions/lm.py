@@ -343,3 +343,65 @@ def bpe_segment(df: DataFrame, merges: list, id_col: str = "doc_id",
         F.when(F.size(toks) > 0,
                F.round(n_sub.cast("double") / F.size(toks), 6))
         .otherwise(F.lit(0.0)).alias("fertility"))
+
+
+def lexical_diversity(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Frequency-weighted lexical-concentration census per document —
+    the Gopher-family signals `repetition_scores` (distinct/total) can't
+    see: a doc repeating ONE word 100× and a doc with 100 words twice
+    each have the same n-gram-distinct profile but opposite
+    concentration. Returns (doc_id, n_tokens, n_types, ttr,
+    repeat_prob, top_frac):
+
+    * ``ttr`` — type/token ratio;
+    * ``repeat_prob`` — Simpson concentration: P(two tokens drawn
+      without replacement are equal) = (Σc² − n) / (n(n−1));
+    * ``top_frac`` — most-common-token mass (the Gopher rule's
+      "fraction of the most common word").
+
+    Exactness: token run-lengths come from the SORTED token array
+    inside one codegen projection (run starts → bound diffs), so Σc²,
+    max c and the type count are exact integers; each ratio is ONE
+    correctly-rounded double division — bit-identical cross-engine
+    (the DuckDB twin counts per-token groups instead; same integers,
+    same single divisions). n ≤ 1 rows report 0.0 everywhere.
+
+    Scale shape: ZERO shuffle — a narrow per-row projection; the
+    per-row sort is O(L log L) in document length, never corpus size."""
+    from .text import lazy_seq
+
+    toks = tokens_lower(F.col(text_col))
+    st = F.array_sort(toks)
+    n = F.size(st)
+    # sequence(1, 0) is DESCENDING [1, 0] — a zero-token doc must get
+    # the empty index array, not an index-0 probe (lazy_seq's contract)
+    idx = lazy_seq(n > 0, F.lit(1), n)
+    # the i==1 arm does NOT short-circuit element_at(st, 0) (ANSI index
+    # error), so the predecessor index is clamped to 1 — st[1] != st[1]
+    # is false and the OR keeps position 1 a run start regardless
+    starts = F.filter(
+        idx, lambda i: (i == 1) | (F.element_at(st, i)
+                                   != F.element_at(
+                                       st, F.greatest(i - 1, F.lit(1)))))
+    ends = F.concat(F.slice(starts, 2, F.greatest(
+        F.size(starts) - 1, F.lit(0))), F.array(n + 1))
+    counts = F.zip_with(starts, ends,
+                        lambda s, e: (e - s).cast("long"))
+    sum_sq = F.aggregate(counts, F.lit(0).cast("long"),
+                         lambda acc, c: acc + c * c)
+    max_c = F.coalesce(F.array_max(counts), F.lit(0).cast("long"))
+    n_types = F.size(starts)
+    nl = n.cast("long")
+    zero = F.lit(0.0)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        nl.alias("n_tokens"),
+        n_types.cast("long").alias("n_types"),
+        F.when(n > 0, n_types.cast("double") / n.cast("double"))
+        .otherwise(zero).alias("ttr"),
+        F.when(n > 1, (sum_sq - nl).cast("double")
+               / (nl * (nl - 1)).cast("double"))
+        .otherwise(zero).alias("repeat_prob"),
+        F.when(n > 0, max_c.cast("double") / n.cast("double"))
+        .otherwise(zero).alias("top_frac"))

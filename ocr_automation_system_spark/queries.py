@@ -955,6 +955,52 @@ def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "mean_token_p", bucket.alias("bucket"))
 
 
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted lexical concentration per document (X77):
+    type/token ratio, Simpson repeat probability (Σc²−n)/(n(n−1)) and
+    most-common-token mass — the Gopher-rule signals distinct/total
+    repetition ratios can't see. Zero-shuffle codegen projection
+    (run-lengths from the per-row sorted token array); every ratio is
+    exact integers + ONE correctly-rounded division, so the twin — which
+    counts per-token groups instead — is hash-identical."""
+    from .functions import lm
+
+    return lm.lexical_diversity(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_lexical_diversity() -> str:
+    from .functions.lm import TOKEN_RE
+
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(
+         coalesce(text, '')), '{TOKEN_RE}')) AS token FROM documents),
+tc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS types,
+               CAST(sum(c * c) AS BIGINT) AS ss,
+               max(c) AS mc
+        FROM tc GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n, 0) AS n_tokens,
+       coalesce(a.types, 0) AS n_types,
+       CASE WHEN coalesce(a.n, 0) > 0
+            THEN CAST(a.types AS DOUBLE) / CAST(a.n AS DOUBLE)
+            ELSE 0.0 END AS ttr,
+       CASE WHEN coalesce(a.n, 0) > 1
+            THEN CAST(a.ss - a.n AS DOUBLE)
+                 / CAST(a.n * (a.n - 1) AS DOUBLE)
+            ELSE 0.0 END AS repeat_prob,
+       CASE WHEN coalesce(a.n, 0) > 0
+            THEN CAST(a.mc AS DOUBLE) / CAST(a.n AS DOUBLE)
+            ELSE 0.0 END AS top_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+SQL_LEXICAL_DIVERSITY = _sql_lexical_diversity()
+
+
 SQL_LM_PERPLEXITY_BUCKETS = f"""
 WITH {_sql_lm_base()},
 scored AS (SELECT tk.doc_id, tk.token,
@@ -4799,6 +4845,7 @@ REGISTRY: dict = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     # corpus-trained unigram LM quality (CCNet-style, two-phase)
     "lm_token_census": (q_lm_token_census, SQL_LM_TOKEN_CENSUS),
+    "lexical_diversity": (q_lexical_diversity, SQL_LEXICAL_DIVERSITY),
     "lm_quality_scores": (q_lm_quality_scores, SQL_LM_QUALITY_SCORES),
     "lm_perplexity_buckets": (q_lm_perplexity_buckets,
                               SQL_LM_PERPLEXITY_BUCKETS),

@@ -229,3 +229,27 @@ def test_stupid_backoff_ranks_fluency(spark):
     assert got[100]["mean_bigram_s"] > got[101]["mean_bigram_s"]
     assert got[100]["backoff_frac"] == 0.0
     assert got[101]["backoff_frac"] > 0.5
+
+
+def test_lexical_diversity_hand_computed(spark):
+    """X77: one doc repeating a single word, one balanced doc, one empty
+    — concentration separates what distinct/total repetition can't."""
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"),          # one type, total repeat
+         (2, "a b c d"),                      # all distinct
+         (3, "x x y y"),                      # balanced pairs
+         (4, None),                           # null text
+         (5, "solo")],                        # n == 1 edge
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm.lexical_diversity(docs).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_types"]) == (4, 1)
+    assert got[1]["ttr"] == 0.25
+    assert got[1]["repeat_prob"] == 1.0       # (16-4)/(4*3)
+    assert got[1]["top_frac"] == 1.0
+    assert got[2]["repeat_prob"] == 0.0 and got[2]["ttr"] == 1.0
+    assert got[2]["top_frac"] == 0.25
+    assert got[3]["repeat_prob"] == (8 - 4) / 12
+    assert got[3]["top_frac"] == 0.5
+    assert (got[4]["n_tokens"], got[4]["ttr"], got[4]["repeat_prob"],
+            got[4]["top_frac"]) == (0, 0.0, 0.0, 0.0)
+    assert (got[5]["n_tokens"], got[5]["repeat_prob"]) == (1, 0.0)
