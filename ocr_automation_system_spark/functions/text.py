@@ -166,6 +166,45 @@ def lang_id(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Unicode script census
+# ---------------------------------------------------------------------------
+
+#: Script name -> regex char class, in FIXED priority order: dominant-script
+#: ties resolve to the earlier entry. Ranges use \x{...} escapes — the one
+#: codepoint syntax Java regex (Spark) and RE2 (DuckDB) both accept. CJK
+#: folds the unified-ideograph block with the kana blocks (the coarse
+#: mixed-script routing signal, not a language classifier).
+SCRIPT_RANGES = (
+    ("latin", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("greek", r"[\x{0370}-\x{03FF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+    ("devanagari", r"[\x{0900}-\x{097F}]"),
+    ("cjk", r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]"),
+    ("hangul", r"[\x{AC00}-\x{D7AF}]"),
+)
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script letter counts (exact longs, one regexp_count each)."""
+    t = F.coalesce(text, F.lit(""))
+    return {name: F.regexp_count(t, F.lit(cls)).cast("long")
+            for name, cls in SCRIPT_RANGES}
+
+
+def dominant_script(counts: dict[str, Column]) -> Column:
+    """First script in SCRIPT_RANGES order holding the max count;
+    'none' when every count is 0 — a deterministic total rule both
+    engines express as the same CASE chain."""
+    best = F.greatest(*counts.values())
+    expr = F.lit("none")
+    for name, _ in reversed(SCRIPT_RANGES):
+        expr = F.when((counts[name] > 0) & (counts[name] == best),
+                      F.lit(name)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
 # Fingerprinting
 # ---------------------------------------------------------------------------
 

@@ -687,6 +687,54 @@ FROM documents
 """
 
 
+def q_script_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script census per document (X78): exact per-script letter
+    counts (Latin/Cyrillic/Greek/Arabic/Devanagari/CJK/Hangul), the
+    dominant script under a fixed priority tie-break, and the dominant
+    mass fraction — the mixed-script routing signal multilingual-corpus
+    builders gate on before language ID. Zero shuffle: one regexp_count
+    per script inside a single codegen projection; the one double is a
+    correctly-rounded division of exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = T.script_counts(F.col("text"))
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    best = F.greatest(*counts.values())
+    return docs.select(
+        "doc_id",
+        *[counts[n].alias(n) for n, _ in T.SCRIPT_RANGES],
+        T.dominant_script(counts).alias("script"),
+        F.when(total > 0, best.cast("double") / total.cast("double"))
+        .otherwise(F.lit(0.0)).alias("script_frac"))
+
+
+def _sql_script_census() -> str:
+    cnt = {name: f"CAST(len(regexp_extract_all(coalesce(text, ''), "
+                 f"'{cls}')) AS BIGINT)"
+           for name, cls in T.SCRIPT_RANGES}
+    names = [n for n, _ in T.SCRIPT_RANGES]
+    mx = "greatest(" + ", ".join(names) + ")"
+    total = " + ".join(names)
+    cases = " ".join(f"WHEN {n} > 0 AND {n} = {mx} THEN '{n}'"
+                     for n in names)
+    cols = ",\n       ".join(f"{expr} AS {n}" for n, expr in cnt.items())
+    return f"""
+WITH c AS (SELECT doc_id,
+       {cols}
+FROM documents)
+SELECT doc_id, {', '.join(names)},
+       CASE {cases} ELSE 'none' END AS script,
+       CASE WHEN {total} > 0
+            THEN CAST({mx} AS DOUBLE) / CAST({total} AS DOUBLE)
+            ELSE 0.0 END AS script_frac
+FROM c
+"""
+
+
+SQL_SCRIPT_CENSUS = _sql_script_census()
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -4842,6 +4890,7 @@ REGISTRY: dict = {
     "benchmark_contamination": (q_benchmark_contamination,
                                 SQL_BENCHMARK_CONTAMINATION),
     "lang_id": (q_lang_id, SQL_LANG_ID),
+    "script_census": (q_script_census, SQL_SCRIPT_CENSUS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     # corpus-trained unigram LM quality (CCNet-style, two-phase)
     "lm_token_census": (q_lm_token_census, SQL_LM_TOKEN_CENSUS),

@@ -1089,3 +1089,55 @@ def test_pca_power_is_partition_invariant(spark, sf_dir):
     v2 = pca_power_loadings(emb.repartition(7), iters=6)
     assert v == v2
     assert pca_power_loadings(emb.limit(0)) == []
+
+
+def test_script_census_planted_scripts(spark):
+    """X78: non-Latin ranges verified on PLANTED text (the sf corpus is
+    ASCII-heavy, so the contract twin alone can't prove the \\x{...}
+    classes work) — hand-computed counts, priority tie-break, and
+    Spark/DuckDB agreement on the same rows."""
+    import duckdb
+
+    from ocr_automation_system_spark.functions.text import (
+        SCRIPT_RANGES,
+        dominant_script,
+        script_counts,
+    )
+    from ocr_automation_system_spark.queries import _sql_script_census
+
+    rows = [
+        (1, "hello мир"),              # 5 latin, 3 cyrillic
+        (2, "русский текст"),          # cyrillic only
+        (3, "日本語 text かな"),         # 3 cjk ideographs + 2 kana, 4 latin
+        (4, "مرحبا"),                  # arabic
+        (5, "नमस्ते"),                  # devanagari
+        (6, "한국어"),                  # hangul
+        (7, "αβγ abc"),                # tie 3-3 -> latin (priority order)
+        (8, ""),                       # none
+        (9, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = script_counts(F.col("text"))
+    got = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *[counts[n].alias(n) for n, _ in SCRIPT_RANGES],
+        dominant_script(counts).alias("script")).collect()}
+    assert (got[1]["latin"], got[1]["cyrillic"]) == (5, 3)
+    assert got[1]["script"] == "latin"
+    assert got[2]["script"] == "cyrillic" and got[2]["latin"] == 0
+    assert got[3]["cjk"] == 5 and got[3]["script"] == "cjk"
+    assert got[4]["script"] == "arabic"
+    assert got[5]["script"] == "devanagari"
+    assert got[6]["script"] == "hangul" and got[6]["hangul"] == 3
+    assert (got[7]["greek"], got[7]["latin"]) == (3, 3)
+    assert got[7]["script"] == "latin"     # priority order breaks the tie
+    assert got[8]["script"] == "none" and got[9]["script"] == "none"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck = {r[0]: r for r in
+            con.execute(_sql_script_census()).fetchall()}
+    names = [n for n, _ in SCRIPT_RANGES]
+    for did in got:
+        assert tuple(got[did][n] for n in names) == duck[did][1:8], did
+        assert got[did]["script"] == duck[did][8], did
