@@ -62,6 +62,7 @@ HEADLINE = (
     "hll_source_cardinality", "hll_merge", "bloom_dedup_census",
     "minhash_sig_merge", "bloom_bits_merge",
     "cms_source_counts", "cms_merge",
+    "doclen_histogram", "doclen_quantiles", "doclen_hist_merge",
     "token_postings", "postings_merge", "postings_takedown",
     "tfidf_top_terms",
     "bm25_search", "bm25_weighted", "phrase_kwic",

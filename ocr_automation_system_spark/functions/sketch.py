@@ -308,3 +308,94 @@ def merge_bloom_bits(a: DataFrame, b: DataFrame) -> DataFrame:
     idempotent like the MinHash MIN, so replayed inputs never corrupt
     the filter. One distinct over the bounded (group, m) key space."""
     return a.unionByName(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# HDR-style length histogram (mergeable quantile sketch)
+# ---------------------------------------------------------------------------
+
+#: Sub-buckets per binary octave. Quantile readout error is bounded by
+#: one sub-bucket width: relative error <= 1/HIST_SUBS of the value.
+HIST_SUBS = 8
+
+
+def hist_buckets(df: DataFrame, value: Column) -> DataFrame:
+    """Append (octave, sub, bucket_lo) HDR-histogram bucket columns for
+    a non-negative long value — EXACT integer arithmetic end to end:
+    octave = binary digit count (via the base-2 string render, no float
+    log2 whose boundary rounding differs per libm), base = the octave's
+    lower power of two, sub indexes HIST_SUBS equal slices of the
+    octave, bucket_lo = base + (sub·base) div HIST_SUBS. bucket_lo is a
+    pure function of (octave, sub) and monotone non-decreasing in that
+    key order — the property the quantile readout's min() relies on.
+    Value 0 gets the dedicated (0, 0, 0) bucket."""
+    s = HIST_SUBS
+    out = (df.withColumn("_hv", value.cast("long"))
+           .withColumn("octave",
+                       F.when(F.col("_hv") > 0,
+                              F.length(F.conv(F.col("_hv").cast("string"),
+                                              10, 2)))
+                       .otherwise(0).cast("int"))
+           .withColumn("_hbase",
+                       F.expr("CASE WHEN octave > 0 THEN "
+                              "shiftleft(CAST(1 AS BIGINT), octave - 1) "
+                              "ELSE CAST(1 AS BIGINT) END"))
+           .withColumn("sub",
+                       F.expr(f"CASE WHEN _hv > 0 THEN "
+                              f"((_hv - _hbase) * {s}) div _hbase "
+                              f"ELSE 0 END").cast("int"))
+           .withColumn("bucket_lo",
+                       F.expr(f"CASE WHEN _hv > 0 THEN "
+                              f"_hbase + (sub * _hbase) div {s} "
+                              f"ELSE CAST(0 AS BIGINT) END")))
+    return out.drop("_hv", "_hbase")
+
+
+def doclen_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The mergeable length-quantile artifact: (octave, sub, bucket_lo,
+    n) over character lengths. One map-side-combined groupBy over a key
+    space bounded by 64·HIST_SUBS buckets regardless of corpus size —
+    and counts merge by SUM across partitions, days and engines (the
+    CMS/HLL discipline), so daily crawls fold into the running
+    histogram without re-touching any corpus."""
+    b = hist_buckets(df, F.length(F.coalesce(F.col(text_col), F.lit(""))))
+    return b.groupBy("octave", "sub", "bucket_lo").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def merge_histograms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SUM-merge two histogram artifacts: merge(h(A), h(B)) == h(A ∪ B)
+    exactly (counts add over any disjoint row split). Bounded key
+    space -> one tiny map-side-combined groupBy."""
+    return (a.unionByName(b)
+            .groupBy("octave", "sub", "bucket_lo")
+            .agg(F.sum("n").alias("n")))
+
+
+def histogram_quantiles(hist: DataFrame,
+                        pcts: tuple = (50, 90, 99)) -> DataFrame:
+    """Quantile readout from the histogram artifact: for each integer
+    percentile p, the bucket_lo of the first bucket (in (octave, sub)
+    order) whose cumulative count reaches ceil(p% of total) — ALL
+    integer arithmetic (100·cum >= p·total), no float rank. Relative
+    error is bounded by one sub-bucket: <= 1/HIST_SUBS of the true
+    value. The window runs over the BOUNDED histogram (<= 64·HIST_SUBS
+    rows), never the corpus; empty input -> empty readout."""
+    from pyspark.sql.window import Window
+
+    w = (Window.orderBy("octave", "sub")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.select(
+        "octave", "sub", "bucket_lo",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding,
+                Window.unboundedFollowing)).alias("total"))
+    p = hist.sparkSession.createDataFrame(
+        [(int(x),) for x in pcts], "q_pct int")
+    return (cum.crossJoin(F.broadcast(p))
+            .filter(F.col("cum") * 100 >= F.col("q_pct") * F.col("total"))
+            .groupBy("q_pct")
+            .agg(F.min("bucket_lo").alias("value"))
+            .orderBy("q_pct"))

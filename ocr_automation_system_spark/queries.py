@@ -4452,6 +4452,81 @@ SELECT DISTINCT grp, bit FROM pos
 """
 
 
+_SQL_DOCLEN_HIST = """
+WITH hv AS (SELECT CAST(length(coalesce(text, '')) AS BIGINT) AS v
+            FROM documents),
+hb AS (SELECT v,
+         CASE WHEN v > 0 THEN CAST(length(ltrim(bin(v), '0')) AS INT)
+              ELSE 0 END AS octave
+       FROM hv),
+hk AS (SELECT v, octave,
+         CASE WHEN octave > 0 THEN CAST(1 AS BIGINT) << (octave - 1)
+              ELSE CAST(1 AS BIGINT) END AS base
+       FROM hb),
+hs AS (SELECT octave,
+         CAST(CASE WHEN v > 0 THEN ((v - base) * 8) // base
+              ELSE 0 END AS INT) AS sub,
+         CASE WHEN v > 0 THEN base + ((((v - base) * 8) // base) * base) // 8
+              ELSE CAST(0 AS BIGINT) END AS bucket_lo
+       FROM hk)
+SELECT octave, sub, bucket_lo, CAST(count(*) AS BIGINT) AS n
+FROM hs GROUP BY 1, 2, 3
+"""
+
+
+def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HDR-style doc-length histogram (X79): exact integer
+    bucket geometry (binary-digit-count octave, HIST_SUBS slices each),
+    bounded key space, SUM-mergeable counts — the quantile artifact
+    completing the sketch family (functions/sketch.py)."""
+    from .functions import sketch as SK
+
+    return SK.doclen_histogram(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DOCLEN_HISTOGRAM = _SQL_DOCLEN_HIST
+
+
+def q_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile readout (p50/p90/p99) from the length-histogram artifact
+    — integer rank rule (100·cum >= p·total), window over the BOUNDED
+    histogram only; answer error <= one sub-bucket (1/8 relative)."""
+    from .functions import sketch as SK
+
+    hist = SK.doclen_histogram(load_table(spark, sf_dir, "documents"))
+    return SK.histogram_quantiles(hist)
+
+
+SQL_DOCLEN_QUANTILES = f"""
+WITH hist AS ({_SQL_DOCLEN_HIST}),
+cum AS (SELECT octave, sub, bucket_lo,
+               CAST(sum(n) OVER (ORDER BY octave, sub
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum,
+               CAST(sum(n) OVER () AS BIGINT) AS total
+        FROM hist)
+SELECT q_pct, min(bucket_lo) AS value
+FROM cum CROSS JOIN (VALUES (50), (90), (99)) q(q_pct)
+WHERE cum * 100 >= q_pct * total
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_doclen_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram maintenance: build the length histogram over the even-
+    and odd-doc_id halves independently, SUM-merge the ARTIFACTS, and
+    pin merge(h(A), h(B)) == h(A ∪ B) against the full-corpus oracle."""
+    from .functions import sketch as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = SK.doclen_histogram(docs.filter(F.col("doc_id") % 2 == 0))
+    b = SK.doclen_histogram(docs.filter(F.col("doc_id") % 2 == 1))
+    return SK.merge_histograms(a, b)
+
+
+SQL_DOCLEN_HIST_MERGE = _SQL_DOCLEN_HIST
+
+
 def q_bloom_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Bloom-filter occupancy census (k=4 md5-slice hashes,
     m=4096): bits set, fill fraction, fill^k false-positive estimate —
@@ -4912,6 +4987,9 @@ REGISTRY: dict = {
     "hll_source_cardinality": (q_hll_source_cardinality,
                                SQL_HLL_SOURCE_CARDINALITY),
     "bloom_dedup_census": (q_bloom_dedup_census, SQL_BLOOM_DEDUP_CENSUS),
+    "doclen_histogram": (q_doclen_histogram, SQL_DOCLEN_HISTOGRAM),
+    "doclen_quantiles": (q_doclen_quantiles, SQL_DOCLEN_QUANTILES),
+    "doclen_hist_merge": (q_doclen_hist_merge, SQL_DOCLEN_HIST_MERGE),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE),
     "minhash_sig_merge": (q_minhash_sig_merge, SQL_MINHASH_SIG_MERGE),
     "bloom_bits_merge": (q_bloom_bits_merge, SQL_BLOOM_BITS_MERGE),

@@ -466,3 +466,53 @@ def test_takedown_postings_empty_takedown_is_identity(spark):
                             .select("doc_id"), cap=4)
     assert sorted(map(tuple, out.collect())) == \
         sorted(map(tuple, idx.collect()))
+
+
+def test_hist_bucket_geometry_hand_computed(spark):
+    """X79 bucket math at the edges: 0 gets its own bucket, powers of
+    two start their octave, sub-bucket lower bounds are exact integer
+    slices."""
+    from ocr_automation_system_spark.functions.sketch import hist_buckets
+
+    df = spark.createDataFrame(
+        [(v,) for v in (0, 1, 2, 3, 7, 8, 100, 1023, 1024)], "v long")
+    got = {r["v"]: (r["octave"], r["sub"], r["bucket_lo"])
+           for r in hist_buckets(df, F.col("v")).collect()}
+    assert got[0] == (0, 0, 0)
+    assert got[1] == (1, 0, 1)
+    assert got[2] == (2, 0, 2)
+    assert got[3] == (2, 4, 3)       # (3-2)*8//2 = 4; lo = 2 + 4*2//8 = 3
+    assert got[7] == (3, 6, 7)       # (7-4)*8//4 = 6; lo = 4 + 6*4//8 = 7
+    assert got[8] == (4, 0, 8)
+    assert got[100] == (7, 4, 96)    # (100-64)*8//64 = 4; lo = 64+4*64//8
+    assert got[1023] == (10, 7, 960)
+    assert got[1024] == (11, 0, 1024)
+
+
+def test_histogram_quantiles_error_bound(spark):
+    """X79 readout accuracy: on a deterministic long-tailed fixture the
+    sketch answer is within one sub-bucket (<= 1/8 relative) of the
+    exact percentile, and merge(h(A), h(B)) == h(all) exactly."""
+    from ocr_automation_system_spark.functions.sketch import (
+        doclen_histogram,
+        histogram_quantiles,
+        merge_histograms,
+    )
+
+    lens = [((i * 37) % 2000) + 1 for i in range(500)]
+    rows = [(i, "x" * ln, "s") for i, ln in enumerate(lens)]
+    docs = _docs(spark, rows)
+    hist = doclen_histogram(docs)
+    got = {r["q_pct"]: r["value"]
+           for r in histogram_quantiles(hist).collect()}
+    import math
+
+    for pct in (50, 90, 99):
+        exact = sorted(lens)[math.ceil(pct / 100 * len(lens)) - 1]
+        assert got[pct] <= exact, (pct, got[pct], exact)
+        assert exact <= got[pct] * (1 + 1 / 8) + 1, (pct, got[pct], exact)
+
+    a = doclen_histogram(docs.filter("doc_id % 2 = 0"))
+    b = doclen_histogram(docs.filter("doc_id % 2 = 1"))
+    merged = sorted(map(tuple, merge_histograms(a, b).collect()))
+    assert merged == sorted(map(tuple, hist.collect()))
