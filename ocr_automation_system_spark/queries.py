@@ -4452,6 +4452,83 @@ SELECT DISTINCT grp, bit FROM pos
 """
 
 
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys (X80): interleave the 16-bit md5
+    host bucket with the clamped document length — the write-time sort
+    key that clusters BOTH dimensions for file pruning
+    (functions/layout.py). One zero-shuffle codegen projection of
+    shifts/masks; bit-identical cross-engine."""
+    from .functions import layout as L
+
+    docs = load_table(spark, sf_dir, "documents")
+    d1, d2 = L.doc_layout_dims(F.col("source"), F.col("n_chars"))
+    return docs.select("doc_id", d1.alias("d1"), d2.alias("d2"),
+                       L.zorder_key(d1, d2).alias("zkey"))
+
+
+def _sql_zorder_base() -> str:
+    return """
+SELECT doc_id,
+       CAST(concat('0x', substr(md5(source), 1, 4)) AS BIGINT) AS d1,
+       least(coalesce(n_chars, 0), 65535) AS d2
+FROM documents"""
+
+
+def _sql_zorder_keys() -> str:
+    from .functions.layout import sql_zorder_key
+
+    return f"""
+WITH base AS ({_sql_zorder_base()})
+SELECT doc_id, d1, d2, ({sql_zorder_key('d1', 'd2')}) AS zkey
+FROM base
+"""
+
+
+SQL_ZORDER_KEYS = _sql_zorder_keys()
+
+_ZA = (0, 8191, 128, 511)  # audit rectangle: 1/8 of hosts x a length band
+
+
+def q_zorder_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-pruning audit (X80): for a rectangle predicate over
+    (host bucket, length), count the equal-width key-prefix "files" a
+    reader touches under the Z-order layout vs the linear concatenation
+    — measuring (not asserting) the multi-dimensional clustering win."""
+    from .functions import layout as L
+
+    docs = load_table(spark, sf_dir, "documents")
+    return L.zorder_prune_audit(docs, *_ZA)
+
+
+def _sql_zorder_audit() -> str:
+    from .functions.layout import sql_zorder_key
+
+    a1, a2, b1, b2 = _ZA
+    return f"""
+WITH base AS ({_sql_zorder_base()}),
+k AS (SELECT d1, d2, ({sql_zorder_key('d1', 'd2')}) AS zkey,
+             (d1 << 16) + d2 AS lkey,
+             (d1 BETWEEN {a1} AND {a2}
+              AND d2 BETWEEN {b1} AND {b2}) AS matched
+      FROM base),
+t AS (SELECT 'zorder' AS layout, zkey >> 18 AS file, matched FROM k
+      UNION ALL
+      SELECT 'linear' AS layout, lkey >> 18 AS file, matched FROM k)
+SELECT layout,
+       CAST(count(DISTINCT file) AS BIGINT) AS files_total,
+       CAST(count(DISTINCT CASE WHEN matched THEN file END) AS BIGINT)
+         AS files_touched,
+       CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+         AS rows_matched,
+       CAST(count(DISTINCT CASE WHEN matched THEN file END) AS DOUBLE)
+         / CAST(count(DISTINCT file) AS DOUBLE) AS touched_frac
+FROM t GROUP BY 1
+"""
+
+
+SQL_ZORDER_PRUNE_AUDIT = _sql_zorder_audit()
+
+
 _SQL_DOCLEN_HIST = """
 WITH hv AS (SELECT CAST(length(coalesce(text, '')) AS BIGINT) AS v
             FROM documents),
@@ -4987,6 +5064,8 @@ REGISTRY: dict = {
     "hll_source_cardinality": (q_hll_source_cardinality,
                                SQL_HLL_SOURCE_CARDINALITY),
     "bloom_dedup_census": (q_bloom_dedup_census, SQL_BLOOM_DEDUP_CENSUS),
+    "zorder_keys": (q_zorder_keys, SQL_ZORDER_KEYS),
+    "zorder_prune_audit": (q_zorder_prune_audit, SQL_ZORDER_PRUNE_AUDIT),
     "doclen_histogram": (q_doclen_histogram, SQL_DOCLEN_HISTOGRAM),
     "doclen_quantiles": (q_doclen_quantiles, SQL_DOCLEN_QUANTILES),
     "doclen_hist_merge": (q_doclen_hist_merge, SQL_DOCLEN_HIST_MERGE),

@@ -1,0 +1,72 @@
+"""X80 Z-order layout keys: interleave correctness vs a Python
+reference, and a dense-grid demonstration that the Morton layout
+touches fewer key-prefix files than linear concatenation for a
+rectangle predicate (the property the audit query measures)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_automation_system_spark.functions.layout import (
+    zorder_key,
+    zorder_prune_audit,
+)
+
+
+def _morton(d1: int, d2: int, bits: int = 16) -> int:
+    k = 0
+    for j in range(bits):
+        k |= ((d1 >> j) & 1) << (2 * j + 1)
+        k |= ((d2 >> j) & 1) << (2 * j)
+    return k
+
+
+def test_zorder_key_matches_python_reference(spark):
+    pts = [(0, 0), (1, 0), (0, 1), (1, 1), (65535, 65535),
+           (12345, 54321), (65535, 0), (255, 256)]
+    df = spark.createDataFrame(pts, "d1 long, d2 long")
+    got = df.select("d1", "d2",
+                    zorder_key(F.col("d1"), F.col("d2")).alias("k")) \
+        .collect()
+    for r in got:
+        assert r["k"] == _morton(r["d1"], r["d2"]), (r["d1"], r["d2"])
+    # distinct inputs -> distinct keys (interleave is a bijection)
+    assert len({r["k"] for r in got}) == len(pts)
+
+
+def test_zorder_prunes_better_than_linear_on_dense_grid(spark):
+    """A full 256x256 grid (every host bucket x every length) with a
+    small rectangle predicate: the Z-order layout must touch strictly
+    fewer of its files than the linear layout touches of its own."""
+    grid = spark.range(256 * 256).select(
+        (F.col("id") / 256).cast("long").alias("h"),
+        (F.col("id") % 256).alias("c"))
+    # synthesize source strings irrelevant — drive the audit's dims
+    # directly through its internal key math by renaming to the schema
+    # it reads (source/n_chars) with sources engineered per-bucket is
+    # impractical; instead test the layout math the audit composes.
+    from ocr_automation_system_spark.functions.layout import ZBITS
+
+    zfile = F.shiftright(zorder_key(F.col("h"), F.col("c")), 10)
+    lfile = F.shiftright(F.shiftleft(F.col("h"), ZBITS) + F.col("c"), 10)
+    m = F.col("h").between(10, 17) & F.col("c").between(10, 17)
+    row = grid.select(
+        F.countDistinct(F.when(m, zfile)).alias("z_touched"),
+        F.countDistinct(zfile).alias("z_total"),
+        F.countDistinct(F.when(m, lfile)).alias("l_touched"),
+        F.countDistinct(lfile).alias("l_total")).collect()[0]
+    assert row["z_touched"] / row["z_total"] \
+        < row["l_touched"] / row["l_total"]
+
+
+def test_zorder_prune_audit_shape(spark, sf_dir):
+    from ocr_automation_system_spark.queries import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r["layout"]: r
+           for r in zorder_prune_audit(docs, 0, 8191, 128, 511).collect()}
+    assert set(got) == {"zorder", "linear"}
+    for r in got.values():
+        assert r["files_touched"] <= r["files_total"]
+        assert 0.0 <= r["touched_frac"] <= 1.0
+    assert got["zorder"]["rows_matched"] == got["linear"]["rows_matched"]
