@@ -351,16 +351,69 @@ def hist_buckets(df: DataFrame, value: Column) -> DataFrame:
     return out.drop("_hv", "_hbase")
 
 
-def doclen_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+def doclen_histogram(df: DataFrame, text_col: str = "text",
+                     group_col: str | None = None) -> DataFrame:
     """The mergeable length-quantile artifact: (octave, sub, bucket_lo,
-    n) over character lengths. One map-side-combined groupBy over a key
-    space bounded by 64·HIST_SUBS buckets regardless of corpus size —
-    and counts merge by SUM across partitions, days and engines (the
-    CMS/HLL discipline), so daily crawls fold into the running
-    histogram without re-touching any corpus."""
+    n) over character lengths — optionally per ``group_col`` (the
+    per-source form the drift monitor consumes). One map-side-combined
+    groupBy over a key space bounded by 64·HIST_SUBS buckets per group
+    regardless of corpus size — and counts merge by SUM across
+    partitions, days and engines (the CMS/HLL discipline), so daily
+    crawls fold into the running histogram without re-touching any
+    corpus."""
     b = hist_buckets(df, F.length(F.coalesce(F.col(text_col), F.lit(""))))
-    return b.groupBy("octave", "sub", "bucket_lo").agg(
-        F.count(F.lit(1)).alias("n"))
+    keys = ([group_col] if group_col else []) + ["octave", "sub",
+                                                 "bucket_lo"]
+    return b.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+
+
+def histogram_drift_chi2(ha: DataFrame, hb: DataFrame,
+                         group_col: str = "source") -> DataFrame:
+    """Distribution-drift monitor between two crawl snapshots' per-group
+    length histograms: chi-square distance
+    ``Σ_buckets (p_a − p_b)² / (p_a + p_b)`` with p = bucket share —
+    the population-stability check run before trusting that a new crawl
+    resembles the corpus the filters were tuned on (PSI's ln() is
+    deliberately avoided: the rational χ² form keeps every float op a
+    correctly-rounded division/multiply, bit-identical cross-engine).
+
+    Determinism: bucket terms fold in (octave, sub) order via one
+    bounded sort_array + aggregate per group (≤ 64·HIST_SUBS elements
+    — histogram-sized, never corpus-sized); each p is ONE division of
+    exact integers; an empty side contributes p = 0. Scale shape: one
+    full-outer join of two bounded artifacts keyed on
+    (group, octave, sub) + one groupBy(group) — never a corpus pass."""
+    def _side(h: DataFrame, out: str) -> DataFrame:
+        return h.select(F.col(group_col).alias("g"), "octave", "sub",
+                        F.col("n").alias(out))
+
+    zero = F.lit(0).cast("long")
+    j = (_side(ha, "n_a").join(_side(hb, "n_b"),
+                               ["g", "octave", "sub"], "full_outer")
+         .select("g", "octave", "sub",
+                 F.coalesce("n_a", zero).alias("n_a"),
+                 F.coalesce("n_b", zero).alias("n_b")))
+    per = j.groupBy("g").agg(
+        F.sum("n_a").alias("total_a"),
+        F.sum("n_b").alias("total_b"),
+        F.sort_array(F.collect_list(
+            F.struct("octave", "sub", "n_a", "n_b"))).alias("_bk"))
+
+    def _p(n: Column, total: Column) -> Column:
+        return F.when(total > 0, n.cast("double") / total.cast("double")) \
+            .otherwise(F.lit(0.0))
+
+    def _term(x: Column) -> Column:
+        pa = _p(x["n_a"], F.col("total_a"))
+        pb = _p(x["n_b"], F.col("total_b"))
+        return ((pa - pb) * (pa - pb)) / (pa + pb)
+
+    chi2 = F.aggregate("_bk", F.lit(0.0),
+                       lambda acc, x: acc + _term(x))
+    return per.select(F.col("g").alias(group_col),
+                      "total_a", "total_b",
+                      F.size("_bk").cast("long").alias("n_buckets"),
+                      chi2.alias("chi2"))
 
 
 def merge_histograms(a: DataFrame, b: DataFrame) -> DataFrame:

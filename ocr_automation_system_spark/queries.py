@@ -4604,6 +4604,73 @@ def q_doclen_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOCLEN_HIST_MERGE = _SQL_DOCLEN_HIST
 
 
+def q_length_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (X81): per-source chi-square distance
+    between the even- and odd-doc_id snapshots' length histograms —
+    the population-stability check (rational χ², no PSI ln()) run
+    before trusting a new crawl against tuned filters. Two bounded
+    artifacts full-outer joined, one per-source fold in (octave, sub)
+    order; see sketch.histogram_drift_chi2."""
+    from .functions import sketch as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    ha = SK.doclen_histogram(docs.filter(F.col("doc_id") % 2 == 0),
+                             group_col="source")
+    hb = SK.doclen_histogram(docs.filter(F.col("doc_id") % 2 == 1),
+                             group_col="source")
+    return SK.histogram_drift_chi2(ha, hb)
+
+
+def _sql_hist_half(par: int) -> str:
+    return f"""
+  SELECT source, octave, sub, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT source, octave,
+           CAST(CASE WHEN v > 0 THEN ((v - base) * 8) // base
+                ELSE 0 END AS INT) AS sub
+    FROM (
+      SELECT source, v, octave,
+             CASE WHEN octave > 0 THEN CAST(1 AS BIGINT) << (octave - 1)
+                  ELSE CAST(1 AS BIGINT) END AS base
+      FROM (
+        SELECT source,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS v,
+               CASE WHEN length(coalesce(text, '')) > 0
+                    THEN CAST(length(ltrim(bin(CAST(length(
+                           coalesce(text, '')) AS BIGINT)), '0')) AS INT)
+                    ELSE 0 END AS octave
+        FROM documents WHERE doc_id % 2 = {par})))
+  GROUP BY 1, 2, 3"""
+
+
+SQL_LENGTH_DRIFT_CHI2 = f"""
+WITH ha AS ({_sql_hist_half(0)}),
+hb AS ({_sql_hist_half(1)}),
+j AS (SELECT source, octave, sub,
+             coalesce(ha.n, 0) AS n_a, coalesce(hb.n, 0) AS n_b
+      FROM ha FULL JOIN hb USING (source, octave, sub)),
+tot AS (SELECT source, CAST(sum(n_a) AS BIGINT) AS total_a,
+               CAST(sum(n_b) AS BIGINT) AS total_b
+        FROM j GROUP BY 1),
+terms AS (SELECT j.source, j.octave, j.sub,
+            CASE WHEN total_a > 0
+                 THEN CAST(n_a AS DOUBLE) / CAST(total_a AS DOUBLE)
+                 ELSE 0.0 END AS pa,
+            CASE WHEN total_b > 0
+                 THEN CAST(n_b AS DOUBLE) / CAST(total_b AS DOUBLE)
+                 ELSE 0.0 END AS pb
+          FROM j JOIN tot USING (source))
+SELECT t.source, tot.total_a, tot.total_b,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(((pa - pb) * (pa - pb)) / (pa + pb)
+                                     ORDER BY t.octave, t.sub)),
+                   (a, b) -> a + b) AS chi2
+FROM terms t JOIN tot USING (source)
+GROUP BY 1, 2, 3
+"""
+
+
 def q_bloom_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Bloom-filter occupancy census (k=4 md5-slice hashes,
     m=4096): bits set, fill fraction, fill^k false-positive estimate —
@@ -5069,6 +5136,7 @@ REGISTRY: dict = {
     "doclen_histogram": (q_doclen_histogram, SQL_DOCLEN_HISTOGRAM),
     "doclen_quantiles": (q_doclen_quantiles, SQL_DOCLEN_QUANTILES),
     "doclen_hist_merge": (q_doclen_hist_merge, SQL_DOCLEN_HIST_MERGE),
+    "length_drift_chi2": (q_length_drift_chi2, SQL_LENGTH_DRIFT_CHI2),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE),
     "minhash_sig_merge": (q_minhash_sig_merge, SQL_MINHASH_SIG_MERGE),
     "bloom_bits_merge": (q_bloom_bits_merge, SQL_BLOOM_BITS_MERGE),

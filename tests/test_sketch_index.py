@@ -516,3 +516,36 @@ def test_histogram_quantiles_error_bound(spark):
     b = doclen_histogram(docs.filter("doc_id % 2 = 1"))
     merged = sorted(map(tuple, merge_histograms(a, b).collect()))
     assert merged == sorted(map(tuple, hist.collect()))
+
+
+def test_histogram_drift_chi2_hand_computed(spark):
+    """X81: identical distributions -> chi2 == 0; a fully disjoint
+    bucket split -> chi2 == 2 (the maximum); a hand-computed mixed
+    case. The fixture drives the artifact pair directly."""
+    from ocr_automation_system_spark.functions.sketch import (
+        doclen_histogram,
+        histogram_drift_chi2,
+    )
+
+    same = _docs(spark, [(i, "x" * (10 + (i % 3)), "s") for i in range(30)])
+    ha = doclen_histogram(same, group_col="source")
+    got = histogram_drift_chi2(ha, ha).collect()[0]
+    assert got["chi2"] == 0.0 and got["total_a"] == got["total_b"] == 30
+
+    a = _docs(spark, [(1, "x" * 10, "s")])          # one bucket
+    b = _docs(spark, [(2, "x" * 5000, "s")])        # a disjoint bucket
+    got = histogram_drift_chi2(
+        doclen_histogram(a, group_col="source"),
+        doclen_histogram(b, group_col="source")).collect()[0]
+    assert got["chi2"] == 2.0 and got["n_buckets"] == 2
+
+    # mixed: A = {10: 3, 5000: 1}, B = {10: 1, 5000: 1}
+    a = _docs(spark, [(i, "x" * 10, "s") for i in range(3)]
+              + [(9, "x" * 5000, "s")])
+    b = _docs(spark, [(10, "x" * 10, "s"), (11, "x" * 5000, "s")])
+    got = histogram_drift_chi2(
+        doclen_histogram(a, group_col="source"),
+        doclen_histogram(b, group_col="source")).collect()[0]
+    pa1, pb1, pa2, pb2 = 0.75, 0.5, 0.25, 0.5
+    want = ((pa1 - pb1) ** 2) / (pa1 + pb1) + ((pa2 - pb2) ** 2) / (pa2 + pb2)
+    assert abs(got["chi2"] - want) < 1e-15
