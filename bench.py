@@ -64,7 +64,7 @@ HEADLINE = (
     "minhash_sig_merge", "bloom_bits_merge",
     "cms_source_counts", "cms_merge",
     "doclen_histogram", "doclen_quantiles", "doclen_hist_merge",
-    "length_drift_chi2",
+    "length_drift_chi2", "source_checksums",
     "token_postings", "postings_merge", "postings_takedown",
     "tfidf_top_terms",
     "bm25_search", "bm25_weighted", "phrase_kwic",

@@ -452,3 +452,35 @@ def histogram_quantiles(hist: DataFrame,
             .groupBy("q_pct")
             .agg(F.min("bucket_lo").alias("value"))
             .orderBy("q_pct"))
+
+
+# ---------------------------------------------------------------------------
+# Content-checksum attestation
+# ---------------------------------------------------------------------------
+
+def source_checksums(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     group_col: str = "source") -> DataFrame:
+    """Order-independent content attestation per group: (group, n_docs,
+    sum_h, xor_h) over the 60-bit md5 fold of each row's
+    ``id:content-hash`` string — the checksum-consistency surface that
+    lets two runs / two engines / two snapshot shards certify "same
+    rows" WITHOUT comparing rows: equal triples ⇔ (w.h.p.) equal row
+    sets, and the checksums MERGE across shards (counts and sums add,
+    xor xors — all order- and partition-independent folds).
+
+    Exactness: h < 2^60 so the xor stays in long; the sum accumulates
+    as DECIMAL(38,0) (exact to ~10^26 rows — no wraparound ambiguity)
+    and ships as its decimal-digit STRING, because DuckDB's pandas
+    bridge lowers DECIMAL columns to float64 and would corrupt the
+    attestation digits. One map-side-combined groupBy; zero corpus
+    shuffle beyond it."""
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.col(id_col).cast("string"), F.lit(":"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))))), 1, 15),
+        16, 10).cast("long")
+    return (df.groupBy(F.col(group_col).alias(group_col))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(h.cast("decimal(38,0)")).cast("string")
+                 .alias("sum_h"),
+                 F.bit_xor(h).alias("xor_h")))

@@ -4671,6 +4671,30 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_source_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-checksum attestation (X82): per-source order-independent
+    (n_docs, sum, xor) folds over 60-bit md5 row digests — the
+    checksum-consistency surface that certifies "same rows" across
+    runs/engines/shards without comparing rows, and merges across
+    snapshot shards (counts/sums add, xor xors). See
+    sketch.source_checksums."""
+    from .functions import sketch as SK
+
+    return SK.source_checksums(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_CHECKSUMS = """
+WITH h AS (SELECT source,
+  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+       md5(coalesce(text, '')))), 1, 15)) AS BIGINT) AS h
+FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(CAST(sum(h) AS DECIMAL(38, 0)) AS VARCHAR) AS sum_h,
+       bit_xor(h) AS xor_h
+FROM h GROUP BY 1
+"""
+
+
 def q_bloom_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Bloom-filter occupancy census (k=4 md5-slice hashes,
     m=4096): bits set, fill fraction, fill^k false-positive estimate —
@@ -5137,6 +5161,7 @@ REGISTRY: dict = {
     "doclen_quantiles": (q_doclen_quantiles, SQL_DOCLEN_QUANTILES),
     "doclen_hist_merge": (q_doclen_hist_merge, SQL_DOCLEN_HIST_MERGE),
     "length_drift_chi2": (q_length_drift_chi2, SQL_LENGTH_DRIFT_CHI2),
+    "source_checksums": (q_source_checksums, SQL_SOURCE_CHECKSUMS),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE),
     "minhash_sig_merge": (q_minhash_sig_merge, SQL_MINHASH_SIG_MERGE),
     "bloom_bits_merge": (q_bloom_bits_merge, SQL_BLOOM_BITS_MERGE),

@@ -549,3 +549,34 @@ def test_histogram_drift_chi2_hand_computed(spark):
     pa1, pb1, pa2, pb2 = 0.75, 0.5, 0.25, 0.5
     want = ((pa1 - pb1) ** 2) / (pa1 + pb1) + ((pa2 - pb2) ** 2) / (pa2 + pb2)
     assert abs(got["chi2"] - want) < 1e-15
+
+
+def test_source_checksums_merge_and_sensitivity(spark):
+    """X82: shard checksums merge to the full-corpus triple (counts and
+    sums add, xor xors), and flipping ONE row's content changes both
+    folds for that source."""
+    from decimal import Decimal
+
+    from ocr_automation_system_spark.functions.sketch import (
+        source_checksums,
+    )
+
+    rows = [(i, f"text {i}", "s" if i % 2 else "t") for i in range(40)]
+    docs = _docs(spark, rows)
+    full = {r["source"]: r for r in source_checksums(docs).collect()}
+    a = {r["source"]: r for r in source_checksums(
+        docs.filter("doc_id < 20")).collect()}
+    b = {r["source"]: r for r in source_checksums(
+        docs.filter("doc_id >= 20")).collect()}
+    for src in full:
+        assert a[src]["n_docs"] + b[src]["n_docs"] == full[src]["n_docs"]
+        assert (Decimal(a[src]["sum_h"]) + Decimal(b[src]["sum_h"])
+                == Decimal(full[src]["sum_h"]))
+        assert a[src]["xor_h"] ^ b[src]["xor_h"] == full[src]["xor_h"]
+
+    tweaked = _docs(spark, [(i, "CHANGED" if i == 7 else f"text {i}",
+                             "s" if i % 2 else "t") for i in range(40)])
+    tw = {r["source"]: r for r in source_checksums(tweaked).collect()}
+    assert tw["s"]["sum_h"] != full["s"]["sum_h"]
+    assert tw["s"]["xor_h"] != full["s"]["xor_h"]
+    assert tw["t"]["sum_h"] == full["t"]["sum_h"]   # untouched source
