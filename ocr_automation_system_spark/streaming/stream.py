@@ -200,3 +200,21 @@ def streaming_content_drift(captures: DataFrame, signatures: DataFrame,
                     F.when(ham == 0, F.lit("identical"))
                     .when(ham <= cosmetic_bits, F.lit("cosmetic"))
                     .otherwise(F.lit("drifted")).alias("drift")))
+
+
+def streaming_doclen_histogram(documents: DataFrame,
+                               text_col: str = "text") -> DataFrame:
+    """Streaming twin of ``sketch.doclen_histogram``: the mergeable
+    length-quantile artifact maintained over arriving crawl drops. The
+    bucket projection is the SAME exact-integer geometry
+    (``sketch.hist_buckets``); the aggregation is a streaming groupBy
+    over the bounded (octave, sub, bucket_lo) key space — at most
+    64·HIST_SUBS state rows forever, the cheapest possible streaming
+    state. Run with update/complete output; counts merge by SUM with
+    any stored batch histogram (the X79 merge identity)."""
+    from ..functions.sketch import hist_buckets
+
+    b = hist_buckets(documents,
+                     F.length(F.coalesce(F.col(text_col), F.lit(""))))
+    return b.groupBy("octave", "sub", "bucket_lo").agg(
+        F.count(F.lit(1)).alias("n"))

@@ -509,3 +509,48 @@ def test_streaming_content_drift_matches_batch(spark, tmp_path):
     assert grades["u0"] == "identical"
     assert grades["u5"] in ("cosmetic",)
     assert grades["u9"] == "drifted"
+
+
+def test_streaming_doclen_histogram_matches_batch(spark, tmp_path):
+    """The length histogram (X79) is streaming-maintainable: two crawl
+    drops aggregated in complete mode equal the batch artifact over the
+    union — bounded state (<= 64*HIST_SUBS rows) whatever the corpus."""
+    import pandas as pd
+
+    from ocr_automation_system_spark.functions.sketch import (
+        doclen_histogram,
+    )
+    from ocr_automation_system_spark.streaming.stream import (
+        DOCUMENTS_SCHEMA,
+        stream_documents,
+        streaming_doclen_histogram,
+    )
+
+    d = str(tmp_path / "drops")
+    import os
+
+    os.makedirs(d)
+    rows1 = [{"url": f"u{i}", "warc_ts": pd.Timestamp("2026-01-01"),
+              "html": b"", "text": "x" * (10 + i), "lang": "en"}
+             for i in range(40)]
+    rows2 = [{"url": f"v{i}", "warc_ts": pd.Timestamp("2026-01-02"),
+              "html": b"", "text": "y" * (500 + 7 * i), "lang": "en"}
+             for i in range(40)]
+    for i, rows in enumerate((rows1, rows2)):
+        df = pd.DataFrame(rows)
+        df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
+        df.to_parquet(os.path.join(d, f"drop{i}.parquet"))
+
+    hist = streaming_doclen_histogram(
+        stream_documents(spark, d, max_files_per_trigger=1))
+    q = (hist.writeStream.format("memory").queryName("hist_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple,
+                     spark.sql("SELECT * FROM hist_stream").collect()))
+
+    batch_docs = spark.createDataFrame(
+        pd.concat([pd.DataFrame(rows1), pd.DataFrame(rows2)]),
+        DOCUMENTS_SCHEMA)
+    want = sorted(map(tuple, doclen_histogram(batch_docs).collect()))
+    assert got == want and len(got) > 3
