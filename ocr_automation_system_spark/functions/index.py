@@ -417,11 +417,21 @@ def bm25_search(df: DataFrame, query_terms: list, id_col: str = "doc_id",
                     F.explode(tokens_lower(F.col(text_col)))
                     .alias("token")))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("_n"),
-                   F.sum("dl").alias("_tot"))
     qtf = (toks.filter(F.col("token").isin(terms))
            .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
     qdf = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    return _bm25_rank(qtf, qdf, dl, terms, wmap, k, k1, b)
+
+
+def _bm25_rank(qtf: DataFrame, qdf: DataFrame, dl: DataFrame,
+               terms: list, wmap: dict, k: int, k1: float,
+               b: float) -> DataFrame:
+    """Shared BM25 ranking tail: the SAME expression tree whether the
+    (tf, df, dl) inputs come from a corpus scan (``bm25_search``) or
+    from stored index artifacts (``bm25_from_index``) — structural
+    guarantee that the two paths agree bit-for-bit."""
+    stats = dl.agg(F.count(F.lit(1)).alias("_n"),
+                   F.sum("dl").alias("_tot"))
     avgdl = (F.col("_tot").cast("double") / F.col("_n").cast("double"))
     boost = F.element_at(
         F.create_map(*[F.lit(v) for t in terms
@@ -450,6 +460,51 @@ def bm25_search(df: DataFrame, query_terms: list, id_col: str = "doc_id",
             .select("doc_id", F.round("score", 6).alias("score"),
                     F.col("n_terms_hit").cast("long").alias("n_terms_hit"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def write_doclen_table(df: DataFrame, path: str, id_col: str = "doc_id",
+                       text_col: str = "text") -> None:
+    """Doc-length artifact (doc_id, dl) — the BM25 normalizer table a
+    production index build writes next to the positional index, so
+    query-time never re-tokenizes the corpus. Thin (2 columns), one
+    map-side-combined groupBy."""
+    from .lm import tokens_lower
+
+    (ensure_parallelism(df)
+     .select(F.col(id_col).alias("doc_id"),
+             F.explode(tokens_lower(F.col(text_col))).alias("token"))
+     .groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+     .write.mode("overwrite").parquet(path))
+
+
+def bm25_from_index(spark, index_path: str, dl_path: str,
+                    query_terms: list, k: int = 10, k1: float = 1.2,
+                    b: float = 0.75, weights: dict | None = None,
+                    n_buckets: int = 64) -> DataFrame:
+    """BM25 against STORED artifacts: tf comes from the positional
+    index (``size(positions)``, reading ONLY the query terms' buckets —
+    partition pruning + token pushdown), dl/N/avgdl from the doc-length
+    table. Identical ranking contract to the scan-based ``bm25_search``
+    (shared ``_bm25_rank`` tail, parity pinned by test) — at corpus
+    scale this turns the full tokenize pass into a few bucket reads
+    plus one uniform doc_id join against the thin dl table."""
+    import hashlib
+
+    terms = sorted({t for qt in query_terms for t in query_tokens(qt)})
+    if not terms:
+        raise ValueError("bm25_from_index needs at least one "
+                         "tokenizable term")
+    wmap = {t: float((weights or {}).get(t, 1.0)) for t in terms}
+    buckets = sorted({int(hashlib.md5(t.encode()).hexdigest()[:2], 16)
+                      % n_buckets for t in terms})
+    idx = (spark.read.parquet(index_path)
+           .filter(F.col("bucket").isin(buckets)
+                   & F.col("token").isin(terms)))
+    qtf = idx.select("doc_id", "token",
+                     F.size("positions").cast("long").alias("tf"))
+    qdf = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    dl = spark.read.parquet(dl_path).select("doc_id", "dl")
+    return _bm25_rank(qtf, qdf, dl, terms, wmap, k, k1, b)
 
 
 def kwic_snippets(df: DataFrame, term: str, width: int = 40,

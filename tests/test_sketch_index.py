@@ -580,3 +580,30 @@ def test_source_checksums_merge_and_sensitivity(spark):
     assert tw["s"]["sum_h"] != full["s"]["sum_h"]
     assert tw["s"]["xor_h"] != full["s"]["xor_h"]
     assert tw["t"]["sum_h"] == full["t"]["sum_h"]   # untouched source
+
+
+def test_bm25_from_index_parity_with_scan(spark, tmp_path):
+    """Index-backed BM25 (stored positional index + dl artifact) must
+    rank IDENTICALLY to the scan-based bm25_search — same shared
+    expression tail, pinned here including weighted terms."""
+    from ocr_automation_system_spark.functions.index import (
+        bm25_from_index,
+        bm25_search,
+        write_doclen_table,
+        write_positional_index,
+    )
+
+    rows = [(i, f"alpha beta {'gamma ' * (i % 4)}delta tok{i % 7}", "s")
+            for i in range(60)]
+    df = _docs(spark, rows)
+    ipath = str(tmp_path / "posidx")
+    dpath = str(tmp_path / "dl")
+    write_positional_index(df, ipath, n_buckets=8)
+    write_doclen_table(df, dpath)
+
+    for w in (None, {"gamma": 2.5, "alpha": 0.5}):
+        want = bm25_search(df, ["alpha", "gamma"], k=15,
+                           weights=w).collect()
+        got = bm25_from_index(spark, ipath, dpath, ["alpha", "gamma"],
+                              k=15, weights=w, n_buckets=8).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
