@@ -48,7 +48,7 @@ HEADLINE = (
     "pii_scrub", "repetition_scores", "source_blocklist",
     "url_dup_groups", "url_canonicalize", "url_features",
     "latest_capture", "snapshot_delta", "content_drift", "crawl_activity",
-    "crawl_priorities",
+    "crawl_priorities", "crawl_schedule", "schedule_load",
     "page_metadata",
     "pipeline_line_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile",

@@ -126,3 +126,49 @@ def content_drift(old: DataFrame, new: DataFrame, id_col: str = "url",
                     F.when(ham == 0, F.lit("identical"))
                     .when(ham <= cosmetic_bits, F.lit("cosmetic"))
                     .otherwise(F.lit("drifted")).alias("drift")))
+
+
+def crawl_schedule(frontier: DataFrame, host_col: str = "source",
+                   id_col: str = "doc_id", priority: Column | None = None,
+                   host_delay_s: int = 1) -> DataFrame:
+    """Politeness scheduling: serialize each host's fetches into slots
+    (highest-priority first) and stamp each URL with its fetch offset —
+    slot k fetches at ``(k-1)·host_delay_s`` seconds, so no host ever
+    sees two concurrent requests (the crawl-delay contract every polite
+    crawler honors) while distinct hosts proceed in parallel.
+
+    Scale shape: ONE per-host window (row_number is a streaming frame —
+    no buffer), which is the semantics, not an accident: per-host
+    serialization IS a per-host sequential structure, so the hottest
+    host bounds the schedule length exactly as it bounds the real
+    crawl. Cross-host parallelism is the partitioning. Priority
+    defaults to n_chars DESC (fetch the fattest pages first), ties on
+    the id for a total order."""
+    from pyspark.sql.window import Window
+
+    pr = priority if priority is not None else F.col("n_chars")
+    w = (Window.partitionBy(host_col)
+         .orderBy(F.desc_nulls_last(pr) if priority is None else pr,
+                  F.col(id_col).asc()))
+    slot = F.row_number().over(w)
+    return frontier.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        slot.cast("long").alias("slot"),
+        ((slot - 1) * host_delay_s).cast("long").alias("fetch_offset_s"))
+
+
+def schedule_load_profile(schedule: DataFrame,
+                          bucket_s: int = 16) -> DataFrame:
+    """Bandwidth audit over a ``crawl_schedule``: fetches per
+    ``bucket_s``-second wall-clock bucket — the global concurrency
+    profile an operator checks against fetcher capacity before
+    launching (the long tail is the hottest host draining alone). One
+    map-side-combined groupBy over a bounded key space (offsets are
+    bounded by the hottest host's queue)."""
+    return (schedule
+            .groupBy(F.expr(f"fetch_offset_s div {bucket_s}")
+                     .alias("wave"))
+            .agg(F.count(F.lit(1)).alias("fetches"),
+                 F.count_distinct("host").alias("hosts_active"))
+            .orderBy("wave"))

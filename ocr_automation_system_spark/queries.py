@@ -4671,6 +4671,50 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling (X84): serialize each host's fetches into
+    slots (fattest page first, id tie-break) and stamp the fetch offset
+    under a 1s crawl delay — no host ever sees two concurrent requests;
+    see delta.crawl_schedule for why the per-host window IS the
+    semantics."""
+    from .functions import delta as DL
+
+    return DL.crawl_schedule(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_CRAWL_SCHEDULE_BASE = """
+SELECT doc_id, source AS host,
+       CAST(row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC NULLS LAST, doc_id) AS BIGINT) AS slot
+FROM documents"""
+
+SQL_CRAWL_SCHEDULE = f"""
+WITH s AS ({_SQL_CRAWL_SCHEDULE_BASE})
+SELECT doc_id, host, slot, CAST(slot - 1 AS BIGINT) AS fetch_offset_s
+FROM s
+"""
+
+
+def q_schedule_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandwidth audit (X84): fetches + active hosts per 16s wave of
+    the politeness schedule — the concurrency profile checked against
+    fetcher capacity; the long tail is the hottest host draining
+    alone."""
+    from .functions import delta as DL
+
+    return DL.schedule_load_profile(
+        DL.crawl_schedule(load_table(spark, sf_dir, "documents")))
+
+
+SQL_SCHEDULE_LOAD = f"""
+WITH s AS ({_SQL_CRAWL_SCHEDULE_BASE})
+SELECT (slot - 1) // 16 AS wave,
+       CAST(count(*) AS BIGINT) AS fetches,
+       CAST(count(DISTINCT host) AS BIGINT) AS hosts_active
+FROM s GROUP BY 1
+"""
+
+
 def q_source_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-checksum attestation (X82): per-source order-independent
     (n_docs, sum, xor) folds over 60-bit md5 row digests — the
@@ -5162,6 +5206,8 @@ REGISTRY: dict = {
     "doclen_hist_merge": (q_doclen_hist_merge, SQL_DOCLEN_HIST_MERGE),
     "length_drift_chi2": (q_length_drift_chi2, SQL_LENGTH_DRIFT_CHI2),
     "source_checksums": (q_source_checksums, SQL_SOURCE_CHECKSUMS),
+    "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
+    "schedule_load": (q_schedule_load, SQL_SCHEDULE_LOAD),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE),
     "minhash_sig_merge": (q_minhash_sig_merge, SQL_MINHASH_SIG_MERGE),
     "bloom_bits_merge": (q_bloom_bits_merge, SQL_BLOOM_BITS_MERGE),

@@ -91,3 +91,37 @@ def test_content_drift_grades(spark):
     assert got["u3"]["drift"] == "drifted" and got["u3"]["hamming"] > 10
     # token-less on both sides: canonical all-zero signatures -> identical
     assert got["u4"]["drift"] == "identical"
+
+
+def test_crawl_schedule_politeness_invariants(spark):
+    """X84: per-host slots are 1..n with no gaps or duplicates (no two
+    concurrent fetches on one host), highest-priority first, and the
+    load profile's wave-0 host count equals the number of hosts."""
+    from ocr_automation_system_spark.functions.delta import (
+        crawl_schedule,
+        schedule_load_profile,
+    )
+
+    rows = [(i, None, None, f"h{i % 3}", (i * 13) % 50) for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    sched = crawl_schedule(docs).collect()
+    by_host: dict = {}
+    for r in sched:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        slots = sorted(x["slot"] for x in rs)
+        assert slots == list(range(1, len(rs) + 1)), host
+        ordered = sorted(rs, key=lambda x: x["slot"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["fetch_offset_s"] + 1 == b["fetch_offset_s"]
+    # priority: slot 1 has the max n_chars of its host
+    nch = {r[0]: r[4] for r in rows}
+    for host, rs in by_host.items():
+        top = min(rs, key=lambda x: x["slot"])
+        assert nch[top["doc_id"]] == max(nch[x["doc_id"]] for x in rs)
+
+    prof = schedule_load_profile(crawl_schedule(docs), bucket_s=16)
+    w0 = {r["wave"]: r for r in prof.collect()}[0]
+    assert w0["hosts_active"] == 3 and w0["fetches"] == 3 * 16 - 18
