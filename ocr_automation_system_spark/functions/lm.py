@@ -361,13 +361,15 @@ def lexical_diversity(df: DataFrame, id_col: str = "doc_id",
       "fraction of the most common word").
 
     Exactness: token run-lengths come from the SORTED token array
-    inside one codegen projection (run starts → bound diffs), so Σc²,
+    inside one narrow projection (run starts → bound diffs), so Σc²,
     max c and the type count are exact integers; each ratio is ONE
     correctly-rounded double division — bit-identical cross-engine
     (the DuckDB twin counts per-token groups instead; same integers,
     same single divisions). n ≤ 1 rows report 0.0 everywhere.
 
-    Scale shape: ZERO shuffle — a narrow per-row projection; the
+    Scale shape: ZERO shuffle — a narrow per-row projection (the
+    higher-order array ops run interpreted, outside whole-stage
+    codegen, which is inherent to HOF lambdas — plan-asserted); the
     per-row sort is O(L log L) in document length, never corpus size."""
     from .text import lazy_seq
 

@@ -1007,7 +1007,7 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-weighted lexical concentration per document (X77):
     type/token ratio, Simpson repeat probability (Σc²−n)/(n(n−1)) and
     most-common-token mass — the Gopher-rule signals distinct/total
-    repetition ratios can't see. Zero-shuffle codegen projection
+    repetition ratios can't see. Zero-shuffle narrow projection
     (run-lengths from the per-row sorted token array); every ratio is
     exact integers + ONE correctly-rounded division, so the twin — which
     counts per-token groups instead — is hash-identical."""

@@ -70,3 +70,23 @@ def test_zorder_prune_audit_shape(spark, sf_dir):
         assert r["files_touched"] <= r["files_total"]
         assert 0.0 <= r["touched_frac"] <= 1.0
     assert got["zorder"]["rows_matched"] == got["linear"]["rows_matched"]
+
+
+def test_zero_shuffle_plans_for_new_row_local_tiers(spark, sf_dir):
+    """Plan law for the round-4 zero-shuffle claims: lexical diversity,
+    script census and the Z-order key projection must compile with NO
+    Exchange (and the diversity path must stay whole-stage-codegen)."""
+    from ocr_automation_system_spark.queries import (
+        q_lexical_diversity,
+        q_script_census,
+        q_zorder_keys,
+    )
+
+    for q, codegen in ((q_lexical_diversity, False),
+                       (q_script_census, True),
+                       (q_zorder_keys, True)):
+        plan = (q(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan, q.__name__
+        if codegen:  # HOF-heavy diversity exprs interpret (no '*(n)')
+            assert plan.lstrip().startswith("*("), q.__name__
