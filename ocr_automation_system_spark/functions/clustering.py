@@ -514,10 +514,12 @@ def pca_power_loadings(df: DataFrame, vec_col: str = "embedding",
     sequence, so the loadings are bit-exact cross-engine.
 
     Scale shape: ONE corpus pass — posexplode to (i, qi) rows (dim x),
-    per-row products via a bound transform, one map-side-combined
-    groupBy(i) shipping dim·(dim+2) decimals to the driver (the
-    k-means-stats bounded-collect precedent); iterations touch only
-    the driver-side dim² matrix. Returns [] on an empty table."""
+    per-row products for the UPPER TRIANGLE only (j >= i, half the
+    decimal work; the driver mirrors the exact-integer symmetry), one
+    map-side-combined groupBy(i) shipping dim·(dim+2)/2-ish decimals
+    to the driver (the k-means-stats bounded-collect precedent);
+    iterations touch only the driver-side dim² matrix. Returns [] on
+    an empty table."""
     row0 = df.select(vec_col).limit(1).collect()
     if not row0 or row0[0][0] is None:
         return []
@@ -525,17 +527,22 @@ def pca_power_loadings(df: DataFrame, vec_col: str = "embedding",
     bound = math.isqrt(2 ** 63 - 1)  # per-element product must fit int64
     q = df.select(quantize(F.col(vec_col), scale).alias("q"))
     ex = q.select(F.posexplode("q").alias("i", "qi"), "q")
+    # covariance symmetry: each exploded row computes products only for
+    # j >= i (the slice from its own position) — half the decimal work;
+    # the driver mirrors the exact-integer upper triangle. Offsets past
+    # a group's slice length read NULL via try_element_at (ANSI-safe).
     pr = ex.select(
         "i", F.col("qi").cast("decimal(38,0)").alias("qi_d"),
         F.abs("qi").alias("qa"),
-        F.transform("q", lambda x: (x * F.col("qi"))
+        F.transform(F.slice("q", F.col("i") + 1, F.lit(dim)),
+                    lambda x: (x * F.col("qi"))
                     .cast("decimal(38,0)")).alias("p"))
     stats = pr.groupBy("i").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.max("qa").alias("qabs"),
         F.sum("qi_d").alias("s1"),
-        *[F.expr(f"sum(p[{j}]) AS s2_{j}")  # 1 py4j call per dim
-          for j in range(dim)]).collect()
+        *[F.expr(f"sum(try_element_at(p, {k + 1})) AS s2_{k}")
+          for k in range(dim)]).collect()  # 1 py4j call per dim
     if not stats:
         return []
     by_i = {r["i"]: r for r in stats}
@@ -546,8 +553,10 @@ def pca_power_loadings(df: DataFrame, vec_col: str = "embedding",
             f"bound {bound}; lower the quantization scale or normalize")
     n = int(by_i[0]["cnt"])
     s = [int(by_i[i]["s1"]) for i in range(dim)]
-    m = [[n * int(by_i[i][f"s2_{j}"]) - s[i] * s[j] for j in range(dim)]
-         for i in range(dim)]
+    upper = [[n * int(by_i[i][f"s2_{j - i}"]) - s[i] * s[j]
+              for j in range(i, dim)] for i in range(dim)]
+    m = [[upper[i][j - i] if j >= i else upper[j][i - j]
+          for j in range(dim)] for i in range(dim)]
     v = [1.0] * dim
     for _ in range(iters):
         w = []
