@@ -47,6 +47,7 @@ HEADLINE = (
     "domain_quota", "host_disjoint_split", "knn_label_eval",
     "pii_scrub", "repetition_scores", "source_blocklist",
     "url_dup_groups", "url_canonicalize", "url_features",
+    "url_pattern_census",
     "latest_capture", "snapshot_delta", "content_drift", "crawl_activity",
     "crawl_priorities", "crawl_schedule", "schedule_load",
     "page_metadata",

@@ -165,3 +165,43 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
         path.rlike("[0-9]").alias("digit_in_path"),
         F.length(u).cast("long").alias("url_len"),
     )
+
+
+def url_path_skeleton(url: Column) -> Column:
+    """Path template of a URL: the path with long hex runs folded to
+    ``H`` (content hashes, session ids) and digit runs to ``N``
+    (pagination, date parts, numeric ids) — the skeleton under which a
+    host's calendar pages, paginated listings and id-addressed
+    documents all collapse to ONE pattern. Query/fragment excluded
+    (they're the canonicalizer's jurisdiction); empty path reads as
+    '/'. Pure zero-shuffle regex projection, identical RE2/Java
+    classes."""
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    sk = F.regexp_replace(path, r"[0-9a-f]{8,}", "H")
+    return F.regexp_replace(sk, r"[0-9]+", "N")
+
+
+def url_pattern_census(df: DataFrame, url_col: str = "url",
+                       trap_threshold: int = 20) -> DataFrame:
+    """Per-host URL template census: (host, skeleton, n_urls,
+    example_url, trap) — the frontier-side structure miner crawl
+    schedulers run before wasting fetches: a skeleton holding
+    thousands of URLs on one host is a pagination surface or crawler
+    trap (infinite calendars, faceted search) to throttle or cap,
+    independent of any content-side dedup.
+
+    Scale shape: one zero-shuffle skeleton projection + ONE
+    map-side-combined groupBy over (host, skeleton) — template
+    cardinality is tiny next to URL cardinality, so partials collapse
+    map-side; example_url is a min() fold, never a collect."""
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    return (df.select(host.alias("host"),
+                      url_path_skeleton(u).alias("skeleton"),
+                      F.col(url_col).alias("_u"))
+            .groupBy("host", "skeleton")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.min("_u").alias("example_url"))
+            .withColumn("trap", F.col("n_urls") >= trap_threshold))

@@ -1098,3 +1098,25 @@ SELECT regexp_replace(pr.host, '^[a-z]+://', '') AS host, pr.rank,
 FROM pr LEFT JOIN rates r
   ON regexp_replace(pr.host, '^[a-z]+://', '') = r.host
 """
+
+
+#: twin of urlnorm.url_pattern_census over the corpus urls: path ->
+#: hex-run fold -> digit-run fold skeleton, per-host census with the
+#: same trap threshold literal.
+SQL_URL_PATTERN_CENSUS = f"""
+WITH u AS (SELECT url,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS host,
+    regexp_replace(regexp_replace(
+      CASE WHEN regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) = ''
+           THEN '/'
+           ELSE regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) END,
+      '[0-9a-f]{{8,}}', 'H', 'g'), '[0-9]+', 'N', 'g') AS skeleton
+  FROM {CORPUS})
+SELECT host, skeleton, CAST(count(*) AS BIGINT) AS n_urls,
+       min(url) AS example_url,
+       (count(*) >= 20) AS trap
+FROM u GROUP BY 1, 2
+"""

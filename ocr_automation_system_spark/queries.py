@@ -633,6 +633,16 @@ WHERE source NOT IN (
 """
 
 
+def q_url_pattern_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining (X85): per-host path-skeleton census (hex
+    runs → H, digit runs → N) with a trap flag at >= 20 URLs/pattern —
+    the frontier-side pagination/crawler-trap detector run before
+    wasting fetches; see urlnorm.url_pattern_census."""
+    from .functions import urlnorm as U
+
+    return U.url_pattern_census(corpus_for(spark, sf_dir).select("url"))
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization parity surface: every corpus url is messied
     deterministically (md5-keyed class covering case/fragment, default
@@ -5340,6 +5350,8 @@ REGISTRY: dict = {
     "pipeline_line_dedup": (q_pipeline_line_dedup, PSQL.SQL_PIPELINE_LINE_DEDUP),
     # url canonicalization + canonical-url dedup (corpus url column)
     "url_canonicalize": (q_url_canonicalize, PSQL.SQL_URL_CANONICALIZE),
+    "url_pattern_census": (q_url_pattern_census,
+                           PSQL.SQL_URL_PATTERN_CENSUS),
     "url_dup_groups": (q_url_dup_groups, PSQL.SQL_URL_DUP_GROUPS),
     "latest_capture": (q_latest_capture, PSQL.SQL_LATEST_CAPTURE),
     "snapshot_delta": (q_snapshot_delta, PSQL.SQL_SNAPSHOT_DELTA),
@@ -5374,7 +5386,8 @@ CORPUS_QUERIES: frozenset = frozenset(
     name for name in REGISTRY
     if name.startswith(("pipeline_", "media_"))
 ) | frozenset({
-    "url_canonicalize", "url_dup_groups", "latest_capture",
+    "url_canonicalize", "url_dup_groups", "url_pattern_census",
+    "latest_capture",
     "snapshot_delta", "crawl_activity", "crawl_priorities",
     "page_metadata", "link_edges",
     "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",

@@ -152,3 +152,37 @@ def test_boilerplate_threshold_not_met(spark):
     assert all(r["kept_text"].startswith("shared header\nbody ") for r in out)
     out2 = boilerplate_line_removal(df, min_docs=4).collect()
     assert all(r["kept_text"].startswith("body ") for r in out2)
+
+
+def test_url_path_skeleton_and_trap_census(spark):
+    """X85: hex runs fold before digit runs, query/fragment excluded,
+    empty path reads '/', and the census flags a pattern crossing the
+    trap threshold."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.urlnorm import (
+        url_path_skeleton,
+        url_pattern_census,
+    )
+
+    cases = {
+        "https://a.com/item/12345": "/item/N",
+        "https://a.com/cache/deadbeefcafe1234/x": "/cache/H/x",
+        "https://a.com/2024/01/05/post?page=9#frag": "/N/N/N/post",
+        "https://a.com": "/",
+        "https://a.com/abc123def": "/H",      # 9 hex chars = one hex run
+        "https://a.com/abcx123def": "/abcxNdef",  # x breaks the hex run
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["sk"] for r in
+           df.select("url", url_path_skeleton(F.col("url")).alias("sk"))
+           .collect()}
+    assert got == cases
+
+    urls = ([(f"https://t.com/page/{i}",) for i in range(25)]
+            + [(f"https://t.com/about",)])
+    census = {r["skeleton"]: r for r in url_pattern_census(
+        spark.createDataFrame(urls, "url string")).collect()}
+    assert census["/page/N"]["n_urls"] == 25 and census["/page/N"]["trap"]
+    assert not census["/about"]["trap"]
+    assert census["/page/N"]["example_url"] == "https://t.com/page/0"
