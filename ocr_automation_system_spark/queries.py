@@ -672,6 +672,55 @@ def q_url_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return U.url_duplicates(raws, url_col="raw_url")
 
 
+def q_host_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes host quality (X86): per-source mean quality
+    shrunk toward the global mean by n/(n+K), K=20 — the fair ranking
+    for small hosts (a 2-doc host with two lucky 1.0s must not outrank
+    a 5,000-doc host at 0.9). Exactness: quality scores are exact
+    quarters (0.25 steps), so both engines' double sums are EXACT in
+    any order (no fold pinning needed); mean and shrink are the same
+    three-op IEEE sequence. One map-side-combined groupBy(source) + a
+    broadcast 1-row global."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(q).alias("_sq"))
+    g = per.agg(F.sum("_sq").alias("_gs"),
+                F.sum("n_docs").alias("_gn"))
+    gmean = F.col("_gs") / F.col("_gn").cast("double")
+    return (per.crossJoin(F.broadcast(g))
+            .select("source",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    (F.col("_sq") / F.col("n_docs").cast("double"))
+                    .alias("mean_q"),
+                    ((F.col("_sq") + F.lit(20.0) * gmean)
+                     / (F.col("n_docs") + 20).cast("double"))
+                    .alias("shrunk_q")))
+
+
+def _sql_host_quality_shrunk() -> str:
+    qexpr = f"""(CASE WHEN length(text) >= 200 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN {_sql_alpha_ratio('text')} >= 0.6 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN {_SQL_MWL} >= 3.0 AND {_SQL_MWL} <= 10.0
+       THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN {_SQL_SW_RATIO} >= 0.05 THEN 0.25 ELSE 0.0 END)"""
+    return f"""
+WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    sum({qexpr}) AS sq
+             FROM documents GROUP BY 1),
+g AS (SELECT sum(sq) AS gs, CAST(sum(n_docs) AS BIGINT) AS gn FROM per)
+SELECT source, n_docs,
+       sq / CAST(n_docs AS DOUBLE) AS mean_q,
+       (sq + 20.0 * (gs / CAST(gn AS DOUBLE)))
+         / CAST(n_docs + 20 AS DOUBLE) AS shrunk_q
+FROM per CROSS JOIN g
+"""
+
+
+SQL_HOST_QUALITY_SHRUNK = _sql_host_quality_shrunk()
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -5170,6 +5219,8 @@ REGISTRY: dict = {
     "text_cleanup_hash": (q_text_cleanup_hash, SQL_TEXT_CLEANUP_HASH),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "host_quality_shrunk": (q_host_quality_shrunk,
+                            SQL_HOST_QUALITY_SHRUNK),
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "alpha_mixture_rates": (q_alpha_mixture_rates, SQL_ALPHA_MIXTURE_RATES),

@@ -1141,3 +1141,37 @@ def test_script_census_planted_scripts(spark):
     for did in got:
         assert tuple(got[did][n] for n in names) == duck[did][1:8], did
         assert got[did]["script"] == duck[did][8], did
+
+
+def test_host_quality_shrunk_orders_small_hosts_fairly(spark, sf_dir):
+    """X86: a tiny lucky host's shrunk score moves toward the global
+    mean while a large host's barely moves — and the shrunken ranking
+    flips the raw one on the planted fixture."""
+    from ocr_automation_system_spark.queries import q_host_quality_shrunk
+
+    good = ("word " * 60).strip() + " the and of to is."  # quality 1.0
+    rows = ([(i, good, "en", "big", 300) for i in range(50)]
+            + [(100, "x", "en", "big", 1), (101, "x", "en", "big", 1)]
+            + [(200, good, "en", "tiny", 300), (201, good, "en", "tiny",
+                                                300)]
+            + [(300 + i, "x", "en", "junk", 1) for i in range(40)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d,
+                                                      "documents.parquet"))
+    got = {r["source"]: r for r in
+           q_host_quality_shrunk(spark, d).collect()}
+    big, tiny = got["big"], got["tiny"]
+    assert tiny["mean_q"] > big["mean_q"]          # raw: tiny wins
+    assert tiny["shrunk_q"] < big["shrunk_q"]      # shrunk: big wins
+    junk = got["junk"]
+    tot = big["n_docs"] + tiny["n_docs"] + junk["n_docs"]
+    gmean = (big["mean_q"] * big["n_docs"] + tiny["mean_q"]
+             * tiny["n_docs"] + junk["mean_q"] * junk["n_docs"]) / tot
+    assert abs(tiny["shrunk_q"]
+               - (2 * tiny["mean_q"] + 20 * gmean) / 22) < 1e-12
