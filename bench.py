@@ -46,6 +46,7 @@ HEADLINE = (
     "zorder_keys", "zorder_prune_audit",
     "domain_quota", "host_disjoint_split", "knn_label_eval",
     "pii_scrub", "repetition_scores", "source_blocklist",
+    "compression_ratios",
     "url_dup_groups", "url_canonicalize", "url_features",
     "url_pattern_census",
     "latest_capture", "snapshot_delta", "content_drift", "crawl_activity",

@@ -35,7 +35,7 @@ import os
 import tempfile
 
 #: bump whenever twin generation logic changes.
-TWIN_VERSION = 2
+TWIN_VERSION = 3
 
 from ..corpus import CORPUS_VERSION, generate_rows, write_corpus
 
@@ -62,6 +62,28 @@ def twin_media_path(n_rows: int) -> str:
     return os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_twin_media_v{CORPUS_VERSION}_{TWIN_VERSION}_{n_rows}.parquet")
+
+
+def twin_zlib_path(n_rows: int) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_twin_zlib_v{CORPUS_VERSION}_{TWIN_VERSION}_{n_rows}.parquet")
+
+
+def _write_twin_zlib(path: str, rows: list) -> None:
+    """Serial golden run of the compression-ratio signal — the SAME
+    ``_zlib_record`` the Spark batches call (DEFLATE is not
+    SQL-expressible; the twin is the single-node oracle, the SQL just
+    reads it)."""
+    import pandas as pd
+
+    from ..functions.curation import _zlib_record
+
+    df = pd.DataFrame.from_records(
+        [_zlib_record(r["url"], r["text"]) for r in rows])
+    for c in ("raw_len", "comp_len"):
+        df[c] = df[c].astype("int64")
+    df.to_parquet(path, index=False)
 
 
 def _write_twin_extractions(path: str, rows: list) -> None:
@@ -152,10 +174,12 @@ def ensure_twins(n_rows: int) -> dict:
         "twin_extractions": twin_extractions_path(n_rows),
         "twin_media": twin_media_path(n_rows),
         "twin_blocks": twin_blocks_path(n_rows),
+        "twin_zlib": twin_zlib_path(n_rows),
     }
     if not os.path.exists(paths["corpus"]):
         write_corpus(paths["corpus"], n_rows)
-    need = [k for k in ("twin_extractions", "twin_media", "twin_blocks")
+    need = [k for k in ("twin_extractions", "twin_media", "twin_blocks",
+                        "twin_zlib")
             if not os.path.exists(paths[k])]
     if need:
         rows = generate_rows(n_rows)
@@ -165,6 +189,8 @@ def ensure_twins(n_rows: int) -> dict:
             _write_twin_media(paths["twin_media"], rows)
         if "twin_blocks" in need:
             _write_twin_blocks(paths["twin_blocks"], rows)
+        if "twin_zlib" in need:
+            _write_twin_zlib(paths["twin_zlib"], rows)
     return paths
 
 
@@ -179,4 +205,5 @@ def render_sql(sql: str, n_rows: int) -> str:
             .replace("__TWIN_EXTRACTIONS__", paths["twin_extractions"])
             .replace("__TWIN_MEDIA__", paths["twin_media"])
             .replace("__TWIN_BLOCKS__", paths["twin_blocks"])
+            .replace("__TWIN_ZLIB__", paths["twin_zlib"])
             .replace("__CORPUS__", paths["corpus"]))

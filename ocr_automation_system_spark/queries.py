@@ -633,6 +633,26 @@ WHERE source NOT IN (
 """
 
 
+def q_compression_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (X87): the Gopher-family
+    gate lexical stats can't see — template spam compresses away,
+    entropy noise doesn't compress at all. DEFLATE isn't
+    SQL-expressible, so the oracle is the TWIN discipline: the same
+    ``_zlib_record`` run serially writes the golden parquet and the
+    driver hash-compares it against this Arrow-batched mapInPandas
+    pass (one definition, two execution modes — the extraction
+    pipeline's own proof shape)."""
+    from .functions import curation as C
+
+    return C.compression_ratios(corpus_for(spark, sf_dir))
+
+
+SQL_COMPRESSION_RATIOS = """
+SELECT url, raw_len, comp_len, ratio, flagged
+FROM read_parquet('__TWIN_ZLIB__')
+"""
+
+
 def q_url_pattern_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL template mining (X85): per-host path-skeleton census (hex
     runs → H, digit runs → N) with a trap flag at >= 20 URLs/pattern —
@@ -5403,6 +5423,7 @@ REGISTRY: dict = {
     "url_canonicalize": (q_url_canonicalize, PSQL.SQL_URL_CANONICALIZE),
     "url_pattern_census": (q_url_pattern_census,
                            PSQL.SQL_URL_PATTERN_CENSUS),
+    "compression_ratios": (q_compression_ratios, SQL_COMPRESSION_RATIOS),
     "url_dup_groups": (q_url_dup_groups, PSQL.SQL_URL_DUP_GROUPS),
     "latest_capture": (q_latest_capture, PSQL.SQL_LATEST_CAPTURE),
     "snapshot_delta": (q_snapshot_delta, PSQL.SQL_SNAPSHOT_DELTA),
@@ -5438,7 +5459,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     if name.startswith(("pipeline_", "media_"))
 ) | frozenset({
     "url_canonicalize", "url_dup_groups", "url_pattern_census",
-    "latest_capture",
+    "compression_ratios", "latest_capture",
     "snapshot_delta", "crawl_activity", "crawl_priorities",
     "page_metadata", "link_edges",
     "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",

@@ -1175,3 +1175,30 @@ def test_host_quality_shrunk_orders_small_hosts_fairly(spark, sf_dir):
              * tiny["n_docs"] + junk["mean_q"] * junk["n_docs"]) / tot
     assert abs(tiny["shrunk_q"]
                - (2 * tiny["mean_q"] + 20 * gmean) / 22) < 1e-12
+
+
+def test_compression_ratio_separates_spam_from_noise(spark):
+    """X87: repeated-template text flags LOW (compresses away), md5-hex
+    noise flags HIGH-ish or passes, natural-ish prose passes; empty
+    text is unflagged with ratio 0."""
+    import hashlib
+
+    from ocr_automation_system_spark.functions.curation import (
+        compression_ratios,
+    )
+
+    noise = " ".join(hashlib.md5(str(i).encode()).hexdigest()
+                     for i in range(60))
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "discusses spark physical plans at length. " * 6)
+    rows = [("spam", "buy now! " * 300),
+            ("noise", noise),
+            ("prose", prose),
+            ("empty", None)]
+    got = {r["url"]: r for r in compression_ratios(
+        spark.createDataFrame(rows, "url string, text string")).collect()}
+    assert got["spam"]["flagged"] and got["spam"]["ratio"] < 0.10
+    assert got["prose"]["ratio"] > 0.10 and not got["prose"]["flagged"]
+    assert got["noise"]["ratio"] > got["prose"]["ratio"]
+    assert (got["empty"]["raw_len"], got["empty"]["ratio"],
+            got["empty"]["flagged"]) == (0, 0.0, False)
