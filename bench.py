@@ -68,6 +68,7 @@ HEADLINE = (
     "doclen_histogram", "doclen_quantiles", "doclen_hist_merge",
     "length_drift_chi2", "source_checksums",
     "token_postings", "postings_merge", "postings_takedown",
+    "token_df_delta",
     "tfidf_top_terms",
     "bm25_search", "bm25_weighted", "phrase_kwic",
     "phrase_hits", "proximity_hits", "kwic_snippets", "minhash_recall_sample",

@@ -4944,6 +4944,63 @@ SELECT token, df_docs, postings FROM cnt JOIN heads USING (token)
 SQL_POSTINGS_TAKEDOWN = _sql_postings_takedown()
 
 
+def q_token_df_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot index delta (X88): document-frequency movement
+    between two crawl snapshots' postings ARTIFACTS (even/odd doc_id
+    halves as the contract stand-in) — the trending-terms /
+    vocabulary-churn report an index maintainer reads before deciding
+    what to recrawl or re-rank. One full-outer join of two bounded
+    index tables keyed on token (bucket both by token → co-located at
+    scale); never a corpus pass."""
+    from .functions import index as I
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = I.token_postings(docs.filter(F.col("doc_id") % 2 == 0))
+    new = I.token_postings(docs.filter(F.col("doc_id") % 2 == 1))
+    zero = F.lit(0).cast("long")
+    j = (old.select("token", F.col("df_docs").alias("df_old"))
+         .join(new.select("token", F.col("df_docs").alias("df_new")),
+               "token", "full_outer")
+         .select("token",
+                 F.coalesce("df_old", zero).alias("df_old"),
+                 F.coalesce("df_new", zero).alias("df_new")))
+    status = (F.when(F.col("df_old") == 0, "new")
+              .when(F.col("df_new") == 0, "gone")
+              .when(F.col("df_new") > F.col("df_old"), "up")
+              .when(F.col("df_new") < F.col("df_old"), "down")
+              .otherwise("flat"))
+    return j.select("token", "df_old", "df_new",
+                    (F.col("df_new") - F.col("df_old")).alias("delta"),
+                    status.alias("status"))
+
+
+def _sql_token_df_delta() -> str:
+    from .functions.lm import TOKEN_RE
+
+    half = (lambda par:
+            f"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(
+          coalesce(text, '')), '{TOKEN_RE}')) AS token
+        FROM documents WHERE doc_id % 2 = {par})) GROUP BY 1""")
+    return f"""
+WITH o AS ({half(0)}), n AS ({half(1)}),
+j AS (SELECT token, coalesce(o.df, 0) AS df_old,
+             coalesce(n.df, 0) AS df_new
+      FROM o FULL JOIN n USING (token))
+SELECT token, df_old, df_new, df_new - df_old AS delta,
+       CASE WHEN df_old = 0 THEN 'new'
+            WHEN df_new = 0 THEN 'gone'
+            WHEN df_new > df_old THEN 'up'
+            WHEN df_new < df_old THEN 'down'
+            ELSE 'flat' END AS status
+FROM j
+"""
+
+
+SQL_TOKEN_DF_DELTA = _sql_token_df_delta()
+
+
 def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FineWeb-style composite filter policy: usability -> repetition ->
     quality -> language-mismatch -> PII gates, first-fail-wins with a
@@ -5297,6 +5354,7 @@ REGISTRY: dict = {
     "token_postings": (q_token_postings, SQL_TOKEN_POSTINGS),
     "postings_merge": (q_postings_merge, SQL_POSTINGS_MERGE),
     "postings_takedown": (q_postings_takedown, SQL_POSTINGS_TAKEDOWN),
+    "token_df_delta": (q_token_df_delta, SQL_TOKEN_DF_DELTA),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
     "curation_verdicts": (q_curation_verdicts, SQL_CURATION_VERDICTS),

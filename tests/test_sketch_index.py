@@ -607,3 +607,28 @@ def test_bm25_from_index_parity_with_scan(spark, tmp_path):
         got = bm25_from_index(spark, ipath, dpath, ["alpha", "gamma"],
                               k=15, weights=w, n_buckets=8).collect()
         assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_token_df_delta_statuses(spark):
+    """X88: new/gone/up/down/flat classification on a planted pair of
+    snapshots (even = old, odd = new doc ids)."""
+    from ocr_automation_system_spark.queries import q_token_df_delta
+
+    import os
+    import tempfile
+
+    rows = [
+        (0, "stable rising", "s"), (2, "stable vanishing", "s"),
+        (4, "stable", "s"),
+        (1, "stable rising fresh", "s"), (3, "stable rising", "s"),
+        (5, "stable", "s"),
+    ]
+    d = tempfile.mkdtemp()
+    _docs(spark, rows).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    got = {r["token"]: r for r in q_token_df_delta(spark, d).collect()}
+    assert got["stable"]["status"] == "flat"
+    assert (got["stable"]["df_old"], got["stable"]["df_new"]) == (3, 3)
+    assert got["rising"]["status"] == "up" and got["rising"]["delta"] == 1
+    assert got["vanishing"]["status"] == "gone"
+    assert got["fresh"]["status"] == "new" and got["fresh"]["df_old"] == 0
