@@ -4944,6 +4944,27 @@ SELECT token, df_docs, postings FROM cnt JOIN heads USING (token)
 SQL_POSTINGS_TAKEDOWN = _sql_postings_takedown()
 
 
+def q_host_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host duplication-rate spam signal (X89): fraction of each
+    source's documents that are near-dup cluster NON-representatives —
+    mirror/template/spam hosts duplicate themselves, and this is the
+    host-level readout of the X2-X4 dedup ladder (scraped-content farms
+    score high before any content-quality model runs). Composition of
+    the registry-green cluster-keep output with one groupBy(source);
+    dup_frac is one correctly-rounded division."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = D.dedup_cluster_keep(docs, jaccard_threshold=0.6)
+    j = docs.select("doc_id", "source").join(keep, "doc_id")
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+                 .cast("long").alias("n_dupes"),
+                 F.count_distinct("cluster_id").alias("n_clusters"))
+            .withColumn("dup_frac",
+                        F.col("n_dupes").cast("double")
+                        / F.col("n_docs").cast("double")))
+
+
 def q_token_df_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot index delta (X88): document-frequency movement
     between two crawl snapshots' postings ARTIFACTS (even/odd doc_id
@@ -4999,6 +5020,22 @@ FROM j
 
 
 SQL_TOKEN_DF_DELTA = _sql_token_df_delta()
+
+
+SQL_HOST_DUP_RATE = f"""
+WITH k AS (
+{SQL_DEDUP_CLUSTER_KEEP}
+),
+j AS (SELECT k.doc_id, k.cluster_id, k.keep, d.source
+      FROM k JOIN documents d USING (doc_id))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dupes,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_frac
+FROM j GROUP BY 1
+"""
 
 
 def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5355,6 +5392,7 @@ REGISTRY: dict = {
     "postings_merge": (q_postings_merge, SQL_POSTINGS_MERGE),
     "postings_takedown": (q_postings_takedown, SQL_POSTINGS_TAKEDOWN),
     "token_df_delta": (q_token_df_delta, SQL_TOKEN_DF_DELTA),
+    "host_dup_rate": (q_host_dup_rate, SQL_HOST_DUP_RATE),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
     "curation_verdicts": (q_curation_verdicts, SQL_CURATION_VERDICTS),

@@ -1202,3 +1202,28 @@ def test_compression_ratio_separates_spam_from_noise(spark):
     assert got["noise"]["ratio"] > got["prose"]["ratio"]
     assert (got["empty"]["raw_len"], got["empty"]["ratio"],
             got["empty"]["flagged"]) == (0, 0.0, False)
+
+
+def test_host_dup_rate_flags_mirror_host(spark, tmp_path):
+    """X89: a host that repeats one page scores high dup_frac; a host
+    of distinct pages scores 0."""
+    import os
+
+    from ocr_automation_system_spark.queries import q_host_dup_rate
+
+    page = ("mirror mirror content " * 30).strip()
+    rows = ([(i, page + f" tail{i % 2}", "en", "mirror.com", 100)
+             for i in range(8)]
+            + [(100 + i, f"unique page number {i} with words "
+                         f"{'alpha beta ' * (i + 3)}", "en",
+                "clean.com", 100) for i in range(4)])
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long").write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    got = {r["source"]: r for r in q_host_dup_rate(spark, d).collect()}
+    m, c = got["mirror.com"], got["clean.com"]
+    assert m["n_docs"] == 8 and m["n_clusters"] < 8
+    assert m["dup_frac"] == (8 - m["n_clusters"]) / 8 > 0.5
+    assert c["dup_frac"] == 0.0 and c["n_clusters"] == 4
