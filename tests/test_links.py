@@ -311,3 +311,30 @@ def test_hits_partitioning_invariant_bit_exact(spark):
     one = sorted(hits(df.repartition(1), iters=3).collect())
     seven = sorted(hits(df.repartition(7), iters=3).collect())
     assert one == seven
+
+
+def test_pagerank_join_path_matches_broadcast_path(spark):
+    """The web-scale configuration — broadcast_ranks=False (rank table
+    too big to broadcast at 10^9+ nodes) with per-iteration local
+    checkpoints — must produce BIT-IDENTICAL ranks to the broadcast
+    path the DuckDB twin certifies: the sorted-fold determinism is the
+    guarantee, the join strategy is free to differ. The plan check
+    pins that the rank-vector join really does avoid a broadcast."""
+    from ocr_automation_system_spark.functions.links import pagerank
+
+    edges = [(f"h{i}", f"h{(i * 7 + j) % 40}", 1 + (i + j) % 3)
+             for i in range(40) for j in range(2)]
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    a = {r["node"]: r["rank"]
+         for r in pagerank(df, iters=3, broadcast_ranks=True).collect()}
+    b_df = pagerank(df, iters=3, broadcast_ranks=False,
+                    checkpoint_every=1)
+    b = {r["node"]: r["rank"] for r in b_df.collect()}
+    assert a == b  # bit-identical doubles, not approx
+
+    seeded_a = {r["node"]: r["rank"] for r in pagerank(
+        df, iters=3, seeds=["h0", "h1"], broadcast_ranks=True).collect()}
+    seeded_b = {r["node"]: r["rank"] for r in pagerank(
+        df, iters=3, seeds=["h0", "h1"],
+        broadcast_ranks=False).collect()}
+    assert seeded_a == seeded_b
