@@ -4750,6 +4750,72 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_source_delta_skiplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level incremental skip-list (X91): diff the per-source
+    X82 checksum attestations of two snapshots and classify each source
+    unchanged / changed / new / gone — the Iceberg-era incremental
+    pattern: a re-run touches ONLY changed partitions, certified by the
+    order-independent (count, sum, xor) triple instead of any row
+    comparison. The contract's "new snapshot" drops an md5-selected
+    ~1/16 of docs from half the sources, so all statuses except 'new'
+    appear. One full-outer join of two checksum tables (rows = number
+    of sources — broadcastable at any corpus size)."""
+    from .functions import sketch as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = SK.source_checksums(docs)
+    dropped = (F.substring(F.md5("source"), 1, 1)
+               .isin(*list("01234567"))
+               & (F.substring(F.md5(F.col("doc_id").cast("string")),
+                              1, 1) == "0"))
+    new = SK.source_checksums(docs.filter(~dropped))
+
+    def _side(h, sfx):
+        return h.select("source", F.col("n_docs").alias("n" + sfx),
+                        F.col("sum_h").alias("s" + sfx),
+                        F.col("xor_h").alias("x" + sfx))
+
+    j = _side(old, "_o").join(_side(new, "_n"), "source", "full_outer")
+    same = ((F.col("n_o") == F.col("n_n"))
+            & (F.col("s_o") == F.col("s_n"))
+            & (F.col("x_o") == F.col("x_n")))
+    status = (F.when(F.col("n_o").isNull(), "new")
+              .when(F.col("n_n").isNull(), "gone")
+              .when(same, "unchanged")
+              .otherwise("changed"))
+    zero = F.lit(0).cast("long")
+    return j.select("source",
+                    F.coalesce("n_o", zero).alias("n_docs_old"),
+                    F.coalesce("n_n", zero).alias("n_docs_new"),
+                    status.alias("status"))
+
+
+SQL_SOURCE_DELTA_SKIPLIST = """
+WITH h AS (SELECT source, doc_id,
+  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+       md5(coalesce(text, '')))), 1, 15)) AS BIGINT) AS h
+FROM documents),
+o AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(h) AS DECIMAL(38, 0)) AS s, bit_xor(h) AS x
+      FROM h GROUP BY 1),
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(h) AS DECIMAL(38, 0)) AS s, bit_xor(h) AS x
+      FROM h
+      WHERE NOT (substr(md5(source), 1, 1) IN
+                   ('0','1','2','3','4','5','6','7')
+                 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
+      GROUP BY 1)
+SELECT source,
+       coalesce(o.n, 0) AS n_docs_old,
+       coalesce(n.n, 0) AS n_docs_new,
+       CASE WHEN o.n IS NULL THEN 'new'
+            WHEN n.n IS NULL THEN 'gone'
+            WHEN o.n = n.n AND o.s = n.s AND o.x = n.x THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL JOIN n USING (source)
+"""
+
+
 def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduling (X84): serialize each host's fetches into
     slots (fattest page first, id tie-break) and stamp the fetch offset
@@ -5381,6 +5447,8 @@ REGISTRY: dict = {
     "doclen_hist_merge": (q_doclen_hist_merge, SQL_DOCLEN_HIST_MERGE),
     "length_drift_chi2": (q_length_drift_chi2, SQL_LENGTH_DRIFT_CHI2),
     "source_checksums": (q_source_checksums, SQL_SOURCE_CHECKSUMS),
+    "source_delta_skiplist": (q_source_delta_skiplist,
+                              SQL_SOURCE_DELTA_SKIPLIST),
     "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
     "schedule_load": (q_schedule_load, SQL_SCHEDULE_LOAD),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE),

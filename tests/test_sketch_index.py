@@ -632,3 +632,41 @@ def test_token_df_delta_statuses(spark):
     assert got["rising"]["status"] == "up" and got["rising"]["delta"] == 1
     assert got["vanishing"]["status"] == "gone"
     assert got["fresh"]["status"] == "new" and got["fresh"]["df_old"] == 0
+
+
+def test_source_delta_skiplist_statuses(spark, tmp_path):
+    """X91: planted snapshot diff — a source losing every doc reads
+    'gone', one losing some reads 'changed', one untouched (md5 class
+    outside the drop set) reads 'unchanged'."""
+    import hashlib
+    import os
+
+    from ocr_automation_system_spark.queries import q_source_delta_skiplist
+
+    def md5c(s):
+        return hashlib.md5(str(s).encode()).hexdigest()[0]
+
+    in_cls = [f"src{i}" for i in range(40) if md5c(f"src{i}") in "01234567"]
+    out_cls = [f"src{i}" for i in range(40)
+               if md5c(f"src{i}") not in "01234567"]
+    drop_ids = [i for i in range(4000) if md5c(i) == "0"]
+    keep_ids = [i for i in range(4000) if md5c(i) != "0"]
+    rows = (
+        # 'gone': in-class source whose EVERY doc id is in the drop set
+        [(drop_ids[k], f"t{k}", "en", in_cls[0], 9) for k in range(3)]
+        # 'changed': in-class source with a mix
+        + [(drop_ids[3], "x", "en", in_cls[1], 1),
+           (keep_ids[0], "y", "en", in_cls[1], 1)]
+        # 'unchanged': out-of-class source, even with droppable ids
+        + [(drop_ids[4], "z", "en", out_cls[0], 1),
+           (keep_ids[1], "w", "en", out_cls[0], 1)])
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long").write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    got = {r["source"]: r for r in
+           q_source_delta_skiplist(spark, str(tmp_path)).collect()}
+    assert got[in_cls[0]]["status"] == "gone"
+    assert got[in_cls[0]]["n_docs_new"] == 0
+    assert got[in_cls[1]]["status"] == "changed"
+    assert got[out_cls[0]]["status"] == "unchanged"
