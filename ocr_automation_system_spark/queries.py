@@ -4750,6 +4750,42 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_epoch_write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch training-data shuffle (X90): every epoch needs a
+    DIFFERENT document order, reproducibly and with no RNG — the sort
+    key is the 60-bit md5 fold of (epoch, doc_id), and the write plan
+    is (epoch, doc_id, sort_key, file_id) with file = key >> 49
+    (equal-width key-prefix ranges, the shape a range-partitioned
+    sorted write produces; md5 uniformity balances the files). Epoch 0
+    and epoch 1 carry the same doc multiset in unrelated orders
+    (pinned by test). Zero shuffle — a narrow projection per epoch."""
+    docs = load_table(spark, sf_dir, "documents")
+    parts = []
+    for ep in (0, 1):
+        key = F.conv(F.substring(F.md5(F.concat(
+            F.lit(str(ep)), F.lit(":"),
+            F.col("doc_id").cast("string"))), 1, 15), 16, 10) \
+            .cast("long")
+        parts.append(docs.select(
+            F.lit(ep).alias("epoch"), "doc_id", key.alias("sort_key"),
+            F.shiftright(key, 49).alias("file_id")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_EPOCH_WRITE_PLAN = """
+SELECT e.epoch, doc_id,
+       CAST(concat('0x', substr(md5(concat(CAST(e.epoch AS VARCHAR), ':',
+            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS sort_key,
+       CAST(concat('0x', substr(md5(concat(CAST(e.epoch AS VARCHAR), ':',
+            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) >> 49
+         AS file_id
+FROM documents CROSS JOIN (VALUES (0), (1)) e(epoch)
+"""
+
+
 def q_source_delta_skiplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-level incremental skip-list (X91): diff the per-source
     X82 checksum attestations of two snapshots and classify each source
@@ -5449,6 +5485,7 @@ REGISTRY: dict = {
     "source_checksums": (q_source_checksums, SQL_SOURCE_CHECKSUMS),
     "source_delta_skiplist": (q_source_delta_skiplist,
                               SQL_SOURCE_DELTA_SKIPLIST),
+    "epoch_write_plan": (q_epoch_write_plan, SQL_EPOCH_WRITE_PLAN),
     "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
     "schedule_load": (q_schedule_load, SQL_SCHEDULE_LOAD),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE),

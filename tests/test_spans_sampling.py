@@ -283,3 +283,31 @@ def test_token_budget_sample_full_budget_keeps_everything(spark):
         [(i, "s", "a few tokens here") for i in range(20)],
         "doc_id long, source string, text string")
     assert token_budget_sample(df, 10**9).count() == 20
+
+
+def test_epoch_write_plan_reshuffles_between_epochs(spark, sf_dir):
+    """X90: each epoch carries the same doc multiset; the two orders
+    are unrelated (rank correlation near zero on the synthetic table —
+    bound loose, determinism exact); files are md5-balanced."""
+    from ocr_automation_system_spark.queries import q_epoch_write_plan
+
+    rows = q_epoch_write_plan(spark, sf_dir).collect()
+    by_ep: dict = {0: {}, 1: {}}
+    for r in rows:
+        by_ep[r["epoch"]][r["doc_id"]] = r["sort_key"]
+    assert set(by_ep[0]) == set(by_ep[1]) and len(by_ep[0]) >= 400
+    ids = sorted(by_ep[0])
+    order0 = sorted(ids, key=lambda i: by_ep[0][i])
+    order1 = sorted(ids, key=lambda i: by_ep[1][i])
+    assert order0 != order1
+    pos1 = {i: k for k, i in enumerate(order1)}
+    n = len(ids)
+    # Spearman-ish displacement: mean |rank0 - rank1| ~ n/3 for
+    # independent orders; require > n/6 (unrelated), and determinism
+    # exactly (same keys on a second run)
+    disp = sum(abs(k - pos1[i]) for k, i in enumerate(order0)) / n
+    assert disp > n / 6
+    again = {r["doc_id"]: r["sort_key"]
+             for r in q_epoch_write_plan(spark, sf_dir)
+             .filter("epoch = 0").collect()}
+    assert again == by_ep[0]
