@@ -33,6 +33,7 @@ HEADLINE = (
     "script_census", "host_quality_shrunk",
     "dedup_exact_groups", "minhash_lsh_pairs", "containment_pairs",
     "dedup_cluster_keep", "dedup_cluster_keep_best", "host_dup_rate",
+    "dedup_cluster_sizes",
     "incremental_dedup",
     "simhash_near_pairs",
     "embedding_topk", "embedding_lsh_topk", "embedding_near_dup_pairs",

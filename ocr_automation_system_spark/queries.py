@@ -5067,6 +5067,35 @@ def q_host_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.col("n_docs").cast("double")))
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram (X92): (cluster_size,
+    n_clusters, n_docs) over the X4 cluster labels — the dedup report's
+    headline table (a heavy tail of giant clusters means template farms
+    or a threshold set too low; mass in size-1 means the corpus is
+    already clean). Two bounded aggregations over the cluster-keep
+    output; sizes are exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = D.dedup_cluster_keep(docs, jaccard_threshold=0.6)
+    sizes = keep.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 (F.count(F.lit(1)) * F.col("cluster_size"))
+                 .cast("long").alias("n_docs")))
+
+
+SQL_DEDUP_CLUSTER_SIZES = f"""
+WITH k AS (
+{SQL_DEDUP_CLUSTER_KEEP}
+),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM k GROUP BY 1)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+FROM sz GROUP BY 1
+"""
+
+
 def q_token_df_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot index delta (X88): document-frequency movement
     between two crawl snapshots' postings ARTIFACTS (even/odd doc_id
@@ -5498,6 +5527,8 @@ REGISTRY: dict = {
     "postings_takedown": (q_postings_takedown, SQL_POSTINGS_TAKEDOWN),
     "token_df_delta": (q_token_df_delta, SQL_TOKEN_DF_DELTA),
     "host_dup_rate": (q_host_dup_rate, SQL_HOST_DUP_RATE),
+    "dedup_cluster_sizes": (q_dedup_cluster_sizes,
+                            SQL_DEDUP_CLUSTER_SIZES),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
     "curation_verdicts": (q_curation_verdicts, SQL_CURATION_VERDICTS),

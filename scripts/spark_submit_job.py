@@ -102,6 +102,13 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "q_h ~ n_h^A (mT5/XLM-R alpha sampling; the "
                         "smallest host keeps everything). Deterministic "
                         "md5 gate - reruns keep the same rows")
+    p.add_argument("--zorder", action="store_true",
+                   help="lay the curated corpus out in Z-order: sort "
+                        "each split's files by the Morton interleave "
+                        "of (host md5 bucket, text length) so a reader "
+                        "filtering on host AND length prunes files on "
+                        "both dimensions (functions/layout.py; rows "
+                        "identical, only file layout changes)")
     p.add_argument("--probe-weights", default="",
                    help="with --probe-drop-pct: path of the persisted "
                         "probe weight artifact — warm-start the fit "
@@ -159,7 +166,8 @@ def main(argv=None, stop_session: bool = True) -> int:
                probe_drop_pct=args.probe_drop_pct,
                probe_per_source=args.probe_per_source,
                probe_weights_path=args.probe_weights,
-               alpha=args.alpha, keep_best=args.keep_best)
+               alpha=args.alpha, keep_best=args.keep_best,
+               zorder=args.zorder)
 
     summary = lineage_summary(args.output, args.n_buckets)
     print(f"done: {summary['total_rows']} docs across "
@@ -177,7 +185,8 @@ def curate(spark, results, output: str, quota: int = 1000,
            token_budget: int = 0, probe_drop_pct: int = 0,
            probe_per_source: bool = False,
            probe_weights_path: str = "",
-           alpha: float | None = None, keep_best: bool = False) -> None:
+           alpha: float | None = None, keep_best: bool = False,
+           zorder: bool = False) -> None:
     """Committed extractions -> curated training corpus.
 
     Chain (each stage a documented survivor count): usable docs only ->
@@ -338,8 +347,20 @@ def curate(spark, results, output: str, quota: int = 1000,
 
     curated = C.train_val_split(curated, id_col="doc_id")
     out = os.path.join(output, "curated")
-    (curated.repartition("split")
-     .write.mode("overwrite").partitionBy("split").parquet(out))
+    w = curated.repartition("split")
+    if zorder:
+        # write-time Z-order layout: sort within each split's writer
+        # tasks by the Morton key so file min/max stats cluster BOTH
+        # dimensions (rows unchanged — layout only; see layout.py)
+        from ocr_automation_system_spark.functions.layout import (
+            doc_layout_dims, zorder_key,
+        )
+
+        d1, d2 = doc_layout_dims(
+            F.col("host"), F.length(F.coalesce(F.col("text"), F.lit(""))))
+        w = (w.withColumn("_zk", zorder_key(d1, d2))
+             .sortWithinPartitions("split", "_zk").drop("_zk"))
+    (w.write.mode("overwrite").partitionBy("split").parquet(out))
     written = spark.read.parquet(out)
     counts["train"] = written.filter(F.col("split") == "train").count()
     counts["val"] = written.filter(F.col("split") == "val").count()

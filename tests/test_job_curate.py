@@ -249,3 +249,45 @@ def test_curate_keep_best_stage(spark, tmp_path):
     assert spark_submit_job.main(args, stop_session=False) == 0
     again = spark.read.parquet(os.path.join(out, "curated"))
     assert sorted(map(tuple, again.select("doc_id").collect())) == first
+
+
+def test_curate_zorder_layout(spark, tmp_path):
+    """--zorder changes ONLY the file layout: identical row set to a
+    plain run, and every written train file is internally sorted by
+    the Morton key (the property file min/max pruning relies on)."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.layout import (
+        doc_layout_dims,
+        zorder_key,
+    )
+
+    plain = str(tmp_path / "plain")
+    rc = spark_submit_job.main([
+        "--synthetic", "300", "--output", plain, "--curate",
+        "--domain-quota", "50",
+    ], stop_session=False)
+    assert rc == 0
+    zo = str(tmp_path / "zo")
+    rc = spark_submit_job.main([
+        "--synthetic", "300", "--output", zo, "--curate",
+        "--domain-quota", "50", "--zorder",
+    ], stop_session=False)
+    assert rc == 0
+
+    a = spark.read.parquet(os.path.join(plain, "curated"))
+    b = spark.read.parquet(os.path.join(zo, "curated"))
+    key = sorted((r["doc_id"], r["split"]) for r in a.collect())
+    assert sorted((r["doc_id"], r["split"]) for r in b.collect()) == key
+
+    d1, d2 = doc_layout_dims(
+        F.col("host"), F.length(F.coalesce(F.col("text"), F.lit(""))))
+    tagged = (b.filter(F.col("split") == "train")
+              .select(F.input_file_name().alias("f"),
+                      zorder_key(d1, d2).alias("zk")).collect())
+    by_file: dict = {}
+    for r in tagged:
+        by_file.setdefault(r["f"], []).append(r["zk"])
+    assert by_file
+    for f, ks in by_file.items():
+        assert ks == sorted(ks), f
