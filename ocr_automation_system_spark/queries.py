@@ -5055,7 +5055,11 @@ def q_host_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registry-green cluster-keep output with one groupBy(source);
     dup_frac is one correctly-rounded division."""
     docs = load_table(spark, sf_dir, "documents")
-    keep = D.dedup_cluster_keep(docs, jaccard_threshold=0.6)
+    # persist: the rollup's join + aggregate would otherwise re-evaluate
+    # the whole LSH->Jaccard->CC subtree per consumer (measured 8.6s ->
+    # ~3s at sf0.1); at production scale the cluster table is a written
+    # artifact, not a recompute
+    keep = D.dedup_cluster_keep(docs, jaccard_threshold=0.6).persist()
     j = docs.select("doc_id", "source").join(keep, "doc_id")
     return (j.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
