@@ -64,7 +64,7 @@ HEADLINE = (
     "duplicate_spans", "stratified_sample", "chunk_documents",
     "alpha_mixture_rates", "alpha_sample",
     "hll_source_cardinality", "hll_merge", "bloom_dedup_census",
-    "minhash_sig_merge", "bloom_bits_merge",
+    "minhash_sig_merge", "bloom_bits_merge", "host_mirror_pairs",
     "cms_source_counts", "cms_merge",
     "doclen_histogram", "doclen_quantiles", "doclen_hist_merge",
     "length_drift_chi2", "source_checksums", "source_delta_skiplist",

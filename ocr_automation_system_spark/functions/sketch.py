@@ -484,3 +484,39 @@ def source_checksums(df: DataFrame, id_col: str = "doc_id",
                  F.sum(h.cast("decimal(38,0)")).cast("string")
                  .alias("sum_h"),
                  F.bit_xor(h).alias("xor_h")))
+
+
+def host_mirror_pairs(df: DataFrame, group_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Mirror-site detection at HOST granularity: banded LSH over the
+    per-group MinHash signatures (X74's mergeable artifact) — two hosts
+    serving near-identical corpora collide on a signature component and
+    surface as (host_a, host_b, n_eq, est_jaccard) with est = equal
+    components / 8 (the standard unbiased resemblance estimate). This
+    is the host-level complement of the doc-level near-dup ladder: a
+    mirror farm is ONE decision, not a million pairwise doc decisions.
+
+    Scale shape: signatures are a bounded (group, 8) artifact; banding
+    here is r=1, b=8 (aggressive recall — candidates are cheap at host
+    cardinality, and est_jaccard is the verify stage); the self-join
+    keys on (component index, value) so only colliding hosts ever pair.
+    Everything downstream of the signature build touches host-count
+    rows, never the corpus."""
+    sigs = minhash_sig_table(df, group_col, text_col)
+    a = sigs.select(F.col("grp").alias("host_a"), "i",
+                    F.col("m").alias("m_a"))
+    b = sigs.select(F.col("grp").alias("host_b"), "i",
+                    F.col("m").alias("m_b"))
+    cand = (a.join(b, (a["i"] == b["i"]) & (a["m_a"] == b["m_b"])
+                   & (a["host_a"] < b["host_b"]))
+            .select("host_a", "host_b").distinct())
+    sa = sigs.select(F.col("grp").alias("host_a"), "i",
+                     F.col("m").alias("_ma"))
+    sb = sigs.select(F.col("grp").alias("host_b"), "i",
+                     F.col("m").alias("_mb"))
+    return (cand.join(sa, "host_a").join(sb, ["host_b", "i"])
+            .groupBy("host_a", "host_b")
+            .agg(F.sum(F.when(F.col("_ma") == F.col("_mb"), 1)
+                       .otherwise(0)).cast("long").alias("n_eq"))
+            .withColumn("est_jaccard",
+                        F.col("n_eq").cast("double") / F.lit(8.0)))

@@ -4506,6 +4506,45 @@ FROM p GROUP BY 1, 2
 """
 
 
+def q_host_mirror_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level mirror detection (X93): banded LSH (r=1, b=8) over
+    the per-source MinHash signature artifacts — near-identical hosts
+    collide on a component and report est_jaccard = equal/8, turning a
+    mirror farm into ONE decision instead of a million doc pairs. All
+    work past the signature build is host-cardinality;
+    see sketch.host_mirror_pairs."""
+    from .functions import sketch as SK
+
+    return SK.host_mirror_pairs(load_table(spark, sf_dir, "documents"))
+
+
+SQL_HOST_MIRROR_PAIRS = f"""
+WITH hm AS (
+  SELECT source, unnest(list_transform({_SQL_SH},
+    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {_MP}))
+    AS h
+  FROM documents),
+p AS (SELECT source, i,
+             ([{_SQL_MINHASH_SIG_A}][i + 1] * h
+              + [{_SQL_MINHASH_SIG_C}][i + 1]) % {_MP} AS v
+      FROM hm CROSS JOIN range(0, 8) r(i)),
+sig AS (SELECT source AS grp, CAST(i AS INT) AS i,
+               CAST(min(v) AS BIGINT) AS m
+        FROM p GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.grp AS host_a, b.grp AS host_b
+         FROM sig a JOIN sig b
+           ON a.i = b.i AND a.m = b.m AND a.grp < b.grp)
+SELECT c.host_a, c.host_b,
+       CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_eq,
+       CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE)
+         / 8.0 AS est_jaccard
+FROM cand c JOIN sig sa ON sa.grp = c.host_a
+            JOIN sig sb ON sb.grp = c.host_b AND sb.i = sa.i
+GROUP BY 1, 2
+"""
+
+
 def q_bloom_bits_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom maintenance (X74): per-source set-bit tables built over
     the even- and odd-doc_id halves, merged as ARTIFACTS (set union =
@@ -5523,6 +5562,7 @@ REGISTRY: dict = {
     "schedule_load": (q_schedule_load, SQL_SCHEDULE_LOAD),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE),
     "minhash_sig_merge": (q_minhash_sig_merge, SQL_MINHASH_SIG_MERGE),
+    "host_mirror_pairs": (q_host_mirror_pairs, SQL_HOST_MIRROR_PAIRS),
     "bloom_bits_merge": (q_bloom_bits_merge, SQL_BLOOM_BITS_MERGE),
     "cms_merge": (q_cms_merge, SQL_CMS_MERGE),
     "cms_source_counts": (q_cms_source_counts, SQL_CMS_SOURCE_COUNTS),

@@ -670,3 +670,25 @@ def test_source_delta_skiplist_statuses(spark, tmp_path):
     assert got[in_cls[0]]["n_docs_new"] == 0
     assert got[in_cls[1]]["status"] == "changed"
     assert got[out_cls[0]]["status"] == "unchanged"
+
+
+def test_host_mirror_pairs_finds_the_mirror(spark):
+    """X93: two hosts serving identical corpora estimate jaccard 1.0;
+    a disjoint-content host never reaches est 1.0 with either."""
+    from ocr_automation_system_spark.functions.sketch import (
+        host_mirror_pairs,
+    )
+
+    pages = [f"unique page {i} with shared vocabulary and body {i * 37}"
+             for i in range(12)]
+    rows = ([(i, pages[i], "a.com") for i in range(12)]
+            + [(100 + i, pages[i], "a-mirror.com") for i in range(12)]
+            + [(200 + i, f"totally different material {i} about {i*i}",
+                "other.com") for i in range(12)])
+    got = {(r["host_a"], r["host_b"]): r for r in host_mirror_pairs(
+        _docs(spark, rows)).collect()}
+    mirror = got[("a-mirror.com", "a.com")]
+    assert mirror["n_eq"] == 8 and mirror["est_jaccard"] == 1.0
+    for pair, r in got.items():
+        if pair != ("a-mirror.com", "a.com"):
+            assert r["est_jaccard"] < 1.0, pair
