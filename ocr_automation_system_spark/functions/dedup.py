@@ -815,3 +815,43 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                 "hamming")
     )
     return same.unionByName(cross)
+
+
+def lsh_tuning_table(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     configs: tuple = ((8, 1), (4, 2), (2, 4))) -> DataFrame:
+    """Banding-parameter cost table (X94): for each (bands,
+    rows_per_band) over the same 8 min-hashes, the CANDIDATE-JOIN cost
+    — collision pairs Σ k(k−1)/2 over bucket occupancies (with
+    multiplicity across bands: that IS the join's row count), bucket
+    census, and the hottest bucket. Together with the recall diagnostic
+    (minhash_recall_sample) this is the two-sided S-curve evidence an
+    operator reads before fixing (b, r) for a corpus: r=1 floods the
+    join with weak pairs, r=4 starves recall; the cost side here needs
+    NO pair enumeration — everything derives from map-side-combinable
+    (band, sig) occupancy counts.
+
+    Scale shape: per config, one groupBy over (band, sig) (bounded by
+    n_docs·bands rows pre-combine, collapsing map-side) + one global
+    aggregate; never a self-join."""
+    outs = []
+    for bands, r in configs:
+        bt = minhash_bands(df, id_col, text_col,
+                           bands=bands, rows_per_band=r)
+        census = bt.groupBy("band", "sig").agg(
+            F.count(F.lit(1)).alias("k"))
+        outs.append(census.agg(
+            F.sum(F.expr("(k * (k - 1)) div 2")).alias("collision_pairs"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("k").alias("max_bucket"))
+            .select(F.lit(bands).alias("bands"),
+                    F.lit(r).alias("rows_per_band"),
+                    F.coalesce("collision_pairs", F.lit(0).cast("long"))
+                    .cast("long").alias("collision_pairs"),
+                    F.col("n_buckets").cast("long").alias("n_buckets"),
+                    F.coalesce("max_bucket", F.lit(0).cast("long"))
+                    .cast("long").alias("max_bucket")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1661,6 +1661,52 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jp
 """
 
 
+def q_lsh_tuning_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter cost table (X94): candidate-join cost per
+    (bands, rows_per_band) config over the same 8 min-hashes, derived
+    entirely from bucket occupancy censuses — the cost side of the
+    S-curve decision (the recall side is minhash_recall_sample). See
+    dedup.lsh_tuning_table."""
+    return D.lsh_tuning_table(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_lsh_tuning(configs: tuple = ((8, 1), (4, 2), (2, 4))) -> str:
+    from .functions.text import MINHASH_A, MINHASH_C
+
+    def sig(i: int) -> str:
+        return (f"list_min(list_transform(hm, x -> "
+                f"({MINHASH_A[i]} * x + {MINHASH_C[i]}) % {_MP}))")
+
+    cfg_sqls = []
+    for bands, r in configs:
+        band_rows = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, concat_ws('|', "
+            + ", ".join(f"CAST({sig(b * r + j)} AS VARCHAR)"
+                        for j in range(r))
+            + ") AS sig FROM nz"
+            for b in range(bands))
+        cfg_sqls.append(f"""
+SELECT {bands} AS bands, {r} AS rows_per_band,
+       CAST(coalesce(sum((k * (k - 1)) // 2), 0) AS BIGINT)
+         AS collision_pairs,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(coalesce(max(k), 0) AS BIGINT) AS max_bucket
+FROM (SELECT band, sig, CAST(count(*) AS BIGINT) AS k
+      FROM ({band_rows}) GROUP BY 1, 2)""")
+    union = " UNION ALL ".join(cfg_sqls)
+    return f"""
+WITH hs AS MATERIALIZED (
+  SELECT doc_id, list_transform({_SQL_SH},
+    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {_MP}) AS hm
+  FROM documents),
+nz AS MATERIALIZED (SELECT * FROM hs WHERE len(hm) > 0)
+{union}
+"""
+
+
+SQL_LSH_TUNING_TABLE = _sql_lsh_tuning()
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided near-containment (quote/subset) pairs — the asymmetric
     overlap resemblance-LSH misses by design. Shared-shingle equi-join
@@ -5563,6 +5609,7 @@ REGISTRY: dict = {
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE),
     "minhash_sig_merge": (q_minhash_sig_merge, SQL_MINHASH_SIG_MERGE),
     "host_mirror_pairs": (q_host_mirror_pairs, SQL_HOST_MIRROR_PAIRS),
+    "lsh_tuning_table": (q_lsh_tuning_table, SQL_LSH_TUNING_TABLE),
     "bloom_bits_merge": (q_bloom_bits_merge, SQL_BLOOM_BITS_MERGE),
     "cms_merge": (q_cms_merge, SQL_CMS_MERGE),
     "cms_source_counts": (q_cms_source_counts, SQL_CMS_SOURCE_COUNTS),

@@ -1227,3 +1227,28 @@ def test_host_dup_rate_flags_mirror_host(spark, tmp_path):
     assert m["n_docs"] == 8 and m["n_clusters"] < 8
     assert m["dup_frac"] == (8 - m["n_clusters"]) / 8 > 0.5
     assert c["dup_frac"] == 0.0 and c["n_clusters"] == 4
+
+
+def test_lsh_tuning_table_monotone_cost(spark, sf_dir):
+    """X94: r=1 banding must generate at least as many collision pairs
+    as r=2, which >= r=4 (the S-curve's cost side), and the exact
+    r=2 collision count equals the brute recount from the band table."""
+    from ocr_automation_system_spark.functions.dedup import (
+        lsh_tuning_table,
+        minhash_bands,
+    )
+    from ocr_automation_system_spark.queries import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r["rows_per_band"]: r
+           for r in lsh_tuning_table(docs).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1]["collision_pairs"] >= got[2]["collision_pairs"] \
+        >= got[4]["collision_pairs"]
+    bt = minhash_bands(docs, bands=4, rows_per_band=2)
+    brute = sum(k * (k - 1) // 2 for (_, _), k in
+                ((key, n) for key, n in (
+                    ((r["band"], r["sig"]), r["n"]) for r in
+                    bt.groupBy("band", "sig").count()
+                    .withColumnRenamed("count", "n").collect())))
+    assert got[2]["collision_pairs"] == brute
