@@ -1120,3 +1120,26 @@ SELECT host, skeleton, CAST(count(*) AS BIGINT) AS n_urls,
        (count(*) >= 20) AS trap
 FROM u GROUP BY 1, 2
 """
+
+
+#: twin of queries.q_host_reciprocity — link-exchange (reciprocity)
+#: census over the distinct simple host graph.
+SQL_HOST_RECIPROCITY = f"""
+WITH e0 AS (SELECT DISTINCT {_SQL_URL_PRE % 'url'} AS src,
+                   {_sql_outlink(9)} AS dst
+            FROM {CORPUS}
+            UNION
+            SELECT DISTINCT {_SQL_URL_PRE % 'url'}, {_sql_outlink(17)}
+            FROM {CORPUS}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+o AS (SELECT src, CAST(count(*) AS BIGINT) AS out_edges
+      FROM e GROUP BY 1),
+rc AS (SELECT a.src, CAST(count(*) AS BIGINT) AS reciprocal_edges
+       FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+       GROUP BY 1)
+SELECT o.src AS host, o.out_edges,
+       coalesce(rc.reciprocal_edges, 0) AS reciprocal_edges,
+       CAST(coalesce(rc.reciprocal_edges, 0) AS DOUBLE)
+         / CAST(o.out_edges AS DOUBLE) AS reciprocity
+FROM o LEFT JOIN rc ON o.src = rc.src
+"""

@@ -4094,6 +4094,33 @@ def _synth_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                          _synth_outlink(F.col("url"), 17).alias("dst"))))
 
 
+def q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-exchange census (X95): per host, the fraction of its
+    distinct out-links that are reciprocated — organic linking is
+    overwhelmingly one-way, so near-1.0 reciprocity marks link rings /
+    exchange schemes (the graph-shape spam signal next to triangles
+    and TrustRank). One distinct edge list + ONE self-equi-join on the
+    reversed (dst, src) key — never src×src — and a map-side
+    groupBy(src); the ratio is one correctly-rounded division."""
+    e = (_synth_host_edges(spark, sf_dir)
+         .filter(F.col("src") != F.col("dst")).distinct().persist())
+    out = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_edges"))
+    rev = e.select(F.col("dst").alias("_s"), F.col("src").alias("_d"))
+    rec = (e.join(rev, (e["src"] == F.col("_s"))
+                  & (e["dst"] == F.col("_d")), "left_semi")
+           .groupBy("src").agg(F.count(F.lit(1))
+                               .alias("reciprocal_edges")))
+    zero = F.lit(0).cast("long")
+    return (out.join(rec, "src", "left")
+            .select(F.col("src").alias("host"),
+                    F.col("out_edges").cast("long").alias("out_edges"),
+                    F.coalesce("reciprocal_edges", zero).cast("long")
+                    .alias("reciprocal_edges"),
+                    (F.coalesce("reciprocal_edges", zero).cast("double")
+                     / F.col("out_edges").cast("double"))
+                    .alias("reciprocity")))
+
+
 def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host triangle count + local clustering coefficient (X72)
     over the undirected simplification of the cross-host graph — the
@@ -5757,6 +5784,7 @@ REGISTRY: dict = {
     # link graph: anchors from raw html, host graph, iterative PageRank
     "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
+    "host_reciprocity": (q_host_reciprocity, PSQL.SQL_HOST_RECIPROCITY),
     "anchor_text_profile": (q_anchor_text_profile, PSQL.SQL_ANCHOR_TEXT_PROFILE),
     "host_pagerank": (q_host_pagerank, PSQL.SQL_HOST_PAGERANK),
     "host_trustrank": (q_host_trustrank, PSQL.SQL_HOST_TRUSTRANK),
@@ -5786,7 +5814,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "snapshot_delta", "crawl_activity", "crawl_priorities",
     "page_metadata", "link_edges",
     "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",
-    "host_triangles", "host_cocitation",
+    "host_triangles", "host_cocitation", "host_reciprocity",
     "anchor_text_profile", "warc_roundtrip", "host_components",
     "url_features",
 })

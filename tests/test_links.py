@@ -338,3 +338,24 @@ def test_pagerank_join_path_matches_broadcast_path(spark):
         df, iters=3, seeds=["h0", "h1"],
         broadcast_ranks=False).collect()}
     assert seeded_a == seeded_b
+
+
+def test_host_reciprocity_hand_graph(spark, tmp_path, monkeypatch):
+    """X95 semantics on a hand graph via the library pieces: a <-> b
+    reciprocated, a -> c one-way, self-loops dropped."""
+    from pyspark.sql import functions as F
+
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "b")]
+    e = (spark.createDataFrame(edges, ["src", "dst"])
+         .filter(F.col("src") != F.col("dst")).distinct())
+    out = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_edges"))
+    rev = e.select(F.col("dst").alias("_s"), F.col("src").alias("_d"))
+    rec = (e.join(rev, (e["src"] == F.col("_s"))
+                  & (e["dst"] == F.col("_d")), "left_semi")
+           .groupBy("src").agg(F.count(F.lit(1)).alias("rec")))
+    got = {r["src"]: (r["out_edges"],)
+           for r in out.collect()}
+    rc = {r["src"]: r["rec"] for r in rec.collect()}
+    assert got["a"] == (2,) and rc.get("a", 0) == 1   # a->b reciprocated
+    assert got["b"] == (1,) and rc.get("b", 0) == 1
+    assert got["c"] == (0,) if "c" in got else "c" not in got  # loop gone
