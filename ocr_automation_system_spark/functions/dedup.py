@@ -844,6 +844,7 @@ def lsh_tuning_table(df: DataFrame, id_col: str = "doc_id",
             F.sum(F.expr("(k * (k - 1)) div 2")).alias("collision_pairs"),
             F.count(F.lit(1)).alias("n_buckets"),
             F.max("k").alias("max_bucket"))
+            .filter(F.col("n_buckets") > 0)  # empty corpus -> no report
             .select(F.lit(bands).alias("bands"),
                     F.lit(r).alias("rows_per_band"),
                     F.coalesce("collision_pairs", F.lit(0).cast("long"))

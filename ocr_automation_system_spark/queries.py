@@ -1692,7 +1692,8 @@ SELECT {bands} AS bands, {r} AS rows_per_band,
        CAST(count(*) AS BIGINT) AS n_buckets,
        CAST(coalesce(max(k), 0) AS BIGINT) AS max_bucket
 FROM (SELECT band, sig, CAST(count(*) AS BIGINT) AS k
-      FROM ({band_rows}) GROUP BY 1, 2)""")
+      FROM ({band_rows}) GROUP BY 1, 2)
+HAVING count(*) > 0""")
     union = " UNION ALL ".join(cfg_sqls)
     return f"""
 WITH hs AS MATERIALIZED (
