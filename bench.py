@@ -69,7 +69,8 @@ HEADLINE = (
     "minhash_sig_merge", "bloom_bits_merge", "host_mirror_pairs",
     "cms_source_counts", "cms_merge",
     "doclen_histogram", "doclen_quantiles", "doclen_hist_merge",
-    "length_drift_chi2", "source_checksums", "source_delta_skiplist",
+    "length_drift_chi2", "quality_drift_chi2",
+    "source_checksums", "source_delta_skiplist",
     "token_postings", "postings_merge", "postings_takedown",
     "token_df_delta",
     "tfidf_top_terms",

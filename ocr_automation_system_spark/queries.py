@@ -5009,6 +5009,70 @@ FROM s GROUP BY 1
 """
 
 
+def q_quality_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-distribution drift (X96): per-source chi-square between
+    the even/odd snapshots' QUALITY histograms — the companion to the
+    length drift (X81) that catches a crawler or filter regression
+    shifting score mass with lengths unchanged. Quality is the exact-
+    quarter composite, so each histogram is a ≤5-bucket census; the
+    X81 fold machinery consumes it unchanged (bucket key = (octave=0,
+    sub=quality·4))."""
+    from .functions import sketch as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def hist(side: DataFrame) -> DataFrame:
+        q4 = (T.quality_score(F.col("text")) * 4).cast("int")
+        return (side.select("source", F.lit(0).alias("octave"),
+                            q4.alias("sub"))
+                .groupBy("source", "octave", "sub")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    ha = hist(docs.filter(F.col("doc_id") % 2 == 0))
+    hb = hist(docs.filter(F.col("doc_id") % 2 == 1))
+    return SK.histogram_drift_chi2(ha, hb)
+
+
+def _sql_quality_drift() -> str:
+    qexpr = f"""(CASE WHEN length(text) >= 200 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN {_sql_alpha_ratio('text')} >= 0.6 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN {_SQL_MWL} >= 3.0 AND {_SQL_MWL} <= 10.0
+       THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN {_SQL_SW_RATIO} >= 0.05 THEN 0.25 ELSE 0.0 END)"""
+    half = (lambda par: f"""
+  SELECT source, 0 AS octave, CAST(({qexpr}) * 4 AS INT) AS sub,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE doc_id % 2 = {par} GROUP BY 1, 2, 3""")
+    return f"""
+WITH ha AS ({half(0)}), hb AS ({half(1)}),
+j AS (SELECT source, octave, sub,
+             coalesce(ha.n, 0) AS n_a, coalesce(hb.n, 0) AS n_b
+      FROM ha FULL JOIN hb USING (source, octave, sub)),
+tot AS (SELECT source, CAST(sum(n_a) AS BIGINT) AS total_a,
+               CAST(sum(n_b) AS BIGINT) AS total_b
+        FROM j GROUP BY 1),
+terms AS (SELECT j.source, j.octave, j.sub,
+            CASE WHEN total_a > 0
+                 THEN CAST(n_a AS DOUBLE) / CAST(total_a AS DOUBLE)
+                 ELSE 0.0 END AS pa,
+            CASE WHEN total_b > 0
+                 THEN CAST(n_b AS DOUBLE) / CAST(total_b AS DOUBLE)
+                 ELSE 0.0 END AS pb
+          FROM j JOIN tot USING (source))
+SELECT t.source, tot.total_a, tot.total_b,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(((pa - pb) * (pa - pb)) / (pa + pb)
+                                     ORDER BY t.octave, t.sub)),
+                   (a, b) -> a + b) AS chi2
+FROM terms t JOIN tot USING (source)
+GROUP BY 1, 2, 3
+"""
+
+
+SQL_QUALITY_DRIFT_CHI2 = _sql_quality_drift()
+
+
 def q_source_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-checksum attestation (X82): per-source order-independent
     (n_docs, sum, xor) folds over 60-bit md5 row digests — the
@@ -5628,6 +5692,7 @@ REGISTRY: dict = {
     "doclen_quantiles": (q_doclen_quantiles, SQL_DOCLEN_QUANTILES),
     "doclen_hist_merge": (q_doclen_hist_merge, SQL_DOCLEN_HIST_MERGE),
     "length_drift_chi2": (q_length_drift_chi2, SQL_LENGTH_DRIFT_CHI2),
+    "quality_drift_chi2": (q_quality_drift_chi2, SQL_QUALITY_DRIFT_CHI2),
     "source_checksums": (q_source_checksums, SQL_SOURCE_CHECKSUMS),
     "source_delta_skiplist": (q_source_delta_skiplist,
                               SQL_SOURCE_DELTA_SKIPLIST),

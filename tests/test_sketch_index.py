@@ -692,3 +692,26 @@ def test_host_mirror_pairs_finds_the_mirror(spark):
     for pair, r in got.items():
         if pair != ("a-mirror.com", "a.com"):
             assert r["est_jaccard"] < 1.0, pair
+
+
+def test_quality_drift_detects_planted_shift(spark, tmp_path):
+    """X96: a source whose odd-snapshot quality collapses shows high
+    chi2; a stable source shows 0."""
+    import os
+
+    from ocr_automation_system_spark.queries import q_quality_drift_chi2
+
+    good = ("word " * 60).strip() + " the and of to is."
+    rows = (
+        [(2 * i, good, "en", "shifty", 300) for i in range(10)]       # even: 1.0
+        + [(2 * i + 1, "x", "en", "shifty", 1) for i in range(10)]    # odd: 0ish
+        + [(100 + 2 * i, good, "en", "steady", 300) for i in range(10)]
+        + [(101 + 2 * i, good, "en", "steady", 300) for i in range(10)])
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long").write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    got = {r["source"]: r for r in
+           q_quality_drift_chi2(spark, str(tmp_path)).collect()}
+    assert got["steady"]["chi2"] == 0.0
+    assert got["shifty"]["chi2"] == 2.0   # disjoint quality buckets
