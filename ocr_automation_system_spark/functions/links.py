@@ -470,3 +470,38 @@ def cocitation_pairs(edges: DataFrame, src_col: str = "src",
                     F.round(c.cast("double")
                             / (F.col("out_a") + F.col("out_b") - c)
                             .cast("double"), 6).alias("jaccard")))
+
+
+def seed_distance(edges: DataFrame, seeds: list, max_hops: int = 3,
+                  src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Link distance from a trusted seed set: (node, dist) with dist =
+    BFS hops along out-links, −1 beyond ``max_hops`` — TrustRank's
+    discrete cousin (Gyongyi 2004 measures decayed trust; this measures
+    the horizon itself: spam nests live far from every seed, and the
+    −1 ring is the first thing a corpus review eyeballs).
+
+    Exact integers, no folds to pin. Scale shape: ``max_hops`` frontier
+    joins, each edges ⋈ current-distance table followed by a map-side-
+    combinable min — the distance table never exceeds node cardinality,
+    and the min-combine absorbs the hub fan-in the way the CC
+    propagation does. The unioned lineage is O(max_hops) deep —
+    localCheckpoint upstream if hops grow past the low tens."""
+    if not seeds:
+        raise ValueError("seed_distance needs a non-empty seed list")
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    d = (nodes.filter(F.col("node").isin([str(s) for s in seeds]))
+         .select("node", F.lit(0).cast("int").alias("dist")))
+    for _ in range(max_hops):
+        step = (e.join(d, e["src"] == d["node"])
+                .select(F.col("dst").alias("node"),
+                        (F.col("dist") + 1).alias("dist")))
+        d = (d.unionByName(step)
+             .groupBy("node").agg(F.min("dist").alias("dist")))
+    return (nodes.join(d, "node", "left")
+            .select(F.col("node").alias("host"),
+                    F.coalesce("dist", F.lit(-1)).cast("int")
+                    .alias("dist")))

@@ -1143,3 +1143,34 @@ SELECT o.src AS host, o.out_edges,
          / CAST(o.out_edges AS DOUBLE) AS reciprocity
 FROM o LEFT JOIN rc ON o.src = rc.src
 """
+
+
+def _sql_seed_dist_steps(hops: int) -> str:
+    steps = []
+    for k in range(1, hops + 1):
+        steps.append(f"""d{k} AS (
+  SELECT node, CAST(min(dist) AS INT) AS dist FROM (
+    SELECT node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, d{k - 1}.dist + 1 AS dist
+    FROM e JOIN d{k - 1} ON e.src = d{k - 1}.node)
+  GROUP BY 1)""")
+    return ",\n".join(steps)
+
+
+#: twin of queries.q_seed_distance — unrolled BFS relaxation, exact ints.
+SQL_SEED_DISTANCE = f"""
+WITH e0 AS (SELECT DISTINCT {_SQL_URL_PRE % 'url'} AS src,
+                   {_sql_outlink(9)} AS dst
+            FROM {CORPUS}
+            UNION
+            SELECT DISTINCT {_SQL_URL_PRE % 'url'}, {_sql_outlink(17)}
+            FROM {CORPUS}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+d0 AS (SELECT node, CAST(0 AS INT) AS dist FROM nodes
+       WHERE node IN ({", ".join(f"'{s}'" for s in TRUST_SEEDS)})),
+{_sql_seed_dist_steps(3)}
+SELECT n.node AS host, CAST(coalesce(d3.dist, -1) AS INT) AS dist
+FROM nodes n LEFT JOIN d3 ON n.node = d3.node
+"""

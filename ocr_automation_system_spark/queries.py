@@ -4095,6 +4095,19 @@ def _synth_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                          _synth_outlink(F.col("url"), 17).alias("dst"))))
 
 
+def q_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed link-distance (X97): BFS hops from the trusted seed hosts
+    over the host graph, −1 beyond 3 hops — TrustRank's discrete
+    cousin: the horizon readout (how much of the crawl is within k
+    clicks of trust) next to the decayed-score form. Exact integers;
+    see links.seed_distance."""
+    from . import pipeline_sql as PSQL
+    from .functions import links as L
+
+    return L.seed_distance(_synth_host_edges(spark, sf_dir),
+                           list(PSQL.TRUST_SEEDS), max_hops=3)
+
+
 def q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-exchange census (X95): per host, the fraction of its
     distinct out-links that are reciprocated — organic linking is
@@ -5851,6 +5864,7 @@ REGISTRY: dict = {
     "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
     "host_reciprocity": (q_host_reciprocity, PSQL.SQL_HOST_RECIPROCITY),
+    "seed_distance": (q_seed_distance, PSQL.SQL_SEED_DISTANCE),
     "anchor_text_profile": (q_anchor_text_profile, PSQL.SQL_ANCHOR_TEXT_PROFILE),
     "host_pagerank": (q_host_pagerank, PSQL.SQL_HOST_PAGERANK),
     "host_trustrank": (q_host_trustrank, PSQL.SQL_HOST_TRUSTRANK),
@@ -5881,6 +5895,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "page_metadata", "link_edges",
     "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",
     "host_triangles", "host_cocitation", "host_reciprocity",
+    "seed_distance",
     "anchor_text_profile", "warc_roundtrip", "host_components",
     "url_features",
 })

@@ -359,3 +359,17 @@ def test_host_reciprocity_hand_graph(spark, tmp_path, monkeypatch):
     assert got["a"] == (2,) and rc.get("a", 0) == 1   # a->b reciprocated
     assert got["b"] == (1,) and rc.get("b", 0) == 1
     assert got["c"] == (0,) if "c" in got else "c" not in got  # loop gone
+
+
+def test_seed_distance_hand_graph(spark):
+    """X97: chain s -> a -> b -> c -> d with seed {s}: dists 0,1,2,3
+    and d beyond max_hops=3 reads -1; disconnected island reads -1."""
+    from ocr_automation_system_spark.functions.links import seed_distance
+
+    edges = [("s", "a"), ("a", "b"), ("b", "c"), ("c", "d"),
+             ("x", "y")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["host"]: r["dist"]
+           for r in seed_distance(df, ["s"], max_hops=3).collect()}
+    assert got == {"s": 0, "a": 1, "b": 2, "c": 3, "d": -1,
+                   "x": -1, "y": -1}
