@@ -5022,6 +5022,51 @@ FROM s GROUP BY 1
 """
 
 
+def q_chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplicate census (X98): after DOC-level dedup the
+    training export still repeats chunks (boilerplate windows, shared
+    intros) — per source: chunks, distinct chunk hashes, duplicate
+    fraction and the hottest chunk's multiplicity. Closes the loop
+    chunk_documents' chunk_md5 was designed for: one map-side census
+    over (source, chunk_md5), then a bounded per-source rollup."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = (C.chunk_documents(docs, chunk_tokens=CHUNK_TOKENS,
+                            overlap=CHUNK_OVERLAP)
+          .join(docs.select("doc_id", "source"), "doc_id"))
+    census = ch.groupBy("source", "chunk_md5").agg(
+        F.count(F.lit(1)).alias("k"))
+    return (census.groupBy("source")
+            .agg(F.sum("k").cast("long").alias("n_chunks"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.max("k").cast("long").alias("max_dup"))
+            .select("source", "n_chunks",
+                    F.col("n_distinct").cast("long").alias("n_distinct"),
+                    (F.lit(1.0) - F.col("n_distinct").cast("double")
+                     / F.col("n_chunks").cast("double")).alias("dup_frac"),
+                    "max_dup"))
+
+
+def _sql_chunk_dup_stats() -> str:
+    return f"""
+WITH ch AS ({SQL_CHUNK_DOCUMENTS}),
+j AS (SELECT d.source, ch.chunk_md5
+      FROM ch JOIN documents d USING (doc_id)),
+census AS (SELECT source, chunk_md5, CAST(count(*) AS BIGINT) AS k
+           FROM j GROUP BY 1, 2)
+SELECT source, CAST(sum(k) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(k) AS DOUBLE)
+         AS dup_frac,
+       CAST(max(k) AS BIGINT) AS max_dup
+FROM census GROUP BY 1
+"""
+
+
+SQL_CHUNK_DUP_STATS = _sql_chunk_dup_stats()
+
+
 def q_quality_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-distribution drift (X96): per-source chi-square between
     the even/odd snapshots' QUALITY histograms — the companion to the
@@ -5706,6 +5751,7 @@ REGISTRY: dict = {
     "doclen_hist_merge": (q_doclen_hist_merge, SQL_DOCLEN_HIST_MERGE),
     "length_drift_chi2": (q_length_drift_chi2, SQL_LENGTH_DRIFT_CHI2),
     "quality_drift_chi2": (q_quality_drift_chi2, SQL_QUALITY_DRIFT_CHI2),
+    "chunk_dup_stats": (q_chunk_dup_stats, SQL_CHUNK_DUP_STATS),
     "source_checksums": (q_source_checksums, SQL_SOURCE_CHECKSUMS),
     "source_delta_skiplist": (q_source_delta_skiplist,
                               SQL_SOURCE_DELTA_SKIPLIST),

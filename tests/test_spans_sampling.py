@@ -311,3 +311,29 @@ def test_epoch_write_plan_reshuffles_between_epochs(spark, sf_dir):
              for r in q_epoch_write_plan(spark, sf_dir)
              .filter("epoch = 0").collect()}
     assert again == by_ep[0]
+
+
+def test_chunk_dup_stats_counts_planted_repeats(spark, tmp_path):
+    """X98: a source whose docs repeat one chunk-sized window shows
+    dup_frac > 0 and the right max_dup; all-unique source shows 0."""
+    import os
+
+    from ocr_automation_system_spark.queries import (
+        CHUNK_TOKENS,
+        q_chunk_dup_stats,
+    )
+
+    window = " ".join(f"tok{i}" for i in range(CHUNK_TOKENS))
+    rows = ([(i, window, "en", "repeaty", 1) for i in range(5)]
+            + [(100 + i, " ".join(f"u{i}w{j}" for j in range(CHUNK_TOKENS)),
+                "en", "uniq", 1) for i in range(4)])
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long").write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    got = {r["source"]: r for r in
+           q_chunk_dup_stats(spark, str(tmp_path)).collect()}
+    rep = got["repeaty"]
+    assert rep["n_chunks"] == 5 and rep["n_distinct"] == 1
+    assert rep["max_dup"] == 5 and rep["dup_frac"] == 1.0 - 1 / 5
+    assert got["uniq"]["dup_frac"] == 0.0
