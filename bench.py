@@ -32,7 +32,7 @@ HEADLINE = (
     "usability_gate", "field_extract_chain", "quality_scores", "lang_id",
     "script_census", "host_quality_shrunk",
     "dedup_exact_groups", "minhash_lsh_pairs", "containment_pairs",
-    "lsh_tuning_table",
+    "lsh_tuning_table", "lsh_precision_hist",
     "dedup_cluster_keep", "dedup_cluster_keep_best", "host_dup_rate",
     "dedup_cluster_sizes",
     "incremental_dedup",

@@ -1708,6 +1708,35 @@ nz AS MATERIALIZED (SELECT * FROM hs WHERE len(hm) > 0)
 SQL_LSH_TUNING_TABLE = _sql_lsh_tuning()
 
 
+def q_lsh_precision_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-precision histogram (X99): the LSH band join's output
+    bucketed by exact-Jaccard decile, with the >= 0.6 verify flag —
+    together with the recall sample (FN side) and the cost table
+    (work side) this completes the banding diagnostic triangle: how
+    much of the candidate stream the verify stage throws away, and
+    from which similarity stratum. One census over the pair stream —
+    the pairs are already bounded by the banded join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, bands=4, rows_per_band=2,
+                                  cache_index=True)
+    dec = F.floor(F.round("jaccard", 6) * 10).cast("int")
+    return (pairs.select(
+        F.least(dec, F.lit(9)).alias("jaccard_decile"),
+        (F.round("jaccard", 6) >= 0.6).alias("verified"))
+        .groupBy("jaccard_decile", "verified")
+        .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+SQL_LSH_PRECISION_HIST = f"""
+WITH {_SQL_MINHASH_CTES}
+SELECT CAST(least(CAST(floor(round(jaccard, 6) * 10) AS INT), 9) AS INT)
+         AS jaccard_decile,
+       (round(jaccard, 6) >= 0.6) AS verified,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM jp GROUP BY 1, 2
+"""
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided near-containment (quote/subset) pairs — the asymmetric
     overlap resemblance-LSH misses by design. Shared-shingle equi-join
@@ -5762,6 +5791,7 @@ REGISTRY: dict = {
     "minhash_sig_merge": (q_minhash_sig_merge, SQL_MINHASH_SIG_MERGE),
     "host_mirror_pairs": (q_host_mirror_pairs, SQL_HOST_MIRROR_PAIRS),
     "lsh_tuning_table": (q_lsh_tuning_table, SQL_LSH_TUNING_TABLE),
+    "lsh_precision_hist": (q_lsh_precision_hist, SQL_LSH_PRECISION_HIST),
     "bloom_bits_merge": (q_bloom_bits_merge, SQL_BLOOM_BITS_MERGE),
     "cms_merge": (q_cms_merge, SQL_CMS_MERGE),
     "cms_source_counts": (q_cms_source_counts, SQL_CMS_SOURCE_COUNTS),
