@@ -218,3 +218,25 @@ def streaming_doclen_histogram(documents: DataFrame,
                      F.length(F.coalesce(F.col(text_col), F.lit(""))))
     return b.groupBy("octave", "sub", "bucket_lo").agg(
         F.count(F.lit(1)).alias("n"))
+
+
+def streaming_source_checksums(documents: DataFrame,
+                               id_col: str = "url",
+                               text_col: str = "text",
+                               group_col: str = "lang") -> DataFrame:
+    """Streaming twin of ``sketch.source_checksums``: the per-group
+    content attestation maintained over arriving crawl drops — state is
+    one row per group forever (count/sum/xor are all streaming-legal
+    order-independent aggregates), so every micro-batch updates the
+    "same rows" certificate the batch side compares against. Run with
+    update/complete output."""
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.col(id_col).cast("string"), F.lit(":"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))))), 1, 15),
+        16, 10).cast("long")
+    return (documents
+            .groupBy(F.col(group_col).alias(group_col))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(h.cast("decimal(38,0)")).cast("string")
+                 .alias("sum_h"),
+                 F.bit_xor(h).alias("xor_h")))

@@ -554,3 +554,48 @@ def test_streaming_doclen_histogram_matches_batch(spark, tmp_path):
         DOCUMENTS_SCHEMA)
     want = sorted(map(tuple, doclen_histogram(batch_docs).collect()))
     assert got == want and len(got) > 3
+
+
+def test_streaming_checksums_match_batch(spark, tmp_path):
+    """X100: the attestation triple maintained over two drops in
+    complete mode equals the batch checksums over the union — one
+    state row per group forever."""
+    import os
+
+    import pandas as pd
+
+    from ocr_automation_system_spark.functions.sketch import (
+        source_checksums,
+    )
+    from ocr_automation_system_spark.streaming.stream import (
+        DOCUMENTS_SCHEMA,
+        stream_documents,
+        streaming_source_checksums,
+    )
+
+    d = str(tmp_path / "drops")
+    os.makedirs(d)
+    mk = lambda i, n: [{"url": f"u{i}-{k}",
+                        "warc_ts": pd.Timestamp("2026-01-01"),
+                        "html": b"", "text": f"body {i} {k}",
+                        "lang": "en" if k % 2 else "de"}
+                       for k in range(n)]
+    for i in range(2):
+        df = pd.DataFrame(mk(i, 30))
+        df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
+        df.to_parquet(os.path.join(d, f"drop{i}.parquet"))
+
+    q = (streaming_source_checksums(
+            stream_documents(spark, d, max_files_per_trigger=1))
+         .writeStream.format("memory").queryName("cksum_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple,
+                     spark.sql("SELECT * FROM cksum_stream").collect()))
+
+    batch_docs = spark.createDataFrame(
+        pd.concat([pd.DataFrame(mk(0, 30)), pd.DataFrame(mk(1, 30))]),
+        DOCUMENTS_SCHEMA)
+    want = sorted(map(tuple, source_checksums(
+        batch_docs, id_col="url", group_col="lang").collect()))
+    assert got == want and len(got) == 2
