@@ -814,6 +814,44 @@ FROM c
 SQL_SCRIPT_CENSUS = _sql_script_census()
 
 
+def q_lang_id_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confidence (X101): the stopword-profile scores'
+    top-1 vs top-2 margin — the gate multilingual pipelines apply
+    before trusting a prediction (margin 0 = ambiguous, route to the
+    heavier classifier; the reference heuristic stays JVM-side and
+    exact-integer). confident = margin >= 2 AND best >= 3 hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("text"))
+    arr = F.array_sort(F.array(*scores.values()))
+    best = F.element_at(arr, 4)
+    second = F.element_at(arr, 3)
+    return docs.select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang_pred"),
+        best.cast("long").alias("best_score"),
+        second.cast("long").alias("second_score"),
+        (best - second).cast("long").alias("margin"),
+        ((best - second >= 2) & (best >= 3)).alias("confident"))
+
+
+def _sql_lang_margin() -> str:
+    ss = [_sql_lang_score(words) for _, words in T.LANG_PROFILES]
+    arr = "list_sort([" + ", ".join(
+        f"CAST({s} AS BIGINT)" for s in ss) + "])"
+    return f"""
+WITH s AS (SELECT doc_id, CASE {_LANG_CASES} ELSE 'und' END AS lang_pred,
+                  {arr} AS a
+           FROM documents)
+SELECT doc_id, lang_pred,
+       a[4] AS best_score, a[3] AS second_score,
+       a[4] - a[3] AS margin,
+       (a[4] - a[3] >= 2 AND a[4] >= 3) AS confident
+FROM s
+"""
+
+
+SQL_LANG_ID_MARGIN = _sql_lang_margin()
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -5752,6 +5790,7 @@ REGISTRY: dict = {
                                 SQL_BENCHMARK_CONTAMINATION),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "script_census": (q_script_census, SQL_SCRIPT_CENSUS),
+    "lang_id_margin": (q_lang_id_margin, SQL_LANG_ID_MARGIN),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     # corpus-trained unigram LM quality (CCNet-style, two-phase)
     "lm_token_census": (q_lm_token_census, SQL_LM_TOKEN_CENSUS),

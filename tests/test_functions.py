@@ -1252,3 +1252,29 @@ def test_lsh_tuning_table_monotone_cost(spark, sf_dir):
                     bt.groupBy("band", "sig").count()
                     .withColumnRenamed("count", "n").collect())))
     assert got[2]["collision_pairs"] == brute
+
+
+def test_lang_id_margin_confidence(spark):
+    """X101: unambiguous English gets a wide margin; mixed en/es text
+    is low-margin and unconfident; empty text has all-zero scores."""
+    from ocr_automation_system_spark.queries import q_lang_id_margin
+
+    import os
+    import tempfile
+
+    rows = [
+        (1, "the cat and the dog of a man that is in a house", "en",
+         "s", 1),
+        (2, "the el and la of que", "en", "s", 1),
+        (3, "", "en", "s", 1),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long").write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r for r in q_lang_id_margin(spark, d).collect()}
+    assert got[1]["lang_pred"] == "en" and got[1]["confident"]
+    assert got[1]["margin"] >= 2
+    assert not got[2]["confident"] and got[2]["margin"] <= 1
+    assert got[3]["best_score"] == 0 and not got[3]["confident"]
