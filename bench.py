@@ -71,6 +71,7 @@ HEADLINE = (
     "cms_source_counts", "cms_merge",
     "doclen_histogram", "doclen_quantiles", "doclen_hist_merge",
     "length_drift_chi2", "quality_drift_chi2",
+    "source_vocab_divergence",
     "source_checksums", "source_delta_skiplist",
     "token_postings", "postings_merge", "postings_takedown",
     "token_df_delta",

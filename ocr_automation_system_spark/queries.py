@@ -5198,6 +5198,78 @@ GROUP BY 1, 2, 3
 SQL_QUALITY_DRIFT_CHI2 = _sql_quality_drift()
 
 
+def q_source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary divergence (X102): per-source chi-square distance
+    between the source's hashed-token-bucket distribution (256 md5
+    buckets — bounded census, no vocabulary join) and the WHOLE
+    corpus's — the outlier-source detector (spam, non-language, wrong
+    charset) that needs no trained model; DSIR's distribution-level
+    sibling. Reuses the X81 fold verbatim by shipping the global
+    census as each source's comparison side."""
+    from .functions import sketch as SK
+    from .functions.lm import tokens_lower
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(tokens_lower(F.col("text"))).alias("token"))
+    bucket = (F.conv(F.substring(F.md5("token"), 1, 2), 16, 10)
+              .cast("int"))
+    ha = (toks.select("source", F.lit(0).alias("octave"),
+                      bucket.alias("sub"))
+          .groupBy("source", "octave", "sub")
+          .agg(F.count(F.lit(1)).alias("n")))
+    glob = (ha.groupBy("octave", "sub")
+            .agg(F.sum("n").alias("n")))
+    hb = (ha.select("source").distinct()
+          .crossJoin(F.broadcast(glob))
+          .select("source", "octave", "sub", "n"))
+    return SK.histogram_drift_chi2(ha, hb)
+
+
+def _sql_vocab_divergence() -> str:
+    from .functions.lm import TOKEN_RE
+
+    return f"""
+WITH toks AS (SELECT source, unnest(regexp_extract_all(lower(
+         coalesce(text, '')), '{TOKEN_RE}')) AS token FROM documents),
+ha AS (SELECT source, 0 AS octave,
+              CAST(CAST(concat('0x', substr(md5(token), 1, 2)) AS BIGINT)
+                   AS INT) AS sub,
+              CAST(count(*) AS BIGINT) AS n
+       FROM toks GROUP BY 1, 2, 3),
+gl AS (SELECT octave, sub, CAST(sum(n) AS BIGINT) AS n
+       FROM ha GROUP BY 1, 2),
+hb AS (SELECT s.source, g.octave, g.sub, g.n
+       FROM (SELECT DISTINCT source FROM ha) s CROSS JOIN gl g),
+j AS (SELECT source, octave, sub,
+             coalesce(ha.n, 0) AS n_a, coalesce(hb.n, 0) AS n_b
+      FROM ha FULL JOIN hb USING (source, octave, sub)),
+tot AS (SELECT source, CAST(sum(n_a) AS BIGINT) AS total_a,
+               CAST(sum(n_b) AS BIGINT) AS total_b
+        FROM j GROUP BY 1),
+terms AS (SELECT j.source, j.octave, j.sub,
+            CASE WHEN total_a > 0
+                 THEN CAST(n_a AS DOUBLE) / CAST(total_a AS DOUBLE)
+                 ELSE 0.0 END AS pa,
+            CASE WHEN total_b > 0
+                 THEN CAST(n_b AS DOUBLE) / CAST(total_b AS DOUBLE)
+                 ELSE 0.0 END AS pb
+          FROM j JOIN tot USING (source))
+SELECT t.source, tot.total_a, tot.total_b,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(((pa - pb) * (pa - pb)) / (pa + pb)
+                                     ORDER BY t.octave, t.sub)),
+                   (a, b) -> a + b) AS chi2
+FROM terms t JOIN tot USING (source)
+GROUP BY 1, 2, 3
+"""
+
+
+SQL_SOURCE_VOCAB_DIVERGENCE = _sql_vocab_divergence()
+
+
 def q_source_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-checksum attestation (X82): per-source order-independent
     (n_docs, sum, xor) folds over 60-bit md5 row digests — the
@@ -5819,6 +5891,8 @@ REGISTRY: dict = {
     "doclen_hist_merge": (q_doclen_hist_merge, SQL_DOCLEN_HIST_MERGE),
     "length_drift_chi2": (q_length_drift_chi2, SQL_LENGTH_DRIFT_CHI2),
     "quality_drift_chi2": (q_quality_drift_chi2, SQL_QUALITY_DRIFT_CHI2),
+    "source_vocab_divergence": (q_source_vocab_divergence,
+                                SQL_SOURCE_VOCAB_DIVERGENCE),
     "chunk_dup_stats": (q_chunk_dup_stats, SQL_CHUNK_DUP_STATS),
     "source_checksums": (q_source_checksums, SQL_SOURCE_CHECKSUMS),
     "source_delta_skiplist": (q_source_delta_skiplist,

@@ -715,3 +715,28 @@ def test_quality_drift_detects_planted_shift(spark, tmp_path):
            q_quality_drift_chi2(spark, str(tmp_path)).collect()}
     assert got["steady"]["chi2"] == 0.0
     assert got["shifty"]["chi2"] == 2.0   # disjoint quality buckets
+
+
+def test_vocab_divergence_flags_outlier_source(spark, tmp_path):
+    """X102: a source of md5-gibberish tokens diverges far more from
+    the corpus distribution than sources of ordinary shared-vocab
+    text."""
+    import hashlib
+    import os
+
+    from ocr_automation_system_spark.queries import (
+        q_source_vocab_divergence,
+    )
+
+    normal = "the quick brown fox jumps over the lazy dog again"
+    gib = lambda i: " ".join(
+        hashlib.md5(f"{i}:{k}".encode()).hexdigest() for k in range(12))
+    rows = ([(i, normal, "en", f"ok{i % 3}", 1) for i in range(30)]
+            + [(100 + i, gib(i), "en", "weird", 1) for i in range(10)])
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long").write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    got = {r["source"]: r["chi2"] for r in
+           q_source_vocab_divergence(spark, str(tmp_path)).collect()}
+    assert got["weird"] > max(got[f"ok{k}"] for k in range(3)) * 2
