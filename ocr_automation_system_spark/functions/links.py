@@ -505,3 +505,101 @@ def seed_distance(edges: DataFrame, seeds: list, max_hops: int = 3,
             .select(F.col("node").alias("host"),
                     F.coalesce("dist", F.lit(-1)).cast("int")
                     .alias("dist")))
+
+
+def hyperball(edges: DataFrame, max_t: int = 3,
+              src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the per-node neighborhood
+    function N(v, t) = |{w : dist(v, w) <= t}| for every node at once,
+    estimated by maintaining one HyperLogLog counter per node and
+    merging each node's counter with its out-neighbors' counters once
+    per round. Returns (host, t, n_registers, est_raw) for t = 0..max_t.
+
+    This is THE way to get all-nodes distance statistics out of a
+    10^8-host web graph — exact all-pairs BFS is O(n*m) and dead on
+    arrival, while HyperBall is ``max_t`` rounds of (edges ⋈ registers)
+    + a map-side-combinable ``max`` groupBy, the same shuffle shape as
+    the PageRank iteration above. Common Crawl publishes exactly this
+    readout (harmonic centrality per host per crawl; see
+    ``harmonic_from_hyperball``).
+
+    Determinism contract, matching ``sketch.hll_cardinality``: registers
+    are pure functions of ``md5(node)`` (j = first byte, rank = leading
+    zeros of the next 60 bits + 1), the estimator fold sums
+    ``pow(2, -r)`` (exact powers of two) over registers sorted by j, and
+    the raw Flajolet estimator is spelled as the same literal arithmetic
+    in the DuckDB twin — no corrections, no RNG, bit-exact under any
+    partitioning.
+
+    Scale shape: the register table holds <= min(m, |B(v,t)|) rows per
+    node (m = 256), so the working set is <= 256x nodes whatever the
+    edge count; the per-round merge groupBy(node, j) combines map-side,
+    absorbing hub fan-in exactly like ``seed_distance``'s min-combine.
+    Lineage grows one join + one agg per round — localCheckpoint the
+    register table every ~8 rounds if chasing the full diameter."""
+    from .sketch import HLL_M, hll_register_table
+
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    regs = (hll_register_table(nodes, "node", item=F.md5(F.col("node")))
+            .select(F.col("grp").alias("node"), "j", "r"))
+
+    alpha_m2 = ((0.7213 / (1.0 + 1.079 / float(HLL_M)))
+                * float(HLL_M) * float(HLL_M))
+
+    def _estimate(reg: DataFrame, t: int) -> DataFrame:
+        folded = (reg.groupBy("node")
+                  .agg(F.count(F.lit(1)).alias("n_registers"),
+                       F.aggregate(
+                           F.sort_array(F.collect_list(F.struct("j", "r"))),
+                           F.lit(0.0),
+                           lambda acc, x: acc + F.pow(F.lit(2.0), -x["r"]))
+                       .alias("_s")))
+        return folded.select(
+            F.col("node").alias("host"),
+            F.lit(t).cast("int").alias("t"),
+            F.col("n_registers").cast("long").alias("n_registers"),
+            (F.lit(alpha_m2)
+             / (F.col("_s")
+                + (F.lit(HLL_M) - F.col("n_registers")).cast("double")))
+            .alias("est_raw"))
+
+    out = _estimate(regs, 0)
+    for t in range(1, max_t + 1):
+        regs = regs.persist()
+        pulled = (e.join(regs, e["dst"] == regs["node"])
+                  .select(e["src"].alias("node"), "j", "r"))
+        regs = (regs.unionByName(pulled)
+                .groupBy("node", "j").agg(F.max("r").alias("r")))
+        out = out.unionByName(_estimate(regs, t))
+    return out
+
+
+def harmonic_from_hyperball(balls: DataFrame) -> DataFrame:
+    """Approximate harmonic centrality from a ``hyperball`` table:
+    H(v) = sum over t >= 1 of (N(v, t) - N(v, t-1)) / t — each shell's
+    estimated size discounted by its distance (Boldi & Vigna 2014 use
+    exactly this telescoping readout of the HyperBall counters; it is
+    the centrality Common Crawl ships per host).
+
+    One self-join on (host, t = t-1) + a sorted-fold sum per host, so
+    the double is a deterministic value sequence (shells summed in t
+    order) — bit-exact vs the twin. Negative shell deltas (possible
+    when the raw estimator wobbles between rounds) are kept as-is:
+    clamping would hide estimator drift the diagnostic exists to show."""
+    cur = balls.select("host", "t", F.col("est_raw").alias("n_t"))
+    prev = balls.select("host", (F.col("t") + 1).alias("t"),
+                        F.col("est_raw").alias("n_prev"))
+    shells = (cur.join(prev, ["host", "t"])
+              .select("host", "t",
+                      ((F.col("n_t") - F.col("n_prev"))
+                       / F.col("t").cast("double")).alias("shell")))
+    return (shells.groupBy("host")
+            .agg(F.max("t").cast("int").alias("max_t"),
+                 F.aggregate(
+                     F.sort_array(F.collect_list(F.struct("t", "shell"))),
+                     F.lit(0.0),
+                     lambda acc, x: acc + x["shell"]).alias("harmonic")))

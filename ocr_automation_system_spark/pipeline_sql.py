@@ -1174,3 +1174,92 @@ d0 AS (SELECT node, CAST(0 AS INT) AS dist FROM nodes
 SELECT n.node AS host, CAST(coalesce(d3.dist, -1) AS INT) AS dist
 FROM nodes n LEFT JOIN d3 ON n.node = d3.node
 """
+
+
+def _sql_hll_rank_links(st: str) -> str:
+    """1 + leading-zero bits of the 60-bit hex tail (61 if empty) —
+    same nibble CASE as the sketch-tier twin, local to avoid a
+    circular import with queries.py."""
+    first = f"substr({st}, 1, 1)"
+    return f"""CASE WHEN {st} = '' THEN 61
+    ELSE 4 * (15 - length({st}))
+         + CASE WHEN {first} IN ('8','9','a','b','c','d','e','f') THEN 0
+                WHEN {first} IN ('4','5','6','7') THEN 1
+                WHEN {first} IN ('2','3') THEN 2
+                ELSE 3 END
+         + 1 END"""
+
+
+_SQL_HLL_ALPHA = "0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0"
+
+
+def _sql_hyperball_ctes(max_t: int) -> str:
+    """Shared CTE chain for the HyperBall twins: distinct synthetic
+    host edges -> per-node singleton HLL registers (r0) -> ``max_t``
+    merge rounds (r1..r{max_t}) -> per-round raw estimates (est0..)."""
+    parts = [f"""e0 AS (SELECT DISTINCT {_SQL_URL_PRE % 'url'} AS src,
+                   {_sql_outlink(9)} AS dst
+            FROM {CORPUS}
+            UNION
+            SELECT DISTINCT {_SQL_URL_PRE % 'url'}, {_sql_outlink(17)}
+            FROM {CORPUS}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+hh AS (SELECT node, md5(node) AS h FROM nodes),
+tt AS (SELECT node, CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS j,
+              ltrim(substr(h, 3, 15), '0') AS st
+       FROM hh),
+r0 AS (SELECT node, j, max({_sql_hll_rank_links('st')}) AS r
+       FROM tt GROUP BY 1, 2)"""]
+    for t in range(1, max_t + 1):
+        parts.append(f"""r{t} AS (
+  SELECT node, j, max(r) AS r FROM (
+    SELECT node, j, r FROM r{t - 1}
+    UNION ALL
+    SELECT e.src AS node, r{t - 1}.j, r{t - 1}.r
+    FROM e JOIN r{t - 1} ON r{t - 1}.node = e.dst)
+  GROUP BY 1, 2)""")
+    for t in range(0, max_t + 1):
+        parts.append(f"""est{t} AS (
+  SELECT node AS host, CAST({t} AS INT) AS t,
+         CAST(count(*) AS BIGINT) AS n_registers,
+         {_SQL_HLL_ALPHA}
+           / (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                       list(pow(2.0, -r) ORDER BY j)),
+                          (a, b) -> a + b)
+              + CAST(256 - count(*) AS DOUBLE)) AS est_raw
+  FROM r{t} GROUP BY node)""")
+    return ",\n".join(parts)
+
+
+#: twin of queries.q_host_hyperball — unrolled HyperBall rounds; the
+#: register merge is max-per-(node, j) exactly as links.hyperball, and
+#: the estimator fold lists pow(2, -r) in j order (exact powers of two,
+#: deterministic sum order -> bit-exact doubles).
+SQL_HOST_HYPERBALL = f"""
+WITH {_sql_hyperball_ctes(3)}
+SELECT * FROM est0
+UNION ALL SELECT * FROM est1
+UNION ALL SELECT * FROM est2
+UNION ALL SELECT * FROM est3
+"""
+
+#: twin of queries.q_host_harmonic — telescoping shell readout of the
+#: HyperBall table: H(v) = sum_t (N(t) - N(t-1)) / t, shells summed in
+#: t order via the same list fold the Spark side runs.
+SQL_HOST_HARMONIC = f"""
+WITH {_sql_hyperball_ctes(3)},
+balls AS (SELECT * FROM est0
+          UNION ALL SELECT * FROM est1
+          UNION ALL SELECT * FROM est2
+          UNION ALL SELECT * FROM est3),
+shells AS (SELECT c.host, c.t,
+                  (c.est_raw - p.est_raw) / CAST(c.t AS DOUBLE) AS shell
+           FROM balls c JOIN balls p
+             ON c.host = p.host AND p.t = c.t - 1)
+SELECT host, CAST(max(t) AS INT) AS max_t,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(shell ORDER BY t)),
+                   (a, b) -> a + b) AS harmonic
+FROM shells GROUP BY host
+"""

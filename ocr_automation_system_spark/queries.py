@@ -4226,6 +4226,31 @@ def q_host_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
                               max_fanin=1000)
 
 
+def q_host_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function (X103): per-host HLL-estimated
+    ball sizes N(host, t) for t = 0..3 over the cross-host graph —
+    all-nodes distance statistics in ``max_t`` register-merge rounds
+    instead of an O(n·m) all-pairs BFS (Boldi & Vigna 2013; the
+    machinery behind Common Crawl's per-host harmonic centrality).
+    Registers are pure md5 functions, folds j-ordered; see
+    links.hyperball for the bit-exactness + shuffle-shape notes."""
+    from .functions import links as L
+
+    return L.hyperball(_synth_host_edges(spark, sf_dir), max_t=3)
+
+
+def q_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate harmonic centrality (X104): the telescoping shell
+    readout H(v) = Σ_t (N(v,t) − N(v,t−1))/t of the X103 HyperBall
+    table — the host-quality centrality next to PageRank/TrustRank,
+    computable without ever materializing pairwise distances; see
+    links.harmonic_from_hyperball."""
+    from .functions import links as L
+
+    return L.harmonic_from_hyperball(
+        L.hyperball(_synth_host_edges(spark, sf_dir), max_t=3))
+
+
 def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-shape filter features over the raw crawl (host, TLD, path
     depth, query params, digit-path flag, length) — the pre-fetch
@@ -6060,6 +6085,8 @@ REGISTRY: dict = {
     "host_hits": (q_host_hits, PSQL.SQL_HOST_HITS),
     "host_triangles": (q_host_triangles, PSQL.SQL_HOST_TRIANGLES),
     "host_cocitation": (q_host_cocitation, PSQL.SQL_HOST_COCITATION),
+    "host_hyperball": (q_host_hyperball, PSQL.SQL_HOST_HYPERBALL),
+    "host_harmonic": (q_host_harmonic, PSQL.SQL_HOST_HARMONIC),
     "host_components": (q_host_components, PSQL.SQL_HOST_COMPONENTS),
     "url_features": (q_url_features, PSQL.SQL_URL_FEATURES),
     # WARC sink+source roundtrip (Common-Crawl wire format)
@@ -6084,7 +6111,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "page_metadata", "link_edges",
     "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",
     "host_triangles", "host_cocitation", "host_reciprocity",
-    "seed_distance",
+    "seed_distance", "host_hyperball", "host_harmonic",
     "anchor_text_profile", "warc_roundtrip", "host_components",
     "url_features",
 })

@@ -373,3 +373,88 @@ def test_seed_distance_hand_graph(spark):
            for r in seed_distance(df, ["s"], max_hops=3).collect()}
     assert got == {"s": 0, "a": 1, "b": 2, "c": 3, "d": -1,
                    "x": -1, "y": -1}
+
+
+def _exact_hll_registers(items):
+    """Exact (j, r) register map of a set of node ids, the HLL contract
+    replayed in pure Python: j = first md5 byte, r = 1 + leading zero
+    bits of the next 60 bits (61 if zero)."""
+    import hashlib
+
+    regs = {}
+    for it in items:
+        h = hashlib.md5(it.encode()).hexdigest()
+        j = int(h[:2], 16)
+        tail = h[2:17].lstrip("0")
+        if not tail:
+            r = 61
+        else:
+            lz = {"8": 0, "9": 0, "a": 0, "b": 0, "c": 0, "d": 0,
+                  "e": 0, "f": 0, "4": 1, "5": 1, "6": 1, "7": 1,
+                  "2": 2, "3": 2, "1": 3}[tail[0]]
+            r = 4 * (15 - len(tail)) + lz + 1
+        regs[j] = max(regs.get(j, 0), r)
+    return regs
+
+
+def _exact_ball_estimate(items):
+    """Raw Flajolet estimate the hyperball contract pins, replayed over
+    the exact ball membership."""
+    regs = _exact_hll_registers(items)
+    s = 0.0
+    for j in sorted(regs):
+        s += 2.0 ** -regs[j]
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+    return alpha_m2 / (s + (256 - len(regs)))
+
+
+def test_hyperball_matches_exact_balls_on_hand_graph(spark):
+    """On a graph small enough for exact BFS, every (host, t) estimate
+    must equal the raw HLL estimate of the TRUE ball membership — the
+    register-merge rounds lose nothing vs materializing the balls."""
+    from ocr_automation_system_spark.functions.links import hyperball
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"),  # 3-chain
+             ("e", "f"), ("f", "e")]              # 2-cycle, disconnected
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r["host"], r["t"]): (r["n_registers"], r["est_raw"])
+           for r in hyperball(e, max_t=3).collect()}
+
+    nodes = sorted({n for ed in edges for n in ed})
+    assert set(got) == {(n, t) for n in nodes for t in range(4)}
+    for n in nodes:
+        ball = {n}
+        for t in range(4):
+            n_regs, est = got[(n, t)]
+            assert n_regs == len(_exact_hll_registers(ball))
+            assert est == pytest.approx(_exact_ball_estimate(ball),
+                                        abs=0.0)
+            ball = ball | {w for v in ball for w in adj.get(v, ())}
+    # estimates are monotone in t (registers only grow)
+    for n in nodes:
+        for t in range(3):
+            assert got[(n, t + 1)][1] >= got[(n, t)][1]
+
+
+def test_harmonic_from_hyperball_telescopes(spark):
+    """harmonic = sum of (N(t) - N(t-1)) / t over the returned shells;
+    a sink node (constant ball) gets exactly 0.0."""
+    from ocr_automation_system_spark.functions.links import (
+        harmonic_from_hyperball, hyperball,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"), ("f", "e")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    balls = hyperball(e, max_t=3)
+    est = {(r["host"], r["t"]): r["est_raw"] for r in balls.collect()}
+    got = {r["host"]: (r["max_t"], r["harmonic"])
+           for r in harmonic_from_hyperball(balls).collect()}
+    for host in {h for h, _ in est}:
+        want = sum((est[(host, t)] - est[(host, t - 1)]) / t
+                   for t in range(1, 4))
+        assert got[host][0] == 3
+        assert got[host][1] == pytest.approx(want, rel=1e-12)
+    assert got["d"][1] == 0.0  # sink: ball never grows
