@@ -63,7 +63,8 @@ HEADLINE = (
     "warc_roundtrip",
     "bpe_merge_candidates", "bpe_merges", "bpe_fertility",
     "lm_perplexity_buckets", "bigram_backoff_scores", "doc_length_profile",
-    "duplicate_spans", "stratified_sample", "chunk_documents",
+    "duplicate_spans", "stratified_sample", "priority_sample",
+    "chunk_documents",
     "chunk_dup_stats",
     "alpha_mixture_rates", "alpha_sample",
     "hll_source_cardinality", "hll_merge", "bloom_dedup_census",

@@ -721,3 +721,67 @@ def compression_ratios(df: DataFrame, url_col: str = "url",
                  zip(pdf[url_col], pdf[text_col])])
 
     return df.select(*cols).mapInPandas(_batches, COMPRESSION_SCHEMA)
+
+
+#: priority-sample weight buckets: weights are snapped DOWN to powers
+#: of two, exponents clamped to [0, 20] (2^20 ~ 1M tokens — past any
+#: real document).
+PRIORITY_E_MAX = 20
+
+
+def priority_sample(df: DataFrame, k: int = 100,
+                    weight: Column | None = None,
+                    id_col: str = "doc_id",
+                    source_col: str = "source") -> DataFrame:
+    """Weighted sampling WITHOUT replacement in one pass (Efraimidis &
+    Spirakis 2006, algorithm A-ES): give each row the priority key
+    ``u^(1/w)`` — u uniform in (0,1], w the row's weight — and keep the
+    k largest keys. That k-set is distributed exactly as sequential
+    weighted draws without replacement, which is how you pull a
+    quality- or length-weighted eval slice out of a 10^12-row corpus
+    in ONE scan with no per-row state and no rejection loop.
+
+    Determinism + cross-engine bit-exactness (no RNG, no libm ``pow``):
+
+    * u = (52-bit md5 slice + 1) / 2^52 — an exact dyadic rational;
+    * w is snapped down to a power of two 2^e (e = bit_length - 1, an
+      exact integer-string op), so u^(1/2^e) is e applications of
+      ``sqrt`` — the one fractional power IEEE-754 requires correctly
+      rounded, hence bit-identical in Spark and DuckDB. Sub-2x weight
+      resolution is immaterial for corpus sampling and buys an exact
+      contract (the ``alpha_sampling_rates`` lesson: ``pow`` is a
+      documented 1-ulp hazard, sqrt is not).
+
+    Scale shape: the key is a narrow codegen projection (md5 + a
+    21-slot sqrt array + element_at); the global top-k is
+    TakeOrderedAndProject — per-partition heaps of size k merged on the
+    driver, no corpus sort, no shuffle of non-survivors. Default
+    weight: whitespace token count (length-weighted sampling — the
+    token-budget builder's natural draw)."""
+    from .text import ws_token_count
+
+    w = (weight if weight is not None
+         else ws_token_count(F.col("text")))
+    w = F.greatest(w.cast("long"), F.lit(1).cast("long"))
+    e = F.least(F.length(F.conv(w.cast("string"), 10, 2)) - 1,
+                F.lit(PRIORITY_E_MAX))
+    v = F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":ps"))),
+        1, 13), 16, 10).cast("long")
+    u = (v + F.lit(1)).cast("double") / F.lit(float(2 ** 52))
+    chain = [u]
+    for _ in range(PRIORITY_E_MAX):
+        chain.append(F.sqrt(chain[-1]))
+    key = F.element_at(F.array(*chain), e.cast("int") + 1)
+    ranked = (df.select(F.col(id_col),
+                        F.col(source_col),
+                        w.alias("weight"),
+                        F.pow(F.lit(2.0), e.cast("double"))
+                        .cast("long").alias("weight_bucket"),
+                        key.alias("priority"))
+              .orderBy(F.col("priority").desc(), F.col(id_col))
+              .limit(int(k)))
+    win = Window.orderBy(F.col("priority").desc(), F.col(id_col))
+    return ranked.select(
+        id_col, source_col, "weight", "weight_bucket", "priority",
+        F.row_number().over(win).cast("int").alias("rank"))

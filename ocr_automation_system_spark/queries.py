@@ -1501,6 +1501,52 @@ WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
 """
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (X105): Efraimidis–
+    Spirakis A-ES priority keys u^(1/w) with w = token count snapped
+    to a power of two, so the fractional power is a chain of
+    correctly-rounded sqrts (bit-exact cross-engine, no RNG, no pow).
+    One scan + TakeOrdered top-k; see curation.priority_sample."""
+    from .functions import curation as C
+
+    return C.priority_sample(load_table(spark, sf_dir, "documents"),
+                             k=50)
+
+
+def _sql_priority_sample(k: int) -> str:
+    from .functions.curation import PRIORITY_E_MAX
+
+    chain = ["u"]
+    for _ in range(PRIORITY_E_MAX):
+        chain.append(f"sqrt({chain[-1]})")
+    return f"""
+WITH w0 AS (
+  SELECT doc_id, source,
+         greatest(CAST(len({_sql_toks('text')}) AS BIGINT),
+                  CAST(1 AS BIGINT)) AS weight
+  FROM documents),
+u0 AS (
+  SELECT *, least(length(bin(weight)) - 1, {PRIORITY_E_MAX}) AS e,
+         (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':ps'),
+                                   1, 13)) AS BIGINT) + 1)
+           / CAST(4503599627370496 AS DOUBLE) AS u
+  FROM w0),
+k0 AS (
+  SELECT doc_id, source, weight,
+         CAST(pow(2.0, CAST(e AS DOUBLE)) AS BIGINT) AS weight_bucket,
+         list_extract([{", ".join(chain)}], CAST(e AS INT) + 1)
+           AS priority
+  FROM u0)
+SELECT doc_id, source, weight, weight_bucket, priority,
+       CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS INT)
+         AS rank
+FROM k0 ORDER BY priority DESC, doc_id LIMIT {k}
+"""
+
+
+SQL_PRIORITY_SAMPLE = _sql_priority_sample(50)
+
+
 def q_alpha_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based (alpha=0.5) acceptance rates per language — the
     mT5/XLM-R mixture computed FROM the corpus census rather than handed
@@ -5871,6 +5917,7 @@ REGISTRY: dict = {
                             SQL_HOST_QUALITY_SHRUNK),
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "alpha_mixture_rates": (q_alpha_mixture_rates, SQL_ALPHA_MIXTURE_RATES),
     "alpha_sample": (q_alpha_sample, SQL_ALPHA_SAMPLE),
     "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),

@@ -337,3 +337,68 @@ def test_chunk_dup_stats_counts_planted_repeats(spark, tmp_path):
     assert rep["n_chunks"] == 5 and rep["n_distinct"] == 1
     assert rep["max_dup"] == 5 and rep["dup_frac"] == 1.0 - 1 / 5
     assert got["uniq"]["dup_frac"] == 0.0
+
+
+def _aes_key(doc_id: int, n_tokens: int):
+    """Pure-Python replay of the priority_sample key contract."""
+    import hashlib
+    import math
+
+    w = max(n_tokens, 1)
+    e = min(w.bit_length() - 1, 20)
+    h = hashlib.md5(f"{doc_id}:ps".encode()).hexdigest()
+    u = (int(h[:13], 16) + 1) / 2.0 ** 52
+    for _ in range(e):
+        u = math.sqrt(u)
+    return u, 2 ** e, max(n_tokens, 1)
+
+
+def test_priority_sample_key_math_exact(spark):
+    """Every returned (weight, weight_bucket, priority) must equal the
+    pure-Python replay bit-for-bit — sqrt chains and dyadic u leave no
+    rounding slack."""
+    from ocr_automation_system_spark.functions.curation import (
+        priority_sample,
+    )
+
+    rows = [(1, "a", "one two three"),          # w=3  -> bucket 2
+            (2, "a", ""),                        # w=1  -> bucket 1
+            (3, "b", " ".join(["t"] * 1500)),    # w=1500 -> bucket 1024
+            (4, "b", "solo")]                    # w=1  -> bucket 1
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r["doc_id"]: r for r in priority_sample(df, k=10).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for doc_id, _src, text in rows:
+        n = len(text.split()) if text.split() else 0
+        key, bucket, w = _aes_key(doc_id, n)
+        assert got[doc_id]["weight"] == w
+        assert got[doc_id]["weight_bucket"] == bucket
+        assert got[doc_id]["priority"] == key  # exact, not approx
+    # ranks are 1..n in strict priority order
+    ranked = sorted(got.values(), key=lambda r: r["rank"])
+    keys = [r["priority"] for r in ranked]
+    assert keys == sorted(keys, reverse=True)
+    assert [r["rank"] for r in ranked] == [1, 2, 3, 4]
+
+
+def test_priority_sample_takes_k_without_replacement(spark):
+    """k < n returns exactly k distinct ids — the k largest keys — and
+    heavier rows win in aggregate (monotone weighting sanity)."""
+    from ocr_automation_system_spark.functions.curation import (
+        priority_sample,
+    )
+
+    heavy = [(i, "heavy", " ".join(["t"] * 4000)) for i in range(40)]
+    light = [(i, "light", "t") for i in range(40, 80)]
+    df = spark.createDataFrame(heavy + light, ["doc_id", "source", "text"])
+    out = priority_sample(df, k=20).collect()
+    assert len(out) == 20
+    assert len({r["doc_id"] for r in out}) == 20
+    n_heavy = sum(r["source"] == "heavy" for r in out)
+    # weight ratio 4096:1 -> heavy docs dominate the top-k
+    assert n_heavy >= 16
+    # and the cut really is the k largest keys over the full frame
+    all_keys = sorted((r["priority"] for r in
+                       priority_sample(df, k=80).collect()),
+                      reverse=True)
+    assert min(r["priority"] for r in out) == all_keys[19]
