@@ -1792,6 +1792,49 @@ nz AS MATERIALIZED (SELECT * FROM hs WHERE len(hm) > 0)
 SQL_LSH_TUNING_TABLE = _sql_lsh_tuning()
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split leakage audit (X107): near-duplicate pairs that
+    CROSS the split boundary — the held-out set silently memorized via
+    a near-copy in train is the classic eval-inflation bug
+    decontamination (X12) doesn't catch (it guards external
+    benchmarks, not the pipeline's own split). Pairs from the pinned
+    LSH->exact-Jaccard ladder at >= 0.5; the split label is projected
+    straight onto the pair table as the md5-bucket arithmetic (the
+    split IS a pure function of doc_id), so the audit adds ZERO joins
+    and zero shuffles beyond the pair stream itself."""
+    from .functions.curation import split_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, bands=4, rows_per_band=2,
+                                  cache_index=True)
+
+    def _split(col: str) -> Column:
+        return (F.when(split_bucket(F.col(col)) < 100, F.lit("val"))
+                .otherwise(F.lit("train")))
+
+    return (pairs.filter(F.round("jaccard", 6) >= 0.5)
+            .select("doc_a", "doc_b",
+                    F.round("jaccard", 6).alias("jaccard"),
+                    _split("doc_a").alias("split_a"),
+                    _split("doc_b").alias("split_b"))
+            .filter(F.col("split_a") != F.col("split_b")))
+
+
+_SQL_SPLIT_OF = ("CASE WHEN CAST(concat('0x', substr(md5(CAST(%s AS "
+                 "VARCHAR)), 1, 8)) AS BIGINT) %% 1000 < 100 "
+                 "THEN 'val' ELSE 'train' END")
+
+SQL_SPLIT_LEAKAGE = f"""
+WITH {_SQL_MINHASH_CTES}
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard,
+       {_SQL_SPLIT_OF % 'doc_a'} AS split_a,
+       {_SQL_SPLIT_OF % 'doc_b'} AS split_b
+FROM jp
+WHERE round(jaccard, 6) >= 0.5
+  AND {_SQL_SPLIT_OF % 'doc_a'} <> {_SQL_SPLIT_OF % 'doc_b'}
+"""
+
+
 def q_lsh_precision_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-precision histogram (X99): the LSH band join's output
     bucketed by exact-Jaccard decile, with the >= 0.6 verify flag —
@@ -2297,6 +2340,59 @@ WHERE rank <= 3
 
 
 SQL_EMBEDDING_BATCH_TOPK = _sql_batch_topk(16)
+
+
+#: hard-negative band: candidates at or above HI are positives /
+#: near-duplicates of the probe, not negatives — exclude them.
+_HARDNEG_HI = 0.98
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (X106): per probe vector, the top-3 most
+    similar embeddings BELOW the near-duplicate band — the pairs
+    contrastive / embedding-model training actually wants (random
+    negatives are trivially far; near-dups are false negatives; the
+    value is in the similar-but-distinct band just under the ceiling).
+
+    Brute-force batched scoring is the exactness baseline here (the
+    contract query); the scale path is X61's broadcast probe-explosion
+    LSH join verbatim — hard negatives live in high-sim buckets, which
+    is exactly where the Hamming<=1 probes look. The band filter and
+    the rank both read the ROUNDED similarity so the cut is the same
+    value sequence in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("qe")))
+    cand = (emb.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id",
+                    F.round(S.cosine(F.col("embedding"), F.col("qe")), 6)
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") < F.lit(_HARDNEG_HI)))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(),
+                                           F.col("vec_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("q_id", "rank", "vec_id", "cos_sim"))
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+cand AS (
+  SELECT q.q_id, e.vec_id,
+         round({_sql_cosine('e.embedding', 'qe')}, 6) AS cos_sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.q_id),
+band AS (SELECT * FROM cand WHERE cos_sim < {_HARDNEG_HI})
+SELECT q_id, rank, vec_id, cos_sim FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM band)
+WHERE rank <= 3
+"""
 
 
 def q_embedding_batch_topk_demo8(spark: SparkSession,
@@ -5999,6 +6095,7 @@ REGISTRY: dict = {
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "split_leakage": (q_split_leakage, SQL_SPLIT_LEAKAGE),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
@@ -6017,6 +6114,7 @@ REGISTRY: dict = {
                                       SQL_EMBEDDING_LSH_TOPK_MULTIPROBE),
     "embedding_batch_topk": (q_embedding_batch_topk,
                              SQL_EMBEDDING_BATCH_TOPK),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "embedding_batch_topk_demo8": (q_embedding_batch_topk_demo8,
                                    SQL_EMBEDDING_BATCH_TOPK_DEMO8),
     "bitext_candidates": (q_bitext_candidates, SQL_BITEXT_CANDIDATES),
