@@ -603,3 +603,55 @@ def harmonic_from_hyperball(balls: DataFrame) -> DataFrame:
                      F.sort_array(F.collect_list(F.struct("t", "shell"))),
                      F.lit(0.0),
                      lambda acc, x: acc + x["shell"]).alias("harmonic")))
+
+
+def label_propagation(edges: DataFrame, iters: int = 3,
+                      src_col: str = "src", dst_col: str = "dst"
+                      ) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the undirected simplification of the graph,
+    made fully deterministic: every node starts labeled with its own
+    id; each round every node adopts the most frequent label among its
+    neighbors' current labels, ties broken by the smallest label, and
+    nodes without neighbors keep what they have. Returns (host,
+    community) = the labels after exactly ``iters`` rounds — a
+    well-defined contract even where classic async LPA would oscillate
+    (synchronous LPA on bipartite structures flips between two
+    labelings; the round count pins which one you get).
+
+    Next to weak components (host_components) this is the finer
+    community readout: components say "connected at all", LPA says
+    "densely interlinked" — link farms and mirror clusters collapse to
+    one label long before the full component does.
+
+    Scale shape: each round is one edges ⋈ labels join + TWO
+    aggregate-only shuffles (count per (node, label), then
+    min_by-struct argmax per node) — no windows, so a 10^6-degree hub
+    costs a combinable aggregation, never a single-task buffer (the
+    round-3 occupancy-cap lesson). Labels table = one row per node.
+    Lineage grows per round; localCheckpoint every ~8 rounds at depth.
+    """
+    eu = (edges.select(F.col(src_col).alias("src"),
+                       F.col(dst_col).alias("dst"))
+          .unionByName(edges.select(F.col(dst_col).alias("src"),
+                                    F.col(src_col).alias("dst")))
+          .filter(F.col("src") != F.col("dst"))
+          .distinct().persist())
+    labels = (eu.select(F.col("src").alias("node"))
+              .unionByName(eu.select(F.col("dst").alias("node")))
+              .distinct()
+              .select("node", F.col("node").alias("label")))
+    for _ in range(iters):
+        nb = (eu.join(labels, eu["dst"] == labels["node"])
+              .select(eu["src"].alias("node"), "label"))
+        counts = (nb.groupBy("node", "label")
+                  .agg(F.count(F.lit(1)).alias("c")))
+        best = (counts.groupBy("node")
+                .agg(F.min_by("label", F.struct((-F.col("c")).alias("nc"),
+                                                F.col("label")))
+                     .alias("blabel")))
+        labels = (labels.join(best, "node", "left")
+                  .select("node", F.coalesce("blabel", "label")
+                          .alias("label")))
+    return labels.select(F.col("node").alias("host"),
+                         F.col("label").alias("community"))

@@ -1263,3 +1263,41 @@ SELECT host, CAST(max(t) AS INT) AS max_t,
                    (a, b) -> a + b) AS harmonic
 FROM shells GROUP BY host
 """
+
+
+def _sql_lpa_rounds(iters: int) -> str:
+    """Chained per-round CTEs for the LPA twin: neighbor-label census,
+    max-count, min-label-on-ties argmax, coalesce onto the previous
+    labels — the exact two-phase aggregate the Spark side runs."""
+    ctes = []
+    for k in range(1, iters + 1):
+        ctes.append(f"""nb{k} AS (
+  SELECT e.src AS node, l.label FROM eu e
+  JOIN l{k - 1} l ON e.dst = l.node),
+cnt{k} AS (SELECT node, label, count(*) AS c FROM nb{k} GROUP BY 1, 2),
+m{k} AS (SELECT node, max(c) AS mc FROM cnt{k} GROUP BY 1),
+best{k} AS (SELECT c.node, min(c.label) AS blabel
+            FROM cnt{k} c JOIN m{k} USING (node)
+            WHERE c.c = m{k}.mc GROUP BY c.node),
+l{k} AS (SELECT l.node, coalesce(b.blabel, l.label) AS label
+         FROM l{k - 1} l LEFT JOIN best{k} b ON l.node = b.node)""")
+    return ",\n".join(ctes)
+
+
+#: twin of queries.q_host_communities — synchronous LPA, unrolled.
+SQL_HOST_COMMUNITIES = f"""
+WITH e0 AS (SELECT DISTINCT {_SQL_URL_PRE % 'url'} AS src,
+                   {_sql_outlink(9)} AS dst
+            FROM {CORPUS}
+            UNION
+            SELECT DISTINCT {_SQL_URL_PRE % 'url'}, {_sql_outlink(17)}
+            FROM {CORPUS}),
+eu AS (SELECT DISTINCT src, dst FROM (
+         SELECT src, dst FROM e0
+         UNION ALL SELECT dst, src FROM e0)
+       WHERE src <> dst),
+l0 AS (SELECT node, node AS label FROM (
+         SELECT src AS node FROM eu UNION SELECT dst FROM eu)),
+{_sql_lpa_rounds(3)}
+SELECT node AS host, label AS community FROM l3
+"""

@@ -4393,6 +4393,17 @@ def q_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         L.hyperball(_synth_host_edges(spark, sf_dir), max_t=3))
 
 
+def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (X108): the finer
+    community readout next to weak components — link farms and mirror
+    clusters collapse to one label long before the component does.
+    Deterministic (min-label ties, labels after exactly 3 rounds);
+    aggregate-only rounds, no windows; see links.label_propagation."""
+    from .functions import links as L
+
+    return L.label_propagation(_synth_host_edges(spark, sf_dir), iters=3)
+
+
 def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-shape filter features over the raw crawl (host, TLD, path
     depth, query params, digit-path flag, length) — the pre-fetch
@@ -6233,6 +6244,7 @@ REGISTRY: dict = {
     "host_hyperball": (q_host_hyperball, PSQL.SQL_HOST_HYPERBALL),
     "host_harmonic": (q_host_harmonic, PSQL.SQL_HOST_HARMONIC),
     "host_components": (q_host_components, PSQL.SQL_HOST_COMPONENTS),
+    "host_communities": (q_host_communities, PSQL.SQL_HOST_COMMUNITIES),
     "url_features": (q_url_features, PSQL.SQL_URL_FEATURES),
     # WARC sink+source roundtrip (Common-Crawl wire format)
     "warc_roundtrip": (q_warc_roundtrip, PSQL.SQL_WARC_ROUNDTRIP),
@@ -6257,6 +6269,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",
     "host_triangles", "host_cocitation", "host_reciprocity",
     "seed_distance", "host_hyperball", "host_harmonic",
+    "host_communities",
     "anchor_text_profile", "warc_roundtrip", "host_components",
     "url_features",
 })

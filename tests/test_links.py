@@ -458,3 +458,56 @@ def test_harmonic_from_hyperball_telescopes(spark):
         assert got[host][0] == 3
         assert got[host][1] == pytest.approx(want, rel=1e-12)
     assert got["d"][1] == 0.0  # sink: ball never grows
+
+
+def _lpa_sim(edges, iters):
+    """Pure-Python replay of the synchronous LPA contract."""
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    nodes = sorted({n for e in und for n in e})
+    nbrs = {n: sorted(d for s, d in und if s == n) for n in nodes}
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for n in nodes:
+            if not nbrs[n]:
+                nxt[n] = lab[n]
+                continue
+            cnt = {}
+            for m in nbrs[n]:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            mx = max(cnt.values())
+            nxt[n] = min(l for l, c in cnt.items() if c == mx)
+        lab = nxt
+    return lab
+
+
+def test_label_propagation_matches_python_sim(spark):
+    """Two triangles joined by one bridge: each triangle must collapse
+    to a single community and the bridge must NOT merge them; every
+    label equals the synchronous-LPA Python replay."""
+    from ocr_automation_system_spark.functions.links import (
+        label_propagation,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),        # triangle 1
+             ("x", "y"), ("y", "z"), ("z", "x"),        # triangle 2
+             ("c", "x"),                                 # bridge
+             ("p", "q")]                                 # pendant pair
+    for iters in (1, 3):
+        got = {r["host"]: r["community"] for r in
+               label_propagation(
+                   spark.createDataFrame(edges, ["src", "dst"]),
+                   iters=iters).collect()}
+        assert got == _lpa_sim(edges, iters)
+    final = _lpa_sim(edges, 3)
+    t1 = {final[n] for n in "abc"}
+    t2 = {final[n] for n in "xyz"}
+    assert len(t1) == 1 and len(t2) == 1 and t1 != t2
+    # the pendant pair exhibits the documented synchronous-LPA
+    # oscillation: labels SWAP each round, so after an odd round count
+    # each holds the other's id — pinned, not papered over
+    assert (final["p"], final["q"]) == ("q", "p")
