@@ -785,3 +785,73 @@ def priority_sample(df: DataFrame, k: int = 100,
     return ranked.select(
         id_col, source_col, "weight", "weight_bucket", "priority",
         F.row_number().over(win).cast("int").alias("rank"))
+
+
+#: CDC geometry (contract scale): 8-char boundary grams, divisor 16 ->
+#: expected chunk ~16 chars. Production: gram 48-64 bytes, divisor 2048
+#: (~2 KiB chunks) + min/max clamps — parameters, not structure.
+CDC_W = 8
+CDC_DIVISOR = 16
+
+
+def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", w: int = CDC_W,
+               divisor: int = CDC_DIVISOR) -> DataFrame:
+    """Content-defined chunking: cut each document where the hash of
+    the ``w``-gram ENDING at the cut satisfies ``hash % divisor == 0``
+    (the rolling-hash boundary rule of LBFS/FastCDC, with the gram
+    hashed by the repo's md5 convention instead of a Gear table so the
+    DuckDB twin replays it verbatim). Boundaries are functions of
+    CONTENT, not offset — insert one byte near the head of a re-crawled
+    page and every chunk after the next boundary still hashes
+    identically, which is exactly what fixed-stride chunking
+    (``chunk_documents``) cannot give you; chunk-hash dedup across
+    snapshots then catches shifted near-copies at storage cost
+    O(chunks), no pairwise comparison.
+
+    Returns (doc_id, chunk_idx, start, length, chunk_md5); 1-based
+    ``start`` in characters, chunks cover the document exactly.
+
+    Scale shape: one zero-shuffle projection per row — positions →
+    boundary filter → bounds → per-chunk substr+md5, all array HOFs
+    (interpreted lambdas, ``'*(n)'`` narrow, not codegen — the honest
+    claim) with the bounds array lambda-BOUND once per row
+    (``bind_array``) so the boundary scan never re-runs per chunk.
+    Empty docs emit no rows."""
+    from .text import bind_array, lazy_seq
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+
+    def _grams_to_cuts(txt):
+        starts = lazy_seq(n >= w, F.lit(1), n - w + 1)
+        cut = F.filter(
+            starts,
+            lambda i: F.pmod(
+                F.conv(F.substring(F.md5(F.substring(txt, i, F.lit(w))),
+                                   1, 8), 16, 10).cast("long"),
+                F.lit(divisor)) == 0)
+        ends = F.transform(cut, lambda i: i + F.lit(w - 1))
+        return F.filter(ends, lambda p: p < n)
+
+    bounds = F.concat(F.array(F.lit(0)),
+                      bind_array(t, _grams_to_cuts),
+                      F.array(n))
+
+    def _chunks(b):
+        idx = lazy_seq(n > 0, F.lit(1), F.size(b) - 1)
+        return F.transform(idx, lambda j: F.struct(
+            j.cast("int").alias("chunk_idx"),
+            (F.element_at(b, j) + 1).cast("int").alias("start"),
+            (F.element_at(b, j + 1) - F.element_at(b, j)).cast("int")
+            .alias("length"),
+            F.md5(F.substring(
+                t, F.element_at(b, j) + 1,
+                F.element_at(b, j + 1) - F.element_at(b, j)))
+            .alias("chunk_md5")))
+
+    return (df.select(F.col(id_col), bind_array(bounds, _chunks)
+                      .alias("_ch"))
+            .select(id_col, F.explode("_ch").alias("c"))
+            .select(id_col, "c.chunk_idx", "c.start", "c.length",
+                    "c.chunk_md5"))

@@ -1631,6 +1631,52 @@ FROM st
 """
 
 
+#: CDC contract divisor: expected chunk ~256 chars at corpus text
+#: lengths (production: ~2 KiB divisor + min/max clamps — parameters).
+_CDC_DIV = 256
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (X109): boundaries where the md5 of
+    the 8-gram ending at the cut ≡ 0 mod 256 — chunk identity survives
+    byte insertions (the shifted-near-copy case fixed-stride chunking
+    and whole-doc hashing both miss); chunk-md5 dedup across snapshots
+    is then a plain groupBy. Zero-shuffle HOF projection; see
+    curation.cdc_chunks."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.cdc_chunks(docs, divisor=_CDC_DIV)
+
+
+SQL_CDC_CHUNKS = f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+b AS (SELECT doc_id, t, length(t) AS n,
+        list_concat(list_concat([0],
+          list_filter(
+            list_transform(
+              list_filter(
+                CASE WHEN length(t) >= 8
+                     THEN range(1, length(t) - 8 + 2)
+                     ELSE CAST([] AS BIGINT[]) END,
+                i -> CAST(concat('0x', substr(md5(substr(t, i, 8)), 1, 8))
+                          AS BIGINT) % {_CDC_DIV} = 0),
+              i -> i + 7),
+            p -> p < length(t))),
+          [CAST(length(t) AS BIGINT)]) AS bounds
+      FROM d)
+SELECT doc_id, CAST(u.j AS INT) AS chunk_idx,
+       CAST(bounds[CAST(u.j AS INT)] + 1 AS INT) AS start,
+       CAST(bounds[CAST(u.j AS INT) + 1]
+            - bounds[CAST(u.j AS INT)] AS INT) AS length,
+       md5(substr(t, CAST(bounds[CAST(u.j AS INT)] + 1 AS INT),
+                  CAST(bounds[CAST(u.j AS INT) + 1]
+                       - bounds[CAST(u.j AS INT)] AS INT))) AS chunk_md5
+FROM b, unnest(CASE WHEN n > 0 THEN range(1, len(bounds))
+               ELSE CAST([] AS BIGINT[]) END) AS u(j)
+"""
+
+
 DUP_SPAN_W = 8
 
 
@@ -6025,6 +6071,7 @@ REGISTRY: dict = {
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
+    "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "alpha_mixture_rates": (q_alpha_mixture_rates, SQL_ALPHA_MIXTURE_RATES),
     "alpha_sample": (q_alpha_sample, SQL_ALPHA_SAMPLE),
     "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),

@@ -402,3 +402,79 @@ def test_priority_sample_takes_k_without_replacement(spark):
                        priority_sample(df, k=80).collect()),
                       reverse=True)
     assert min(r["priority"] for r in out) == all_keys[19]
+
+
+def _cdc_replay(text, w=8, divisor=16):
+    """Pure-Python replay of the cdc_chunks boundary contract."""
+    import hashlib
+
+    t = text or ""
+    n = len(t)
+    cuts = []
+    for i in range(1, n - w + 2):
+        h = int(hashlib.md5(t[i - 1:i - 1 + w].encode()).hexdigest()[:8],
+                16)
+        if h % divisor == 0 and i + w - 1 < n:
+            cuts.append(i + w - 1)
+    bounds = [0] + cuts + [n]
+    if n == 0:
+        return []
+    return [(j, bounds[j - 1] + 1, bounds[j] - bounds[j - 1],
+             hashlib.md5(t[bounds[j - 1]:bounds[j]].encode()).hexdigest())
+            for j in range(1, len(bounds))]
+
+
+def test_cdc_chunks_match_replay_and_cover(spark):
+    """Chunks equal the Python boundary replay exactly and tile the
+    document: starts/lengths are contiguous from 1 to len(text)."""
+    from ocr_automation_system_spark.functions.curation import cdc_chunks
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog again and "
+                "again until the boundary rule fires somewhere inside"),
+            (2, ""), (3, None), (4, "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in cdc_chunks(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start"], r["length"], r["chunk_md5"]))
+    for did, text in rows:
+        assert sorted(got.get(did, [])) == _cdc_replay(text)
+    for did, text in rows:
+        chunks = sorted(got.get(did, []))
+        pos = 1
+        for _idx, start, ln, _h in chunks:
+            assert start == pos
+            pos += ln
+        assert pos == len(text or "") + 1
+
+
+def test_cdc_chunks_survive_byte_insertion(spark):
+    """The CDC promise fixed-stride chunking cannot make: prepending
+    bytes only perturbs chunks BEFORE the first boundary past the
+    edit — every later chunk hash is unchanged."""
+    from ocr_automation_system_spark.functions.curation import cdc_chunks
+
+    base = ("paragraph one talks about crawling. paragraph two talks "
+            "about parsing html. paragraph three talks about dedup. "
+            "paragraph four talks about sampling and sketches. "
+            "paragraph five talks about shipping the corpus.")
+    edited = "XY" + base
+    df = spark.createDataFrame([(1, base), (2, edited)],
+                               ["doc_id", "text"])
+    got = {1: [], 2: []}
+    for r in cdc_chunks(df).collect():
+        got[r["doc_id"]].append((r["chunk_idx"], r["chunk_md5"]))
+    h1 = [h for _i, h in sorted(got[1])]
+    h2 = [h for _i, h in sorted(got[2])]
+    assert len(h1) >= 3, "fixture must produce several chunks"
+    # all chunks after the first are content-aligned and identical
+    assert h1[1:] == h2[1:]
+    assert h1[0] != h2[0]
+    # whereas FIXED-stride chunk hashes all shift: the same texts cut
+    # every 16 chars share no interior hash
+    import hashlib
+    f1 = {hashlib.md5(base[i:i + 16].encode()).hexdigest()
+          for i in range(0, len(base), 16)}
+    f2 = {hashlib.md5(edited[i:i + 16].encode()).hexdigest()
+          for i in range(0, len(edited), 16)}
+    assert len(f1 & f2) <= 1  # at most an accidental tail collision
