@@ -855,3 +855,42 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
             .select(id_col, F.explode("_ch").alias("c"))
             .select(id_col, "c.chunk_idx", "c.start", "c.length",
                     "c.chunk_md5"))
+
+
+def cdc_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", w: int = CDC_W,
+                  divisor: int = CDC_DIVISOR,
+                  min_shared: int = 2,
+                  max_docs_per_chunk: int = 64) -> DataFrame:
+    """Shifted near-copy pairs via shared content-defined chunks:
+    (doc_a, doc_b, n_shared_chunks, shared_chars). Because ``cdc_chunks``
+    boundaries are content-keyed, a re-crawled page with an inserted ad
+    block still shares every chunk outside the edit — this detector
+    fires where fixed-stride chunk dedup and whole-doc hashing both go
+    blind, and complements the shingle ladders: chunk granularity (~D
+    chars) is far coarser than a w-token shingle, so the join is
+    correspondingly cheaper per true duplicate byte.
+
+    Scale shape (the round-3/4 cap law throughout): distinct
+    (doc, chunk) table → chunk-frequency AGGREGATE (map-side combined)
+    → over-cap chunk keys (boilerplate chunks carry no pair signal)
+    removed by BROADCAST ANTI-JOIN — never a window — then one
+    self-equi-join on the 128-bit chunk key (bounded ≤ cap docs per
+    bucket) and one pair-keyed aggregation."""
+    ch = (cdc_chunks(df, id_col=id_col, text_col=text_col, w=w,
+                     divisor=divisor)
+          .select(id_col, "chunk_md5", "length").distinct())
+    over = (ch.groupBy("chunk_md5")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_docs_per_chunk)
+            .select("chunk_md5"))
+    ch = ch.join(F.broadcast(over), "chunk_md5", "left_anti").persist()
+    a = ch.select(F.col(id_col).alias("doc_a"), "chunk_md5",
+                  F.col("length").alias("_len"))
+    b = ch.select(F.col(id_col).alias("doc_b"), "chunk_md5")
+    return (a.join(b, "chunk_md5")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_chunks"),
+                 F.sum("_len").cast("long").alias("shared_chars"))
+            .filter(F.col("n_shared_chunks") >= min_shared))

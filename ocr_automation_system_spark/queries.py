@@ -1677,6 +1677,55 @@ FROM b, unnest(CASE WHEN n > 0 THEN range(1, len(bounds))
 """
 
 
+def q_cdc_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shifted near-copy pairs (X110): doc pairs sharing ≥2 surviving
+    CDC chunks, with total shared chars — the coarse-grained,
+    insertion-robust dup signal next to the shingle ladders; cap law =
+    aggregate + broadcast anti-join; see curation.cdc_dup_pairs."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.cdc_dup_pairs(docs, divisor=_CDC_DIV)
+
+
+SQL_CDC_DUP_PAIRS = f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+b AS (SELECT doc_id, t, length(t) AS n,
+        list_concat(list_concat([0],
+          list_filter(
+            list_transform(
+              list_filter(
+                CASE WHEN length(t) >= 8
+                     THEN range(1, length(t) - 8 + 2)
+                     ELSE CAST([] AS BIGINT[]) END,
+                i -> CAST(concat('0x', substr(md5(substr(t, i, 8)), 1, 8))
+                          AS BIGINT) % {_CDC_DIV} = 0),
+              i -> i + 7),
+            p -> p < length(t))),
+          [CAST(length(t) AS BIGINT)]) AS bounds
+      FROM d),
+ch0 AS (
+  SELECT DISTINCT doc_id,
+         md5(substr(t, CAST(bounds[CAST(u.j AS INT)] + 1 AS INT),
+                    CAST(bounds[CAST(u.j AS INT) + 1]
+                         - bounds[CAST(u.j AS INT)] AS INT))) AS chunk_md5,
+         CAST(bounds[CAST(u.j AS INT) + 1]
+              - bounds[CAST(u.j AS INT)] AS INT) AS length
+  FROM b, unnest(CASE WHEN n > 0 THEN range(1, len(bounds))
+                 ELSE CAST([] AS BIGINT[]) END) AS u(j)),
+surv AS (
+  SELECT * FROM ch0 WHERE chunk_md5 IN (
+    SELECT chunk_md5 FROM ch0 GROUP BY 1 HAVING count(*) <= 64))
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_chunks,
+       CAST(sum(a.length) AS BIGINT) AS shared_chars
+FROM surv a JOIN surv b2 USING (chunk_md5)
+WHERE a.doc_id < b2.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 DUP_SPAN_W = 8
 
 
@@ -6072,6 +6121,7 @@ REGISTRY: dict = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
+    "cdc_dup_pairs": (q_cdc_dup_pairs, SQL_CDC_DUP_PAIRS),
     "alpha_mixture_rates": (q_alpha_mixture_rates, SQL_ALPHA_MIXTURE_RATES),
     "alpha_sample": (q_alpha_sample, SQL_ALPHA_SAMPLE),
     "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),

@@ -478,3 +478,49 @@ def test_cdc_chunks_survive_byte_insertion(spark):
     f2 = {hashlib.md5(edited[i:i + 16].encode()).hexdigest()
           for i in range(0, len(edited), 16)}
     assert len(f1 & f2) <= 1  # at most an accidental tail collision
+
+
+def test_cdc_dup_pairs_find_shifted_near_copy(spark):
+    """A re-crawl with an ad block inserted mid-page must pair with the
+    original via shared CDC chunks; an unrelated doc must not."""
+    from ocr_automation_system_spark.functions.curation import (
+        cdc_dup_pairs,
+    )
+
+    base = ("section alpha discusses the crawler architecture in some "
+            "depth. section beta covers the parser and its fallbacks. "
+            "section gamma walks through dedup. section delta closes "
+            "with sampling, sketches and the shipping checklist.")
+    mid = len(base) // 2
+    edited = base[:mid] + " [SPONSORED CONTENT INSERTED HERE] " + base[mid:]
+    other = "completely unrelated text " * 10
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], ["doc_id", "text"])
+    pairs = {(r["doc_a"], r["doc_b"]): r
+             for r in cdc_dup_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["n_shared_chunks"] >= 2
+    assert pairs[(1, 2)]["shared_chars"] > 0
+    assert all(3 not in p for p in pairs)
+
+
+def test_cdc_dup_pairs_occupancy_cap_censors_boilerplate(spark):
+    """A chunk shared by more docs than the cap is template boilerplate
+    and must generate NO pairs (delete the cap and this goes red)."""
+    from ocr_automation_system_spark.functions.curation import (
+        cdc_dup_pairs,
+    )
+
+    # every doc = the same two template chunks (identical text), so
+    # every chunk's doc-frequency is n_docs > cap
+    tpl = ("standard cookie banner text that appears on every single "
+           "page of the site without exception, followed by the same "
+           "standard footer navigation block on every page too.")
+    docs = [(i, tpl) for i in range(12)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = cdc_dup_pairs(df, min_shared=1, max_docs_per_chunk=8).collect()
+    assert out == []
+    # under the cap the same fixture pairs everything
+    out2 = cdc_dup_pairs(df, min_shared=1,
+                         max_docs_per_chunk=64).collect()
+    assert len(out2) == 12 * 11 // 2
