@@ -58,7 +58,7 @@ HEADLINE = (
     "link_edges", "host_link_graph", "anchor_text_profile",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",
     "host_reciprocity", "seed_distance", "host_hyperball", "host_harmonic",
-    "host_communities",
+    "host_communities", "community_modularity",
     "lm_quality_scores", "lexical_diversity",
     "media_metadata", "media_resize", "media_frame_census", "media_census",
     "warc_roundtrip",

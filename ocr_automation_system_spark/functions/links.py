@@ -655,3 +655,59 @@ def label_propagation(edges: DataFrame, iters: int = 3,
                           .alias("label")))
     return labels.select(F.col("node").alias("host"),
                          F.col("label").alias("community"))
+
+
+def community_modularity(edges: DataFrame, labels: DataFrame,
+                         src_col: str = "src", dst_col: str = "dst"
+                         ) -> DataFrame:
+    """Newman modularity per community: for each label c over the
+    undirected simplification, ``term_c = L_c/m − (D_c/(2m))²`` with
+    L_c = edges internal to c, D_c = total degree of c's nodes, m =
+    total edges; Σ term_c is the partition's Q (≈0 for random labels,
+    0.3+ for real community structure — THE acceptance gate on an LPA
+    run before anyone partitions a crawl by its labels). Returned
+    per-community (community, n_nodes, internal_edges, degree_sum,
+    modularity_term) rather than pre-summed, so the readout doubles as
+    the which-communities-are-real diagnostic and the contract never
+    pins a float fold — every term is two correctly-rounded ops on
+    exact integers (L/m, then d·d), bit-identical cross-engine.
+
+    Scale shape: one canonical-edge distinct, two label joins on node
+    keys, three map-side-combinable aggregations; m arrives as a 1-row
+    broadcast cross. No windows, no folds."""
+    eu = (edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct().persist())
+    lab = labels.select(F.col("host").alias("node"), "community")
+    m1 = eu.agg(F.count(F.lit(1)).alias("_m"))
+
+    deg = (eu.select(F.col("a").alias("node"))
+           .unionByName(eu.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    dc = (deg.join(lab, "node")
+          .groupBy("community")
+          .agg(F.count(F.lit(1)).alias("n_nodes"),
+               F.sum("degree").alias("degree_sum")))
+    la = lab.select(F.col("node").alias("a"),
+                    F.col("community").alias("_ca"))
+    lb = lab.select(F.col("node").alias("b"),
+                    F.col("community").alias("_cb"))
+    lc = (eu.join(la, "a").join(lb, "b")
+          .filter(F.col("_ca") == F.col("_cb"))
+          .groupBy(F.col("_ca").alias("community"))
+          .agg(F.count(F.lit(1)).alias("internal_edges")))
+    zero = F.lit(0).cast("long")
+    half = (F.col("degree_sum").cast("double")
+            / (F.lit(2.0) * F.col("_m").cast("double")))
+    return (dc.join(lc, "community", "left")
+            .crossJoin(F.broadcast(m1))
+            .select("community",
+                    F.col("n_nodes").cast("long").alias("n_nodes"),
+                    F.coalesce("internal_edges", zero).cast("long")
+                    .alias("internal_edges"),
+                    F.col("degree_sum").cast("long").alias("degree_sum"),
+                    (F.coalesce("internal_edges", zero).cast("double")
+                     / F.col("_m").cast("double")
+                     - half * half).alias("modularity_term")))

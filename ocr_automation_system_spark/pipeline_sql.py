@@ -1301,3 +1301,46 @@ l0 AS (SELECT node, node AS label FROM (
 {_sql_lpa_rounds(3)}
 SELECT node AS host, label AS community FROM l3
 """
+
+
+#: twin of queries.q_community_modularity — LPA labels (l3) fed into
+#: the per-community modularity censuses; every term two correctly-
+#: rounded ops (L/m, then d*d) on exact integer censuses.
+SQL_COMMUNITY_MODULARITY = f"""
+WITH e0 AS (SELECT DISTINCT {_SQL_URL_PRE % 'url'} AS src,
+                   {_sql_outlink(9)} AS dst
+            FROM {CORPUS}
+            UNION
+            SELECT DISTINCT {_SQL_URL_PRE % 'url'}, {_sql_outlink(17)}
+            FROM {CORPUS}),
+eu AS (SELECT DISTINCT src, dst FROM (
+         SELECT src, dst FROM e0
+         UNION ALL SELECT dst, src FROM e0)
+       WHERE src <> dst),
+l0 AS (SELECT node, node AS label FROM (
+         SELECT src AS node FROM eu UNION SELECT dst FROM eu)),
+{_sql_lpa_rounds(1)},
+lab AS (SELECT node, label AS community FROM l1),
+ec AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM e0 WHERE src <> dst),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ec),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+          SELECT a AS node FROM ec UNION ALL SELECT b FROM ec)
+        GROUP BY 1),
+dc AS (SELECT l.community, CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(d.degree) AS BIGINT) AS degree_sum
+       FROM deg d JOIN lab l ON d.node = l.node GROUP BY 1),
+lc AS (SELECT la.community, CAST(count(*) AS BIGINT) AS internal_edges
+       FROM ec e JOIN lab la ON e.a = la.node
+                 JOIN lab lb ON e.b = lb.node
+       WHERE la.community = lb.community GROUP BY 1)
+SELECT dc.community, dc.n_nodes,
+       CAST(coalesce(lc.internal_edges, 0) AS BIGINT) AS internal_edges,
+       dc.degree_sum,
+       CAST(coalesce(lc.internal_edges, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+         - (CAST(dc.degree_sum AS DOUBLE)
+            / (2.0 * CAST(mm.m AS DOUBLE)))
+           * (CAST(dc.degree_sum AS DOUBLE)
+              / (2.0 * CAST(mm.m AS DOUBLE))) AS modularity_term
+FROM dc LEFT JOIN lc USING (community) CROSS JOIN mm
+"""

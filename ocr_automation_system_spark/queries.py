@@ -4499,6 +4499,23 @@ def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.label_propagation(_synth_host_edges(spark, sf_dir), iters=3)
 
 
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity readout (X111): per-community Newman terms over the
+    X108 LPA labels — the acceptance gate on a community run before a
+    crawl is partitioned by its labels (Σ terms ≈ 0 ⇒ the labels are
+    noise). Contract runs the ROUND-1 labels: the dense synthetic
+    graph collapses to one community by round 3 (a single all-zero
+    row), while round 1 still has per-community structure to grade —
+    the multi-community readout is the interesting surface. Exact
+    integer censuses, two correctly-rounded float ops per term; see
+    links.community_modularity."""
+    from .functions import links as L
+
+    edges = _synth_host_edges(spark, sf_dir)
+    return L.community_modularity(
+        edges, L.label_propagation(edges, iters=1))
+
+
 def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-shape filter features over the raw crawl (host, TLD, path
     depth, query params, digit-path flag, length) — the pre-fetch
@@ -6342,6 +6359,8 @@ REGISTRY: dict = {
     "host_harmonic": (q_host_harmonic, PSQL.SQL_HOST_HARMONIC),
     "host_components": (q_host_components, PSQL.SQL_HOST_COMPONENTS),
     "host_communities": (q_host_communities, PSQL.SQL_HOST_COMMUNITIES),
+    "community_modularity": (q_community_modularity,
+                             PSQL.SQL_COMMUNITY_MODULARITY),
     "url_features": (q_url_features, PSQL.SQL_URL_FEATURES),
     # WARC sink+source roundtrip (Common-Crawl wire format)
     "warc_roundtrip": (q_warc_roundtrip, PSQL.SQL_WARC_ROUNDTRIP),
@@ -6366,7 +6385,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",
     "host_triangles", "host_cocitation", "host_reciprocity",
     "seed_distance", "host_hyperball", "host_harmonic",
-    "host_communities",
+    "host_communities", "community_modularity",
     "anchor_text_profile", "warc_roundtrip", "host_components",
     "url_features",
 })

@@ -511,3 +511,35 @@ def test_label_propagation_matches_python_sim(spark):
     # oscillation: labels SWAP each round, so after an odd round count
     # each holds the other's id — pinned, not papered over
     assert (final["p"], final["q"]) == ("q", "p")
+
+
+def test_community_modularity_by_hand(spark):
+    """Two triangles + bridge + pendant pair, LPA(3) labels: each
+    triangle is one community with term 3/8 - (7/16)^2; each pendant
+    node is a singleton with term -(1/16)^2. All dyadic rationals —
+    compared exactly, and Q = 0.359375 signals real structure."""
+    from ocr_automation_system_spark.functions.links import (
+        community_modularity, label_propagation,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x"),
+             ("c", "x"), ("p", "q")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    labels = label_propagation(e, iters=3)
+    rows = {tuple(sorted(r["community"])): r
+            for r in community_modularity(e, labels).collect()}
+    # two triangle communities (label = min id of each triangle)
+    tri = [r for r in rows.values() if r["n_nodes"] == 3]
+    singles = [r for r in rows.values() if r["n_nodes"] == 1]
+    assert len(tri) == 2 and len(singles) == 2
+    for r in tri:
+        assert r["internal_edges"] == 3
+        assert r["degree_sum"] == 7
+        assert r["modularity_term"] == 3 / 8 - (7 / 16) ** 2
+    for r in singles:
+        assert r["internal_edges"] == 0
+        assert r["degree_sum"] == 1
+        assert r["modularity_term"] == -((1 / 16) ** 2)
+    q = sum(r["modularity_term"] for r in rows.values())
+    assert q == 0.359375
