@@ -543,3 +543,25 @@ def test_community_modularity_by_hand(spark):
         assert r["modularity_term"] == -((1 / 16) ** 2)
     q = sum(r["modularity_term"] for r in rows.values())
     assert q == 0.359375
+
+
+def test_label_propagation_plan_has_no_window(spark):
+    """Every LPA round is aggregate-only: a hub's neighbor-label census
+    must combine map-side, never buffer in a window task."""
+    from ocr_automation_system_spark.functions.links import (
+        label_propagation,
+    )
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    plan = (label_propagation(e, iters=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+
+
+def test_hyperball_plan_has_no_window(spark):
+    from ocr_automation_system_spark.functions.links import hyperball
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    plan = (hyperball(e, max_t=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan

@@ -524,3 +524,43 @@ def test_cdc_dup_pairs_occupancy_cap_censors_boilerplate(spark):
     out2 = cdc_dup_pairs(df, min_shared=1,
                          max_docs_per_chunk=64).collect()
     assert len(out2) == 12 * 11 // 2
+
+
+def test_priority_sample_plan_is_takeordered(spark):
+    """Global top-k must be TakeOrderedAndProject (per-partition heaps),
+    never a full sort of the corpus."""
+    from ocr_automation_system_spark.functions.curation import (
+        priority_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a", "x y z")],
+                               ["doc_id", "source", "text"])
+    plan = (priority_sample(df, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cdc_chunks_plan_no_shuffle(spark):
+    from ocr_automation_system_spark.functions.curation import cdc_chunks
+
+    df = spark.createDataFrame([(1, "some text here")],
+                               ["doc_id", "text"])
+    plan = (cdc_chunks(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_cdc_dup_pairs_plan_cap_is_broadcast_anti_join(spark):
+    """The occupancy cap must be aggregate + broadcast anti-join — no
+    Window on the chunk key anywhere in the plan (the round-3 verdict
+    lesson: windows co-locate the hot bucket the cap exists to drop)."""
+    from ocr_automation_system_spark.functions.curation import (
+        cdc_dup_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "some text"), (2, "other text")],
+                               ["doc_id", "text"])
+    plan = (cdc_dup_pairs(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
