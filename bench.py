@@ -66,7 +66,7 @@ HEADLINE = (
     "lm_perplexity_buckets", "bigram_backoff_scores", "doc_length_profile",
     "duplicate_spans", "stratified_sample", "priority_sample",
     "chunk_documents",
-    "chunk_dup_stats", "cdc_chunks", "cdc_dup_pairs",
+    "chunk_dup_stats", "cdc_chunks", "cdc_dup_pairs", "cdc_novelty",
     "alpha_mixture_rates", "alpha_sample",
     "hll_source_cardinality", "hll_merge", "bloom_dedup_census",
     "minhash_sig_merge", "bloom_bits_merge", "host_mirror_pairs",

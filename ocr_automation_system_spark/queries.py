@@ -1726,6 +1726,120 @@ HAVING count(*) >= 2
 """
 
 
+def q_cdc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot novel-content rate (X112): per source, the
+    fraction of the recrawl's CDC chunks absent from the previous
+    snapshot — the byte-level freshness signal recrawl schedulers
+    actually want (SimHash drift says "this page changed"; chunk
+    novelty says "this much NEW material arrived", and footers/ads
+    spliced into otherwise-identical pages barely move it, because
+    chunk identity survives the insertion). Uses the content_drift
+    deterministic recrawl (doc_id%3: footer / unchanged / rewritten),
+    so the three behaviors are all exercised.
+
+    Shape: two zero-shuffle chunk projections, two distinct censuses,
+    one LEFT ANTI join keyed on (source, chunk_md5) — at scale both
+    chunk sets live bucketed by chunk key, so the anti-join is
+    co-located; the ratio is one correctly-rounded division."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    m = F.col("doc_id") % 3
+    recrawl = docs.select(
+        "doc_id", "source",
+        F.when(m == 0, F.concat(F.col("text"),
+                                F.lit(" policy update effective 2026")))
+        .when(m == 2, F.translate(F.col("text"), "aeiou", "xyzwv"))
+        .otherwise(F.col("text")).alias("text"))
+
+    def _chunkset(df: DataFrame) -> DataFrame:
+        src = df.select("doc_id", "source")
+        return (C.cdc_chunks(df, divisor=_CDC_DIV)
+                .join(src, "doc_id")
+                .select("source", "chunk_md5").distinct())
+
+    old = _chunkset(docs).persist()
+    new = _chunkset(recrawl).persist()
+    n_old = old.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks_old"))
+    n_new = new.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks_new"))
+    novel = (new.join(old, ["source", "chunk_md5"], "left_anti")
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("novel_chunks")))
+    zero = F.lit(0).cast("long")
+    return (n_new.join(n_old, "source", "left")
+            .join(novel, "source", "left")
+            .select("source",
+                    F.coalesce("n_chunks_old", zero).cast("long")
+                    .alias("n_chunks_old"),
+                    F.col("n_chunks_new").cast("long")
+                    .alias("n_chunks_new"),
+                    F.coalesce("novel_chunks", zero).cast("long")
+                    .alias("novel_chunks"),
+                    (F.coalesce("novel_chunks", zero).cast("double")
+                     / F.col("n_chunks_new").cast("double"))
+                    .alias("novel_frac")))
+
+
+def _sql_cdc_chunkset(src_cte: str, alias: str) -> str:
+    """Distinct (source, chunk_md5) CDC chunkset of a (doc_id, source,
+    t) CTE — twin of the q_cdc_novelty chunkset leg."""
+    return f"""{alias}_b AS (
+  SELECT doc_id, source, t, length(t) AS n,
+        list_concat(list_concat([0],
+          list_filter(
+            list_transform(
+              list_filter(
+                CASE WHEN length(t) >= 8
+                     THEN range(1, length(t) - 8 + 2)
+                     ELSE CAST([] AS BIGINT[]) END,
+                i -> CAST(concat('0x', substr(md5(substr(t, i, 8)), 1, 8))
+                          AS BIGINT) % {_CDC_DIV} = 0),
+              i -> i + 7),
+            p -> p < length(t))),
+          [CAST(length(t) AS BIGINT)]) AS bounds
+  FROM {src_cte}),
+{alias} AS (
+  SELECT DISTINCT source,
+         md5(substr(t, CAST(bounds[CAST(u.j AS INT)] + 1 AS INT),
+                    CAST(bounds[CAST(u.j AS INT) + 1]
+                         - bounds[CAST(u.j AS INT)] AS INT))) AS chunk_md5
+  FROM {alias}_b, unnest(CASE WHEN n > 0 THEN range(1, len(bounds))
+                         ELSE CAST([] AS BIGINT[]) END) AS u(j))"""
+
+
+SQL_CDC_NOVELTY = f"""
+WITH caps1 AS MATERIALIZED (
+  SELECT doc_id, source, coalesce(text, '') AS t FROM documents),
+caps2 AS MATERIALIZED (
+  SELECT doc_id, source,
+         coalesce(CASE WHEN doc_id % 3 = 0
+                THEN text || ' policy update effective 2026'
+              WHEN doc_id % 3 = 2 THEN translate(text, 'aeiou', 'xyzwv')
+              ELSE text END, '') AS t
+  FROM documents),
+{_sql_cdc_chunkset('caps1', 'oldc')},
+{_sql_cdc_chunkset('caps2', 'newc')},
+no AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks_old
+       FROM oldc GROUP BY 1),
+nn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks_new
+       FROM newc GROUP BY 1),
+nv AS (SELECT n.source, CAST(count(*) AS BIGINT) AS novel_chunks
+       FROM newc n LEFT JOIN oldc o
+         ON n.source = o.source AND n.chunk_md5 = o.chunk_md5
+       WHERE o.chunk_md5 IS NULL GROUP BY 1)
+SELECT nn.source,
+       CAST(coalesce(no.n_chunks_old, 0) AS BIGINT) AS n_chunks_old,
+       nn.n_chunks_new,
+       CAST(coalesce(nv.novel_chunks, 0) AS BIGINT) AS novel_chunks,
+       CAST(coalesce(nv.novel_chunks, 0) AS DOUBLE)
+         / CAST(nn.n_chunks_new AS DOUBLE) AS novel_frac
+FROM nn LEFT JOIN no USING (source) LEFT JOIN nv ON nn.source = nv.source
+"""
+
+
 DUP_SPAN_W = 8
 
 
@@ -6139,6 +6253,7 @@ REGISTRY: dict = {
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "cdc_dup_pairs": (q_cdc_dup_pairs, SQL_CDC_DUP_PAIRS),
+    "cdc_novelty": (q_cdc_novelty, SQL_CDC_NOVELTY),
     "alpha_mixture_rates": (q_alpha_mixture_rates, SQL_ALPHA_MIXTURE_RATES),
     "alpha_sample": (q_alpha_sample, SQL_ALPHA_SAMPLE),
     "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),

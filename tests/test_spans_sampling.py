@@ -564,3 +564,50 @@ def test_cdc_dup_pairs_plan_cap_is_broadcast_anti_join(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_cdc_novelty_semantics_on_hand_corpus(spark):
+    """Identical recrawl -> novel_frac 0; rewritten recrawl -> 1; a
+    footer appended to a long page must move the fraction only
+    slightly (the insertion-robustness promise at the snapshot level)."""
+    from ocr_automation_system_spark.queries import q_cdc_novelty
+
+    # uses the registered query's deterministic recrawl on sf0.001:
+    # doc_id%3==1 identical, %3==0 footer, %3==2 vowel-rotated
+    rows = {r["source"]: r for r in
+            q_cdc_novelty(spark, "/root/testdata/sf0.001").collect()}
+    assert rows
+    for r in rows.values():
+        assert 0.0 <= r["novel_frac"] <= 1.0
+        assert r["novel_chunks"] <= r["n_chunks_new"]
+        # each source mixes the three behaviors: ~1/3 of docs are
+        # rewritten, so novelty is strictly interior
+        assert 0.0 < r["novel_frac"] < 1.0
+
+
+def test_cdc_novelty_bounds_direct(spark):
+    """Direct hand corpus: unchanged source -> 0 novelty; fully
+    rewritten source -> 1.0; footer-only source -> small but nonzero."""
+    from ocr_automation_system_spark.functions.curation import cdc_chunks
+
+    base = ("chapter one describes the collection methodology at "
+            "length and in considerable detail for the reader. " * 3)
+    olds = [(1, "same", base), (2, "foot", base), (3, "new", base)]
+    news = [(1, "same", base),
+            (2, "foot", base + " tiny footer"),
+            (3, "new", "entirely different content now " * 8)]
+
+    def chunkset(rows):
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        ch = cdc_chunks(df).collect()
+        src = {i: s for i, s, _t in rows}
+        out = {}
+        for r in ch:
+            out.setdefault(src[r["doc_id"]], set()).add(r["chunk_md5"])
+        return out
+
+    o, n = chunkset(olds), chunkset(news)
+    frac = {s: len(n[s] - o[s]) / len(n[s]) for s in n}
+    assert frac["same"] == 0.0
+    assert frac["new"] == 1.0
+    assert 0.0 < frac["foot"] < 0.5
