@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: HLL precision: p=8 -> m=256 registers; tail = 60 bits (15 hex chars),
 #: so ranks lie in [1, 61].
@@ -520,3 +521,87 @@ def host_mirror_pairs(df: DataFrame, group_col: str = "source",
                        .otherwise(0)).cast("long").alias("n_eq"))
             .withColumn("est_jaccard",
                         F.col("n_eq").cast("double") / F.lit(8.0)))
+
+
+#: KMV sketch size: k smallest 52-bit hash fractions per group.
+KMV_K = 64
+
+
+def _kmv_u(h: Column) -> Column:
+    """52-bit hash fraction in (0, 1]: exact dyadic rational, the same
+    md5-slice convention as the priority-sample key."""
+    v = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+    return (v + F.lit(1)).cast("double") / F.lit(float(2 ** 52))
+
+
+def kmv_sketch(df: DataFrame, group_col: str = "source",
+               item: Column | None = None, k: int = KMV_K) -> DataFrame:
+    """K-minimum-values sketch (Bar-Yossef et al. 2002): per group the
+    ``k`` smallest md5 values of the item set, as rows (grp, h). The
+    piece HLL is missing: two KMV sketches support INTERSECTION
+    estimates (``kmv_overlap``) — "how many pages do crawls A and B
+    share" — because the k smallest of a union are computable from the
+    halves' k smallest, and membership of those in each half is
+    testable. Mergeable by union + re-cap, exactly like the postings
+    heads (`index.merge_token_postings`' cap argument is the same
+    lemma).
+
+    Scale: the rank-filter compiles to WindowGroupLimit, so each map
+    task holds at most k hashes per group BEFORE the shuffle — the
+    postings-head pattern, not a full-window buffer. Groups with fewer
+    than k distinct items keep everything (the sketch is then exact and
+    the estimators below switch to exact counts)."""
+    h = item if item is not None else F.md5(F.coalesce("text", F.lit("")))
+    d = (df.select(F.col(group_col).alias("grp"), h.alias("h"))
+         .distinct())
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    return (d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Set-overlap estimates from two ``kmv_sketch`` tables: per group
+    (n_a, n_b in sketch, union_est, jaccard_est, intersection_est).
+
+    Method (Beyer et al. 2007): L = the k smallest of sketch(A) ∪
+    sketch(B) (a valid KMV of A ∪ B); union_est = (|L|−1)/u_max(L)
+    when the union sketch is full, else the exact |L|;
+    jaccard_est = |{h ∈ L : h ∈ A-sketch ∧ h ∈ B-sketch}| / |L|;
+    intersection_est = jaccard_est · union_est. Every float is an
+    exact dyadic u, one division, one multiply — correctly rounded,
+    bit-identical cross-engine.
+
+    Scale: the sketches are ≤k rows per group — dimension tables; the
+    whole estimator is two aggregate joins on (grp, h) and one final
+    projection."""
+    sa = a.select("grp", "h").withColumn("_in_a", F.lit(1))
+    sb = b.select("grp", "h").withColumn("_in_b", F.lit(1))
+    both = (sa.select("grp", "h").unionByName(sb.select("grp", "h"))
+            .distinct())
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    l = (both.withColumn("_rn", F.row_number().over(w))
+         .filter(F.col("_rn") <= k))
+    flagged = (l.join(sa, ["grp", "h"], "left")
+               .join(sb, ["grp", "h"], "left"))
+    agg = (flagged.groupBy("grp")
+           .agg(F.count(F.lit(1)).alias("l_size"),
+                F.sum(F.when(F.col("_in_a").isNotNull()
+                             & F.col("_in_b").isNotNull(), 1)
+                      .otherwise(0)).alias("shared_in_l"),
+                F.max_by(_kmv_u(F.col("h")), F.col("_rn")).alias("_uk"),
+                F.sum(F.coalesce("_in_a", F.lit(0))).alias("n_a"),
+                F.sum(F.coalesce("_in_b", F.lit(0))).alias("n_b")))
+    full = F.col("l_size") >= k
+    union_est = F.when(
+        full, (F.col("l_size") - 1).cast("double") / F.col("_uk")
+    ).otherwise(F.col("l_size").cast("double"))
+    jac = (F.col("shared_in_l").cast("double")
+           / F.col("l_size").cast("double"))
+    return agg.select(
+        F.col("grp"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("l_size").cast("long").alias("l_size"),
+        union_est.alias("union_est"),
+        jac.alias("jaccard_est"),
+        (jac * union_est).alias("intersection_est"))

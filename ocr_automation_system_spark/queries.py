@@ -4900,6 +4900,68 @@ FROM st a JOIN st2 b ON a.doc_id = b.doc_id
 # Sketches (deterministic HLL / Bloom census) + inverted index / TF-IDF
 # ---------------------------------------------------------------------------
 
+def q_kmv_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-overlap estimates (X113): per source, the estimated
+    content overlap between the even- and odd-doc-id crawl halves —
+    the set-INTERSECTION cardinality question HLL registers cannot
+    answer (Bar-Yossef 2002 / Beyer 2007: the k smallest hashes of a
+    union are computable from the halves' k smallest, and membership
+    in each half is testable). Sketches are ≤k rows per group via
+    WindowGroupLimit (the postings-head pattern); estimator floats are
+    one division + one multiply on exact dyadic u's."""
+    from .functions import sketch as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    sa = S.kmv_sketch(docs.filter(F.col("doc_id") % 2 == 0))
+    sb = S.kmv_sketch(docs.filter(F.col("doc_id") % 2 == 1))
+    return (S.kmv_overlap(sa, sb)
+            .withColumnRenamed("grp", "source"))
+
+
+_KMV_U = ("(CAST(concat('0x', substr(h, 1, 13)) AS BIGINT) + 1)"
+          " / CAST(4503599627370496 AS DOUBLE)")
+
+SQL_KMV_CONTENT_OVERLAP = f"""
+WITH da AS (SELECT DISTINCT source AS grp, md5(coalesce(text, '')) AS h
+            FROM documents WHERE doc_id % 2 = 0),
+db AS (SELECT DISTINCT source AS grp, md5(coalesce(text, '')) AS h
+       FROM documents WHERE doc_id % 2 = 1),
+sa AS (SELECT grp, h FROM (
+         SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h)
+           AS rn FROM da) WHERE rn <= 64),
+sb AS (SELECT grp, h FROM (
+         SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h)
+           AS rn FROM db) WHERE rn <= 64),
+ub AS (SELECT DISTINCT grp, h FROM (
+           SELECT grp, h FROM sa UNION ALL SELECT grp, h FROM sb)),
+l AS (SELECT grp, h, rn FROM (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h)
+          AS rn FROM ub) WHERE rn <= 64),
+fl AS (SELECT l.grp, l.h, l.rn,
+              CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+              CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+       FROM l LEFT JOIN sa a ON l.grp = a.grp AND l.h = a.h
+              LEFT JOIN sb b ON l.grp = b.grp AND l.h = b.h),
+agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS l_size,
+               CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS shared,
+               arg_max({_KMV_U}, rn) AS uk,
+               CAST(sum(in_a) AS BIGINT) AS n_a,
+               CAST(sum(in_b) AS BIGINT) AS n_b
+        FROM fl GROUP BY grp)
+SELECT grp AS source, n_a, n_b, l_size,
+       CASE WHEN l_size >= 64
+            THEN CAST(l_size - 1 AS DOUBLE) / uk
+            ELSE CAST(l_size AS DOUBLE) END AS union_est,
+       CAST(shared AS DOUBLE) / CAST(l_size AS DOUBLE) AS jaccard_est,
+       (CAST(shared AS DOUBLE) / CAST(l_size AS DOUBLE))
+         * (CASE WHEN l_size >= 64
+                 THEN CAST(l_size - 1 AS DOUBLE) / uk
+                 ELSE CAST(l_size AS DOUBLE) END) AS intersection_est
+FROM agg
+"""
+
+
 def q_cms_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters: every source's CMS estimate (min over
     d=4 md5-slice rows of a d*w=1,024-counter sketch, mergeable by SUM)
@@ -6309,6 +6371,8 @@ REGISTRY: dict = {
     "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
     "schedule_load": (q_schedule_load, SQL_SCHEDULE_LOAD),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE),
+    "kmv_content_overlap": (q_kmv_content_overlap,
+                            SQL_KMV_CONTENT_OVERLAP),
     "minhash_sig_merge": (q_minhash_sig_merge, SQL_MINHASH_SIG_MERGE),
     "host_mirror_pairs": (q_host_mirror_pairs, SQL_HOST_MIRROR_PAIRS),
     "lsh_tuning_table": (q_lsh_tuning_table, SQL_LSH_TUNING_TABLE),

@@ -740,3 +740,52 @@ def test_vocab_divergence_flags_outlier_source(spark, tmp_path):
     got = {r["source"]: r["chi2"] for r in
            q_source_vocab_divergence(spark, str(tmp_path)).collect()}
     assert got["weird"] > max(got[f"ok{k}"] for k in range(3)) * 2
+
+
+def test_kmv_overlap_estimates_known_sets(spark):
+    """200- and 300-item sets with a 100-item intersection: union and
+    intersection estimates must land within the k=64 KMV error band
+    (~1/sqrt(k) ≈ 12.5%); jaccard within 0.1 of 0.25."""
+    from ocr_automation_system_spark.functions.sketch import (
+        kmv_overlap, kmv_sketch,
+    )
+
+    a = spark.createDataFrame([("s", f"item{i}") for i in range(200)],
+                              ["source", "text"])
+    b = spark.createDataFrame(
+        [("s", f"item{i}") for i in range(100, 400)], ["source", "text"])
+    r = kmv_overlap(kmv_sketch(a), kmv_sketch(b)).collect()[0]
+    assert r["l_size"] == 64
+    assert abs(r["union_est"] - 400) / 400 < 0.25
+    assert abs(r["jaccard_est"] - 0.25) < 0.1
+    assert abs(r["intersection_est"] - 100) / 100 < 0.35
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """Fewer than k distinct items per side -> the sketch IS the set:
+    l_size = true union, union_est exact, jaccard exact."""
+    from ocr_automation_system_spark.functions.sketch import (
+        kmv_overlap, kmv_sketch,
+    )
+
+    a = spark.createDataFrame([("s", f"x{i}") for i in range(10)],
+                              ["source", "text"])
+    b = spark.createDataFrame([("s", f"x{i}") for i in range(5, 20)],
+                              ["source", "text"])
+    r = kmv_overlap(kmv_sketch(a), kmv_sketch(b)).collect()[0]
+    assert r["n_a"] == 10 and r["n_b"] == 15
+    assert r["l_size"] == 20
+    assert r["union_est"] == 20.0
+    assert r["jaccard_est"] == 5 / 20
+    assert r["intersection_est"] == 5.0
+
+
+def test_kmv_sketch_plan_uses_window_group_limit(spark):
+    """The k-smallest rank filter must push map-side (WindowGroupLimit)
+    — no task buffers a group's full hash stream."""
+    from ocr_automation_system_spark.functions.sketch import kmv_sketch
+
+    df = spark.createDataFrame([("s", "t")], ["source", "text"])
+    plan = (kmv_sketch(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan
