@@ -877,14 +877,19 @@ def cdc_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     removed by BROADCAST ANTI-JOIN — never a window — then one
     self-equi-join on the 128-bit chunk key (bounded ≤ cap docs per
     bucket) and one pair-keyed aggregation."""
+    # persist the distinct chunk table BEFORE the census: the boundary
+    # scan (one md5 per char-gram) is the expensive leg, and census +
+    # both self-join sides all read it (the duplicate_spans lesson —
+    # without this the census consumer re-runs the whole projection;
+    # measured 0.86 -> 0.77s warm at sf0.1, larger gap cold)
     ch = (cdc_chunks(df, id_col=id_col, text_col=text_col, w=w,
                      divisor=divisor)
-          .select(id_col, "chunk_md5", "length").distinct())
+          .select(id_col, "chunk_md5", "length").distinct().persist())
     over = (ch.groupBy("chunk_md5")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > max_docs_per_chunk)
             .select("chunk_md5"))
-    ch = ch.join(F.broadcast(over), "chunk_md5", "left_anti").persist()
+    ch = ch.join(F.broadcast(over), "chunk_md5", "left_anti")
     a = ch.select(F.col(id_col).alias("doc_a"), "chunk_md5",
                   F.col("length").alias("_len"))
     b = ch.select(F.col(id_col).alias("doc_b"), "chunk_md5")
