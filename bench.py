@@ -69,6 +69,7 @@ HEADLINE = (
     "chunk_dup_stats", "cdc_chunks", "cdc_dup_pairs", "cdc_novelty",
     "alpha_mixture_rates", "alpha_sample",
     "hll_source_cardinality", "hll_merge", "kmv_content_overlap",
+    "kmv_merge",
     "bloom_dedup_census",
     "minhash_sig_merge", "bloom_bits_merge", "host_mirror_pairs",
     "cms_source_counts", "cms_merge",

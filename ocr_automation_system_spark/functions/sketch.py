@@ -605,3 +605,20 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
         union_est.alias("union_est"),
         jac.alias("jaccard_est"),
         (jac * union_est).alias("intersection_est"))
+
+
+def merge_kmv_sketches(a: DataFrame, b: DataFrame,
+                       k: int = KMV_K) -> DataFrame:
+    """Fold one KMV sketch into another WITHOUT re-touching any corpus:
+    union the hash rows, drop duplicates (the same content can appear
+    in both crawls), keep the k smallest per group. Exactly mergeable —
+    the k smallest of A ∪ B all lie in (k-smallest of A) ∪ (k-smallest
+    of B), the same lemma as the postings-head merge — so
+    merge(kmv(A), kmv(B)) == kmv(A ∪ B) identically; the `kmv_merge`
+    contract query pins that identity against the full-corpus oracle.
+    One WindowGroupLimit over ≤2k rows per group."""
+    both = (a.select("grp", "h").unionByName(b.select("grp", "h"))
+            .distinct())
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    return (both.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))

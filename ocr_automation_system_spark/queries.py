@@ -4962,6 +4962,33 @@ FROM agg
 """
 
 
+def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch maintenance (X114): sketches over the even/odd halves
+    merged as ARTIFACTS (union + re-cap). The oracle is the full-corpus
+    k-smallest table — the query asserts merge(kmv(A), kmv(B)) ==
+    kmv(A ∪ B) IDENTICALLY (the k smallest of a union all lie in the
+    halves' k-smallest sets), completing the mergeable-artifact family:
+    postings heads, HLL registers, CMS counters, minhash sigs, Bloom
+    bits, histograms — and now the intersection-capable sketch."""
+    from .functions import sketch as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = S.kmv_sketch(docs.filter(F.col("doc_id") % 2 == 0))
+    b = S.kmv_sketch(docs.filter(F.col("doc_id") % 2 == 1))
+    return (S.merge_kmv_sketches(a, b)
+            .select(F.col("grp").alias("source"), "h"))
+
+
+SQL_KMV_MERGE = """
+WITH d AS (SELECT DISTINCT source, md5(coalesce(text, '')) AS h
+           FROM documents)
+SELECT source, h FROM (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM d) WHERE rn <= 64
+"""
+
+
 def q_cms_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters: every source's CMS estimate (min over
     d=4 md5-slice rows of a d*w=1,024-counter sketch, mergeable by SUM)
@@ -6373,6 +6400,7 @@ REGISTRY: dict = {
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE),
     "kmv_content_overlap": (q_kmv_content_overlap,
                             SQL_KMV_CONTENT_OVERLAP),
+    "kmv_merge": (q_kmv_merge, SQL_KMV_MERGE),
     "minhash_sig_merge": (q_minhash_sig_merge, SQL_MINHASH_SIG_MERGE),
     "host_mirror_pairs": (q_host_mirror_pairs, SQL_HOST_MIRROR_PAIRS),
     "lsh_tuning_table": (q_lsh_tuning_table, SQL_LSH_TUNING_TABLE),

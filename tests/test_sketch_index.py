@@ -789,3 +789,31 @@ def test_kmv_sketch_plan_uses_window_group_limit(spark):
     plan = (kmv_sketch(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "WindowGroupLimit" in plan
+
+
+def test_kmv_merge_equals_full_corpus_sketch(spark):
+    """merge(kmv(A), kmv(B)) == kmv(A ∪ B) identically, including when
+    both caps truncate and when content is shared across halves."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.sketch import (
+        kmv_sketch, merge_kmv_sketches,
+    )
+
+    rows = ([("s", f"t{i}") for i in range(300)]
+            + [("s", f"t{i}") for i in range(150, 450)]  # overlap 150
+            + [("r", f"u{i}") for i in range(10)])
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        ["doc_id", "source", "text"])
+    a = kmv_sketch(df.filter(F.col("doc_id") % 2 == 0), k=32)
+    b = kmv_sketch(df.filter(F.col("doc_id") % 2 == 1), k=32)
+    merged = sorted((r["grp"], r["h"]) for r in
+                    merge_kmv_sketches(a, b, k=32).collect())
+    full = sorted((r["grp"], r["h"]) for r in
+                  kmv_sketch(df, k=32).collect())
+    assert merged == full
+    # truncation really happened on the big source
+    assert sum(1 for g, _ in full if g == "s") == 32
+    # and the small source stayed exact
+    assert sum(1 for g, _ in full if g == "r") == 10
