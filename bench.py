@@ -82,7 +82,7 @@ HEADLINE = (
     "tfidf_top_terms",
     "bm25_search", "bm25_weighted", "phrase_kwic",
     "phrase_hits", "proximity_hits", "kwic_snippets", "minhash_recall_sample",
-    "split_leakage", "hard_negatives",
+    "split_leakage", "hard_negatives", "near_dup_agreement",
     "importance_weights", "curation_verdicts", "collocations", "skipgram_pairs",
     "doc_feature_table", "quality_probe_weights", "quality_probe_scores",
     "quality_probe_calibrated",

@@ -2395,6 +2395,81 @@ SELECT doc_a, doc_b, hamming FROM cross_sig
 """
 
 
+def q_near_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-agreement audit (X115): the MinHash(≥0.6 Jaccard) and
+    SimHash(≤3 Hamming) near-dup pair sets full-outer joined and
+    censused by detector — the model-disagreement readout a pipeline
+    owner checks before trusting either ladder alone (minhash_only =
+    token-level near-dups SimHash's 64-bit projection smooths over;
+    simhash_only = distribution-level near-dups the shingle bands
+    missed; both = the safe core). Costs exactly the two pinned
+    ladders + one join on the pair key + one 3-row census."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = (D.ngram_jaccard_pairs(docs, n=3, bands=4, rows_per_band=2,
+                               cache_index=True)
+         .filter(F.round("jaccard", 6) >= 0.6)
+         .select("doc_a", "doc_b", F.lit(1).alias("_m")))
+    s = (D.simhash_near_pairs(docs, max_hamming=3)
+         .select("doc_a", "doc_b", F.lit(1).alias("_s")))
+    j = m.join(s, ["doc_a", "doc_b"], "full_outer")
+    det = (F.when(F.col("_m").isNotNull() & F.col("_s").isNotNull(),
+                  F.lit("both"))
+           .when(F.col("_m").isNotNull(), F.lit("minhash_only"))
+           .otherwise(F.lit("simhash_only")))
+    return (j.select(det.alias("detector"))
+            .groupBy("detector")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+SQL_NEAR_DUP_AGREEMENT = f"""
+WITH {_SQL_MINHASH_CTES},
+mh AS (SELECT doc_a, doc_b FROM jp WHERE round(jaccard, 6) >= 0.6),
+{_sql_simhash_ctes(_SQL_CLEAN_TOKS)},
+ds AS (SELECT DISTINCT sim_hi, sim_lo FROM st),
+blocks AS (
+  SELECT sim_hi, sim_lo, CAST(r.k AS INTEGER) AS block,
+         CASE r.k WHEN 0 THEN sim_hi // 65536
+                  WHEN 1 THEN sim_hi % 65536
+                  WHEN 2 THEN sim_lo // 65536
+                  ELSE sim_lo % 65536 END AS block_val
+  FROM ds, range(0, 4) r(k)
+),
+capped AS (
+  SELECT * FROM blocks
+  QUALIFY count(*) OVER (PARTITION BY block, block_val) <= 100000
+),
+sig_pairs AS (
+  SELECT DISTINCT a.sim_hi AS hi_a, a.sim_lo AS lo_a,
+                  b.sim_hi AS hi_b, b.sim_lo AS lo_b
+  FROM capped a JOIN capped b ON a.block = b.block AND a.block_val = b.block_val
+  WHERE (a.sim_hi < b.sim_hi
+         OR (a.sim_hi = b.sim_hi AND a.sim_lo < b.sim_lo))
+    AND bit_count(xor(a.sim_hi, b.sim_hi))
+        + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+),
+sh2 AS (
+  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+  FROM st s1 JOIN st s2
+    ON s1.sim_hi = s2.sim_hi AND s1.sim_lo = s2.sim_lo
+   AND s1.doc_id < s2.doc_id
+  UNION
+  SELECT least(x.doc_id, y.doc_id), greatest(x.doc_id, y.doc_id)
+  FROM sig_pairs p
+  JOIN st x ON x.sim_hi = p.hi_a AND x.sim_lo = p.lo_a
+  JOIN st y ON y.sim_hi = p.hi_b AND y.sim_lo = p.lo_b
+),
+fj AS (
+  SELECT CASE WHEN mh.doc_a IS NOT NULL AND sh2.doc_a IS NOT NULL
+              THEN 'both'
+              WHEN mh.doc_a IS NOT NULL THEN 'minhash_only'
+              ELSE 'simhash_only' END AS detector
+  FROM mh FULL OUTER JOIN sh2
+    ON mh.doc_a = sh2.doc_a AND mh.doc_b = sh2.doc_b)
+SELECT detector, CAST(count(*) AS BIGINT) AS n_pairs
+FROM fj GROUP BY detector
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity queries (embeddings table)
 # ---------------------------------------------------------------------------
@@ -6438,6 +6513,7 @@ REGISTRY: dict = {
                                 SQL_DEDUP_CLUSTER_KEEP_BEST),
     "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH_SIGNATURES),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_NEAR_PAIRS),
+    "near_dup_agreement": (q_near_dup_agreement, SQL_NEAR_DUP_AGREEMENT),
     # similarity search
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_lsh_bucket_stats": (q_embedding_lsh_bucket_stats, SQL_EMBEDDING_LSH_BUCKET_STATS),

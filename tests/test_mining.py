@@ -66,3 +66,30 @@ def test_split_leakage_pairs_cross_and_are_near_dups(spark):
     want = {(a, b) for (a, b), j in base.items()
             if j >= 0.5 and split_of(a) != split_of(b)}
     assert {(r["doc_a"], r["doc_b"]) for r in leaks} == want
+
+
+def test_near_dup_agreement_census_consistent(spark):
+    """The detector census must exactly reconcile with the two pair
+    sets it audits: both + minhash_only = |M|, both + simhash_only =
+    |S|, and the 'both' bucket equals the true pair intersection."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions import dedup as D
+    from ocr_automation_system_spark.queries import (
+        load_table, q_near_dup_agreement,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    m = {(r["doc_a"], r["doc_b"]) for r in
+         D.ngram_jaccard_pairs(docs, n=3, bands=4, rows_per_band=2)
+         .filter(F.round("jaccard", 6) >= 0.6).collect()}
+    s = {(r["doc_a"], r["doc_b"]) for r in
+         D.simhash_near_pairs(docs, max_hamming=3).collect()}
+    got = {r["detector"]: r["n_pairs"] for r in
+           q_near_dup_agreement(spark, SF).collect()}
+    assert got.get("both", 0) == len(m & s)
+    assert got.get("minhash_only", 0) == len(m - s)
+    assert got.get("simhash_only", 0) == len(s - m)
+    # the audit is non-trivial on this corpus: detectors disagree
+    assert got.get("both", 0) > 0
+    assert got.get("simhash_only", 0) + got.get("minhash_only", 0) > 0
