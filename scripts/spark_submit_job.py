@@ -102,6 +102,12 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "q_h ~ n_h^A (mT5/XLM-R alpha sampling; the "
                         "smallest host keeps everything). Deterministic "
                         "md5 gate - reruns keep the same rows")
+    p.add_argument("--sample-k", type=int, default=0, metavar="K",
+                   help="export a token-count-weighted priority sample "
+                        "(Efraimidis-Spirakis, without replacement) of "
+                        "K train-split docs under <output>/sample — the "
+                        "deterministic eval-slice draw (sample_rows "
+                        "lineage count)")
     p.add_argument("--zorder", action="store_true",
                    help="lay the curated corpus out in Z-order: sort "
                         "each split's files by the Morton interleave "
@@ -167,7 +173,7 @@ def main(argv=None, stop_session: bool = True) -> int:
                probe_per_source=args.probe_per_source,
                probe_weights_path=args.probe_weights,
                alpha=args.alpha, keep_best=args.keep_best,
-               zorder=args.zorder)
+               zorder=args.zorder, sample_k=args.sample_k)
 
     summary = lineage_summary(args.output, args.n_buckets)
     print(f"done: {summary['total_rows']} docs across "
@@ -186,7 +192,7 @@ def curate(spark, results, output: str, quota: int = 1000,
            probe_per_source: bool = False,
            probe_weights_path: str = "",
            alpha: float | None = None, keep_best: bool = False,
-           zorder: bool = False) -> None:
+           zorder: bool = False, sample_k: int = 0) -> None:
     """Committed extractions -> curated training corpus.
 
     Chain (each stage a documented survivor count): usable docs only ->
@@ -371,6 +377,16 @@ def curate(spark, results, output: str, quota: int = 1000,
                            overlap=max(1, chunk_tokens // 8))
          .write.mode("overwrite").parquet(ch_out))
         counts["train_chunks"] = spark.read.parquet(ch_out).count()
+    if sample_k:
+        # weighted eval-slice draw: Efraimidis-Spirakis priority sample
+        # of the train split, token-count-weighted, no RNG — the same
+        # rows on any rerun/partitioning (curation.priority_sample)
+        samp_out = os.path.join(output, "sample")
+        (C.priority_sample(written.filter(F.col("split") == "train"),
+                           k=sample_k, id_col="doc_id",
+                           source_col="host")
+         .write.mode("overwrite").parquet(samp_out))
+        counts["sample_rows"] = spark.read.parquet(samp_out).count()
     if wet_files:
         # WET conversion records of the train split — the corpus format
         # a downstream trainer ingests. Deterministic conversion date

@@ -291,3 +291,34 @@ def test_curate_zorder_layout(spark, tmp_path):
     assert by_file
     for f, ks in by_file.items():
         assert ks == sorted(ks), f
+
+
+def test_curate_sample_export(spark, tmp_path):
+    out = str(tmp_path / "job")
+    rc = spark_submit_job.main([
+        "--synthetic", "400", "--output", out, "--curate",
+        "--domain-quota", "50", "--sample-k", "25",
+    ], stop_session=False)
+    assert rc == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert counts["sample_rows"] == 25
+    samp = spark.read.parquet(os.path.join(out, "sample"))
+    rows = samp.collect()
+    assert len(rows) == 25
+    assert len({r["doc_id"] for r in rows}) == 25  # without replacement
+    assert sorted(r["rank"] for r in rows) == list(range(1, 26))
+    # sampled ids are train-split members
+    train = {r["doc_id"] for r in
+             spark.read.parquet(os.path.join(out, "curated"))
+             .filter("split = 'train'").collect()}
+    assert {r["doc_id"] for r in rows} <= train
+    # deterministic: a rerun draws the SAME sample
+    rc = spark_submit_job.main([
+        "--synthetic", "400", "--output", out, "--curate",
+        "--domain-quota", "50", "--sample-k", "25",
+    ], stop_session=False)
+    assert rc == 0
+    again = {(r["doc_id"], r["rank"]) for r in
+             spark.read.parquet(os.path.join(out, "sample")).collect()}
+    assert again == {(r["doc_id"], r["rank"]) for r in rows}
