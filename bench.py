@@ -64,7 +64,8 @@ HEADLINE = (
     "warc_roundtrip",
     "bpe_merge_candidates", "bpe_merges", "bpe_fertility",
     "lm_perplexity_buckets", "bigram_backoff_scores", "doc_length_profile",
-    "duplicate_spans", "stratified_sample", "priority_sample",
+    "duplicate_spans", "winnow_fingerprints", "winnow_dup_pairs",
+    "stratified_sample", "priority_sample",
     "chunk_documents",
     "chunk_dup_stats", "cdc_chunks", "cdc_dup_pairs", "cdc_novelty",
     "alpha_mixture_rates", "alpha_sample",

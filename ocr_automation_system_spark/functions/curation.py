@@ -899,3 +899,100 @@ def cdc_dup_pairs(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count(F.lit(1)).alias("n_shared_chunks"),
                  F.sum("_len").cast("long").alias("shared_chars"))
             .filter(F.col("n_shared_chunks") >= min_shared))
+
+
+#: winnowing geometry: k-gram size and window width. Guarantee: any
+#: shared token run of length >= WINNOW_K + WINNOW_W - 1 (= 7) shares
+#: at least one selected fingerprint (Schleimer et al. 2003, thm 1).
+WINNOW_K = 4
+WINNOW_W = 4
+#: positions ride in the low 20 bits of the selection key (docs are
+#: capped far below 2^20 tokens by the chunking/export stages).
+_WINNOW_POS_BITS = 20
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every k-token gram, slide a
+    w-wide window over the hash sequence, select each window's minimum
+    — with the GUARANTEE minhash sampling cannot give: any verbatim
+    run of >= k + w - 1 tokens shared by two documents selects at
+    least one common fingerprint in both. Density is ~2/(w+1) of the
+    gram stream, so the artifact is a bounded fraction of corpus size
+    by construction.
+
+    Determinism: gram hash = 40-bit md5 slice; the selection key packs
+    (hash << 20 | gram position), so "min of window" is a total order
+    (leftmost-lowest, the classic tie rule) and one integer
+    ``list_min`` in both engines. Returns distinct (doc_id, fp, pos);
+    ``fp`` is the 40-bit gram hash (position-free, so fingerprints
+    match ACROSS documents), ``pos`` the 0-based token offset of the
+    selected gram in this document.
+
+    Scale: one zero-shuffle HOF projection (token array bound once,
+    key array bound once — the bind_array law) + a distinct on the
+    selected rows. No Python, no window functions."""
+    from .text import bind_array, clean_text, lazy_seq, ws_tokens
+
+    shift = F.lit(1 << _WINNOW_POS_BITS).cast("long")
+
+    def _keys(tk):
+        n = F.size(tk)
+        idx = lazy_seq(n >= k, F.lit(1), n - k + 1)
+        return F.transform(
+            idx,
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(tk, i, k), " ")), 1, 10),
+                16, 10).cast("long") * shift + (i - 1).cast("long"))
+
+    def _select(keys):
+        m = F.size(keys)
+        starts = lazy_seq(m >= w, F.lit(1), m - w + 1)
+        mins = F.transform(starts,
+                           lambda j: F.array_min(F.slice(keys, j, w)))
+        # short docs (k-grams exist but fewer than w): one window over
+        # everything — the guarantee degrades gracefully
+        short = F.when((m > 0) & (m < w),
+                       F.array(F.array_min(keys))).otherwise(F.array()
+                                                             .cast("array<long>"))
+        return F.array_distinct(F.concat(mins, short))
+
+    toks = ws_tokens(clean_text(F.col(text_col)))
+    sel = bind_array(bind_array(toks, _keys), _select)
+    # integer `div`, never `/` (long / long is DOUBLE — exact only to
+    # 2^53, and the packed keys are 60-bit; the pack_bins lesson)
+    return (df.select(F.col(id_col), F.explode(sel).alias("_key"))
+            .select(id_col,
+                    F.expr(f"_key div {1 << _WINNOW_POS_BITS}")
+                    .cast("long").alias("fp"),
+                    F.pmod(F.col("_key"), shift).cast("int").alias("pos"))
+            .distinct())
+
+
+def winnow_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", min_shared: int = 2,
+                     max_docs_per_fp: int = 64) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints:
+    the guaranteed-recall cousin of the LSH ladders — any pair sharing
+    a verbatim run of >= WINNOW_K + WINNOW_W - 1 tokens MUST share a
+    fingerprint (minhash gives probability, winnowing gives a theorem),
+    at ~2/(w+1) the gram stream's storage. Same cap law as always:
+    over-cap fingerprints (boilerplate) die by aggregate + broadcast
+    anti-join before the self-equi-join."""
+    fps = (winnow_fingerprints(df, id_col=id_col, text_col=text_col)
+           .select(id_col, "fp").distinct().persist())
+    over = (fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_docs_per_fp)
+            .select("fp"))
+    surv = fps.join(F.broadcast(over), "fp", "left_anti")
+    a = surv.select(F.col(id_col).alias("doc_a"), "fp")
+    b = surv.select(F.col(id_col).alias("doc_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+            .filter(F.col("n_shared_fps") >= min_shared))

@@ -1840,6 +1840,85 @@ FROM nn LEFT JOIN no USING (source) LEFT JOIN nv ON nn.source = nv.source
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    selection rule): every (doc, 40-bit gram hash, token offset) a
+    w-window minimum selects — the GUARANTEED-recall dup artifact (any
+    shared verbatim run of >= k+w-1 tokens shares a fingerprint; minhash
+    only samples). Zero-shuffle HOF projection + distinct; see
+    functions.curation.winnow_fingerprints."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.winnow_fingerprints(docs)
+
+
+def _sql_winnow_sel(toks: str) -> str:
+    """Selected winnow key list (hash<<20 | gram pos) of a token-array
+    expression ``toks`` — twin of curation.winnow_fingerprints' select
+    stage (k=4 grams, w=4 windows, leftmost-lowest tie rule as an
+    integer min over the packed keys)."""
+    from .functions.curation import WINNOW_K as K, WINNOW_W as W
+    from .functions.curation import _WINNOW_POS_BITS
+
+    shift = 1 << _WINNOW_POS_BITS
+    ks = (f"CASE WHEN len(tk) >= {K} THEN "
+          f"list_transform(range(1, len(tk) - {K - 2}), "
+          f"i -> CAST(concat('0x', substr(md5(array_to_string("
+          f"tk[i:i+{K - 1}], ' ')), 1, 10)) AS BIGINT) * {shift} "
+          f"+ (i - 1)) ELSE CAST([] AS BIGINT[]) END")
+    return f"""
+t AS (SELECT doc_id, {toks} AS tk FROM documents),
+kk AS (SELECT doc_id, {ks} AS ks FROM t),
+sel AS (SELECT doc_id, list_distinct(list_concat(
+         CASE WHEN len(ks) >= {W} THEN
+           list_transform(range(1, len(ks) - {W - 2}),
+                          j -> list_min(ks[j:j+{W - 1}]))
+         ELSE CAST([] AS BIGINT[]) END,
+         CASE WHEN len(ks) > 0 AND len(ks) < {W}
+              THEN [list_min(ks)]
+              ELSE CAST([] AS BIGINT[]) END)) AS sl
+        FROM kk)"""
+
+
+_SQL_WINNOW_SHIFT = 1 << 20
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH {_sql_winnow_sel(_sql_toks(_sql_clean('text')))}
+SELECT DISTINCT doc_id,
+       CAST(u.key // {_SQL_WINNOW_SHIFT} AS BIGINT) AS fp,
+       CAST(u.key % {_SQL_WINNOW_SHIFT} AS INT) AS pos
+FROM sel, unnest(sl) AS u(key)
+"""
+
+
+def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shared winnow fingerprints — the
+    guaranteed-recall cousin of minhash_lsh_pairs (a theorem, not a
+    banding probability, for runs >= k+w-1 tokens) at ~2/(w+1) the gram
+    stream's size. Cap law: over-cap fingerprints (boilerplate grams)
+    die by aggregate + broadcast anti-join before the self-equi-join;
+    see functions.curation.winnow_dup_pairs."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.winnow_dup_pairs(docs)
+
+
+SQL_WINNOW_DUP_PAIRS = f"""
+WITH {_sql_winnow_sel(_sql_toks(_sql_clean('text')))},
+fps AS (SELECT DISTINCT doc_id, u.key // {_SQL_WINNOW_SHIFT} AS fp
+        FROM sel, unnest(sl) AS u(key)),
+surv AS (SELECT doc_id, fp FROM fps
+         WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp
+                          HAVING count(*) > 64))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM surv a JOIN surv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 DUP_SPAN_W = 8
 
 
@@ -6418,6 +6497,9 @@ REGISTRY: dict = {
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "cdc_dup_pairs": (q_cdc_dup_pairs, SQL_CDC_DUP_PAIRS),
     "cdc_novelty": (q_cdc_novelty, SQL_CDC_NOVELTY),
+    "winnow_fingerprints": (q_winnow_fingerprints,
+                            SQL_WINNOW_FINGERPRINTS),
+    "winnow_dup_pairs": (q_winnow_dup_pairs, SQL_WINNOW_DUP_PAIRS),
     "alpha_mixture_rates": (q_alpha_mixture_rates, SQL_ALPHA_MIXTURE_RATES),
     "alpha_sample": (q_alpha_sample, SQL_ALPHA_SAMPLE),
     "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
