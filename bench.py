@@ -53,7 +53,7 @@ HEADLINE = (
     "url_pattern_census",
     "latest_capture", "snapshot_delta", "content_drift", "crawl_activity",
     "crawl_priorities", "crawl_schedule", "schedule_load",
-    "page_metadata",
+    "page_metadata", "page_directives", "canonical_dup_groups",
     "pipeline_line_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",
@@ -65,6 +65,7 @@ HEADLINE = (
     "bpe_merge_candidates", "bpe_merges", "bpe_fertility",
     "lm_perplexity_buckets", "bigram_backoff_scores", "doc_length_profile",
     "duplicate_spans", "winnow_fingerprints", "winnow_dup_pairs",
+    "winnow_shared_extents",
     "stratified_sample", "priority_sample",
     "chunk_documents",
     "chunk_dup_stats", "cdc_chunks", "cdc_dup_pairs", "cdc_novelty",

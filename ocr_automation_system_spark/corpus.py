@@ -28,7 +28,7 @@ DEFAULT_SEED = 42
 #: bump whenever generation logic changes — cache filenames embed it so a
 #: stale /tmp corpus from an older generator can never shadow the current
 #: semantics (the corpus is the shared byte-identity surface).
-CORPUS_VERSION = 3
+CORPUS_VERSION = 5
 
 _UPPER = string.ascii_uppercase
 _NAME_WORDS = [
@@ -221,16 +221,46 @@ def unsupported_body(rng: random.Random) -> list:
 # HTML wrapping — boilerplate chrome around a main-content block.
 # ---------------------------------------------------------------------------
 
-def wrap_html(rng: random.Random, title: str, body_lines: list) -> str:
+#: JSON-LD @type pool for the structured-data census (schema.org).
+_JSONLD_TYPES = ("Article", "Invoice", "Organization", "Product")
+
+
+def wrap_html(rng: random.Random, title: str, body_lines: list,
+              canonical: str | None = None) -> str:
     nav = " ".join(f'<a href="/{w.lower().replace(" ", "-")}">{w}</a>'
                    for w in rng.sample(_BOILER_LINKS, 6))
     related = " ".join(f'<a href="/doc/{rng.randrange(10**6)}">Document {i}</a>'
                        for i in range(1, 7))
     main = "<br>\n".join(body_lines)
     footer = " ".join(f'<a href="/{w.lower()}">{w}</a>' for w in rng.sample(_BOILER_LINKS, 4))
+    # In-page directives (~real-crawl rates): robots meta on ~10%,
+    # rel=canonical on ~30% (entity-keyed target, so near-copies of one
+    # entity share it — the canonical-collapse dedup signal), one
+    # JSON-LD block on ~25%. Draw order is part of the corpus contract
+    # (CORPUS_VERSION bumps if it changes). Head-only additions: the
+    # extraction legs drop head/script wholesale, so extracted text is
+    # untouched.
+    head_extra = ""
+    if rng.random() < 0.85:
+        # charset declaration on most pages (real-crawl shape); the
+        # occasional legacy label is a DECLARATION only — payload bytes
+        # are UTF-8 throughout (the transcode leg is the reader's job)
+        cs = rng.choice(("utf-8", "utf-8", "utf-8", "UTF-8",
+                         "iso-8859-1"))
+        head_extra += f'<meta charset="{cs}">'
+    if rng.random() < 0.10:
+        robots = rng.choice(("noindex", "noindex,nofollow"))
+        head_extra += f'<meta name="robots" content="{robots}">'
+    if canonical is not None and rng.random() < 0.30:
+        head_extra += f'<link rel="canonical" href="{canonical}">'
+    if rng.random() < 0.25:
+        t = rng.choice(_JSONLD_TYPES)
+        head_extra += ('<script type="application/ld+json">'
+                       f'{{"@context":"https://schema.org","@type":"{t}"}}'
+                       '</script>')
     return (
-        "<html><head><title>" + title + "</title>"
-        "<script>var t=1;</script><style>body{margin:0}</style></head>\n"
+        "<html><head><title>" + title + "</title>" + head_extra
+        + "<script>var t=1;</script><style>body{margin:0}</style></head>\n"
         "<body>\n"
         f"<nav>{nav}</nav>\n"
         f'<header><div class="brand">Portal</div></header>\n'
@@ -329,7 +359,10 @@ def generate_rows(n_rows: int, seed: int = DEFAULT_SEED,
                         " ".join(rng.choice(_FILLER_WORDS) for _ in range(25))
                         for _ in range(14 * (payload_scale - 1))
                     ]
-                payload = wrap_html(rng, f"Document {i}", body).encode("utf-8")
+                canonical = (f"https://registry.example.org/entity/"
+                             f"{e['pan']}")
+                payload = wrap_html(rng, f"Document {i}", body,
+                                    canonical=canonical).encode("utf-8")
                 body_text = "\n".join(body)
 
         rows.append({

@@ -996,3 +996,44 @@ def winnow_dup_pairs(df: DataFrame, id_col: str = "doc_id",
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_shared_fps"))
             .filter(F.col("n_shared_fps") >= min_shared))
+
+
+def winnow_shared_extents(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", min_shared: int = 2,
+                          max_docs_per_fp: int = 64) -> DataFrame:
+    """Overlap LOCALIZATION for winnow pairs: per (doc_a, doc_b), the
+    token-offset extent the shared fingerprints span in EACH document —
+    (doc_a, doc_b, n_shared_fps, a_start, a_end, b_start, b_end). The
+    plagiarism-span readout MOSS renders: winnow_dup_pairs says "these
+    two overlap", this says WHERE — a (start..end+k) token window per
+    side that bounds every matched gram. A pair whose extent is the
+    whole of doc_b but a sliver of doc_a is a containment (quote,
+    syndicated excerpt), not a near-copy; extent width vs n_shared is
+    the scatter diagnostic (one tight run vs fragments).
+
+    Scale: positions collapse to ONE row per (doc, fp) — min/max
+    offset — before the pair join, so repetition-degenerate docs can
+    never multiply; then the winnow_dup_pairs join/cap law verbatim
+    with four extra min/max folds in the pair aggregate."""
+    fps = (winnow_fingerprints(df, id_col=id_col, text_col=text_col)
+           .groupBy(id_col, "fp")
+           .agg(F.min("pos").alias("_lo"), F.max("pos").alias("_hi"))
+           .persist())
+    over = (fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_docs_per_fp)
+            .select("fp"))
+    surv = fps.join(F.broadcast(over), "fp", "left_anti")
+    a = surv.select(F.col(id_col).alias("doc_a"), "fp",
+                    F.col("_lo").alias("_alo"), F.col("_hi").alias("_ahi"))
+    b = surv.select(F.col(id_col).alias("doc_b"), "fp",
+                    F.col("_lo").alias("_blo"), F.col("_hi").alias("_bhi"))
+    return (a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_fps"),
+                 F.min("_alo").alias("a_start"),
+                 F.max("_ahi").alias("a_end"),
+                 F.min("_blo").alias("b_start"),
+                 F.max("_bhi").alias("b_end"))
+            .filter(F.col("n_shared_fps") >= min_shared))

@@ -368,6 +368,70 @@ def page_metadata(df: DataFrame, url_col: str = "url",
         .alias("has_main_content"))
 
 
+#: in-page directive shapes (case-insensitive; attribute order as
+#: emitted by real CMSes and the synthetic corpus).
+ROBOTS_META_RE = r'(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"'
+CANONICAL_RE = r'(?i)<link[^>]*rel="canonical"[^>]*href="([^"]*)"'
+JSONLD_BLOCK_RE = r'(?is)<script type="application/ld\+json">.*?</script>'
+JSONLD_TYPE_RE = (r'(?is)<script type="application/ld\+json">'
+                  r'[^<]*"@type"\s*:\s*"([^"]*)"')
+CHARSET_META_RE = r'(?i)<meta charset="([^"]*)"'
+
+
+def page_directives(df: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """Per-page in-page directives out of the raw BINARY html:
+    (url, robots, noindex, nofollow, canonical_url, n_jsonld,
+    jsonld_type, meta_charset).
+
+    The compliance + canonicalization signals a crawl-derived training
+    corpus must honor BEFORE any content heuristic runs: ``noindex``
+    pages are publisher opt-outs (drop them), ``rel=canonical`` is the
+    publisher's own duplicate-collapse hint (group by it instead of
+    running a similarity ladder), JSON-LD ``@type`` is the free
+    document-class label (Article vs Product routing). Same execution
+    shape as ``page_metadata``: one sniff-gated decode + a handful of
+    JVM regexp passes fused into the scan projection — zero shuffle,
+    zero Python; non-HTML payloads yield the empty profile."""
+    page = page_html(F.col(html_col))
+    robots = F.lower(F.regexp_extract(page, ROBOTS_META_RE, 1))
+    return df.select(
+        F.col(url_col).alias("url"),
+        robots.alias("robots"),
+        robots.contains("noindex").alias("noindex"),
+        robots.contains("nofollow").alias("nofollow"),
+        F.regexp_extract(page, CANONICAL_RE, 1).alias("canonical_url"),
+        F.regexp_count(page, F.lit(JSONLD_BLOCK_RE)).cast("long")
+        .alias("n_jsonld"),
+        F.regexp_extract(page, JSONLD_TYPE_RE, 1).alias("jsonld_type"),
+        F.lower(F.regexp_extract(page, CHARSET_META_RE, 1))
+        .alias("meta_charset"))
+
+
+def canonical_dup_groups(df: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """Duplicate groups by publisher-declared ``rel=canonical``:
+    (canonical_url, n_pages, n_hosts, keep_url) for every canonical
+    target ≥ 2 pages point at — syndicated copies and tracking-URL
+    variants collapse here for free, BEFORE any shingle or embedding
+    ladder spends a cycle on them. ``keep_url`` is the min url (the
+    repo-wide deterministic-representative convention).
+
+    Scale: the directive projection is narrow; the census is ONE
+    map-side-combined groupBy on the canonical key. Self-canonical
+    pages (canonical == own url) count toward their group like any
+    other member."""
+    d = (page_directives(df, url_col=url_col, html_col=html_col)
+         .filter(F.col("canonical_url") != ""))
+    host = F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1)
+    return (d.select("url", "canonical_url", host.alias("_h"))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("_h").alias("n_hosts"),
+                 F.min("url").alias("keep_url"))
+            .filter(F.col("n_pages") >= 2))
+
+
 def triangle_stats(edges: DataFrame, src_col: str = "src",
                    dst_col: str = "dst") -> DataFrame:
     """Per-node triangle count + local clustering coefficient over the

@@ -1087,6 +1087,42 @@ FROM p
 """
 
 
+_SQL_ROBOTS = ('lower(regexp_extract(page, '
+               '\'(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"\', 1))')
+_SQL_CANONICAL = ('regexp_extract(page, '
+                  '\'(?i)<link[^>]*rel="canonical"[^>]*href="([^"]*)"\', 1)')
+
+SQL_PAGE_DIRECTIVES = f"""
+WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS})
+SELECT url,
+  {_SQL_ROBOTS} AS robots,
+  contains({_SQL_ROBOTS}, 'noindex') AS noindex,
+  contains({_SQL_ROBOTS}, 'nofollow') AS nofollow,
+  {_SQL_CANONICAL} AS canonical_url,
+  CAST(len(regexp_extract_all(page,
+    '(?is)<script type="application/ld\\+json">.*?</script>'))
+    AS BIGINT) AS n_jsonld,
+  regexp_extract(page,
+    '(?is)<script type="application/ld\\+json">[^<]*"@type"\\s*:\\s*"([^"]*)"',
+    1) AS jsonld_type,
+  lower(regexp_extract(page, '(?i)<meta charset="([^"]*)"', 1))
+    AS meta_charset
+FROM p
+"""
+
+
+SQL_CANONICAL_DUP_GROUPS = f"""
+WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS}),
+d AS (SELECT url, {_SQL_CANONICAL} AS canonical_url FROM p)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1))
+            AS BIGINT) AS n_hosts,
+       min(url) AS keep_url
+FROM d WHERE canonical_url <> ''
+GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
 SQL_CRAWL_PRIORITIES = f"""
 WITH pr AS ({SQL_HOST_PAGERANK}),
 rates AS ({SQL_SNAPSHOT_DELTA})

@@ -1904,6 +1904,38 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.winnow_dup_pairs(docs)
 
 
+def q_winnow_shared_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap localization per winnow pair: the token-offset extent
+    the shared fingerprints span in EACH doc — MOSS's plagiarism-span
+    readout; sliver-vs-whole extents separate containment (quote,
+    syndicated excerpt) from near-copy. Positions collapse to one row
+    per (doc, fp) before the pair join; cap law as always; see
+    functions.curation.winnow_shared_extents."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.winnow_shared_extents(docs)
+
+
+SQL_WINNOW_SHARED_EXTENTS = f"""
+WITH {_sql_winnow_sel(_sql_toks(_sql_clean('text')))},
+fps AS (SELECT doc_id, u.key // {_SQL_WINNOW_SHIFT} AS fp,
+               min(u.key % {_SQL_WINNOW_SHIFT}) AS lo,
+               max(u.key % {_SQL_WINNOW_SHIFT}) AS hi
+        FROM sel, unnest(sl) AS u(key) GROUP BY 1, 2),
+surv AS (SELECT * FROM fps
+         WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp
+                          HAVING count(*) > 64))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps,
+       CAST(min(a.lo) AS INT) AS a_start, CAST(max(a.hi) AS INT) AS a_end,
+       CAST(min(b.lo) AS INT) AS b_start, CAST(max(b.hi) AS INT) AS b_end
+FROM surv a JOIN surv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 SQL_WINNOW_DUP_PAIRS = f"""
 WITH {_sql_winnow_sel(_sql_toks(_sql_clean('text')))},
 fps AS (SELECT DISTINCT doc_id, u.key // {_SQL_WINNOW_SHIFT} AS fp
@@ -4939,6 +4971,29 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.page_metadata(corpus_for(spark, sf_dir).select("url", "html"))
 
 
+def q_page_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page in-page directives (robots meta, rel=canonical, JSON-LD
+    @type) from the raw html BINARY — the publisher compliance +
+    canonical-collapse + document-class signals a crawl corpus honors
+    BEFORE content heuristics; same narrow sniff-gated projection as
+    page_metadata (functions/links.page_directives)."""
+    from .functions import links as L
+
+    return L.page_directives(corpus_for(spark, sf_dir)
+                             .select("url", "html"))
+
+
+def q_canonical_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups by publisher-declared rel=canonical: syndicated
+    copies collapse for free before any shingle/embedding ladder runs —
+    one narrow projection + ONE map-side-combined groupBy on the
+    canonical key (functions/links.canonical_dup_groups)."""
+    from .functions import links as L
+
+    return L.canonical_dup_groups(corpus_for(spark, sf_dir)
+                                  .select("url", "html"))
+
+
 def q_crawl_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host monthly crawl activity: page counts, html share, latest
     capture — the freshness/coverage dashboard a recrawl scheduler reads.
@@ -6500,6 +6555,8 @@ REGISTRY: dict = {
     "winnow_fingerprints": (q_winnow_fingerprints,
                             SQL_WINNOW_FINGERPRINTS),
     "winnow_dup_pairs": (q_winnow_dup_pairs, SQL_WINNOW_DUP_PAIRS),
+    "winnow_shared_extents": (q_winnow_shared_extents,
+                              SQL_WINNOW_SHARED_EXTENTS),
     "alpha_mixture_rates": (q_alpha_mixture_rates, SQL_ALPHA_MIXTURE_RATES),
     "alpha_sample": (q_alpha_sample, SQL_ALPHA_SAMPLE),
     "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
@@ -6709,6 +6766,9 @@ REGISTRY: dict = {
     "crawl_priorities": (q_crawl_priorities, PSQL.SQL_CRAWL_PRIORITIES),
     "crawl_activity": (q_crawl_activity, PSQL.SQL_CRAWL_ACTIVITY),
     "page_metadata": (q_page_metadata, PSQL.SQL_PAGE_METADATA),
+    "page_directives": (q_page_directives, PSQL.SQL_PAGE_DIRECTIVES),
+    "canonical_dup_groups": (q_canonical_dup_groups,
+                             PSQL.SQL_CANONICAL_DUP_GROUPS),
     # link graph: anchors from raw html, host graph, iterative PageRank
     "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
@@ -6746,7 +6806,8 @@ CORPUS_QUERIES: frozenset = frozenset(
     "url_canonicalize", "url_dup_groups", "url_pattern_census",
     "compression_ratios", "latest_capture",
     "snapshot_delta", "crawl_activity", "crawl_priorities",
-    "page_metadata", "link_edges",
+    "page_metadata", "page_directives", "canonical_dup_groups",
+    "link_edges",
     "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",
     "host_triangles", "host_cocitation", "host_reciprocity",
     "seed_distance", "host_hyperball", "host_harmonic",

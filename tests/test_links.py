@@ -565,3 +565,82 @@ def test_hyperball_plan_has_no_window(spark):
     plan = (hyperball(e, max_t=2)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan
+
+
+def test_page_directives_extraction_and_poison(spark):
+    from ocr_automation_system_spark.functions.links import page_directives
+
+    html = (b'<html><head><title>T</title><meta charset="UTF-8">'
+            b'<meta name="ROBOTS" content="NOINDEX,nofollow">'
+            b'<link rel="canonical" href="https://c.org/master">'
+            b'<script type="application/ld+json">'
+            b'{"@context":"https://schema.org","@type":"Article"}</script>'
+            b'<script type="application/ld+json">{"@type":"Product"}'
+            b'</script></head><body>x</body></html>')
+    bare = b"<html><head></head><body>plain</body></html>"
+    rows = [("https://a.com/1", html),
+            ("https://a.com/2", bare),
+            ("https://a.com/3", b"\x00\xff\xfe poison")]
+    out = {r["url"]: r for r in page_directives(
+        spark.createDataFrame(rows, "url string, html binary")).collect()}
+    p = out["https://a.com/1"]
+    assert (p["robots"], p["noindex"], p["nofollow"]) == \
+        ("noindex,nofollow", True, True)
+    assert p["meta_charset"] == "utf-8"
+    assert p["canonical_url"] == "https://c.org/master"
+    assert (p["n_jsonld"], p["jsonld_type"]) == (2, "Article")
+    for u in ("https://a.com/2", "https://a.com/3"):
+        q = out[u]
+        assert (q["robots"], q["noindex"], q["canonical_url"],
+                q["n_jsonld"], q["jsonld_type"]) == ("", False, "", 0, "")
+    plan = (page_directives(spark.createDataFrame(
+        rows, "url string, html binary"))
+        ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_canonical_dup_groups_collapse(spark):
+    from ocr_automation_system_spark.functions.links import (
+        canonical_dup_groups,
+    )
+
+    def page(canon):
+        return (f'<html><head><link rel="canonical" href="{canon}">'
+                f"</head><body>x</body></html>").encode()
+
+    rows = [
+        ("https://a.com/1", page("https://c.org/m")),
+        ("https://b.com/2", page("https://c.org/m")),
+        ("https://a.com/3", page("https://c.org/m")),
+        ("https://a.com/4", page("https://c.org/solo")),   # group of 1
+        ("https://a.com/5", b"<html><head></head><body>n</body></html>"),
+    ]
+    out = canonical_dup_groups(
+        spark.createDataFrame(rows, "url string, html binary")).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert (g["canonical_url"], g["n_pages"], g["n_hosts"],
+            g["keep_url"]) == ("https://c.org/m", 3, 2, "https://a.com/1")
+
+
+def test_corpus_carries_directives(spark, tmp_path):
+    """The synthetic corpus embeds the directive shapes at real-crawl
+    rates — nonzero noindex, canonical and JSON-LD populations, and at
+    least one canonical group of >= 2 (entity-keyed targets)."""
+    from ocr_automation_system_spark.corpus import write_corpus
+    from ocr_automation_system_spark.functions.links import (
+        canonical_dup_groups, page_directives,
+    )
+
+    p = write_corpus(str(tmp_path / "c.parquet"), n_rows=300, seed=11)
+    docs = spark.read.parquet(p)
+    d = page_directives(docs)
+    agg = d.agg(
+        F.sum(F.col("noindex").cast("long")).alias("ni"),
+        F.sum((F.col("canonical_url") != "").cast("long")).alias("ca"),
+        F.sum("n_jsonld").alias("jl"),
+        F.sum((F.col("meta_charset") != "").cast("long")).alias("cs"),
+    ).collect()[0]
+    assert agg["ni"] > 0 and agg["ca"] > 0 and agg["jl"] > 0
+    assert agg["cs"] > 0
+    assert canonical_dup_groups(docs).count() >= 1

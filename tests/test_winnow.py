@@ -137,3 +137,25 @@ def test_winnow_pair_join_never_explodes_on_repetition(spark):
     rows = pairs.collect()
     assert len(rows) == 1
     assert rows[0]["n_shared_fps"] == 1
+
+
+def test_winnow_shared_extents_localizes(spark):
+    from ocr_automation_system_spark.functions.curation import (
+        winnow_shared_extents,
+    )
+
+    run = _words("copied", 20)                      # 20-token shared run
+    a = _words("alpha", 10) + " " + run + " " + _words("omega", 15)
+    b = run + " " + _words("other", 30)
+    rows = winnow_shared_extents(
+        _df(spark, [(1, a), (2, b)]), min_shared=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    # run occupies tokens 10..29 in a, 0..19 in b; matched gram offsets
+    # must sit inside those extents (gram start positions)
+    assert 10 <= r["a_start"] <= r["a_end"] <= 29
+    assert 0 <= r["b_start"] <= r["b_end"] <= 19
+    # containment shape: extent covers most of the run on both sides
+    assert r["a_end"] - r["a_start"] >= 5
+    assert r["n_shared_fps"] >= 2
