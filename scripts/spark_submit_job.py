@@ -115,6 +115,17 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "filtering on host AND length prunes files on "
                         "both dimensions (functions/layout.py; rows "
                         "identical, only file layout changes)")
+    p.add_argument("--honor-noindex", action="store_true",
+                   help="with --curate: honor in-page robots meta — "
+                        "pages declaring noindex are dropped before any "
+                        "content stage (publisher opt-out compliance; "
+                        "after_noindex lineage count)")
+    p.add_argument("--canonical-collapse", action="store_true",
+                   help="with --curate: collapse publisher-declared "
+                        "rel=canonical groups to their min-url "
+                        "representative BEFORE the similarity ladders "
+                        "(free dedup of syndicated copies; "
+                        "after_canonical_collapse lineage count)")
     p.add_argument("--probe-weights", default="",
                    help="with --probe-drop-pct: path of the persisted "
                         "probe weight artifact — warm-start the fit "
@@ -165,7 +176,11 @@ def main(argv=None, stop_session: bool = True) -> int:
                   os.path.join(args.output, "checksum_checks"))
 
     if args.curate:
+        url_drops = compliance_drops(
+            documents, honor_noindex=args.honor_noindex,
+            canonical_collapse=args.canonical_collapse)
         curate(spark, results, args.output, quota=args.domain_quota,
+               url_drops=url_drops,
                chunk_tokens=args.chunk_tokens, policy=args.policy,
                semdedup=args.semdedup, wet_files=args.wet_export,
                token_budget=args.token_budget,
@@ -185,6 +200,38 @@ def main(argv=None, stop_session: bool = True) -> int:
     return 0
 
 
+def compliance_drops(documents, honor_noindex: bool = False,
+                     canonical_collapse: bool = False) -> dict:
+    """URL drop-sets from in-page directives (functions/links.py):
+    ``{"noindex": df, "canonical_collapse": df}`` — each a 1-column
+    (doc_id) DataFrame of pages the curate chain must drop, applied by
+    LEFT ANTI join (the sets are corpus-fraction-sized at scale, never
+    broadcast). ``canonical_collapse`` drops every page of a declared
+    canonical group EXCEPT the min-url representative — the
+    publisher's own duplicate-collapse hint, honored before a single
+    shingle is hashed."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions import links as L
+
+    drops: dict = {}
+    if not (honor_noindex or canonical_collapse):
+        return drops
+    d = L.page_directives(documents.select("url", "html"))
+    if honor_noindex:
+        drops["noindex"] = (d.filter(F.col("noindex"))
+                            .select(F.col("url").alias("doc_id")))
+    if canonical_collapse:
+        canon = d.filter(F.col("canonical_url") != "")
+        keep = (canon.groupBy("canonical_url")
+                .agg(F.min("url").alias("_keep")))
+        drops["canonical_collapse"] = (
+            canon.join(keep, "canonical_url")
+            .filter(F.col("url") != F.col("_keep"))
+            .select(F.col("url").alias("doc_id")))
+    return drops
+
+
 def curate(spark, results, output: str, quota: int = 1000,
            chunk_tokens: int = 0, policy: bool = False,
            semdedup: bool = False, wet_files: int = 0,
@@ -192,7 +239,8 @@ def curate(spark, results, output: str, quota: int = 1000,
            probe_per_source: bool = False,
            probe_weights_path: str = "",
            alpha: float | None = None, keep_best: bool = False,
-           zorder: bool = False, sample_k: int = 0) -> None:
+           zorder: bool = False, sample_k: int = 0,
+           url_drops: dict | None = None) -> None:
     """Committed extractions -> curated training corpus.
 
     Chain (each stage a documented survivor count): usable docs only ->
@@ -224,6 +272,14 @@ def curate(spark, results, output: str, quota: int = 1000,
                 F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"))
     ).persist()
     counts = {"usable": docs.count()}
+
+    for name, drop in (url_drops or {}).items():
+        # compliance first: publisher directives outrank every content
+        # heuristic, and the anti-join is the cheapest stage in the
+        # chain (no decode, no hash — the drop set was computed from
+        # the raw html pass)
+        docs = docs.join(drop, "doc_id", "left_anti").persist()
+        counts[f"after_{name}"] = docs.count()
 
     if policy:
         # composite filter policy BEFORE dedup (cheapest stage first:

@@ -322,3 +322,42 @@ def test_curate_sample_export(spark, tmp_path):
     again = {(r["doc_id"], r["rank"]) for r in
              spark.read.parquet(os.path.join(out, "sample")).collect()}
     assert again == {(r["doc_id"], r["rank"]) for r in rows}
+
+
+def test_curate_compliance_stages(spark, tmp_path):
+    """--honor-noindex / --canonical-collapse: publisher directives
+    applied before any content stage, each with a lineage count; the
+    drop sets reconcile exactly against page_directives over the same
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.links import (
+        page_directives,
+    )
+
+    out = str(tmp_path / "jobc")
+    rc = spark_submit_job.main([
+        "--synthetic", "500", "--output", out, "--curate",
+        "--honor-noindex", "--canonical-collapse",
+    ], stop_session=False)
+    assert rc == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert (counts["usable"] >= counts["after_noindex"]
+            >= counts["after_canonical_collapse"]
+            >= counts["after_exact_dedup"])
+    # corpus carries directive shapes -> both stages actually dropped
+    assert counts["after_noindex"] < counts["usable"]
+    assert counts["after_canonical_collapse"] < counts["after_noindex"]
+
+    # reconcile: dropped-by-noindex == usable extraction rows that
+    # declare noindex
+    docs = spark.read.parquet(
+        os.path.join(out, "synthetic_documents.parquet"))
+    d = page_directives(docs).persist()
+    usable = spark.read.parquet(os.path.join(out, "extractions")) \
+        .filter(F.col("doc_status") == "ok").select("url")
+    n_noindex = usable.join(
+        d.filter(F.col("noindex")).select("url"), "url", "left_semi"
+    ).count()
+    assert counts["usable"] - counts["after_noindex"] == n_noindex
