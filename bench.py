@@ -54,6 +54,7 @@ HEADLINE = (
     "latest_capture", "snapshot_delta", "content_drift", "crawl_activity",
     "crawl_priorities", "crawl_schedule", "schedule_load",
     "page_metadata", "page_directives", "canonical_dup_groups",
+    "robots_verdicts",
     "pipeline_line_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",

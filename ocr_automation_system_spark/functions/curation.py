@@ -926,14 +926,16 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     Determinism: gram hash = 40-bit md5 slice; the selection key packs
     (hash << 20 | gram position), so "min of window" is a total order
     (leftmost-lowest, the classic tie rule) and one integer
-    ``list_min`` in both engines. Returns distinct (doc_id, fp, pos);
-    ``fp`` is the 40-bit gram hash (position-free, so fingerprints
-    match ACROSS documents), ``pos`` the 0-based token offset of the
-    selected gram in this document.
+    ``list_min`` in both engines. Returns (doc_id, fp, pos) rows,
+    unique by construction (per-row array_distinct + injective key
+    unpack); ``fp`` is the 40-bit gram hash (position-free, so
+    fingerprints match ACROSS documents), ``pos`` the 0-based token
+    offset of the selected gram in this document.
 
     Scale: one zero-shuffle HOF projection (token array bound once,
-    key array bound once — the bind_array law) + a distinct on the
-    selected rows. No Python, no window functions."""
+    key array bound once — the bind_array law), stateless and narrow —
+    it runs unchanged under readStream. No Python, no window
+    functions, no shuffle at all."""
     from .text import bind_array, clean_text, lazy_seq, ws_tokens
 
     shift = F.lit(1 << _WINNOW_POS_BITS).cast("long")
@@ -963,13 +965,19 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     toks = ws_tokens(clean_text(F.col(text_col)))
     sel = bind_array(bind_array(toks, _keys), _select)
     # integer `div`, never `/` (long / long is DOUBLE — exact only to
-    # 2^53, and the packed keys are 60-bit; the pack_bins lesson)
+    # 2^53, and the packed keys are 60-bit; the pack_bins lesson).
+    # No .distinct() here: the selection array is array_distinct-ed
+    # per row and key -> (fp, pos) is injective (fp = key div 2^20,
+    # pos = key mod 2^20), so (doc_id, fp, pos) rows are unique by
+    # construction — a global distinct would be a full shuffle of the
+    # exploded stream that removes nothing, and its absence keeps this
+    # a stateless narrow projection (streamable unchanged; pinned in
+    # tests/test_streaming.py + a uniqueness test in test_winnow.py).
     return (df.select(F.col(id_col), F.explode(sel).alias("_key"))
             .select(id_col,
                     F.expr(f"_key div {1 << _WINNOW_POS_BITS}")
                     .cast("long").alias("fp"),
-                    F.pmod(F.col("_key"), shift).cast("int").alias("pos"))
-            .distinct())
+                    F.pmod(F.col("_key"), shift).cast("int").alias("pos")))
 
 
 def winnow_dup_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -622,7 +622,8 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
 def dedup_cluster_keep(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        jaccard_threshold: float = 0.6,
-                       checkpoint_dir: str | None = None) -> DataFrame:
+                       checkpoint_dir: str | None = None,
+                       pairs: DataFrame | None = None) -> DataFrame:
     """The dedup ladder's end state: (doc_id, cluster_id, keep).
 
     LSH candidates -> exact n-gram Jaccard >= threshold -> connected
@@ -630,10 +631,18 @@ def dedup_cluster_keep(df: DataFrame, id_col: str = "doc_id",
     (min doc_id in the component; singletons are their own cluster) and
     ``keep`` = is-the-representative. ``df.filter(keep)`` is the
     deduplicated corpus; the (doc_id, cluster_id) table is the lineage
-    record a 100 TB pipeline writes next to it."""
-    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n,
-                                threshold=jaccard_threshold,
-                                cache_index=True)
+    record a 100 TB pipeline writes next to it.
+
+    ``pairs`` swaps in an alternative candidate-pair detector (any
+    (doc_a, doc_b) DataFrame — e.g. ``curation.winnow_dup_pairs`` for
+    guaranteed-recall winnowing instead of probabilistic LSH); the CC +
+    labeling machinery downstream is detector-agnostic, and the durable
+    CC checkpoints stay safe across detector switches because they are
+    keyed by an edge-set fingerprint, not by name."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n,
+                                    threshold=jaccard_threshold,
+                                    cache_index=True)
     cc = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     return (
         df.select(F.col(id_col).alias("doc_id"))
@@ -650,7 +659,8 @@ def cluster_keep_best(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       quality_col: str = "quality", n: int = 3,
                       jaccard_threshold: float = 0.6,
-                      checkpoint_dir: str | None = None) -> DataFrame:
+                      checkpoint_dir: str | None = None,
+                      pairs: DataFrame | None = None) -> DataFrame:
     """Quality-aware cluster representative: (doc_id, cluster_id, keep)
     where ``keep`` marks the BEST member of each near-dup cluster —
     highest ``quality_col``, smallest id on ties — instead of
@@ -660,7 +670,9 @@ def cluster_keep_best(df: DataFrame, id_col: str = "doc_id",
     component label so the lineage key is stable even if the quality
     signal is later re-scored.
 
-    Scale shape: the ladder (LSH -> Jaccard verify -> CC) is unchanged;
+    Scale shape: the ladder (LSH -> Jaccard verify -> CC; or any
+    ``pairs`` detector swapped in, as in ``dedup_cluster_keep``) is
+    unchanged;
     the representative pick adds ONE map-side-combinable
     ``min_by(id, struct(-quality, id))`` aggregation over the labeled
     table plus a broadcast-size join of the per-cluster winners — no
@@ -669,7 +681,8 @@ def cluster_keep_best(df: DataFrame, id_col: str = "doc_id",
     naturally in the tie-break; ``quality_col`` must be numeric.)"""
     labels = dedup_cluster_keep(df, id_col=id_col, text_col=text_col,
                                 n=n, jaccard_threshold=jaccard_threshold,
-                                checkpoint_dir=checkpoint_dir) \
+                                checkpoint_dir=checkpoint_dir,
+                                pairs=pairs) \
         .select("doc_id", "cluster_id")
     q = df.select(F.col(id_col).alias("doc_id"),
                   F.col(quality_col).alias("_q"))

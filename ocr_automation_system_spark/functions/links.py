@@ -775,3 +775,48 @@ def community_modularity(edges: DataFrame, labels: DataFrame,
                     (F.coalesce("internal_edges", zero).cast("double")
                      / F.col("_m").cast("double")
                      - half * half).alias("modularity_term")))
+
+
+def robots_verdicts(urls: DataFrame, rules: DataFrame,
+                    url_col: str = "url") -> DataFrame:
+    """RFC 9309 (robots.txt) rule matching: per url, the winning rule
+    and its verdict — (url, allow, matched_prefix).
+
+    ``rules`` is the parsed per-host robots table (host, prefix,
+    allow): one row per Allow/Disallow line, ``prefix`` the path
+    prefix (the empty prefix matches every path). Matching follows the
+    REP standard: the MOST SPECIFIC (longest) matching prefix wins;
+    on a length tie the LEAST RESTRICTIVE rule (allow) wins; a url no
+    rule matches is allowed. The tie-break beyond that (same length,
+    same verdict, different prefix text) is the lexicographically
+    largest prefix — any choice is semantically equal there, this one
+    is deterministic and engine-portable.
+
+    Scale shape: rules tables are tiny next to a crawl corpus (a few
+    lines per host), so the rules side broadcasts and the equi-join on
+    host carries the ``startswith`` residual as the join filter — no
+    shuffle of the corpus beyond ONE map-side-combinable max keyed on
+    url. The winner pick is a single string ``max`` over a packed
+    ``lpad(2*len(prefix)+allow)|prefix`` key (longest-then-allow order
+    folded into one binary-comparable key), not a window."""
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(url_col, r"https?://([^/]+)", 1).alias("_h"),
+        F.regexp_extract(url_col, r"https?://[^/]+(/.*)", 1).alias("_p"))
+    r = rules.select(F.col("host").alias("_rh"), F.col("prefix"),
+                     F.col("allow").cast("int").alias("_a"))
+    j = u.join(F.broadcast(r),
+               (F.col("_h") == F.col("_rh"))
+               & F.col("_p").startswith(F.col("prefix")), "left")
+    key = F.concat(
+        F.lpad((F.length("prefix") * 2 + F.col("_a")).cast("string"),
+               6, "0"),
+        F.lit("|"), F.col("prefix"))
+    return (j.groupBy("url").agg(F.max(key).alias("_k"))
+            .select(
+                "url",
+                F.coalesce(
+                    F.substring("_k", 1, 6).cast("int") % 2 == 1,
+                    F.lit(True)).alias("allow"),
+                F.coalesce(F.expr("substring(_k, 8)"), F.lit(""))
+                .alias("matched_prefix")))

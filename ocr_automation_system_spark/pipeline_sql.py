@@ -1111,6 +1111,47 @@ FROM p
 """
 
 
+# RFC 9309 robots matching (functions/links.robots_verdicts): rules
+# synthesized from the corpus's own (host, first-path-segment) census —
+# md5-gated Disallow, a longer Allow carve-back, an equal-length
+# Allow/Disallow tie slice. Winner = string max over the packed
+# lpad(2*len+allow)|prefix key (longest-then-allow folded into one
+# binary-comparable key), exactly the Spark side's fold.
+SQL_ROBOTS_VERDICTS = f"""
+WITH hs AS (SELECT DISTINCT
+              regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+              regexp_extract(url, 'https?://[^/]+(/[^/]*)', 1) AS seg
+            FROM {CORPUS}),
+sig AS (SELECT host, seg, md5(host || '|' || seg) AS m FROM hs),
+rules AS (
+  SELECT DISTINCT host, '' AS prefix, TRUE AS allow FROM hs
+  UNION ALL
+  SELECT host, seg, FALSE FROM sig
+  WHERE substr(m, 1, 1) BETWEEN '0' AND '7'
+  UNION ALL
+  SELECT host, seg || '/0000', TRUE FROM sig
+  WHERE substr(m, 1, 1) BETWEEN '0' AND '7'
+  UNION ALL
+  SELECT host, seg, TRUE FROM sig
+  WHERE substr(m, 1, 1) BETWEEN '0' AND '7'
+    AND substr(m, 2, 1) IN ('a', 'b')),
+u AS (SELECT url,
+        regexp_extract(url, 'https?://([^/]+)', 1) AS h,
+        regexp_extract(url, 'https?://[^/]+(/.*)', 1) AS p
+      FROM {CORPUS}),
+m AS (SELECT u.url,
+        lpad(CAST(length(r.prefix) * 2 + CAST(r.allow AS INT)
+                  AS VARCHAR), 6, '0') || '|' || r.prefix AS k
+      FROM u LEFT JOIN rules r
+        ON u.h = r.host AND starts_with(u.p, r.prefix))
+SELECT url,
+  coalesce(CAST(substr(max(k), 1, 6) AS INT) % 2 = 1, TRUE) AS allow,
+  CASE WHEN max(k) IS NULL THEN '' ELSE substr(max(k), 8) END
+    AS matched_prefix
+FROM m GROUP BY url
+"""
+
+
 SQL_CANONICAL_DUP_GROUPS = f"""
 WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS}),
 d AS (SELECT url, {_SQL_CANONICAL} AS canonical_url FROM p)

@@ -1845,7 +1845,9 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection rule): every (doc, 40-bit gram hash, token offset) a
     w-window minimum selects — the GUARANTEED-recall dup artifact (any
     shared verbatim run of >= k+w-1 tokens shares a fingerprint; minhash
-    only samples). Zero-shuffle HOF projection + distinct; see
+    only samples). Zero-shuffle stateless HOF projection — rows are
+    unique by construction (per-row array_distinct + injective key
+    unpack), so no distinct/shuffle anywhere in the plan; see
     functions.curation.winnow_fingerprints."""
     from .functions import curation as C
 
@@ -4994,6 +4996,42 @@ def q_canonical_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   .select("url", "html"))
 
 
+def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots-rule matching over the corpus: per url the
+    winning (longest-prefix, allow-wins-ties) rule and its verdict —
+    the crawl-compliance gate that decides which captures a pipeline
+    may even ingest. The rules table here is synthesized
+    deterministically from the corpus's own (host, first path segment)
+    census — md5-gated Disallow lines, a longer Allow carve-back under
+    each, and an equal-length Allow/Disallow tie for a slice of
+    segments so the least-restrictive tie rule is exercised; a real
+    deployment swaps in the parsed robots.txt fetches keyed the same
+    way (functions/links.robots_verdicts for the matcher's scale
+    shape: broadcast rules, one map-side max, no window)."""
+    from .functions import links as L
+
+    c = corpus_for(spark, sf_dir).select("url")
+    hs = (c.select(
+        F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"https?://[^/]+(/[^/]*)", 1)
+        .alias("seg")).distinct())
+    sig = F.md5(F.concat_ws("|", "host", "seg"))
+    gated = hs.filter(sig.substr(1, 1).isin(*"01234567"))
+    tie = hs.filter(sig.substr(1, 1).isin(*"01234567")
+                    & sig.substr(2, 1).isin("a", "b"))
+    t, f = F.lit(True).alias("allow"), F.lit(False).alias("allow")
+    rules = (
+        hs.select("host").distinct()
+        .select("host", F.lit("").alias("prefix"), t)
+        .unionByName(gated.select(
+            "host", F.col("seg").alias("prefix"), f))
+        .unionByName(gated.select(
+            "host", F.concat("seg", F.lit("/0000")).alias("prefix"), t))
+        .unionByName(tie.select(
+            "host", F.col("seg").alias("prefix"), t)))
+    return L.robots_verdicts(c, rules)
+
+
 def q_crawl_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host monthly crawl activity: page counts, html share, latest
     capture — the freshness/coverage dashboard a recrawl scheduler reads.
@@ -6767,6 +6805,7 @@ REGISTRY: dict = {
     "crawl_activity": (q_crawl_activity, PSQL.SQL_CRAWL_ACTIVITY),
     "page_metadata": (q_page_metadata, PSQL.SQL_PAGE_METADATA),
     "page_directives": (q_page_directives, PSQL.SQL_PAGE_DIRECTIVES),
+    "robots_verdicts": (q_robots_verdicts, PSQL.SQL_ROBOTS_VERDICTS),
     "canonical_dup_groups": (q_canonical_dup_groups,
                              PSQL.SQL_CANONICAL_DUP_GROUPS),
     # link graph: anchors from raw html, host graph, iterative PageRank
@@ -6807,6 +6846,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "compression_ratios", "latest_capture",
     "snapshot_delta", "crawl_activity", "crawl_priorities",
     "page_metadata", "page_directives", "canonical_dup_groups",
+    "robots_verdicts",
     "link_edges",
     "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",
     "host_triangles", "host_cocitation", "host_reciprocity",

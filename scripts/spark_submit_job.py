@@ -92,6 +92,16 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "PER HOST (keep each host's top (100-P)%% by "
                         "score) instead of one corpus-wide percentile "
                         "— the skew-proof form for mixed corpora")
+    p.add_argument("--near-dup", choices=("lsh", "winnow"),
+                   default="lsh",
+                   help="--curate only: candidate-pair detector for the "
+                        "near-dup stage — 'lsh' (MinHash bands + exact "
+                        "Jaccard verify; probabilistic recall) or "
+                        "'winnow' (MOSS winnowing fingerprints; "
+                        "GUARANTEED recall for any shared verbatim run "
+                        "of >= k+w-1 tokens, at ~2/(w+1) the gram "
+                        "stream). The CC/keep machinery downstream is "
+                        "identical; lineage records the detector")
     p.add_argument("--keep-best", action="store_true",
                    help="near-dup stage keeps the highest-QUALITY "
                         "cluster member (curation.quality_score; min-id "
@@ -188,6 +198,7 @@ def main(argv=None, stop_session: bool = True) -> int:
                probe_per_source=args.probe_per_source,
                probe_weights_path=args.probe_weights,
                alpha=args.alpha, keep_best=args.keep_best,
+               near_dup=args.near_dup,
                zorder=args.zorder, sample_k=args.sample_k)
 
     summary = lineage_summary(args.output, args.n_buckets)
@@ -239,13 +250,16 @@ def curate(spark, results, output: str, quota: int = 1000,
            probe_per_source: bool = False,
            probe_weights_path: str = "",
            alpha: float | None = None, keep_best: bool = False,
+           near_dup: str = "lsh",
            zorder: bool = False, sample_k: int = 0,
            url_drops: dict | None = None) -> None:
     """Committed extractions -> curated training corpus.
 
     Chain (each stage a documented survivor count): usable docs only ->
     exact dedup (md5 keep-min) -> near-dup cluster keep (LSH + Jaccard +
-    connected components) -> per-host quality quota -> deterministic
+    connected components by default; ``near_dup='winnow'`` swaps in
+    guaranteed-recall winnowing fingerprints as the pair detector) ->
+    per-host quality quota -> deterministic
     md5-bucket train/val split -> parquet partitioned by split. All
     stages key on url/content hashes — a rerun over the same committed
     extractions writes byte-identical output. ``chunk_tokens`` > 0 adds
@@ -303,6 +317,17 @@ def curate(spark, results, output: str, quota: int = 1000,
     # corpus takes the driver union-find path; production edge sets above
     # the collect threshold are exactly where resume matters)
     ck = os.path.join(output, "_checkpoints")
+    # alternative candidate-pair detector: winnowing gives GUARANTEED
+    # recall (any shared verbatim run of >= k+w-1 tokens shares a
+    # fingerprint — a theorem, not a banding probability) at ~2/(w+1)
+    # the gram stream; the CC checkpoint key is an edge-set
+    # fingerprint, so switching detectors between reruns can never
+    # reuse the other detector's committed edges
+    cand_pairs = None
+    if near_dup == "winnow":
+        cand_pairs = C.winnow_dup_pairs(exact, id_col="doc_id",
+                                        text_col="text")
+        counts["near_dup_detector"] = "winnow"
     if keep_best:
         # quality-aware representative: the cleanest extraction among
         # near-identical captures survives, not the smallest url hash
@@ -313,10 +338,11 @@ def curate(spark, results, output: str, quota: int = 1000,
         scored = exact.withColumn("_kq", quality_score(F.col("text")))
         near = D.cluster_keep_best(scored, id_col="doc_id",
                                    text_col="text", quality_col="_kq",
-                                   checkpoint_dir=ck)
+                                   checkpoint_dir=ck, pairs=cand_pairs)
     else:
         near = D.dedup_cluster_keep(exact, id_col="doc_id",
-                                    text_col="text", checkpoint_dir=ck)
+                                    text_col="text", checkpoint_dir=ck,
+                                    pairs=cand_pairs)
     keep_ids = near.filter(F.col("keep")).select("doc_id")
     deduped = exact.join(keep_ids, "doc_id", "left_semi").persist()
     counts["after_exact_dedup"] = exact.count()

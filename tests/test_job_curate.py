@@ -361,3 +361,34 @@ def test_curate_compliance_stages(spark, tmp_path):
         d.filter(F.col("noindex")).select("url"), "url", "left_semi"
     ).count()
     assert counts["usable"] - counts["after_noindex"] == n_noindex
+
+
+def test_curate_winnow_detector(spark, tmp_path):
+    """--near-dup winnow swaps the pair detector (MOSS winnowing,
+    guaranteed recall) into the near-dup stage; the CC/keep machinery
+    and every downstream stage run unchanged, the lineage records the
+    detector, and a rerun over the same committed extractions is
+    deterministic (the CC checkpoint is keyed by edge-set fingerprint,
+    so the winnow edges can never collide with a prior LSH run's)."""
+    out = str(tmp_path / "jobw")
+
+    def run():
+        rc = spark_submit_job.main([
+            "--synthetic", "300", "--output", out, "--curate",
+            "--domain-quota", "50", "--near-dup", "winnow",
+        ], stop_session=False)
+        assert rc == 0
+
+    run()
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert counts["near_dup_detector"] == "winnow"
+    assert counts["usable"] >= counts["after_exact_dedup"] \
+        >= counts["after_near_dedup"] >= counts["after_domain_quota"]
+    cur = spark.read.parquet(os.path.join(out, "curated"))
+    first = sorted((r["doc_id"], r["split"]) for r in cur.collect())
+    assert len(first) == counts["after_domain_quota"] > 0
+
+    run()  # resumed rerun: byte-deterministic
+    cur2 = spark.read.parquet(os.path.join(out, "curated"))
+    assert sorted((r["doc_id"], r["split"]) for r in cur2.collect()) == first

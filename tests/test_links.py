@@ -644,3 +644,35 @@ def test_corpus_carries_directives(spark, tmp_path):
     assert agg["ni"] > 0 and agg["ca"] > 0 and agg["jl"] > 0
     assert agg["cs"] > 0
     assert canonical_dup_groups(docs).count() >= 1
+
+
+def test_robots_verdicts_rfc9309_semantics(spark):
+    """REP matching laws: longest matching prefix wins; equal-length
+    Allow beats Disallow (least restrictive); no matching rule (or no
+    rules for the host at all) -> allow; the empty prefix matches every
+    path."""
+    from ocr_automation_system_spark.functions.links import (
+        robots_verdicts,
+    )
+
+    urls = spark.createDataFrame(
+        [("https://a.com/private/doc1",),     # /private disallowed
+         ("https://a.com/private/ok/x",),     # carve-back allow wins
+         ("https://a.com/public/p",),         # only '' matches
+         ("https://a.com/tie/t",),            # equal-length tie -> allow
+         ("https://b.com/anything",)],        # no rules for host
+        "url string")
+    rules = spark.createDataFrame(
+        [("a.com", "", True),
+         ("a.com", "/private", False),
+         ("a.com", "/private/ok", True),
+         ("a.com", "/tie", False),
+         ("a.com", "/tie", True)],
+        "host string, prefix string, allow boolean")
+    got = {r["url"]: (r["allow"], r["matched_prefix"])
+           for r in robots_verdicts(urls, rules).collect()}
+    assert got["https://a.com/private/doc1"] == (False, "/private")
+    assert got["https://a.com/private/ok/x"] == (True, "/private/ok")
+    assert got["https://a.com/public/p"] == (True, "")
+    assert got["https://a.com/tie/t"] == (True, "/tie")
+    assert got["https://b.com/anything"] == (True, "")

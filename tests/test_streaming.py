@@ -599,3 +599,41 @@ def test_streaming_checksums_match_batch(spark, tmp_path):
     want = sorted(map(tuple, source_checksums(
         batch_docs, id_col="url", group_col="lang").collect()))
     assert got == want and len(got) == 2
+
+
+def test_stateless_winnow_fingerprints_stream_unchanged(spark, tmp_path):
+    """winnow_fingerprints is a stateless narrow projection (no global
+    distinct — rows are unique by construction), so the SAME function
+    body must run under readStream and produce the batch rows: the
+    one-definition/two-modes property for the winnow tier. This is what
+    lets a live crawl ingest fingerprint new captures record-at-a-time
+    against a stored fingerprint index."""
+    from ocr_automation_system_spark.functions.curation import (
+        winnow_fingerprints,
+    )
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    run = " ".join(f"shared{i}" for i in range(9))
+    rows = [(0, "alpha beta " + run + " tail tail2"),
+            (1, run + " other words here and more of them"),
+            (2, " ".join(["rep"] * 20)),
+            (3, ""), (4, None)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(os.path.join(d, "drop1"))
+
+    stream_in = (spark.readStream.schema("doc_id long, text string")
+                 .parquet(os.path.join(d, "*")))
+    out = str(tmp_path / "out_winnow")
+    q = (winnow_fingerprints(stream_in).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck_winnow"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        tuple(r)
+        for r in winnow_fingerprints(
+            spark.createDataFrame(rows, "doc_id long, text string"))
+        .collect())
+    assert got == want and got

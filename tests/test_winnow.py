@@ -159,3 +159,20 @@ def test_winnow_shared_extents_localizes(spark):
     # containment shape: extent covers most of the run on both sides
     assert r["a_end"] - r["a_start"] >= 5
     assert r["n_shared_fps"] >= 2
+
+
+def test_winnow_rows_unique_and_zero_shuffle(spark):
+    # (doc_id, fp, pos) rows are unique BY CONSTRUCTION (per-row
+    # array_distinct + injective key unpack), which is why the
+    # operator carries no global .distinct(): red-if-broken guard for
+    # the uniqueness claim, plus a plan law pinning that the whole
+    # projection stays shuffle-free (a distinct would add an Exchange).
+    rows = [(i, _words("mix" if i % 2 else "rep", 30 + i))
+            for i in range(1, 8)]
+    rows.append((8, " ".join(["same"] * 25)))       # degenerate doc
+    fps = winnow_fingerprints(_df(spark, rows))
+    total = fps.count()
+    assert total > 0
+    assert fps.distinct().count() == total
+    plan = fps._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
