@@ -66,7 +66,7 @@ HEADLINE = (
     "bpe_merge_candidates", "bpe_merges", "bpe_fertility",
     "lm_perplexity_buckets", "bigram_backoff_scores", "doc_length_profile",
     "duplicate_spans", "winnow_fingerprints", "winnow_dup_pairs",
-    "winnow_shared_extents",
+    "winnow_shared_extents", "incremental_winnow",
     "stratified_sample", "priority_sample",
     "chunk_documents",
     "chunk_dup_stats", "cdc_chunks", "cdc_dup_pairs", "cdc_novelty",
@@ -100,6 +100,7 @@ HEADLINE = (
     "gram_novelty", "host_triangles", "host_cocitation",
     "pipeline_validation", "pipeline_entity_reports",
     "pipeline_host_stats", "pipeline_block_scores",
+    "extractor_shadow_audit",
     "pipeline_legacy_verification",
 )
 

@@ -9,6 +9,8 @@ partitioning.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1045,3 +1047,70 @@ def winnow_shared_extents(df: DataFrame, id_col: str = "doc_id",
                  F.min("_blo").alias("b_start"),
                  F.max("_bhi").alias("b_end"))
             .filter(F.col("n_shared_fps") >= min_shared))
+
+
+def write_winnow_index(df: DataFrame, path: str, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_docs_per_fp: int = 64) -> None:
+    """The guaranteed-recall incremental-dedup artifact: the corpus's
+    per-doc DISTINCT winnow fingerprints, with over-cap fingerprints
+    (boilerplate grams shared by > ``max_docs_per_fp`` docs) dropped AT
+    WRITE TIME by the aggregate + broadcast-anti-join cap law — so
+    every later snapshot pays the cap exactly once, not per query.
+    Written once per corpus snapshot; ~2/(w+1) of the corpus's gram
+    stream by the winnowing density bound."""
+    fps = (winnow_fingerprints(df, id_col=id_col, text_col=text_col)
+           .select(F.col(id_col).alias("doc_id"), "fp").distinct())
+    over = (fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_docs_per_fp)
+            .select("fp"))
+    (fps.join(F.broadcast(over), "fp", "left_anti")
+     .write.mode("overwrite").parquet(os.path.join(path, "fps")))
+
+
+def incremental_winnow_dedup(new_df: DataFrame, spark, path: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             min_shared: int = 2) -> DataFrame:
+    """Dedup an incoming snapshot against a stored winnow-fingerprint
+    index (``write_winnow_index``) — the guaranteed-recall twin of
+    ``dedup.incremental_dedup``: any new doc sharing a verbatim run of
+    >= k+w-1 tokens with an indexed doc MUST collide on a fingerprint
+    (the winnowing theorem), where the minhash band path only collides
+    with banding probability. Verdict row per new doc:
+    (doc_id, n_corpus_dups, dup_of, keep); ``dup_of`` is the smallest
+    matching corpus id, -1 when none.
+
+    Scale shape: only the NEW docs are fingerprinted (a stateless
+    narrow projection — this exact join runs stream-static in the
+    streaming tests); the stored side is read, never recomputed, and
+    arrives pre-capped, so the equi-join on the 40-bit fp can never see
+    a boilerplate bucket. One groupBy(new, corpus) pair count + one
+    per-new-doc fold."""
+    verdict_base = new_df.select(F.col(id_col).alias("doc_id"))
+    novel = verdict_base.select(
+        "doc_id", F.lit(0).cast("long").alias("n_corpus_dups"),
+        F.lit(-1).cast("long").alias("dup_of"), F.lit(True).alias("keep"))
+    try:
+        idx = spark.read.parquet(os.path.join(path, "fps"))
+    except Exception:
+        # empty/absent index: everything in the snapshot is novel
+        return novel
+    nf = (winnow_fingerprints(new_df, id_col=id_col, text_col=text_col)
+          .select(F.col("doc_id").alias("new_id"), "fp").distinct())
+    hits = (nf.join(idx.withColumnRenamed("doc_id", "corpus_id"), "fp")
+            .groupBy("new_id", "corpus_id")
+            .agg(F.count(F.lit(1)).alias("_ns"))
+            .filter(F.col("_ns") >= min_shared))
+    per_new = (hits.groupBy("new_id")
+               .agg(F.count(F.lit(1)).alias("_nd"),
+                    F.min("corpus_id").alias("_dup")))
+    return (verdict_base
+            .join(per_new, verdict_base.doc_id == per_new.new_id, "left")
+            .select("doc_id",
+                    F.coalesce("_nd", F.lit(0)).cast("long")
+                    .alias("n_corpus_dups"),
+                    F.coalesce("_dup", F.lit(-1)).cast("long")
+                    .alias("dup_of"),
+                    F.col("_nd").isNull().alias("keep")))

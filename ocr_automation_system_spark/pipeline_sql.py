@@ -430,6 +430,27 @@ SELECT url, block_idx, n_lines, n_chars, link_chars, link_density,
 FROM {TWIN_BLOCKS}
 """
 
+# Extractor shadow audit: the blast radius of a TIGHTENED link-density
+# threshold (0.33 -> 0.25), reconstructed purely from the per-block
+# contract columns — keep@B = kept AND link_density <= B holds exactly
+# for any B below the deployed threshold, because the other keep
+# conjuncts (boilerplate, min-chars) are threshold-independent.
+SQL_EXTRACTOR_SHADOW_AUDIT = f"""
+WITH pu AS (SELECT url,
+              sum(CAST(kept AS INT)) AS kept_a,
+              sum(CAST(kept AND link_density <= 0.25 AS INT)) AS kept_b
+            FROM {TWIN_BLOCKS} GROUP BY 1)
+SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN kept_a <> kept_b THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_changed,
+  CAST(sum(kept_a - kept_b) AS BIGINT) AS blocks_dropped,
+  CAST(sum(CASE WHEN kept_a <> kept_b THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) AS change_rate
+FROM pu GROUP BY 1
+"""
+
+
 SQL_PIPELINE_DUPLICATE_IDS = f"""
 WITH docs AS (
   SELECT entity_pan AS pan, {_norm_name('entity_name')} AS name

@@ -1855,11 +1855,12 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.winnow_fingerprints(docs)
 
 
-def _sql_winnow_sel(toks: str) -> str:
+def _sql_winnow_sel(toks: str, src: str = "documents") -> str:
     """Selected winnow key list (hash<<20 | gram pos) of a token-array
     expression ``toks`` — twin of curation.winnow_fingerprints' select
     stage (k=4 grams, w=4 windows, leftmost-lowest tie rule as an
-    integer min over the packed keys)."""
+    integer min over the packed keys). ``src`` is the source relation
+    (a filtered CTE for the incremental split)."""
     from .functions.curation import WINNOW_K as K, WINNOW_W as W
     from .functions.curation import _WINNOW_POS_BITS
 
@@ -1870,7 +1871,7 @@ def _sql_winnow_sel(toks: str) -> str:
           f"tk[i:i+{K - 1}], ' ')), 1, 10)) AS BIGINT) * {shift} "
           f"+ (i - 1)) ELSE CAST([] AS BIGINT[]) END")
     return f"""
-t AS (SELECT doc_id, {toks} AS tk FROM documents),
+t AS (SELECT doc_id, {toks} AS tk FROM {src}),
 kk AS (SELECT doc_id, {ks} AS ks FROM t),
 sel AS (SELECT doc_id, list_distinct(list_concat(
          CASE WHEN len(ks) >= {W} THEN
@@ -1950,6 +1951,64 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM surv a JOIN surv b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 2
+"""
+
+
+def q_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monthly-crawl pattern with GUARANTEED recall: even doc_ids
+    play the indexed corpus (per-doc distinct winnow fingerprints,
+    capped at write time — ``curation.write_winnow_index``), odd
+    doc_ids the incoming snapshot, deduped against the stored artifact
+    without recomputing the corpus
+    (``curation.incremental_winnow_dedup``). Any new doc sharing a
+    verbatim run of >= k+w-1 tokens with an indexed doc MUST collide
+    (the winnowing theorem) — the deterministic cousin of
+    ``incremental_dedup``'s banding probability. The oracle recomputes
+    both halves from the documents table directly, so a defect anywhere
+    in the write/cap/read/join path mismatches."""
+    import hashlib as _h
+
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        fp = "nofile"
+    key = _h.md5(f"{os.path.abspath(sf_dir)}|{fp}".encode()).hexdigest()[:12]
+    idx_dir = os.path.join(tempfile.gettempdir(),
+                           f"spark_graft_winnow_idx_v1_{key}")
+    marker = os.path.join(idx_dir, "_done")
+    if not os.path.exists(marker):
+        C.write_winnow_index(corpus, idx_dir)
+        open(marker, "w").close()
+    return C.incremental_winnow_dedup(new, spark, idx_dir)
+
+
+SQL_INCREMENTAL_WINNOW = f"""
+WITH {_sql_winnow_sel(_sql_toks(_sql_clean('text')))},
+fps AS (SELECT DISTINCT doc_id, u.key // {_SQL_WINNOW_SHIFT} AS fp
+        FROM sel, unnest(sl) AS u(key)),
+corpus AS (SELECT * FROM fps WHERE doc_id % 2 = 0),
+surv AS (SELECT * FROM corpus
+         WHERE fp NOT IN (SELECT fp FROM corpus GROUP BY fp
+                          HAVING count(*) > 64)),
+newf AS (SELECT * FROM fps WHERE doc_id % 2 = 1),
+hits AS (SELECT n.doc_id AS new_id, c.doc_id AS corpus_id
+         FROM newf n JOIN surv c USING (fp)
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+per_new AS (SELECT new_id, count(*) AS nd, min(corpus_id) AS dup
+            FROM hits GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(p.nd, 0) AS BIGINT) AS n_corpus_dups,
+       CAST(coalesce(p.dup, -1) AS BIGINT) AS dup_of,
+       p.nd IS NULL AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN per_new p ON d.doc_id = p.new_id
 """
 
 
@@ -4531,6 +4590,45 @@ def q_pipeline_block_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_scores(corpus_for(spark, sf_dir))
 
 
+#: shadow candidate for MAX_LINK_DENSITY (deployed: 0.33). Any B below
+#: the deployed threshold reconstructs exactly from contract columns:
+#: keep@B = kept AND link_density <= B (the other conjuncts are
+#: threshold-independent).
+SHADOW_LINK_DENSITY = 0.25
+
+
+def q_extractor_shadow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractor A/B shadow audit: per host, how many documents would
+    change their extracted text if the link-density keep threshold were
+    tightened 0.33 -> 0.25 — the pre-deployment blast-radius report
+    that GUARDS the north rule's byte-identity invariant across
+    extractor versions (you don't flip a content heuristic on a 10^12
+    page corpus without this table). Derived entirely from the
+    per-block decision surface (``operators.extract.block_scores``):
+    keep@B = kept AND link_density <= B is exact for any tightened B,
+    so no second extraction pass runs — the audit costs two map-side
+    aggregations (url fold, then host fold) over the already-scored
+    blocks. Pages whose payload parses to zero blocks carry no rows by
+    construction (their text is empty under every config)."""
+    b = block_scores(corpus_for(spark, sf_dir))
+    per_url = (b.groupBy("url")
+               .agg(F.sum(F.col("kept").cast("int")).alias("kept_a"),
+                    F.sum((F.col("kept")
+                           & (F.col("link_density")
+                              <= SHADOW_LINK_DENSITY)).cast("int"))
+                    .alias("kept_b")))
+    changed = (F.col("kept_a") != F.col("kept_b")).cast("int")
+    return (per_url.groupBy(
+                F.regexp_extract("url", r"https?://([^/]+)", 1)
+                .alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(changed).cast("long").alias("n_changed"),
+                 F.sum(F.col("kept_a") - F.col("kept_b")).cast("long")
+                 .alias("blocks_dropped"),
+                 (F.sum(changed).cast("double")
+                  / F.count(F.lit(1))).alias("change_rate")))
+
+
 def q_pipeline_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = extractions_for(spark, sf_dir)
     out = run_rules(build_entities(res), as_of="2026-01-01")
@@ -6683,6 +6781,7 @@ REGISTRY: dict = {
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "incremental_winnow": (q_incremental_winnow, SQL_INCREMENTAL_WINNOW),
     "minhash_recall_sample": (q_minhash_recall_sample,
                               SQL_MINHASH_RECALL_SAMPLE),
     "dedup_cluster_keep": (q_dedup_cluster_keep, SQL_DEDUP_CLUSTER_KEEP),
@@ -6779,6 +6878,8 @@ REGISTRY: dict = {
     # oracle.twin.render_sql before execution.
     "pipeline_extractions": (q_pipeline_extractions, PSQL.SQL_PIPELINE_EXTRACTIONS),
     "pipeline_block_scores": (q_pipeline_block_scores, PSQL.SQL_PIPELINE_BLOCK_SCORES),
+    "extractor_shadow_audit": (q_extractor_shadow_audit,
+                               PSQL.SQL_EXTRACTOR_SHADOW_AUDIT),
     "pipeline_validation": (q_pipeline_validation, PSQL.SQL_PIPELINE_VALIDATION),
     "pipeline_legacy_verification": (q_pipeline_legacy_verification,
                                      PSQL.SQL_PIPELINE_LEGACY_VERIFICATION),
@@ -6846,7 +6947,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "compression_ratios", "latest_capture",
     "snapshot_delta", "crawl_activity", "crawl_priorities",
     "page_metadata", "page_directives", "canonical_dup_groups",
-    "robots_verdicts",
+    "robots_verdicts", "extractor_shadow_audit",
     "link_edges",
     "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",
     "host_triangles", "host_cocitation", "host_reciprocity",

@@ -93,3 +93,82 @@ def test_block_scores_no_shuffle(spark, corpus_df):
     plan = (block_scores(corpus_df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_shadow_audit_reconstruction_law(spark, corpus_df):
+    """The shadow audit's central claim: keep@B == kept AND
+    link_density <= B for any tightened B — verified by BRUTE FORCE
+    against a real second extraction pass with the constant swapped,
+    then the Spark host rollup pinned against the serial fold."""
+    import re
+    import unittest.mock as mock
+
+    from pyspark.sql import functions as SF
+
+    from ocr_automation_system_spark.oracle import html_extract as hx
+    from ocr_automation_system_spark.queries import SHADOW_LINK_DENSITY
+
+    assert SHADOW_LINK_DENSITY < MAX_LINK_DENSITY
+    # the synthetic corpus has no block in the (B, A] band — plant one
+    # (link density ~0.30: kept at 0.33, dropped at 0.25) plus a clean
+    # control page, so the audit has a real delta to measure
+    anchor = "thirty chars of anchor text xx"
+    planted = ("<html><body><p>" + "filler words here " * 4
+               + '<a href="/x">' + anchor + "</a></p>"
+               + "<p>a long clean paragraph of ordinary prose content "
+               + "well past the minimum</p></body></html>").encode()
+    clean = (b"<html><body><p>another long clean paragraph of prose "
+             b"content well past the minimum size</p></body></html>")
+    extra = spark.createDataFrame(
+        [("https://planted.example/a/1", bytearray(planted)),
+         ("https://planted.example/a/2", bytearray(clean))],
+        "url string, html binary")
+    audit_df = corpus_df.select("url", "html").unionByName(extra)
+    ld = [r["link_density"] for r in hx.block_records("u", planted)
+          if SHADOW_LINK_DENSITY < r["link_density"] <= MAX_LINK_DENSITY]
+    assert ld, "planted block must land in the shadow band"
+    rows = audit_df.collect()
+    brute_a, brute_b = {}, {}
+    for r in rows:
+        payload = r["html"]
+        if payload is None or bytes(payload)[:5] == b"%PDF-":
+            continue
+        for rec in hx.block_records(r["url"], payload):
+            brute_a[r["url"]] = brute_a.get(r["url"], 0) + int(rec["kept"])
+            brute_b[r["url"]] = brute_b.get(r["url"], 0) + int(
+                rec["kept"] and rec["link_density"] <= SHADOW_LINK_DENSITY)
+    assert sum(brute_a.values()) > sum(brute_b.values()) > 0
+
+    # reconstruction == the REAL rule with the constant swapped
+    with mock.patch.object(hx, "MAX_LINK_DENSITY", SHADOW_LINK_DENSITY):
+        for r in rows:
+            payload = r["html"]
+            if payload is None or bytes(payload)[:5] == b"%PDF-":
+                continue
+            html = bytes(payload).decode("utf-8", errors="replace")
+            real_b = sum(int(hx.block_is_content(b))
+                         for b in hx.segment_blocks(html))
+            assert real_b == brute_b.get(r["url"], 0), r["url"]
+
+    # the Spark audit folds exactly those counts per host
+    per_host = {}
+    for u in brute_a:
+        h = re.match(r"https?://([^/]+)", u).group(1)
+        d = per_host.setdefault(h, [0, 0, 0])
+        d[0] += 1
+        d[1] += int(brute_a[u] != brute_b[u])
+        d[2] += brute_a[u] - brute_b[u]
+    pu = (block_scores(audit_df).groupBy("url")
+          .agg(SF.sum(SF.col("kept").cast("int")).alias("kept_a"),
+               SF.sum((SF.col("kept")
+                       & (SF.col("link_density") <= SHADOW_LINK_DENSITY))
+                      .cast("int")).alias("kept_b")))
+    changed = (SF.col("kept_a") != SF.col("kept_b")).cast("int")
+    got = {r["host"]: (r["n"], r["c"], r["d"]) for r in
+           pu.groupBy(SF.regexp_extract(
+               "url", r"https?://([^/]+)", 1).alias("host"))
+           .agg(SF.count(SF.lit(1)).alias("n"),
+                SF.sum(changed).alias("c"),
+                SF.sum(SF.col("kept_a") - SF.col("kept_b")).alias("d"))
+           .collect()}
+    assert got == {h: tuple(v) for h, v in per_host.items()}

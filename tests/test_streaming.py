@@ -637,3 +637,57 @@ def test_stateless_winnow_fingerprints_stream_unchanged(spark, tmp_path):
             spark.createDataFrame(rows, "doc_id long, text string"))
         .collect())
     assert got == want and got
+
+
+def test_streaming_incremental_winnow_against_static_index(spark,
+                                                           tmp_path):
+    """Guaranteed-recall streaming dedup: arriving docs are winnow-
+    fingerprinted row-locally (stateless — no distinct, no watermark)
+    and equi-join the STATIC stored fingerprint index; the matched
+    (new_id, corpus_id) pairs aggregate client-side to the exact batch
+    incremental_winnow_dedup verdicts."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.curation import (
+        incremental_winnow_dedup, winnow_fingerprints,
+        write_winnow_index,
+    )
+
+    run = " ".join(f"copied{i}" for i in range(9))
+    corpus = spark.createDataFrame(
+        [(0, "intro words " + run + " outro"),
+         (2, "entirely different corpus text about lakes and rivers")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "widx")
+    write_winnow_index(corpus, idx)
+
+    new_rows = [(1, run + " with a new tail"),
+                (3, "novel text about mountains and passes")]
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    spark.createDataFrame(new_rows, "doc_id long, text string") \
+        .write.parquet(os.path.join(d, "drop1"))
+
+    stream_in = (spark.readStream.schema("doc_id long, text string")
+                 .parquet(os.path.join(d, "*")))
+    static_idx = (spark.read.parquet(os.path.join(idx, "fps"))
+                  .withColumnRenamed("doc_id", "corpus_id"))
+    # NOTE: no distinct on the stream side (stateful agg would need a
+    # watermark); multi-fp matches yield duplicate pair rows, deduped
+    # in the set-compare below — same convention as the minhash twin.
+    hits = (winnow_fingerprints(stream_in)
+            .select(F.col("doc_id").alias("new_id"), "fp")
+            .join(static_idx, "fp")
+            .select("new_id", "corpus_id"))
+    out = str(tmp_path / "out_winc")
+    q = (hits.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck_winc"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 0)}
+    # batch path agrees
+    batch = {r["doc_id"]: r["keep"] for r in incremental_winnow_dedup(
+        spark.createDataFrame(new_rows, "doc_id long, text string"),
+        spark, idx, min_shared=1).collect()}
+    assert batch == {1: False, 3: True}

@@ -176,3 +176,48 @@ def test_winnow_rows_unique_and_zero_shuffle(spark):
     assert fps.distinct().count() == total
     plan = fps._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_incremental_winnow_guarantee_and_cap(spark, tmp_path):
+    """Index roundtrip: a new doc sharing a >= k+w-1 token run with an
+    indexed doc MUST be caught (the winnowing theorem carried through
+    the write/read/join path); novel docs keep; a boilerplate run
+    shared by every corpus doc dies at WRITE time under the cap and
+    links nothing."""
+    from ocr_automation_system_spark.functions.curation import (
+        incremental_winnow_dedup, write_winnow_index,
+    )
+
+    run = _words("copied", WINNOW_K + WINNOW_W - 1)
+    boiler = _words("boiler", 12)
+    corpus = _df(spark, [
+        (0, _words("zero", 10) + " " + run + " " + boiler),
+        (2, _words("two", 15) + " " + boiler),
+        (4, _words("four", 20) + " " + boiler),
+        (6, _words("six", 9) + " " + boiler)])
+    idx = str(tmp_path / "widx")
+    # cap=3: the boilerplate fps (present in all 4 corpus docs) must be
+    # dropped at write time; the planted run's fps survive
+    write_winnow_index(corpus, idx, max_docs_per_fp=3)
+
+    new = _df(spark, [
+        (1, _words("alpha", 5) + " " + run + " tail words here"),
+        (3, _words("novel", 25)),
+        (5, _words("boilonly", 6) + " " + boiler)])
+    got = {r["doc_id"]: (r["n_corpus_dups"], r["dup_of"], r["keep"])
+           for r in incremental_winnow_dedup(new, spark, idx,
+                                             min_shared=1).collect()}
+    assert got[1] == (1, 0, False)       # guaranteed catch, min corpus id
+    assert got[3] == (0, -1, True)       # novel
+    assert got[5] == (0, -1, True)       # boilerplate capped at write
+
+
+def test_incremental_winnow_empty_index(spark, tmp_path):
+    from ocr_automation_system_spark.functions.curation import (
+        incremental_winnow_dedup,
+    )
+
+    new = _df(spark, [(1, _words("a", 12))])
+    got = incremental_winnow_dedup(
+        new, spark, str(tmp_path / "absent")).collect()
+    assert [tuple(r) for r in got] == [(1, 0, -1, True)]
