@@ -62,7 +62,7 @@ HEADLINE = (
     "host_communities", "community_modularity",
     "lm_quality_scores", "lexical_diversity",
     "media_metadata", "media_resize", "media_frame_census", "media_census",
-    "warc_roundtrip",
+    "warc_roundtrip", "cdx_index",
     "bpe_merge_candidates", "bpe_merges", "bpe_fertility",
     "lm_perplexity_buckets", "bigram_backoff_scores", "doc_length_profile",
     "duplicate_spans", "winnow_fingerprints", "winnow_dup_pairs",

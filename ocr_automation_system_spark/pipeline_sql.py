@@ -1092,6 +1092,37 @@ SELECT url, octet_length(html) AS n_bytes,
 FROM {CORPUS}
 """
 
+# CDX index oracle: every byte offset reconstructed RELATIONALLY from
+# the corpus parquet — legal because the writer is deterministic (md5
+# bucket, url-sorted records, fixed template). record_len = 139 +
+# strlen(url) + digits(payload_len) + payload_len (constant verified
+# against sources/warc.record_bytes); offsets are the per-file
+# url-ordered exclusive prefix sum. The Spark side parses the PHYSICAL
+# files, so write/parse framing defects mismatch at the byte level.
+SQL_CDX_INDEX = f"""
+WITH r AS (SELECT url, warc_ts, html,
+             CAST(concat('0x', substr(md5(url), 1, 8)) AS BIGINT) % 8
+               AS b,
+             octet_length(html) AS plen
+           FROM {CORPUS}),
+l AS (SELECT *, CAST(139 + strlen(url)
+                 + strlen(CAST(plen AS VARCHAR)) + plen AS BIGINT)
+               AS rlen FROM r),
+o AS (SELECT *, CAST(coalesce(sum(rlen) OVER (
+          PARTITION BY b ORDER BY url
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        AS BIGINT) AS off FROM l)
+SELECT array_to_string(list_reverse(string_split(
+         regexp_extract(url, 'https?://([^/]+)', 1), '.')), ',')
+         || ')' || regexp_extract(url, 'https?://[^/]+(/.*)', 1)
+       AS urlkey,
+       url, warc_ts, md5(hex(html)) AS digest,
+       printf('part-%05d.warc', b) AS warc_file,
+       off AS rec_offset, rlen AS rec_length
+FROM o
+"""
+
+
 #: per-page structural metadata (head profile) — patterns shared
 #: verbatim with functions/links.py.
 SQL_PAGE_METADATA = f"""

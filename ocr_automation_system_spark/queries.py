@@ -5014,6 +5014,31 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "warc_ts", "status")
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index over the written WARC artifact (the
+    cluster.idx pattern Common Crawl ships next to its WARC sets):
+    urlkey (SURT), digest, file + byte range per capture — random
+    access to any record without touching WARC bytes until the final
+    ranged read. Spark side parses the PHYSICAL files; the oracle
+    reconstructs every offset RELATIONALLY from the corpus parquet
+    (deterministic writer: md5 bucket, url sort, fixed record
+    template — record_len = 139 + len(url) + digits(payload_len) +
+    payload_len), so a framing defect ANYWHERE in write or parse
+    mismatches a byte offset. sources/warc.cdx_index."""
+    from .corpus import CORPUS_VERSION
+    from .sources.warc import cdx_index, read_warc, write_warc
+
+    corpus = corpus_for(spark, sf_dir)
+    n = _CORPUS_ROWS.get(os.path.basename(sf_dir.rstrip("/")), 400)
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"spark_graft_warc_v{CORPUS_VERSION}_{n}")
+    marker = os.path.join(out_dir, "_done")
+    if not os.path.exists(marker):
+        write_warc(corpus, out_dir, n_files=8)
+        open(marker, "w").close()
+    return cdx_index(read_warc(spark, out_dir))
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Contract surface: nullable dims coalesce to -1 (long) so neither
     # engine hands the comparator a nullable-int dtype; the feature vector
@@ -6929,6 +6954,7 @@ REGISTRY: dict = {
     "url_features": (q_url_features, PSQL.SQL_URL_FEATURES),
     # WARC sink+source roundtrip (Common-Crawl wire format)
     "warc_roundtrip": (q_warc_roundtrip, PSQL.SQL_WARC_ROUNDTRIP),
+    "cdx_index": (q_cdx_index, PSQL.SQL_CDX_INDEX),
     # multimodal plumbing (decode stubs; plumbing hash-checked via twin)
     "media_metadata": (q_media_metadata, PSQL.SQL_MEDIA_METADATA),
     "media_resize": (q_media_resize, PSQL.SQL_MEDIA_RESIZE),
@@ -6953,7 +6979,8 @@ CORPUS_QUERIES: frozenset = frozenset(
     "host_triangles", "host_cocitation", "host_reciprocity",
     "seed_distance", "host_hyperball", "host_harmonic",
     "host_communities", "community_modularity",
-    "anchor_text_profile", "warc_roundtrip", "host_components",
+    "anchor_text_profile", "warc_roundtrip", "cdx_index",
+    "host_components",
     "url_features",
 })
 

@@ -65,7 +65,7 @@ TARGET_FILE_BYTES = 1 << 30
 #: Read-side output schema (poison rows carry nulls + the reason).
 WARC_READ_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                     "rec_type string, warc_file string, rec_offset long, "
-                    "status string")
+                    "rec_length long, status string")
 
 MANIFEST_SCHEMA = ("bucket long, warc_file string, n_records long, "
                    "n_bytes long")
@@ -203,7 +203,8 @@ def _parse_stream(fh, fname: str) -> Iterator[dict]:
         if not line.startswith(b"WARC/"):
             yield {"url": None, "warc_ts": None, "html": None,
                    "rec_type": None, "warc_file": fname,
-                   "rec_offset": rec_off, "status": "poison:not-warc"}
+                   "rec_offset": rec_off, "rec_length": off - rec_off,
+                   "status": "poison:not-warc"}
             return
         headers = {}
         while True:
@@ -211,7 +212,7 @@ def _parse_stream(fh, fname: str) -> Iterator[dict]:
             if not h:  # EOF inside headers
                 yield {"url": None, "warc_ts": None, "html": None,
                        "rec_type": None, "warc_file": fname,
-                       "rec_offset": rec_off,
+                       "rec_offset": rec_off, "rec_length": off - rec_off,
                        "status": "poison:truncated-headers"}
                 return
             off += len(h)
@@ -224,7 +225,7 @@ def _parse_stream(fh, fname: str) -> Iterator[dict]:
         except (KeyError, ValueError):
             yield {"url": None, "warc_ts": None, "html": None,
                    "rec_type": None, "warc_file": fname,
-                   "rec_offset": rec_off,
+                   "rec_offset": rec_off, "rec_length": off - rec_off,
                    "status": "poison:bad-content-length"}
             return
         payload = fh.read(length)
@@ -234,7 +235,8 @@ def _parse_stream(fh, fname: str) -> Iterator[dict]:
         if len(payload) != length or tail != b"\r\n\r\n":
             yield {"url": None, "warc_ts": None, "html": None,
                    "rec_type": None, "warc_file": fname,
-                   "rec_offset": rec_off, "status": "poison:truncated"}
+                   "rec_offset": rec_off, "rec_length": off - rec_off,
+                   "status": "poison:truncated"}
             return
         rec_type = headers.get(b"warc-type", b"").decode("utf-8", "replace")
         if rec_type == "response":
@@ -251,7 +253,8 @@ def _parse_stream(fh, fname: str) -> Iterator[dict]:
             ts = None
         yield {"url": url.decode("utf-8", "replace") if url else None,
                "warc_ts": ts, "html": payload, "rec_type": rec_type,
-               "warc_file": fname, "rec_offset": rec_off, "status": "ok"}
+               "warc_file": fname, "rec_offset": rec_off,
+               "rec_length": off - rec_off, "status": "ok"}
 
 
 def read_warc(spark: SparkSession, path: str, glob: str = "*.warc",
@@ -290,9 +293,36 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc",
                 except OSError as exc:
                     rows.append({"url": None, "warc_ts": None, "html": None,
                                  "rec_type": None, "warc_file": local,
-                                 "rec_offset": 0,
+                                 "rec_offset": 0, "rec_length": 0,
                                  "status": f"poison:io:{exc.errno}"})
         if rows:
             yield pd.DataFrame(rows)
 
     return paths.mapInPandas(_parse, WARC_READ_SCHEMA)
+
+
+def cdx_index(recs: DataFrame) -> DataFrame:
+    """CDX-style capture index from parsed WARC records — the lookup
+    artifact Common Crawl publishes next to its WARC sets (cdx-*.gz /
+    cluster.idx): one row per ok record, (urlkey, url, warc_ts, digest,
+    warc_file, rec_offset, rec_length), enough to random-access any
+    capture with a ranged read of [rec_offset, rec_offset+rec_length)
+    from its file. ``urlkey`` is the SURT form (reverse-dotted host +
+    ')' + path) so one host's captures sort adjacent regardless of
+    subdomain order; ``digest`` is md5 over the hex payload (the
+    repo's cross-engine digest convention).
+
+    Scale: a narrow zero-shuffle projection over the parse — the index
+    of a 100 TB crawl costs one pass and a sorted write; lookups then
+    never touch a WARC byte until the final ranged read."""
+    host = F.regexp_extract("url", r"https?://([^/]+)", 1)
+    path = F.regexp_extract("url", r"https?://[^/]+(/.*)", 1)
+    urlkey = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"), path)
+    return (recs.filter(F.col("status") == "ok")
+            .select(urlkey.alias("urlkey"), "url", "warc_ts",
+                    F.md5(F.hex("html")).alias("digest"),
+                    F.regexp_extract("warc_file", r"([^/]+)$", 1)
+                    .alias("warc_file"),
+                    "rec_offset", "rec_length"))

@@ -482,6 +482,21 @@ def curate(spark, results, output: str, quota: int = 1000,
         manifest = write_wet(wet, os.path.join(output, "wet"),
                              n_files=wet_files)
         counts["wet_records"] = sum(r["n_records"] for r in manifest)
+        # CDX index of the export (the cluster.idx pattern): one sorted
+        # parquet of (urlkey, url, ts, digest, file, offset, length) so
+        # a consumer random-accesses any record with a ranged read —
+        # computed by PARSING the published files, so the index can
+        # never disagree with the bytes on disk
+        from ocr_automation_system_spark.sources.warc import (
+            cdx_index, read_warc,
+        )
+
+        cdx = cdx_index(read_warc(spark, os.path.join(output, "wet"),
+                                  glob="*.warc"))
+        (cdx.sort("urlkey", "warc_ts")
+         .write.mode("overwrite").parquet(os.path.join(output, "cdx")))
+        counts["cdx_rows"] = spark.read.parquet(
+            os.path.join(output, "cdx")).count()
     docs.unpersist()
     deduped.unpersist()
 

@@ -134,6 +134,21 @@ def test_curate_wet_export(spark, tmp_path):
     want = sorted((r["doc_id"], r["text"] or "") for r in train.collect())
     assert got == want
 
+    # the CDX export indexes every WET record, and a ranged read of
+    # one CDX row alone recovers its record (the cluster.idx promise)
+    import io as _io
+
+    from ocr_automation_system_spark.sources.warc import _parse_stream
+
+    assert counts["cdx_rows"] == counts["wet_records"]
+    cdx = spark.read.parquet(os.path.join(out, "cdx")).collect()
+    c = sorted(cdx, key=lambda r: r["urlkey"])[0]
+    with open(os.path.join(out, "wet", c["warc_file"]), "rb") as fh:
+        fh.seek(c["rec_offset"])
+        chunk = fh.read(c["rec_length"])
+    (rec,) = list(_parse_stream(_io.BytesIO(chunk), "ranged"))
+    assert rec["status"] == "ok" and rec["url"] == c["url"]
+
 
 def test_curate_token_budget_stage(spark, tmp_path):
     """--token-budget caps each host's token contribution after the

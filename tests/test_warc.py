@@ -203,3 +203,52 @@ def test_write_warc_staging_is_attempt_unique(spark, tmp_path):
     write_warc(df, out, n_files=1)
     got = read_warc(spark, out)
     assert got.filter(F.col("status") == "ok").count() == 41
+
+
+def test_rec_length_and_cdx_ranged_read_law(spark, tmp_path):
+    """The CDX promise: rec_length tiles each file exactly (offsets are
+    the prefix sums, the lengths sum to the file size), and a RANGED
+    read of [rec_offset, rec_offset+rec_length) re-parses to the same
+    record — random access without touching any other byte."""
+    import io as _io
+
+    from ocr_automation_system_spark.sources.warc import (
+        _parse_stream, cdx_index,
+    )
+
+    rows = [(f"https://h{i % 3}.example/k/{i:08d}",
+             "2026-01-01 00:00:00", f"payload {i} " .encode() * (i + 1))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, html binary") \
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    out = str(tmp_path / "warcs")
+    write_warc(df, out, n_files=3)
+
+    recs = read_warc(spark, out).filter(F.col("status") == "ok")
+    per_file = {}
+    for r in recs.collect():
+        per_file.setdefault(r["warc_file"], []).append(r)
+    assert per_file
+    for path, rs in per_file.items():
+        rs.sort(key=lambda r: r["rec_offset"])
+        expect = 0
+        for r in rs:
+            assert r["rec_offset"] == expect  # offsets tile the file
+            expect += r["rec_length"]
+        assert expect == os.path.getsize(path)  # lengths sum to size
+
+    # ranged read: any CDX row alone recovers its record
+    idx = cdx_index(recs).collect()
+    assert len(idx) == 12
+    by_url = {r["url"]: r for r in idx}
+    for url in (rows[0][0], rows[7][0]):
+        c = by_url[url]
+        full = os.path.join(out, c["warc_file"])
+        with open(full, "rb") as fh:
+            fh.seek(c["rec_offset"])
+            chunk = fh.read(c["rec_length"])
+        (rec,) = list(_parse_stream(_io.BytesIO(chunk), "ranged"))
+        assert rec["status"] == "ok" and rec["url"] == url
+        assert rec["rec_length"] == c["rec_length"]
+    # SURT urlkey sorts subdomain-adjacent
+    assert by_url[rows[0][0]]["urlkey"].startswith("example,h0)")
