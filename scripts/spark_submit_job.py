@@ -136,6 +136,13 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "representative BEFORE the similarity ladders "
                         "(free dedup of syndicated copies; "
                         "after_canonical_collapse lineage count)")
+    p.add_argument("--robots-rules", default="", metavar="PATH",
+                   help="with --curate: parquet of parsed robots.txt "
+                        "rules (host, prefix, allow) — pages whose url "
+                        "loses the RFC 9309 match (longest prefix wins, "
+                        "equal-length ties to Allow, unmatched urls "
+                        "allowed) are dropped before any content stage "
+                        "(after_robots lineage count)")
     p.add_argument("--probe-weights", default="",
                    help="with --probe-drop-pct: path of the persisted "
                         "probe weight artifact — warm-start the fit "
@@ -188,7 +195,9 @@ def main(argv=None, stop_session: bool = True) -> int:
     if args.curate:
         url_drops = compliance_drops(
             documents, honor_noindex=args.honor_noindex,
-            canonical_collapse=args.canonical_collapse)
+            canonical_collapse=args.canonical_collapse,
+            robots_rules=(spark.read.parquet(args.robots_rules)
+                          if args.robots_rules else None))
         curate(spark, results, args.output, quota=args.domain_quota,
                url_drops=url_drops,
                chunk_tokens=args.chunk_tokens, policy=args.policy,
@@ -212,20 +221,30 @@ def main(argv=None, stop_session: bool = True) -> int:
 
 
 def compliance_drops(documents, honor_noindex: bool = False,
-                     canonical_collapse: bool = False) -> dict:
-    """URL drop-sets from in-page directives (functions/links.py):
-    ``{"noindex": df, "canonical_collapse": df}`` — each a 1-column
-    (doc_id) DataFrame of pages the curate chain must drop, applied by
-    LEFT ANTI join (the sets are corpus-fraction-sized at scale, never
-    broadcast). ``canonical_collapse`` drops every page of a declared
-    canonical group EXCEPT the min-url representative — the
-    publisher's own duplicate-collapse hint, honored before a single
-    shingle is hashed."""
+                     canonical_collapse: bool = False,
+                     robots_rules=None) -> dict:
+    """URL drop-sets from crawl-compliance signals (functions/links.py):
+    ``{"robots": df, "noindex": df, "canonical_collapse": df}`` — each
+    a 1-column (doc_id) DataFrame of pages the curate chain must drop,
+    applied by LEFT ANTI join (the sets are corpus-fraction-sized at
+    scale, never broadcast). ``robots_rules`` (a parsed (host, prefix,
+    allow) robots.txt table) drops pages whose url LOSES the RFC 9309
+    match (``links.robots_verdicts``: longest prefix wins, equal-length
+    ties to Allow, unmatched urls allowed) — network-level compliance,
+    ordered before the in-page directives. ``canonical_collapse``
+    drops every page of a declared canonical group EXCEPT the min-url
+    representative — the publisher's own duplicate-collapse hint,
+    honored before a single shingle is hashed."""
     from pyspark.sql import functions as F
 
     from ocr_automation_system_spark.functions import links as L
 
     drops: dict = {}
+    if robots_rules is not None:
+        drops["robots"] = (
+            L.robots_verdicts(documents.select("url"), robots_rules)
+            .filter(~F.col("allow"))
+            .select(F.col("url").alias("doc_id")))
     if not (honor_noindex or canonical_collapse):
         return drops
     d = L.page_directives(documents.select("url", "html"))

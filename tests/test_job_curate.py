@@ -407,3 +407,49 @@ def test_curate_winnow_detector(spark, tmp_path):
     run()  # resumed rerun: byte-deterministic
     cur2 = spark.read.parquet(os.path.join(out, "curated"))
     assert sorted((r["doc_id"], r["split"]) for r in cur2.collect()) == first
+
+
+def test_curate_robots_rules(spark, tmp_path):
+    """--robots-rules: RFC 9309 verdicts drop disallowed urls before
+    any content stage; the lineage count reconciles exactly against
+    robots_verdicts over the usable extraction rows."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.links import (
+        robots_verdicts,
+    )
+
+    rules_path = str(tmp_path / "robots_rules")
+    spark.createDataFrame(
+        [  # host00 disallows /pan except /pan/0000002 (longest wins);
+           # host01 disallows everything
+            ("host00.example.com", "/pan", False),
+            ("host00.example.com", "/pan/0000002", True),
+            ("host01.example.com", "", False),
+        ],
+        "host string, prefix string, allow boolean",
+    ).write.mode("overwrite").parquet(rules_path)
+
+    out = str(tmp_path / "jobr")
+    rc = spark_submit_job.main([
+        "--synthetic", "400", "--output", out, "--curate",
+        "--robots-rules", rules_path,
+    ], stop_session=False)
+    assert rc == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert counts["usable"] > counts["after_robots"] > 0
+
+    usable = (spark.read.parquet(os.path.join(out, "extractions"))
+              .filter(F.col("doc_status") == "ok").select("url"))
+    rules = spark.read.parquet(rules_path)
+    n_disallowed = (robots_verdicts(usable, rules)
+                    .filter(~F.col("allow")).count())
+    assert counts["usable"] - counts["after_robots"] == n_disallowed
+    # the longest-prefix Allow override actually rescues matching pages
+    in_scope = usable.filter(F.col("url").startswith(
+        "https://host00.example.com/pan/0000002")).count()
+    rescued = (robots_verdicts(usable, rules)
+               .filter(F.col("matched_prefix") == "/pan/0000002")
+               .filter(F.col("allow")).count())
+    assert rescued == in_scope
