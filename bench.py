@@ -22,7 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ocr_automation_system_spark.corpus import CORPUS_VERSION, write_corpus  # noqa: E402
+from ocr_automation_system_spark.corpus import CORPUS_FINGERPRINT, CORPUS_VERSION, write_corpus  # noqa: E402
 from ocr_automation_system_spark.queries import REGISTRY  # noqa: E402
 from ocr_automation_system_spark.operators.extract import extract_documents  # noqa: E402
 from ocr_automation_system_spark.session import build_session  # noqa: E402
@@ -54,7 +54,8 @@ HEADLINE = (
     "latest_capture", "snapshot_delta", "content_drift", "crawl_activity",
     "crawl_priorities", "crawl_schedule", "schedule_load",
     "page_metadata", "page_directives", "canonical_dup_groups",
-    "robots_verdicts",
+    "robots_verdicts", "soft404_flags", "host_error_rate",
+    "charset_census", "meta_refresh_targets",
     "pipeline_line_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",
@@ -181,7 +182,8 @@ def main() -> None:
     n_tp = int(os.environ.get("SPARK_GRAFT_THROUGHPUT_DOCS", "40000"))
     tp_path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_corpus_v{CORPUS_VERSION}_{n_tp}.parquet")
+        f"spark_graft_corpus_v{CORPUS_VERSION}_{CORPUS_FINGERPRINT}"
+        f"_{n_tp}.parquet")
     if not os.path.exists(tp_path):
         write_corpus(tp_path, n_tp)
     old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")

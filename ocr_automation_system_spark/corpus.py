@@ -18,8 +18,11 @@ groupBy check.
 from __future__ import annotations
 
 import datetime as _dt
+import hashlib
+import os
 import random
 import string
+import tempfile
 
 from .oracle.pdf_stub import make_synthetic_pdf
 
@@ -28,7 +31,37 @@ DEFAULT_SEED = 42
 #: bump whenever generation logic changes — cache filenames embed it so a
 #: stale /tmp corpus from an older generator can never shadow the current
 #: semantics (the corpus is the shared byte-identity surface).
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
+
+
+def source_fingerprint(*module_files: str) -> str:
+    """md5 over the given source files' bytes, 8 hex chars.
+
+    Cache filenames embed this IN ADDITION to the hand-bumped version:
+    two edits to the generator under one version number (it happened —
+    round 3 left a twin built mid-edit) can no longer leave a stale
+    artifact whose name still matches. Hashing source bytes is the same
+    trick the dedup-index cache uses for its input files."""
+    h = hashlib.md5()
+    for f in module_files:
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:8]
+
+
+#: fingerprint of THIS generator's source — any edit invalidates caches.
+CORPUS_FINGERPRINT = source_fingerprint(os.path.abspath(__file__))
+
+
+def corpus_cache_path(n_rows: int) -> str:
+    """Single source of truth for the on-disk corpus cache filename
+    (shared by ``queries.corpus_for``, ``oracle.twin`` and the scaling
+    bench so the Spark side and the DuckDB side can never read two
+    different corpora)."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_corpus_v{CORPUS_VERSION}_{CORPUS_FINGERPRINT}"
+        f"_{n_rows}.parquet")
 
 _UPPER = string.ascii_uppercase
 _NAME_WORDS = [
@@ -278,6 +311,40 @@ def junk_payload(rng: random.Random) -> bytes:
     return f"<html><body><div class='main'>{digits}</div></body></html>".encode()
 
 
+#: soft-404 / parked-page shapes: (title, main-content lines). Real
+#: crawls serve these with HTTP 200, so a corpus can only catch them by
+#: content — the error-page census tier's planted positives (~2% of
+#: rows, the real-crawl ballpark for soft 404s + parked domains).
+_ERROR_SHAPES = (
+    ("404 Not Found",
+     ["The page you requested could not be found.",
+      "Error 404. It may have been moved or deleted."]),
+    ("Page not found",
+     ["Sorry, this page does not exist anymore.",
+      "Try searching from the homepage instead."]),
+    ("Domain for sale",
+     ["This domain is for sale. Buy this domain today.",
+      "Make an offer to the registrar to acquire it."]),
+    ("Under construction",
+     ["This site is under construction. Coming soon.",
+      "Check back later for updates."]),
+    ("Account suspended",
+     ["This account has been suspended by the host.",
+      "Contact the hosting provider for details."]),
+)
+
+
+def soft404_payload(rng: random.Random) -> tuple:
+    """(payload, body_text): a full boilerplate-wrapped error/parked
+    page; ~30% arrive with a UTF-8 BOM (the charset-census shape —
+    HTML_SNIFF_RE and the extraction legs both tolerate it)."""
+    title, lines = _ERROR_SHAPES[rng.randrange(len(_ERROR_SHAPES))]
+    payload = wrap_html(rng, title, lines).encode("utf-8")
+    if rng.random() < 0.30:
+        payload = b"\xef\xbb\xbf" + payload
+    return payload, "\n".join(lines)
+
+
 # ---------------------------------------------------------------------------
 # Corpus assembly
 # ---------------------------------------------------------------------------
@@ -319,6 +386,21 @@ def generate_rows(n_rows: int, seed: int = DEFAULT_SEED,
             payload = junk_payload(rng)
             body_text = ""
             kind = "junk"
+        elif roll < 0.05:  # soft-404 / parked pages (served as HTTP 200)
+            payload, body_text = soft404_payload(rng)
+            kind = "soft404"
+        elif roll < 0.06:  # meta-refresh redirect stubs (client-side
+            # redirects a crawler stores as their own capture; the
+            # target is a same-host page so redirect graphs resolve)
+            target = (f"https://{host}/pan/"
+                      f"{rng.randrange(max(1, i)):08d}")
+            payload = (
+                '<html><head><meta http-equiv="refresh" '
+                f'content="{rng.choice([0, 0, 3])};url={target}">'
+                "</head><body>Redirecting you to the new page."
+                "</body></html>").encode("utf-8")
+            body_text = ""
+            kind = "redirect"
         else:
             r2 = rng.random()
             if r2 < 0.28:

@@ -432,6 +432,133 @@ def canonical_dup_groups(df: DataFrame, url_col: str = "url",
             .filter(F.col("n_pages") >= 2))
 
 
+#: soft-404 / parked-page phrase patterns — RE2-compatible, shared
+#: verbatim with the DuckDB twin. Real crawls serve these with HTTP
+#: 200, so the only scalable catch is content phrasing (the same
+#: heuristic CCNet/C4-style curation uses before any quality model).
+ERROR_PAGE_RE = (r"(?i)(page (you requested )?(was |could )?not( be)? found"
+                 r"|404 not found|error 404|page does not exist"
+                 r"|no longer (exists|available))")
+PARKED_RE = (r"(?i)(domain (is )?for sale|buy this domain"
+             r"|under construction|coming soon|account suspended)")
+
+
+def soft404_flags(df: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """Per-page soft-404 / parked-domain verdict from the raw BINARY
+    html: (url, title, error_hit, parked_hit, reason) with reason in
+    ('error_page', 'parked', 'ok') — error phrasing outranks parked
+    phrasing when both match.
+
+    A crawl serves these with HTTP 200 ("soft" 404), so they survive
+    every transport-level filter and poison a training corpus with
+    near-identical junk unless caught by content. Execution shape:
+    the same sniff-gated decode as ``page_metadata`` + two JVM regexp
+    passes fused into the scan projection — zero shuffle, zero Python;
+    non-HTML payloads yield ('', false, false, 'ok')."""
+    page = page_html(F.col(html_col))
+    err = page.rlike(ERROR_PAGE_RE)
+    park = page.rlike(PARKED_RE)
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(page, TITLE_RE, 1).alias("title"),
+        err.alias("error_hit"),
+        park.alias("parked_hit"),
+        F.when(err, F.lit("error_page"))
+        .when(park, F.lit("parked"))
+        .otherwise(F.lit("ok")).alias("reason"))
+
+
+def host_error_rate(df: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """Per-host soft-404/parked census: (host, n_pages, n_error,
+    n_parked, error_rate) — the host-level spam/decay signal a recrawl
+    scheduler and the curation blocklist both read (a host serving
+    mostly error pages is parked or dead; drop it wholesale instead of
+    paying per-page heuristics).
+
+    ONE map-side-combinable groupBy on host over the narrow flag
+    projection; the rate is a single correctly-rounded double division
+    (exact integer censuses underneath — the repo's rational
+    discipline)."""
+    flags = soft404_flags(df, url_col=url_col, html_col=html_col)
+    host = F.regexp_extract("url", r"https?://([^/]+)", 1)
+    bad = (F.col("error_hit") | F.col("parked_hit")).cast("long")
+    return (flags.select(host.alias("host"),
+                         F.col("error_hit").cast("long").alias("_e"),
+                         F.col("parked_hit").cast("long").alias("_p"),
+                         bad.alias("_b"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.sum("_e").alias("n_error"),
+                 F.sum("_p").alias("n_parked"),
+                 F.sum("_b").alias("_nb"))
+            .select("host", "n_pages", "n_error", "n_parked",
+                    # ONE correctly-rounded IEEE division on exact
+                    # integers — bit-identical cross-engine, no round()
+                    (F.col("_nb").cast("double")
+                     / F.col("n_pages").cast("double"))
+                    .alias("error_rate")))
+
+
+#: meta-refresh redirect shape — RE2-compatible, shared with the twin.
+#: Matches content="<delay>;url=<target>" with optional whitespace.
+META_REFRESH_RE = (r'(?i)<meta[^>]*http-equiv="refresh"[^>]*'
+                   r'content="(\d+)\s*;\s*url=([^"]*)"')
+
+
+def meta_refresh_targets(df: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """Client-side redirect stubs out of the raw BINARY html:
+    (url, refresh_delay, refresh_target, is_redirect) — one row per
+    page, empty-profile for pages without the directive.
+
+    A crawler stores meta-refresh stubs as their own captures; a
+    training corpus must treat them like 3xx responses — drop the stub,
+    credit the target (parked domains and moved pages are the usual
+    emitters). Same zero-shuffle sniff-gated projection as
+    ``page_directives``; the delay is a LONG (-1 when absent) so the
+    common delay-0 "immediate redirect" slice is selectable without
+    string casts."""
+    page = page_html(F.col(html_col))
+    delay_s = F.regexp_extract(page, META_REFRESH_RE, 1)
+    target = F.regexp_extract(page, META_REFRESH_RE, 2)
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.when(delay_s == "", F.lit(-1)).otherwise(delay_s.cast("long"))
+        .cast("long").alias("refresh_delay"),
+        target.alias("refresh_target"),
+        (target != "").alias("is_redirect"))
+
+
+def charset_census(df: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """Corpus charset-declaration census: (charset, n_pages, n_hosts)
+    where charset is 'bom-utf8' (UTF-8 BOM prefix — it outranks any
+    meta label), the lowercased ``<meta charset>`` label, 'undeclared'
+    (HTML with no declaration), or 'not-html'.
+
+    The encoding audit that sizes a transcode leg BEFORE building it:
+    at crawl scale the legacy-label slice (iso-8859-1, windows-1252)
+    decides whether the reader needs a charset-dispatch decode or can
+    assume UTF-8 + replacement. Zero Python, one map-side-combinable
+    groupBy over a narrow sniff-gated projection; the BOM check
+    decodes 3 bytes as ISO-8859-1 (total map, never raises)."""
+    page = page_html(F.col(html_col))
+    bom = (F.decode(F.substring(F.col(html_col), 1, 3), "ISO-8859-1")
+           == "\xef\xbb\xbf")
+    label = F.lower(F.regexp_extract(page, CHARSET_META_RE, 1))
+    status = (F.when(page == "", F.lit("not-html"))
+              .when(bom, F.lit("bom-utf8"))
+              .when(label != "", label)
+              .otherwise(F.lit("undeclared")))
+    host = F.regexp_extract(url_col, r"https?://([^/]+)", 1)
+    return (df.select(status.alias("charset"), host.alias("_h"))
+            .groupBy("charset")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("_h").alias("n_hosts")))
+
+
 def triangle_stats(edges: DataFrame, src_col: str = "src",
                    dst_col: str = "dst") -> DataFrame:
     """Per-node triangle count + local clustering coefficient over the

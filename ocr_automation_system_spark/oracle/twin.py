@@ -37,37 +37,64 @@ import tempfile
 #: bump whenever twin generation logic changes.
 TWIN_VERSION = 3
 
-from ..corpus import CORPUS_VERSION, generate_rows, write_corpus
+from ..corpus import (
+    CORPUS_VERSION,
+    corpus_cache_path,
+    generate_rows,
+    source_fingerprint,
+    write_corpus,
+)
+
+_PKG = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: fingerprint of every source file twin generation transitively runs —
+#: the generator, this module, the whole serial-oracle package, and the
+#: two functions modules whose kernels the twins call. Any edit to any
+#: of them invalidates the cache even if nobody re-bumps TWIN_VERSION
+#: (round 3 shipped a twin built mid-edit under an unchanged version;
+#: this closes that class).
+TWIN_FINGERPRINT = source_fingerprint(
+    os.path.join(_PKG, "corpus.py"),
+    os.path.abspath(__file__),
+    *sorted(
+        os.path.join(_PKG, "oracle", f)
+        for f in os.listdir(os.path.join(_PKG, "oracle"))
+        if f.endswith(".py")
+    ),
+    os.path.join(_PKG, "functions", "curation.py"),
+    os.path.join(_PKG, "functions", "multimodal.py"),
+)
+
+_TWIN_KEY = f"v{CORPUS_VERSION}_{TWIN_VERSION}_{TWIN_FINGERPRINT}"
 
 
 def corpus_path(n_rows: int) -> str:
-    """Same path layout as ``queries.corpus_for`` — shared artifact."""
-    return os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_corpus_v{CORPUS_VERSION}_{n_rows}.parquet")
+    """Same path as ``queries.corpus_for`` — shared artifact."""
+    return corpus_cache_path(n_rows)
 
 
 def twin_extractions_path(n_rows: int) -> str:
     return os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_twin_extract_v{CORPUS_VERSION}_{TWIN_VERSION}_{n_rows}.parquet")
+        f"spark_graft_twin_extract_{_TWIN_KEY}_{n_rows}.parquet")
 
 
 def twin_blocks_path(n_rows: int) -> str:
     return os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_twin_blocks_v{CORPUS_VERSION}_{TWIN_VERSION}_{n_rows}.parquet")
+        f"spark_graft_twin_blocks_{_TWIN_KEY}_{n_rows}.parquet")
 
 
 def twin_media_path(n_rows: int) -> str:
     return os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_twin_media_v{CORPUS_VERSION}_{TWIN_VERSION}_{n_rows}.parquet")
+        f"spark_graft_twin_media_{_TWIN_KEY}_{n_rows}.parquet")
 
 
 def twin_zlib_path(n_rows: int) -> str:
     return os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_twin_zlib_v{CORPUS_VERSION}_{TWIN_VERSION}_{n_rows}.parquet")
+        f"spark_graft_twin_zlib_{_TWIN_KEY}_{n_rows}.parquet")
 
 
 def _write_twin_zlib(path: str, rows: list) -> None:

@@ -732,7 +732,13 @@ FROM d LEFT JOIN agg a ON d.url = a.url LEFT JOIN tot t ON d.url = t.url
 # Link graph (functions/links.py): anchors, host graph, PageRank
 # ---------------------------------------------------------------------------
 
-from .functions.links import HREF_ANCHOR_RE, ABS_URL_RE  # noqa: E402
+from .functions.links import (  # noqa: E402
+    ABS_URL_RE,
+    ERROR_PAGE_RE,
+    HREF_ANCHOR_RE,
+    META_REFRESH_RE,
+    PARKED_RE,
+)
 
 #: HTML sniff, DuckDB twin of links.HTML_SNIFF_RE. DuckDB renders a BLOB
 #: cast to VARCHAR with non-printable bytes escaped as '\xHH', so BOM and
@@ -1160,6 +1166,75 @@ SELECT url,
   lower(regexp_extract(page, '(?i)<meta charset="([^"]*)"', 1))
     AS meta_charset
 FROM p
+"""
+
+
+# soft-404 / parked-page verdicts (functions/links.soft404_flags):
+# phrase patterns shared verbatim; error_page outranks parked.
+SQL_SOFT404_FLAGS = f"""
+WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS})
+SELECT url,
+  regexp_extract(page, '<title>([^<]*)</title>', 1) AS title,
+  regexp_matches(page, '{ERROR_PAGE_RE}') AS error_hit,
+  regexp_matches(page, '{PARKED_RE}') AS parked_hit,
+  CASE WHEN regexp_matches(page, '{ERROR_PAGE_RE}') THEN 'error_page'
+       WHEN regexp_matches(page, '{PARKED_RE}') THEN 'parked'
+       ELSE 'ok' END AS reason
+FROM p
+"""
+
+
+# per-host soft-404 census (functions/links.host_error_rate): exact
+# integer counts + ONE correctly-rounded IEEE division (no round()).
+SQL_HOST_ERROR_RATE = f"""
+WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS}),
+f AS (SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+             CAST(regexp_matches(page, '{ERROR_PAGE_RE}') AS INT) AS e,
+             CAST(regexp_matches(page, '{PARKED_RE}') AS INT) AS pk
+      FROM p)
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(e) AS BIGINT) AS n_error,
+       CAST(sum(pk) AS BIGINT) AS n_parked,
+       CAST(sum(CASE WHEN e = 1 OR pk = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS error_rate
+FROM f GROUP BY host
+"""
+
+
+# meta-refresh redirect stubs (functions/links.meta_refresh_targets):
+# pattern shared verbatim; delay -1 when the directive is absent.
+SQL_META_REFRESH = f"""
+WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS})
+SELECT url,
+  CAST(CASE WHEN regexp_extract(page, '{META_REFRESH_RE}', 1) = ''
+            THEN -1
+            ELSE CAST(regexp_extract(page, '{META_REFRESH_RE}', 1)
+                      AS BIGINT) END AS BIGINT) AS refresh_delay,
+  regexp_extract(page, '{META_REFRESH_RE}', 2) AS refresh_target,
+  regexp_extract(page, '{META_REFRESH_RE}', 2) <> '' AS is_redirect
+FROM p
+"""
+
+
+# charset-declaration census (functions/links.charset_census): BOM
+# outranks the meta label; the BOM test matches DuckDB's escaped
+# \\xHH rendering of the BLOB cast, exactly like _SQL_HTML_SNIFF.
+SQL_CHARSET_CENSUS = f"""
+WITH p AS (SELECT url, {_SQL_PAGE} AS page, html FROM {CORPUS}),
+s AS (SELECT
+        CASE WHEN page = '' THEN 'not-html'
+             WHEN regexp_matches(CAST(html AS VARCHAR),
+                                 '^\\\\xEF\\\\xBB\\\\xBF') THEN 'bom-utf8'
+             WHEN regexp_extract(page, '(?i)<meta charset="([^"]*)"', 1)
+                  <> ''
+               THEN lower(regexp_extract(page,
+                          '(?i)<meta charset="([^"]*)"', 1))
+             ELSE 'undeclared' END AS charset,
+        regexp_extract(url, 'https?://([^/]+)', 1) AS h
+      FROM p)
+SELECT charset, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_hosts
+FROM s GROUP BY charset
 """
 
 

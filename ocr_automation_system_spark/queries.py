@@ -4542,13 +4542,12 @@ def _ensure_package_shipped(spark: SparkSession) -> None:
 
 def corpus_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic corpus sized by scale factor, cached on disk."""
-    from .corpus import CORPUS_VERSION, write_corpus
+    from .corpus import corpus_cache_path, write_corpus
 
     _ensure_package_shipped(spark)
 
     n = _CORPUS_ROWS.get(os.path.basename(sf_dir.rstrip("/")), 400)
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_corpus_v{CORPUS_VERSION}_{n}.parquet")
+    path = corpus_cache_path(n)
     if not os.path.exists(path):
         write_corpus(path, n)
     return spark.read.parquet(path)
@@ -4984,6 +4983,18 @@ def q_pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "n_lines_kept", "n_lines_dropped",
                       F.md5("kept_text").alias("kept_text_hash"))
 
+def _warc_key() -> str:
+    """Cache key for the exported WARC artifact: corpus version + a
+    fingerprint of the generator AND the WARC writer/parser source, so
+    editing either regenerates the files (a round-3 class of stale-twin
+    bug, closed by keying caches on source bytes)."""
+    from .corpus import CORPUS_VERSION, source_fingerprint
+
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    fp = source_fingerprint(os.path.join(pkg, "corpus.py"),
+                            os.path.join(pkg, "sources", "warc.py"))
+    return f"v{CORPUS_VERSION}_{fp}"
+
 
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WARC sink+source pair (sources/warc.py) hash-checked
@@ -4992,13 +5003,12 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming record parser, and compared against an oracle that
     computes the expected rows straight from the corpus parquet — the
     oracle never parses WARC, so any framing defect mismatches."""
-    from .corpus import CORPUS_VERSION
     from .sources.warc import read_warc, write_warc
 
     corpus = corpus_for(spark, sf_dir)
     n = _CORPUS_ROWS.get(os.path.basename(sf_dir.rstrip("/")), 400)
-    out_dir = os.path.join(tempfile.gettempdir(),
-                           f"spark_graft_warc_v{CORPUS_VERSION}_{n}")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_warc_{_warc_key()}_{n}")
     marker = os.path.join(out_dir, "_done")
     if not os.path.exists(marker):
         write_warc(corpus, out_dir, n_files=8)
@@ -5025,13 +5035,12 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     template — record_len = 139 + len(url) + digits(payload_len) +
     payload_len), so a framing defect ANYWHERE in write or parse
     mismatches a byte offset. sources/warc.cdx_index."""
-    from .corpus import CORPUS_VERSION
     from .sources.warc import cdx_index, read_warc, write_warc
 
     corpus = corpus_for(spark, sf_dir)
     n = _CORPUS_ROWS.get(os.path.basename(sf_dir.rstrip("/")), 400)
-    out_dir = os.path.join(tempfile.gettempdir(),
-                           f"spark_graft_warc_v{CORPUS_VERSION}_{n}")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_warc_{_warc_key()}_{n}")
     marker = os.path.join(out_dir, "_done")
     if not os.path.exists(marker):
         write_warc(corpus, out_dir, n_files=8)
@@ -5153,6 +5162,54 @@ def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tie.select(
             "host", F.col("seg").alias("prefix"), t)))
     return L.robots_verdicts(c, rules)
+
+
+def q_soft404_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page soft-404 / parked-domain verdicts over the corpus: a
+    crawl serves these with HTTP 200, so they pass every transport
+    filter and only content phrasing catches them (the CCNet/C4-shape
+    error-page gate). One sniff-gated decode + two JVM regexp passes
+    fused into the scan — zero shuffle, zero Python
+    (functions/links.soft404_flags)."""
+    from .functions import links as L
+
+    return L.soft404_flags(corpus_for(spark, sf_dir)
+                           .select("url", "html"))
+
+
+def q_host_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host soft-404/parked census — the host-decay spam signal a
+    recrawl scheduler and the curation blocklist read (a host serving
+    mostly error pages is parked or dead: drop it wholesale). ONE
+    map-side-combinable groupBy over the narrow flag projection; the
+    rate is one correctly-rounded IEEE division
+    (functions/links.host_error_rate)."""
+    from .functions import links as L
+
+    return L.host_error_rate(corpus_for(spark, sf_dir)
+                             .select("url", "html"))
+
+
+def q_meta_refresh_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-side redirect stubs (meta http-equiv=refresh): a crawl
+    stores these as their own captures; the corpus must treat them as
+    3xx — drop the stub, credit the target. Zero-shuffle sniff-gated
+    projection (functions/links.meta_refresh_targets)."""
+    from .functions import links as L
+
+    return L.meta_refresh_targets(corpus_for(spark, sf_dir)
+                                  .select("url", "html"))
+
+
+def q_charset_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus charset-declaration census (BOM > meta label >
+    undeclared > not-html) — the encoding audit that sizes a transcode
+    leg before building it. Zero Python, one map-side-combinable
+    groupBy (functions/links.charset_census)."""
+    from .functions import links as L
+
+    return L.charset_census(corpus_for(spark, sf_dir)
+                            .select("url", "html"))
 
 
 def q_crawl_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6934,6 +6991,11 @@ REGISTRY: dict = {
     "robots_verdicts": (q_robots_verdicts, PSQL.SQL_ROBOTS_VERDICTS),
     "canonical_dup_groups": (q_canonical_dup_groups,
                              PSQL.SQL_CANONICAL_DUP_GROUPS),
+    "soft404_flags": (q_soft404_flags, PSQL.SQL_SOFT404_FLAGS),
+    "host_error_rate": (q_host_error_rate, PSQL.SQL_HOST_ERROR_RATE),
+    "charset_census": (q_charset_census, PSQL.SQL_CHARSET_CENSUS),
+    "meta_refresh_targets": (q_meta_refresh_targets,
+                             PSQL.SQL_META_REFRESH),
     # link graph: anchors from raw html, host graph, iterative PageRank
     "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
@@ -6974,6 +7036,8 @@ CORPUS_QUERIES: frozenset = frozenset(
     "snapshot_delta", "crawl_activity", "crawl_priorities",
     "page_metadata", "page_directives", "canonical_dup_groups",
     "robots_verdicts", "extractor_shadow_audit",
+    "soft404_flags", "host_error_rate", "charset_census",
+    "meta_refresh_targets",
     "link_edges",
     "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",
     "host_triangles", "host_cocitation", "host_reciprocity",

@@ -20,7 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from ocr_automation_system_spark.corpus import CORPUS_VERSION, write_corpus  # noqa: E402
+from ocr_automation_system_spark.corpus import CORPUS_FINGERPRINT, CORPUS_VERSION, write_corpus  # noqa: E402
 from ocr_automation_system_spark.operators.extract import extract_documents  # noqa: E402
 from ocr_automation_system_spark.session import build_session  # noqa: E402
 
@@ -39,7 +39,8 @@ def main() -> int:
 
     for scale, label in ((1, "thin (~1.5KB)"), (40, "fat (~60-100KB)")):
         path = os.path.join(tempfile.gettempdir(),
-                            f"payload_corpus_v{CORPUS_VERSION}_s{scale}_{args.rows}.parquet")
+                            f"payload_corpus_v{CORPUS_VERSION}_{CORPUS_FINGERPRINT}"
+                            f"_s{scale}_{args.rows}.parquet")
         if not os.path.exists(path):
             write_corpus(path, args.rows, payload_scale=scale)
         docs = spark.read.parquet(path) \

@@ -337,10 +337,14 @@ def main() -> int:
         return 0
 
     sys.path.insert(0, REPO)
-    from ocr_automation_system_spark.corpus import CORPUS_VERSION, write_corpus
+    from ocr_automation_system_spark.corpus import (
+        CORPUS_FINGERPRINT, CORPUS_VERSION, write_corpus,
+    )
 
-    corpus_path = os.path.join(tempfile.gettempdir(),
-                               f"scaling_corpus_v{CORPUS_VERSION}_{args.rows}.parquet")
+    corpus_path = os.path.join(
+        tempfile.gettempdir(),
+        f"scaling_corpus_v{CORPUS_VERSION}_{CORPUS_FINGERPRINT}"
+        f"_{args.rows}.parquet")
     if not os.path.exists(corpus_path):
         print(f"generating {args.rows}-row corpus ...", file=sys.stderr)
         write_corpus(corpus_path, args.rows)

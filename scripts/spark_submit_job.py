@@ -136,6 +136,18 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "representative BEFORE the similarity ladders "
                         "(free dedup of syndicated copies; "
                         "after_canonical_collapse lineage count)")
+    p.add_argument("--drop-error-pages", action="store_true",
+                   help="with --curate: drop soft-404 / parked pages "
+                        "(served as HTTP 200, caught by content "
+                        "phrasing — links.soft404_flags) before any "
+                        "content stage (after_error_pages lineage "
+                        "count)")
+    p.add_argument("--drop-redirects", action="store_true",
+                   help="with --curate: drop meta-refresh redirect "
+                        "stubs (client-side 3xx equivalents — "
+                        "links.meta_refresh_targets) before any "
+                        "content stage (after_redirects lineage "
+                        "count)")
     p.add_argument("--robots-rules", default="", metavar="PATH",
                    help="with --curate: parquet of parsed robots.txt "
                         "rules (host, prefix, allow) — pages whose url "
@@ -197,7 +209,9 @@ def main(argv=None, stop_session: bool = True) -> int:
             documents, honor_noindex=args.honor_noindex,
             canonical_collapse=args.canonical_collapse,
             robots_rules=(spark.read.parquet(args.robots_rules)
-                          if args.robots_rules else None))
+                          if args.robots_rules else None),
+            drop_error_pages=args.drop_error_pages,
+            drop_redirects=args.drop_redirects)
         curate(spark, results, args.output, quota=args.domain_quota,
                url_drops=url_drops,
                chunk_tokens=args.chunk_tokens, policy=args.policy,
@@ -222,7 +236,9 @@ def main(argv=None, stop_session: bool = True) -> int:
 
 def compliance_drops(documents, honor_noindex: bool = False,
                      canonical_collapse: bool = False,
-                     robots_rules=None) -> dict:
+                     robots_rules=None,
+                     drop_error_pages: bool = False,
+                     drop_redirects: bool = False) -> dict:
     """URL drop-sets from crawl-compliance signals (functions/links.py):
     ``{"robots": df, "noindex": df, "canonical_collapse": df}`` — each
     a 1-column (doc_id) DataFrame of pages the curate chain must drop,
@@ -244,6 +260,18 @@ def compliance_drops(documents, honor_noindex: bool = False,
         drops["robots"] = (
             L.robots_verdicts(documents.select("url"), robots_rules)
             .filter(~F.col("allow"))
+            .select(F.col("url").alias("doc_id")))
+    if drop_error_pages:
+        # soft 404s / parked pages: HTTP-200 junk only content catches
+        drops["error_pages"] = (
+            L.soft404_flags(documents.select("url", "html"))
+            .filter(F.col("reason") != "ok")
+            .select(F.col("url").alias("doc_id")))
+    if drop_redirects:
+        # meta-refresh stubs are client-side 3xx: drop the stub capture
+        drops["redirects"] = (
+            L.meta_refresh_targets(documents.select("url", "html"))
+            .filter(F.col("is_redirect"))
             .select(F.col("url").alias("doc_id")))
     if not (honor_noindex or canonical_collapse):
         return drops

@@ -453,3 +453,43 @@ def test_curate_robots_rules(spark, tmp_path):
                .filter(F.col("matched_prefix") == "/pan/0000002")
                .filter(F.col("allow")).count())
     assert rescued == in_scope
+
+
+def test_curate_error_page_and_redirect_drops(spark, tmp_path):
+    """--drop-error-pages / --drop-redirects: HTTP-200 junk (soft 404s,
+    parked pages, meta-refresh stubs) dropped before any content stage;
+    each lineage count reconciles exactly against the detector over the
+    usable extraction rows."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.links import (
+        meta_refresh_targets, soft404_flags,
+    )
+
+    out = str(tmp_path / "jobe")
+    rc = spark_submit_job.main([
+        "--synthetic", "600", "--output", out, "--curate",
+        "--drop-error-pages", "--drop-redirects",
+    ], stop_session=False)
+    assert rc == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert (counts["usable"] >= counts["after_error_pages"]
+            >= counts["after_redirects"] >= counts["after_exact_dedup"])
+    assert counts["after_error_pages"] < counts["usable"]
+
+    docs = spark.read.parquet(
+        os.path.join(out, "synthetic_documents.parquet"))
+    usable = (spark.read.parquet(os.path.join(out, "extractions"))
+              .filter(F.col("doc_status") == "ok").select("url"))
+    n_err = usable.join(
+        soft404_flags(docs).filter(F.col("reason") != "ok")
+        .select("url"), "url", "left_semi").count()
+    assert counts["usable"] - counts["after_error_pages"] == n_err
+    survivors = usable.join(
+        soft404_flags(docs).filter(F.col("reason") != "ok")
+        .select("url"), "url", "left_anti")
+    n_red = survivors.join(
+        meta_refresh_targets(docs).filter(F.col("is_redirect"))
+        .select("url"), "url", "left_semi").count()
+    assert counts["after_error_pages"] - counts["after_redirects"] == n_red

@@ -676,3 +676,149 @@ def test_robots_verdicts_rfc9309_semantics(spark):
     assert got["https://a.com/public/p"] == (True, "")
     assert got["https://a.com/tie/t"] == (True, "/tie")
     assert got["https://b.com/anything"] == (True, "")
+
+
+def test_soft404_flags_planted(spark):
+    """Planted error/parked/normal/non-html payloads get the right
+    verdicts; error outranks parked when both phrasings appear."""
+    from ocr_automation_system_spark.functions.links import (
+        soft404_flags,
+    )
+
+    rows = [
+        ("u1", b"<html><head><title>404 Not Found</title></head>"
+               b"<body>The page you requested could not be found."
+               b"</body></html>"),
+        ("u2", b"<html><body>This domain is for sale. Buy this domain "
+               b"today.</body></html>"),
+        ("u3", b"<html><head><title>Error 404</title></head><body>"
+               b"Site under construction.</body></html>"),  # both
+        ("u4", b"<html><body>Quarterly results and market news."
+               b"</body></html>"),
+        ("u5", b"\x00\xff\xfenot html"),
+        ("u6", b"\xef\xbb\xbf<html><body>Page does not exist."
+               b"</body></html>"),  # BOM'd error page still decodes
+    ]
+    got = {r["url"]: (r["error_hit"], r["parked_hit"], r["reason"])
+           for r in soft404_flags(
+               spark.createDataFrame(rows, "url string, html binary")
+           ).collect()}
+    assert got["u1"] == (True, False, "error_page")
+    assert got["u2"] == (False, True, "parked")
+    assert got["u3"] == (True, True, "error_page")  # error outranks
+    assert got["u4"] == (False, False, "ok")
+    assert got["u5"] == (False, False, "ok")        # poison contract
+    assert got["u6"] == (True, False, "error_page")
+
+
+def test_host_error_rate_census(spark):
+    from ocr_automation_system_spark.functions.links import (
+        host_error_rate,
+    )
+
+    rows = [
+        ("https://bad.com/a", b"<html><body>404 not found</body></html>"),
+        ("https://bad.com/b", b"<html><body>coming soon</body></html>"),
+        ("https://bad.com/c", b"<html><body>fine content here</body></html>"),
+        ("https://ok.com/a", b"<html><body>fine content here</body></html>"),
+    ]
+    got = {r["host"]: r for r in host_error_rate(
+        spark.createDataFrame(rows, "url string, html binary")).collect()}
+    b = got["bad.com"]
+    assert (b["n_pages"], b["n_error"], b["n_parked"]) == (3, 1, 1)
+    assert b["error_rate"] == 2 / 3
+    o = got["ok.com"]
+    assert (o["n_pages"], o["n_error"], o["n_parked"]) == (1, 0, 0)
+    assert o["error_rate"] == 0.0
+
+
+def test_charset_census_classes(spark):
+    """BOM outranks the meta label; legacy labels surface; non-html
+    and undeclared pages fall into their own classes."""
+    from ocr_automation_system_spark.functions.links import (
+        charset_census,
+    )
+
+    rows = [
+        ("https://a.com/1", b'<html><head><meta charset="UTF-8"></head>'
+                            b"<body>x</body></html>"),
+        ("https://a.com/2", b'<html><head><meta charset="iso-8859-1">'
+                            b"</head><body>x</body></html>"),
+        ("https://b.com/3", b'\xef\xbb\xbf<html><head><meta charset='
+                            b'"utf-8"></head><body>x</body></html>'),
+        ("https://b.com/4", b"<html><body>x</body></html>"),
+        ("https://b.com/5", b"%PDF-1.4 not a page"),
+    ]
+    got = {r["charset"]: (r["n_pages"], r["n_hosts"])
+           for r in charset_census(
+               spark.createDataFrame(rows, "url string, html binary")
+           ).collect()}
+    assert got == {"utf-8": (1, 1), "iso-8859-1": (1, 1),
+                   "bom-utf8": (1, 1), "undeclared": (1, 1),
+                   "not-html": (1, 1)}
+
+
+def test_corpus_carries_soft404_and_bom_shapes(spark):
+    """The deterministic corpus plants both tiers the census queries
+    need: soft-404/parked pages and BOM'd captures."""
+    from ocr_automation_system_spark.functions.links import (
+        charset_census, soft404_flags,
+    )
+    from ocr_automation_system_spark.queries import corpus_for
+
+    c = corpus_for(spark, "/root/testdata/sf0.001").select("url", "html")
+    flags = soft404_flags(c)
+    n_err = flags.filter(F.col("reason") != "ok").count()
+    assert n_err > 0
+    # every planted soft404 row is caught (url kind is the plant label)
+    planted = c.filter(F.col("url").contains("/soft404/")).count()
+    caught = (flags.join(c, "url")
+              .filter(F.col("url").contains("/soft404/"))
+              .filter(F.col("reason") != "ok").count())
+    assert planted == caught > 0
+    cs = {r["charset"] for r in charset_census(c).collect()}
+    assert "bom-utf8" in cs and "iso-8859-1" in cs and "utf-8" in cs
+
+
+def test_meta_refresh_targets_planted(spark):
+    from ocr_automation_system_spark.functions.links import (
+        meta_refresh_targets,
+    )
+
+    rows = [
+        ("u1", b'<html><head><meta http-equiv="refresh" '
+               b'content="0;url=https://a.com/new"></head>'
+               b"<body>Redirecting</body></html>"),
+        ("u2", b'<html><head><meta http-equiv="refresh" '
+               b'content="3; url=https://a.com/slow"></head>'
+               b"<body>x</body></html>"),
+        ("u3", b"<html><body>no directive here</body></html>"),
+        ("u4", b"\x00binary junk"),
+    ]
+    got = {r["url"]: (r["refresh_delay"], r["refresh_target"],
+                      r["is_redirect"])
+           for r in meta_refresh_targets(
+               spark.createDataFrame(rows, "url string, html binary")
+           ).collect()}
+    assert got["u1"] == (0, "https://a.com/new", True)
+    assert got["u2"] == (3, "https://a.com/slow", True)
+    assert got["u3"] == (-1, "", False)
+    assert got["u4"] == (-1, "", False)
+
+
+def test_corpus_carries_redirect_stubs(spark):
+    from ocr_automation_system_spark.functions.links import (
+        meta_refresh_targets,
+    )
+    from ocr_automation_system_spark.queries import corpus_for
+
+    c = corpus_for(spark, "/root/testdata/sf0.001").select("url", "html")
+    r = meta_refresh_targets(c).filter(F.col("is_redirect"))
+    planted = c.filter(F.col("url").contains("/redirect/")).count()
+    assert r.count() == planted > 0
+    # every target is same-host (the synthetic contract)
+    bad = r.filter(
+        F.regexp_extract("url", r"https?://([^/]+)", 1)
+        != F.regexp_extract("refresh_target", r"https?://([^/]+)", 1)
+    ).count()
+    assert bad == 0

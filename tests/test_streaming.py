@@ -691,3 +691,40 @@ def test_streaming_incremental_winnow_against_static_index(spark,
         spark.createDataFrame(new_rows, "doc_id long, text string"),
         spark, idx, min_shared=1).collect()}
     assert batch == {1: False, 3: True}
+
+
+def test_stateless_soft404_and_refresh_stream_unchanged(spark, tmp_path):
+    """soft404_flags and meta_refresh_targets are pure projections:
+    they run under readStream byte-identically to the batch plan (the
+    arriving-crawl compliance gate needs no state)."""
+    from ocr_automation_system_spark.functions.links import (
+        meta_refresh_targets, soft404_flags,
+    )
+
+    d = str(tmp_path / "in404")
+    os.makedirs(d)
+    rows = [
+        ("https://a.com/1", b"<html><head><title>404 Not Found</title>"
+                            b"</head><body>page not found</body></html>"),
+        ("https://a.com/2", b'<html><head><meta http-equiv="refresh" '
+                            b'content="0;url=https://a.com/n"></head>'
+                            b"<body>r</body></html>"),
+        ("https://a.com/3", b"<html><body>fine page content</body></html>"),
+        ("https://a.com/4", b"%PDF junk"),
+    ]
+    schema = "url string, html binary"
+    spark.createDataFrame(rows, schema).write.parquet(
+        os.path.join(d, "drop1"))
+    stream_in = spark.readStream.schema(schema).parquet(os.path.join(d, "*"))
+    for name, fn in (("s404", soft404_flags),
+                     ("refresh", meta_refresh_targets)):
+        out = str(tmp_path / f"out_{name}")
+        q = (fn(stream_in).writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(tuple(r) for r in fn(
+            spark.createDataFrame(rows, schema)).collect())
+        assert got == want and got
