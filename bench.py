@@ -56,6 +56,8 @@ HEADLINE = (
     "page_metadata", "page_directives", "canonical_dup_groups",
     "robots_verdicts", "soft404_flags", "host_error_rate",
     "charset_census", "meta_refresh_targets",
+    "html_tables", "table_records", "table_census", "filing_records",
+    "hreflang_clusters", "sitemap_entries", "sitemap_coverage",
     "pipeline_line_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",

@@ -31,7 +31,7 @@ DEFAULT_SEED = 42
 #: bump whenever generation logic changes — cache filenames embed it so a
 #: stale /tmp corpus from an older generator can never shadow the current
 #: semantics (the corpus is the shared byte-identity surface).
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7
 
 
 def source_fingerprint(*module_files: str) -> str:
@@ -257,6 +257,47 @@ def unsupported_body(rng: random.Random) -> list:
 #: JSON-LD @type pool for the structured-data census (schema.org).
 _JSONLD_TYPES = ("Article", "Invoice", "Organization", "Product")
 
+#: hreflang alternate-language pool (the multilingual portal shape
+#: hreflang clusters group by).
+_ALT_LANGS = ("en", "hi", "de", "fr", "ta", "mr")
+
+#: filing-history table statuses (row payload for the <table> extractor).
+_FILING_STATUSES = ("ACCEPTED", "PENDING", "REJECTED", "SCRUTINY")
+
+
+def filing_table(rng: random.Random) -> str:
+    """A filing-history <table> block (one th header row + 2-5 td data
+    rows) — the structured-markup shape the html_tables / table_records
+    extractors parse. Lives OUTSIDE <article class="main-content"> so
+    the main-content legs see it only through block scoring, like real
+    registry portals' metadata tables."""
+    trs = []
+    for r in range(rng.randrange(2, 6)):
+        d = _dt.date(2025, 1, 1) + _dt.timedelta(days=rng.randrange(300))
+        trs.append(f"<tr><td>{r + 1}</td><td>{d.isoformat()}</td>"
+                   f"<td>{rng.choice(_FILING_STATUSES)}</td>"
+                   f"<td>{rng.randrange(100, 9900)}</td></tr>")
+    return ('<div class="filing-history"><table>'
+            "<tr><th>Sr</th><th>Filed</th><th>Status</th><th>Fee</th></tr>"
+            + "".join(trs) + "</table></div>\n")
+
+
+def hreflang_links(canonical: str) -> str:
+    """Deterministic hreflang alternate set keyed on the canonical URL
+    (NOT on the per-page rng): every page of one entity that carries
+    hreflang lists the IDENTICAL alternate set, exactly how real
+    multilingual portals annotate every variant with the full set —
+    that identity is what hreflang_clusters groups by."""
+    h = hashlib.md5(canonical.encode("utf-8")).hexdigest()
+    n = 2 + int(h[0], 16) % 3  # 2-4 language variants
+    start = int(h[1], 16) % len(_ALT_LANGS)
+    langs = [_ALT_LANGS[(start + j) % len(_ALT_LANGS)] for j in range(n)]
+    tags = [(f'<link rel="alternate" hreflang="{lg}" '
+             f'href="{canonical}?hl={lg}">') for lg in langs]
+    tags.append(f'<link rel="alternate" hreflang="x-default" '
+                f'href="{canonical}">')
+    return "".join(tags)
+
 
 def wrap_html(rng: random.Random, title: str, body_lines: list,
               canonical: str | None = None) -> str:
@@ -291,6 +332,13 @@ def wrap_html(rng: random.Random, title: str, body_lines: list,
         head_extra += ('<script type="application/ld+json">'
                        f'{{"@context":"https://schema.org","@type":"{t}"}}'
                        '</script>')
+    # hreflang alternates on ~15% of entity pages (v7): the SET is
+    # md5-derived from the canonical, so same-entity pages share it.
+    if canonical is not None and rng.random() < 0.15:
+        head_extra += hreflang_links(canonical)
+    # filing-history <table> on ~20% of pages (v7): structured markup
+    # for the table extractor, outside the main-content article.
+    table_block = filing_table(rng) if rng.random() < 0.20 else ""
     return (
         "<html><head><title>" + title + "</title>" + head_extra
         + "<script>var t=1;</script><style>body{margin:0}</style></head>\n"
@@ -300,6 +348,7 @@ def wrap_html(rng: random.Random, title: str, body_lines: list,
         f'<div class="sidebar">{related}</div>\n'
         "<div class=\"short\">Ad</div>\n"
         f'<article class="main-content">\n{main}\n</article>\n'
+        + table_block +
         f"<footer>{footer} &copy; 2025</footer>\n"
         "</body></html>"
     )
@@ -353,6 +402,9 @@ def generate_rows(n_rows: int, seed: int = DEFAULT_SEED,
                   payload_scale: int = 1) -> list:
     """Deterministic list of row dicts (url, warc_ts, html, text, lang).
 
+    Invariant: ``len(generate_rows(n)) == n`` (sitemap captures replace
+    the tail page rows rather than appending).
+
     ``payload_scale > 1`` pads every non-PDF body with filler paragraphs
     (~scale x the default ~1.5KB page) to exercise production-sized
     (~100KB) payloads — Arrow batch memory, JVM<->Python transfer cost."""
@@ -370,6 +422,7 @@ def generate_rows(n_rows: int, seed: int = DEFAULT_SEED,
             entities[b]["pan"] = entities[a]["pan"]
 
     rows = []
+    saw_bom = False
     for i in range(n_rows):
         host = rng.choices(hosts, weights=weights, k=1)[0]
         e = entities[i % n_entities]
@@ -388,6 +441,12 @@ def generate_rows(n_rows: int, seed: int = DEFAULT_SEED,
             kind = "junk"
         elif roll < 0.05:  # soft-404 / parked pages (served as HTTP 200)
             payload, body_text = soft404_payload(rng)
+            # charset-census guarantee: the FIRST soft-404 capture is
+            # always BOM'd (the remaining ~30% stay rng-planted), so any
+            # corpus with >= 1 soft-404 row carries the bom-utf8 class.
+            if not saw_bom and not payload.startswith(b"\xef\xbb\xbf"):
+                payload = b"\xef\xbb\xbf" + payload
+            saw_bom = True
             kind = "soft404"
         elif roll < 0.06:  # meta-refresh redirect stubs (client-side
             # redirects a crawler stores as their own capture; the
@@ -454,6 +513,51 @@ def generate_rows(n_rows: int, seed: int = DEFAULT_SEED,
             "text": body_text if rng.random() < 0.5 else "",
             "lang": lang,
         })
+
+    # Sitemap captures (v7): one /sitemap.xml row per md5-gated host
+    # (~half the hosts publish one, capped at n_rows//20), listing ~70%
+    # of that host's crawled pages plus 2-5 phantom locs the crawler
+    # never fetched — the listed-vs-crawled gap sitemap_coverage reports
+    # on. The sitemap rows REPLACE the last len(sitemaps) page rows so
+    # ``len(generate_rows(n)) == n`` stays an invariant (tests, the
+    # --synthetic job flag and the streaming fixtures all slice by it);
+    # a replaced page whose url a sitemap lists simply reads as
+    # listed-not-yet-crawled, which is the real-crawl shape anyway.
+    by_host: dict = {}
+    for r in rows:
+        h = r["url"].split("/")[2]
+        by_host.setdefault(h, []).append(r["url"])
+    site_rows = []
+    budget = n_rows // 20
+    for host in hosts:  # fixed zipf order => deterministic append order
+        if len(site_rows) >= budget:
+            break
+        urls = by_host.get(host)
+        if not urls:
+            continue
+        if int(hashlib.md5(host.encode("utf-8")).hexdigest()[:4], 16) % 2:
+            continue
+        listed = [u for u in urls if rng.random() < 0.7]
+        phantoms = [f"https://{host}/archive/{rng.randrange(10**6):06d}"
+                    for _ in range(rng.randrange(2, 6))]
+        entries = "".join(
+            f"<url><loc>{u}</loc><lastmod>2025-{rng.randrange(1, 13):02d}-"
+            f"{rng.randrange(1, 29):02d}</lastmod></url>"
+            for u in listed + phantoms)
+        payload = ('<?xml version="1.0" encoding="UTF-8"?>'
+                   '<urlset xmlns='
+                   '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                   + entries + "</urlset>").encode("utf-8")
+        site_rows.append({
+            "url": f"https://{host}/sitemap.xml",
+            "warc_ts": base_ts + _dt.timedelta(
+                seconds=rng.randrange(365 * 24 * 3600)),
+            "html": payload,
+            "text": "",
+            "lang": "en",
+        })
+    if site_rows:
+        rows = rows[:n_rows - len(site_rows)] + site_rows
     return rows
 
 

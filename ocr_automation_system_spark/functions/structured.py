@@ -1,0 +1,305 @@
+"""Structured-markup extraction: HTML tables, hreflang alternates,
+sitemaps.
+
+Three extraction surfaces real crawl pipelines read off raw captures
+*besides* the main-content text (reference analogue: the tabular
+annexure / NIC-table parse legs, ``/root/reference/project/core/
+gst_certi.py`` annexure walk and the Udyam NIC table UDTFs — here the
+tables arrive as genuine ``<table>`` markup instead of pre-segmented
+OCR lines):
+
+* **html_tables / table_records / table_census** — parse ``<table>``
+  markup into (row, cells) long form, then header-aware (field, value)
+  records: the "table -> structured records" step every
+  invoice/registry/statistics extraction ladder needs. Pure JVM regex
+  over the sniff-gated page decode — one narrow projection plus
+  exploding generators, ZERO shuffle until a census aggregates.
+* **hreflang_edges / hreflang_clusters** — ``<link rel="alternate"
+  hreflang=..>`` annotation groups. Real multilingual portals annotate
+  every language variant with the IDENTICAL full alternate set, so the
+  md5 of the sorted href set is a cluster key that needs no graph
+  machinery: one map-side-combinable groupBy, no join, no window —
+  this is how bitext-candidate seed lists (ParaCrawl-style) are mined
+  from a crawl.
+* **sitemap_entries / sitemap_coverage** — parse ``/sitemap.xml``
+  captures (``<loc>``/``<lastmod>``) and reconcile the host's LISTED
+  url set against its CRAWLED set: coverage rate (listed pages actually
+  fetched) and orphan rate (fetched pages the sitemap never lists) are
+  the crawl-completeness gauges a recrawl scheduler reads next to
+  ``crawl_activity``.
+
+Scale shape at 10^12 docs:
+
+* every parse is a narrow per-row projection (regexp_extract_all +
+  explode) — embarrassingly parallel, no Python, no shuffle;
+* hreflang clustering is ONE aggregation on a derived row-local key
+  (partial combine absorbs the hot big-portal clusters map-side);
+* sitemap coverage is ONE url-keyed full-outer join between two
+  projections of the same scan (uniform md5-distributed key — skew-free
+  by construction) followed by a host census; at Iceberg scale both
+  sides read from the url-bucketed table so the join co-locates.
+
+All regexes are RE2-compatible (non-greedy + ``(?is)``, no lookaround)
+so the DuckDB twins run them verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .links import page_html
+
+#: one <table>...</table> region, inner html captured (group 1).
+TABLE_RE = r"(?is)<table[^>]*>(.*?)</table>"
+#: one <tr>...</tr> region inside a table (group 1).
+TR_RE = r"(?is)<tr[^>]*>(.*?)</tr>"
+#: one <td>/<th> cell, inner html captured (group 1).
+CELL_RE = r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"
+#: any tag — stripped from cell innards before trimming.
+TAG_RE = r"(?s)<[^>]*>"
+#: one hreflang alternate link tag (whole tag, attrs parsed per-tag).
+ALT_TAG_RE = r'(?is)<link[^>]*rel="alternate"[^>]*>'
+HREFLANG_ATTR_RE = r'(?is)hreflang="([^"]*)"'
+HREF_ATTR_RE = r'(?is)href="([^"]*)"'
+#: one <url>...</url> entry of a sitemap urlset (group 1).
+SITEMAP_ENTRY_RE = r"(?is)<url>(.*?)</url>"
+LOC_RE = r"(?is)<loc>(.*?)</loc>"
+LASTMOD_RE = r"(?is)<lastmod>(.*?)</lastmod>"
+
+#: host from a crawl url.
+HOST_RE = r"https?://([^/]+)"
+
+
+def _clean_cell(c: Column) -> Column:
+    return F.trim(F.regexp_replace(c, TAG_RE, ""))
+
+
+def html_tables(df: DataFrame, url_col: str = "url",
+                html_col: str = "html") -> DataFrame:
+    """(url, table_idx, row_idx, is_header, cells, n_cells) — one row
+    per ``<tr>`` of every ``<table>`` on every HTML page.
+
+    Cell text is tag-stripped and trimmed; indexes are 0-based. Pages
+    without tables (and non-HTML payloads — poison, PDF, XML) simply
+    contribute no rows. Narrow generators only: no shuffle, no Python.
+    """
+    page = page_html(F.col(html_col))
+    tables = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.regexp_extract_all(page, F.lit(TABLE_RE), 1))
+        .alias("table_idx", "_t"))
+    rows = tables.select(
+        "url", "table_idx",
+        F.posexplode(F.regexp_extract_all("_t", F.lit(TR_RE), 1))
+        .alias("row_idx", "_r"))
+    cells = F.transform(
+        F.regexp_extract_all("_r", F.lit(CELL_RE), 1), _clean_cell)
+    return rows.select(
+        "url", "table_idx", "row_idx",
+        F.col("_r").rlike("(?is)<th").alias("is_header"),
+        cells.alias("cells"),
+        F.size(cells).alias("n_cells"))
+
+
+def table_records(df: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """Header-aware long form: (url, table_idx, row_idx, field, value)
+    — each data row's cells zipped positionally against the table's
+    first (header) row.
+
+    Entirely row-local: the header array and the data-row slice are
+    array expressions over the SAME extracted row list, so no
+    self-join and no shuffle — ragged rows pad with NULL on the short
+    side (``arrays_zip`` semantics), which is the honest answer for
+    malformed markup. Tables whose first row has no cells (headerless)
+    contribute no records.
+    """
+    page = page_html(F.col(html_col))
+    tables = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.regexp_extract_all(page, F.lit(TABLE_RE), 1))
+        .alias("table_idx", "_t"))
+    rows_arr = F.regexp_extract_all("_t", F.lit(TR_RE), 1)
+    hdr = F.transform(
+        F.regexp_extract_all(F.element_at(rows_arr, 1), F.lit(CELL_RE), 1),
+        _clean_cell)
+    with_hdr = tables.select(
+        "url", "table_idx", F.col("_t").alias("_t"), hdr.alias("_hdr"),
+        F.slice(rows_arr, 2, F.greatest(F.size(rows_arr) - 1, F.lit(0)))
+        .alias("_data"))
+    data_rows = with_hdr.where(F.size("_hdr") > 0).select(
+        "url", "table_idx", "_hdr",
+        F.posexplode("_data").alias("_pos", "_r"))
+    cells = F.transform(
+        F.regexp_extract_all("_r", F.lit(CELL_RE), 1), _clean_cell)
+    pairs = data_rows.select(
+        "url", "table_idx",
+        (F.col("_pos") + 1).alias("row_idx"),
+        F.explode(F.arrays_zip(F.col("_hdr").alias("field"),
+                               cells.alias("value"))).alias("_p"))
+    return pairs.select(
+        "url", "table_idx", "row_idx",
+        F.col("_p.field").alias("field"), F.col("_p.value").alias("value"))
+
+
+def table_census(df: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """Per-host table-markup census: pages carrying >= 1 table, table
+    and data-row totals, widest row. Per-page stats are row-local array
+    folds (interpreted HOF lambdas, still narrow — no explode, no
+    intermediate blowup), then ONE map-side-combinable groupBy(host) —
+    Zipf host skew is absorbed in the partial combine, exactly like
+    ``crawl_activity``."""
+    page = page_html(F.col(html_col))
+    tables_arr = F.regexp_extract_all(page, F.lit(TABLE_RE), 1)
+    rows_of = (lambda t:
+               F.regexp_extract_all(t, F.lit(TR_RE), 1))
+    n_data_rows = F.aggregate(
+        tables_arr, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.size(F.filter(
+            rows_of(t), lambda r: ~r.rlike("(?is)<th"))))
+    max_cells = F.aggregate(
+        tables_arr, F.lit(0),
+        lambda acc, t: F.greatest(acc, F.aggregate(
+            rows_of(t), F.lit(0),
+            lambda a, r: F.greatest(a, F.size(
+                F.regexp_extract_all(r, F.lit(CELL_RE), 1))))))
+    per_page = (df.select(
+        F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("host"),
+        F.size(tables_arr).alias("_n_tables"),
+        n_data_rows.alias("_n_data_rows"),
+        max_cells.alias("_max_cells"))
+        .where(F.col("_n_tables") > 0))
+    return per_page.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages_with_tables"),
+        F.sum("_n_tables").cast("long").alias("n_tables"),
+        F.sum("_n_data_rows").cast("long").alias("n_data_rows"),
+        F.max("_max_cells").alias("max_cells"))
+
+
+def table_pivot(df: DataFrame, fields: list, url_col: str = "url",
+                html_col: str = "html") -> DataFrame:
+    """Typed wide form: the (field, value) records of every data row
+    pivoted back to one row per (url, table_idx, row_idx) with one
+    column per requested header field — the last step of the
+    "markup -> records -> typed columns" extraction ladder.
+
+    ``fields`` is the explicit schema contract (never inferred from the
+    data, so the output schema is stable across corpora — the property
+    a downstream table sink needs). The pivot is ONE max(when) rollup
+    on the (url, table_idx, row_idx) key — uniform, never skewed — not
+    Spark's ``pivot()`` (which needs a distinct-values pass or an
+    eager list; the contract list makes both unnecessary)."""
+    recs = table_records(df, url_col, html_col)
+    aggs = [F.max(F.when(F.col("field") == f, F.col("value")))
+            .alias(f.lower()) for f in fields]
+    return (recs.where(F.col("field").isin(list(fields)))
+            .groupBy("url", "table_idx", "row_idx").agg(*aggs))
+
+
+def hreflang_edges(df: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """(url, hreflang, href) — one row per alternate-language link tag.
+
+    Tag-level explode first, then per-tag attribute extracts (the
+    ``extract_links`` pattern: one regex can't bind two attributes in
+    either attr order). Narrow, zero shuffle."""
+    page = page_html(F.col(html_col))
+    tags = df.select(
+        F.col(url_col).alias("url"),
+        F.explode(F.regexp_extract_all(page, F.lit(ALT_TAG_RE), 0))
+        .alias("_tag"))
+    return (tags.select(
+        "url",
+        F.regexp_extract("_tag", HREFLANG_ATTR_RE, 1).alias("hreflang"),
+        F.regexp_extract("_tag", HREF_ATTR_RE, 1).alias("href"))
+        .where((F.col("hreflang") != "") & (F.col("href") != "")))
+
+
+def hreflang_clusters(df: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """Alternate-set clusters: pages listing the IDENTICAL sorted href
+    set group under cluster_id = md5 of that set.
+
+    The cluster key is row-local (the page's own tag array, sorted) —
+    no graph propagation needed because the hreflang contract is that
+    every variant carries the full set. ONE aggregation; langs arrive
+    as a sorted '|'-joined key so the fold is a plain min/max over
+    strings (identical across members by construction)."""
+    page = page_html(F.col(html_col))
+    tags = F.regexp_extract_all(page, F.lit(ALT_TAG_RE), 0)
+    hrefs = F.array_sort(F.transform(
+        tags, lambda t: F.regexp_extract(t, HREF_ATTR_RE, 1)))
+    langs = F.array_sort(F.transform(
+        tags, lambda t: F.regexp_extract(t, HREFLANG_ATTR_RE, 1)))
+    per_page = (df.select(
+        F.col(url_col).alias("url"),
+        F.md5(F.concat_ws("|", hrefs)).alias("cluster_id"),
+        F.concat_ws("|", langs).alias("_langs_key"),
+        F.size(hrefs).alias("_n_alts"))
+        .where(F.col("_n_alts") > 0))
+    return per_page.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min("url").alias("first_url"),
+        F.min("_langs_key").alias("langs_key"),
+        F.max("_n_alts").alias("n_langs"))
+
+
+def sitemap_entries(df: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """(host, loc, lastmod) — one row per ``<url>`` entry of every
+    ``/sitemap.xml`` capture. The XML decode is gated on the url shape
+    (sitemaps don't sniff as HTML); malformed entries yield '' fields
+    rather than raising. Narrow, zero shuffle."""
+    is_map = F.col(url_col).endswith("/sitemap.xml")
+    xml = F.when(is_map, F.decode(F.col(html_col), "UTF-8")) \
+        .otherwise(F.lit(""))
+    entries = df.select(
+        F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("host"),
+        F.explode(F.regexp_extract_all(xml, F.lit(SITEMAP_ENTRY_RE), 1))
+        .alias("_e"))
+    return entries.select(
+        "host",
+        F.regexp_extract("_e", LOC_RE, 1).alias("loc"),
+        F.regexp_extract("_e", LASTMOD_RE, 1).alias("lastmod"))
+
+
+def sitemap_coverage(df: DataFrame, url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """Per-host listed-vs-crawled reconciliation for hosts that publish
+    a sitemap: n_listed, n_crawled, n_both, plus coverage rate
+    (listed locs actually fetched) and orphan rate (fetched pages the
+    sitemap omits).
+
+    One url-keyed full-outer join between the sitemap-entry projection
+    and the crawled-page projection of the SAME scan, then one host
+    census. Rates are exact-integer divisions, correctly rounded once
+    — bit-identical in the DuckDB twin."""
+    listed = sitemap_entries(df, url_col, html_col) \
+        .select("host", F.col("loc").alias("u"), F.lit(1).alias("_l"))
+    crawled = (df.select(F.col(url_col).alias("u"))
+               .where(~F.col("u").endswith("/sitemap.xml"))
+               .select(F.regexp_extract("u", HOST_RE, 1).alias("host"),
+                       "u", F.lit(1).alias("_c")))
+    # restrict to hosts that published a sitemap (the report's subject)
+    map_hosts = listed.select("host").distinct()
+    joined = (listed.join(crawled, ["host", "u"], "full_outer")
+              .join(map_hosts, ["host"], "left_semi"))
+    agg = joined.groupBy("host").agg(
+        F.sum(F.coalesce(F.col("_l"), F.lit(0))).cast("long")
+        .alias("n_listed"),
+        F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("long")
+        .alias("n_crawled"),
+        F.sum(F.when(F.col("_l").isNotNull() & F.col("_c").isNotNull(),
+                     1).otherwise(0)).cast("long").alias("n_both"))
+    cov = F.when(F.col("n_listed") > 0,
+                 F.col("n_both").cast("double")
+                 / F.col("n_listed").cast("double")).otherwise(F.lit(0.0))
+    orphan = F.when(
+        F.col("n_crawled") > 0,
+        (F.col("n_crawled") - F.col("n_both")).cast("double")
+        / F.col("n_crawled").cast("double")).otherwise(F.lit(0.0))
+    return agg.select(
+        "host", "n_listed", "n_crawled", "n_both",
+        cov.alias("coverage_rate"), orphan.alias("orphan_rate"))

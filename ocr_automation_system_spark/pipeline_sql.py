@@ -1238,6 +1238,205 @@ FROM s GROUP BY charset
 """
 
 
+# Structured-markup extraction twins (functions/structured.py). All
+# regexes are shared verbatim with the Spark side (RE2-compatible:
+# non-greedy + (?is), no lookaround); cell cleaning is the same
+# tag-strip + trim, with DuckDB's 'g' flag standing in for Spark's
+# always-global regexp_replace. Positions come from unnest(range(...))
+# with 1-based list indexing, emitted 0-based to match posexplode.
+_T_RE = r"(?is)<table[^>]*>(.*?)</table>"
+_TR_RE = r"(?is)<tr[^>]*>(.*?)</tr>"
+_CELL_RE = r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"
+_TAGSTRIP = r"<[^>]*>"
+_ALT_TAG_RE = r'(?is)<link[^>]*rel="alternate"[^>]*>'
+_HREFLANG_ATTR = r'(?is)hreflang="([^"]*)"'
+_HREF_ATTR = r'(?is)href="([^"]*)"'
+_HOST = "regexp_extract(url, 'https?://([^/]+)', 1)"
+
+
+def _sql_clean_cells(rows_expr: str) -> str:
+    """list of tag-stripped trimmed cell strings for one <tr> body."""
+    return (f"list_transform(regexp_extract_all({rows_expr}, "
+            f"'{_CELL_RE}', 1), c -> trim(regexp_replace(c, "
+            f"'{_TAGSTRIP}', '', 'gs')))")
+
+
+SQL_HTML_TABLES = f"""
+WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS}),
+t AS (SELECT url, regexp_extract_all(page, '{_T_RE}', 1) AS ts FROM p),
+ti AS (SELECT url, ts, unnest(range(1, len(ts) + 1)) AS tpos FROM t),
+tr AS (SELECT url, tpos,
+              regexp_extract_all(ts[tpos], '{_TR_RE}', 1) AS rs
+       FROM ti),
+ri AS (SELECT url, tpos, rs, unnest(range(1, len(rs) + 1)) AS rpos FROM tr)
+SELECT url,
+       CAST(tpos - 1 AS INTEGER) AS table_idx,
+       CAST(rpos - 1 AS INTEGER) AS row_idx,
+       regexp_matches(rs[rpos], '(?is)<th') AS is_header,
+       {_sql_clean_cells('rs[rpos]')} AS cells,
+       CAST(len(regexp_extract_all(rs[rpos], '{_CELL_RE}', 1))
+            AS INTEGER) AS n_cells
+FROM ri
+"""
+
+
+SQL_TABLE_RECORDS = f"""
+WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS}),
+t AS (SELECT url, regexp_extract_all(page, '{_T_RE}', 1) AS ts FROM p),
+ti AS (SELECT url, ts, unnest(range(1, len(ts) + 1)) AS tpos FROM t),
+tr AS (SELECT url, tpos,
+              regexp_extract_all(ts[tpos], '{_TR_RE}', 1) AS rs
+       FROM ti),
+h AS (SELECT url, tpos, rs, {_sql_clean_cells('rs[1]')} AS hdr FROM tr),
+d AS (SELECT url, tpos, hdr, rs,
+             unnest(range(2, len(rs) + 1)) AS rpos
+      FROM h WHERE len(hdr) > 0),
+cc AS (SELECT url, tpos, hdr, rpos,
+              {_sql_clean_cells('rs[rpos]')} AS cells
+       FROM d),
+k AS (SELECT url, tpos, rpos, hdr, cells,
+             unnest(range(1, greatest(len(hdr), len(cells)) + 1)) AS ki
+      FROM cc)
+SELECT url,
+       CAST(tpos - 1 AS INTEGER) AS table_idx,
+       CAST(rpos - 1 AS INTEGER) AS row_idx,
+       hdr[ki] AS field, cells[ki] AS value
+FROM k
+"""
+
+
+SQL_FILING_RECORDS = f"""
+WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS}),
+t AS (SELECT url, regexp_extract_all(page, '{_T_RE}', 1) AS ts FROM p),
+ti AS (SELECT url, ts, unnest(range(1, len(ts) + 1)) AS tpos FROM t),
+tr AS (SELECT url, tpos,
+              regexp_extract_all(ts[tpos], '{_TR_RE}', 1) AS rs
+       FROM ti),
+h AS (SELECT url, tpos, rs, {_sql_clean_cells('rs[1]')} AS hdr FROM tr),
+d AS (SELECT url, tpos, hdr, rs,
+             unnest(range(2, len(rs) + 1)) AS rpos
+      FROM h WHERE len(hdr) > 0),
+cc AS (SELECT url, tpos, hdr, rpos,
+              {_sql_clean_cells('rs[rpos]')} AS cells
+       FROM d),
+k AS (SELECT url, tpos, rpos, hdr, cells,
+             unnest(range(1, greatest(len(hdr), len(cells)) + 1)) AS ki
+      FROM cc),
+recs AS (SELECT url, CAST(tpos - 1 AS INTEGER) AS table_idx,
+                CAST(rpos - 1 AS INTEGER) AS row_idx,
+                hdr[ki] AS field, cells[ki] AS value
+         FROM k),
+w AS (SELECT url, table_idx, row_idx,
+             max(CASE WHEN field = 'Sr' THEN value END) AS sr,
+             max(CASE WHEN field = 'Filed' THEN value END) AS filed,
+             max(CASE WHEN field = 'Status' THEN value END) AS status,
+             max(CASE WHEN field = 'Fee' THEN value END) AS fee
+      FROM recs WHERE field IN ('Sr', 'Filed', 'Status', 'Fee')
+      GROUP BY 1, 2, 3)
+SELECT url, table_idx, row_idx,
+       TRY_CAST(sr AS INTEGER) AS sr,
+       TRY_CAST(filed AS DATE) AS filed,
+       status,
+       TRY_CAST(fee AS BIGINT) AS fee
+FROM w
+"""
+
+
+SQL_TABLE_CENSUS = f"""
+WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS}),
+t AS (SELECT url, regexp_extract_all(page, '{_T_RE}', 1) AS ts FROM p),
+s AS (SELECT {_HOST} AS host,
+             CAST(len(ts) AS INTEGER) AS n_tables,
+             CAST(coalesce(list_sum(list_transform(ts, tb ->
+                 len(list_filter(regexp_extract_all(tb, '{_TR_RE}', 1),
+                                 r -> NOT regexp_matches(r, '(?is)<th')))
+             )), 0) AS BIGINT) AS ndr,
+             CAST(coalesce(list_max(list_transform(ts, tb ->
+                 coalesce(list_max(list_transform(
+                     regexp_extract_all(tb, '{_TR_RE}', 1),
+                     r -> len(regexp_extract_all(r, '{_CELL_RE}', 1)))), 0)
+             )), 0) AS INTEGER) AS mc
+      FROM t WHERE len(ts) > 0)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_pages_with_tables,
+       CAST(sum(n_tables) AS BIGINT) AS n_tables,
+       CAST(sum(ndr) AS BIGINT) AS n_data_rows,
+       max(mc) AS max_cells
+FROM s GROUP BY host
+"""
+
+
+SQL_HREFLANG_CLUSTERS = f"""
+WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS}),
+s AS (SELECT url,
+             regexp_extract_all(page, '{_ALT_TAG_RE}', 0) AS tags
+      FROM p),
+e AS (SELECT url,
+             list_sort(list_transform(tags, t ->
+                 regexp_extract(t, '{_HREF_ATTR}', 1))) AS hrefs,
+             list_sort(list_transform(tags, t ->
+                 regexp_extract(t, '{_HREFLANG_ATTR}', 1))) AS langs
+      FROM s WHERE len(tags) > 0)
+SELECT md5(array_to_string(hrefs, '|')) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       min(url) AS first_url,
+       min(array_to_string(langs, '|')) AS langs_key,
+       CAST(max(len(hrefs)) AS INTEGER) AS n_langs
+FROM e GROUP BY 1
+"""
+
+
+_SQL_SITEMAP_ENTRIES_BASE = f"""
+m AS (SELECT url, CASE WHEN url LIKE '%/sitemap.xml'
+                       THEN decode(html) ELSE '' END AS xml
+      FROM {CORPUS}),
+se AS (SELECT {_HOST} AS host,
+              unnest(regexp_extract_all(xml, '(?is)<url>(.*?)</url>', 1))
+              AS en
+       FROM m)"""
+
+
+SQL_SITEMAP_ENTRIES = f"""
+WITH {_SQL_SITEMAP_ENTRIES_BASE}
+SELECT host,
+       regexp_extract(en, '(?is)<loc>(.*?)</loc>', 1) AS loc,
+       regexp_extract(en, '(?is)<lastmod>(.*?)</lastmod>', 1) AS lastmod
+FROM se
+"""
+
+
+SQL_SITEMAP_COVERAGE = f"""
+WITH {_SQL_SITEMAP_ENTRIES_BASE},
+listed AS (SELECT host,
+                  regexp_extract(en, '(?is)<loc>(.*?)</loc>', 1) AS u
+           FROM se),
+crawled AS (SELECT {_HOST} AS host, url AS u FROM {CORPUS}
+            WHERE url NOT LIKE '%/sitemap.xml'),
+j AS (SELECT coalesce(l.host, c.host) AS host, l.u AS lu, c.u AS cu
+      FROM listed l FULL OUTER JOIN crawled c
+        ON l.host = c.host AND l.u = c.u),
+jj AS (SELECT j.* FROM j
+       WHERE j.host IN (SELECT DISTINCT host FROM listed)),
+a AS (SELECT host,
+             CAST(sum(CASE WHEN lu IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_listed,
+             CAST(sum(CASE WHEN cu IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_crawled,
+             CAST(sum(CASE WHEN lu IS NOT NULL AND cu IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      FROM jj GROUP BY host)
+SELECT host, n_listed, n_crawled, n_both,
+       CASE WHEN n_listed > 0
+            THEN CAST(n_both AS DOUBLE) / CAST(n_listed AS DOUBLE)
+            ELSE 0.0 END AS coverage_rate,
+       CASE WHEN n_crawled > 0
+            THEN CAST(n_crawled - n_both AS DOUBLE)
+                 / CAST(n_crawled AS DOUBLE)
+            ELSE 0.0 END AS orphan_rate
+FROM a
+"""
+
+
 # RFC 9309 robots matching (functions/links.robots_verdicts): rules
 # synthesized from the corpus's own (host, first-path-segment) census —
 # md5-gated Disallow, a longer Allow carve-back, an equal-length

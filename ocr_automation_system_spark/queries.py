@@ -5117,6 +5117,99 @@ def q_page_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
                              .select("url", "html"))
 
 
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<table> markup parsed to (url, table_idx, row_idx, is_header,
+    cells, n_cells) long form — the raw-rows half of the table
+    extraction ladder (reference analogue: the OCR annexure/NIC table
+    walks, arriving here as genuine markup). Pure JVM regex over the
+    sniff-gated decode, exploding generators only — zero shuffle, zero
+    Python (functions/structured.html_tables)."""
+    from .functions import structured as ST
+
+    return ST.html_tables(corpus_for(spark, sf_dir).select("url", "html"))
+
+
+def q_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-aware table records: each data row's cells zipped against
+    the table's first (th) row into (field, value) pairs — the
+    "table -> structured records" extraction step, entirely row-local
+    (header and data slice are array expressions over the same parsed
+    row list: no self-join, ragged rows pad with NULL — arrays_zip
+    semantics, mirrored by out-of-range list indexing in the twin)."""
+    from .functions import structured as ST
+
+    return ST.table_records(corpus_for(spark, sf_dir)
+                            .select("url", "html"))
+
+
+def q_table_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host table-markup census (pages with tables, table/data-row
+    totals, widest row): per-page stats are row-local array folds, then
+    ONE map-side-combinable groupBy(host) — the sizing report that
+    decides whether a corpus is worth running the record extractor
+    over (functions/structured.table_census)."""
+    from .functions import structured as ST
+
+    return ST.table_census(corpus_for(spark, sf_dir).select("url", "html"))
+
+
+def q_filing_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The typed end of the table ladder: filing-history records pivoted
+    wide ((url, table_idx, row_idx) -> sr/filed/status/fee) under the
+    EXPLICIT schema contract (Sr, Filed, Status, Fee — never inferred,
+    so the sink schema is corpus-independent), with try_cast typing
+    (INT / DATE / BIGINT; malformed cells -> NULL, never a throw — ANSI
+    mode stays on). ONE max(when) rollup on the uniform row key, not
+    Spark's pivot() (no distinct-values pass needed)."""
+    from .functions import structured as ST
+
+    wide = ST.table_pivot(corpus_for(spark, sf_dir).select("url", "html"),
+                          ["Sr", "Filed", "Status", "Fee"])
+    return wide.select(
+        "url", "table_idx", "row_idx",
+        F.expr("try_cast(sr AS INT)").alias("sr"),
+        F.expr("try_cast(filed AS DATE)").alias("filed"),
+        F.col("status"),
+        F.expr("try_cast(fee AS BIGINT)").alias("fee"))
+
+
+def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate-set clusters: pages annotated with the
+    IDENTICAL sorted alternate href set group under md5(set) — the
+    ParaCrawl-style multilingual-variant mining step, no graph
+    machinery because the hreflang contract says every variant carries
+    the full set. ONE aggregation on a row-local key
+    (functions/structured.hreflang_clusters)."""
+    from .functions import structured as ST
+
+    return ST.hreflang_clusters(corpus_for(spark, sf_dir)
+                                .select("url", "html"))
+
+
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, loc, lastmod) per sitemap <url> entry — parsed from the
+    corpus's own /sitemap.xml captures (url-shape-gated XML decode,
+    narrow zero-shuffle projection)
+    (functions/structured.sitemap_entries)."""
+    from .functions import structured as ST
+
+    return ST.sitemap_entries(corpus_for(spark, sf_dir)
+                              .select("url", "html"))
+
+
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host listed-vs-crawled reconciliation for sitemap-publishing
+    hosts: coverage rate (listed locs actually fetched) + orphan rate
+    (fetched pages the sitemap omits) — the crawl-completeness gauges a
+    recrawl scheduler reads next to crawl_activity. ONE url-keyed
+    full-outer join (uniform key) + ONE host census
+    (functions/structured.sitemap_coverage)."""
+    from .functions import structured as ST
+
+    return ST.sitemap_coverage(corpus_for(spark, sf_dir)
+                               .select("url", "html"))
+
+
 def q_canonical_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate groups by publisher-declared rel=canonical: syndicated
     copies collapse for free before any shingle/embedding ladder runs —
@@ -6996,6 +7089,15 @@ REGISTRY: dict = {
     "charset_census": (q_charset_census, PSQL.SQL_CHARSET_CENSUS),
     "meta_refresh_targets": (q_meta_refresh_targets,
                              PSQL.SQL_META_REFRESH),
+    # structured markup: <table> extraction, hreflang sets, sitemaps
+    "html_tables": (q_html_tables, PSQL.SQL_HTML_TABLES),
+    "table_records": (q_table_records, PSQL.SQL_TABLE_RECORDS),
+    "table_census": (q_table_census, PSQL.SQL_TABLE_CENSUS),
+    "filing_records": (q_filing_records, PSQL.SQL_FILING_RECORDS),
+    "hreflang_clusters": (q_hreflang_clusters,
+                          PSQL.SQL_HREFLANG_CLUSTERS),
+    "sitemap_entries": (q_sitemap_entries, PSQL.SQL_SITEMAP_ENTRIES),
+    "sitemap_coverage": (q_sitemap_coverage, PSQL.SQL_SITEMAP_COVERAGE),
     # link graph: anchors from raw html, host graph, iterative PageRank
     "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
@@ -7046,6 +7148,8 @@ CORPUS_QUERIES: frozenset = frozenset(
     "anchor_text_profile", "warc_roundtrip", "cdx_index",
     "host_components",
     "url_features",
+    "html_tables", "table_records", "table_census", "filing_records",
+    "hreflang_clusters", "sitemap_entries", "sitemap_coverage",
 })
 
 

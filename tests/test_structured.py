@@ -1,0 +1,190 @@
+"""Structured-markup extraction: <table> parsing, hreflang clusters,
+sitemap coverage (functions/structured.py).
+
+Planted-fixture laws (exact expected rows on hand-built pages incl.
+poison), corpus-shape laws (v7 embeds tables / hreflang sets / sitemap
+captures at known rates), and plan laws (the parses are zero-shuffle;
+the censuses aggregate without windows)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_automation_system_spark.functions import structured as ST
+
+PAGE_TABLES = (
+    "<html><body>"
+    "<table><tr><th>A</th><th>B</th></tr>"
+    "<tr><td>1</td><td><b>x</b> y</td></tr>"
+    "<tr><td>2</td></tr>"                      # ragged: fewer cells
+    "<tr><td>3</td><td>z</td><td>extra</td></tr></table>"  # ragged: more
+    "<p>between</p>"
+    "<TABLE class=\"x\"><TR><TD>only</TD></TR></TABLE>"    # case, no header
+    "</body></html>"
+).encode()
+
+PAGE_ALT_A = (
+    '<html><head>'
+    '<link rel="alternate" hreflang="en" href="https://x.com/e1?hl=en">'
+    '<link rel="alternate" hreflang="de" href="https://x.com/e1?hl=de">'
+    '</head><body>t</body></html>').encode()
+# same SET, listed in the other order -> same cluster
+PAGE_ALT_B = (
+    '<html><head>'
+    '<link rel="alternate" hreflang="de" href="https://x.com/e1?hl=de">'
+    '<link rel="alternate" hreflang="en" href="https://x.com/e1?hl=en">'
+    '</head><body>t</body></html>').encode()
+PAGE_ALT_C = (
+    '<html><head>'
+    '<link rel="alternate" hreflang="fr" href="https://x.com/e2?hl=fr">'
+    '</head><body>t</body></html>').encode()
+
+SITEMAP = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    '<url><loc>https://s.com/a</loc><lastmod>2025-01-02</lastmod></url>'
+    '<url><loc>https://s.com/b</loc><lastmod>2025-03-04</lastmod></url>'
+    '<url><loc>https://s.com/phantom</loc><lastmod>2025-05-06</lastmod>'
+    '</url></urlset>').encode()
+
+POISON = b"\x00\xff\xfe<not html"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_html_tables_planted(spark):
+    rows = [("https://t.com/p", PAGE_TABLES),
+            ("https://t.com/q", b"<html><body>no tables</body></html>"),
+            ("https://t.com/x", POISON)]
+    out = ST.html_tables(_docs(spark, rows)).collect()
+    assert {r["url"] for r in out} == {"https://t.com/p"}
+    by_key = {(r["table_idx"], r["row_idx"]): r for r in out}
+    assert len(by_key) == 5
+    hdr = by_key[(0, 0)]
+    assert hdr["is_header"] and hdr["cells"] == ["A", "B"]
+    assert by_key[(0, 1)]["cells"] == ["1", "x y"]  # tags stripped
+    assert by_key[(0, 2)]["cells"] == ["2"] and by_key[(0, 2)]["n_cells"] == 1
+    assert by_key[(0, 3)]["n_cells"] == 3
+    assert by_key[(1, 0)]["cells"] == ["only"]      # case-insensitive
+    assert not by_key[(1, 0)]["is_header"]
+
+
+def test_table_records_header_zip(spark):
+    out = ST.table_records(
+        _docs(spark, [("https://t.com/p", PAGE_TABLES)])).collect()
+    recs = {(r["table_idx"], r["row_idx"], r["field"]): r["value"]
+            for r in out}
+    assert recs[(0, 1, "A")] == "1" and recs[(0, 1, "B")] == "x y"
+    # ragged short row: value NULL under the missing header
+    assert recs[(0, 2, "A")] == "2" and recs[(0, 2, "B")] is None
+    # ragged long row: extra cell zips under a NULL field
+    assert recs[(0, 3, None)] == "extra"
+    # headerless table (first row has cells -> treated as header even
+    # when td): its single row IS the header, so no data records
+    assert not any(k[0] == 1 for k in recs)
+
+
+def test_table_pivot_typed_contract(spark):
+    """Pivot under an explicit field list: requested-but-absent fields
+    surface as NULL columns; unrequested fields are dropped; ragged
+    rows keep their NULLs. Schema is the contract list, not the data."""
+    out = ST.table_pivot(
+        _docs(spark, [("https://t.com/p", PAGE_TABLES)]),
+        ["A", "B", "Zzz"]).collect()
+    rows = {(r["table_idx"], r["row_idx"]): r for r in out}
+    assert rows[(0, 1)]["a"] == "1" and rows[(0, 1)]["b"] == "x y"
+    assert rows[(0, 2)]["b"] is None          # ragged short row
+    assert all(r["zzz"] is None for r in out)  # absent everywhere
+    assert set(out[0].asDict()) == {
+        "url", "table_idx", "row_idx", "a", "b", "zzz"}
+
+
+def test_filing_records_typed_on_corpus(spark):
+    """Corpus law: every filing-history data row types cleanly (the
+    try_cast NULL leg is for malformed markup, which v7 never emits) and
+    lands in the documented domains."""
+    from ocr_automation_system_spark.corpus import _FILING_STATUSES
+    from ocr_automation_system_spark.queries import q_filing_records
+
+    df = q_filing_records(spark, "/root/testdata/sf0.001")
+    bad = df.where(F.col("sr").isNull() | F.col("filed").isNull()
+                   | F.col("fee").isNull()
+                   | ~F.col("status").isin(*_FILING_STATUSES))
+    assert df.count() > 0 and bad.count() == 0
+    assert df.where((F.col("fee") < 100) | (F.col("fee") >= 9900)) \
+        .count() == 0
+
+
+def test_hreflang_clusters_set_identity(spark):
+    rows = [("https://x.com/p1", PAGE_ALT_A), ("https://x.com/p2", PAGE_ALT_B),
+            ("https://x.com/p3", PAGE_ALT_C), ("https://x.com/p4", POISON),
+            ("https://x.com/p5", b"<html><body>no alts</body></html>")]
+    out = ST.hreflang_clusters(_docs(spark, rows)).collect()
+    by_pages = sorted((r["n_pages"], r["langs_key"], r["first_url"])
+                      for r in out)
+    assert by_pages == [(1, "fr", "https://x.com/p3"),
+                        (2, "de|en", "https://x.com/p1")]
+
+
+def test_sitemap_coverage_reconciles(spark):
+    rows = [("https://s.com/sitemap.xml", SITEMAP),
+            ("https://s.com/a", b"<html><body>a</body></html>"),
+            ("https://s.com/b", b"<html><body>b</body></html>"),
+            ("https://s.com/orphan", b"<html><body>o</body></html>"),
+            # host without a sitemap: excluded from the report
+            ("https://n.com/z", b"<html><body>z</body></html>")]
+    ent = ST.sitemap_entries(_docs(spark, rows)).collect()
+    assert {(e["loc"], e["lastmod"]) for e in ent} == {
+        ("https://s.com/a", "2025-01-02"),
+        ("https://s.com/b", "2025-03-04"),
+        ("https://s.com/phantom", "2025-05-06")}
+    cov = ST.sitemap_coverage(_docs(spark, rows)).collect()
+    assert len(cov) == 1
+    c = cov[0]
+    assert (c["host"], c["n_listed"], c["n_crawled"], c["n_both"]) == \
+        ("s.com", 3, 3, 2)
+    assert c["coverage_rate"] == pytest.approx(2 / 3)
+    assert c["orphan_rate"] == pytest.approx(1 / 3)
+
+
+def test_corpus_v7_carries_structured_shapes(spark, tmp_path):
+    """The v7 corpus embeds all three shapes: filing tables (~20%),
+    hreflang sets (~15% of entity pages, md5-keyed so same-entity pages
+    share the set -> at least one multi-page cluster), and sitemap
+    captures (~half the hosts, always with >= 2 phantom locs)."""
+    from ocr_automation_system_spark.corpus import write_corpus
+
+    p = write_corpus(str(tmp_path / "c.parquet"), n_rows=300, seed=11)
+    docs = spark.read.parquet(p)
+    cen = ST.table_census(docs).agg(
+        F.sum("n_tables").alias("t"), F.sum("n_data_rows").alias("d"),
+        F.max("max_cells").alias("m")).collect()[0]
+    assert cen["t"] > 10 and cen["d"] >= 2 * cen["t"] and cen["m"] == 4
+    cl = ST.hreflang_clusters(docs)
+    assert cl.count() > 5
+    # every cluster lists >= 2 language variants + x-default
+    assert cl.where(F.col("n_langs") < 3).count() == 0
+    assert cl.where(F.col("n_pages") >= 2).count() >= 1
+    cov = ST.sitemap_coverage(docs)
+    assert cov.count() >= 3
+    # phantom locs guarantee coverage strictly < 1 on every host
+    assert cov.where(F.col("coverage_rate") >= 1.0).count() == 0
+    # header rows never count as data rows
+    t = ST.html_tables(docs)
+    assert t.where(F.col("is_header") & (F.col("row_idx") != 0)) \
+        .count() == 0
+
+
+def test_parse_plans_are_narrow(spark):
+    """The three parses are zero-shuffle scan projections (no Exchange,
+    no Python); the censuses aggregate without a Window."""
+    df = _docs(spark, [("https://t.com/p", PAGE_TABLES)])
+    for fn in (ST.html_tables, ST.table_records, ST.sitemap_entries):
+        plan = (fn(df)._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan and "Python" not in plan, fn.__name__
+    for fn in (ST.table_census, ST.hreflang_clusters, ST.sitemap_coverage):
+        plan = (fn(df)._jdf.queryExecution().executedPlan().toString())
+        assert "Window" not in plan and "Python" not in plan, fn.__name__
