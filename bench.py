@@ -58,6 +58,7 @@ HEADLINE = (
     "charset_census", "meta_refresh_targets",
     "html_tables", "table_records", "table_census", "filing_records",
     "hreflang_clusters", "sitemap_entries", "sitemap_coverage",
+    "table_markdown", "frontier_candidates",
     "pipeline_line_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",

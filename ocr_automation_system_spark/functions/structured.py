@@ -198,6 +198,39 @@ def table_pivot(df: DataFrame, fields: list, url_col: str = "url",
             .groupBy("url", "table_idx", "row_idx").agg(*aggs))
 
 
+def table_markdown(df: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """(url, table_idx, markdown) — each parsed table rendered as a
+    GitHub-style markdown block (header row, ``---`` separator, data
+    rows), the text form LLM training exporters inline tables as.
+
+    First row is the header by position (matching ``table_records``).
+    ONE uniform-key aggregation (url, table_idx): rows fold into a
+    row_idx-sorted struct list, the line render is a per-row array
+    transform. Cells are taken verbatim (the corpus contract keeps them
+    pipe-free; an exporter for arbitrary html would escape '|' here)."""
+    t = html_tables(df, url_col, html_col)
+    rowlist = F.array_sort(F.collect_list(F.struct("row_idx", "cells")))
+    per_table = t.groupBy("url", "table_idx").agg(
+        rowlist.alias("_rows"))
+    lines = F.transform(
+        F.col("_rows"),
+        lambda r: F.concat(F.lit("| "), F.concat_ws(" | ", r["cells"]),
+                           F.lit(" |")))
+    n_hdr = F.size(F.element_at(F.col("_rows"), 1)["cells"])
+    sep = F.concat(F.lit("|"), F.expr("repeat(' --- |', _n_hdr)"))
+    with_lines = per_table.select(
+        "url", "table_idx", lines.alias("_lines"), n_hdr.alias("_n_hdr"))
+    body = F.array_join(F.slice(
+        F.col("_lines"), 2,
+        F.greatest(F.size("_lines") - 1, F.lit(0))), "\n")
+    md = F.concat(
+        F.element_at(F.col("_lines"), 1), F.lit("\n"), sep,
+        F.when(F.size("_lines") > 1, F.concat(F.lit("\n"), body))
+        .otherwise(F.lit("")))
+    return with_lines.select("url", "table_idx", md.alias("markdown"))
+
+
 def hreflang_edges(df: DataFrame, url_col: str = "url",
                    html_col: str = "html") -> DataFrame:
     """(url, hreflang, href) — one row per alternate-language link tag.
@@ -263,6 +296,28 @@ def sitemap_entries(df: DataFrame, url_col: str = "url",
         "host",
         F.regexp_extract("_e", LOC_RE, 1).alias("loc"),
         F.regexp_extract("_e", LASTMOD_RE, 1).alias("lastmod"))
+
+
+def frontier_candidates(df: DataFrame, priorities: DataFrame,
+                        url_col: str = "url",
+                        html_col: str = "html") -> DataFrame:
+    """(host, loc, priority) — sitemap-listed locs the crawler has NOT
+    fetched, ranked by the host's recrawl priority: the concrete fetch
+    list a frontier scheduler emits (sitemap gap x host importance).
+
+    One url-keyed LEFT ANTI join (phantom locs = listed minus crawled;
+    uniform key) + one LEFT join against the broadcast-size host
+    priority dimension; hosts missing from the priority table keep 0.0
+    (never-linked hosts still deserve a first fetch)."""
+    listed = sitemap_entries(df, url_col, html_col).select("host", "loc")
+    crawled = (df.select(F.col(url_col).alias("loc"))
+               .where(~F.col("loc").endswith("/sitemap.xml")))
+    phantom = listed.join(crawled, "loc", "left_anti")
+    pri = priorities.select("host", "priority")
+    return (phantom.join(pri, "host", "left")
+            .select("host", "loc",
+                    F.coalesce(F.col("priority"), F.lit(0.0))
+                    .alias("priority")))
 
 
 def sitemap_coverage(df: DataFrame, url_col: str = "url",

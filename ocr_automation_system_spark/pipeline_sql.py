@@ -1366,6 +1366,51 @@ FROM s GROUP BY host
 """
 
 
+SQL_TABLE_MARKDOWN = f"""
+WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS}),
+t AS (SELECT url, regexp_extract_all(page, '{_T_RE}', 1) AS ts FROM p),
+ti AS (SELECT url, ts, unnest(range(1, len(ts) + 1)) AS tpos FROM t),
+tr AS (SELECT url, tpos,
+              regexp_extract_all(ts[tpos], '{_TR_RE}', 1) AS rs
+       FROM ti),
+ri AS (SELECT url, tpos, rs, unnest(range(1, len(rs) + 1)) AS rpos FROM tr),
+ln AS (SELECT url, tpos, rpos,
+              '| ' || array_to_string({_sql_clean_cells('rs[rpos]')},
+                                      ' | ') || ' |' AS line,
+              len(regexp_extract_all(rs[rpos], '{_CELL_RE}', 1)) AS nc
+       FROM ri),
+g AS (SELECT url, CAST(tpos - 1 AS INTEGER) AS table_idx,
+             min(CASE WHEN rpos = 1 THEN line END) AS hdr_line,
+             CAST(min(CASE WHEN rpos = 1 THEN nc END) AS INTEGER)
+               AS n_hdr,
+             string_agg(CASE WHEN rpos > 1 THEN line END, chr(10)
+                        ORDER BY rpos) AS body
+      FROM ln GROUP BY url, tpos)
+SELECT url, table_idx,
+       hdr_line || chr(10) || '|' || repeat(' --- |', n_hdr)
+       || CASE WHEN body IS NULL THEN '' ELSE chr(10) || body END
+         AS markdown
+FROM g
+"""
+
+
+SQL_FRONTIER_CANDIDATES_TEMPLATE = """
+WITH {entries_base},
+listed AS (SELECT host,
+                  regexp_extract(en, '(?is)<loc>(.*?)</loc>', 1) AS loc
+           FROM se),
+crawled AS (SELECT url AS loc FROM {corpus}
+            WHERE url NOT LIKE '%/sitemap.xml'),
+phantom AS (SELECT l.host, l.loc FROM listed l
+            LEFT JOIN crawled c ON l.loc = c.loc
+            WHERE c.loc IS NULL),
+pri AS ({priorities})
+SELECT ph.host, ph.loc,
+       coalesce(pri.priority, CAST(0.0 AS DOUBLE)) AS priority
+FROM phantom ph LEFT JOIN pri ON ph.host = pri.host
+"""
+
+
 SQL_HREFLANG_CLUSTERS = f"""
 WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS}),
 s AS (SELECT url,
@@ -1501,6 +1546,15 @@ SELECT regexp_replace(pr.host, '^[a-z]+://', '') AS host, pr.rank,
 FROM pr LEFT JOIN rates r
   ON regexp_replace(pr.host, '^[a-z]+://', '') = r.host
 """
+
+
+#: frontier fetch list: sitemap phantom locs x host recrawl priority
+#: (the crawl_priorities twin runs as a nested-CTE subquery, the same
+#: composition the Spark side does by calling q_crawl_priorities).
+SQL_FRONTIER_CANDIDATES = SQL_FRONTIER_CANDIDATES_TEMPLATE.format(
+    entries_base=_SQL_SITEMAP_ENTRIES_BASE,
+    corpus=CORPUS,
+    priorities=SQL_CRAWL_PRIORITIES)
 
 
 #: twin of urlnorm.url_pattern_census over the corpus urls: path ->

@@ -5197,6 +5197,31 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                               .select("url", "html"))
 
 
+def q_table_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each parsed <table> rendered as a GitHub-markdown block (header,
+    --- separator, data rows) — the text form training exporters inline
+    tables as. ONE uniform-key (url, table_idx) aggregation; line
+    render is a per-row array transform
+    (functions/structured.table_markdown)."""
+    from .functions import structured as ST
+
+    return ST.table_markdown(corpus_for(spark, sf_dir)
+                             .select("url", "html"))
+
+
+def q_frontier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier scheduler's concrete fetch list: sitemap-listed
+    locs never crawled, ranked by the host's recrawl priority
+    (PageRank x change-rate — the crawl_priorities tier). One url-keyed
+    anti-join + one broadcast-size host-dimension join
+    (functions/structured.frontier_candidates)."""
+    from .functions import structured as ST
+
+    return ST.frontier_candidates(
+        corpus_for(spark, sf_dir).select("url", "html"),
+        q_crawl_priorities(spark, sf_dir))
+
+
 def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host listed-vs-crawled reconciliation for sitemap-publishing
     hosts: coverage rate (listed locs actually fetched) + orphan rate
@@ -7098,6 +7123,9 @@ REGISTRY: dict = {
                           PSQL.SQL_HREFLANG_CLUSTERS),
     "sitemap_entries": (q_sitemap_entries, PSQL.SQL_SITEMAP_ENTRIES),
     "sitemap_coverage": (q_sitemap_coverage, PSQL.SQL_SITEMAP_COVERAGE),
+    "table_markdown": (q_table_markdown, PSQL.SQL_TABLE_MARKDOWN),
+    "frontier_candidates": (q_frontier_candidates,
+                            PSQL.SQL_FRONTIER_CANDIDATES),
     # link graph: anchors from raw html, host graph, iterative PageRank
     "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
@@ -7150,6 +7178,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "url_features",
     "html_tables", "table_records", "table_census", "filing_records",
     "hreflang_clusters", "sitemap_entries", "sitemap_coverage",
+    "table_markdown", "frontier_candidates",
 })
 
 

@@ -150,6 +150,42 @@ def test_sitemap_coverage_reconciles(spark):
     assert c["orphan_rate"] == pytest.approx(1 / 3)
 
 
+def test_table_markdown_render(spark):
+    """Exact markdown: header line, --- separator sized by the header,
+    data lines in row order; a header-only table renders without a
+    trailing newline."""
+    page = ("<html><body><table>"
+            "<tr><th>A</th><th>B</th></tr>"
+            "<tr><td>1</td><td>2</td></tr>"
+            "<tr><td>3</td><td>4</td></tr></table>"
+            "<table><tr><th>only</th></tr></table>"
+            "</body></html>").encode()
+    out = {r["table_idx"]: r["markdown"] for r in ST.table_markdown(
+        _docs(spark, [("https://t.com/p", page)])).collect()}
+    assert out[0] == ("| A | B |\n"
+                      "| --- | --- |\n"
+                      "| 1 | 2 |\n"
+                      "| 3 | 4 |")
+    assert out[1] == "| only |\n| --- |"
+
+
+def test_frontier_candidates_ranked_gap(spark):
+    """Only never-crawled locs survive the anti-join; hosts absent from
+    the priority dimension fall back to 0.0."""
+    rows = [("https://s.com/sitemap.xml", SITEMAP),
+            ("https://s.com/a", b"<html><body>a</body></html>")]
+    pri = _docs(spark, []).sparkSession.createDataFrame(
+        [("s.com", 0.25)], "host string, priority double")
+    out = ST.frontier_candidates(_docs(spark, rows), pri).collect()
+    assert {(r["loc"], r["priority"]) for r in out} == {
+        ("https://s.com/b", 0.25), ("https://s.com/phantom", 0.25)}
+    none = ST.frontier_candidates(
+        _docs(spark, rows),
+        pri.where(F.lit(False))).collect()
+    assert {(r["loc"], r["priority"]) for r in none} == {
+        ("https://s.com/b", 0.0), ("https://s.com/phantom", 0.0)}
+
+
 def test_corpus_v7_carries_structured_shapes(spark, tmp_path):
     """The v7 corpus embeds all three shapes: filing tables (~20%),
     hreflang sets (~15% of entity pages, md5-keyed so same-entity pages
