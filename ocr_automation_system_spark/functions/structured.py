@@ -279,6 +279,73 @@ def hreflang_clusters(df: DataFrame, url_col: str = "url",
         F.max("_n_alts").alias("n_langs"))
 
 
+def table_column_profile(df: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """Schema-inference census over the extracted records: per
+    (host, field) how many values look integer / ISO-date / empty —
+    the profile that decides each column's target type before a typed
+    sink (the corpus-scale version of ``filing_records``'s hand-picked
+    casts). ONE map-side-combinable groupBy over the narrow record
+    parse; rates are exact-integer divisions, correctly rounded once."""
+    recs = table_records(df, url_col, html_col)
+    v = F.col("value")
+    nn = v.isNotNull() & (v != "")
+    prof = (recs.where(F.col("field").isNotNull())
+            .groupBy(F.regexp_extract("url", HOST_RE, 1).alias("host"),
+                     F.col("field"))
+            .agg(F.count(F.lit(1)).alias("n_values"),
+                 F.sum(F.when(nn, 1).otherwise(0)).cast("long")
+                 .alias("n_nonempty"),
+                 F.sum(F.when(nn & v.rlike(r"^[0-9]+$"), 1).otherwise(0))
+                 .cast("long").alias("n_int"),
+                 F.sum(F.when(
+                     nn & v.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+                     1).otherwise(0)).cast("long").alias("n_date")))
+    rate = (lambda c: F.when(F.col("n_nonempty") > 0,
+                             F.col(c).cast("double")
+                             / F.col("n_nonempty").cast("double"))
+            .otherwise(F.lit(0.0)))
+    return prof.select(
+        "host", "field", "n_values", "n_nonempty", "n_int", "n_date",
+        rate("n_int").alias("int_rate"), rate("n_date").alias("date_rate"))
+
+
+def hreflang_bitext_pairs(df: DataFrame, url_col: str = "url",
+                          html_col: str = "html",
+                          lang_col: str = "lang",
+                          max_cluster: int = 32) -> DataFrame:
+    """Cross-language document pairs mined from hreflang clusters — the
+    ParaCrawl seeding step: two pages in the same alternate-set cluster
+    whose OWN language labels differ are bitext candidates.
+
+    The self-join is bounded: clusters are variant sets of one logical
+    page (size ~ n_langs), and a pathological mega-cluster is dropped
+    FIRST via the house occupancy-cap pattern — groupBy(cluster).count
+    (map-side combinable, absorbs the hot key) -> over-cap key set ->
+    broadcast anti-join — so the hot cluster is never materialized in
+    one task, then the equi-self-join on cluster_id runs on surviving
+    (bounded) groups only. Pairs are canonical (url_a < url_b)."""
+    page = page_html(F.col(html_col))
+    tags = F.regexp_extract_all(page, F.lit(ALT_TAG_RE), 0)
+    hrefs = F.array_sort(F.transform(
+        tags, lambda t: F.regexp_extract(t, HREF_ATTR_RE, 1)))
+    members = (df.select(
+        F.col(url_col).alias("url"), F.col(lang_col).alias("lang"),
+        F.md5(F.concat_ws("|", hrefs)).alias("cluster_id"),
+        F.size(hrefs).alias("_n"))
+        .where(F.col("_n") > 0).drop("_n"))
+    over = (members.groupBy("cluster_id").count()
+            .where(F.col("count") > max_cluster).select("cluster_id"))
+    kept = members.join(F.broadcast(over), "cluster_id", "left_anti")
+    a = kept.select("cluster_id", F.col("url").alias("url_a"),
+                    F.col("lang").alias("lang_a"))
+    b = kept.select("cluster_id", F.col("url").alias("url_b"),
+                    F.col("lang").alias("lang_b"))
+    return (a.join(b, "cluster_id")
+            .where((F.col("url_a") < F.col("url_b"))
+                   & (F.col("lang_a") != F.col("lang_b"))))
+
+
 def sitemap_entries(df: DataFrame, url_col: str = "url",
                     html_col: str = "html") -> DataFrame:
     """(host, loc, lastmod) — one row per ``<url>`` entry of every

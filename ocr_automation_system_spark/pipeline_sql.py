@@ -1431,6 +1431,67 @@ FROM e GROUP BY 1
 """
 
 
+SQL_TABLE_COLUMN_PROFILE = f"""
+WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS}),
+t AS (SELECT url, regexp_extract_all(page, '{_T_RE}', 1) AS ts FROM p),
+ti AS (SELECT url, ts, unnest(range(1, len(ts) + 1)) AS tpos FROM t),
+tr AS (SELECT url, tpos,
+              regexp_extract_all(ts[tpos], '{_TR_RE}', 1) AS rs
+       FROM ti),
+h AS (SELECT url, tpos, rs, {_sql_clean_cells('rs[1]')} AS hdr FROM tr),
+d AS (SELECT url, tpos, hdr, rs,
+             unnest(range(2, len(rs) + 1)) AS rpos
+      FROM h WHERE len(hdr) > 0),
+cc AS (SELECT url, tpos, hdr, rpos,
+              {_sql_clean_cells('rs[rpos]')} AS cells
+       FROM d),
+k AS (SELECT url, hdr, cells,
+             unnest(range(1, greatest(len(hdr), len(cells)) + 1)) AS ki
+      FROM cc),
+recs AS (SELECT url, hdr[ki] AS field, cells[ki] AS value FROM k),
+g AS (SELECT {_HOST} AS host, field,
+             CAST(count(*) AS BIGINT) AS n_values,
+             CAST(sum(CASE WHEN value IS NOT NULL AND value <> ''
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_nonempty,
+             CAST(sum(CASE WHEN value IS NOT NULL AND value <> ''
+                       AND regexp_matches(value, '^[0-9]+$')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+             CAST(sum(CASE WHEN value IS NOT NULL AND value <> ''
+                       AND regexp_matches(value,
+                         '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_date
+      FROM recs WHERE field IS NOT NULL GROUP BY 1, 2)
+SELECT host, field, n_values, n_nonempty, n_int, n_date,
+       CASE WHEN n_nonempty > 0
+            THEN CAST(n_int AS DOUBLE) / CAST(n_nonempty AS DOUBLE)
+            ELSE 0.0 END AS int_rate,
+       CASE WHEN n_nonempty > 0
+            THEN CAST(n_date AS DOUBLE) / CAST(n_nonempty AS DOUBLE)
+            ELSE 0.0 END AS date_rate
+FROM g
+"""
+
+
+SQL_HREFLANG_BITEXT_PAIRS = f"""
+WITH p AS (SELECT url, lang, {_SQL_PAGE} AS page FROM {CORPUS}),
+mem AS (SELECT url, lang,
+               md5(array_to_string(list_sort(list_transform(
+                   regexp_extract_all(page, '{_ALT_TAG_RE}', 0),
+                   t -> regexp_extract(t, '{_HREF_ATTR}', 1))), '|'))
+                 AS cluster_id,
+               len(regexp_extract_all(page, '{_ALT_TAG_RE}', 0)) AS n
+        FROM p),
+m AS (SELECT url, lang, cluster_id FROM mem WHERE n > 0),
+kept AS (SELECT * FROM m WHERE cluster_id NOT IN
+         (SELECT cluster_id FROM m GROUP BY 1 HAVING count(*) > 32))
+SELECT a.cluster_id,
+       a.url AS url_a, a.lang AS lang_a,
+       b.url AS url_b, b.lang AS lang_b
+FROM kept a JOIN kept b ON a.cluster_id = b.cluster_id
+WHERE a.url < b.url AND a.lang <> b.lang
+"""
+
+
 _SQL_SITEMAP_ENTRIES_BASE = f"""
 m AS (SELECT url, CASE WHEN url LIKE '%/sitemap.xml'
                        THEN decode(html) ELSE '' END AS xml

@@ -5222,6 +5222,30 @@ def q_frontier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_crawl_priorities(spark, sf_dir))
 
 
+def q_table_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-inference census per (host, field): how many extracted
+    table values look integer / ISO-date / empty, with exact-division
+    rates — the corpus-scale profile that picks each column's target
+    type before a typed sink. ONE map-side-combinable groupBy over the
+    narrow record parse (functions/structured.table_column_profile)."""
+    from .functions import structured as ST
+
+    return ST.table_column_profile(corpus_for(spark, sf_dir)
+                                   .select("url", "html"))
+
+
+def q_hreflang_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParaCrawl-style bitext candidates: same hreflang cluster, own
+    language labels differ, canonical url_a < url_b pairs. The
+    self-join is occupancy-capped FIRST (aggregate census -> over-cap
+    keys -> broadcast anti-join, the house pattern) so a pathological
+    mega-cluster never lands in one task
+    (functions/structured.hreflang_bitext_pairs)."""
+    from .functions import structured as ST
+
+    return ST.hreflang_bitext_pairs(corpus_for(spark, sf_dir))
+
+
 def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host listed-vs-crawled reconciliation for sitemap-publishing
     hosts: coverage rate (listed locs actually fetched) + orphan rate
@@ -7126,6 +7150,10 @@ REGISTRY: dict = {
     "table_markdown": (q_table_markdown, PSQL.SQL_TABLE_MARKDOWN),
     "frontier_candidates": (q_frontier_candidates,
                             PSQL.SQL_FRONTIER_CANDIDATES),
+    "table_column_profile": (q_table_column_profile,
+                             PSQL.SQL_TABLE_COLUMN_PROFILE),
+    "hreflang_bitext_pairs": (q_hreflang_bitext_pairs,
+                              PSQL.SQL_HREFLANG_BITEXT_PAIRS),
     # link graph: anchors from raw html, host graph, iterative PageRank
     "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
@@ -7179,6 +7207,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "html_tables", "table_records", "table_census", "filing_records",
     "hreflang_clusters", "sitemap_entries", "sitemap_coverage",
     "table_markdown", "frontier_candidates",
+    "table_column_profile", "hreflang_bitext_pairs",
 })
 
 

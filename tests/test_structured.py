@@ -186,6 +186,49 @@ def test_frontier_candidates_ranked_gap(spark):
         ("https://s.com/b", 0.0), ("https://s.com/phantom", 0.0)}
 
 
+def test_table_column_profile_type_census(spark):
+    """Per (host, field): integer-looking and ISO-date-looking value
+    counts with exact-division rates; empty cells count in n_values
+    but not in the rate denominators."""
+    page = ("<html><body><table>"
+            "<tr><th>N</th><th>D</th><th>S</th></tr>"
+            "<tr><td>12</td><td>2025-01-02</td><td>abc</td></tr>"
+            "<tr><td>7</td><td>not-a-date</td><td></td></tr>"
+            "</table></body></html>").encode()
+    out = {r["field"]: r for r in ST.table_column_profile(
+        _docs(spark, [("https://t.com/p", page)])).collect()}
+    assert out["N"]["n_int"] == 2 and out["N"]["int_rate"] == 1.0
+    assert out["D"]["n_date"] == 1 and out["D"]["date_rate"] == 0.5
+    assert (out["S"]["n_values"], out["S"]["n_nonempty"]) == (2, 1)
+    assert out["S"]["int_rate"] == 0.0 and out["S"]["date_rate"] == 0.0
+
+
+def test_hreflang_bitext_pairs_capped_cross_lang(spark):
+    """Pairs need same cluster + different own-language labels; the
+    occupancy cap drops a mega-cluster BEFORE the self-join (and the
+    drop is visible: remove the cap and the count changes)."""
+    alt = (lambda e: ('<html><head><link rel="alternate" hreflang="en" '
+                      f'href="https://x.com/{e}"></head>'
+                      '<body>t</body></html>').encode())
+    rows = ([("https://x.com/p1", "en", alt("e1")),
+             ("https://x.com/p2", "de", alt("e1")),
+             ("https://x.com/p3", "en", alt("e1"))]  # same lang as p1
+            + [(f"https://big.com/p{i}", ("en", "de")[i % 2], alt("big"))
+               for i in range(40)])
+    df = spark.createDataFrame(
+        rows, "url string, lang string, html binary")
+    out = ST.hreflang_bitext_pairs(df).collect()
+    # big.com's 40-member cluster is over the cap -> only e1 pairs
+    assert {(r["url_a"], r["url_b"]) for r in out} == {
+        ("https://x.com/p1", "https://x.com/p2"),
+        ("https://x.com/p2", "https://x.com/p3")}
+    uncapped = ST.hreflang_bitext_pairs(df, max_cluster=1000).count()
+    assert uncapped > 2
+    plan = (ST.hreflang_bitext_pairs(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan and "Python" not in plan
+
+
 def test_corpus_v7_carries_structured_shapes(spark, tmp_path):
     """The v7 corpus embeds all three shapes: filing tables (~20%),
     hreflang sets (~15% of entity pages, md5-keyed so same-entity pages
