@@ -155,6 +155,12 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "equal-length ties to Allow, unmatched urls "
                         "allowed) are dropped before any content stage "
                         "(after_robots lineage count)")
+    p.add_argument("--frontier-export", action="store_true",
+                   help="write <output>/frontier parquet: sitemap-"
+                        "listed never-crawled locs ranked by host "
+                        "PageRank over the input's own link graph "
+                        "(the scheduler's next-fetch list; "
+                        "frontier_rows lineage count)")
     p.add_argument("--probe-weights", default="",
                    help="with --probe-drop-pct: path of the persisted "
                         "probe weight artifact — warm-start the fit "
@@ -224,6 +230,10 @@ def main(argv=None, stop_session: bool = True) -> int:
                near_dup=args.near_dup,
                zorder=args.zorder, sample_k=args.sample_k)
 
+    if args.frontier_export:
+        n_frontier = frontier_export(spark, documents, args.output)
+        print(f"frontier: {n_frontier} candidate locs")
+
     summary = lineage_summary(args.output, args.n_buckets)
     print(f"done: {summary['total_rows']} docs across "
           f"{len(summary['buckets'])} committed buckets")
@@ -232,6 +242,48 @@ def main(argv=None, stop_session: bool = True) -> int:
         # a getOrCreate session and pass stop_session=False.
         spark.stop()
     return 0
+
+
+def frontier_export(spark, documents, output: str) -> int:
+    """Write the next-fetch frontier: sitemap-listed locs the crawl
+    never fetched, ranked by host PageRank over the input's OWN link
+    graph (no second snapshot in a single-crawl job, so the freshness
+    factor is 1 — importance-only priority). The parquet lands at
+    <output>/frontier sorted by priority desc (head = next fetch);
+    the row count joins the lineage as ``frontier_rows``."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions import links as L
+    from ocr_automation_system_spark.functions import structured as STF
+
+    edges = L.host_graph(L.extract_links(documents))
+    pr = L.pagerank(edges.selectExpr("src_site AS src", "dst_site AS dst",
+                                     "n_links AS weight"), iters=3)
+    pri = pr.select(
+        F.regexp_replace("node", r"^[a-z]+://", "").alias("host"),
+        F.col("rank").alias("priority"))
+    fr = STF.frontier_candidates(documents.select("url", "html"), pri)
+    out = os.path.join(output, "frontier")
+    fr.orderBy(F.col("priority").desc(), "loc").write.mode(
+        "overwrite").parquet(out)
+    n = spark.read.parquet(out).count()
+    _merge_lineage(output, {"frontier_rows": n})
+    return n
+
+
+def _merge_lineage(output: str, extra: dict) -> None:
+    """Fold extra counts into curation_lineage.json (creating it for
+    non-curate runs) so every exported artifact is lineage-accounted."""
+    import json
+
+    path = os.path.join(output, "curation_lineage.json")
+    counts: dict = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            counts = json.load(fh)
+    counts.update(extra)
+    with open(path, "w") as fh:
+        json.dump(counts, fh, indent=1, sort_keys=True)
 
 
 def compliance_drops(documents, honor_noindex: bool = False,

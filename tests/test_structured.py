@@ -267,3 +267,35 @@ def test_parse_plans_are_narrow(spark):
     for fn in (ST.table_census, ST.hreflang_clusters, ST.sitemap_coverage):
         plan = (fn(df)._jdf.queryExecution().executedPlan().toString())
         assert "Window" not in plan and "Python" not in plan, fn.__name__
+
+
+def test_job_frontier_export(spark, tmp_path):
+    """--frontier-export publishes <output>/frontier: sitemap-listed
+    never-crawled locs, none of them an input url, ranked by the link
+    graph's host PageRank, and lineage-accounted as frontier_rows."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import spark_submit_job
+
+    out = str(tmp_path / "job")
+    rc = spark_submit_job.main(
+        ["--synthetic", "400", "--output", out, "--frontier-export"],
+        stop_session=False)
+    assert rc == 0
+    fr = spark.read.parquet(os.path.join(out, "frontier"))
+    n = fr.count()
+    assert n > 0
+    docs = spark.read.parquet(
+        os.path.join(out, "synthetic_documents.parquet"))
+    # frontier locs are never already-crawled urls
+    assert fr.join(docs.select(F.col("url").alias("loc")), "loc",
+                   "inner").count() == 0
+    # linked hosts carry positive PageRank priority
+    assert fr.where(F.col("priority") > 0).count() > 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert counts["frontier_rows"] == n
