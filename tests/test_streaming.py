@@ -728,3 +728,43 @@ def test_stateless_soft404_and_refresh_stream_unchanged(spark, tmp_path):
         want = sorted(tuple(r) for r in fn(
             spark.createDataFrame(rows, schema)).collect())
         assert got == want and got
+
+
+def test_stateless_structured_ops_stream_unchanged(spark, tmp_path):
+    """The structured-markup parses (html_tables, table_records,
+    sitemap_entries, hreflang_edges) are stateless projections: a
+    stream of captures yields byte-identical rows to the batch run —
+    the shape that lets table/sitemap extraction ride the live
+    ingestion stream with zero state."""
+    from ocr_automation_system_spark.functions import structured as ST
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    page = (b"<html><head>"
+            b'<link rel="alternate" hreflang="en" href="https://h.com/e">'
+            b"</head><body><table><tr><th>A</th></tr>"
+            b"<tr><td>1</td></tr></table></body></html>")
+    smap = (b'<?xml version="1.0"?><urlset>'
+            b"<url><loc>https://h0.com/a</loc>"
+            b"<lastmod>2025-01-02</lastmod></url></urlset>")
+    rows = [(f"https://h{i}.com/p", page if i % 4 else b"%PDF junk")
+            for i in range(12)] + [("https://h0.com/sitemap.xml", smap)]
+    schema = "url string, html binary"
+    spark.createDataFrame(rows, schema).write.parquet(
+        os.path.join(d, "drop1"))
+    for name, fn in (("tables", ST.html_tables),
+                     ("records", ST.table_records),
+                     ("smap", ST.sitemap_entries),
+                     ("alts", ST.hreflang_edges)):
+        stream_in = spark.readStream.schema(schema).parquet(
+            os.path.join(d, "*"))
+        out = str(tmp_path / f"out_{name}")
+        q = (fn(stream_in).writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(tuple(r) for r in fn(
+            spark.createDataFrame(rows, schema)).collect())
+        assert got == want and got, name

@@ -299,3 +299,39 @@ def test_job_frontier_export(spark, tmp_path):
     with open(os.path.join(out, "curation_lineage.json")) as fh:
         counts = json.load(fh)
     assert counts["frontier_rows"] == n
+
+
+def test_structured_ops_on_empty_input(spark):
+    """Every structured op yields an empty, correctly-typed result on an
+    empty capture table — never an error (the resume path replays
+    empty buckets)."""
+    empty = spark.createDataFrame([], "url string, html binary")
+    pri = spark.createDataFrame([], "host string, priority double")
+    assert ST.html_tables(empty).count() == 0
+    assert ST.table_records(empty).count() == 0
+    assert ST.table_pivot(empty, ["A"]).count() == 0
+    assert ST.table_census(empty).count() == 0
+    assert ST.table_markdown(empty).count() == 0
+    assert ST.table_column_profile(empty).count() == 0
+    assert ST.hreflang_edges(empty).count() == 0
+    assert ST.hreflang_clusters(empty).count() == 0
+    assert ST.sitemap_entries(empty).count() == 0
+    assert ST.sitemap_coverage(empty).count() == 0
+    assert ST.frontier_candidates(empty, pri).count() == 0
+    e2 = spark.createDataFrame([], "url string, html binary, lang string")
+    assert ST.hreflang_bitext_pairs(e2).count() == 0
+
+
+def test_aggregating_ops_have_partial_agg_no_window(spark):
+    """filing_records' pivot, table_column_profile and table_markdown
+    aggregate with map-side partial aggregation (partial + final
+    aggregate nodes around one exchange — Hash, ObjectHash or Sort
+    flavor depending on buffer types: max(string) buffers fall back to
+    SortAggregate, collect_list to ObjectHashAggregate; all three do
+    partial combine) and never a Window."""
+    df = _docs(spark, [("https://t.com/p", PAGE_TABLES)])
+    for fn in (lambda d: ST.table_pivot(d, ["A", "B"]),
+               ST.table_column_profile, ST.table_markdown):
+        plan = fn(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan and "Python" not in plan
+        assert plan.count("Aggregate") >= 2  # partial + final
