@@ -60,6 +60,7 @@ HEADLINE = (
     "hreflang_clusters", "sitemap_entries", "sitemap_coverage",
     "table_markdown", "frontier_candidates",
     "table_column_profile", "hreflang_bitext_pairs",
+    "pipeline_markdown_docs",
     "pipeline_line_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",

@@ -1394,6 +1394,25 @@ FROM g
 """
 
 
+#: training-export document form: TWIN extracted text + the page's
+#: markdown-rendered tables (blank-line separated, table_idx order),
+#: hashed at the contract surface.
+SQL_PIPELINE_MARKDOWN_DOCS = f"""
+WITH md AS ({SQL_TABLE_MARKDOWN}),
+per AS (SELECT url, CAST(count(*) AS BIGINT) AS n_tables,
+               string_agg(markdown, chr(10) || chr(10)
+                          ORDER BY table_idx) AS tbl
+        FROM md GROUP BY url)
+SELECT t.url,
+       CAST(coalesce(p.n_tables, 0) AS BIGINT) AS n_tables,
+       md5(coalesce(t.extracted_text, '')
+           || CASE WHEN p.tbl IS NULL THEN ''
+                   ELSE chr(10) || chr(10) || p.tbl END)
+         AS doc_markdown_hash
+FROM {TWIN} t LEFT JOIN per p ON t.url = p.url
+"""
+
+
 SQL_FRONTIER_CANDIDATES_TEMPLATE = """
 WITH {entries_base},
 listed AS (SELECT host,

@@ -4983,6 +4983,36 @@ def q_pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "n_lines_kept", "n_lines_dropped",
                       F.md5("kept_text").alias("kept_text_hash"))
 
+def q_pipeline_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-export document form: extracted main text with the
+    page's tables re-inlined as GitHub-markdown blocks (text, blank
+    line, tables in table_idx order) — what a markdown-corpus exporter
+    writes per url. Composes two green tiers: the extraction output and
+    the X133 markdown render folded per url (ONE uniform-key agg), then
+    ONE url-keyed left join; the contract hashes the assembled doc."""
+    from .functions import structured as ST
+
+    ext = extractions_for(spark, sf_dir).select("url", "extracted_text")
+    tbl = (ST.table_markdown(corpus_for(spark, sf_dir)
+                             .select("url", "html"))
+           .groupBy("url")
+           .agg(F.array_join(F.transform(
+               F.array_sort(F.collect_list(
+                   F.struct("table_idx", "markdown"))),
+               lambda s: s["markdown"]), "\n\n").alias("_tbl"),
+               F.count(F.lit(1)).cast("long").alias("_n")))
+    doc = F.concat(
+        F.coalesce(F.col("extracted_text"), F.lit("")),
+        F.when(F.col("_tbl").isNotNull(),
+               F.concat(F.lit("\n\n"), F.col("_tbl")))
+        .otherwise(F.lit("")))
+    return (ext.join(tbl, "url", "left")
+            .select("url",
+                    F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+                    .alias("n_tables"),
+                    F.md5(doc).alias("doc_markdown_hash")))
+
+
 def _warc_key() -> str:
     """Cache key for the exported WARC artifact: corpus version + a
     fingerprint of the generator AND the WARC writer/parser source, so
@@ -7117,6 +7147,8 @@ REGISTRY: dict = {
                                  PSQL.SQL_PIPELINE_LINEAGE_METRICS),
     "pipeline_host_stats": (q_pipeline_host_stats, PSQL.SQL_PIPELINE_HOST_STATS),
     "pipeline_line_dedup": (q_pipeline_line_dedup, PSQL.SQL_PIPELINE_LINE_DEDUP),
+    "pipeline_markdown_docs": (q_pipeline_markdown_docs,
+                               PSQL.SQL_PIPELINE_MARKDOWN_DOCS),
     # url canonicalization + canonical-url dedup (corpus url column)
     "url_canonicalize": (q_url_canonicalize, PSQL.SQL_URL_CANONICALIZE),
     "url_pattern_census": (q_url_pattern_census,

@@ -335,3 +335,27 @@ def test_aggregating_ops_have_partial_agg_no_window(spark):
         plan = fn(df)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan and "Python" not in plan
         assert plan.count("Aggregate") >= 2  # partial + final
+
+
+def test_pipeline_markdown_docs_inlines_tables(spark):
+    """Docs with tables hash differently from their bare extracted
+    text; docs without tables hash exactly as md5(extracted_text)."""
+    from pyspark.sql import functions as FF
+
+    from ocr_automation_system_spark.queries import (
+        extractions_for, q_pipeline_markdown_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_pipeline_markdown_docs(spark, sf)
+    ext = extractions_for(spark, sf).select(
+        "url", FF.md5(FF.coalesce("extracted_text", FF.lit("")))
+        .alias("bare_hash"))
+    j = out.join(ext, "url")
+    with_t = j.where(FF.col("n_tables") > 0)
+    assert with_t.count() > 0
+    assert with_t.where(
+        FF.col("doc_markdown_hash") == FF.col("bare_hash")).count() == 0
+    assert j.where((FF.col("n_tables") == 0)
+                   & (FF.col("doc_markdown_hash")
+                      != FF.col("bare_hash"))).count() == 0
