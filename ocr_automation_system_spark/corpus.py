@@ -31,7 +31,7 @@ DEFAULT_SEED = 42
 #: bump whenever generation logic changes — cache filenames embed it so a
 #: stale /tmp corpus from an older generator can never shadow the current
 #: semantics (the corpus is the shared byte-identity surface).
-CORPUS_VERSION = 7
+CORPUS_VERSION = 8
 
 
 def source_fingerprint(*module_files: str) -> str:
@@ -556,8 +556,48 @@ def generate_rows(n_rows: int, seed: int = DEFAULT_SEED,
             "text": "",
             "lang": "en",
         })
-    if site_rows:
-        rows = rows[:n_rows - len(site_rows)] + site_rows
+    # robots.txt captures (v8): one per md5(host)%3==0 host (a gate
+    # DISJOINT in pattern from the sitemap's %2, so hosts carry
+    # either/both/neither), written in the real wire shape: comments,
+    # blank group separators, mixed-case directive names, a wildcard
+    # group (1-2 Disallow prefixes over the host's own path kinds, an
+    # md5-gated Allow carve-back), on ~half an additional fetchbot
+    # group, a Crawl-delay the matcher ignores, and — when the host
+    # also publishes a sitemap — the cross-linking `Sitemap:` line.
+    robots_rows = []
+    budget_r = n_rows // 30
+    kinds = ("pan", "gst", "udyam", "other")
+    for host in hosts:
+        if len(robots_rows) >= budget_r:
+            break
+        if host not in by_host:
+            continue
+        hh = hashlib.md5(host.encode("utf-8")).hexdigest()
+        if int(hh[:4], 16) % 3:
+            continue
+        lines = ["# robots.txt for " + host, "User-Agent: *"]
+        n_dis = 1 + int(hh[4], 16) % 2
+        for j in range(n_dis):
+            kind = kinds[(int(hh[5 + j], 16) + j) % len(kinds)]
+            lines.append(f"Disallow: /{kind}/")
+            if int(hh[7 + j], 16) % 2:
+                lines.append(f"Allow: /{kind}/0000")
+        lines.append(f"Crawl-delay: {1 + int(hh[9], 16) % 9}")
+        if int(hh[10], 16) % 2:
+            lines.extend(["", "User-agent: fetchbot", "Disallow: /"])
+        if int(hh[:4], 16) % 2 == 0:  # the sitemap gate (v7)
+            lines.extend(["", f"Sitemap: https://{host}/sitemap.xml"])
+        robots_rows.append({
+            "url": f"https://{host}/robots.txt",
+            "warc_ts": base_ts + _dt.timedelta(
+                seconds=rng.randrange(365 * 24 * 3600)),
+            "html": ("\n".join(lines) + "\n").encode("utf-8"),
+            "text": "",
+            "lang": "en",
+        })
+    extra = site_rows + robots_rows
+    if extra:
+        rows = rows[:n_rows - len(extra)] + extra
     return rows
 
 

@@ -387,6 +387,89 @@ def frontier_candidates(df: DataFrame, priorities: DataFrame,
                     .alias("priority")))
 
 
+#: one robots.txt directive line: name, ':', value (names are matched
+#: case-insensitively; unknown names and comments yield no row).
+ROBOTS_LINE_RE = (r"(?i)^[ \t]*"
+                  r"(user-agent|allow|disallow|sitemap|crawl-delay)"
+                  r"[ \t]*:[ \t]*(.*?)[ \t\r]*$")
+ROBOTS_UA_RE = r"(?i)^[ \t]*user-agent[ \t]*:"
+
+
+def robots_parse(df: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """(host, line_no, agent, directive, value) — one row per directive
+    line of every ``/robots.txt`` capture, each rule attributed to the
+    most recent ``User-agent`` line above it (RFC 9309 group shape; the
+    stacked-multi-agent group form is not emitted by real single-agent
+    groups and is out of the parser's contract). ``Sitemap`` lines are
+    group-independent per the RFC and carry agent ''.
+
+    Entirely row-local: the line array, the agent-position array and
+    the per-line agent attribution are array expressions over ONE split
+    (the agent lookup is array_max(filter(positions < i)) — no fold, no
+    state machine), then one explode. Zero shuffle, zero Python;
+    comments, blank lines, mixed-case names and unknown directives
+    drop out at the line regex."""
+    is_robots = F.col(url_col).endswith("/robots.txt")
+    txt = F.when(is_robots, F.decode(F.col(html_col), "UTF-8")) \
+        .otherwise(F.lit(""))
+    base = df.select(
+        F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("host"),
+        F.split(txt, "\n").alias("_ls"))
+    idx = F.sequence(F.lit(0), F.size("_ls") - 1)
+    ua_pos = F.filter(idx, lambda i:
+                      F.element_at(F.col("_ls"), i + 1)
+                      .rlike(ROBOTS_UA_RE))
+    with_pos = base.select(
+        "host", "_ls", idx.alias("_idx"), ua_pos.alias("_ua"))
+    agent_of = (lambda i: F.lower(F.regexp_extract(
+        F.element_at(F.col("_ls"),
+                     F.array_max(F.filter(F.col("_ua"),
+                                          lambda p: p < i)) + 1),
+        ROBOTS_LINE_RE, 2)))
+    exploded = with_pos.select(
+        "host", "_ls", "_ua",
+        F.explode("_idx").alias("line_no"))
+    line = F.element_at(F.col("_ls"), F.col("line_no") + 1)
+    directive = F.lower(F.regexp_extract(line, ROBOTS_LINE_RE, 1))
+    value = F.regexp_extract(line, ROBOTS_LINE_RE, 2)
+    has_agent = F.size(F.filter(
+        F.col("_ua"), lambda p: p < F.col("line_no"))) > 0
+    agent = (F.when(directive == "sitemap", F.lit(""))
+             .when(has_agent, agent_of(F.col("line_no")))
+             .otherwise(F.lit("")))
+    return (exploded.select(
+        "host", "line_no", agent.alias("agent"),
+        directive.alias("directive"), value.alias("value"))
+        .where(F.col("directive").isin("allow", "disallow", "sitemap",
+                                       "crawl-delay")))
+
+
+def robots_effective_rules(df: DataFrame, agent: str = "fetchbot",
+                           url_col: str = "url",
+                           html_col: str = "html") -> DataFrame:
+    """(host, prefix, allow) — the Allow/Disallow rules the named
+    crawler must obey per host: its OWN group when the host defines
+    one, else the wildcard group (RFC 9309 group selection). The output
+    is exactly the rules-table schema ``links.robots_verdicts``
+    matches against, closing the parse -> select -> match compliance
+    ladder over the corpus's own captures.
+
+    One groupBy(host) census of the (tiny) parsed-rules table to find
+    hosts with a specific group, joined back broadcast-size."""
+    rules = (robots_parse(df, url_col, html_col)
+             .where(F.col("directive").isin("allow", "disallow")
+                    & F.col("agent").isin("*", agent.lower())))
+    has_specific = (rules.groupBy("host")
+                    .agg(F.max((F.col("agent") == agent.lower())
+                               .cast("int")).alias("_spec")))
+    return (rules.join(F.broadcast(has_specific), "host")
+            .where((F.col("_spec") == 1)
+                   == (F.col("agent") == agent.lower()))
+            .select("host", F.col("value").alias("prefix"),
+                    (F.col("directive") == "allow").alias("allow")))
+
+
 def sitemap_coverage(df: DataFrame, url_col: str = "url",
                      html_col: str = "html") -> DataFrame:
     """Per-host listed-vs-crawled reconciliation for hosts that publish

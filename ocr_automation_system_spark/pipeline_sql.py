@@ -1511,6 +1511,96 @@ WHERE a.url < b.url AND a.lang <> b.lang
 """
 
 
+# robots.txt parsing (functions/structured.robots_parse): line split,
+# directive regex, per-line agent attribution via the most recent
+# User-agent position (list_max over filtered positions — row-local,
+# no state machine). Shared CTE block for the three robots queries.
+_ROBOTS_LINE_RE = (r"(?i)^[ \t]*"
+                   r"(user-agent|allow|disallow|sitemap|crawl-delay)"
+                   r"[ \t]*:[ \t]*(.*?)[ \t\r]*$")
+_ROBOTS_UA_RE = r"(?i)^[ \t]*user-agent[ \t]*:"
+
+_SQL_ROBOTS_PARSE_BASE = f"""
+rb AS (SELECT url, CASE WHEN url LIKE '%/robots.txt'
+                        THEN decode(html) ELSE '' END AS t
+       FROM {CORPUS}),
+rs AS (SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+              string_split(t, chr(10)) AS ls
+       FROM rb),
+rl AS (SELECT host, ls,
+              list_filter(range(0, len(ls)),
+                          i -> regexp_matches(ls[i + 1],
+                                              '{_ROBOTS_UA_RE}')) AS ua,
+              unnest(range(0, len(ls))) AS ln
+       FROM rs),
+rp0 AS (SELECT host, CAST(ln AS INTEGER) AS line_no,
+               lower(regexp_extract(ls[ln + 1],
+                                    '{_ROBOTS_LINE_RE}', 1)) AS directive,
+               regexp_extract(ls[ln + 1], '{_ROBOTS_LINE_RE}', 2) AS value,
+               CASE WHEN len(list_filter(ua, p -> p < ln)) > 0
+                    THEN lower(regexp_extract(
+                        ls[list_max(list_filter(ua, p -> p < ln)) + 1],
+                        '{_ROBOTS_LINE_RE}', 2))
+                    ELSE '' END AS grp_agent
+        FROM rl),
+rp AS (SELECT host, line_no,
+              CASE WHEN directive = 'sitemap' THEN ''
+                   ELSE grp_agent END AS agent,
+              directive, value
+       FROM rp0
+       WHERE directive IN ('allow', 'disallow', 'sitemap',
+                           'crawl-delay'))"""
+
+
+def _sql_robots_effective(agent: str) -> str:
+    """effective-rules CTE tail (host, prefix, allow) for ``agent``."""
+    return f"""
+ru AS (SELECT host, agent, directive, value FROM rp
+       WHERE directive IN ('allow', 'disallow')
+         AND agent IN ('*', '{agent}')),
+spec AS (SELECT host,
+                max(CASE WHEN agent = '{agent}' THEN 1 ELSE 0 END)
+                  AS has_spec
+         FROM ru GROUP BY host),
+eff AS (SELECT ru.host, ru.value AS prefix,
+               ru.directive = 'allow' AS allow
+        FROM ru JOIN spec ON ru.host = spec.host
+        WHERE (spec.has_spec = 1) = (ru.agent = '{agent}'))"""
+
+
+SQL_ROBOTS_PARSE_LINES = f"""
+WITH {_SQL_ROBOTS_PARSE_BASE}
+SELECT host, line_no, agent, directive, value FROM rp
+"""
+
+
+SQL_ROBOTS_EFFECTIVE_RULES = f"""
+WITH {_SQL_ROBOTS_PARSE_BASE},
+{_sql_robots_effective('fetchbot')}
+SELECT host, prefix, allow FROM eff
+"""
+
+
+SQL_ROBOTS_CORPUS_VERDICTS = f"""
+WITH {_SQL_ROBOTS_PARSE_BASE},
+{_sql_robots_effective('fetchbot')},
+u AS (SELECT url,
+        regexp_extract(url, 'https?://([^/]+)', 1) AS h,
+        regexp_extract(url, 'https?://[^/]+(/.*)', 1) AS p
+      FROM {CORPUS}),
+mm AS (SELECT u.url,
+        lpad(CAST(length(r.prefix) * 2 + CAST(r.allow AS INT)
+                  AS VARCHAR), 6, '0') || '|' || r.prefix AS k
+      FROM u LEFT JOIN eff r
+        ON u.h = r.host AND starts_with(u.p, r.prefix))
+SELECT url,
+  coalesce(CAST(substr(max(k), 1, 6) AS INT) % 2 = 1, TRUE) AS allow,
+  CASE WHEN max(k) IS NULL THEN '' ELSE substr(max(k), 8) END
+    AS matched_prefix
+FROM mm GROUP BY url
+"""
+
+
 _SQL_SITEMAP_ENTRIES_BASE = f"""
 m AS (SELECT url, CASE WHEN url LIKE '%/sitemap.xml'
                        THEN decode(html) ELSE '' END AS xml

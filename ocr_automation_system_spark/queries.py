@@ -5276,6 +5276,42 @@ def q_hreflang_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.hreflang_bitext_pairs(corpus_for(spark, sf_dir))
 
 
+def q_robots_parse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing over the corpus's own /robots.txt captures:
+    one row per directive line, each rule attributed to its User-agent
+    group (row-local array attribution, no state machine) — the parse
+    half the X121 matcher's rules table comes from
+    (functions/structured.robots_parse)."""
+    from .functions import structured as ST
+
+    return ST.robots_parse(corpus_for(spark, sf_dir)
+                           .select("url", "html"))
+
+
+def q_robots_effective_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 group selection for the crawler 'fetchbot': its own
+    group where a host defines one, else the wildcard group — emitted
+    in the exact (host, prefix, allow) schema links.robots_verdicts
+    matches against (functions/structured.robots_effective_rules)."""
+    from .functions import structured as ST
+
+    return ST.robots_effective_rules(corpus_for(spark, sf_dir),
+                                     agent="fetchbot")
+
+
+def q_robots_corpus_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed compliance loop: parse the corpus's own robots.txt
+    captures, select fetchbot's effective groups, match every corpus
+    url (X121 matcher: longest prefix wins, allow wins ties, unmatched
+    allowed) — parse -> select -> match with no hand-fed rules table."""
+    from .functions import links as L
+    from .functions import structured as ST
+
+    c = corpus_for(spark, sf_dir)
+    return L.robots_verdicts(c.select("url"),
+                             ST.robots_effective_rules(c))
+
+
 def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host listed-vs-crawled reconciliation for sitemap-publishing
     hosts: coverage rate (listed locs actually fetched) + orphan rate
@@ -7186,6 +7222,12 @@ REGISTRY: dict = {
                              PSQL.SQL_TABLE_COLUMN_PROFILE),
     "hreflang_bitext_pairs": (q_hreflang_bitext_pairs,
                               PSQL.SQL_HREFLANG_BITEXT_PAIRS),
+    "robots_parse_lines": (q_robots_parse_lines,
+                           PSQL.SQL_ROBOTS_PARSE_LINES),
+    "robots_effective_rules": (q_robots_effective_rules,
+                               PSQL.SQL_ROBOTS_EFFECTIVE_RULES),
+    "robots_corpus_verdicts": (q_robots_corpus_verdicts,
+                               PSQL.SQL_ROBOTS_CORPUS_VERDICTS),
     # link graph: anchors from raw html, host graph, iterative PageRank
     "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
@@ -7240,6 +7282,8 @@ CORPUS_QUERIES: frozenset = frozenset(
     "hreflang_clusters", "sitemap_entries", "sitemap_coverage",
     "table_markdown", "frontier_candidates",
     "table_column_profile", "hreflang_bitext_pairs",
+    "robots_parse_lines", "robots_effective_rules",
+    "robots_corpus_verdicts",
 })
 
 

@@ -155,6 +155,13 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "equal-length ties to Allow, unmatched urls "
                         "allowed) are dropped before any content stage "
                         "(after_robots lineage count)")
+    p.add_argument("--robots-from-corpus", default="", metavar="AGENT",
+                   help="with --curate: derive the robots rules table "
+                        "by PARSING the input's own /robots.txt "
+                        "captures and selecting AGENT's effective "
+                        "groups (RFC 9309: the agent's own group where "
+                        "defined, else the wildcard group) — the "
+                        "self-contained form of --robots-rules")
     p.add_argument("--frontier-export", action="store_true",
                    help="write <output>/frontier parquet: sitemap-"
                         "listed never-crawled locs ranked by host "
@@ -211,11 +218,21 @@ def main(argv=None, stop_session: bool = True) -> int:
                   os.path.join(args.output, "checksum_checks"))
 
     if args.curate:
+        if args.robots_rules:
+            robots_rules = spark.read.parquet(args.robots_rules)
+        elif args.robots_from_corpus:
+            from ocr_automation_system_spark.functions import (
+                structured as STF,
+            )
+
+            robots_rules = STF.robots_effective_rules(
+                documents, agent=args.robots_from_corpus)
+        else:
+            robots_rules = None
         url_drops = compliance_drops(
             documents, honor_noindex=args.honor_noindex,
             canonical_collapse=args.canonical_collapse,
-            robots_rules=(spark.read.parquet(args.robots_rules)
-                          if args.robots_rules else None),
+            robots_rules=robots_rules,
             drop_error_pages=args.drop_error_pages,
             drop_redirects=args.drop_redirects)
         curate(spark, results, args.output, quota=args.domain_quota,

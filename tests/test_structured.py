@@ -320,6 +320,8 @@ def test_structured_ops_on_empty_input(spark):
     assert ST.frontier_candidates(empty, pri).count() == 0
     e2 = spark.createDataFrame([], "url string, html binary, lang string")
     assert ST.hreflang_bitext_pairs(e2).count() == 0
+    assert ST.robots_parse(empty).count() == 0
+    assert ST.robots_effective_rules(empty).count() == 0
 
 
 def test_aggregating_ops_have_partial_agg_no_window(spark):
@@ -359,3 +361,120 @@ def test_pipeline_markdown_docs_inlines_tables(spark):
     assert j.where((FF.col("n_tables") == 0)
                    & (FF.col("doc_markdown_hash")
                       != FF.col("bare_hash"))).count() == 0
+
+
+ROBOTS = (b"# crawler rules\n"
+          b"User-Agent: *\n"
+          b"Disallow: /private/\n"
+          b"allow: /private/open\n"
+          b"Crawl-delay: 3\n"
+          b"\n"
+          b"user-agent: FetchBot\n"
+          b"Disallow: /\n"
+          b"Allow: /pub/\n"
+          b"\n"
+          b"Sitemap: https://r.com/sitemap.xml\n")
+
+
+def test_robots_parse_groups_and_attribution(spark):
+    """Directive lines attribute to the most recent User-agent line;
+    names match case-insensitively; comments/blank/unknown lines drop;
+    Sitemap is group-independent (agent '')."""
+    rows = [("https://r.com/robots.txt", ROBOTS),
+            ("https://r.com/page", b"<html><body>x</body></html>"),
+            ("https://x.com/robots.txt", b"Disallow: /early\n")]
+    out = ST.robots_parse(_docs(spark, rows)).collect()
+    got = {(r["host"], r["agent"], r["directive"], r["value"])
+           for r in out}
+    assert got == {
+        ("r.com", "*", "disallow", "/private/"),
+        ("r.com", "*", "allow", "/private/open"),
+        ("r.com", "*", "crawl-delay", "3"),
+        ("r.com", "fetchbot", "disallow", "/"),
+        ("r.com", "fetchbot", "allow", "/pub/"),
+        ("r.com", "", "sitemap", "https://r.com/sitemap.xml"),
+        # rule before any User-agent line: agent '' (kept, unattributed)
+        ("x.com", "", "disallow", "/early"),
+    }
+    plan = (ST.robots_parse(_docs(spark, rows))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_robots_effective_rules_group_selection(spark):
+    """fetchbot's own group wins where defined; wildcard elsewhere."""
+    rows = [("https://r.com/robots.txt", ROBOTS),
+            ("https://w.com/robots.txt",
+             b"User-agent: *\nDisallow: /all/\n")]
+    eff = {(r["host"], r["prefix"], r["allow"])
+           for r in ST.robots_effective_rules(
+               _docs(spark, rows), agent="fetchbot").collect()}
+    assert eff == {("r.com", "/", False), ("r.com", "/pub/", True),
+                   ("w.com", "/all/", False)}
+
+
+def test_robots_corpus_loop_denies_planted_kinds(spark):
+    """Corpus law (v8): the parse -> select -> match loop denies
+    exactly the urls under a disallowed kind prefix without a matching
+    longer Allow carve-back — reconciled against a Python recompute of
+    the same RFC semantics from the parsed rules."""
+    from ocr_automation_system_spark.functions import links as L
+    from ocr_automation_system_spark.queries import corpus_for
+
+    c = corpus_for(spark, "/root/testdata/sf0.001")
+    eff = ST.robots_effective_rules(c)
+    rules = [(r["host"], r["prefix"], r["allow"]) for r in eff.collect()]
+    assert any(a for _, _, a in rules)        # >= 1 Allow carve-back
+    assert any(p == "/" for _, p, a in rules if not a)  # fetchbot host
+    v = {r["url"]: r["allow"] for r in L.robots_verdicts(
+        c.select("url"), eff).collect()}
+    by_host: dict = {}
+    for h, p, a in rules:
+        by_host.setdefault(h, []).append((p, a))
+    denied = 0
+    for url, allow in v.items():
+        host = url.split("/")[2]
+        path = "/" + url.split("/", 3)[3]
+        best = None
+        for p, a in by_host.get(host, []):
+            if path.startswith(p):
+                k = (len(p), a)
+                if best is None or k > best:
+                    best = k
+        want = best[1] if best is not None else True
+        assert allow == want, url
+        denied += (not want)
+    assert denied > 0
+
+
+def test_job_robots_from_corpus(spark, tmp_path):
+    """--robots-from-corpus closes the compliance loop inside the job:
+    after_robots reconciles with an independent recount of usable docs
+    that survive the parsed-rules match."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import spark_submit_job
+
+    from ocr_automation_system_spark.functions import links as L
+
+    out = str(tmp_path / "job")
+    rc = spark_submit_job.main(
+        ["--synthetic", "400", "--output", out, "--curate",
+         "--robots-from-corpus", "fetchbot"], stop_session=False)
+    assert rc == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert 0 < counts["after_robots"] < counts["usable"]
+    docs = spark.read.parquet(
+        os.path.join(out, "synthetic_documents.parquet"))
+    denied = set(r["url"] for r in L.robots_verdicts(
+        docs.select("url"), ST.robots_effective_rules(docs))
+        .filter("NOT allow").select("url").collect())
+    cur = spark.read.parquet(os.path.join(out, "curated"))
+    assert cur.join(
+        spark.createDataFrame([(u,) for u in denied], "doc_id string"),
+        "doc_id", "inner").count() == 0
