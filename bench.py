@@ -62,7 +62,7 @@ HEADLINE = (
     "table_column_profile", "hreflang_bitext_pairs",
     "pipeline_markdown_docs",
     "robots_parse_lines", "robots_effective_rules",
-    "robots_corpus_verdicts",
+    "robots_corpus_verdicts", "robots_crawl_delays",
     "pipeline_line_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",

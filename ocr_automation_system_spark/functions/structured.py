@@ -470,6 +470,40 @@ def robots_effective_rules(df: DataFrame, agent: str = "fetchbot",
                     (F.col("directive") == "allow").alias("allow")))
 
 
+def robots_crawl_delays(df: DataFrame, agent: str = "fetchbot",
+                        default_delay: int = 1,
+                        url_col: str = "url",
+                        html_col: str = "html") -> DataFrame:
+    """(host, crawl_delay, declared) — the politeness interval the
+    named crawler must honor per robots-publishing host: the
+    Crawl-delay of its SELECTED group (same RFC 9309 group selection as
+    ``robots_effective_rules`` — own group where defined, else
+    wildcard; a selected group without a Crawl-delay falls back to
+    ``default_delay``, declared=false). Feeds the X84 scheduler's
+    per-host delay. Two censuses of the tiny parsed table, broadcast
+    joins only."""
+    a = agent.lower()
+    parsed = robots_parse(df, url_col, html_col)
+    grp = parsed.where(
+        F.col("directive").isin("allow", "disallow", "crawl-delay")
+        & F.col("agent").isin("*", a))
+    spec = grp.groupBy("host").agg(
+        F.max((F.col("agent") == a).cast("int")).alias("_spec"))
+    sel = (grp.join(F.broadcast(spec), "host")
+           .where((F.col("_spec") == 1) == (F.col("agent") == a)))
+    declared = (sel.where(F.col("directive") == "crawl-delay")
+                .groupBy("host")
+                .agg(F.min(F.expr("try_cast(value AS BIGINT)"))
+                     .alias("_d")))
+    hosts = parsed.select("host").distinct()
+    return (hosts.join(F.broadcast(declared), "host", "left")
+            .select("host",
+                    F.coalesce(F.col("_d"),
+                               F.lit(default_delay).cast("long"))
+                    .alias("crawl_delay"),
+                    F.col("_d").isNotNull().alias("declared")))
+
+
 def sitemap_coverage(df: DataFrame, url_col: str = "url",
                      html_col: str = "html") -> DataFrame:
     """Per-host listed-vs-crawled reconciliation for hosts that publish

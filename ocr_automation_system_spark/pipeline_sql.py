@@ -1601,6 +1601,27 @@ FROM mm GROUP BY url
 """
 
 
+SQL_ROBOTS_CRAWL_DELAYS = f"""
+WITH {_SQL_ROBOTS_PARSE_BASE},
+grp AS (SELECT host, agent, directive, value FROM rp
+        WHERE directive IN ('allow', 'disallow', 'crawl-delay')
+          AND agent IN ('*', 'fetchbot')),
+spec AS (SELECT host,
+                max(CASE WHEN agent = 'fetchbot' THEN 1 ELSE 0 END)
+                  AS has_spec
+         FROM grp GROUP BY host),
+sel AS (SELECT grp.* FROM grp JOIN spec ON grp.host = spec.host
+        WHERE (spec.has_spec = 1) = (grp.agent = 'fetchbot')),
+dec AS (SELECT host, min(TRY_CAST(value AS BIGINT)) AS d
+        FROM sel WHERE directive = 'crawl-delay' GROUP BY host),
+hs AS (SELECT DISTINCT host FROM rp)
+SELECT hs.host,
+       coalesce(dec.d, CAST(1 AS BIGINT)) AS crawl_delay,
+       dec.d IS NOT NULL AS declared
+FROM hs LEFT JOIN dec ON hs.host = dec.host
+"""
+
+
 _SQL_SITEMAP_ENTRIES_BASE = f"""
 m AS (SELECT url, CASE WHEN url LIKE '%/sitemap.xml'
                        THEN decode(html) ELSE '' END AS xml

@@ -5312,6 +5312,19 @@ def q_robots_corpus_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ST.robots_effective_rules(c))
 
 
+def q_robots_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per robots-publishing host: the Crawl-delay fetchbot's SELECTED
+    group declares (RFC 9309 group selection — a host defining a
+    fetchbot group without a Crawl-delay falls back to the default 1s,
+    declared=false, even when its wildcard group declares one). Feeds
+    the X84 politeness scheduler's per-host interval
+    (functions/structured.robots_crawl_delays)."""
+    from .functions import structured as ST
+
+    return ST.robots_crawl_delays(corpus_for(spark, sf_dir),
+                                  agent="fetchbot")
+
+
 def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host listed-vs-crawled reconciliation for sitemap-publishing
     hosts: coverage rate (listed locs actually fetched) + orphan rate
@@ -7228,6 +7241,8 @@ REGISTRY: dict = {
                                PSQL.SQL_ROBOTS_EFFECTIVE_RULES),
     "robots_corpus_verdicts": (q_robots_corpus_verdicts,
                                PSQL.SQL_ROBOTS_CORPUS_VERDICTS),
+    "robots_crawl_delays": (q_robots_crawl_delays,
+                            PSQL.SQL_ROBOTS_CRAWL_DELAYS),
     # link graph: anchors from raw html, host graph, iterative PageRank
     "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
@@ -7283,7 +7298,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "table_markdown", "frontier_candidates",
     "table_column_profile", "hreflang_bitext_pairs",
     "robots_parse_lines", "robots_effective_rules",
-    "robots_corpus_verdicts",
+    "robots_corpus_verdicts", "robots_crawl_delays",
 })
 
 

@@ -478,3 +478,20 @@ def test_job_robots_from_corpus(spark, tmp_path):
     assert cur.join(
         spark.createDataFrame([(u,) for u in denied], "doc_id string"),
         "doc_id", "inner").count() == 0
+
+
+def test_robots_crawl_delays_group_selection(spark):
+    """The delay comes from the SELECTED group: a host defining a
+    fetchbot group without a Crawl-delay gets the default (declared
+    false) even when its wildcard group declares one; wildcard-only
+    hosts read their declared value."""
+    rows = [("https://r.com/robots.txt", ROBOTS),  # fetchbot grp, no CD
+            ("https://w.com/robots.txt",
+             b"User-agent: *\nCrawl-delay: 7\nDisallow: /x/\n"),
+            ("https://n.com/robots.txt",
+             b"User-agent: *\nDisallow: /y/\n")]   # no CD anywhere
+    out = {r["host"]: (r["crawl_delay"], r["declared"])
+           for r in ST.robots_crawl_delays(
+               _docs(spark, rows), agent="fetchbot").collect()}
+    assert out == {"r.com": (1, False), "w.com": (7, True),
+                   "n.com": (1, False)}
