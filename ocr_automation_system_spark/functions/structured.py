@@ -353,8 +353,14 @@ def sitemap_entries(df: DataFrame, url_col: str = "url",
     (sitemaps don't sniff as HTML); malformed entries yield '' fields
     rather than raising. Narrow, zero shuffle."""
     is_map = F.col(url_col).endswith("/sitemap.xml")
-    xml = F.when(is_map, F.decode(F.col(html_col), "UTF-8")) \
-        .otherwise(F.lit(""))
+    # decode is gated on BOTH the url shape and byte validity: a poison
+    # capture parked at /sitemap.xml must degrade to no rows, never
+    # throw (Spark 4's UTF-8 decode raises on malformed bytes). The
+    # corpus never emits invalid bytes, so the twin (plain decode)
+    # stays hash-identical; the guard is pinned by a Spark-side poison
+    # fixture.
+    xml = F.when(is_map & F.is_valid_utf8(F.col(html_col)),
+                 F.decode(F.col(html_col), "UTF-8")).otherwise(F.lit(""))
     entries = df.select(
         F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("host"),
         F.explode(F.regexp_extract_all(xml, F.lit(SITEMAP_ENTRY_RE), 1))
@@ -411,8 +417,10 @@ def robots_parse(df: DataFrame, url_col: str = "url",
     comments, blank lines, mixed-case names and unknown directives
     drop out at the line regex."""
     is_robots = F.col(url_col).endswith("/robots.txt")
-    txt = F.when(is_robots, F.decode(F.col(html_col), "UTF-8")) \
-        .otherwise(F.lit(""))
+    # url-shape AND byte-validity gated, like sitemap_entries: poison
+    # bytes at /robots.txt degrade to no rows instead of raising.
+    txt = F.when(is_robots & F.is_valid_utf8(F.col(html_col)),
+                 F.decode(F.col(html_col), "UTF-8")).otherwise(F.lit(""))
     base = df.select(
         F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("host"),
         F.split(txt, "\n").alias("_ls"))

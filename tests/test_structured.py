@@ -495,3 +495,17 @@ def test_robots_crawl_delays_group_selection(spark):
                _docs(spark, rows), agent="fetchbot").collect()}
     assert out == {"r.com": (1, False), "w.com": (7, True),
                    "n.com": (1, False)}
+
+
+def test_poison_bytes_at_protocol_urls_degrade(spark):
+    """Invalid UTF-8 parked at /sitemap.xml or /robots.txt yields no
+    rows — never a decode raise (Spark 4 UTF-8 decode throws on
+    malformed bytes; the validity gate keeps poison out of it)."""
+    rows = [("https://p.com/sitemap.xml", POISON),
+            ("https://p.com/robots.txt", b"\xff\xfeUser-agent: *\n"),
+            ("https://q.com/robots.txt", b"User-agent: *\nDisallow: /a\n")]
+    df = _docs(spark, rows)
+    assert ST.sitemap_entries(df).count() == 0
+    parsed = ST.robots_parse(df).collect()
+    assert {(r["host"], r["value"]) for r in parsed} == {("q.com", "/a")}
+    assert ST.sitemap_coverage(df).count() == 0
