@@ -904,6 +904,22 @@ def community_modularity(edges: DataFrame, labels: DataFrame,
                      - half * half).alias("modularity_term")))
 
 
+def robots_rule_pattern(prefix: Column) -> Column:
+    """Anchored regex for one RFC 9309 rule path: literal chars escaped,
+    ``*`` -> ``.*``, a trailing ``$`` -> end anchor. The construction is
+    pure string expressions shared by semantics (not text) with the
+    DuckDB twin — both Java regex and RE2 read the produced pattern
+    identically (escaped char classes, ``.*``, ``^``/``$`` anchors
+    only)."""
+    anchored = prefix.endswith("$")
+    body = F.when(anchored,
+                  F.substring(prefix, 1, F.length(prefix) - 1)
+                  ).otherwise(prefix)
+    esc = F.regexp_replace(body, r"([\\.\[\]{}()+?^|$])", r"\\$1")
+    return F.concat(F.lit("^"), F.replace(esc, F.lit("*"), F.lit(".*")),
+                    F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
+
 def robots_verdicts(urls: DataFrame, rules: DataFrame,
                     url_col: str = "url") -> DataFrame:
     """RFC 9309 (robots.txt) rule matching: per url, the winning rule
@@ -911,30 +927,46 @@ def robots_verdicts(urls: DataFrame, rules: DataFrame,
 
     ``rules`` is the parsed per-host robots table (host, prefix,
     allow): one row per Allow/Disallow line, ``prefix`` the path
-    prefix (the empty prefix matches every path). Matching follows the
-    REP standard: the MOST SPECIFIC (longest) matching prefix wins;
-    on a length tie the LEAST RESTRICTIVE rule (allow) wins; a url no
-    rule matches is allowed. The tie-break beyond that (same length,
-    same verdict, different prefix text) is the lexicographically
-    largest prefix — any choice is semantically equal there, this one
-    is deterministic and engine-portable.
+    prefix (the empty prefix matches every path). Rule paths may carry
+    the RFC 9309 special characters: ``*`` matches any char sequence
+    and a TRAILING ``$`` anchors the rule at the path end (a ``$``
+    anywhere else is literal, per the RFC's ABNF). Plain rules keep the
+    cheap ``startswith`` residual; only rules carrying a special char
+    pay the regex translation (escape literals, ``*`` -> ``.*``,
+    trailing ``$`` -> anchor — `robots_rule_pattern`). Matching follows
+    the REP standard: the MOST SPECIFIC rule wins, specificity = octet
+    length of the RULE TEXT (wildcards count as written — the
+    reference-parser convention, e.g. Google's robotstxt matcher); on a
+    length tie the LEAST RESTRICTIVE rule (allow) wins; a url no rule
+    matches is allowed. The tie-break beyond that (same length, same
+    verdict, different prefix text) is the lexicographically largest
+    prefix — any choice is semantically equal there, this one is
+    deterministic and engine-portable.
 
     Scale shape: rules tables are tiny next to a crawl corpus (a few
     lines per host), so the rules side broadcasts and the equi-join on
-    host carries the ``startswith`` residual as the join filter — no
-    shuffle of the corpus beyond ONE map-side-combinable max keyed on
-    url. The winner pick is a single string ``max`` over a packed
+    host carries the match residual as the join filter — no shuffle of
+    the corpus beyond ONE map-side-combinable max keyed on url. The
+    winner pick is a single string ``max`` over a packed
     ``lpad(2*len(prefix)+allow)|prefix`` key (longest-then-allow order
-    folded into one binary-comparable key), not a window."""
+    folded into one binary-comparable key), not a window. The per-row
+    regex evaluation happens ONLY on wildcard rules (a CASE inside the
+    residual), so a corpus matched against plain-prefix rules never
+    compiles a pattern."""
     u = urls.select(
         F.col(url_col).alias("url"),
         F.regexp_extract(url_col, r"https?://([^/]+)", 1).alias("_h"),
         F.regexp_extract(url_col, r"https?://[^/]+(/.*)", 1).alias("_p"))
+    wild = F.col("prefix").contains("*") | F.col("prefix").endswith("$")
     r = rules.select(F.col("host").alias("_rh"), F.col("prefix"),
-                     F.col("allow").cast("int").alias("_a"))
+                     F.col("allow").cast("int").alias("_a"),
+                     wild.alias("_w"),
+                     robots_rule_pattern(F.col("prefix")).alias("_pat"))
+    residual = F.when(F.col("_w"),
+                      F.regexp_like(F.col("_p"), F.col("_pat"))
+                      ).otherwise(F.col("_p").startswith(F.col("prefix")))
     j = u.join(F.broadcast(r),
-               (F.col("_h") == F.col("_rh"))
-               & F.col("_p").startswith(F.col("prefix")), "left")
+               (F.col("_h") == F.col("_rh")) & residual, "left")
     key = F.concat(
         F.lpad((F.length("prefix") * 2 + F.col("_a")).cast("string"),
                6, "0"),

@@ -399,21 +399,28 @@ ROBOTS_LINE_RE = (r"(?i)^[ \t]*"
                   r"(user-agent|allow|disallow|sitemap|crawl-delay)"
                   r"[ \t]*:[ \t]*(.*?)[ \t\r]*$")
 ROBOTS_UA_RE = r"(?i)^[ \t]*user-agent[ \t]*:"
+#: a group-RULE line (splits stacked User-agent blocks; Sitemap is
+#: group-independent per the RFC so it does NOT split a stack, and
+#: comments/blank/unknown lines never do).
+ROBOTS_RULE_RE = r"(?i)^[ \t]*(allow|disallow|crawl-delay)[ \t]*:"
 
 
 def robots_parse(df: DataFrame, url_col: str = "url",
                  html_col: str = "html") -> DataFrame:
-    """(host, line_no, agent, directive, value) — one row per directive
-    line of every ``/robots.txt`` capture, each rule attributed to the
-    most recent ``User-agent`` line above it (RFC 9309 group shape; the
-    stacked-multi-agent group form is not emitted by real single-agent
-    groups and is out of the parser's contract). ``Sitemap`` lines are
-    group-independent per the RFC and carry agent ''.
+    """(host, line_no, agent, directive, value) — one row per
+    (directive line, group agent) of every ``/robots.txt`` capture.
+    Groups follow RFC 9309 including STACKED ``User-agent`` lines: a
+    run of consecutive User-agent lines (comments/blank lines allowed
+    between, rule lines not) opens ONE group, and every rule in that
+    group emits one row per stacked agent. ``Sitemap`` lines are
+    group-independent per the RFC and carry agent '' (they neither
+    join nor split a stack).
 
-    Entirely row-local: the line array, the agent-position array and
-    the per-line agent attribution are array expressions over ONE split
-    (the agent lookup is array_max(filter(positions < i)) — no fold, no
-    state machine), then one explode. Zero shuffle, zero Python;
+    Entirely row-local: the line array, the agent/rule position arrays
+    and the per-line agent-block attribution are array expressions over
+    ONE split (the block for rule i = the UA positions p <= last-UA(i)
+    with no rule line strictly between p and last-UA(i) — no fold, no
+    state machine), then two explodes. Zero shuffle, zero Python;
     comments, blank lines, mixed-case names and unknown directives
     drop out at the line regex."""
     is_robots = F.col(url_col).endswith("/robots.txt")
@@ -425,32 +432,43 @@ def robots_parse(df: DataFrame, url_col: str = "url",
         F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("host"),
         F.split(txt, "\n").alias("_ls"))
     idx = F.sequence(F.lit(0), F.size("_ls") - 1)
-    ua_pos = F.filter(idx, lambda i:
-                      F.element_at(F.col("_ls"), i + 1)
-                      .rlike(ROBOTS_UA_RE))
+    line_at = (lambda i: F.element_at(F.col("_ls"), i + 1))
+    ua_pos = F.filter(idx, lambda i: line_at(i).rlike(ROBOTS_UA_RE))
+    rule_pos = F.filter(idx, lambda i: line_at(i).rlike(ROBOTS_RULE_RE))
     with_pos = base.select(
-        "host", "_ls", idx.alias("_idx"), ua_pos.alias("_ua"))
-    agent_of = (lambda i: F.lower(F.regexp_extract(
-        F.element_at(F.col("_ls"),
-                     F.array_max(F.filter(F.col("_ua"),
-                                          lambda p: p < i)) + 1),
-        ROBOTS_LINE_RE, 2)))
+        "host", "_ls", idx.alias("_idx"), ua_pos.alias("_ua"),
+        rule_pos.alias("_rl"))
     exploded = with_pos.select(
-        "host", "_ls", "_ua",
+        "host", "_ls", "_ua", "_rl",
         F.explode("_idx").alias("line_no"))
     line = F.element_at(F.col("_ls"), F.col("line_no") + 1)
     directive = F.lower(F.regexp_extract(line, ROBOTS_LINE_RE, 1))
     value = F.regexp_extract(line, ROBOTS_LINE_RE, 2)
+    # the stacked UA block for this rule: every UA position p up to the
+    # last UA before the rule with no RULE line strictly between p and
+    # that last UA (rule lines close a stack; Sitemap/comments don't).
+    last_ua = F.array_max(F.filter(
+        F.col("_ua"), lambda p: p < F.col("line_no")))
+    block = F.filter(
+        F.col("_ua"),
+        lambda p: (p <= last_ua) & (F.size(F.filter(
+            F.col("_rl"), lambda r: (r > p) & (r < last_ua))) == 0))
+    agent_names = F.transform(
+        block, lambda p: F.lower(F.regexp_extract(
+            F.element_at(F.col("_ls"), p + 1), ROBOTS_LINE_RE, 2)))
     has_agent = F.size(F.filter(
         F.col("_ua"), lambda p: p < F.col("line_no"))) > 0
-    agent = (F.when(directive == "sitemap", F.lit(""))
-             .when(has_agent, agent_of(F.col("line_no")))
-             .otherwise(F.lit("")))
-    return (exploded.select(
-        "host", "line_no", agent.alias("agent"),
-        directive.alias("directive"), value.alias("value"))
-        .where(F.col("directive").isin("allow", "disallow", "sitemap",
-                                       "crawl-delay")))
+    agents = (F.when(directive == "sitemap", F.array(F.lit("")))
+              .when(has_agent, agent_names)
+              .otherwise(F.array(F.lit(""))))
+    kept = (exploded
+            .select("host", "line_no", agents.alias("_agents"),
+                    directive.alias("directive"), value.alias("value"))
+            .where(F.col("directive").isin("allow", "disallow", "sitemap",
+                                           "crawl-delay")))
+    return kept.select(
+        "host", "line_no", F.explode("_agents").alias("agent"),
+        "directive", "value")
 
 
 def robots_effective_rules(df: DataFrame, agent: str = "fetchbot",

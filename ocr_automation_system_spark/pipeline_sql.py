@@ -1512,13 +1512,16 @@ WHERE a.url < b.url AND a.lang <> b.lang
 
 
 # robots.txt parsing (functions/structured.robots_parse): line split,
-# directive regex, per-line agent attribution via the most recent
-# User-agent position (list_max over filtered positions — row-local,
-# no state machine). Shared CTE block for the three robots queries.
+# directive regex, per-line agent-BLOCK attribution (RFC 9309 stacked
+# User-agent groups: the block for a rule = UA positions up to the
+# last UA before it with no rule line in between — row-local list
+# expressions, no state machine; one row per (rule, stacked agent)).
+# Shared CTE block for the three robots queries.
 _ROBOTS_LINE_RE = (r"(?i)^[ \t]*"
                    r"(user-agent|allow|disallow|sitemap|crawl-delay)"
                    r"[ \t]*:[ \t]*(.*?)[ \t\r]*$")
 _ROBOTS_UA_RE = r"(?i)^[ \t]*user-agent[ \t]*:"
+_ROBOTS_RULE_RE = r"(?i)^[ \t]*(allow|disallow|crawl-delay)[ \t]*:"
 
 _SQL_ROBOTS_PARSE_BASE = f"""
 rb AS (SELECT url, CASE WHEN url LIKE '%/robots.txt'
@@ -1531,6 +1534,9 @@ rl AS (SELECT host, ls,
               list_filter(range(0, len(ls)),
                           i -> regexp_matches(ls[i + 1],
                                               '{_ROBOTS_UA_RE}')) AS ua,
+              list_filter(range(0, len(ls)),
+                          i -> regexp_matches(ls[i + 1],
+                                              '{_ROBOTS_RULE_RE}')) AS rps,
               unnest(range(0, len(ls))) AS ln
        FROM rs),
 rp0 AS (SELECT host, CAST(ln AS INTEGER) AS line_no,
@@ -1538,18 +1544,25 @@ rp0 AS (SELECT host, CAST(ln AS INTEGER) AS line_no,
                                     '{_ROBOTS_LINE_RE}', 1)) AS directive,
                regexp_extract(ls[ln + 1], '{_ROBOTS_LINE_RE}', 2) AS value,
                CASE WHEN len(list_filter(ua, p -> p < ln)) > 0
-                    THEN lower(regexp_extract(
-                        ls[list_max(list_filter(ua, p -> p < ln)) + 1],
-                        '{_ROBOTS_LINE_RE}', 2))
-                    ELSE '' END AS grp_agent
+                    THEN list_transform(
+                        list_filter(ua, p ->
+                            p <= list_max(list_filter(ua, q -> q < ln))
+                            AND len(list_filter(rps, r ->
+                                r > p AND r < list_max(
+                                    list_filter(ua, q -> q < ln)))) = 0),
+                        p -> lower(regexp_extract(
+                            ls[p + 1], '{_ROBOTS_LINE_RE}', 2)))
+                    ELSE [''] END AS grp_agents
         FROM rl),
-rp AS (SELECT host, line_no,
-              CASE WHEN directive = 'sitemap' THEN ''
-                   ELSE grp_agent END AS agent,
-              directive, value
-       FROM rp0
-       WHERE directive IN ('allow', 'disallow', 'sitemap',
-                           'crawl-delay'))"""
+rp1 AS (SELECT host, line_no,
+               CASE WHEN directive = 'sitemap' THEN ['']
+                    ELSE grp_agents END AS agents,
+               directive, value
+        FROM rp0
+        WHERE directive IN ('allow', 'disallow', 'sitemap',
+                            'crawl-delay')),
+rp AS (SELECT host, line_no, unnest(agents) AS agent, directive, value
+       FROM rp1)"""
 
 
 def _sql_robots_effective(agent: str) -> str:
@@ -1581,6 +1594,22 @@ SELECT host, prefix, allow FROM eff
 """
 
 
+def _sql_robots_match(path: str, prefix: str) -> str:
+    """RFC 9309 rule-match residual (links.robots_rule_pattern twin):
+    plain rules keep starts_with; rules carrying ``*`` or a trailing
+    ``$`` translate to an anchored RE2 pattern (escape literals,
+    ``*`` -> ``.*``, trailing ``$`` -> end anchor)."""
+    body = (f"CASE WHEN {prefix} LIKE '%$' "
+            f"THEN substr({prefix}, 1, length({prefix}) - 1) "
+            f"ELSE {prefix} END")
+    pat = (f"'^' || replace(regexp_replace({body}, "
+            "'([\\\\.\\[\\]{}()+?^|$])', '\\\\\\1', 'g'), '*', '.*') "
+           f"|| CASE WHEN {prefix} LIKE '%$' THEN '$' ELSE '' END")
+    return (f"CASE WHEN {prefix} LIKE '%*%' OR {prefix} LIKE '%$' "
+            f"THEN regexp_matches({path}, {pat}) "
+            f"ELSE starts_with({path}, {prefix}) END")
+
+
 SQL_ROBOTS_CORPUS_VERDICTS = f"""
 WITH {_SQL_ROBOTS_PARSE_BASE},
 {_sql_robots_effective('fetchbot')},
@@ -1592,7 +1621,7 @@ mm AS (SELECT u.url,
         lpad(CAST(length(r.prefix) * 2 + CAST(r.allow AS INT)
                   AS VARCHAR), 6, '0') || '|' || r.prefix AS k
       FROM u LEFT JOIN eff r
-        ON u.h = r.host AND starts_with(u.p, r.prefix))
+        ON u.h = r.host AND {_sql_robots_match('u.p', 'r.prefix')})
 SELECT url,
   coalesce(CAST(substr(max(k), 1, 6) AS INT) % 2 = 1, TRUE) AS allow,
   CASE WHEN max(k) IS NULL THEN '' ELSE substr(max(k), 8) END
@@ -1705,7 +1734,7 @@ m AS (SELECT u.url,
         lpad(CAST(length(r.prefix) * 2 + CAST(r.allow AS INT)
                   AS VARCHAR), 6, '0') || '|' || r.prefix AS k
       FROM u LEFT JOIN rules r
-        ON u.h = r.host AND starts_with(u.p, r.prefix))
+        ON u.h = r.host AND {_sql_robots_match('u.p', 'r.prefix')})
 SELECT url,
   coalesce(CAST(substr(max(k), 1, 6) AS INT) % 2 = 1, TRUE) AS allow,
   CASE WHEN max(k) IS NULL THEN '' ELSE substr(max(k), 8) END

@@ -678,6 +678,42 @@ def test_robots_verdicts_rfc9309_semantics(spark):
     assert got["https://b.com/anything"] == (True, "")
 
 
+def test_robots_verdicts_rfc9309_wildcards(spark):
+    """RFC 9309 special characters: ``*`` matches any char sequence,
+    a TRAILING ``$`` anchors at the path end; regex metacharacters in
+    rule text stay literal; specificity counts the rule text length
+    (wildcards as written), so a longer wildcard Allow beats a shorter
+    wildcard Disallow."""
+    from ocr_automation_system_spark.functions.links import (
+        robots_verdicts,
+    )
+
+    urls = spark.createDataFrame(
+        [("https://a.com/pan/0000027",),   # *7$ disallow fires
+         ("https://a.com/pan/0000017",),   # longer *17$ allow wins
+         ("https://a.com/pan/0000170",),   # $ anchor: no match -> allow
+         ("https://a.com/a.b/z",),         # literal dot matches
+         ("https://a.com/aXb/z",),         # dot NOT treated as regex
+         ("https://a.com/mid/x/end",),     # mid-path * spans segments
+         ("https://a.com/mid/end",)],      # * matches empty too? no: /x/
+        "url string")
+    rules = spark.createDataFrame(
+        [("a.com", "/pan/*7$", False),
+         ("a.com", "/pan/*17$", True),
+         ("a.com", "/a.b/", False),
+         ("a.com", "/mid/*/end", False)],
+        "host string, prefix string, allow boolean")
+    got = {r["url"]: (r["allow"], r["matched_prefix"])
+           for r in robots_verdicts(urls, rules).collect()}
+    assert got["https://a.com/pan/0000027"] == (False, "/pan/*7$")
+    assert got["https://a.com/pan/0000017"] == (True, "/pan/*17$")
+    assert got["https://a.com/pan/0000170"] == (True, "")
+    assert got["https://a.com/a.b/z"] == (False, "/a.b/")
+    assert got["https://a.com/aXb/z"] == (True, "")
+    assert got["https://a.com/mid/x/end"] == (False, "/mid/*/end")
+    assert got["https://a.com/mid/end"] == (True, "")
+
+
 def test_soft404_flags_planted(spark):
     """Planted error/parked/normal/non-html payloads get the right
     verdicts; error outranks parked when both phrasings appear."""

@@ -401,6 +401,43 @@ def test_robots_parse_groups_and_attribution(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_robots_parse_stacked_multi_agent_groups(spark):
+    """RFC 9309 stacked User-agent groups: a run of consecutive
+    User-agent lines (comments/blanks allowed between) opens ONE group
+    and every rule attributes to ALL stacked agents; a rule line closes
+    the stack, so a later lone User-agent starts a fresh group; Sitemap
+    lines neither join nor split a stack."""
+    robots = (b"User-agent: newsbot\n"
+              b"# stacked pair\n"
+              b"User-agent: fetchbot\n"
+              b"Disallow: /gst/\n"
+              b"Allow: /gst/open\n"
+              b"\n"
+              b"User-agent: imagebot\n"
+              b"Disallow: /img/\n"
+              b"Sitemap: https://r.com/sitemap.xml\n"
+              b"Disallow: /img2/\n")
+    out = ST.robots_parse(
+        _docs(spark, [("https://r.com/robots.txt", robots)])).collect()
+    got = {(r["agent"], r["directive"], r["value"]) for r in out}
+    assert got == {
+        ("newsbot", "disallow", "/gst/"),
+        ("fetchbot", "disallow", "/gst/"),
+        ("newsbot", "allow", "/gst/open"),
+        ("fetchbot", "allow", "/gst/open"),
+        ("imagebot", "disallow", "/img/"),
+        ("", "sitemap", "https://r.com/sitemap.xml"),
+        # the sitemap line does not close imagebot's group
+        ("imagebot", "disallow", "/img2/"),
+    }
+    # fetchbot's effective rules union its stacked-group rules
+    eff = {(r["prefix"], r["allow"])
+           for r in ST.robots_effective_rules(
+               _docs(spark, [("https://r.com/robots.txt", robots)]),
+               agent="fetchbot").collect()}
+    assert eff == {("/gst/", False), ("/gst/open", True)}
+
+
 def test_robots_effective_rules_group_selection(spark):
     """fetchbot's own group wins where defined; wildcard elsewhere."""
     rows = [("https://r.com/robots.txt", ROBOTS),
