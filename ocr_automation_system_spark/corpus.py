@@ -31,7 +31,7 @@ DEFAULT_SEED = 42
 #: bump whenever generation logic changes — cache filenames embed it so a
 #: stale /tmp corpus from an older generator can never shadow the current
 #: semantics (the corpus is the shared byte-identity surface).
-CORPUS_VERSION = 8
+CORPUS_VERSION = 9
 
 
 def source_fingerprint(*module_files: str) -> str:
@@ -282,6 +282,21 @@ def filing_table(rng: random.Random) -> str:
             + "".join(trs) + "</table></div>\n")
 
 
+def remarks_table(rng: random.Random) -> str:
+    """A 2-column review-remarks <table> (v9, ~5% of pages) whose
+    'tags' value carries a LITERAL '|' — the cell shape
+    ``table_markdown`` must escape to keep the rendered row's column
+    count. Headers (Key/Value) are disjoint from the filing table's, so
+    the typed ``filing_records`` pivot never sees these rows."""
+    sev = rng.choice(("minor", "major", "critical"))
+    tags = f"{rng.choice(_FILING_STATUSES)}|{sev}"
+    return ('<div class="remarks"><table>'
+            "<tr><th>Key</th><th>Value</th></tr>"
+            f"<tr><td>tags</td><td>{tags}</td></tr>"
+            f"<tr><td>run</td><td>{rng.randrange(1000)}</td></tr>"
+            "</table></div>\n")
+
+
 def hreflang_links(canonical: str) -> str:
     """Deterministic hreflang alternate set keyed on the canonical URL
     (NOT on the per-page rng): every page of one entity that carries
@@ -339,6 +354,10 @@ def wrap_html(rng: random.Random, title: str, body_lines: list,
     # filing-history <table> on ~20% of pages (v7): structured markup
     # for the table extractor, outside the main-content article.
     table_block = filing_table(rng) if rng.random() < 0.20 else ""
+    # review-remarks <table> on ~5% (v9): carries a literal '|' cell
+    # for the markdown-escape contract.
+    if rng.random() < 0.05:
+        table_block += remarks_table(rng)
     return (
         "<html><head><title>" + title + "</title>" + head_extra
         + "<script>var t=1;</script><style>body{margin:0}</style></head>\n"
@@ -529,33 +548,64 @@ def generate_rows(n_rows: int, seed: int = DEFAULT_SEED,
         by_host.setdefault(h, []).append(r["url"])
     site_rows = []
     budget = n_rows // 20
+
+    def _urlset(entries: str) -> bytes:
+        return ('<?xml version="1.0" encoding="UTF-8"?>'
+                '<urlset xmlns='
+                '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                + entries + "</urlset>").encode("utf-8")
+
+    def _site_row(url: str, payload: bytes) -> dict:
+        return {"url": url,
+                "warc_ts": base_ts + _dt.timedelta(
+                    seconds=rng.randrange(365 * 24 * 3600)),
+                "html": payload, "text": "", "lang": "en"}
+
     for host in hosts:  # fixed zipf order => deterministic append order
         if len(site_rows) >= budget:
             break
         urls = by_host.get(host)
         if not urls:
             continue
-        if int(hashlib.md5(host.encode("utf-8")).hexdigest()[:4], 16) % 2:
+        hh = hashlib.md5(host.encode("utf-8")).hexdigest()
+        if int(hh[:4], 16) % 2:
             continue
         listed = [u for u in urls if rng.random() < 0.7]
         phantoms = [f"https://{host}/archive/{rng.randrange(10**6):06d}"
                     for _ in range(rng.randrange(2, 6))]
-        entries = "".join(
+        locs = listed + phantoms
+        entries = [
             f"<url><loc>{u}</loc><lastmod>2025-{rng.randrange(1, 13):02d}-"
             f"{rng.randrange(1, 29):02d}</lastmod></url>"
-            for u in listed + phantoms)
-        payload = ('<?xml version="1.0" encoding="UTF-8"?>'
-                   '<urlset xmlns='
-                   '"http://www.sitemaps.org/schemas/sitemap/0.9">'
-                   + entries + "</urlset>").encode("utf-8")
-        site_rows.append({
-            "url": f"https://{host}/sitemap.xml",
-            "warc_ts": base_ts + _dt.timedelta(
-                seconds=rng.randrange(365 * 24 * 3600)),
-            "html": payload,
-            "text": "",
-            "lang": "en",
-        })
+            for u in locs]
+        if int(hh[8], 16) % 3 == 0 and len(locs) >= 2:
+            # sitemap INDEX host (v9): /sitemap.xml is a
+            # sitemap-of-sitemaps listing two captured children that
+            # split the urlset alternately — plus, on ~half of these
+            # hosts, a third child the crawler never fetched (the
+            # index-level gap sitemap_index_entries reports captured
+            # = false for).
+            kids = [f"https://{host}/sitemap-0.xml",
+                    f"https://{host}/sitemap-1.xml"]
+            idx_entries = "".join(
+                f"<sitemap><loc>{k}</loc></sitemap>" for k in kids)
+            if int(hh[9], 16) % 2:
+                idx_entries += (f"<sitemap><loc>https://{host}"
+                                "/sitemap-2.xml</loc></sitemap>")
+            idx_payload = ('<?xml version="1.0" encoding="UTF-8"?>'
+                           '<sitemapindex xmlns='
+                           '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                           + idx_entries + "</sitemapindex>"
+                           ).encode("utf-8")
+            site_rows.append(_site_row(f"https://{host}/sitemap.xml",
+                                       idx_payload))
+            site_rows.append(_site_row(kids[0], _urlset(
+                "".join(entries[0::2]))))
+            site_rows.append(_site_row(kids[1], _urlset(
+                "".join(entries[1::2]))))
+        else:
+            site_rows.append(_site_row(f"https://{host}/sitemap.xml",
+                                       _urlset("".join(entries))))
     # robots.txt captures (v8): one per md5(host)%3==0 host (a gate
     # DISJOINT in pattern from the sitemap's %2, so hosts carry
     # either/both/neither), written in the real wire shape: comments,
@@ -582,9 +632,37 @@ def generate_rows(n_rows: int, seed: int = DEFAULT_SEED,
             lines.append(f"Disallow: /{kind}/")
             if int(hh[7 + j], 16) % 2:
                 lines.append(f"Allow: /{kind}/0000")
+        # RFC 9309 wildcard rules (v9) on ~half the robots hosts: an
+        # end-anchored Disallow over the host's own 8-digit ids plus,
+        # on a sub-gate, a LONGER end-anchored Allow carve-back — the
+        # *-and-$ matching surface the wildcard matcher must honor.
+        has_wild = int(hh[11], 16) % 2 == 0
+        kind_w = kinds[int(hh[12], 16) % len(kinds)]
+        if has_wild:
+            d = int(hh[13], 16) % 10
+            lines.append(f"Disallow: /{kind_w}/*{d}$")
+            if int(hh[14], 16) % 2:
+                d2 = int(hh[15], 16) % 10
+                lines.append(f"Allow: /{kind_w}/*{d2}{d}$")
         lines.append(f"Crawl-delay: {1 + int(hh[9], 16) % 9}")
         if int(hh[10], 16) % 2:
-            lines.extend(["", "User-agent: fetchbot", "Disallow: /"])
+            grp = ["", "User-agent: fetchbot", "Disallow: /"]
+            # on wildcard hosts the fetchbot group carves one kind
+            # back with a '*' Allow, so wildcard matching is exercised
+            # in fetchbot-EFFECTIVE rules on high-traffic hosts too
+            # (the *-group's $ rules are only selected where no
+            # fetchbot group exists).
+            if has_wild:
+                grp.append(f"Allow: /{kind_w}/*")
+            lines.extend(grp)
+        # stacked multi-agent group (v9) on a disjoint sub-gate: one
+        # group opened by TWO consecutive User-agent lines whose rules
+        # bind to both agents (fetchbot included).
+        if int(hh[16], 16) % 2:
+            kind_s = kinds[int(hh[17], 16) % len(kinds)]
+            lines.extend(["", "User-agent: newsbot",
+                          "User-agent: fetchbot",
+                          f"Disallow: /{kind_s}/stacked"])
         if int(hh[:4], 16) % 2 == 0:  # the sitemap gate (v7)
             lines.extend(["", f"Sitemap: https://{host}/sitemap.xml"])
         robots_rows.append({

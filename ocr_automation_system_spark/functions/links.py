@@ -531,6 +531,40 @@ def meta_refresh_targets(df: DataFrame, url_col: str = "url",
         (target != "").alias("is_redirect"))
 
 
+def redirect_resolved(df: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """(url, target, target_captured, target_is_redirect) — one row per
+    meta-refresh redirect stub, resolved one hop against the corpus:
+    was the redirect TARGET itself fetched, and is it another stub
+    (a chain needing a further hop)? The 3xx-equivalent bookkeeping a
+    curation run needs to drop stubs while crediting targets — an
+    uncaptured target is frontier work, a stub target is a chain (real
+    crawls cap chains at ~5 hops; the corpus plants one-hop chains, so
+    one resolve round closes them — re-apply on its own output for
+    deeper archives).
+
+    Scale shape: stubs are a tiny slice (~1% of captures), so the
+    corpus-side probe is ONE broadcast semi-join (stub target set
+    broadcast against the scan — no corpus shuffle), and the resolve is
+    a broadcast join of two stub-sized frames."""
+    prof = meta_refresh_targets(df, url_col, html_col)
+    stubs = (prof.where(F.col("is_redirect"))
+             .select("url", F.col("refresh_target").alias("target")))
+    # corpus probe: only rows whose url is some stub's target survive
+    # (broadcast semi) — then their own redirect flag is recomputed on
+    # that tiny slice only.
+    targets = stubs.select(F.col("target").alias(url_col)).distinct()
+    hit = df.join(F.broadcast(targets), url_col, "left_semi")
+    tprof = (meta_refresh_targets(hit, url_col, html_col)
+             .select(F.col("url").alias("target"),
+                     F.col("is_redirect").alias("_t_redir")))
+    return (stubs.join(F.broadcast(tprof), "target", "left")
+            .select("url", "target",
+                    F.col("_t_redir").isNotNull().alias("target_captured"),
+                    F.coalesce(F.col("_t_redir"), F.lit(False))
+                    .alias("target_is_redirect")))
+
+
 def charset_census(df: DataFrame, url_col: str = "url",
                    html_col: str = "html") -> DataFrame:
     """Corpus charset-declaration census: (charset, n_pages, n_hosts)

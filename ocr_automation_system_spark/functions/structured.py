@@ -64,8 +64,13 @@ HREFLANG_ATTR_RE = r'(?is)hreflang="([^"]*)"'
 HREF_ATTR_RE = r'(?is)href="([^"]*)"'
 #: one <url>...</url> entry of a sitemap urlset (group 1).
 SITEMAP_ENTRY_RE = r"(?is)<url>(.*?)</url>"
+#: one <sitemap>...</sitemap> entry of a sitemap INDEX file (group 1).
+SITEMAP_INDEX_ENTRY_RE = r"(?is)<sitemap>(.*?)</sitemap>"
 LOC_RE = r"(?is)<loc>(.*?)</loc>"
 LASTMOD_RE = r"(?is)<lastmod>(.*?)</lastmod>"
+#: any sitemap-file capture url: the root /sitemap.xml OR an index
+#: child like /sitemap-0.xml (never a page url).
+SITEMAP_URL_RE = r"/sitemap[^/]*\.xml$"
 
 #: host from a crawl url.
 HOST_RE = r"https?://([^/]+)"
@@ -207,16 +212,20 @@ def table_markdown(df: DataFrame, url_col: str = "url",
     First row is the header by position (matching ``table_records``).
     ONE uniform-key aggregation (url, table_idx): rows fold into a
     row_idx-sorted struct list, the line render is a per-row array
-    transform. Cells are taken verbatim (the corpus contract keeps them
-    pipe-free; an exporter for arbitrary html would escape '|' here)."""
+    transform. A literal ``|`` inside a cell escapes to ``\\|`` so the
+    rendered row keeps its column count for any markdown reader."""
     t = html_tables(df, url_col, html_col)
     rowlist = F.array_sort(F.collect_list(F.struct("row_idx", "cells")))
     per_table = t.groupBy("url", "table_idx").agg(
         rowlist.alias("_rows"))
     lines = F.transform(
         F.col("_rows"),
-        lambda r: F.concat(F.lit("| "), F.concat_ws(" | ", r["cells"]),
-                           F.lit(" |")))
+        lambda r: F.concat(
+            F.lit("| "),
+            F.concat_ws(" | ", F.transform(
+                r["cells"],
+                lambda c: F.replace(c, F.lit("|"), F.lit("\\|")))),
+            F.lit(" |")))
     n_hdr = F.size(F.element_at(F.col("_rows"), 1)["cells"])
     sep = F.concat(F.lit("|"), F.expr("repeat(' --- |', _n_hdr)"))
     with_lines = per_table.select(
@@ -346,21 +355,32 @@ def hreflang_bitext_pairs(df: DataFrame, url_col: str = "url",
                    & (F.col("lang_a") != F.col("lang_b"))))
 
 
+def _sitemap_xml(url_col: str, html_col: str) -> Column:
+    """Gated decode of any sitemap-file capture (root or index child).
+
+    Gated on BOTH the url shape and byte validity: a poison capture
+    parked at a sitemap url must degrade to no rows, never throw
+    (Spark 4's UTF-8 decode raises on malformed bytes). The corpus
+    never emits invalid bytes, so the twin (plain decode) stays
+    hash-identical; the guard is pinned by a Spark-side poison
+    fixture."""
+    is_map = F.col(url_col).rlike(SITEMAP_URL_RE)
+    return F.when(is_map & F.is_valid_utf8(F.col(html_col)),
+                  F.decode(F.col(html_col), "UTF-8")).otherwise(F.lit(""))
+
+
 def sitemap_entries(df: DataFrame, url_col: str = "url",
                     html_col: str = "html") -> DataFrame:
     """(host, loc, lastmod) — one row per ``<url>`` entry of every
-    ``/sitemap.xml`` capture. The XML decode is gated on the url shape
-    (sitemaps don't sniff as HTML); malformed entries yield '' fields
-    rather than raising. Narrow, zero shuffle."""
-    is_map = F.col(url_col).endswith("/sitemap.xml")
-    # decode is gated on BOTH the url shape and byte validity: a poison
-    # capture parked at /sitemap.xml must degrade to no rows, never
-    # throw (Spark 4's UTF-8 decode raises on malformed bytes). The
-    # corpus never emits invalid bytes, so the twin (plain decode)
-    # stays hash-identical; the guard is pinned by a Spark-side poison
-    # fixture.
-    xml = F.when(is_map & F.is_valid_utf8(F.col(html_col)),
-                 F.decode(F.col(html_col), "UTF-8")).otherwise(F.lit(""))
+    sitemap capture, including INDEX children: a ``sitemap-of-sitemaps``
+    at ``/sitemap.xml`` lists child files (``/sitemap-0.xml``, ...)
+    whose urlsets are themselves corpus captures, so the "recursion" is
+    simply parsing every url matching `SITEMAP_URL_RE` — index files
+    carry ``<sitemap>`` (not ``<url>``) entries and therefore
+    contribute no page rows themselves (`sitemap_index_entries` reads
+    those). Malformed entries yield '' fields rather than raising.
+    Narrow, zero shuffle."""
+    xml = _sitemap_xml(url_col, html_col)
     entries = df.select(
         F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("host"),
         F.explode(F.regexp_extract_all(xml, F.lit(SITEMAP_ENTRY_RE), 1))
@@ -369,6 +389,33 @@ def sitemap_entries(df: DataFrame, url_col: str = "url",
         "host",
         F.regexp_extract("_e", LOC_RE, 1).alias("loc"),
         F.regexp_extract("_e", LASTMOD_RE, 1).alias("lastmod"))
+
+
+def sitemap_index_entries(df: DataFrame, url_col: str = "url",
+                          html_col: str = "html") -> DataFrame:
+    """(host, child_loc, captured) — one row per ``<sitemap>`` entry of
+    every sitemap INDEX capture, with ``captured`` marking whether the
+    listed child sitemap file is itself a corpus capture. A false row
+    is a crawl gap at the INDEX level (a whole child sitemap — and
+    every page it lists — is invisible until that file is fetched), the
+    sitemap-tier analogue of `frontier_candidates`' page-level gap.
+
+    The capture check is one equi-join between two TINY projections
+    (index entries x sitemap-url captures — both a handful of rows per
+    publishing host), broadcast-sized at any corpus scale."""
+    xml = _sitemap_xml(url_col, html_col)
+    idx = (df.select(
+        F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("host"),
+        F.explode(F.regexp_extract_all(
+            xml, F.lit(SITEMAP_INDEX_ENTRY_RE), 1)).alias("_e"))
+        .select("host",
+                F.regexp_extract("_e", LOC_RE, 1).alias("child_loc")))
+    maps = (df.select(F.col(url_col).alias("child_loc"))
+            .where(F.col("child_loc").rlike(SITEMAP_URL_RE))
+            .withColumn("_c", F.lit(1)))
+    return (idx.join(F.broadcast(maps), "child_loc", "left")
+            .select("host", "child_loc",
+                    F.col("_c").isNotNull().alias("captured")))
 
 
 def frontier_candidates(df: DataFrame, priorities: DataFrame,
@@ -384,7 +431,7 @@ def frontier_candidates(df: DataFrame, priorities: DataFrame,
     (never-linked hosts still deserve a first fetch)."""
     listed = sitemap_entries(df, url_col, html_col).select("host", "loc")
     crawled = (df.select(F.col(url_col).alias("loc"))
-               .where(~F.col("loc").endswith("/sitemap.xml")))
+               .where(~F.col("loc").rlike(SITEMAP_URL_RE)))
     phantom = listed.join(crawled, "loc", "left_anti")
     pri = priorities.select("host", "priority")
     return (phantom.join(pri, "host", "left")
@@ -544,7 +591,7 @@ def sitemap_coverage(df: DataFrame, url_col: str = "url",
     listed = sitemap_entries(df, url_col, html_col) \
         .select("host", F.col("loc").alias("u"), F.lit(1).alias("_l"))
     crawled = (df.select(F.col(url_col).alias("u"))
-               .where(~F.col("u").endswith("/sitemap.xml"))
+               .where(~F.col("u").rlike(SITEMAP_URL_RE))
                .select(F.regexp_extract("u", HOST_RE, 1).alias("host"),
                        "u", F.lit(1).alias("_c")))
     # restrict to hosts that published a sitemap (the report's subject)
@@ -568,3 +615,69 @@ def sitemap_coverage(df: DataFrame, url_col: str = "url",
     return agg.select(
         "host", "n_listed", "n_crawled", "n_both",
         cov.alias("coverage_rate"), orphan.alias("orphan_rate"))
+
+
+def stale_captures(df: DataFrame, url_col: str = "url",
+                   html_col: str = "html",
+                   ts_col: str = "warc_ts") -> DataFrame:
+    """(host, url, lastmod, captured_at) — crawled pages whose
+    publisher-declared sitemap ``<lastmod>`` postdates the NEWEST
+    stored capture: the lastmod-driven refetch list (the other half of
+    the recrawl scheduler next to `frontier_candidates`, which covers
+    never-fetched locs; this covers fetched-but-stale ones).
+
+    One url-keyed equi-join between the sitemap-entry projection and a
+    per-url max-timestamp census of the same scan (both uniform keys),
+    then a date comparison: stale = lastmod (a DATE) strictly after the
+    capture's UTC calendar date. Unparsable/absent lastmod values drop
+    at the try_cast."""
+    listed = (sitemap_entries(df, url_col, html_col)
+              .select("host", F.col("loc").alias("url"),
+                      F.expr("try_cast(lastmod AS DATE)").alias("_lm"))
+              .where(F.col("_lm").isNotNull()))
+    newest = (df.select(F.col(url_col).alias("url"), F.col(ts_col))
+              .where(~F.col("url").rlike(SITEMAP_URL_RE))
+              .groupBy("url")
+              .agg(F.max(ts_col).alias("captured_at")))
+    # session tz is pinned UTC (session.py), so to_date(timestamp) is
+    # the naive calendar date — the same thing DuckDB's CAST(ts AS
+    # DATE) reads off the parquet microseconds.
+    return (listed.join(newest, "url")
+            .where(F.col("_lm") > F.to_date(F.col("captured_at")))
+            .select("host", "url",
+                    F.col("_lm").cast("string").alias("lastmod"),
+                    "captured_at"))
+
+
+def robots_blocked_rate(df: DataFrame, agent: str = "fetchbot",
+                        url_col: str = "url",
+                        html_col: str = "html") -> DataFrame:
+    """(host, n_urls, n_blocked, blocked_rate) — per robots-publishing
+    host, how much of the stored crawl the named agent may NOT keep
+    under the host's own parsed rules: the compliance-exposure census a
+    curation run reads before deciding whether ``--robots-from-corpus``
+    will gut a source (a high rate usually means the crawler that built
+    the archive ignored robots, or the rules changed since).
+
+    Composes the closed loop (parse -> select -> match) and adds ONE
+    map-side-combinable host census over the verdicts; the
+    robots-publishing-host restriction is a broadcast semi-join against
+    the tiny parsed-rules host set."""
+    from . import links as L
+
+    c = df.select(F.col(url_col).alias("url"), F.col(html_col)
+                  .alias("html"))
+    eff = robots_effective_rules(c, agent=agent)
+    v = L.robots_verdicts(c.select("url"), eff)
+    hosts = (robots_parse(c).select("host").distinct())
+    per_url = v.select(
+        F.regexp_extract("url", HOST_RE, 1).alias("host"),
+        (~F.col("allow")).cast("int").alias("_b"))
+    agg = (per_url.join(F.broadcast(hosts), "host", "left_semi")
+           .groupBy("host")
+           .agg(F.count(F.lit(1)).alias("n_urls"),
+                F.sum("_b").cast("long").alias("n_blocked")))
+    return agg.select(
+        "host", "n_urls", "n_blocked",
+        (F.col("n_blocked").cast("double")
+         / F.col("n_urls").cast("double")).alias("blocked_rate"))

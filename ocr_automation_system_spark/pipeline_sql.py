@@ -1216,6 +1216,25 @@ FROM p
 """
 
 
+# one-hop redirect resolve (functions/links.redirect_resolved): stub
+# target probed against the corpus; a captured target's own stub flag
+# marks chains.
+SQL_REDIRECT_RESOLVED = f"""
+WITH p AS (SELECT url, {_SQL_PAGE} AS page FROM {CORPUS}),
+prof AS (SELECT url,
+                regexp_extract(page, '{META_REFRESH_RE}', 2) AS tgt
+         FROM p),
+stubs AS (SELECT url, tgt AS target FROM prof WHERE tgt <> ''),
+tprof AS (SELECT prof.url AS target, prof.tgt <> '' AS t_redir
+          FROM prof JOIN (SELECT DISTINCT target FROM stubs) s
+            ON prof.url = s.target)
+SELECT st.url, st.target,
+       tp.target IS NOT NULL AS target_captured,
+       coalesce(tp.t_redir, FALSE) AS target_is_redirect
+FROM stubs st LEFT JOIN tprof tp ON st.target = tp.target
+"""
+
+
 # charset-declaration census (functions/links.charset_census): BOM
 # outranks the meta label; the BOM test matches DuckDB's escaped
 # \\xHH rendering of the BLOB cast, exactly like _SQL_HTML_SNIFF.
@@ -1375,8 +1394,10 @@ tr AS (SELECT url, tpos,
        FROM ti),
 ri AS (SELECT url, tpos, rs, unnest(range(1, len(rs) + 1)) AS rpos FROM tr),
 ln AS (SELECT url, tpos, rpos,
-              '| ' || array_to_string({_sql_clean_cells('rs[rpos]')},
-                                      ' | ') || ' |' AS line,
+              '| ' || array_to_string(
+                  list_transform({_sql_clean_cells('rs[rpos]')},
+                                 c -> replace(c, '|', '\\|')),
+                  ' | ') || ' |' AS line,
               len(regexp_extract_all(rs[rpos], '{_CELL_RE}', 1)) AS nc
        FROM ri),
 g AS (SELECT url, CAST(tpos - 1 AS INTEGER) AS table_idx,
@@ -1419,7 +1440,7 @@ listed AS (SELECT host,
                   regexp_extract(en, '(?is)<loc>(.*?)</loc>', 1) AS loc
            FROM se),
 crawled AS (SELECT url AS loc FROM {corpus}
-            WHERE url NOT LIKE '%/sitemap.xml'),
+            WHERE NOT regexp_matches(url, '/sitemap[^/]*\\.xml$')),
 phantom AS (SELECT l.host, l.loc FROM listed l
             LEFT JOIN crawled c ON l.loc = c.loc
             WHERE c.loc IS NULL),
@@ -1651,8 +1672,12 @@ FROM hs LEFT JOIN dec ON hs.host = dec.host
 """
 
 
+#: any sitemap-file capture url (root /sitemap.xml or an index child
+#: like /sitemap-0.xml) — structured.SITEMAP_URL_RE twin.
+_SITEMAP_URL_RE = r"/sitemap[^/]*\.xml$"
+
 _SQL_SITEMAP_ENTRIES_BASE = f"""
-m AS (SELECT url, CASE WHEN url LIKE '%/sitemap.xml'
+m AS (SELECT url, CASE WHEN regexp_matches(url, '{_SITEMAP_URL_RE}')
                        THEN decode(html) ELSE '' END AS xml
       FROM {CORPUS}),
 se AS (SELECT {_HOST} AS host,
@@ -1670,13 +1695,33 @@ FROM se
 """
 
 
+SQL_SITEMAP_INDEX_ENTRIES = f"""
+WITH m AS (SELECT url,
+                  CASE WHEN regexp_matches(url, '{_SITEMAP_URL_RE}')
+                       THEN decode(html) ELSE '' END AS xml
+           FROM {CORPUS}),
+ie AS (SELECT {_HOST} AS host,
+              unnest(regexp_extract_all(
+                  xml, '(?is)<sitemap>(.*?)</sitemap>', 1)) AS en
+       FROM m),
+idx AS (SELECT host,
+               regexp_extract(en, '(?is)<loc>(.*?)</loc>', 1) AS child_loc
+        FROM ie),
+maps AS (SELECT DISTINCT url AS child_loc FROM {CORPUS}
+         WHERE regexp_matches(url, '{_SITEMAP_URL_RE}'))
+SELECT idx.host, idx.child_loc,
+       maps.child_loc IS NOT NULL AS captured
+FROM idx LEFT JOIN maps ON idx.child_loc = maps.child_loc
+"""
+
+
 SQL_SITEMAP_COVERAGE = f"""
 WITH {_SQL_SITEMAP_ENTRIES_BASE},
 listed AS (SELECT host,
                   regexp_extract(en, '(?is)<loc>(.*?)</loc>', 1) AS u
            FROM se),
 crawled AS (SELECT {_HOST} AS host, url AS u FROM {CORPUS}
-            WHERE url NOT LIKE '%/sitemap.xml'),
+            WHERE NOT regexp_matches(url, '{_SITEMAP_URL_RE}')),
 j AS (SELECT coalesce(l.host, c.host) AS host, l.u AS lu, c.u AS cu
       FROM listed l FULL OUTER JOIN crawled c
         ON l.host = c.host AND l.u = c.u),
@@ -1740,6 +1785,56 @@ SELECT url,
   CASE WHEN max(k) IS NULL THEN '' ELSE substr(max(k), 8) END
     AS matched_prefix
 FROM m GROUP BY url
+"""
+
+
+# lastmod-driven refetch list (functions/structured.stale_captures):
+# sitemap <lastmod> strictly after the newest capture's calendar date.
+SQL_STALE_CAPTURES = f"""
+WITH {_SQL_SITEMAP_ENTRIES_BASE},
+listed AS (SELECT host,
+                  regexp_extract(en, '(?is)<loc>(.*?)</loc>', 1) AS url,
+                  TRY_CAST(regexp_extract(
+                      en, '(?is)<lastmod>(.*?)</lastmod>', 1)
+                      AS DATE) AS lm
+           FROM se),
+newest AS (SELECT url, max(warc_ts) AS captured_at FROM {CORPUS}
+           WHERE NOT regexp_matches(url, '{_SITEMAP_URL_RE}')
+           GROUP BY url)
+SELECT l.host, l.url, CAST(l.lm AS VARCHAR) AS lastmod, n.captured_at
+FROM listed l JOIN newest n ON l.url = n.url
+WHERE l.lm IS NOT NULL AND l.lm > CAST(n.captured_at AS DATE)
+"""
+
+
+# per-host compliance exposure (functions/structured.robots_blocked_rate)
+# — the corpus-verdicts loop plus one host census, restricted to
+# robots-publishing hosts.
+SQL_ROBOTS_BLOCKED_RATE = f"""
+WITH {_SQL_ROBOTS_PARSE_BASE},
+{_sql_robots_effective('fetchbot')},
+u AS (SELECT url,
+        regexp_extract(url, 'https?://([^/]+)', 1) AS h,
+        regexp_extract(url, 'https?://[^/]+(/.*)', 1) AS p
+      FROM {CORPUS}),
+mm AS (SELECT u.url, u.h,
+        lpad(CAST(length(r.prefix) * 2 + CAST(r.allow AS INT)
+                  AS VARCHAR), 6, '0') || '|' || r.prefix AS k
+      FROM u LEFT JOIN eff r
+        ON u.h = r.host AND {_sql_robots_match('u.p', 'r.prefix')}),
+v AS (SELECT url, h,
+             coalesce(CAST(substr(max(k), 1, 6) AS INT) % 2 = 1, TRUE)
+               AS allow
+      FROM mm GROUP BY url, h),
+hs AS (SELECT DISTINCT host FROM rp)
+SELECT v.h AS host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN v.allow THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_blocked,
+       CAST(sum(CASE WHEN v.allow THEN 0 ELSE 1 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS blocked_rate
+FROM v JOIN hs ON v.h = hs.host
+GROUP BY v.h
 """
 
 

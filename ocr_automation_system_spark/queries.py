@@ -5227,6 +5227,18 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                               .select("url", "html"))
 
 
+def q_sitemap_index_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, child_loc, captured) per <sitemap> entry of every sitemap
+    INDEX capture (sitemap-of-sitemaps): captured=false marks a child
+    sitemap file the crawler never fetched — the index-level crawl gap.
+    Tiny-projection equi-join, broadcast at any scale
+    (functions/structured.sitemap_index_entries)."""
+    from .functions import structured as ST
+
+    return ST.sitemap_index_entries(corpus_for(spark, sf_dir)
+                                    .select("url", "html"))
+
+
 def q_table_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each parsed <table> rendered as a GitHub-markdown block (header,
     --- separator, data rows) — the text form training exporters inline
@@ -5420,6 +5432,39 @@ def q_meta_refresh_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return L.meta_refresh_targets(corpus_for(spark, sf_dir)
                                   .select("url", "html"))
+
+
+def q_redirect_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-refresh stubs resolved one hop against the corpus: target
+    captured? target itself another stub (chain)? Stub target set is a
+    broadcast semi-probe of the scan — no corpus shuffle
+    (functions/links.redirect_resolved)."""
+    from .functions import links as L
+
+    return L.redirect_resolved(corpus_for(spark, sf_dir)
+                               .select("url", "html"))
+
+
+def q_stale_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-lastmod-driven refetch list: crawled pages whose
+    publisher-declared <lastmod> postdates the newest stored capture —
+    the fetched-but-stale half of the recrawl scheduler (frontier
+    covers never-fetched). One url-keyed join + date compare
+    (functions/structured.stale_captures)."""
+    from .functions import structured as ST
+
+    return ST.stale_captures(corpus_for(spark, sf_dir)
+                             .select("url", "html", "warc_ts"))
+
+
+def q_robots_blocked_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per robots-publishing host: the fraction of stored captures the
+    fetchbot agent may NOT keep under the host's own parsed rules —
+    the compliance-exposure census read before --robots-from-corpus
+    (functions/structured.robots_blocked_rate)."""
+    from .functions import structured as ST
+
+    return ST.robots_blocked_rate(corpus_for(spark, sf_dir))
 
 
 def q_charset_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7219,6 +7264,8 @@ REGISTRY: dict = {
     "charset_census": (q_charset_census, PSQL.SQL_CHARSET_CENSUS),
     "meta_refresh_targets": (q_meta_refresh_targets,
                              PSQL.SQL_META_REFRESH),
+    "redirect_resolved": (q_redirect_resolved,
+                          PSQL.SQL_REDIRECT_RESOLVED),
     # structured markup: <table> extraction, hreflang sets, sitemaps
     "html_tables": (q_html_tables, PSQL.SQL_HTML_TABLES),
     "table_records": (q_table_records, PSQL.SQL_TABLE_RECORDS),
@@ -7227,7 +7274,10 @@ REGISTRY: dict = {
     "hreflang_clusters": (q_hreflang_clusters,
                           PSQL.SQL_HREFLANG_CLUSTERS),
     "sitemap_entries": (q_sitemap_entries, PSQL.SQL_SITEMAP_ENTRIES),
+    "sitemap_index_entries": (q_sitemap_index_entries,
+                              PSQL.SQL_SITEMAP_INDEX_ENTRIES),
     "sitemap_coverage": (q_sitemap_coverage, PSQL.SQL_SITEMAP_COVERAGE),
+    "stale_captures": (q_stale_captures, PSQL.SQL_STALE_CAPTURES),
     "table_markdown": (q_table_markdown, PSQL.SQL_TABLE_MARKDOWN),
     "frontier_candidates": (q_frontier_candidates,
                             PSQL.SQL_FRONTIER_CANDIDATES),
@@ -7243,6 +7293,8 @@ REGISTRY: dict = {
                                PSQL.SQL_ROBOTS_CORPUS_VERDICTS),
     "robots_crawl_delays": (q_robots_crawl_delays,
                             PSQL.SQL_ROBOTS_CRAWL_DELAYS),
+    "robots_blocked_rate": (q_robots_blocked_rate,
+                            PSQL.SQL_ROBOTS_BLOCKED_RATE),
     # link graph: anchors from raw html, host graph, iterative PageRank
     "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
@@ -7284,7 +7336,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "page_metadata", "page_directives", "canonical_dup_groups",
     "robots_verdicts", "extractor_shadow_audit",
     "soft404_flags", "host_error_rate", "charset_census",
-    "meta_refresh_targets",
+    "meta_refresh_targets", "redirect_resolved", "stale_captures",
     "link_edges",
     "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",
     "host_triangles", "host_cocitation", "host_reciprocity",
@@ -7294,11 +7346,13 @@ CORPUS_QUERIES: frozenset = frozenset(
     "host_components",
     "url_features",
     "html_tables", "table_records", "table_census", "filing_records",
-    "hreflang_clusters", "sitemap_entries", "sitemap_coverage",
+    "hreflang_clusters", "sitemap_entries", "sitemap_index_entries",
+    "sitemap_coverage",
     "table_markdown", "frontier_candidates",
     "table_column_profile", "hreflang_bitext_pairs",
     "robots_parse_lines", "robots_effective_rules",
     "robots_corpus_verdicts", "robots_crawl_delays",
+    "robots_blocked_rate",
 })
 
 

@@ -714,6 +714,36 @@ def test_robots_verdicts_rfc9309_wildcards(spark):
     assert got["https://a.com/mid/end"] == (True, "")
 
 
+def test_redirect_resolved_one_hop(spark):
+    """Stubs resolve against the corpus: captured non-stub target,
+    captured stub target (chain), uncaptured target; non-stub pages
+    emit no row."""
+    from ocr_automation_system_spark.functions.links import (
+        redirect_resolved,
+    )
+
+    stub = (lambda tgt: (
+        '<html><head><meta http-equiv="refresh" '
+        f'content="0;url={tgt}"></head><body>moving</body>'
+        '</html>').encode())
+    rows = [("https://r.com/s1", stub("https://r.com/final")),
+            ("https://r.com/s2", stub("https://r.com/s1")),   # chain
+            ("https://r.com/s3", stub("https://r.com/gone")),  # no capture
+            ("https://r.com/final", b"<html><body>content</body></html>")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: (r["target"], r["target_captured"],
+                      r["target_is_redirect"])
+           for r in redirect_resolved(df).collect()}
+    assert out == {
+        "https://r.com/s1": ("https://r.com/final", True, False),
+        "https://r.com/s2": ("https://r.com/s1", True, True),
+        "https://r.com/s3": ("https://r.com/gone", False, False),
+    }
+    # re-applying on the chain's resolved target closes it: s2 -> s1
+    # is a stub, and s1's own row says where it goes next
+    assert out["https://r.com/s2"][2] and not out["https://r.com/s1"][2]
+
+
 def test_soft404_flags_planted(spark):
     """Planted error/parked/normal/non-html payloads get the right
     verdicts; error outranks parked when both phrasings appear."""

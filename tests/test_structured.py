@@ -150,6 +150,55 @@ def test_sitemap_coverage_reconciles(spark):
     assert c["orphan_rate"] == pytest.approx(1 / 3)
 
 
+SITEMAP_INDEX = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    '<sitemap><loc>https://i.com/sitemap-0.xml</loc></sitemap>'
+    '<sitemap><loc>https://i.com/sitemap-1.xml</loc></sitemap>'
+    '<sitemap><loc>https://i.com/sitemap-2.xml</loc></sitemap>'
+    '</sitemapindex>').encode()
+SITEMAP_CHILD_0 = (
+    '<?xml version="1.0" encoding="UTF-8"?><urlset>'
+    '<url><loc>https://i.com/a</loc><lastmod>2025-01-02</lastmod></url>'
+    '</urlset>').encode()
+SITEMAP_CHILD_1 = (
+    '<?xml version="1.0" encoding="UTF-8"?><urlset>'
+    '<url><loc>https://i.com/b</loc><lastmod>2025-03-04</lastmod></url>'
+    '</urlset>').encode()
+
+
+def test_sitemap_index_recursion(spark):
+    """A sitemap-of-sitemaps at /sitemap.xml contributes no page
+    entries itself; its CAPTURED children parse transitively into
+    page-level (host, loc) rows; the never-fetched child surfaces as
+    captured=false; coverage counts neither the index nor the children
+    as crawled pages."""
+    rows = [("https://i.com/sitemap.xml", SITEMAP_INDEX),
+            ("https://i.com/sitemap-0.xml", SITEMAP_CHILD_0),
+            ("https://i.com/sitemap-1.xml", SITEMAP_CHILD_1),
+            ("https://i.com/a", b"<html><body>a</body></html>")]
+    df = _docs(spark, rows)
+    ent = {(e["loc"], e["lastmod"])
+           for e in ST.sitemap_entries(df).collect()}
+    assert ent == {("https://i.com/a", "2025-01-02"),
+                   ("https://i.com/b", "2025-03-04")}
+    idx = {(r["child_loc"], r["captured"])
+           for r in ST.sitemap_index_entries(df).collect()}
+    assert idx == {("https://i.com/sitemap-0.xml", True),
+                   ("https://i.com/sitemap-1.xml", True),
+                   ("https://i.com/sitemap-2.xml", False)}
+    cov = ST.sitemap_coverage(df).collect()
+    assert len(cov) == 1
+    c = cov[0]
+    assert (c["n_listed"], c["n_crawled"], c["n_both"]) == (2, 1, 1)
+    # the never-crawled listed loc lands in the frontier; sitemap
+    # files themselves never do
+    pri = df.sparkSession.createDataFrame(
+        [("i.com", 1.0)], "host string, priority double")
+    fr = {r["loc"] for r in ST.frontier_candidates(df, pri).collect()}
+    assert fr == {"https://i.com/b"}
+
+
 def test_table_markdown_render(spark):
     """Exact markdown: header line, --- separator sized by the header,
     data lines in row order; a header-only table renders without a
@@ -157,7 +206,7 @@ def test_table_markdown_render(spark):
     page = ("<html><body><table>"
             "<tr><th>A</th><th>B</th></tr>"
             "<tr><td>1</td><td>2</td></tr>"
-            "<tr><td>3</td><td>4</td></tr></table>"
+            "<tr><td>3</td><td>a|b</td></tr></table>"
             "<table><tr><th>only</th></tr></table>"
             "</body></html>").encode()
     out = {r["table_idx"]: r["markdown"] for r in ST.table_markdown(
@@ -165,7 +214,7 @@ def test_table_markdown_render(spark):
     assert out[0] == ("| A | B |\n"
                       "| --- | --- |\n"
                       "| 1 | 2 |\n"
-                      "| 3 | 4 |")
+                      "| 3 | a\\|b |")  # literal '|' escapes
     assert out[1] == "| only |\n| --- |"
 
 
@@ -229,11 +278,13 @@ def test_hreflang_bitext_pairs_capped_cross_lang(spark):
     assert "Window" not in plan and "Python" not in plan
 
 
-def test_corpus_v7_carries_structured_shapes(spark, tmp_path):
-    """The v7 corpus embeds all three shapes: filing tables (~20%),
-    hreflang sets (~15% of entity pages, md5-keyed so same-entity pages
-    share the set -> at least one multi-page cluster), and sitemap
-    captures (~half the hosts, always with >= 2 phantom locs)."""
+def test_corpus_carries_structured_shapes(spark, tmp_path):
+    """The corpus embeds the structured shapes: filing tables (~20%),
+    pipe-carrying remarks tables (v9, ~5%), hreflang sets (~15% of
+    entity pages, md5-keyed so same-entity pages share the set -> at
+    least one multi-page cluster), sitemap captures (~half the hosts,
+    always with >= 2 phantom locs), and sitemap INDEX hosts (v9) whose
+    children are parsed transitively."""
     from ocr_automation_system_spark.corpus import write_corpus
 
     p = write_corpus(str(tmp_path / "c.parquet"), n_rows=300, seed=11)
@@ -255,6 +306,19 @@ def test_corpus_v7_carries_structured_shapes(spark, tmp_path):
     t = ST.html_tables(docs)
     assert t.where(F.col("is_header") & (F.col("row_idx") != 0)) \
         .count() == 0
+    # v9: index hosts list their children; captured children parse as
+    # urlsets, so the index host still surfaces page-level entries
+    idx = ST.sitemap_index_entries(docs)
+    assert idx.count() >= 4
+    assert idx.where(F.col("captured")).count() >= 4
+    assert idx.where(~F.col("captured")).count() >= 1  # phantom child
+    ent = ST.sitemap_entries(docs)
+    idx_hosts = [r["host"] for r in idx.select("host").distinct()
+                 .collect()]
+    assert ent.where(F.col("host").isin(idx_hosts)).count() > 0
+    # v9: remarks tables carry a literal '|' cell -> escaped markdown
+    md = ST.table_markdown(docs)
+    assert md.where(F.col("markdown").contains("\\|")).count() > 0
 
 
 def test_parse_plans_are_narrow(spark):
@@ -316,6 +380,7 @@ def test_structured_ops_on_empty_input(spark):
     assert ST.hreflang_edges(empty).count() == 0
     assert ST.hreflang_clusters(empty).count() == 0
     assert ST.sitemap_entries(empty).count() == 0
+    assert ST.sitemap_index_entries(empty).count() == 0
     assert ST.sitemap_coverage(empty).count() == 0
     assert ST.frontier_candidates(empty, pri).count() == 0
     e2 = spark.createDataFrame([], "url string, html binary, lang string")
@@ -451,37 +516,53 @@ def test_robots_effective_rules_group_selection(spark):
 
 
 def test_robots_corpus_loop_denies_planted_kinds(spark):
-    """Corpus law (v8): the parse -> select -> match loop denies
-    exactly the urls under a disallowed kind prefix without a matching
-    longer Allow carve-back — reconciled against a Python recompute of
-    the same RFC semantics from the parsed rules."""
+    """Corpus law (v9): the parse -> select -> match loop denies
+    exactly the urls the parsed rules say — including the planted
+    RFC 9309 wildcard rules (end-anchored Disallow + longer Allow
+    carve-backs) — reconciled against a plain-Python recompute of the
+    same RFC semantics from the parsed rules."""
+    import re
+
     from ocr_automation_system_spark.functions import links as L
     from ocr_automation_system_spark.queries import corpus_for
+
+    def matches(path: str, rule: str) -> bool:
+        if "*" in rule or rule.endswith("$"):
+            anchored = rule.endswith("$")
+            body = rule[:-1] if anchored else rule
+            pat = ("^" + re.escape(body).replace(r"\*", ".*")
+                   + ("$" if anchored else ""))
+            return re.search(pat, path) is not None
+        return path.startswith(rule)
 
     c = corpus_for(spark, "/root/testdata/sf0.001")
     eff = ST.robots_effective_rules(c)
     rules = [(r["host"], r["prefix"], r["allow"]) for r in eff.collect()]
     assert any(a for _, _, a in rules)        # >= 1 Allow carve-back
     assert any(p == "/" for _, p, a in rules if not a)  # fetchbot host
+    assert any("*" in p for _, p, _ in rules)  # v9 wildcard rules
     v = {r["url"]: r["allow"] for r in L.robots_verdicts(
         c.select("url"), eff).collect()}
     by_host: dict = {}
     for h, p, a in rules:
         by_host.setdefault(h, []).append((p, a))
-    denied = 0
+    denied = wild_hits = 0
     for url, allow in v.items():
         host = url.split("/")[2]
         path = "/" + url.split("/", 3)[3]
         best = None
         for p, a in by_host.get(host, []):
-            if path.startswith(p):
+            if matches(path, p):
                 k = (len(p), a)
                 if best is None or k > best:
                     best = k
+                if "*" in p or p.endswith("$"):
+                    wild_hits += 1
         want = best[1] if best is not None else True
         assert allow == want, url
         denied += (not want)
     assert denied > 0
+    assert wild_hits > 0  # the wildcard rules actually fire on urls
 
 
 def test_job_robots_from_corpus(spark, tmp_path):
@@ -532,6 +613,54 @@ def test_robots_crawl_delays_group_selection(spark):
                _docs(spark, rows), agent="fetchbot").collect()}
     assert out == {"r.com": (1, False), "w.com": (7, True),
                    "n.com": (1, False)}
+
+
+def test_stale_captures_lastmod_vs_capture_date(spark):
+    """Only listed pages whose lastmod strictly postdates the newest
+    capture's calendar date surface; unparsable lastmod drops; never-
+    crawled locs (no capture) drop; multiple captures use the newest."""
+    import datetime as dt
+
+    smap = (
+        '<urlset>'
+        '<url><loc>https://s.com/a</loc><lastmod>2025-06-01</lastmod></url>'
+        '<url><loc>https://s.com/b</loc><lastmod>2025-01-01</lastmod></url>'
+        '<url><loc>https://s.com/c</loc><lastmod>junk</lastmod></url>'
+        '<url><loc>https://s.com/ghost</loc><lastmod>2025-06-01</lastmod>'
+        '</url></urlset>').encode()
+    ts = (lambda m, d: dt.datetime(2025, m, d, 12, 0, 0))
+    rows = [("https://s.com/sitemap.xml", smap, ts(1, 1)),
+            ("https://s.com/a", b"<html><body>a</body></html>", ts(2, 1)),
+            # /a recrawled later but still before its lastmod
+            ("https://s.com/a", b"<html><body>a2</body></html>", ts(3, 1)),
+            ("https://s.com/b", b"<html><body>b</body></html>", ts(2, 1)),
+            ("https://s.com/c", b"<html><body>c</body></html>", ts(2, 1))]
+    df = spark.createDataFrame(
+        rows, "url string, html binary, warc_ts timestamp")
+    out = {(r["url"], r["lastmod"], r["captured_at"])
+           for r in ST.stale_captures(df).collect()}
+    assert out == {("https://s.com/a", "2025-06-01", ts(3, 1))}
+
+
+def test_robots_blocked_rate_corpus_law(spark):
+    """Per robots-publishing host: n_blocked/n_urls reconciles with the
+    corpus-verdicts loop; hosts without robots captures never appear;
+    at least one host has a nonzero rate (the fetchbot Disallow-/
+    hosts)."""
+    from ocr_automation_system_spark.queries import corpus_for
+
+    c = corpus_for(spark, "/root/testdata/sf0.001")
+    out = ST.robots_blocked_rate(c).collect()
+    assert len(out) > 0
+    hosts = {r["host"] for r in ST.robots_parse(c).select("host")
+             .distinct().collect()}
+    for r in out:
+        assert r["host"] in hosts
+        assert 0 <= r["n_blocked"] <= r["n_urls"]
+        assert r["blocked_rate"] == pytest.approx(
+            r["n_blocked"] / r["n_urls"])
+    assert any(r["n_blocked"] > 0 for r in out)
+    assert any(r["n_blocked"] < r["n_urls"] for r in out)
 
 
 def test_poison_bytes_at_protocol_urls_degrade(spark):
