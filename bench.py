@@ -57,12 +57,14 @@ HEADLINE = (
     "robots_verdicts", "soft404_flags", "host_error_rate",
     "charset_census", "meta_refresh_targets",
     "html_tables", "table_records", "table_census", "filing_records",
-    "hreflang_clusters", "sitemap_entries", "sitemap_coverage",
+    "hreflang_clusters", "sitemap_entries", "sitemap_index_entries",
+    "sitemap_coverage", "stale_captures",
     "table_markdown", "frontier_candidates",
     "table_column_profile", "hreflang_bitext_pairs",
     "pipeline_markdown_docs",
     "robots_parse_lines", "robots_effective_rules",
     "robots_corpus_verdicts", "robots_crawl_delays",
+    "robots_blocked_rate", "redirect_resolved",
     "pipeline_line_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",

@@ -168,6 +168,15 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "PageRank over the input's own link graph "
                         "(the scheduler's next-fetch list; "
                         "frontier_rows lineage count)")
+    p.add_argument("--recrawl-plan", action="store_true",
+                   help="write <output>/recrawl parquet: the unified "
+                        "next-crawl fetch list — never-fetched sitemap "
+                        "locs (reason=discovery), pages whose sitemap "
+                        "lastmod postdates the newest capture "
+                        "(reason=stale), and child sitemap files an "
+                        "index lists but the crawl never fetched "
+                        "(reason=sitemap-index) — ranked by host "
+                        "PageRank (recrawl_rows lineage count)")
     p.add_argument("--probe-weights", default="",
                    help="with --probe-drop-pct: path of the persisted "
                         "probe weight artifact — warm-start the fit "
@@ -251,6 +260,10 @@ def main(argv=None, stop_session: bool = True) -> int:
         n_frontier = frontier_export(spark, documents, args.output)
         print(f"frontier: {n_frontier} candidate locs")
 
+    if args.recrawl_plan:
+        n_recrawl = recrawl_plan_export(spark, documents, args.output)
+        print(f"recrawl plan: {n_recrawl} fetches")
+
     summary = lineage_summary(args.output, args.n_buckets)
     print(f"done: {summary['total_rows']} docs across "
           f"{len(summary['buckets'])} committed buckets")
@@ -261,30 +274,81 @@ def main(argv=None, stop_session: bool = True) -> int:
     return 0
 
 
-def frontier_export(spark, documents, output: str) -> int:
-    """Write the next-fetch frontier: sitemap-listed locs the crawl
-    never fetched, ranked by host PageRank over the input's OWN link
-    graph (no second snapshot in a single-crawl job, so the freshness
-    factor is 1 — importance-only priority). The parquet lands at
-    <output>/frontier sorted by priority desc (head = next fetch);
-    the row count joins the lineage as ``frontier_rows``."""
+def _host_priorities(documents):
+    """Host importance table (host, priority) = PageRank over the
+    input's OWN link graph — a single-crawl job has no second snapshot,
+    so the freshness factor is 1 (importance-only priority)."""
     from pyspark.sql import functions as F
 
     from ocr_automation_system_spark.functions import links as L
-    from ocr_automation_system_spark.functions import structured as STF
 
     edges = L.host_graph(L.extract_links(documents))
     pr = L.pagerank(edges.selectExpr("src_site AS src", "dst_site AS dst",
                                      "n_links AS weight"), iters=3)
-    pri = pr.select(
+    return pr.select(
         F.regexp_replace("node", r"^[a-z]+://", "").alias("host"),
         F.col("rank").alias("priority"))
-    fr = STF.frontier_candidates(documents.select("url", "html"), pri)
+
+
+def frontier_export(spark, documents, output: str) -> int:
+    """Write the next-fetch frontier: sitemap-listed locs the crawl
+    never fetched, ranked by host PageRank (`_host_priorities`). The
+    parquet lands at <output>/frontier sorted by priority desc (head =
+    next fetch); the row count joins the lineage as ``frontier_rows``."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions import structured as STF
+
+    fr = STF.frontier_candidates(documents.select("url", "html"),
+                                 _host_priorities(documents))
     out = os.path.join(output, "frontier")
     fr.orderBy(F.col("priority").desc(), "loc").write.mode(
         "overwrite").parquet(out)
     n = spark.read.parquet(out).count()
     _merge_lineage(output, {"frontier_rows": n})
+    return n
+
+
+def recrawl_plan_export(spark, documents, output: str) -> int:
+    """Write the unified next-crawl fetch list at <output>/recrawl:
+    (host, loc, reason, priority) where reason is
+
+    * ``discovery`` — sitemap-listed loc the crawl never fetched,
+    * ``stale`` — fetched page whose publisher sitemap ``lastmod``
+      postdates the newest stored capture,
+    * ``sitemap-index`` — child sitemap file a sitemap INDEX lists but
+      the crawl never fetched (fetching it unlocks every page it
+      lists),
+
+    ranked by host PageRank. Rows sort priority desc then reason/loc
+    (deterministic plan order); the count joins the lineage as
+    ``recrawl_rows``."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions import structured as STF
+
+    pri = _host_priorities(documents)
+    pages = documents.select("url", "html")
+    disc = (STF.frontier_candidates(pages, pri)
+            .select("host", "loc", F.lit("discovery").alias("reason"),
+                    "priority"))
+    stale = (STF.stale_captures(documents.select("url", "html", "warc_ts"))
+             .select("host", F.col("url").alias("loc"),
+                     F.lit("stale").alias("reason")))
+    idx = (STF.sitemap_index_entries(pages)
+           .where(~F.col("captured"))
+           .select("host", F.col("child_loc").alias("loc"),
+                   F.lit("sitemap-index").alias("reason")))
+    rest = (stale.unionByName(idx)
+            .join(F.broadcast(pri), "host", "left")
+            .select("host", "loc", "reason",
+                    F.coalesce("priority", F.lit(0.0)).alias("priority")))
+    plan = disc.unionByName(rest)
+    out = os.path.join(output, "recrawl")
+    plan.orderBy(F.col("priority").desc(), "reason", "loc").write.mode(
+        "overwrite").parquet(out)
+    n = spark.read.parquet(out).count()
+    _merge_lineage(output, {"recrawl_rows": n})
     return n
 
 

@@ -365,6 +365,44 @@ def test_job_frontier_export(spark, tmp_path):
     assert counts["frontier_rows"] == n
 
 
+def test_job_recrawl_plan(spark, tmp_path):
+    """--recrawl-plan publishes <output>/recrawl: discovery (frontier)
+    + stale (lastmod) + sitemap-index (unfetched child) fetches, no
+    already-satisfied rows, lineage-accounted as recrawl_rows."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import spark_submit_job
+
+    out = str(tmp_path / "job")
+    rc = spark_submit_job.main(
+        ["--synthetic", "400", "--output", out, "--recrawl-plan"],
+        stop_session=False)
+    assert rc == 0
+    plan = spark.read.parquet(os.path.join(out, "recrawl"))
+    n = plan.count()
+    assert n > 0
+    reasons = {r["reason"] for r in plan.select("reason")
+               .distinct().collect()}
+    assert reasons <= {"discovery", "stale", "sitemap-index"}
+    assert "discovery" in reasons and "stale" in reasons
+    docs = spark.read.parquet(
+        os.path.join(out, "synthetic_documents.parquet"))
+    # discovery / sitemap-index locs are never already-crawled urls
+    fetched = docs.select(F.col("url").alias("loc"))
+    assert plan.where(F.col("reason") != "stale").join(
+        fetched, "loc", "inner").count() == 0
+    # stale locs ARE crawled urls (refetches)
+    stale = plan.where(F.col("reason") == "stale")
+    assert stale.count() == stale.join(fetched, "loc", "inner").count()
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert counts["recrawl_rows"] == n
+
+
 def test_structured_ops_on_empty_input(spark):
     """Every structured op yields an empty, correctly-typed result on an
     empty capture table — never an error (the resume path replays
