@@ -51,7 +51,8 @@ HEADLINE = (
     "compression_ratios",
     "url_dup_groups", "url_canonicalize", "url_features",
     "url_pattern_census",
-    "latest_capture", "snapshot_delta", "content_drift", "crawl_activity",
+    "latest_capture", "snapshot_delta", "revisit_stats", "content_drift",
+    "crawl_activity",
     "crawl_priorities", "crawl_schedule", "schedule_load",
     "page_metadata", "page_directives", "canonical_dup_groups",
     "robots_verdicts", "soft404_flags", "host_error_rate",

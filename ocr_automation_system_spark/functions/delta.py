@@ -128,6 +128,54 @@ def content_drift(old: DataFrame, new: DataFrame, id_col: str = "url",
                     .otherwise(F.lit("drifted")).alias("drift")))
 
 
+def revisit_stats(history: DataFrame, url_col: str = "url",
+                  snap_col: str = "snap",
+                  hash_col: str = "content_hash") -> DataFrame:
+    """Per-host change-frequency estimate from a MULTI-snapshot capture
+    history ``(url, snap, content_hash)``: every consecutive-snapshot
+    pair of one url is an observation interval, an interval counts as
+    changed when its hashes differ — (host, n_intervals, n_changed,
+    change_fraction, revisit_bucket).
+
+    This is the sufficient-statistics half of the Cho &
+    Garcia-Molina revisit policy (the Poisson rate estimate
+    ``-ln((n-X+.5)/(n+.5))`` is a driver-side readout of (n, X) — no
+    ``log()`` in the data plane, per the house rational discipline).
+    ``revisit_bucket`` classifies by EXACT integer cross-multiplication
+    (never a float compare): changed on >= 1/2 of intervals -> 'fast',
+    >= 1/10 -> 'medium', > 0 -> 'slow', never -> 'static'.
+    ``change_fraction`` is the one correctly-rounded division.
+
+    Scale shape: interval alignment is ONE self-equi-join on the
+    uniform (url, snap) key — snap+1 shifted onto the same key, never a
+    window (a K-snapshot archive would buffer K rows per url in a
+    window; the join co-locates via the same url bucketing the
+    snapshots are stored under) — then ONE map-side-combinable host
+    census."""
+    a = history.select(F.col(url_col).alias("url"),
+                       F.col(snap_col).cast("long").alias("_s"),
+                       F.col(hash_col).alias("_h1"))
+    b = history.select(F.col(url_col).alias("url"),
+                       (F.col(snap_col).cast("long") - 1).alias("_s"),
+                       F.col(hash_col).alias("_h2"))
+    pairs = a.join(b, ["url", "_s"])
+    per = pairs.select(
+        url_host(F.col("url")).alias("host"),
+        (F.col("_h1") != F.col("_h2")).cast("int").alias("_c"))
+    agg = per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("_c").cast("long").alias("n_changed"))
+    n, x = F.col("n_intervals"), F.col("n_changed")
+    bucket = (F.when(x * 2 >= n, F.lit("fast"))
+              .when(x * 10 >= n, F.lit("medium"))
+              .when(x > 0, F.lit("slow"))
+              .otherwise(F.lit("static")))
+    return agg.select(
+        "host", "n_intervals", "n_changed",
+        (x.cast("double") / n.cast("double")).alias("change_fraction"),
+        bucket.alias("revisit_bucket"))
+
+
 def crawl_schedule(frontier: DataFrame, host_col: str = "source",
                    id_col: str = "doc_id", priority: Column | None = None,
                    host_delay_s: int = 1) -> DataFrame:

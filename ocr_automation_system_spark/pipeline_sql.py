@@ -1076,6 +1076,46 @@ SELECT host,
 FROM h GROUP BY 1
 """
 
+# per-host change-frequency statistics over a deterministic 4-snapshot
+# history (functions/delta.revisit_stats twin): cumulative md5-gated
+# change events per step, consecutive-pair alignment via a (url, snap)
+# self-join, integer cross-multiplied revisit buckets.
+SQL_REVISIT_STATS = f"""
+WITH c AS (SELECT url, md5(to_base64(html)) AS bh FROM {CORPUS}),
+g AS (SELECT url, bh,
+        CASE WHEN CAST(concat('0x', substr(md5(url || '#1'), 1, 4))
+                  AS BIGINT) % 100 < 25 THEN 1 ELSE 0 END AS g1,
+        CASE WHEN CAST(concat('0x', substr(md5(url || '#2'), 1, 4))
+                  AS BIGINT) % 100 < 25 THEN 1 ELSE 0 END AS g2,
+        CASE WHEN CAST(concat('0x', substr(md5(url || '#3'), 1, 4))
+                  AS BIGINT) % 100 < 25 THEN 1 ELSE 0 END AS g3
+      FROM c),
+hist AS (SELECT url, s,
+                md5(bh || ':' || CAST(
+                    (CASE WHEN s >= 1 THEN g1 ELSE 0 END
+                   + CASE WHEN s >= 2 THEN g2 ELSE 0 END
+                   + CASE WHEN s >= 3 THEN g3 ELSE 0 END) AS VARCHAR))
+                  AS h
+         FROM g CROSS JOIN (SELECT unnest(range(0, 4)) AS s) snaps),
+pairs AS (SELECT a.url, a.h AS h1, b.h AS h2
+          FROM hist a JOIN hist b ON a.url = b.url AND b.s = a.s + 1),
+per AS (SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+               CASE WHEN h1 <> h2 THEN 1 ELSE 0 END AS ch
+        FROM pairs),
+agg AS (SELECT host, CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(ch) AS BIGINT) AS n_changed
+        FROM per GROUP BY host)
+SELECT host, n_intervals, n_changed,
+       CAST(n_changed AS DOUBLE) / CAST(n_intervals AS DOUBLE)
+         AS change_fraction,
+       CASE WHEN n_changed * 2 >= n_intervals THEN 'fast'
+            WHEN n_changed * 10 >= n_intervals THEN 'medium'
+            WHEN n_changed > 0 THEN 'slow'
+            ELSE 'static' END AS revisit_bucket
+FROM agg
+"""
+
+
 #: per-host monthly crawl activity over the capture timestamps.
 SQL_CRAWL_ACTIVITY = f"""
 SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,

@@ -5524,6 +5524,41 @@ def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.host_change_rates(D.snapshot_delta(c, recrawl))
 
 
+def q_revisit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host change-frequency sufficient statistics (Cho &
+    Garcia-Molina revisit policy) over a deterministic 4-snapshot
+    capture history: snapshot s's content hash folds in the CUMULATIVE
+    number of md5-gated change events up to s (~25%/step per url), so
+    consecutive pairs observe real evolve-in-place dynamics. Interval
+    alignment is a (url, snap) self-equi-join — never a window
+    (functions/delta.revisit_stats)."""
+    from .functions import delta as D
+
+    c = corpus_for(spark, sf_dir).select("url", "html")
+    base_h = D.binary_content_hash(F.col("html"))
+
+    def gate(t: int):
+        return (F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.col("url"), F.lit(f"#{t}"))), 1, 4),
+                16, 10).cast("long"),
+            F.lit(100)) < 25).cast("int")
+
+    snaps = []
+    for s in range(4):
+        c_s = F.lit(0)
+        for t in range(1, s + 1):
+            c_s = c_s + gate(t)
+        snaps.append(c.select(
+            "url", F.lit(s).alias("snap"),
+            F.md5(F.concat(base_h, F.lit(":"), c_s.cast("string")))
+            .alias("content_hash")))
+    hist = snaps[0]
+    for sdf in snaps[1:]:
+        hist = hist.unionByName(sdf)
+    return D.revisit_stats(hist)
+
+
 def q_crawl_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl frontier scoring — the crawl-scheduler capstone joining
     two green tiers: host importance (3-iteration PageRank over the
@@ -7251,6 +7286,7 @@ REGISTRY: dict = {
     "url_dup_groups": (q_url_dup_groups, PSQL.SQL_URL_DUP_GROUPS),
     "latest_capture": (q_latest_capture, PSQL.SQL_LATEST_CAPTURE),
     "snapshot_delta": (q_snapshot_delta, PSQL.SQL_SNAPSHOT_DELTA),
+    "revisit_stats": (q_revisit_stats, PSQL.SQL_REVISIT_STATS),
     "content_drift": (q_content_drift, SQL_CONTENT_DRIFT),
     "crawl_priorities": (q_crawl_priorities, PSQL.SQL_CRAWL_PRIORITIES),
     "crawl_activity": (q_crawl_activity, PSQL.SQL_CRAWL_ACTIVITY),
@@ -7332,7 +7368,8 @@ CORPUS_QUERIES: frozenset = frozenset(
 ) | frozenset({
     "url_canonicalize", "url_dup_groups", "url_pattern_census",
     "compression_ratios", "latest_capture",
-    "snapshot_delta", "crawl_activity", "crawl_priorities",
+    "snapshot_delta", "revisit_stats", "crawl_activity",
+    "crawl_priorities",
     "page_metadata", "page_directives", "canonical_dup_groups",
     "robots_verdicts", "extractor_shadow_audit",
     "soft404_flags", "host_error_rate", "charset_census",

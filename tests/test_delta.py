@@ -125,3 +125,39 @@ def test_crawl_schedule_politeness_invariants(spark):
     prof = schedule_load_profile(crawl_schedule(docs), bucket_s=16)
     w0 = {r["wave"]: r for r in prof.collect()}[0]
     assert w0["hosts_active"] == 3 and w0["fetches"] == 3 * 16 - 18
+
+
+def test_revisit_stats_buckets_and_alignment(spark):
+    """Consecutive-pair semantics on a hand-built 4-snapshot history:
+    a url changing every step -> fast, once in three intervals ->
+    medium (1/3 >= 1/10, < 1/2), never -> static; non-consecutive
+    snapshots (a gap) contribute no interval across the gap; the plan
+    has no Window."""
+    from ocr_automation_system_spark.functions.delta import revisit_stats
+
+    def h(u, s, v):
+        return (f"https://{u}/p", s, v)
+
+    rows = (
+        [h("fast.com", s, f"v{s}") for s in range(4)]          # 3/3
+        + [h("med.com", 0, "a"), h("med.com", 1, "a"),
+           h("med.com", 2, "b"), h("med.com", 3, "b")]          # 1/3
+        + [h("static.com", s, "same") for s in range(4)]        # 0/3
+        # gap: snaps 0 and 2 only -> no consecutive pair at all
+        + [h("gap.com", 0, "x"), h("gap.com", 2, "y")]
+    )
+    hist = spark.createDataFrame(
+        rows, "url string, snap int, content_hash string")
+    out = {r["host"]: r for r in revisit_stats(hist).collect()}
+    assert set(out) == {"fast.com", "med.com", "static.com"}
+    assert (out["fast.com"]["n_intervals"],
+            out["fast.com"]["n_changed"],
+            out["fast.com"]["revisit_bucket"]) == (3, 3, "fast")
+    assert (out["med.com"]["n_changed"],
+            out["med.com"]["revisit_bucket"]) == (1, "medium")
+    assert out["med.com"]["change_fraction"] == 1 / 3
+    assert (out["static.com"]["n_changed"],
+            out["static.com"]["revisit_bucket"]) == (0, "static")
+    plan = (revisit_stats(hist)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan and "Python" not in plan
