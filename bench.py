@@ -94,7 +94,7 @@ HEADLINE = (
     "token_postings", "postings_merge", "postings_takedown",
     "token_df_delta",
     "tfidf_top_terms",
-    "bm25_search", "bm25_weighted", "phrase_kwic",
+    "bm25_search", "bm25_weighted", "boolean_search", "phrase_kwic",
     "phrase_hits", "proximity_hits", "kwic_snippets", "minhash_recall_sample",
     "split_leakage", "hard_negatives", "near_dup_agreement",
     "importance_weights", "curation_verdicts", "collocations", "skipgram_pairs",

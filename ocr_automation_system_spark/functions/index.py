@@ -743,3 +743,92 @@ def proximity_hits_from_index(spark, path: str, term_a: str, term_b: str,
             .select("doc_id",
                     F.size("_d").cast("long").alias("n_hits"),
                     F.array_min("_d").cast("long").alias("min_dist")))
+
+
+def boolean_search(df: DataFrame, must: list, must_not: list = (),
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Boolean retrieval: documents containing ALL ``must`` terms and
+    NONE of the ``must_not`` terms — (doc_id, n_must_occurrences) with
+    the occurrence total of the must terms as a cheap rank proxy. The
+    classic AND/NOT filter every corpus-slicing workflow needs before
+    a scoring pass (bm25_search is the scored sibling).
+
+    Terms normalize through ``query_tokens`` (each must fold to exactly
+    one document token). Entirely row-local: per doc, the token array
+    answers every membership test inside one codegen projection — zero
+    shuffle, zero Python, and the scan prunes to (id, text)."""
+    from .lm import tokens_lower
+    from .text import bind_array
+
+    def one(term: str, side: str) -> str:
+        ts = query_tokens(term)
+        if len(ts) != 1:
+            raise ValueError(f"boolean_search {side} terms must each "
+                             f"normalize to one token, got {ts!r}")
+        return ts[0]
+
+    m = [one(t, "must") for t in must]
+    n = [one(t, "must_not") for t in must_not]
+    if not m:
+        raise ValueError("boolean_search needs >= 1 must term")
+
+    def _row(tk):
+        ok = F.lit(True)
+        for w in m:
+            ok = ok & F.array_contains(tk, w)
+        for w in n:
+            ok = ok & ~F.array_contains(tk, w)
+        occ = F.size(F.filter(tk, lambda t: t.isin(m)))
+        return F.struct(ok.alias("ok"), occ.alias("occ"))
+
+    r = bind_array(tokens_lower(F.col(text_col)), _row)
+    return (df.select(F.col(id_col).alias("doc_id"), r.alias("_r"))
+            .filter(F.col("_r.ok"))
+            .select("doc_id",
+                    F.col("_r.occ").cast("long")
+                    .alias("n_must_occurrences")))
+
+
+def boolean_from_index(spark, path: str, must: list, must_not: list = (),
+                       n_buckets: int = 64) -> DataFrame:
+    """Boolean retrieval against the STORED positional index (which
+    keeps FULL membership — unlike the capped postings heads): must
+    terms intersect by doc_id equi-joins, must_not terms drop via ONE
+    broadcastable anti-join over their unioned doc lists; occurrence
+    totals come from the stored position-list sizes. Identical output
+    contract to the raw-text ``boolean_search`` — parity pinned by
+    test. Reads ONLY the query terms' buckets (partition pruning +
+    token pushdown)."""
+    import hashlib
+    from functools import reduce
+
+    def one(term: str, side: str) -> str:
+        ts = query_tokens(term)
+        if len(ts) != 1:
+            raise ValueError(f"boolean_from_index {side} terms must "
+                             f"each normalize to one token, got {ts!r}")
+        return ts[0]
+
+    m = [one(t, "must") for t in must]
+    n = [one(t, "must_not") for t in must_not]
+    if not m:
+        raise ValueError("boolean_from_index needs >= 1 must term")
+    idx = spark.read.parquet(path)
+
+    def term_df(w: str, col: str) -> DataFrame:
+        bk = int(hashlib.md5(w.encode()).hexdigest()[:2], 16) % n_buckets
+        return (idx.filter((F.col("bucket") == bk) & (F.col("token") == w))
+                .select("doc_id", F.size("positions").alias(col)))
+
+    cur = term_df(m[0], "c0")
+    for d, w in enumerate(m[1:], start=1):
+        cur = cur.join(term_df(w, f"c{d}"), "doc_id")
+    if n:
+        ban = reduce(lambda a, b: a.unionByName(b),
+                     [term_df(w, "cx").select("doc_id") for w in n])
+        cur = cur.join(ban, "doc_id", "left_anti")
+    occ = reduce(lambda a, d: a + F.col(f"c{d}"),
+                 range(1, len(m)), F.col("c0"))
+    return cur.select("doc_id",
+                      occ.cast("long").alias("n_must_occurrences"))

@@ -1193,6 +1193,46 @@ FROM final f CROSS JOIN cuts c
 
 
 _BM25_TERMS = ("column", "scan", "window")
+#: boolean contract query: AND of two mid-frequency terms, NOT a third.
+_BOOL_MUST = ("column", "scan")
+_BOOL_MUST_NOT = ("window",)
+
+
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND/NOT retrieval: docs containing every must term and
+    none of the must_not terms, with the must-occurrence total as a
+    rank proxy — the corpus-slicing filter before a scoring pass.
+    Row-local membership tests in one codegen projection
+    (functions/index.boolean_search)."""
+    from .functions.index import boolean_search
+
+    return boolean_search(load_table(spark, sf_dir, "documents"),
+                          list(_BOOL_MUST), list(_BOOL_MUST_NOT))
+
+
+def _sql_boolean(must, must_not) -> str:
+    from .functions.index import query_tokens
+    from .functions.lm import TOKEN_RE
+
+    m = [query_tokens(t)[0] for t in must]
+    n = [query_tokens(t)[0] for t in must_not]
+    ml = ", ".join(f"'{w}'" for w in m)
+    conds = " AND ".join(
+        [f"list_contains(tk, '{w}')" for w in m]
+        + [f"NOT list_contains(tk, '{w}')" for w in n])
+    return f"""
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(coalesce(text, '')),
+                                     '{TOKEN_RE}') AS tk
+           FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(tk, x -> x IN ({ml}))) AS BIGINT)
+         AS n_must_occurrences
+FROM t WHERE {conds}
+"""
+
+
+SQL_BOOLEAN_SEARCH = _sql_boolean(_BOOL_MUST, _BOOL_MUST_NOT)
 
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7154,6 +7194,7 @@ REGISTRY: dict = {
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "skipgram_pairs": (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
+    "boolean_search": (q_boolean_search, SQL_BOOLEAN_SEARCH),
     "kwic_snippets": (q_kwic_snippets, SQL_KWIC_SNIPPETS),
     "phrase_hits": (q_phrase_hits, SQL_PHRASE_HITS),
     "proximity_hits": (q_proximity_hits, SQL_PROXIMITY_HITS),

@@ -286,6 +286,45 @@ def test_positional_index_proximity_parity_and_pruning(spark, tmp_path):
                                             n_buckets=8).collect()) == [1, 3]
 
 
+def test_boolean_search_and_index_parity(spark, tmp_path):
+    """AND/NOT semantics on planted docs (all must terms required, any
+    must_not term disqualifies, occurrence totals count every must
+    occurrence); the index-backed form equals the scan form and pushes
+    the token equality into the pruned bucket read; the scan form's
+    plan is window-free and Python-free."""
+    from ocr_automation_system_spark.functions.index import (
+        boolean_from_index, boolean_search, write_positional_index,
+    )
+
+    rows = [(1, "alpha beta alpha tail", "s"),   # both, no ban -> occ 3
+            (2, "alpha beta gamma", "s"),        # banned by gamma
+            (3, "alpha only here", "s"),         # missing beta
+            (4, "beta alpha beta beta", "s"),    # occ 4
+            (5, "nothing relevant", "s")]
+    df = _docs(spark, rows)
+    got = sorted(map(tuple, boolean_search(
+        df, ["alpha", "beta"], ["gamma"]).collect()))
+    assert got == [(1, 3), (4, 4)]
+    plan = (boolean_search(df, ["alpha", "beta"], ["gamma"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan and "Python" not in plan
+    assert "Exchange" not in plan  # row-local membership tests
+
+    path = str(tmp_path / "posidx")
+    write_positional_index(df, path, n_buckets=8)
+    got_idx_df = boolean_from_index(spark, path, ["alpha", "beta"],
+                                    ["gamma"], n_buckets=8)
+    assert sorted(map(tuple, got_idx_df.collect())) == got
+    iplan = got_idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(token,alpha)" in iplan and \
+        "EqualTo(token,gamma)" in iplan
+    # no must_not leg: pure AND
+    assert sorted(map(tuple, boolean_from_index(
+        spark, path, ["alpha", "beta"], n_buckets=8).collect())) == \
+        sorted(map(tuple, boolean_search(df, ["alpha", "beta"])
+                   .collect()))
+
+
 def test_query_terms_normalized_through_document_tokenizer(spark):
     """Punctuated / cased query terms fold to the tokens they would
     produce in a document (lm.TOKEN_RE) instead of matching nothing."""
