@@ -240,3 +240,29 @@ def streaming_source_checksums(documents: DataFrame,
                  F.sum(h.cast("decimal(38,0)")).cast("string")
                  .alias("sum_h"),
                  F.bit_xor(h).alias("xor_h")))
+
+
+def streaming_revisit_stats(captures: DataFrame, previous: DataFrame,
+                            url_col: str = "url",
+                            hash_col: str = "content_hash") -> DataFrame:
+    """Streaming twin of ``delta.revisit_stats``: as a new crawl drop
+    arrives, each capture stream-static joins the STORED previous
+    snapshot's (url, content_hash) table and the per-host revisit
+    counters aggregate live — state is one row per host forever
+    (count + conditional sum, both order-independent streaming-legal
+    aggregates). Emits (host, n_intervals, n_changed) running totals
+    under update/complete output; these SUM-merge with any stored
+    batch counters (so the revisit ladder never recomputes history),
+    and the bucket/fraction readout stays a cheap batch projection
+    over the merged counters (``delta.revisit_stats``'s tail)."""
+    from ..functions.delta import url_host
+
+    new = captures.select(F.col(url_col).alias("url"),
+                          F.col(hash_col).alias("_hn"))
+    old = previous.select(F.col(url_col).alias("url"),
+                          F.col(hash_col).alias("_ho"))
+    j = new.join(old, "url")
+    return (j.groupBy(url_host(F.col("url")).alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 F.sum((F.col("_hn") != F.col("_ho")).cast("long"))
+                 .cast("long").alias("n_changed")))

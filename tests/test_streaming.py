@@ -601,6 +601,50 @@ def test_streaming_checksums_match_batch(spark, tmp_path):
     assert got == want and len(got) == 2
 
 
+def test_streaming_revisit_counters_match_batch(spark, tmp_path):
+    """The streaming revisit counters (arriving snapshot stream-static
+    joined against the stored previous snapshot, one state row per
+    host) in complete mode equal delta.revisit_stats' (n_intervals,
+    n_changed) over the equivalent 2-snapshot batch history."""
+    import os
+
+    import pandas as pd
+
+    from ocr_automation_system_spark.functions.delta import revisit_stats
+    from ocr_automation_system_spark.streaming.stream import (
+        streaming_revisit_stats,
+    )
+
+    def caps(snap):
+        # url k changes at snap 1 iff k % 3 == 0
+        return [(f"https://h{k % 4}.com/p{k}",
+                 f"v{1 if (snap and k % 3 == 0) else 0}")
+                for k in range(24)]
+
+    d = str(tmp_path / "drops")
+    os.makedirs(d)
+    pd.DataFrame(caps(1), columns=["url", "content_hash"]) \
+        .to_parquet(os.path.join(d, "drop.parquet"))
+    prev = spark.createDataFrame(caps(0),
+                                 "url string, content_hash string")
+    arriving = (spark.readStream
+                .schema("url string, content_hash string").parquet(d))
+    q = (streaming_revisit_stats(arriving, prev)
+         .writeStream.format("memory").queryName("revisit_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT * FROM revisit_stream").collect()))
+
+    hist = spark.createDataFrame(
+        [(u, 0, h) for u, h in caps(0)] + [(u, 1, h) for u, h in caps(1)],
+        "url string, snap int, content_hash string")
+    want = sorted(map(tuple, revisit_stats(hist).select(
+        "host", "n_intervals", "n_changed").collect()))
+    assert got == want and len(got) == 4
+    assert any(r[2] > 0 for r in got) and any(r[2] < r[1] for r in got)
+
+
 def test_stateless_winnow_fingerprints_stream_unchanged(spark, tmp_path):
     """winnow_fingerprints is a stateless narrow projection (no global
     distinct — rows are unique by construction), so the SAME function
