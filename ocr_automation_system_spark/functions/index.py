@@ -462,6 +462,43 @@ def _bm25_rank(qtf: DataFrame, qdf: DataFrame, dl: DataFrame,
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
+def anchor_bm25_search(edges: DataFrame, query_terms: list, k: int = 10,
+                       k1: float = 1.2, b: float = 0.75,
+                       weights: dict | None = None,
+                       dst_col: str = "dst_url",
+                       anchor_col: str = "anchor_text") -> DataFrame:
+    """BM25 over each url's INCOMING anchor-text field — the classic
+    web-IR ranking signal (anchor text describes the TARGET better
+    than the target describes itself; it's how navigational queries
+    resolve). The "document" is the destination url, its "text" is the
+    multiset of anchor tokens pointing at it; scoring reuses the exact
+    rational-BM25 tail (`_bm25_rank`), so anchor-field ranking is
+    bit-reproducible like the body-field ranking and a BM25F-style
+    fusion is a weighted driver-side sum of the two scores.
+
+    Scale shape: tf/dl/df all derive from ONE exploded anchor-token
+    stream FILTERED to the query terms before any wide aggregation
+    (dl needs the unfiltered stream, but that census is map-side
+    combinable on the dst key); no anchor concatenation is ever
+    materialized."""
+    from .lm import tokens_lower
+
+    terms = sorted({t for qt in query_terms for t in query_tokens(qt)})
+    if not terms:
+        raise ValueError("anchor_bm25_search needs at least one "
+                         "tokenizable term")
+    wmap = {t: float((weights or {}).get(t, 1.0)) for t in terms}
+    toks = (edges.select(
+        F.col(dst_col).alias("doc_id"),
+        F.explode(tokens_lower(F.coalesce(F.col(anchor_col), F.lit(""))))
+        .alias("token")))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qtf = (toks.filter(F.col("token").isin(terms))
+           .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    qdf = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    return _bm25_rank(qtf, qdf, dl, terms, wmap, k, k1, b)
+
+
 def write_doclen_table(df: DataFrame, path: str, id_col: str = "doc_id",
                        text_col: str = "text") -> None:
     """Doc-length artifact (doc_id, dl) — the BM25 normalizer table a

@@ -1245,7 +1245,8 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                        list(_BM25_TERMS), k=10)
 
 
-def _sql_bm25(terms, k=10, k1=1.2, b=0.75, weights=None) -> str:
+def _sql_bm25(terms, k=10, k1=1.2, b=0.75, weights=None,
+              toks_sql: str | None = None, with_ctes: str = "") -> str:
     from .functions.index import query_tokens
     from .functions.lm import TOKEN_RE
 
@@ -1260,11 +1261,12 @@ def _sql_bm25(terms, k=10, k1=1.2, b=0.75, weights=None) -> str:
     else:
         boost = " * 1.0"  # Spark always multiplies by the boost (1.0
         # default); x * 1.0 is bit-exact, mirrored for plan honesty
-    return f"""
-WITH toks AS (SELECT doc_id,
+    toks = toks_sql or f"""SELECT doc_id,
                      unnest(regexp_extract_all(lower(coalesce(text, '')),
                                                '{TOKEN_RE}')) AS token
-              FROM documents),
+              FROM documents"""
+    return f"""
+WITH {with_ctes}toks AS ({toks}),
 dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(dl) AS BIGINT) AS tot FROM dl),
@@ -1312,6 +1314,39 @@ def q_bm25_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_BM25_WEIGHTED = _sql_bm25(_BM25_TERMS, weights=_BM25_WEIGHTS)
+
+#: anchor-field query: navigational tokens from the corpus's boilerplate
+#: link vocabulary.
+_ANCHOR_TERMS = ("contact", "careers", "login")
+
+
+def q_anchor_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over each url's INCOMING anchor text (the classic web-IR
+    navigational signal): the destination url is the document, the
+    anchors pointing at it are its text; same rational-BM25 tail as the
+    body-field scorer (functions/index.anchor_bm25_search)."""
+    from .functions import links as L
+    from .functions.index import anchor_bm25_search
+
+    edges = L.extract_links(corpus_for(spark, sf_dir)
+                            .select("url", "html"))
+    return anchor_bm25_search(edges, list(_ANCHOR_TERMS), k=10)
+
+
+def _sql_anchor_bm25() -> str:
+    from . import pipeline_sql as PSQL
+    from .functions.lm import TOKEN_RE
+
+    toks = (f"""SELECT dst_url AS doc_id,
+                     unnest(regexp_extract_all(
+                         lower(coalesce(anchor_text, '')),
+                         '{TOKEN_RE}')) AS token
+              FROM links_t""")
+    return _sql_bm25(_ANCHOR_TERMS, toks_sql=toks,
+                     with_ctes=PSQL._SQL_LINK_BASE + ",\n")
+
+
+SQL_ANCHOR_BM25 = _sql_anchor_bm25()
 
 
 def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7378,6 +7413,7 @@ REGISTRY: dict = {
     "host_reciprocity": (q_host_reciprocity, PSQL.SQL_HOST_RECIPROCITY),
     "seed_distance": (q_seed_distance, PSQL.SQL_SEED_DISTANCE),
     "anchor_text_profile": (q_anchor_text_profile, PSQL.SQL_ANCHOR_TEXT_PROFILE),
+    "anchor_bm25": (q_anchor_bm25, SQL_ANCHOR_BM25),
     "host_pagerank": (q_host_pagerank, PSQL.SQL_HOST_PAGERANK),
     "host_trustrank": (q_host_trustrank, PSQL.SQL_HOST_TRUSTRANK),
     "host_hits": (q_host_hits, PSQL.SQL_HOST_HITS),
@@ -7420,7 +7456,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "host_triangles", "host_cocitation", "host_reciprocity",
     "seed_distance", "host_hyperball", "host_harmonic",
     "host_communities", "community_modularity",
-    "anchor_text_profile", "warc_roundtrip", "cdx_index",
+    "anchor_text_profile", "anchor_bm25", "warc_roundtrip", "cdx_index",
     "host_components",
     "url_features",
     "html_tables", "table_records", "table_census", "filing_records",

@@ -286,6 +286,31 @@ def test_positional_index_proximity_parity_and_pruning(spark, tmp_path):
                                             n_buckets=8).collect()) == [1, 3]
 
 
+def test_anchor_bm25_incoming_field(spark):
+    """The destination url is the scored document and its incoming
+    anchors are its text: a target with more matching anchors from
+    SHORTER anchor fields outranks one buried in long anchors; pages
+    with no matching incoming anchor never appear; the src side never
+    scores."""
+    from ocr_automation_system_spark.functions.index import (
+        anchor_bm25_search,
+    )
+
+    e = (lambda s, d, a: (f"https://x.com/{s}", f"https://x.com/{d}", a))
+    edges = spark.createDataFrame(
+        [e("p1", "contact", "contact"),
+         e("p2", "contact", "contact us"),
+         e("p3", "contact", "contact page"),
+         e("p4", "buried", "a very long anchor mentioning contact once"),
+         e("p5", "other", "products")],
+        "src_url string, dst_url string, anchor_text string")
+    out = anchor_bm25_search(edges, ["contact"], k=10).collect()
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert set(scores) == {"https://x.com/contact", "https://x.com/buried"}
+    assert scores["https://x.com/contact"] > scores["https://x.com/buried"]
+    assert all(r["n_terms_hit"] == 1 for r in out)
+
+
 def test_boolean_search_and_index_parity(spark, tmp_path):
     """AND/NOT semantics on planted docs (all must terms required, any
     must_not term disqualifies, occurrence totals count every must
