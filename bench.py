@@ -59,7 +59,7 @@ HEADLINE = (
     "charset_census", "meta_refresh_targets",
     "html_tables", "table_records", "table_census", "filing_records",
     "hreflang_clusters", "sitemap_entries", "sitemap_index_entries",
-    "sitemap_coverage", "stale_captures",
+    "sitemap_coverage", "stale_captures", "sitemap_discovery",
     "table_markdown", "frontier_candidates",
     "table_column_profile", "hreflang_bitext_pairs",
     "pipeline_markdown_docs",

@@ -617,6 +617,30 @@ def sitemap_coverage(df: DataFrame, url_col: str = "url",
         cov.alias("coverage_rate"), orphan.alias("orphan_rate"))
 
 
+def sitemap_discovery(df: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """(host, declared_loc, captured) — every ``Sitemap:`` line a
+    robots.txt capture declares, with ``captured`` marking whether the
+    declared sitemap file is itself a corpus capture. The discovery
+    loop's missing edge: a declared-but-never-fetched sitemap is a
+    one-fetch unlock for the host's whole listed url set (it belongs at
+    the top of a frontier), and a fetched sitemap nobody declares is
+    fine (discovery has other channels) — the asymmetry is why the
+    report keys on declarations.
+
+    One equi-join between two TINY projections (robots Sitemap lines x
+    sitemap-url captures), broadcast at any corpus scale."""
+    declared = (robots_parse(df, url_col, html_col)
+                .where(F.col("directive") == "sitemap")
+                .select("host", F.col("value").alias("declared_loc")))
+    maps = (df.select(F.col(url_col).alias("declared_loc"))
+            .where(F.col("declared_loc").rlike(SITEMAP_URL_RE))
+            .distinct().withColumn("_c", F.lit(1)))
+    return (declared.join(F.broadcast(maps), "declared_loc", "left")
+            .select("host", "declared_loc",
+                    F.col("_c").isNotNull().alias("captured")))
+
+
 def stale_captures(df: DataFrame, url_col: str = "url",
                    html_col: str = "html",
                    ts_col: str = "warc_ts") -> DataFrame:

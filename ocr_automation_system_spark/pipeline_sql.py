@@ -1828,6 +1828,20 @@ FROM m GROUP BY url
 """
 
 
+# robots-declared sitemaps vs actual captures
+# (functions/structured.sitemap_discovery).
+SQL_SITEMAP_DISCOVERY = f"""
+WITH {_SQL_ROBOTS_PARSE_BASE},
+declared AS (SELECT host, value AS declared_loc FROM rp
+             WHERE directive = 'sitemap'),
+maps AS (SELECT DISTINCT url AS declared_loc FROM {CORPUS}
+         WHERE regexp_matches(url, '{_SITEMAP_URL_RE}'))
+SELECT d.host, d.declared_loc,
+       m.declared_loc IS NOT NULL AS captured
+FROM declared d LEFT JOIN maps m ON d.declared_loc = m.declared_loc
+"""
+
+
 # lastmod-driven refetch list (functions/structured.stale_captures):
 # sitemap <lastmod> strictly after the newest capture's calendar date.
 SQL_STALE_CAPTURES = f"""

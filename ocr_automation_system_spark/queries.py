@@ -5520,6 +5520,17 @@ def q_redirect_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
                                .select("url", "html"))
 
 
+def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-declared sitemaps reconciled against actual sitemap
+    captures: a declared-but-never-fetched sitemap is a one-fetch
+    unlock for the host's listed url set
+    (functions/structured.sitemap_discovery)."""
+    from .functions import structured as ST
+
+    return ST.sitemap_discovery(corpus_for(spark, sf_dir)
+                                .select("url", "html"))
+
+
 def q_stale_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-lastmod-driven refetch list: crawled pages whose
     publisher-declared <lastmod> postdates the newest stored capture —
@@ -7390,6 +7401,8 @@ REGISTRY: dict = {
                               PSQL.SQL_SITEMAP_INDEX_ENTRIES),
     "sitemap_coverage": (q_sitemap_coverage, PSQL.SQL_SITEMAP_COVERAGE),
     "stale_captures": (q_stale_captures, PSQL.SQL_STALE_CAPTURES),
+    "sitemap_discovery": (q_sitemap_discovery,
+                          PSQL.SQL_SITEMAP_DISCOVERY),
     "table_markdown": (q_table_markdown, PSQL.SQL_TABLE_MARKDOWN),
     "frontier_candidates": (q_frontier_candidates,
                             PSQL.SQL_FRONTIER_CANDIDATES),
@@ -7451,6 +7464,7 @@ CORPUS_QUERIES: frozenset = frozenset(
     "robots_verdicts", "extractor_shadow_audit",
     "soft404_flags", "host_error_rate", "charset_census",
     "meta_refresh_targets", "redirect_resolved", "stale_captures",
+    "sitemap_discovery",
     "link_edges",
     "host_link_graph", "host_pagerank", "host_trustrank", "host_hits",
     "host_triangles", "host_cocitation", "host_reciprocity",

@@ -653,6 +653,24 @@ def test_robots_crawl_delays_group_selection(spark):
                    "n.com": (1, False)}
 
 
+def test_sitemap_discovery_declared_vs_captured(spark):
+    """Declared sitemaps resolve against actual sitemap captures:
+    captured, declared-but-missing (the one-fetch unlock), and
+    undeclared captures (no row — the report keys on declarations)."""
+    rows = [("https://a.com/robots.txt",
+             b"User-agent: *\nDisallow: /x/\n"
+             b"Sitemap: https://a.com/sitemap.xml\n"
+             b"Sitemap: https://a.com/sitemap-news.xml\n"),
+            ("https://a.com/sitemap.xml", SITEMAP),
+            ("https://b.com/sitemap.xml", SITEMAP)]  # undeclared capture
+    out = {(r["host"], r["declared_loc"], r["captured"])
+           for r in ST.sitemap_discovery(_docs(spark, rows)).collect()}
+    assert out == {
+        ("a.com", "https://a.com/sitemap.xml", True),
+        ("a.com", "https://a.com/sitemap-news.xml", False),
+    }
+
+
 def test_stale_captures_lastmod_vs_capture_date(spark):
     """Only listed pages whose lastmod strictly postdates the newest
     capture's calendar date surface; unparsable lastmod drops; never-
