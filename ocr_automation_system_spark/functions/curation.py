@@ -312,6 +312,79 @@ def boilerplate_line_removal(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def keep_first_line_dedup(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Corpus-wide keep-FIRST line dedup (CCNet paragraph-dedup
+    semantics, Wenzek et al. 2020 §3.1 applied at line granularity):
+    every distinct non-blank line survives exactly once in the whole
+    corpus — at its first occurrence under the deterministic total
+    order (id, position) — and every later copy is dropped, including
+    repeats inside the same document.
+
+    This is the complement of ``boilerplate_line_removal`` (which drops
+    ALL copies of lines above a document-frequency threshold): here no
+    threshold exists and one canonical copy is retained, which is what
+    a training-corpus paragraph dedup wants (the content itself is kept;
+    only its duplication is removed).
+
+    Returns one row per input doc: (id, n_lines_kept, n_lines_dropped,
+    kept_text) — same contract shape as ``boilerplate_line_removal``.
+
+    Scale shape at 10^12 docs:
+
+    * ownership is ONE groupBy on the line string with a map-side
+      combinable min(struct(id, pos)) — partials collapse each
+      partition's copies before the shuffle;
+    * the copy filter is a keyed equi-join of the line stream against
+      the one-row-per-distinct-line owner table: output ≤ input (one
+      build row per key), so a line duplicated 10^8 times is pure
+      probe-side fan-in, never a pair explosion;
+    * reassembly groups by doc id (uniform key), sorting survivors by
+      original position inside the aggregate.
+
+    The join keys on the raw line string so a hash collision can never
+    silently merge two distinct lines (exactness over key width); a
+    production deployment at extreme line lengths would key on a
+    collision-checked digest instead — the plan is otherwise identical.
+    """
+    lines = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"),
+                F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                     "\n")).alias("pos", "line"))
+        .filter(F.length(F.trim(F.col("line"))) > 0)
+    )
+    owners = (lines.groupBy("line")
+              .agg(F.min(F.struct(F.col("_id").alias("_id"),
+                                  F.col("pos").alias("pos"))).alias("_w")))
+    kept = (lines.join(owners, "line")
+            .filter((F.col("_id") == F.col("_w._id"))
+                    & (F.col("pos") == F.col("_w.pos")))
+            .select("_id", "pos", "line"))
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                        lambda x: x["line"]),
+            "\n").alias("kept_text"),
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_lines"))
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(rebuilt, "_id", "left")
+        .join(totals, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long")
+            .alias("n_lines_kept"),
+            (F.coalesce(F.col("_n_lines"), F.lit(0))
+             - F.coalesce(F.col("n_lines_kept"), F.lit(0))).cast("long")
+            .alias("n_lines_dropped"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+    )
+
+
 def blocklist_filter(df: DataFrame, blocklist: DataFrame,
                      domain_col: str = "source",
                      id_col: str = "doc_id") -> DataFrame:
@@ -548,6 +621,89 @@ def duplicate_spans(df: DataFrame, w: int = 8, text_col: str = "text",
     return (runs.groupBy("doc_a", "doc_b")
             .agg(F.sum("_run").alias("n_aligned"),
                  (F.max("_run") + F.lit(w - 1)).alias("max_span_tokens")))
+
+
+def dedup_span_strip(df: DataFrame, w: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Duplicated-span STRIPPING (the apply step of ExactSubstr dedup,
+    Lee et al. 2022): rewrite each document with its non-canonical
+    duplicated extents removed, keeping one canonical copy of every
+    repeated span in the corpus.
+
+    Rule: a token position is stripped iff some cross-document
+    duplicated w-gram occurrence covers it AND the gram's canonical
+    owner (the min doc id over its occurrences) is a different
+    document. The owner's occurrence survives; every other copy's
+    tokens drop. Overlapping grams with different owners can strip
+    parts of an owner's own span — the same boundary behavior as
+    suffix-array ExactSubstr, where removal windows from distinct
+    repeats may overlap. Output text is the surviving CLEANED token
+    stream rejoined with single spaces (the hash-contract surface, same
+    normalization as every fingerprint in this module).
+
+    Returns (id, n_tokens, n_tokens_removed, kept_text).
+
+    Scale shape — unlike pair DETECTION (``duplicate_spans``), stripping
+    needs NO self-join and therefore no occupancy cap:
+
+    * the gram census is ONE groupBy on the 8-byte gram hash
+      (count_distinct two-phase + map-side-combinable min = owner);
+    * the strip set comes from joining the gram stream back to the
+      census — one build row per key, output == occurrence stream, so
+      a 10^8-copy boilerplate gram is probe-side fan-in (and unlike
+      the pair join, MUST be kept: those are exactly the extents worth
+      stripping);
+    * covered positions explode w rows per DUPLICATED occurrence only,
+      then one keyed anti-join against the token stream and a uniform
+      per-doc reassembly aggregate.
+
+    Gram identity is internal (xxhash64, like ``duplicate_spans``); the
+    DuckDB twin keeps md5 strings — identical results, collision-free
+    at these scales either way.
+    """
+    toks = ws_tokens(clean_text(F.col(text_col)))
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("_doc"), toks.alias("_tk"))
+            .persist())
+    grams = positional_grams(F.col("_tk"), w, F.xxhash64)
+    sh = base.select("_doc", F.posexplode(grams).alias("_pos", "_h"))
+
+    census = (sh.groupBy("_h")
+              .agg(F.count_distinct("_doc").alias("_nd"),
+                   F.min("_doc").alias("_own"))
+              .filter(F.col("_nd") >= 2)
+              .select("_h", "_own"))
+    covered = (sh.join(census, "_h")
+               .filter(F.col("_doc") != F.col("_own"))
+               .select("_doc",
+                       F.explode(F.sequence(F.col("_pos") + 1,
+                                            F.col("_pos") + w)).alias("_tp"))
+               .distinct())
+
+    tokens = (base.select("_doc", F.posexplode("_tk").alias("_p0", "_t"))
+              .select("_doc", (F.col("_p0") + 1).alias("_tp"), "_t"))
+    kept = tokens.join(covered, ["_doc", "_tp"], "left_anti")
+    rebuilt = kept.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(F.struct("_tp", "_t"))),
+                        lambda x: x["_t"]),
+            " ").alias("kept_text"),
+    )
+    totals = tokens.groupBy("_doc").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        base.select("_doc")
+        .join(rebuilt, "_doc", "left")
+        .join(totals, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_tokens"),
+            (F.coalesce(F.col("_n"), F.lit(0))
+             - F.coalesce(F.col("_k"), F.lit(0))).cast("long")
+            .alias("n_tokens_removed"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+    )
 
 
 def chunk_documents(df: DataFrame, chunk_tokens: int = 128,

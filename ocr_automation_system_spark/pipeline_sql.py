@@ -727,6 +727,33 @@ SELECT d.url,
 FROM d LEFT JOIN agg a ON d.url = a.url LEFT JOIN tot t ON d.url = t.url
 """
 
+#: twin of curation.keep_first_line_dedup (X144) over the extraction twin:
+#: each distinct non-blank line is owned by its first (url, pos) occurrence
+#: (row_number over the same total order Spark's min(struct(url, pos))
+#: induces — url comparison is binary in both engines); only owners are
+#: kept, reassembled in original order, hashed at the contract surface.
+SQL_PIPELINE_PARAGRAPH_DEDUP = f"""
+WITH d AS (SELECT url, coalesce(extracted_text, '') AS t FROM {TWIN}),
+s AS (SELECT url, string_split(t, chr(10)) AS ls FROM d),
+l0 AS (SELECT url, unnest(ls) AS line,
+              unnest(range(1, len(ls) + 1)) AS pos FROM s),
+l AS (SELECT url, pos, line FROM l0 WHERE trim(line) <> ''),
+kept AS (SELECT url, pos, line FROM (
+           SELECT url, pos, line,
+                  row_number() OVER (PARTITION BY line
+                                     ORDER BY url, pos) AS rn
+           FROM l) WHERE rn = 1),
+agg AS (SELECT url, count(*) AS k,
+               md5(string_agg(line, chr(10) ORDER BY pos)) AS h
+        FROM kept GROUP BY url),
+tot AS (SELECT url, count(*) AS n FROM l GROUP BY url)
+SELECT d.url,
+  CAST(coalesce(a.k, 0) AS BIGINT) AS n_lines_kept,
+  CAST(coalesce(t.n, 0) - coalesce(a.k, 0) AS BIGINT) AS n_lines_dropped,
+  coalesce(a.h, md5('')) AS kept_text_hash
+FROM d LEFT JOIN agg a ON d.url = a.url LEFT JOIN tot t ON d.url = t.url
+"""
+
 
 # ---------------------------------------------------------------------------
 # Link graph (functions/links.py): anchors, host graph, PageRank

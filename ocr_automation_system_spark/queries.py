@@ -2129,6 +2129,55 @@ FROM runs GROUP BY 1, 2
 """
 
 
+def q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X145 — the APPLY step of ExactSubstr dedup: rewrite every doc
+    with its non-canonical duplicated w-gram extents removed (the
+    gram's min-doc owner keeps its copy). No self-join, no cap — see
+    functions.curation.dedup_span_strip for the census/anti-join
+    shape."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = C.dedup_span_strip(docs, w=DUP_SPAN_W)
+    return out.select("doc_id", "n_tokens", "n_tokens_removed",
+                      F.md5("kept_text").alias("kept_text_hash"))
+
+
+SQL_DEDUP_SPAN_STRIP = f"""
+WITH toks AS (SELECT doc_id, {_sql_toks(_sql_clean('text'))} AS tk
+              FROM documents),
+pos AS (SELECT doc_id, tk,
+               unnest(range(1, greatest(len(tk) - {DUP_SPAN_W} + 1, 0) + 1))
+               AS i
+        FROM toks),
+sh AS (SELECT doc_id AS doc, CAST(i - 1 AS INT) AS pos,
+              md5(array_to_string(tk[i:i+{DUP_SPAN_W - 1}], ' ')) AS h
+       FROM pos),
+census AS (SELECT h, min(doc) AS own FROM sh GROUP BY h
+           HAVING count(DISTINCT doc) >= 2),
+cov AS (SELECT DISTINCT s.doc,
+               s.pos + unnest(range(1, {DUP_SPAN_W} + 1)) AS tp
+        FROM sh s JOIN census c USING (h) WHERE s.doc <> c.own),
+tok AS (SELECT doc_id AS doc, unnest(range(1, len(tk) + 1)) AS tp,
+               unnest(tk) AS t
+        FROM toks),
+kept AS (SELECT doc, tp, t FROM tok
+         WHERE NOT EXISTS (SELECT 1 FROM cov
+                           WHERE cov.doc = tok.doc AND cov.tp = tok.tp)),
+agg AS (SELECT doc, count(*) AS k,
+               md5(string_agg(t, ' ' ORDER BY tp)) AS h
+        FROM kept GROUP BY doc),
+tot AS (SELECT doc, count(*) AS n FROM tok GROUP BY doc)
+SELECT d.doc_id,
+  CAST(coalesce(t.n, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(t.n, 0) - coalesce(a.k, 0) AS BIGINT) AS n_tokens_removed,
+  coalesce(a.h, md5('')) AS kept_text_hash
+FROM documents d
+LEFT JOIN agg a ON d.doc_id = a.doc
+LEFT JOIN tot t ON d.doc_id = t.doc
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup queries (documents table)
 # ---------------------------------------------------------------------------
@@ -5058,6 +5107,23 @@ def q_pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "n_lines_kept", "n_lines_dropped",
                       F.md5("kept_text").alias("kept_text_hash"))
 
+def q_pipeline_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide keep-FIRST line dedup over the extraction output
+    (X144, CCNet paragraph-dedup semantics): every distinct non-blank
+    line survives exactly once — at its first (url, position)
+    occurrence — and all later copies drop. Complements
+    pipeline_line_dedup (threshold drop-ALL boilerplate removal); see
+    functions.curation.keep_first_line_dedup for the ownership-join
+    scale shape."""
+    from .functions import curation as C
+
+    res = extractions_for(spark, sf_dir).select("url", "extracted_text")
+    out = C.keep_first_line_dedup(res, id_col="url",
+                                  text_col="extracted_text")
+    return out.select("url", "n_lines_kept", "n_lines_dropped",
+                      F.md5("kept_text").alias("kept_text_hash"))
+
+
 def q_pipeline_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-export document form: extracted main text with the
     page's tables re-inlined as GitHub-markdown blocks (text, blank
@@ -7165,6 +7231,7 @@ REGISTRY: dict = {
     "alpha_mixture_rates": (q_alpha_mixture_rates, SQL_ALPHA_MIXTURE_RATES),
     "alpha_sample": (q_alpha_sample, SQL_ALPHA_SAMPLE),
     "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
+    "dedup_span_strip": (q_dedup_span_strip, SQL_DEDUP_SPAN_STRIP),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "domain_quota": (q_domain_quota, SQL_DOMAIN_QUOTA),
     "pack_bins": (q_pack_bins, SQL_PACK_BINS),
@@ -7363,6 +7430,8 @@ REGISTRY: dict = {
                                  PSQL.SQL_PIPELINE_LINEAGE_METRICS),
     "pipeline_host_stats": (q_pipeline_host_stats, PSQL.SQL_PIPELINE_HOST_STATS),
     "pipeline_line_dedup": (q_pipeline_line_dedup, PSQL.SQL_PIPELINE_LINE_DEDUP),
+    "pipeline_paragraph_dedup": (q_pipeline_paragraph_dedup,
+                                 PSQL.SQL_PIPELINE_PARAGRAPH_DEDUP),
     "pipeline_markdown_docs": (q_pipeline_markdown_docs,
                                PSQL.SQL_PIPELINE_MARKDOWN_DOCS),
     # url canonicalization + canonical-url dedup (corpus url column)

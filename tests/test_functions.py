@@ -1278,3 +1278,36 @@ def test_lang_id_margin_confidence(spark):
     assert got[1]["margin"] >= 2
     assert not got[2]["confident"] and got[2]["margin"] <= 1
     assert got[3]["best_score"] == 0 and not got[3]["confident"]
+
+
+def test_keep_first_line_dedup_ownership_and_uniqueness(spark):
+    """X144: every distinct non-blank line survives exactly once corpus
+    wide, at its first (id, pos) occurrence; later copies drop even
+    inside the owning document; blank lines never count."""
+    from ocr_automation_system_spark.functions.curation import (
+        keep_first_line_dedup,
+    )
+
+    rows = [
+        ("a", "alpha\nshared\nalpha"),          # intra-doc repeat of alpha
+        ("b", "shared\nbeta\n\n  \nshared"),    # blanks + late copies
+        ("c", "shared\ngamma"),
+        ("d", ""),                               # empty doc
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r["url"]: r for r in
+           keep_first_line_dedup(df, id_col="url", text_col="text")
+           .collect()}
+    # 'a' is lexicographically first: owns alpha (pos 0, not the pos-2
+    # copy) and shared.
+    assert got["a"]["kept_text"] == "alpha\nshared"
+    assert (got["a"]["n_lines_kept"], got["a"]["n_lines_dropped"]) == (2, 1)
+    assert got["b"]["kept_text"] == "beta"
+    assert (got["b"]["n_lines_kept"], got["b"]["n_lines_dropped"]) == (1, 2)
+    assert got["c"]["kept_text"] == "gamma"
+    assert got["d"]["kept_text"] == "" and got["d"]["n_lines_kept"] == 0
+    # global law: union of kept lines == set of distinct non-blank input
+    # lines, each exactly once.
+    kept_lines = [ln for r in got.values() if r["kept_text"]
+                  for ln in r["kept_text"].split("\n")]
+    assert sorted(kept_lines) == ["alpha", "beta", "gamma", "shared"]

@@ -611,3 +611,31 @@ def test_cdc_novelty_bounds_direct(spark):
     assert frac["same"] == 0.0
     assert frac["new"] == 1.0
     assert 0.0 < frac["foot"] < 0.5
+
+
+def test_dedup_span_strip_keeps_owner_copy(spark):
+    """X145: the min-id owner of a duplicated w-gram keeps its tokens;
+    every other doc's copy is stripped; unique text survives; and the
+    removal count is exact."""
+    from ocr_automation_system_spark.functions.curation import (
+        dedup_span_strip,
+    )
+
+    span = "one two three four five six seven eight"   # exactly w=8 tokens
+    rows = [
+        (1, f"intro {span} outro"),
+        (2, f"copy of the same {span} appears here"),
+        (3, "totally unique text with no repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup_span_strip(df, w=8).collect()}
+    # owner (doc 1) intact
+    assert got[1]["kept_text"] == f"intro {span} outro"
+    assert got[1]["n_tokens_removed"] == 0
+    # doc 2 loses exactly the 8 duplicated tokens, keeps its frame
+    assert got[2]["kept_text"] == "copy of the same appears here"
+    assert got[2]["n_tokens_removed"] == 8
+    # unique doc untouched
+    assert got[3]["n_tokens_removed"] == 0
+    assert got[3]["kept_text"] == rows[2][1]
