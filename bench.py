@@ -48,6 +48,8 @@ HEADLINE = (
     "zorder_keys", "zorder_prune_audit",
     "domain_quota", "host_disjoint_split", "knn_label_eval",
     "pii_scrub", "repetition_scores", "source_blocklist",
+    "gopher_quality_flags", "gopher_repetition_fracs", "c4_line_policy",
+    "dedup_span_strip",
     "compression_ratios",
     "url_dup_groups", "url_canonicalize", "url_features",
     "url_pattern_census",
@@ -66,7 +68,7 @@ HEADLINE = (
     "robots_parse_lines", "robots_effective_rules",
     "robots_corpus_verdicts", "robots_crawl_delays",
     "robots_blocked_rate", "redirect_resolved",
-    "pipeline_line_dedup",
+    "pipeline_line_dedup", "pipeline_paragraph_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile", "anchor_bm25",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",
     "host_reciprocity", "seed_distance", "host_hyperball", "host_harmonic",

@@ -554,6 +554,358 @@ def curation_verdicts(df: DataFrame, id_col: str = "doc_id",
                      (verdict == "keep").alias("keep"))
 
 
+#: The published Gopher rule-battery stopword set (Rae et al. 2021,
+#: Table A1) — distinct from text.STOPWORDS (the ratio feature's set):
+#: the battery requires >= 2 of THESE words to appear at all.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: First-fail rule order + thresholds of the row-local Gopher battery.
+GOPHER_RULES = (
+    ("word_count", "50 <= n_words <= 100000"),
+    ("mean_word_len", "3 <= mean <= 10"),
+    ("symbol_ratio", "(# + ...) / words <= 0.1"),
+    ("bullet_lines", "bullet-start lines <= 90%"),
+    ("ellipsis_lines", "ellipsis-end lines <= 30%"),
+    ("alpha_words", ">= 80% words contain a letter"),
+    ("stopwords", ">= 2 of the 8 required stopwords"),
+    ("dup_lines", "duplicate line fraction <= 0.30"),
+    ("dup_line_chars", "duplicate line char fraction <= 0.20"),
+)
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """The row-local half of the published Gopher quality rule battery
+    (Rae et al. 2021 §A.1.1 / Table A1) — every signal the paper's
+    per-document filter computes without looking at any other document:
+
+    * ``n_words`` in [50, 100000];
+    * ``mean_word_len`` in [3, 10];
+    * ``symbol_word_ratio`` (``#`` or ``...``/``…`` hits per word)
+      <= 0.1;
+    * ``bullet_line_frac`` (lines starting with a bullet) <= 0.9;
+    * ``ellipsis_line_frac`` (lines ending with an ellipsis) <= 0.3;
+    * ``alpha_word_frac`` (words containing >= 1 letter) >= 0.8;
+    * ``n_stop_hits`` (how many of the paper's 8 required stopwords
+      appear) >= 2;
+    * ``dup_line_frac`` <= 0.30 and ``dup_line_char_frac`` <= 0.20
+      (the count- and character-weighted duplicate-line fractions).
+
+    Returns the raw signals plus ``reason`` = the FIRST failing rule in
+    the documented ``GOPHER_RULES`` order ('keep' if none) and a
+    ``keep`` boolean — the same first-fail-wins lineage convention as
+    ``curation_verdicts`` (which keeps its own smaller composite; this
+    operator is the faithful published battery).
+
+    Scale shape: ONE narrow whole-stage-codegen projection — every
+    signal is a higher-order array function or regexp count over the
+    row, zero shuffle, zero Python; at 10^12 docs it fuses with the
+    scan. The n-gram half of the battery (top-/dup-n-gram character
+    fractions, which need a per-doc census) is the separate
+    ``gopher_repetition_fracs``.
+
+    Determinism: integer counts and exact double divisions only —
+    bit-identical in the DuckDB twin at any partitioning."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = ws_tokens(clean_text(t))
+
+    def _sig(tk):
+        n_words = F.size(tk)
+        nz = n_words > 0
+        mean_wl = F.when(nz, F.aggregate(
+            tk, F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x)).cast("double")
+            / n_words).otherwise(F.lit(0.0))
+        n_sym = (F.regexp_count(t, F.lit("#"))
+                 + F.regexp_count(t, F.lit("\\.\\.\\."))
+                 + F.regexp_count(t, F.lit("…")))
+        sym_ratio = F.when(nz, n_sym.cast("double") / n_words) \
+            .otherwise(F.lit(0.0))
+        alpha_frac = F.when(nz, F.size(
+            F.filter(tk, lambda x: x.rlike("[a-z]"))).cast("double")
+            / n_words).otherwise(F.lit(0.0))
+        stop_hits = None
+        for w in GOPHER_STOPWORDS:
+            hit = F.array_contains(tk, w).cast("int")
+            stop_hits = hit if stop_hits is None else stop_hits + hit
+        return F.struct(n_words.cast("long").alias("n_words"),
+                        mean_wl.alias("mean_wl"),
+                        sym_ratio.alias("sym_ratio"),
+                        alpha_frac.alias("alpha_frac"),
+                        stop_hits.cast("int").alias("stop_hits"))
+
+    def _lines(ls):
+        n_lines = F.size(ls)
+        lz = n_lines > 0
+        bullet = F.when(lz, F.size(F.filter(
+            ls, lambda x: F.trim(x).rlike("^[-*•‣▪]")))
+            .cast("double") / n_lines).otherwise(F.lit(0.0))
+        ellipsis = F.when(lz, F.size(F.filter(
+            ls, lambda x: F.trim(x).rlike("(\\.\\.\\.|…)$")))
+            .cast("double") / n_lines).otherwise(F.lit(0.0))
+        total_chars = F.aggregate(ls, F.lit(0).cast("long"),
+                                  lambda acc, x: acc + F.length(x))
+        dist_chars = F.aggregate(F.array_distinct(ls),
+                                 F.lit(0).cast("long"),
+                                 lambda acc, x: acc + F.length(x))
+        dup = F.when(lz, F.lit(1.0)
+                     - F.size(F.array_distinct(ls)).cast("double")
+                     / n_lines).otherwise(F.lit(0.0))
+        dup_chars = F.when(total_chars > 0, F.lit(1.0)
+                           - dist_chars.cast("double") / total_chars) \
+            .otherwise(F.lit(0.0))
+        return F.struct(bullet.alias("bullet"),
+                        ellipsis.alias("ellipsis"),
+                        dup.alias("dup"),
+                        dup_chars.alias("dup_chars"))
+
+    s = bind_array(toks, _sig)
+    li = bind_array(
+        F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0),
+        _lines)
+    reason = (
+        F.when((s["n_words"] < 50) | (s["n_words"] > 100000),
+               F.lit("word_count"))
+        .when((s["mean_wl"] < 3.0) | (s["mean_wl"] > 10.0),
+              F.lit("mean_word_len"))
+        .when(s["sym_ratio"] > 0.1, F.lit("symbol_ratio"))
+        .when(li["bullet"] > 0.9, F.lit("bullet_lines"))
+        .when(li["ellipsis"] > 0.3, F.lit("ellipsis_lines"))
+        .when(s["alpha_frac"] < 0.8, F.lit("alpha_words"))
+        .when(s["stop_hits"] < 2, F.lit("stopwords"))
+        .when(li["dup"] > 0.30, F.lit("dup_lines"))
+        .when(li["dup_chars"] > 0.20, F.lit("dup_line_chars"))
+        .otherwise(F.lit("keep")))
+    return df.select(
+        id_col,
+        s["n_words"].alias("n_words"),
+        F.round(s["mean_wl"], 6).alias("mean_word_len"),
+        F.round(s["sym_ratio"], 6).alias("symbol_word_ratio"),
+        F.round(li["bullet"], 6).alias("bullet_line_frac"),
+        F.round(li["ellipsis"], 6).alias("ellipsis_line_frac"),
+        F.round(s["alpha_frac"], 6).alias("alpha_word_frac"),
+        s["stop_hits"].alias("n_stop_hits"),
+        F.round(li["dup"], 6).alias("dup_line_frac"),
+        F.round(li["dup_chars"], 6).alias("dup_line_char_frac"),
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )
+
+
+#: (n, threshold) pairs of the Gopher n-gram repetition battery:
+#: top-n-gram character fraction for n=2..4, duplicated-n-gram
+#: character fraction for n=5..10 (Rae et al. 2021 Table A1).
+GOPHER_TOP_NGRAM = ((2, 0.20), (3, 0.18), (4, 0.16))
+GOPHER_DUP_NGRAM = ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12),
+                    (9, 0.11), (10, 0.10))
+
+
+def gopher_repetition_fracs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """The census half of the Gopher repetition battery (Rae et al.
+    2021 §A.1.1): per-document character fractions of repeated word
+    n-grams —
+
+    * ``top_{n}gram_char_frac`` (n = 2, 3, 4): characters of the MOST
+      FREQUENT n-gram = count(top gram) * chars(top gram) / total
+      token chars (the published definition counts every occurrence,
+      overlaps included — a 2-token doc scores 1.0 and is handled by
+      the battery's 50-word floor). Tie-break: among max-count grams,
+      the largest character mass (deterministic, engine-neutral).
+    * ``dup_{n}gram_char_frac`` (n = 5..10): fraction of token
+      characters COVERED by at least one occurrence of a duplicated
+      n-gram (count >= 2 within the doc) — span coverage, each
+      character counted once, so the fraction is bounded by 1 exactly
+      as in the published implementations.
+
+    ``chars`` are summed token lengths (joining spaces don't count).
+    Docs shorter than n tokens score 0 for that n. ``keep`` = every
+    fraction <= its published threshold (``GOPHER_TOP_NGRAM`` /
+    ``GOPHER_DUP_NGRAM``).
+
+    Scale shape — per-doc census, never corpus-wide state:
+
+    * the 9 gram streams flatten into ONE row-local array-of-structs
+      explode (~9L rows/doc) carrying the start position;
+    * ONE groupBy(doc, n, gram) census — uniform keys, map-side
+      combinable partials collapse within-partition repeats;
+    * the top fractions are a per-(doc, n) max aggregate of the
+      census;
+    * coverage joins the duplicated-gram key set back to the
+      occurrence stream (one build row per key — boilerplate grams
+      are probe-side fan-in), explodes the n covered offsets, and
+      counts each covered (doc, pos) once via a distinct aggregate
+      joined to the per-position token-length table;
+    * final pivot groups on the uniform doc key.
+
+    No window over a data-dependent key, no self-join, nothing
+    driver-side — the same census/anti-explosion shapes as
+    ``dedup_span_strip``, per document instead of cross-corpus."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = ws_tokens(clean_text(t))
+    top_ns = [n for n, _ in GOPHER_TOP_NGRAM]
+    dup_ns = [n for n, _ in GOPHER_DUP_NGRAM]
+
+    def _stream(tk):
+        # NB: per-n lambdas must stay single-parameter — F.transform
+        # feeds a second parameter the element INDEX, so an `n=n`
+        # default would silently be overwritten by it.
+        def _gram_fn(n):
+            return lambda i: F.struct(
+                F.lit(n).alias("n"), i.alias("pos"),
+                F.concat_ws(" ", F.slice(tk, i, n)).alias("gram"))
+
+        per_n = [
+            F.transform(
+                lazy_seq(F.size(tk) - (n - 1) > 0, F.lit(1),
+                         F.size(tk) - (n - 1)),
+                _gram_fn(n))
+            for n in top_ns + dup_ns
+        ]
+        return F.flatten(F.array(*per_n))
+
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("_doc"),
+                    F.aggregate(toks, F.lit(0).cast("long"),
+                                lambda acc, x: acc + F.length(x))
+                    .alias("_tc"),
+                    toks.alias("_tk"),
+                    bind_array(toks, _stream).alias("_gs"))
+            .persist())
+    occ = base.select("_doc", "_tc", F.explode("_gs").alias("g")) \
+        .select("_doc", "_tc", "g.n", "g.pos", "g.gram")
+    census = (occ.groupBy("_doc", "_tc", "n", "gram")
+              .agg(F.count(F.lit(1)).alias("_cnt")))
+    gchars = F.length(F.col("gram")) - (F.col("n") - 1)
+    tcd = F.col("_tc").cast("double")
+
+    top = (census.filter(F.col("n").isin(top_ns))
+           .groupBy("_doc", "_tc", "n")
+           .agg(F.max(F.struct(F.col("_cnt").alias("c"),
+                               (F.col("_cnt") * gchars).alias("mass")))
+                .alias("_top"))
+           .select("_doc", "n",
+                   F.when(F.col("_tc") > 0,
+                          F.col("_top.mass").cast("double") / tcd)
+                   .otherwise(F.lit(0.0)).alias("frac")))
+
+    # covered positions of duplicated grams, each (doc, pos) once per n
+    dup_keys = (census.filter(F.col("n").isin(dup_ns)
+                              & (F.col("_cnt") >= 2))
+                .select("_doc", "n", "gram"))
+    tokpos = base.select(
+        "_doc", F.posexplode("_tk").alias("pos0", "_tok")) \
+        .select("_doc", (F.col("pos0") + 1).alias("tp"),
+                F.length("_tok").alias("_len"))
+    covered = (occ.join(dup_keys, ["_doc", "n", "gram"])
+               .select("_doc", "n", "_tc",
+                       F.explode(F.sequence(
+                           F.col("pos"),
+                           F.col("pos") + F.col("n") - 1)).alias("tp"))
+               .groupBy("_doc", "n", "_tc", "tp").agg(F.lit(1)))
+    dup = (covered.join(tokpos, ["_doc", "tp"])
+           .groupBy("_doc", "n", "_tc")
+           .agg(F.sum("_len").alias("_cov"))
+           .select("_doc", "n",
+                   F.when(F.col("_tc") > 0,
+                          F.col("_cov").cast("double") / tcd)
+                   .otherwise(F.lit(0.0)).alias("frac")))
+
+    fracs = top.unionByName(dup)
+    pivots = [
+        F.round(F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("frac"))), F.lit(0.0)), 6)
+        .alias(f"top_{n}gram_char_frac")
+        for n, _ in GOPHER_TOP_NGRAM
+    ] + [
+        F.round(F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("frac"))), F.lit(0.0)), 6)
+        .alias(f"dup_{n}gram_char_frac")
+        for n, _ in GOPHER_DUP_NGRAM
+    ]
+    keep = None
+    for n, th in GOPHER_TOP_NGRAM + GOPHER_DUP_NGRAM:
+        k = (F.coalesce(F.max(F.when(F.col("n") == n, F.col("frac"))),
+                        F.lit(0.0)) <= F.lit(th))
+        keep = k if keep is None else keep & k
+    rolled = fracs.groupBy("_doc").agg(*pivots, keep.alias("keep"))
+    out_cols = ([f"top_{n}gram_char_frac" for n, _ in GOPHER_TOP_NGRAM]
+                + [f"dup_{n}gram_char_frac" for n, _ in GOPHER_DUP_NGRAM])
+    # left join back so gram-free docs (< 2 tokens) still report 0s
+    return (df.select(F.col(id_col).alias("_doc"))
+            .join(rolled, "_doc", "left")
+            .select(F.col("_doc").alias(id_col),
+                    *[F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+                      for c in out_cols],
+                    F.coalesce(F.col("keep"), F.lit(True)).alias("keep")))
+
+
+def c4_line_policy(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_line_words: int = 3,
+                   min_sentences: int = 5) -> DataFrame:
+    """The C4 cleaning policy (Raffel et al. 2020 §2.2), line level +
+    page level, as one row-local operator:
+
+    line KEEP rules (all must hold):
+    * ends in terminal punctuation (``.``, ``!``, ``?``, ``"``);
+    * has >= ``min_line_words`` whitespace words;
+    * does not contain the word 'javascript' (case-insensitive).
+
+    page verdict over the SURVIVING text, first-fail-wins:
+    * ``lorem_ipsum`` — the page (anywhere, original text) contains
+      'lorem ipsum' (case-insensitive);
+    * ``curly_brace`` — the original text contains ``{`` (code);
+    * ``too_few_sentences`` — fewer than ``min_sentences`` terminal
+      punctuation marks remain in the kept text;
+    * else ``keep``.
+
+    Returns (id, n_lines_kept, n_lines_dropped, n_sentences, reason,
+    keep, kept_text). Pure narrow projection: array filters + regexp
+    counts, zero shuffle, zero Python — fuses with the scan at any
+    scale. Unlike the corpus-level line dedups (X20/X144) this is C4's
+    within-page policy; the published pipeline runs both."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, "\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+
+    def _kept(ls):
+        def ok(x):
+            xt = F.trim(x)
+            return (xt.rlike('[.!?"]$')
+                    & (F.size(F.split(xt, "\\s+")) >= min_line_words)
+                    & ~F.lower(xt).rlike("javascript"))
+        return F.filter(ls, ok)
+
+    kept = bind_array(lines, _kept)
+
+    def _out(k):
+        kept_text = F.array_join(k, "\n")
+        n_sent = F.regexp_count(kept_text, F.lit("[.!?]"))
+        reason = (
+            F.when(F.lower(t).rlike("lorem ipsum"), F.lit("lorem_ipsum"))
+            .when(t.contains("{"), F.lit("curly_brace"))
+            .when(n_sent < min_sentences, F.lit("too_few_sentences"))
+            .otherwise(F.lit("keep")))
+        return F.struct(
+            F.size(k).cast("long").alias("n_lines_kept"),
+            n_sent.cast("long").alias("n_sentences"),
+            reason.alias("reason"),
+            kept_text.alias("kept_text"))
+
+    o = bind_array(kept, _out)
+    return df.select(
+        id_col,
+        o["n_lines_kept"].alias("n_lines_kept"),
+        (F.size(lines) - o["n_lines_kept"]).cast("long")
+        .alias("n_lines_dropped"),
+        o["n_sentences"].alias("n_sentences"),
+        o["reason"].alias("reason"),
+        (o["reason"] == "keep").alias("keep"),
+        o["kept_text"].alias("kept_text"),
+    )
+
+
 def duplicate_spans(df: DataFrame, w: int = 8, text_col: str = "text",
                     id_col: str = "doc_id",
                     max_docs_per_shingle: int = 64,

@@ -612,6 +612,225 @@ FROM s
 """
 
 
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X146 — the row-local half of the published Gopher rule battery
+    (Rae et al. 2021 Table A1): word-count band, mean word length,
+    symbol ratio, bullet/ellipsis line fractions, alpha-word fraction,
+    required-stopword count, duplicate-line count+char fractions;
+    first-fail reason + keep. One codegen projection, zero shuffle."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.gopher_quality_flags(docs)
+
+
+SQL_GOPHER_QUALITY_FLAGS = f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         {_sql_toks(_sql_clean("coalesce(text, '')"))} AS tk,
+         list_filter(string_split(coalesce(text, ''), chr(10)),
+                     x -> trim(x) <> '') AS ls
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    len(tk) AS n_words,
+    CASE WHEN len(tk) > 0 THEN
+      CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+           AS DOUBLE) / len(tk) ELSE 0.0 END AS mean_wl,
+    CASE WHEN len(tk) > 0 THEN
+      (len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.'))
+       + len(regexp_extract_all(t, '…'))) * 1.0 / len(tk)
+      ELSE 0.0 END AS sym_ratio,
+    CASE WHEN len(tk) > 0 THEN
+      len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(tk)
+      ELSE 0.0 END AS alpha_frac,
+    (CAST(list_contains(tk, 'the') AS INT) + CAST(list_contains(tk, 'be') AS INT)
+     + CAST(list_contains(tk, 'to') AS INT) + CAST(list_contains(tk, 'of') AS INT)
+     + CAST(list_contains(tk, 'and') AS INT) + CAST(list_contains(tk, 'that') AS INT)
+     + CAST(list_contains(tk, 'have') AS INT) + CAST(list_contains(tk, 'with') AS INT))
+      AS stop_hits,
+    CASE WHEN len(ls) > 0 THEN
+      len(list_filter(ls, x -> regexp_matches(trim(x), '^[-*•‣▪]'))) * 1.0 / len(ls)
+      ELSE 0.0 END AS bullet,
+    CASE WHEN len(ls) > 0 THEN
+      len(list_filter(ls, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$'))) * 1.0 / len(ls)
+      ELSE 0.0 END AS ellipsis,
+    CASE WHEN len(ls) > 0 THEN
+      1.0 - len(list_distinct(ls)) * 1.0 / len(ls) ELSE 0.0 END AS dup,
+    CASE WHEN coalesce(list_sum(list_transform(ls, x -> length(x))), 0) > 0 THEN
+      1.0 - CAST(coalesce(list_sum(list_transform(list_distinct(ls),
+                                                  x -> length(x))), 0) AS DOUBLE)
+            / coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
+      ELSE 0.0 END AS dup_chars
+  FROM t),
+v AS (
+  SELECT *,
+    CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+         WHEN mean_wl < 3.0 OR mean_wl > 10.0 THEN 'mean_word_len'
+         WHEN sym_ratio > 0.1 THEN 'symbol_ratio'
+         WHEN bullet > 0.9 THEN 'bullet_lines'
+         WHEN ellipsis > 0.3 THEN 'ellipsis_lines'
+         WHEN alpha_frac < 0.8 THEN 'alpha_words'
+         WHEN stop_hits < 2 THEN 'stopwords'
+         WHEN dup > 0.30 THEN 'dup_lines'
+         WHEN dup_chars > 0.20 THEN 'dup_line_chars'
+         ELSE 'keep' END AS reason
+  FROM s)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  round(mean_wl, 6) AS mean_word_len,
+  round(sym_ratio, 6) AS symbol_word_ratio,
+  round(bullet, 6) AS bullet_line_frac,
+  round(ellipsis, 6) AS ellipsis_line_frac,
+  round(alpha_frac, 6) AS alpha_word_frac,
+  CAST(stop_hits AS INT) AS n_stop_hits,
+  round(dup, 6) AS dup_line_frac,
+  round(dup_chars, 6) AS dup_line_char_frac,
+  reason, (reason = 'keep') AS keep
+FROM v
+"""
+
+
+def q_gopher_repetition_fracs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X147 — the census half of the Gopher battery: top-2/3/4-gram
+    character fractions (count x chars of the most frequent gram) and
+    duplicated-5..10-gram character COVERAGE fractions (each char
+    counted once). One per-doc gram census + coverage join — uniform
+    keys, map-side combinable, no window/self-join."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.gopher_repetition_fracs(docs)
+
+
+SQL_GOPHER_REPETITION_FRACS = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_toks(_sql_clean("coalesce(text, '')"))} AS tk
+  FROM documents),
+base AS (
+  SELECT doc_id, tk,
+         coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS tc
+  FROM toks),
+posns AS (
+  SELECT doc_id, tc, tk, ns.n,
+         unnest(range(1, greatest(len(tk) - ns.n + 1, 0) + 1)) AS pos
+  FROM base CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) ns(n)),
+occ AS (
+  SELECT doc_id, tc, n, pos,
+         array_to_string(tk[pos:pos+n-1], ' ') AS gram
+  FROM posns),
+census AS (
+  SELECT doc_id, tc, n, gram, count(*) AS cnt
+  FROM occ GROUP BY 1, 2, 3, 4),
+topc AS (
+  SELECT doc_id, tc, n, max(cnt) AS mc
+  FROM census WHERE n IN (2, 3, 4) GROUP BY 1, 2, 3),
+top AS (
+  SELECT c.doc_id, c.n,
+         CASE WHEN c.tc > 0 THEN
+           CAST(max(c.cnt * (length(c.gram) - (c.n - 1))) AS DOUBLE) / c.tc
+         ELSE 0.0 END AS frac
+  FROM census c JOIN topc t
+    ON c.doc_id = t.doc_id AND c.n = t.n AND c.cnt = t.mc
+  GROUP BY c.doc_id, c.n, c.tc),
+dupkeys AS (
+  SELECT doc_id, n, gram FROM census WHERE n >= 5 AND cnt >= 2),
+covered AS (
+  SELECT DISTINCT o.doc_id, o.n, o.tc,
+         o.pos + unnest(range(0, o.n)) AS tp
+  FROM occ o JOIN dupkeys d
+    ON o.doc_id = d.doc_id AND o.n = d.n AND o.gram = d.gram),
+tokpos AS (
+  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS tp,
+         unnest(list_transform(tk, x -> length(x))) AS ln
+  FROM base),
+dup AS (
+  SELECT c.doc_id, c.n,
+         CASE WHEN c.tc > 0 THEN CAST(sum(t.ln) AS DOUBLE) / c.tc
+         ELSE 0.0 END AS frac
+  FROM covered c JOIN tokpos t ON c.doc_id = t.doc_id AND c.tp = t.tp
+  GROUP BY c.doc_id, c.n, c.tc),
+fracs AS (SELECT * FROM top UNION ALL SELECT * FROM dup),
+rolled AS (
+  SELECT doc_id,
+    coalesce(max(CASE WHEN n = 2 THEN frac END), 0.0) AS f2,
+    coalesce(max(CASE WHEN n = 3 THEN frac END), 0.0) AS f3,
+    coalesce(max(CASE WHEN n = 4 THEN frac END), 0.0) AS f4,
+    coalesce(max(CASE WHEN n = 5 THEN frac END), 0.0) AS f5,
+    coalesce(max(CASE WHEN n = 6 THEN frac END), 0.0) AS f6,
+    coalesce(max(CASE WHEN n = 7 THEN frac END), 0.0) AS f7,
+    coalesce(max(CASE WHEN n = 8 THEN frac END), 0.0) AS f8,
+    coalesce(max(CASE WHEN n = 9 THEN frac END), 0.0) AS f9,
+    coalesce(max(CASE WHEN n = 10 THEN frac END), 0.0) AS f10
+  FROM fracs GROUP BY doc_id)
+SELECT d.doc_id,
+  round(coalesce(r.f2, 0.0), 6) AS top_2gram_char_frac,
+  round(coalesce(r.f3, 0.0), 6) AS top_3gram_char_frac,
+  round(coalesce(r.f4, 0.0), 6) AS top_4gram_char_frac,
+  round(coalesce(r.f5, 0.0), 6) AS dup_5gram_char_frac,
+  round(coalesce(r.f6, 0.0), 6) AS dup_6gram_char_frac,
+  round(coalesce(r.f7, 0.0), 6) AS dup_7gram_char_frac,
+  round(coalesce(r.f8, 0.0), 6) AS dup_8gram_char_frac,
+  round(coalesce(r.f9, 0.0), 6) AS dup_9gram_char_frac,
+  round(coalesce(r.f10, 0.0), 6) AS dup_10gram_char_frac,
+  (coalesce(r.f2, 0.0) <= 0.20 AND coalesce(r.f3, 0.0) <= 0.18
+   AND coalesce(r.f4, 0.0) <= 0.16 AND coalesce(r.f5, 0.0) <= 0.15
+   AND coalesce(r.f6, 0.0) <= 0.14 AND coalesce(r.f7, 0.0) <= 0.13
+   AND coalesce(r.f8, 0.0) <= 0.12 AND coalesce(r.f9, 0.0) <= 0.11
+   AND coalesce(r.f10, 0.0) <= 0.10) AS keep
+FROM documents d LEFT JOIN rolled r ON d.doc_id = r.doc_id
+"""
+
+
+def q_c4_line_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X148 — the C4 cleaning policy (Raffel et al. 2020 §2.2): keep
+    lines ending in terminal punctuation with >= 3 words and no
+    'javascript'; page-level lorem-ipsum / curly-brace / sentence-count
+    gates, first-fail reason. Pure narrow projection."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = C.c4_line_policy(docs)
+    return out.select("doc_id", "n_lines_kept", "n_lines_dropped",
+                      "n_sentences", "reason", "keep",
+                      F.md5("kept_text").alias("kept_text_hash"))
+
+
+SQL_C4_LINE_POLICY = """
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         list_filter(string_split(coalesce(text, ''), chr(10)),
+                     x -> trim(x) <> '') AS ls
+  FROM documents),
+k AS (
+  SELECT doc_id, t, ls,
+    list_filter(ls, x -> regexp_matches(trim(x), '[.!?"]$')
+                AND len(regexp_split_to_array(trim(x), '\\s+')) >= 3
+                AND NOT regexp_matches(lower(trim(x)), 'javascript')) AS kept
+  FROM t),
+o AS (
+  -- NB: DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
+  SELECT doc_id, t, ls, kept,
+         coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+         len(regexp_extract_all(
+           coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) AS n_sent
+  FROM k),
+v AS (
+  SELECT *,
+    CASE WHEN regexp_matches(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
+         WHEN contains(t, '{') THEN 'curly_brace'
+         WHEN n_sent < 5 THEN 'too_few_sentences'
+         ELSE 'keep' END AS reason
+  FROM o)
+SELECT doc_id,
+  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+  CAST(len(ls) - len(kept) AS BIGINT) AS n_lines_dropped,
+  CAST(n_sent AS BIGINT) AS n_sentences,
+  reason, (reason = 'keep') AS keep,
+  md5(kept_text) AS kept_text_hash
+FROM v
+"""
+
+
 def q_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host deny-list pass: drop docs whose source's md5 starts 0-3
     (a deterministic ~25% stand-in for a real blocklist dimension);
@@ -7240,6 +7459,11 @@ REGISTRY: dict = {
     "knn_label_eval": (q_knn_label_eval, SQL_KNN_LABEL_EVAL),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
+    "gopher_quality_flags": (q_gopher_quality_flags,
+                             SQL_GOPHER_QUALITY_FLAGS),
+    "gopher_repetition_fracs": (q_gopher_repetition_fracs,
+                                SQL_GOPHER_REPETITION_FRACS),
+    "c4_line_policy": (q_c4_line_policy, SQL_C4_LINE_POLICY),
     "source_blocklist": (q_source_blocklist, SQL_SOURCE_BLOCKLIST),
     "benchmark_contamination": (q_benchmark_contamination,
                                 SQL_BENCHMARK_CONTAMINATION),

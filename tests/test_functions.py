@@ -1311,3 +1311,125 @@ def test_keep_first_line_dedup_ownership_and_uniqueness(spark):
     kept_lines = [ln for r in got.values() if r["kept_text"]
                   for ln in r["kept_text"].split("\n")]
     assert sorted(kept_lines) == ["alpha", "beta", "gamma", "shared"]
+
+
+def test_gopher_quality_flags_rule_battery(spark):
+    """X146: every rule of the published Gopher battery fires on its
+    planted fixture, in the documented first-fail order, and the clean
+    document keeps."""
+    from ocr_automation_system_spark.functions.curation import (
+        gopher_quality_flags,
+    )
+
+    keep_doc = ("the quick brown fox jumps over the lazy dog and runs "
+                "to be part of that pack with plenty of words to have "
+                "here. " * 10)
+    dup_lines = "\n".join(
+        ["the weather would be lovely for most of that crowd."] * 5
+        + [f"a different line number {i} with the usual words to be had."
+           for i in range(5)])
+    long_line = ("the colors of that evening have stayed with me to be "
+                 "honest for years and years. " * 3)
+    dup_chars = "\n".join([long_line, long_line]
+                          + [f"short line {i} to be had." for i in range(8)])
+    rows = [
+        (1, keep_doc),
+        (2, "short text"),                                   # word_count
+        (3, "a " * 60),                                      # mean_word_len
+        (4, "about seven #wonder things exist " * 12),       # symbol_ratio
+        (5, "\n".join(["- item number one two"] * 10)),      # bullet_lines
+        (6, "\n".join(["some line about things goes on and on for a "
+                       "while longer tonight..."] * 10)),
+        (7, "the be 123 456 789 word " * 10),                # alpha_words
+        (8, "lovely weather today people walking around town squares " * 8),
+        (9, dup_lines),                                      # dup_lines
+        (10, dup_chars),                                     # dup_line_chars
+        (11, None),                                          # word_count
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    expected = {1: "keep", 2: "word_count", 3: "mean_word_len",
+                4: "symbol_ratio", 5: "bullet_lines", 6: "ellipsis_lines",
+                7: "alpha_words", 8: "stopwords", 9: "dup_lines",
+                10: "dup_line_chars", 11: "word_count"}
+    for doc_id, reason in expected.items():
+        assert got[doc_id]["reason"] == reason, (doc_id, got[doc_id])
+        assert got[doc_id]["keep"] == (reason == "keep")
+    assert got[1]["n_stop_hits"] == 8
+    assert got[7]["alpha_word_frac"] == 0.5
+    assert got[9]["dup_line_frac"] == 0.4
+    # the battery is ONE narrow projection: no shuffle anywhere
+    plan = (gopher_quality_flags(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_gopher_repetition_fracs_exact_and_bounded(spark):
+    """X147: exact top-gram fraction on a planted period-6 doc, full
+    coverage = 1.0 (never more — chars count once), zero for unique
+    text, and the census plan never windows or goes all-pairs."""
+    from ocr_automation_system_spark.functions.curation import (
+        gopher_repetition_fracs,
+    )
+
+    rows = [
+        (1, "one two three four five six one two three four five six"),
+        (2, " ".join(f"w{i:02d}xyz" for i in range(30))),  # all unique
+        (3, "tiny"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_repetition_fracs(df).collect()}
+    # top 2-gram = 'three four' (count 2, 9 chars) over 44 token chars
+    assert got[1]["top_2gram_char_frac"] == round(18 / 44, 6)
+    # period-6 repeat: every position covered by a duplicated 5-gram
+    assert got[1]["dup_5gram_char_frac"] == 1.0
+    assert got[1]["dup_10gram_char_frac"] == 0.0  # only 3 10-grams, unique
+    assert not got[1]["keep"]
+    for n in (5, 6, 7, 8, 9, 10):
+        assert got[2][f"dup_{n}gram_char_frac"] == 0.0
+    assert got[3]["top_2gram_char_frac"] == 0.0 and got[3]["keep"]
+    assert got[4]["keep"]
+    # coverage is bounded by 1 even for pathological self-overlap
+    rep = spark.createDataFrame([(9, "spam " * 500)],
+                                "doc_id long, text string")
+    r = gopher_repetition_fracs(rep).collect()[0]
+    for n in (5, 6, 7, 8, 9, 10):
+        assert r[f"dup_{n}gram_char_frac"] == 1.0
+    plan = (gopher_repetition_fracs(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_c4_line_policy_rules(spark):
+    """X148: line keep = terminal punct + >=3 words + no javascript;
+    page first-fail = lorem_ipsum > curly_brace > too_few_sentences;
+    the whole policy is one shuffle-free projection."""
+    from ocr_automation_system_spark.functions.curation import (
+        c4_line_policy,
+    )
+
+    rows = [
+        (1, "This line ends well with several words here.\n"
+            "no punct line\n"
+            "short.\n"
+            "Another good line appears with javascript inside.\n"
+            "A third proper sentence line sits here tonight. More! Even? Yes."),
+        (2, "Fine sentence here. " + "Lorem Ipsum dolor sit amet. " * 3),
+        (3, "The code is { x: 1 }. It has sentences. More. And more. Plus. F."),
+        (4, "Just one good sentence line right here."),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_line_policy(df).collect()}
+    assert got[1]["reason"] == "keep" and got[1]["n_lines_kept"] == 2
+    assert got[1]["n_lines_dropped"] == 3 and got[1]["n_sentences"] == 5
+    assert got[1]["kept_text"].count("\n") == 1
+    assert got[2]["reason"] == "lorem_ipsum"
+    assert got[3]["reason"] == "curly_brace"
+    assert got[4]["reason"] == "too_few_sentences"
+    assert got[5]["reason"] == "too_few_sentences"
+    assert got[5]["n_lines_kept"] == 0 and got[5]["kept_text"] == ""
+    plan = c4_line_policy(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
