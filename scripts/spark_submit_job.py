@@ -76,6 +76,12 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "policy (repetition/quality/PII gates) before "
                         "dedup; per-reason drop counts land in the "
                         "lineage file")
+    p.add_argument("--gopher", action="store_true",
+                   help="--curate only: apply the full published "
+                        "Gopher rule battery (row-local Table-A1 "
+                        "gates, then the n-gram repetition census on "
+                        "the survivors) before dedup; per-reason drop "
+                        "counts land in the lineage file")
     p.add_argument("--token-budget", type=int, default=0,
                    help="--curate only: per-host token budget — after "
                         "the quota stage keep the best documents per "
@@ -247,6 +253,7 @@ def main(argv=None, stop_session: bool = True) -> int:
         curate(spark, results, args.output, quota=args.domain_quota,
                url_drops=url_drops,
                chunk_tokens=args.chunk_tokens, policy=args.policy,
+               gopher=args.gopher,
                semdedup=args.semdedup, wet_files=args.wet_export,
                token_budget=args.token_budget,
                probe_drop_pct=args.probe_drop_pct,
@@ -425,6 +432,7 @@ def compliance_drops(documents, honor_noindex: bool = False,
 
 def curate(spark, results, output: str, quota: int = 1000,
            chunk_tokens: int = 0, policy: bool = False,
+           gopher: bool = False,
            semdedup: bool = False, wet_files: int = 0,
            token_budget: int = 0, probe_drop_pct: int = 0,
            probe_per_source: bool = False,
@@ -490,6 +498,29 @@ def curate(spark, results, output: str, quota: int = 1000,
         counts["after_policy"] = docs.count()
         verdicts.unpersist()
         pre_policy.unpersist()
+
+    if gopher:
+        # the published Gopher battery, cheapest half first: the
+        # row-local Table-A1 gates prune before the n-gram repetition
+        # census pays its (uniform-key, map-side-combinable) shuffles
+        flags = C.gopher_quality_flags(docs, id_col="doc_id").persist()
+        for row in (flags.filter(~F.col("keep"))
+                    .groupBy("reason").count().collect()):
+            counts[f"gopher_dropped_{row['reason']}"] = row["count"]
+        row_keep = flags.filter(F.col("keep")).select("doc_id")
+        pre_gopher = docs
+        docs = docs.join(row_keep, "doc_id", "left_semi").persist()
+        rep_keep = (C.gopher_repetition_fracs(docs, id_col="doc_id")
+                    .filter(F.col("keep")).select("doc_id"))
+        kept = docs.join(rep_keep, "doc_id", "left_semi").persist()
+        counts["after_gopher"] = kept.count()
+        n_row_kept = docs.count()
+        counts["gopher_dropped_ngram_repetition"] = (
+            n_row_kept - counts["after_gopher"])
+        flags.unpersist()
+        pre_gopher.unpersist()
+        docs.unpersist()
+        docs = kept
 
     exact = D.dedup_exact(docs, id_col="doc_id", text_col="text")
     # reliable per-round CC commits under the job's output dir: an

@@ -93,6 +93,27 @@ def test_curate_with_policy(spark, tmp_path):
     assert cur.count() == counts["train"] + counts["val"] > 0
 
 
+def test_curate_gopher_stage(spark, tmp_path):
+    """--gopher applies the full published battery before dedup: the
+    row-local gates' per-reason drops plus the n-gram repetition drop
+    reconcile exactly with the after_gopher survivor count."""
+    out = str(tmp_path / "jobg")
+    rc = spark_submit_job.main([
+        "--synthetic", "300", "--output", out, "--curate", "--gopher",
+        "--domain-quota", "100",
+    ], stop_session=False)
+    assert rc == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert "after_gopher" in counts
+    dropped = sum(v for k, v in counts.items()
+                  if k.startswith("gopher_dropped_"))
+    assert counts["after_gopher"] == counts["usable"] - dropped
+    assert counts["after_exact_dedup"] <= counts["after_gopher"]
+    cur = spark.read.parquet(os.path.join(out, "curated"))
+    assert cur.count() == counts["train"] + counts["val"] > 0
+
+
 def test_curate_semdedup_stage(spark, tmp_path):
     out = str(tmp_path / "jobsd")
     rc = spark_submit_job.main([
