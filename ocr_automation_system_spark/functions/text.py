@@ -133,6 +133,45 @@ def quality_score(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Encoding-damage detection (mojibake + replacement-char census)
+# ---------------------------------------------------------------------------
+
+#: The classic UTF-8-bytes-read-as-Latin-1 double-encoding sequences
+#: (the high-frequency head of ftfy's fix table): 'é' mangles to 'Ã©',
+#: '’' to 'â€™', and so on. Printable alternation only — identical
+#: non-overlapping count semantics in Java regex and RE2, no escaping.
+MOJIBAKE_RE = ("Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã±|Ã§|Ã¢|Ã«|Ã¯|Ã´|Ã»|"
+               "â€™|â€œ|â€“|â€”|â€¦|Â°|Â«|Â»|Â·|Ã‚Â")
+
+#: U+FFFD — what errors='replace' decoding leaves behind at every
+#: malformed byte (the extraction leg's decode discipline).
+REPLACEMENT_CHAR = "�"
+
+
+def encoding_damage(df, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Per-document encoding-damage signals: ``n_replacement`` (U+FFFD
+    characters — the residue of errors='replace' decoding, i.e. bytes
+    that were NOT valid UTF-8), ``n_mojibake`` (classic double-encoding
+    sequences — bytes that WERE valid UTF-8 but had already been
+    mangled upstream by a Latin-1 read), and ``damaged`` = either > 0.
+
+    The two signals catch the two disjoint failure modes of a crawl's
+    charset handling; a corpus-curation pipeline drops or re-decodes
+    flagged documents before training. Narrow whole-stage-codegen
+    projection: two regexp counts, zero shuffle, zero Python."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_repl = F.regexp_count(t, F.lit(REPLACEMENT_CHAR))
+    n_moji = F.regexp_count(t, F.lit(MOJIBAKE_RE))
+    return df.select(
+        id_col,
+        n_repl.cast("long").alias("n_replacement"),
+        n_moji.cast("long").alias("n_mojibake"),
+        ((n_repl + n_moji) > 0).alias("damaged"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Language ID (stopword-profile heuristic)
 # ---------------------------------------------------------------------------
 

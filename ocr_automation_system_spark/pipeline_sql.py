@@ -495,6 +495,34 @@ SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
 FROM {CORPUS} GROUP BY 1
 """
 
+def _sql_encoding_damage() -> str:
+    """Rendered lazily so the regex constants stay single-sourced in
+    functions.text (twin of text.encoding_damage + the per-host
+    rollup of queries.q_pipeline_encoding_damage)."""
+    from .functions.text import MOJIBAKE_RE, REPLACEMENT_CHAR
+
+    return f"""
+WITH d AS (
+  SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+    len(regexp_extract_all(coalesce(extracted_text, ''),
+                           '{REPLACEMENT_CHAR}')) AS nr,
+    len(regexp_extract_all(coalesce(extracted_text, ''),
+                           '{MOJIBAKE_RE}')) AS nm
+  FROM {TWIN})
+SELECT host,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN nr + nm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_damaged,
+  CAST(sum(nr) AS BIGINT) AS n_replacement,
+  CAST(sum(nm) AS BIGINT) AS n_mojibake,
+  round(CAST(sum(CASE WHEN nr + nm > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS damage_rate
+FROM d GROUP BY host
+"""
+
+
+SQL_PIPELINE_ENCODING_DAMAGE = _sql_encoding_damage()
+
 SQL_MEDIA_METADATA = f"""
 SELECT media_id, status, mime, n_bytes, sha1, width, height
 FROM {TWIN_MEDIA}

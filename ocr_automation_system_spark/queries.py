@@ -5022,6 +5022,39 @@ def q_pipeline_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_agg(hosts, "host", {"n_docs": F.count(F.lit(1))}, n_salt=8)
 
 
+def q_pipeline_encoding_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X149 — per-host encoding-damage census over the extraction
+    output: U+FFFD replacement chars (the residue of the extraction
+    leg's errors='replace' decode — bytes that were not valid UTF-8)
+    and classic Latin-1 double-encoding mojibake sequences. Two regexp
+    counts in the scan projection + the salted two-phase host rollup
+    (Zipf-skewed key, same shape as pipeline_host_stats)."""
+    from .functions.text import encoding_damage
+    from .functions.util import salted_agg
+
+    res = extractions_for(spark, sf_dir).select("url", "extracted_text")
+    d = encoding_damage(res, id_col="url", text_col="extracted_text")
+    hosts = d.select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+        "n_replacement", "n_mojibake",
+        F.col("damaged").cast("int").alias("_dmg"))
+    agg = salted_agg(hosts, "host", {
+        "n_docs": F.count(F.lit(1)),
+        "n_damaged": F.sum("_dmg"),
+        "n_replacement": F.sum("n_replacement"),
+        "n_mojibake": F.sum("n_mojibake"),
+    }, n_salt=8)
+    return agg.select(
+        "host",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_damaged").cast("long").alias("n_damaged"),
+        F.col("n_replacement").cast("long").alias("n_replacement"),
+        F.col("n_mojibake").cast("long").alias("n_mojibake"),
+        F.round(F.col("n_damaged") / F.col("n_docs"), 6)
+        .alias("damage_rate"),
+    )
+
+
 def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction from the raw html BINARY column: sniff-gated
     JVM decode -> regexp_extract_all -> explode, relative hrefs resolved
@@ -7653,6 +7686,8 @@ REGISTRY: dict = {
     "pipeline_lineage_metrics": (q_pipeline_lineage_metrics,
                                  PSQL.SQL_PIPELINE_LINEAGE_METRICS),
     "pipeline_host_stats": (q_pipeline_host_stats, PSQL.SQL_PIPELINE_HOST_STATS),
+    "pipeline_encoding_damage": (q_pipeline_encoding_damage,
+                                 PSQL.SQL_PIPELINE_ENCODING_DAMAGE),
     "pipeline_line_dedup": (q_pipeline_line_dedup, PSQL.SQL_PIPELINE_LINE_DEDUP),
     "pipeline_paragraph_dedup": (q_pipeline_paragraph_dedup,
                                  PSQL.SQL_PIPELINE_PARAGRAPH_DEDUP),

@@ -1433,3 +1433,29 @@ def test_c4_line_policy_rules(spark):
     assert got[5]["n_lines_kept"] == 0 and got[5]["kept_text"] == ""
     plan = c4_line_policy(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_encoding_damage_fixtures(spark):
+    """X149: replacement chars and classic double-encoding sequences
+    are counted separately; clean text (including legitimate non-ASCII)
+    is never flagged; the per-doc operator is shuffle-free."""
+    from ocr_automation_system_spark.functions.text import encoding_damage
+
+    rows = [
+        (1, "café naïve résumé"),        # real accents: clean
+        (2, "broken � bytes � here"),               # replacement x2
+        (3, "mangled cafÃ© and heâ€™s quote"),                # mojibake x2
+        (4, "both � and Ã© damage"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in encoding_damage(df).collect()}
+    assert got[1] == (1, 0, 0, False)
+    assert (got[2]["n_replacement"], got[2]["n_mojibake"]) == (2, 0)
+    assert (got[3]["n_replacement"], got[3]["n_mojibake"]) == (0, 2)
+    assert got[4]["damaged"] and got[4]["n_replacement"] == 1 \
+        and got[4]["n_mojibake"] == 1
+    assert not got[5]["damaged"] and not got[6]["damaged"]
+    plan = encoding_damage(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
