@@ -812,3 +812,42 @@ def test_stateless_structured_ops_stream_unchanged(spark, tmp_path):
         want = sorted(tuple(r) for r in fn(
             spark.createDataFrame(rows, schema)).collect())
         assert got == want and got, name
+
+
+def test_stateless_gopher_c4_encoding_ops_stream_unchanged(spark, tmp_path):
+    """gopher_quality_flags, c4_line_policy and encoding_damage are pure
+    column expressions, so the SAME function bodies must run on a
+    readStream DataFrame and produce the batch rows — extends the
+    one-definition/two-modes property to the round-4 policy tier.
+    (gopher_repetition_fracs needs a per-doc census aggregate, so its
+    streaming form is the batch operator over micro-batch foreachBatch
+    — not a stateless projection; excluded by design.)"""
+    from ocr_automation_system_spark.functions import curation as C
+    from ocr_automation_system_spark.functions.text import encoding_damage
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    rows = [(0, "the quick brown fox jumps to be part of that pack " * 8),
+            (1, "broken � bytes and mangled cafÃ© here"),
+            (2, "One good sentence line right here tonight. " * 6),
+            (3, ""), (4, "- bullet\n- bullet\n- bullet")]
+    spark.createDataFrame(rows, ["doc_id", "text"]) \
+        .write.parquet(os.path.join(d, "drop1"))
+
+    stream_in = (spark.readStream.schema("doc_id long, text string")
+                 .parquet(os.path.join(d, "*")))
+    for fn, name in ((C.gopher_quality_flags, "gopher"),
+                     (C.c4_line_policy, "c4"),
+                     (encoding_damage, "enc")):
+        out = str(tmp_path / f"out_{name}")
+        q = (fn(stream_in).writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(
+            tuple(r)
+            for r in fn(spark.createDataFrame(rows, ["doc_id", "text"]))
+            .collect())
+        assert got == want, name
