@@ -49,6 +49,7 @@ HEADLINE = (
     "domain_quota", "host_disjoint_split", "knn_label_eval",
     "pii_scrub", "repetition_scores", "source_blocklist",
     "gopher_quality_flags", "gopher_repetition_fracs", "c4_line_policy",
+    "badword_flags",
     "dedup_span_strip",
     "compression_ratios",
     "url_dup_groups", "url_canonicalize", "url_features",
@@ -69,7 +70,7 @@ HEADLINE = (
     "robots_corpus_verdicts", "robots_crawl_delays",
     "robots_blocked_rate", "redirect_resolved",
     "pipeline_line_dedup", "pipeline_paragraph_dedup",
-    "pipeline_encoding_damage",
+    "pipeline_encoding_damage", "pipeline_span_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile", "anchor_bm25",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",
     "host_reciprocity", "seed_distance", "host_hyperball", "host_harmonic",

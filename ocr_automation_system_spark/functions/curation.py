@@ -774,8 +774,13 @@ def gopher_repetition_fracs(df: DataFrame, id_col: str = "doc_id",
             .persist())
     occ = base.select("_doc", "_tc", F.explode("_gs").alias("g")) \
         .select("_doc", "_tc", "g.n", "g.pos", "g.gram")
+    # read twice (top rollup + duplicated-key set): persist the
+    # COLLAPSED table, not the 9L/doc occurrence stream — at cluster
+    # scale write it bucketed by (doc, n) instead, same convention as
+    # the postings artifacts
     census = (occ.groupBy("_doc", "_tc", "n", "gram")
-              .agg(F.count(F.lit(1)).alias("_cnt")))
+              .agg(F.count(F.lit(1)).alias("_cnt"))
+              .persist())
     gchars = F.length(F.col("gram")) - (F.col("n") - 1)
     tcd = F.col("_tc").cast("double")
 
@@ -904,6 +909,125 @@ def c4_line_policy(df: DataFrame, id_col: str = "doc_id",
         (o["reason"] == "keep").alias("keep"),
         o["kept_text"].alias("kept_text"),
     )
+
+
+#: Demo token blocklist for the registered badword query — the C4
+#: pipeline's word-level gate runs against the published "bad words"
+#: list; deployments swap their own list in via the parameter.
+DEMO_BADWORDS = ("casino", "viagra", "jackpot", "xxx", "lottery")
+
+
+def word_blocklist_scores(df: DataFrame, words=DEMO_BADWORDS,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """C4's word-level blocklist gate (Raffel et al. 2020 §2.2: any
+    page containing a word from the blocklist is dropped): per doc,
+    ``n_blocked`` (occurrence count over the whitespace token stream),
+    ``n_blocked_distinct`` (how many distinct listed words appear) and
+    ``keep`` = no hit at all.
+
+    The list enters as a constant-folded array literal — for lists in
+    the published size range (~2k entries) the membership test stays a
+    row-local JVM expression; a list too big to inline is a broadcast
+    anti-join instead (``blocklist_filter``'s shape on an exploded
+    token stream). Zero shuffle, zero Python."""
+    toks = ws_tokens(clean_text(F.coalesce(F.col(text_col), F.lit(""))))
+    wl = [w.lower() for w in words]
+
+    def _hits(tk):
+        hits = F.filter(tk, lambda x: x.isin(*wl))
+        return F.struct(
+            F.size(hits).alias("n"),
+            F.size(F.array_distinct(hits)).alias("nd"))
+
+    h = bind_array(toks, _hits)
+    return df.select(
+        id_col,
+        h["n"].cast("long").alias("n_blocked"),
+        h["nd"].cast("long").alias("n_blocked_distinct"),
+        (h["n"] == 0).alias("keep"),
+    )
+
+
+def c4_span_dedup(df: DataFrame, span: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """C4's corpus-level dedup (Raffel et al. 2020 §2.2: 'we discarded
+    all but one of any three-sentence span occurring more than once'):
+    every duplicated ``span``-sentence window keeps exactly its FIRST
+    occurrence under the deterministic (id, position) order; the
+    sentences of every other occurrence are removed, and each document
+    is reassembled from its surviving sentences.
+
+    Sentences are maximal ``[^.!?]+[.!?]+`` runs (trimmed) — the same
+    regex in Java and RE2, no lookbehind (RE2 has none). Text after the
+    last terminal punctuation mark is not a sentence (C4's line gate
+    discards unterminated text anyway). Docs with fewer than ``span``
+    sentences are untouched.
+
+    Returns (id, n_sentences, n_sentences_removed, kept_text) with
+    kept_text = surviving sentences joined by one space.
+
+    Scale shape — the X144/X145 census discipline at sentence
+    granularity: window identity is ONE groupBy on the span hash
+    (count + map-side-combinable min(struct(id, pos)) = owner);
+    non-owner occurrences come from the census join-back (one build
+    row per key — a boilerplate span duplicated 10^8 times is
+    probe-side fan-in); covered positions explode ``span`` rows per
+    NON-OWNER occurrence only, then one keyed anti-join and a uniform
+    per-doc reassembly. No self-join, no window, no occupancy cap
+    needed."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    sents_arr = F.transform(
+        F.regexp_extract_all(t, F.lit("[^.!?]+[.!?]+"), F.lit(0)),
+        lambda s: F.trim(s))
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("_doc"), sents_arr.alias("_s"))
+            .persist())
+    sents = base.select("_doc", F.posexplode("_s").alias("_pos", "_sent"))
+
+    def _grams(s):
+        k = F.size(s) - (span - 1)
+        return F.transform(
+            lazy_seq(k > 0, F.lit(1), k),
+            lambda i: F.struct(
+                (i - 1).alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(s, i, span))).alias("h")))
+
+    occ = base.select("_doc", F.explode(bind_array(F.col("_s"), _grams))
+                      .alias("g")) \
+        .select("_doc", "g.pos", "g.h")
+    census = (occ.groupBy("h")
+              .agg(F.count(F.lit(1)).alias("_cnt"),
+                   F.min(F.struct(F.col("_doc").alias("_doc"),
+                                  F.col("pos").alias("pos"))).alias("_own"))
+              .filter(F.col("_cnt") >= 2))
+    strip = (occ.join(census, "h")
+             .filter((F.col("_doc") != F.col("_own._doc"))
+                     | (F.col("pos") != F.col("_own.pos")))
+             .select("_doc", F.explode(F.sequence(
+                 F.col("pos"),
+                 F.col("pos") + F.lit(span - 1))).alias("_pos"))
+             .distinct())
+    kept = sents.join(strip, ["_doc", "_pos"], "left_anti")
+    rebuilt = kept.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(
+                F.struct("_pos", "_sent"))), lambda x: x["_sent"]),
+            " ").alias("kept_text"))
+    totals = sents.groupBy("_doc").agg(F.count(F.lit(1)).alias("_n"))
+    return (base.select("_doc")
+            .join(rebuilt, "_doc", "left")
+            .join(totals, "_doc", "left")
+            .select(
+                F.col("_doc").alias(id_col),
+                F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+                .alias("n_sentences"),
+                (F.coalesce(F.col("_n"), F.lit(0))
+                 - F.coalesce(F.col("_k"), F.lit(0))).cast("long")
+                .alias("n_sentences_removed"),
+                F.coalesce(F.col("kept_text"), F.lit(""))
+                .alias("kept_text")))
 
 
 def duplicate_spans(df: DataFrame, w: int = 8, text_col: str = "text",

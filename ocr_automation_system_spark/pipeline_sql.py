@@ -495,6 +495,51 @@ SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
 FROM {CORPUS} GROUP BY 1
 """
 
+#: twin of curation.c4_span_dedup (X151) over the extraction twin:
+#: sentences are maximal [^.!?]+[.!?]+ runs (trimmed); each duplicated
+#: 3-sentence window keeps its first (url, pos) occurrence under the
+#: same (binary-string url, pos) total order Spark's min(struct)
+#: induces; non-owner occurrences' sentence positions strip.
+SQL_PIPELINE_SPAN_DEDUP = f"""
+WITH d AS (SELECT url, coalesce(extracted_text, '') AS t FROM {TWIN}),
+s AS (SELECT url,
+             list_transform(regexp_extract_all(t, '[^.!?]+[.!?]+'),
+                            x -> trim(x)) AS sa
+      FROM d),
+sent AS (SELECT url, unnest(range(0, len(sa))) AS pos,
+                unnest(sa) AS sent FROM s),
+g0 AS (SELECT url, sa,
+              unnest(range(1, greatest(len(sa) - 2, 0) + 1)) AS i
+       FROM s),
+occ AS (SELECT url, CAST(i - 1 AS INT) AS pos,
+               md5(array_to_string(sa[i:i+2], ' ')) AS h
+        FROM g0),
+census AS (SELECT h, min(url) AS od FROM occ GROUP BY h
+           HAVING count(*) >= 2),
+own AS (SELECT o.h, c.od, min(o.pos) AS op
+        FROM occ o JOIN census c ON o.h = c.h AND o.url = c.od
+        GROUP BY o.h, c.od),
+strip AS (SELECT DISTINCT o.url,
+                 o.pos + unnest(range(0, 3)) AS spos
+          FROM occ o JOIN own w ON o.h = w.h
+          WHERE o.url <> w.od OR o.pos <> w.op),
+kept AS (SELECT s.url, s.pos, s.sent FROM sent s
+         WHERE NOT EXISTS (SELECT 1 FROM strip
+                           WHERE strip.url = s.url
+                             AND strip.spos = s.pos)),
+agg AS (SELECT url, count(*) AS k,
+               md5(string_agg(sent, ' ' ORDER BY pos)) AS hh
+        FROM kept GROUP BY url),
+tot AS (SELECT url, count(*) AS n FROM sent GROUP BY url)
+SELECT d.url,
+  CAST(coalesce(t.n, 0) AS BIGINT) AS n_sentences,
+  CAST(coalesce(t.n, 0) - coalesce(a.k, 0) AS BIGINT)
+    AS n_sentences_removed,
+  coalesce(a.hh, md5('')) AS kept_text_hash
+FROM d LEFT JOIN agg a ON d.url = a.url LEFT JOIN tot t ON d.url = t.url
+"""
+
+
 def _sql_encoding_damage() -> str:
     """Rendered lazily so the regex constants stay single-sourced in
     functions.text (twin of text.encoding_damage + the per-host

@@ -831,6 +831,39 @@ FROM v
 """
 
 
+def q_badword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X150 — C4's word-level blocklist gate: occurrence + distinct-hit
+    counts against the (demo) blocklist, keep = zero hits. Row-local
+    constant-folded membership test, zero shuffle."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.word_blocklist_scores(docs)
+
+
+def _sql_badwords() -> str:
+    from .functions.curation import DEMO_BADWORDS
+
+    lst = ", ".join(f"'{w}'" for w in DEMO_BADWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_sql_toks(_sql_clean("coalesce(text, '')"))} AS tk
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         list_filter(tk, x -> list_contains([{lst}], x)) AS hits
+  FROM t)
+SELECT doc_id,
+  CAST(len(hits) AS BIGINT) AS n_blocked,
+  CAST(len(list_distinct(hits)) AS BIGINT) AS n_blocked_distinct,
+  (len(hits) = 0) AS keep
+FROM h
+"""
+
+
+SQL_BADWORD_FLAGS = _sql_badwords()
+
+
 def q_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host deny-list pass: drop docs whose source's md5 starts 0-3
     (a deterministic ~25% stand-in for a real blocklist dimension);
@@ -5376,6 +5409,20 @@ def q_pipeline_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.md5("kept_text").alias("kept_text_hash"))
 
 
+def q_pipeline_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X151 — C4's corpus-level three-sentence-span dedup over the
+    extraction output: every duplicated 3-sentence window keeps only
+    its first (url, pos) occurrence; later occurrences' sentences are
+    removed and the doc reassembled. Census + join-back shapes (see
+    functions.curation.c4_span_dedup), no self-join, no cap."""
+    from .functions import curation as C
+
+    res = extractions_for(spark, sf_dir).select("url", "extracted_text")
+    out = C.c4_span_dedup(res, id_col="url", text_col="extracted_text")
+    return out.select("url", "n_sentences", "n_sentences_removed",
+                      F.md5("kept_text").alias("kept_text_hash"))
+
+
 def q_pipeline_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-export document form: extracted main text with the
     page's tables re-inlined as GitHub-markdown blocks (text, blank
@@ -7497,6 +7544,7 @@ REGISTRY: dict = {
     "gopher_repetition_fracs": (q_gopher_repetition_fracs,
                                 SQL_GOPHER_REPETITION_FRACS),
     "c4_line_policy": (q_c4_line_policy, SQL_C4_LINE_POLICY),
+    "badword_flags": (q_badword_flags, SQL_BADWORD_FLAGS),
     "source_blocklist": (q_source_blocklist, SQL_SOURCE_BLOCKLIST),
     "benchmark_contamination": (q_benchmark_contamination,
                                 SQL_BENCHMARK_CONTAMINATION),
@@ -7691,6 +7739,8 @@ REGISTRY: dict = {
     "pipeline_line_dedup": (q_pipeline_line_dedup, PSQL.SQL_PIPELINE_LINE_DEDUP),
     "pipeline_paragraph_dedup": (q_pipeline_paragraph_dedup,
                                  PSQL.SQL_PIPELINE_PARAGRAPH_DEDUP),
+    "pipeline_span_dedup": (q_pipeline_span_dedup,
+                            PSQL.SQL_PIPELINE_SPAN_DEDUP),
     "pipeline_markdown_docs": (q_pipeline_markdown_docs,
                                PSQL.SQL_PIPELINE_MARKDOWN_DOCS),
     # url canonicalization + canonical-url dedup (corpus url column)

@@ -639,3 +639,60 @@ def test_dedup_span_strip_keeps_owner_copy(spark):
     # unique doc untouched
     assert got[3]["n_tokens_removed"] == 0
     assert got[3]["kept_text"] == rows[2][1]
+
+
+def test_word_blocklist_scores_counts_and_keep(spark):
+    """X150: occurrence count vs distinct-hit count; keep = zero hits;
+    the gate is one shuffle-free constant-folded projection."""
+    from ocr_automation_system_spark.functions.curation import (
+        word_blocklist_scores,
+    )
+
+    rows = [
+        (1, "Play casino games and win the jackpot now casino fans."),
+        (2, "A perfectly ordinary document about weather patterns."),
+        (3, "CASINO in caps still matches the lowercased token stream."),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in word_blocklist_scores(df).collect()}
+    assert (got[1]["n_blocked"], got[1]["n_blocked_distinct"]) == (3, 2)
+    assert not got[1]["keep"]
+    assert got[2]["keep"] and got[2]["n_blocked"] == 0
+    assert got[3]["n_blocked"] == 1  # ws_tokens lowercases
+    assert got[4]["keep"]
+    plan = (word_blocklist_scores(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_c4_span_dedup_first_occurrence_wins(spark):
+    """X151: a duplicated 3-sentence span keeps exactly its first
+    (id, pos) occurrence; the non-owner doc keeps its frame sentences;
+    docs with < 3 sentences and unique docs are untouched."""
+    from ocr_automation_system_spark.functions.curation import c4_span_dedup
+
+    rows = [
+        (1, "First common. Second common. Third common. Unique one here."),
+        (2, "Intro only for two! First common. Second common. "
+            "Third common. Tail for two."),
+        (3, "Nothing shared at all. Just some words. With three sentences."),
+        (4, "Too short. Only two!"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_span_dedup(df).collect()}
+    assert got[1]["n_sentences_removed"] == 0
+    assert got[1]["kept_text"].startswith("First common.")
+    assert got[2]["n_sentences_removed"] == 3
+    assert got[2]["kept_text"] == "Intro only for two! Tail for two."
+    assert got[3]["n_sentences_removed"] == 0
+    assert got[4]["n_sentences"] == 2 and got[4]["n_sentences_removed"] == 0
+    assert got[5]["kept_text"] == "" and got[5]["n_sentences"] == 0
+    # intra-doc duplicate span: second occurrence strips
+    intra = spark.createDataFrame(
+        [(9, "A one. B two. C three. Filler mid. A one. B two. C three.")],
+        "doc_id long, text string")
+    r = c4_span_dedup(intra).collect()[0]
+    assert r["n_sentences_removed"] == 3
+    assert r["kept_text"] == "A one. B two. C three. Filler mid."
