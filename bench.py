@@ -70,7 +70,8 @@ HEADLINE = (
     "robots_corpus_verdicts", "robots_crawl_delays",
     "robots_blocked_rate", "redirect_resolved",
     "pipeline_line_dedup", "pipeline_paragraph_dedup",
-    "pipeline_encoding_damage", "pipeline_span_dedup",
+    "pipeline_encoding_damage", "pipeline_mojibake_repair",
+    "pipeline_span_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile", "anchor_bm25",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",
     "host_reciprocity", "seed_distance", "host_hyperball", "host_harmonic",

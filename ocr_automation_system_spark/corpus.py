@@ -31,7 +31,7 @@ DEFAULT_SEED = 42
 #: bump whenever generation logic changes — cache filenames embed it so a
 #: stale /tmp corpus from an older generator can never shadow the current
 #: semantics (the corpus is the shared byte-identity surface).
-CORPUS_VERSION = 9
+CORPUS_VERSION = 10
 
 
 def source_fingerprint(*module_files: str) -> str:
@@ -240,14 +240,53 @@ def udyam_body(rng: random.Random, e: dict, variant: int) -> list:
     return lines
 
 
+#: Press-quote lines for the encoding-damage tier (v10). Non-ASCII
+#: alphabet restricted to ``text._MOJIBAKE_CHARS`` — every char's
+#: mangled form is strict-cp1252-decodable AND in the repair table, so
+#: the JVM table chain and the per-line codec kernel agree bit-exactly
+#: on planted damage (the parity contract in test_encoding_repair.py).
+_PRESS_QUOTES = (
+    "Tribune review — praised the café’s “naïve charm… at €12 fare»",
+    "Süddeutsche notiert: «größte Überraschung» — çünkü naïveté…",
+    # no 'à' here: its mangled form is 'Ã' + NBSP and the extractor's
+    # whitespace collapse eats the NBSP, leaving an unrepairable rest
+    # (the press-quote contract test pins mangled forms NBSP-free)
+    "Le Monde écrit : « très élégant » — vue de São Paulo…",
+    "Official gazette: resolução nº 42 — año fiscal 2025 • «final»",
+)
+
+
+def mangle_mojibake(s: str) -> str:
+    """The classic crawl bug, applied forward: the line's UTF-8 bytes
+    read back as cp1252 (exactly what a mislabelled-charset origin
+    serves). Chars whose forms strict cp1252 can't produce pass through
+    untouched — _PRESS_QUOTES avoids them by contract."""
+    out = []
+    for ch in s:
+        try:
+            out.append(ch.encode("utf-8").decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(ch)
+    return "".join(out)
+
+
 def unsupported_body(rng: random.Random) -> list:
-    """No-extractor doctype (Aadhaar/GPCB analogue)."""
-    return [
+    """No-extractor doctype (Aadhaar/GPCB analogue). ~Half carry a
+    press-quote line (v10); ~half of THOSE arrive mojibake-mangled —
+    the planted positives for pipeline_encoding_damage (X149) and
+    pipeline_mojibake_repair (X152)."""
+    lines = [
         "CONSENT ORDER UNDER THE WATER ACT",
         " ".join(rng.choice(_FILLER_WORDS) for _ in range(18)),
         " ".join(rng.choice(_FILLER_WORDS) for _ in range(18)),
         f"Order number {rng.randrange(10**6)} issued for record keeping purposes",
     ]
+    if rng.random() < 0.5:
+        quote = _PRESS_QUOTES[rng.randrange(len(_PRESS_QUOTES))]
+        if rng.random() < 0.5:
+            quote = mangle_mojibake(quote)
+        lines.insert(3, quote)
+    return lines
 
 
 # ---------------------------------------------------------------------------

@@ -1746,3 +1746,51 @@ def incremental_winnow_dedup(new_df: DataFrame, spark, path: str,
                     F.coalesce("_dup", F.lit(-1)).cast("long")
                     .alias("dup_of"),
                     F.col("_nd").isNull().alias("keep")))
+
+
+# ---------------------------------------------------------------------------
+# Encoding repair stage (X152) — reverses what text.encoding_damage counts
+# ---------------------------------------------------------------------------
+
+REPAIR_SCHEMA = "url string, text string"
+
+
+def fix_encoding(df: DataFrame, url_col: str = "url",
+                 text_col: str = "text",
+                 mode: str = "jvm") -> DataFrame:
+    """Mojibake repair as a curation stage: returns (url, text) with
+    classic UTF-8-read-as-cp1252 double-encoding reversed.
+
+    ``mode='jvm'`` (default): the 40-entry table chain
+    (``text.repair_mojibake``) — whole-stage codegen, zero Python,
+    repairs mangled sequences in place even inside otherwise-clean
+    documents. ``mode='codec'``: the Arrow-batched per-LINE codec
+    round-trip kernel (``text.repair_mojibake_line``) — the production
+    path that also recovers forms involving cp1252's five undefined
+    bytes (ftfy's sloppy-windows-1252 class, e.g. '”'), at the
+    price of a Python stage. Both are map-only (zero shuffle) and
+    deterministic; on text whose non-ASCII damage is within the table's
+    alphabet the two modes are bit-identical (parity-pinned in
+    tests/test_encoding_repair.py)."""
+    from .text import repair_mojibake, repair_mojibake_text_py
+
+    if mode == "jvm":
+        return df.select(
+            F.col(url_col).alias("url"),
+            repair_mojibake(F.col(text_col)).alias("text"))
+    if mode != "codec":
+        raise ValueError(f"unknown fix_encoding mode: {mode!r}")
+
+    cols = [url_col, text_col]
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "url": pdf[url_col],
+                "text": [None if t is None else repair_mojibake_text_py(t)
+                         for t in pdf[text_col]],
+            })
+
+    return df.select(*cols).mapInPandas(_batches, REPAIR_SCHEMA)

@@ -172,6 +172,114 @@ def encoding_damage(df, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Mojibake REPAIR (the census above counts damage; this reverses it)
+# ---------------------------------------------------------------------------
+
+#: Characters the table-driven repair recovers. A char belongs here iff
+#: its UTF-8 byte sequence decodes cleanly under STRICT cp1252 — i.e.
+#: the classic "UTF-8 bytes read back as Windows-1252" crawl bug maps it
+#: to a printable mangled form we can reverse exactly. U+201D '”' is the
+#: canonical exclusion: its cp1252 byte 0x9D is undefined, so its
+#: mangled form only exists under ftfy's sloppy-windows-1252 codec —
+#: that class is the pandas kernel's job (``repair_mojibake_pandas``).
+_MOJIBAKE_CHARS = ("éèêëàáâäãåçíîïñóôöõúùûüøæß"
+                   "ÀÂÃÄÅÆÇÈÉÊËÎÑÖÜØÙÚÛ"
+                   "°«»·ºª¿¡§£‘’“–—…•€™")
+
+
+def _mangled_form(c: str) -> str | None:
+    """What ``c`` becomes when its UTF-8 bytes are read as cp1252."""
+    try:
+        return c.encode("utf-8").decode("cp1252")
+    except UnicodeDecodeError:
+        return None
+
+
+#: (mangled_form, original_char), longest mangled form first so the
+#: chained-replace can never split a 3-byte form by rewriting a 2-byte
+#: prefix (defense only: a key audit in tests shows no key is a
+#: substring of another — UTF-8 lead bytes 0xC2/0xC3 can't appear as
+#: continuation bytes, so 2-char keys never embed in 3-char keys).
+MOJIBAKE_MAP: tuple = tuple(sorted(
+    ((m, c) for c in _MOJIBAKE_CHARS if (m := _mangled_form(c))),
+    key=lambda kv: (-len(kv[0]), kv[0])))
+
+
+def repair_mojibake(text: Column) -> Column:
+    """Table-driven mojibake repair: one chained literal ``replace`` per
+    MOJIBAKE_MAP entry, entirely JVM-side (whole-stage codegen — no
+    regex engine, no Python). Repairs each mangled sequence in place, so
+    mixed documents (one damaged line among clean ones) repair partially
+    — unlike a whole-string codec round-trip, which would refuse any
+    document that also carries a legitimate non-ASCII char. NULL in,
+    NULL out (``replace`` propagates nulls). The same chain renders to
+    DuckDB ``replace()`` from the same table (``pipeline_sql``), so
+    cross-engine parity is by construction."""
+    out = text
+    for mangled, orig in MOJIBAKE_MAP:
+        out = F.replace(out, F.lit(mangled), F.lit(orig))
+    return out
+
+
+def repair_mojibake_py(s: str) -> str:
+    """Pure-Python twin of ``repair_mojibake`` (oracle / fixture use)."""
+    for mangled, orig in MOJIBAKE_MAP:
+        s = s.replace(mangled, orig)
+    return s
+
+
+def _sloppy_cp1252_encode(s: str) -> bytes | None:
+    """ftfy-style sloppy-windows-1252 ENCODE: cp1252 where defined, the
+    raw byte value for the five undefined C1 positions (0x81 0x8D 0x8F
+    0x90 0x9D — decoders pass them through as U+0081.. control chars,
+    so the reverse map is the identity on those code points). Returns
+    None when any char has no single-byte form — the line cannot be a
+    pure cp1252 misread and must not be touched."""
+    out = bytearray()
+    for ch in s:
+        p = ord(ch)
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            if p in (0x81, 0x8D, 0x8F, 0x90, 0x9D):
+                out.append(p)
+            else:
+                return None
+    return bytes(out)
+
+
+def repair_mojibake_line(line: str) -> str:
+    """Production repair kernel, per line: re-encode through sloppy
+    cp1252 and strictly re-decode as UTF-8; keep the repair only when
+    the round-trip is exact. Strict-decode failure is the safety proof:
+    a line holding any LEGITIMATE non-ASCII char (real 'é', '©' from an
+    entity reference) re-encodes to a byte that is not valid UTF-8, so
+    the line returns unchanged — false repairs are impossible for
+    single-byte-representable text. Line granularity (not whole-doc)
+    because a crawl's charset bug damages individual upstream fragments;
+    a clean line elsewhere in the doc must not veto the repair.
+
+    Beyond ``repair_mojibake``'s 40-entry table this also recovers forms
+    involving the 5 cp1252-undefined bytes (e.g. '”', whose mangled form
+    carries 0x9D) — the census/table tier's documented exclusion."""
+    if line.isascii():
+        return line
+    b = _sloppy_cp1252_encode(line)
+    if b is None:
+        return line
+    try:
+        fixed = b.decode("utf-8")
+    except UnicodeDecodeError:
+        return line
+    return fixed
+
+
+def repair_mojibake_text_py(s: str) -> str:
+    """Whole-document production repair: per-line kernel, '\\n' joined."""
+    return "\n".join(repair_mojibake_line(ln) for ln in s.split("\n"))
+
+
+# ---------------------------------------------------------------------------
 # Language ID (stopword-profile heuristic)
 # ---------------------------------------------------------------------------
 

@@ -568,6 +568,44 @@ FROM d GROUP BY host
 
 SQL_PIPELINE_ENCODING_DAMAGE = _sql_encoding_damage()
 
+
+def _sql_mojibake_repair() -> str:
+    """Twin of queries.q_pipeline_mojibake_repair: the SAME 64-entry
+    repair table renders to a nested DuckDB replace() chain (keys are
+    audited quote/backslash-free), so cross-engine parity is by
+    construction — one source of truth in functions.text.MOJIBAKE_MAP."""
+    from .functions.text import MOJIBAKE_MAP, MOJIBAKE_RE
+
+    rep = "t"
+    for mangled, orig in MOJIBAKE_MAP:
+        rep = f"replace({rep}, '{mangled}', '{orig}')"
+    return f"""
+WITH d AS (
+  SELECT url, coalesce(extracted_text, '') AS t FROM {TWIN}),
+f AS (
+  SELECT url, t, {rep} AS ft FROM d),
+r AS (
+  SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+    CASE WHEN ft <> t THEN 1 ELSE 0 END AS chg,
+    len(t) - len(ft) AS saved,
+    len(regexp_extract_all(t, '{MOJIBAKE_RE}')) AS mb,
+    len(regexp_extract_all(ft, '{MOJIBAKE_RE}')) AS ma,
+    CAST(concat('0x', substr(md5(concat(url, ':', md5(ft))), 1, 15))
+      AS BIGINT) AS h
+  FROM f)
+SELECT host,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(chg) AS BIGINT) AS n_repaired,
+  CAST(sum(saved) AS BIGINT) AS chars_saved,
+  CAST(sum(mb) AS BIGINT) AS n_mojibake_before,
+  CAST(sum(ma) AS BIGINT) AS n_mojibake_after,
+  CAST(CAST(sum(h) AS DECIMAL(38, 0)) AS VARCHAR) AS sum_h
+FROM r GROUP BY host
+"""
+
+
+SQL_PIPELINE_MOJIBAKE_REPAIR = _sql_mojibake_repair()
+
 SQL_MEDIA_METADATA = f"""
 SELECT media_id, status, mime, n_bytes, sha1, width, height
 FROM {TWIN_MEDIA}

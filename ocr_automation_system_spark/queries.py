@@ -5088,6 +5088,52 @@ def q_pipeline_encoding_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X152 — mojibake REPAIR census over the extraction output (the
+    X149 tier counts damage; this stage reverses it). Per host:
+    documents repaired, characters reclaimed (each fixed sequence
+    shrinks by one char per UTF-8 continuation byte), detector-visible
+    mojibake before vs after (after == 0 on the corpus: the planted
+    alphabet is exactly the repair table's), and the additive 60-bit
+    attestation of the REPAIRED texts (sum_h, the source_checksums
+    idiom) so the driver hash-checks repaired bytes, not just counts.
+    Shape: the 64-entry chained-replace runs in the scan projection
+    (whole-stage codegen, zero Python, zero shuffle) + the salted
+    two-phase host rollup (Zipf-skewed key)."""
+    from .functions.text import MOJIBAKE_RE, repair_mojibake
+    from .functions.util import salted_agg
+
+    res = extractions_for(spark, sf_dir).select("url", "extracted_text")
+    t = F.coalesce(F.col("extracted_text"), F.lit(""))
+    rep = repair_mojibake(t)
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.col("url"), F.lit(":"), F.md5(rep))), 1, 15), 16, 10).cast("long")
+    d = res.select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+        (rep != t).cast("int").alias("_chg"),
+        (F.length(t) - F.length(rep)).cast("long").alias("_saved"),
+        F.regexp_count(t, F.lit(MOJIBAKE_RE)).cast("long").alias("_mb"),
+        F.regexp_count(rep, F.lit(MOJIBAKE_RE)).cast("long").alias("_ma"),
+        h.cast("decimal(38,0)").alias("_h"))
+    agg = salted_agg(d, "host", {
+        "n_docs": F.count(F.lit(1)),
+        "n_repaired": F.sum("_chg"),
+        "chars_saved": F.sum("_saved"),
+        "n_mojibake_before": F.sum("_mb"),
+        "n_mojibake_after": F.sum("_ma"),
+        "sum_h": F.sum("_h"),
+    }, n_salt=8)
+    return agg.select(
+        "host",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_repaired").cast("long").alias("n_repaired"),
+        F.col("chars_saved").cast("long").alias("chars_saved"),
+        F.col("n_mojibake_before").cast("long").alias("n_mojibake_before"),
+        F.col("n_mojibake_after").cast("long").alias("n_mojibake_after"),
+        F.col("sum_h").cast("decimal(38,0)").cast("string").alias("sum_h"),
+    )
+
+
 def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction from the raw html BINARY column: sniff-gated
     JVM decode -> regexp_extract_all -> explode, relative hrefs resolved
@@ -7736,6 +7782,8 @@ REGISTRY: dict = {
     "pipeline_host_stats": (q_pipeline_host_stats, PSQL.SQL_PIPELINE_HOST_STATS),
     "pipeline_encoding_damage": (q_pipeline_encoding_damage,
                                  PSQL.SQL_PIPELINE_ENCODING_DAMAGE),
+    "pipeline_mojibake_repair": (q_pipeline_mojibake_repair,
+                                 PSQL.SQL_PIPELINE_MOJIBAKE_REPAIR),
     "pipeline_line_dedup": (q_pipeline_line_dedup, PSQL.SQL_PIPELINE_LINE_DEDUP),
     "pipeline_paragraph_dedup": (q_pipeline_paragraph_dedup,
                                  PSQL.SQL_PIPELINE_PARAGRAPH_DEDUP),

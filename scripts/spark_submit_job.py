@@ -71,6 +71,11 @@ def main(argv=None, stop_session: bool = True) -> int:
                    help="--curate only: also export the train split as N "
                         "WET (conversion-record) files under "
                         "<output>/wet (0 = off)")
+    p.add_argument("--fix-encoding", action="store_true",
+                   help="repair UTF-8-read-as-cp1252 mojibake in the "
+                        "extracted text before any content heuristic "
+                        "or dedup hash sees it (curation.fix_encoding, "
+                        "JVM table chain — zero Python, zero shuffle)")
     p.add_argument("--policy", action="store_true",
                    help="--curate only: apply the composite filter "
                         "policy (repetition/quality/PII gates) before "
@@ -252,6 +257,7 @@ def main(argv=None, stop_session: bool = True) -> int:
             drop_redirects=args.drop_redirects)
         curate(spark, results, args.output, quota=args.domain_quota,
                url_drops=url_drops,
+               fix_encoding=args.fix_encoding,
                chunk_tokens=args.chunk_tokens, policy=args.policy,
                gopher=args.gopher,
                semdedup=args.semdedup, wet_files=args.wet_export,
@@ -431,6 +437,7 @@ def compliance_drops(documents, honor_noindex: bool = False,
 
 
 def curate(spark, results, output: str, quota: int = 1000,
+           fix_encoding: bool = False,
            chunk_tokens: int = 0, policy: bool = False,
            gopher: bool = False,
            semdedup: bool = False, wet_files: int = 0,
@@ -482,6 +489,21 @@ def curate(spark, results, output: str, quota: int = 1000,
         # the raw html pass)
         docs = docs.join(drop, "doc_id", "left_anti").persist()
         counts[f"after_{name}"] = docs.count()
+
+    if fix_encoding:
+        # repair BEFORE any content heuristic or dedup hash: a mangled
+        # and a clean capture of the same page must collide in the
+        # exact-dedup stage, and quality/language gates must score the
+        # repaired bytes. Narrow in-place projection — the 64-entry
+        # chained replace rides the same scan, zero extra shuffle.
+        from ocr_automation_system_spark.functions.text import (
+            repair_mojibake,
+        )
+
+        repaired = repair_mojibake(F.col("text"))
+        counts["encoding_repaired"] = (
+            docs.filter(repaired != F.col("text")).count())
+        docs = docs.withColumn("text", repaired).persist()
 
     if policy:
         # composite filter policy BEFORE dedup (cheapest stage first:
