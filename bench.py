@@ -47,7 +47,8 @@ HEADLINE = (
     "pack_bins", "packing_efficiency", "benchmark_contamination",
     "zorder_keys", "zorder_prune_audit",
     "domain_quota", "host_disjoint_split", "knn_label_eval",
-    "pii_scrub", "repetition_scores", "source_blocklist",
+    "pii_scrub", "pii_checksum_scrub", "repetition_scores",
+    "source_blocklist",
     "gopher_quality_flags", "gopher_repetition_fracs", "c4_line_policy",
     "badword_flags",
     "dedup_span_strip",

@@ -576,6 +576,108 @@ FROM t3
 """
 
 
+#: Payment fixtures for the checksum-scrub contract (all public test
+#: numbers): indices 0-3 Luhn-valid (spaced / dashed / bare / 15-digit
+#: Amex), 4 a flipped check digit, 5 too short to be plausible but
+#: pattern-matching (13 digits, Luhn-invalid).
+_PAY_CARDS = ["4111 1111 1111 1111", "4012-8888-8888-1881",
+              "5555555555554444", "378282246310005",
+              "4111111111111112", "1234567890123"]
+#: indices 0-2 mod-97-valid published examples, 3 a flipped final digit,
+#: 4 pattern-shaped noise.
+_PAY_IBANS = ["GB82WEST12345698765432", "DE89370400440532013000",
+              "FR1420041010050500013M02606", "DE89370400440532013001",
+              "XX00THISISNOTANIBAN00"]
+
+
+def _with_injected_payment(docs: DataFrame) -> DataFrame:
+    """Deterministically append a card + IBAN fixture (valid and invalid
+    mixes keyed by doc_id) so the checksum gates do real work at test
+    scale; both engines apply the identical injection."""
+    return docs.withColumn("text", F.concat(
+        F.col("text"), F.lit(" pay "),
+        F.element_at(F.lit(_PAY_CARDS),
+                     (F.pmod(F.col("doc_id"), F.lit(6)) + 1).cast("int")),
+        F.lit(" to "),
+        F.element_at(F.lit(_PAY_IBANS),
+                     (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int")),
+        F.lit(" today")))
+
+
+def q_pii_checksum_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X153 — checksum-validated PII redaction: IBAN (mod-97) then
+    payment cards (Luhn), counts for candidates vs validated, scrubbed
+    text hashed at the contract surface. Candidates failing their
+    checksum are counted and preserved — the false-positive class the
+    pattern-only scrub would have destroyed."""
+    from .functions import pii as P
+
+    docs = _with_injected_payment(load_table(spark, sf_dir, "documents"))
+    out = P.pii_checksum_scrub(docs)
+    return out.select("doc_id", "n_iban_candidates", "n_ibans_valid",
+                      "n_card_candidates", "n_cards_valid",
+                      F.md5("scrubbed").alias("scrubbed_hash"))
+
+
+def _sql_pii_checksum() -> str:
+    """Twin of q_pii_checksum_scrub, rendered from the SAME tables
+    (pii.IBAN_LETTER_MAP / POW10_MOD97 / the regexes / the fixture
+    lists) so cross-engine parity is by construction. The validators
+    inline per candidate inside list_filter lambdas — verbose SQL, but
+    one source of truth."""
+    from .functions.pii import (
+        CARD_RE, IBAN_LETTER_MAP, IBAN_RE, POW10_MOD97,
+    )
+
+    cards = ", ".join(f"'{c}'" for c in _PAY_CARDS)
+    ibans = ", ".join(f"'{c}'" for c in _PAY_IBANS)
+    inject = (f"text || ' pay ' || (ARRAY[{cards}])[(doc_id % 6) + 1]"
+              f" || ' to ' || (ARRAY[{ibans}])[(doc_id % 5) + 1]"
+              f" || ' today'")
+    ds = "(substring(c, 5, 34) || substring(c, 1, 4))"
+    for letter, val in IBAN_LETTER_MAP:
+        ds = f"replace({ds}, '{letter}', '{val}')"
+    pows = "[" + ", ".join(map(str, POW10_MOD97)) + "]"
+    iban_ok = (
+        f"list_sum(list_transform(generate_series(1, len({ds})), i -> "
+        f"(ascii(substring({ds}, i, 1)) - 48) * "
+        f"({pows})[((len({ds}) - i) % 96) + 1])) % 97 = 1")
+    rd = "reverse(regexp_replace(c, '[ -]', '', 'g'))"
+    d_at = f"(ascii(substring({rd}, i, 1)) - 48)"
+    luhn_ok = (
+        f"list_sum(list_transform(generate_series(1, len({rd})), i -> "
+        f"CASE WHEN i % 2 = 1 THEN {d_at} "
+        f"WHEN {d_at} > 4 THEN {d_at} * 2 - 9 "
+        f"ELSE {d_at} * 2 END)) % 10 = 0")
+    return f"""
+WITH t0 AS (SELECT doc_id, {inject} AS t FROM documents),
+i0 AS (SELECT doc_id, t, regexp_extract_all(t, '{IBAN_RE}') AS icands
+       FROM t0),
+i1 AS (SELECT doc_id, t, icands,
+        list_filter(icands, c -> {iban_ok}) AS iok FROM i0),
+i2 AS (SELECT doc_id, icands, iok,
+        list_reduce(list_prepend(t, iok),
+                    (a, b) -> replace(a, b, '<IBAN>')) AS t FROM i1),
+c0 AS (SELECT doc_id, icands, iok, t,
+        regexp_extract_all(t, '{CARD_RE}') AS ccands FROM i2),
+c1 AS (SELECT doc_id, icands, iok, t, ccands,
+        list_filter(ccands, c -> {luhn_ok}) AS cok FROM c0),
+c2 AS (SELECT doc_id, icands, iok, ccands, cok,
+        list_reduce(list_prepend(t, cok),
+                    (a, b) -> replace(a, b, '<CARD>')) AS t FROM c1)
+SELECT doc_id,
+  CAST(len(icands) AS INTEGER) AS n_iban_candidates,
+  CAST(len(iok) AS INTEGER) AS n_ibans_valid,
+  CAST(len(ccands) AS INTEGER) AS n_card_candidates,
+  CAST(len(cok) AS INTEGER) AS n_cards_valid,
+  md5(t) AS scrubbed_hash
+FROM c2
+"""
+
+
+SQL_PII_CHECKSUM_SCRUB = _sql_pii_checksum()
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality: word-2-gram duplication fraction
     + duplicate-line fraction + keep flag, all within-row JVM array ops."""
@@ -7584,6 +7686,7 @@ REGISTRY: dict = {
     "host_disjoint_split": (q_host_disjoint_split, SQL_HOST_DISJOINT_SPLIT),
     "knn_label_eval": (q_knn_label_eval, SQL_KNN_LABEL_EVAL),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "pii_checksum_scrub": (q_pii_checksum_scrub, SQL_PII_CHECKSUM_SCRUB),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     "gopher_quality_flags": (q_gopher_quality_flags,
                              SQL_GOPHER_QUALITY_FLAGS),
