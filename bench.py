@@ -54,6 +54,7 @@ HEADLINE = (
     "dedup_span_strip",
     "compression_ratios",
     "url_dup_groups", "url_canonicalize", "url_features",
+    "registrable_domains",
     "url_pattern_census",
     "latest_capture", "snapshot_delta", "revisit_stats", "content_drift",
     "crawl_activity",

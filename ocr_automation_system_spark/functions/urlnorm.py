@@ -205,3 +205,61 @@ def url_pattern_census(df: DataFrame, url_col: str = "url",
             .agg(F.count(F.lit(1)).alias("n_urls"),
                  F.min("_u").alias("example_url"))
             .withColumn("trap", F.col("n_urls") >= trap_threshold))
+
+
+# ---------------------------------------------------------------------------
+# Registrable domain (eTLD+1) via public-suffix longest match (X154)
+# ---------------------------------------------------------------------------
+
+#: Demo subset of the Mozilla Public Suffix List. The real list ships
+#: ~9,000 rules and arrives as a parquet/broadcast dimension through the
+#: SAME join shape below — nothing here assumes the table is small
+#: enough to inline, and wildcard (`*.ck`) / exception (`!www.ck`)
+#: rules are the documented out-of-scope extension (they add one more
+#: candidate-length join, not a new shape).
+PSL_TWO_LEVEL = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "org.br", "co.in", "gov.in",
+    "com.cn", "com.mx", "co.nz", "co.za", "com.sg", "com.tr",
+    "github.io", "blogspot.com",
+)
+PSL_ONE_LEVEL = (
+    "com", "org", "net", "io", "gov", "edu", "mil", "int", "info",
+    "biz", "dev", "app", "uk", "de", "fr", "it", "nl", "se", "no",
+    "fi", "es", "pt", "pl", "jp", "cn", "au", "br", "in", "ca", "us",
+    "ch", "at", "be", "dk", "cz", "ie", "kr", "mx", "nz", "za", "sg",
+    "tr",
+)
+
+
+def registrable_domain(df: DataFrame, spark, host_col: str = "host"):
+    """Attach (public_suffix, reg_domain) to every row by PSL longest
+    match: the last TWO labels win if they are a listed two-level
+    suffix (``foo.co.uk`` -> ``foo.co.uk`` is wrong — the registrable
+    domain is the label BEFORE the suffix plus the suffix), else the
+    last label (listed or not: the PSL's implicit ``*`` default makes
+    an unknown TLD its own suffix). Quotas, blocklists and politeness
+    budgets operate at this granularity, not the hostname's — one
+    registrant's ``a.example.co.uk`` and ``b.example.co.uk`` must land
+    in one bucket, while ``x.github.io`` and ``y.github.io`` (a
+    PRIVATE-section suffix) must not.
+
+    Scale shape: two broadcast LEFT joins (candidate suffix lengths 2
+    and 1) against the suffix dimension — map-side, zero shuffle, zero
+    Python; longest match is a coalesce, never a groupBy. A full PSL
+    replaces the inline dimension with a parquet read, same plan."""
+    two = spark.createDataFrame([(s,) for s in PSL_TWO_LEVEL],
+                                "suffix2 string")
+    one = spark.createDataFrame([(s,) for s in PSL_ONE_LEVEL],
+                                "suffix1 string")
+    h = F.col(host_col)
+    d = (df.withColumn("_l1", F.substring_index(h, ".", -1))
+           .withColumn("_l2", F.substring_index(h, ".", -2)))
+    d = d.join(F.broadcast(two), d["_l2"] == F.col("suffix2"), "left")
+    d = d.join(F.broadcast(one), d["_l1"] == F.col("suffix1"), "left")
+    suffix = F.coalesce(F.col("suffix2"), F.col("suffix1"), F.col("_l1"))
+    reg = (F.when(F.col("suffix2").isNotNull(),
+                  F.substring_index(h, ".", -3))
+            .otherwise(F.substring_index(h, ".", -2)))
+    return d.select(*df.columns, suffix.alias("public_suffix"),
+                    reg.alias("reg_domain"))

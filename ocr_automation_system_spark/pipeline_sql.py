@@ -806,6 +806,48 @@ SELECT url, raw AS messy_url, canon AS canon_url,
 FROM canon_t
 """
 
+def _sql_registrable_domains() -> str:
+    """Twin of queries.q_registrable_domains — the host rewrite classes
+    and BOTH suffix tables render from functions.urlnorm's PSL tuples
+    (single source)."""
+    from .functions.urlnorm import PSL_ONE_LEVEL, PSL_TWO_LEVEL
+
+    two = ", ".join(f"'{s}'" for s in PSL_TWO_LEVEL)
+    one = ", ".join(f"'{s}'" for s in PSL_ONE_LEVEL)
+    return f"""
+WITH h0 AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS h
+            FROM {CORPUS}),
+k0 AS (SELECT h,
+        CAST(concat('0x', substr(md5(h), 1, 4)) AS BIGINT) % 7 AS k
+       FROM h0),
+s0 AS (SELECT CASE k
+          WHEN 0 THEN h
+          WHEN 1 THEN replace(h, '.example.com', '.co.uk')
+          WHEN 2 THEN replace(h, '.example.com', '.com.au')
+          WHEN 3 THEN 'www.' || replace(h, '.example.com', '.org')
+          WHEN 4 THEN 'a.b.' || h
+          WHEN 5 THEN replace(h, '.example.com', '.github.io')
+          ELSE replace(h, '.example.com', '.unlistedtld') END AS host
+       FROM k0),
+l0 AS (SELECT host,
+        regexp_extract(host, '([^.]+)$', 1) AS l1,
+        regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS l2 FROM s0),
+m0 AS (SELECT host,
+        CASE WHEN l2 IN ({two}) THEN l2
+             WHEN l1 IN ({one}) THEN l1 ELSE l1 END AS public_suffix,
+        CASE WHEN l2 IN ({two})
+             THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+             ELSE l2 END AS reg_domain
+       FROM l0)
+SELECT reg_domain, public_suffix,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM m0 GROUP BY reg_domain, public_suffix
+"""
+
+
+SQL_REGISTRABLE_DOMAINS = _sql_registrable_domains()
+
 SQL_URL_DUP_GROUPS = f"""
 WITH u0 AS (SELECT url AS raw FROM {CORPUS}
             UNION ALL SELECT {_sql_messy_url('url')} FROM {CORPUS}),

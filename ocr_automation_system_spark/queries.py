@@ -5236,6 +5236,41 @@ def q_pipeline_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X154 — registrable-domain (eTLD+1) rollup by public-suffix
+    longest match. Quotas/blocklists/politeness operate at eTLD+1, not
+    hostname, granularity: ``a.shop.co.uk`` and ``b.shop.co.uk`` are one
+    registrant, ``x.github.io`` and ``y.github.io`` are not. Corpus
+    hosts are rewritten deterministically (md5-gated class) into the
+    suffix shapes the matcher must separate: two-level ccTLD (co.uk /
+    com.au), private-section suffix (github.io), www + org, deep
+    subdomain, and an unlisted TLD (the PSL implicit ``*`` default) —
+    both engines apply the identical rewrite.
+
+    Scale shape: zero-shuffle host derivation -> two broadcast LEFT
+    joins against the suffix dimension (``urlnorm.registrable_domain``)
+    -> ONE map-side-combined groupBy on the (tiny) domain key space."""
+    from .functions import urlnorm as U
+
+    c = corpus_for(spark, sf_dir).select("url")
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    k = F.conv(F.substring(F.md5(host), 1, 4), 16, 10).cast("long") % 7
+    ex = F.lit(".example.com")
+    synth = (F.when(k == 0, host)
+             .when(k == 1, F.replace(host, ex, F.lit(".co.uk")))
+             .when(k == 2, F.replace(host, ex, F.lit(".com.au")))
+             .when(k == 3, F.concat(F.lit("www."),
+                                    F.replace(host, ex, F.lit(".org"))))
+             .when(k == 4, F.concat(F.lit("a.b."), host))
+             .when(k == 5, F.replace(host, ex, F.lit(".github.io")))
+             .otherwise(F.replace(host, ex, F.lit(".unlistedtld"))))
+    d = c.select(synth.alias("host"))
+    rd = U.registrable_domain(d, spark)
+    return (rd.groupBy("reg_domain", "public_suffix")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct("host").cast("long").alias("n_hosts")))
+
+
 def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction from the raw html BINARY column: sniff-gated
     JVM decode -> regexp_extract_all -> explode, relative hrefs resolved
@@ -7896,6 +7931,8 @@ REGISTRY: dict = {
                                PSQL.SQL_PIPELINE_MARKDOWN_DOCS),
     # url canonicalization + canonical-url dedup (corpus url column)
     "url_canonicalize": (q_url_canonicalize, PSQL.SQL_URL_CANONICALIZE),
+    "registrable_domains": (q_registrable_domains,
+                            PSQL.SQL_REGISTRABLE_DOMAINS),
     "url_pattern_census": (q_url_pattern_census,
                            PSQL.SQL_URL_PATTERN_CENSUS),
     "compression_ratios": (q_compression_ratios, SQL_COMPRESSION_RATIOS),
