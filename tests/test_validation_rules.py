@@ -50,12 +50,26 @@ class TestAdapters:
                 assert r.pan == r.gst_number[2:12].upper()
 
     def test_udyam_enterprise_type_top1_by_year(self, results):
+        import re
+
         rows = adapt_udyam(results).collect()
         assert len(rows) > 10
-        # corpus always writes MICRO (year N) then SMALL (year N+1):
+        # corpus always writes MICRO (year N) then SMALL (year N+1), so
         # latest-year-wins must choose SMALL (O1, `udyam_adapter.py:85-99`)
-        typed = [r.enterprise_type for r in rows if r.enterprise_type]
-        assert typed and all(t == "SMALL" for t in typed)
+        # — on every doc whose SMALL row SURVIVED extraction intact. The
+        # OCR leg space-joins page fragments, so a SMALL row page-split
+        # mid-year-token ("2 2022-2|3 SMALL ...") is unparseable by
+        # design (byte-identical to the oracle); those docs legitimately
+        # fall back to the MICRO row.
+        texts = {r["url"]: r["extracted_text"] or ""
+                 for r in results.select("url", "extracted_text").collect()}
+        intact = re.compile(r"(?m)^\d+ \d{4}-\d{2} SMALL ")
+        typed = [(r.enterprise_type, intact.search(texts[r.udyam_url]))
+                 for r in rows if r.enterprise_type]
+        assert sum(1 for _, ok in typed if ok) > 10
+        for etype, ok in typed:
+            if ok:
+                assert etype == "SMALL"
 
     def test_udyam_factories_nested(self, results):
         rows = adapt_udyam(results).collect()
