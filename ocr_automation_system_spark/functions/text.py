@@ -351,6 +351,51 @@ def dominant_script(counts: dict[str, Column]) -> Column:
     return expr
 
 
+#: Script pairs whose within-word mixing signals confusable spoofing:
+#: Cyrillic and Greek are the alphabets with convincing Latin
+#: homoglyphs (а/a, е/e, о/o, р/p, ο/o, ν/v …) — a single WORD drawing
+#: letters from both sides is the IDN/phishing/SEO-spam signature
+#: (UTS #39 mixed-script confusables, restricted to the pairs that
+#: matter for web text). CJK-beside-Latin in one word is normal
+#: (model names, units), so it is deliberately NOT a pair here.
+MIXED_SCRIPT_PAIRS = (("latin", "cyrillic"), ("latin", "greek"))
+
+
+def mixed_script_words(df, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """X155 — per-doc confusable-spoofing census: words whose letters
+    come from two scripts at once (per MIXED_SCRIPT_PAIRS), with an
+    example word (lexicographic min — deterministic) and the fraction.
+    A document that is merely bilingual (whole words per script) scores
+    ZERO: the signal is within-word mixing, not script co-presence.
+
+    Row-local: one token split + a filter lambda of 2 regexp pairs per
+    word — zero shuffle, zero Python, fuses with the scan."""
+    classes = dict(SCRIPT_RANGES)
+
+    def is_mixed(w: Column) -> Column:
+        out = F.lit(False)
+        for a, b in MIXED_SCRIPT_PAIRS:
+            out = out | (w.rlike(classes[a]) & w.rlike(classes[b]))
+        return out
+
+    d = df.select(
+        id_col, ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        .alias("_toks"))
+    mixed = F.filter(F.col("_toks"), is_mixed)
+    n = F.size("_toks")
+    k = F.size(mixed)
+    return d.select(
+        id_col,
+        n.cast("int").alias("n_words"),
+        k.cast("int").alias("n_mixed_words"),
+        F.when(n > 0, F.round(k.cast("double") / n, 6))
+        .otherwise(F.lit(0.0)).alias("mixed_frac"),
+        F.when(k > 0, F.array_min(mixed)).otherwise(F.lit(None))
+        .alias("example_word"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fingerprinting
 # ---------------------------------------------------------------------------

@@ -1168,6 +1168,64 @@ FROM c
 SQL_SCRIPT_CENSUS = _sql_script_census()
 
 
+#: Spoof-injection snippets (all lowercase so the tokenizer's lower()
+#: is not load-bearing): class 0 is BILINGUAL (whole Cyrillic words —
+#: must score zero), class 1 plants a Cyrillic 'а' inside a Latin word,
+#: class 2 mixes a Cyrillic 'с' AND a Greek 'ο' into one word, class 3
+#: appends nothing.
+_SPOOF_SNIPPETS = [" обычный текст", " pаypal login",
+                   " miсrοsoft deal", ""]
+
+
+def q_mixed_script_spoof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X155 — confusable-spoofing census (UTS #39 flavored): words
+    drawing letters from two scripts at once (Latin+Cyrillic /
+    Latin+Greek — the homoglyph alphabets), per doc, with an example
+    word. The injection plants the three cases the detector must
+    separate: bilingual whole-word co-presence (zero), a Cyrillic
+    letter hidden in a Latin word, and a double-script mix. Zero
+    shuffle: one token split + a 2-regex-pair filter lambda per word."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(
+            F.col("text"),
+            F.element_at(F.lit(_SPOOF_SNIPPETS),
+                         (F.pmod(F.col("doc_id"), F.lit(4)) + 1)
+                         .cast("int"))))
+    return T.mixed_script_words(docs)
+
+
+def _sql_mixed_script_spoof() -> str:
+    """Twin of q_mixed_script_spoof — script classes and pair list
+    render from text.SCRIPT_RANGES / MIXED_SCRIPT_PAIRS (single
+    source); \\x{{...}} classes are the one codepoint syntax Java regex
+    and RE2 both accept."""
+    classes = dict(T.SCRIPT_RANGES)
+    pairs = " OR ".join(
+        f"(regexp_matches(w, '{classes[a]}')"
+        f" AND regexp_matches(w, '{classes[b]}'))"
+        for a, b in T.MIXED_SCRIPT_PAIRS)
+    snippets = ", ".join(f"'{s}'" for s in _SPOOF_SNIPPETS)
+    return f"""
+WITH t0 AS (SELECT doc_id,
+        text || (ARRAY[{snippets}])[(doc_id % 4) + 1] AS t
+       FROM documents),
+k0 AS (SELECT doc_id, {_sql_toks('t')} AS toks FROM t0),
+m0 AS (SELECT doc_id, toks,
+        list_filter(toks, w -> {pairs}) AS mixed FROM k0)
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS n_words,
+  CAST(len(mixed) AS INTEGER) AS n_mixed_words,
+  CASE WHEN len(toks) > 0 THEN round(len(mixed) * 1.0 / len(toks), 6)
+       ELSE 0.0 END AS mixed_frac,
+  CASE WHEN len(mixed) > 0 THEN list_aggregate(mixed, 'min')
+       ELSE NULL END AS example_word
+FROM m0
+"""
+
+
+SQL_MIXED_SCRIPT_SPOOF = _sql_mixed_script_spoof()
+
+
 def q_lang_id_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confidence (X101): the stopword-profile scores'
     top-1 vs top-2 margin — the gate multilingual pipelines apply
@@ -7734,6 +7792,7 @@ REGISTRY: dict = {
                                 SQL_BENCHMARK_CONTAMINATION),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "script_census": (q_script_census, SQL_SCRIPT_CENSUS),
+    "mixed_script_spoof": (q_mixed_script_spoof, SQL_MIXED_SCRIPT_SPOOF),
     "lang_id_margin": (q_lang_id_margin, SQL_LANG_ID_MARGIN),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     # corpus-trained unigram LM quality (CCNet-style, two-phase)
