@@ -1120,6 +1120,46 @@ FROM documents
 """
 
 
+def q_lang_mismatch_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X156 — declared-vs-detected language confusion census: the
+    label-noise audit every multilingual corpus runs before trusting
+    upstream `lang` tags (CommonCrawl's declared charset/lang
+    annotations disagree with content-based ID on a few percent of
+    pages — those rows poison per-language quotas and eval splits).
+    Output: one row per (declared, detected) pair with doc count, the
+    pair's share of its declared label, and the agreement flag.
+
+    Scale shape: ONE map-side-combined groupBy over the tiny lang-pair
+    key space; the share denominator is a second agg over the
+    ALREADY-AGGREGATED (tiny) matrix + a broadcast join — the corpus is
+    touched exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(F.col("lang").alias("declared"),
+                    T.lang_id(F.col("text")).alias("detected"))
+    cm = (d.groupBy("declared", "detected")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    tot = cm.groupBy("declared").agg(F.sum("n_docs").alias("_tot"))
+    return (cm.join(F.broadcast(tot), "declared")
+            .select("declared", "detected", "n_docs",
+                    F.round(F.col("n_docs") / F.col("_tot"), 6)
+                    .alias("frac_of_declared"),
+                    (F.col("declared") == F.col("detected"))
+                    .alias("agree")))
+
+
+SQL_LANG_MISMATCH_CENSUS = f"""
+WITH d AS (SELECT lang AS declared,
+        CASE {_LANG_CASES} ELSE 'und' END AS detected FROM documents),
+cm AS (SELECT declared, detected, CAST(count(*) AS BIGINT) AS n_docs
+       FROM d GROUP BY declared, detected),
+tot AS (SELECT declared, sum(n_docs) AS tot FROM cm GROUP BY declared)
+SELECT cm.declared, detected, n_docs,
+       round(n_docs * 1.0 / tot, 6) AS frac_of_declared,
+       (cm.declared = detected) AS agree
+FROM cm JOIN tot ON cm.declared = tot.declared
+"""
+
+
 def q_script_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode script census per document (X78): exact per-script letter
     counts (Latin/Cyrillic/Greek/Arabic/Devanagari/CJK/Hangul), the
@@ -7791,6 +7831,8 @@ REGISTRY: dict = {
     "benchmark_contamination": (q_benchmark_contamination,
                                 SQL_BENCHMARK_CONTAMINATION),
     "lang_id": (q_lang_id, SQL_LANG_ID),
+    "lang_mismatch_census": (q_lang_mismatch_census,
+                             SQL_LANG_MISMATCH_CENSUS),
     "script_census": (q_script_census, SQL_SCRIPT_CENSUS),
     "mixed_script_spoof": (q_mixed_script_spoof, SQL_MIXED_SCRIPT_SPOOF),
     "lang_id_margin": (q_lang_id_margin, SQL_LANG_ID_MARGIN),
