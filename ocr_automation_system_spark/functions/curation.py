@@ -1794,3 +1794,46 @@ def fix_encoding(df: DataFrame, url_col: str = "url",
             })
 
     return df.select(*cols).mapInPandas(_batches, REPAIR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Mixture waterfilling (X157) — the data-mixing recipe solver
+# ---------------------------------------------------------------------------
+
+def mixture_waterfill(census: list, budget: int) -> list:
+    """Exact integer waterfilling: distribute ``budget`` tokens across
+    sources proportional to their weights, capped by availability, with
+    the surplus of saturated (fully-taken) sources redistributed to the
+    rest — the allocation step of a data-mixing recipe ("60% web, 30%
+    code, 10% books" against what each source actually HAS).
+
+    ``census`` is ``[(source, available, weight)]``; returns
+    ``[(source, available, weight, alloc, saturated)]``. All arithmetic
+    is integer (floor division), so the result is bit-identical across
+    engines and runs; the floor leaves at most ``n_sources - 1`` tokens
+    of the budget unassigned (documented, never over-assigns).
+
+    Each round either saturates >= 1 source or is the fixed point, so
+    at most ``len(census)`` rounds run — the unrolled-CTE twin mirrors
+    that bound."""
+    sat: set = set()
+    while True:
+        rem = budget - sum(a for s, a, _ in census if s in sat)
+        wsum = sum(w for s, _, w in census if s not in sat)
+        if wsum <= 0 or rem <= 0:
+            break
+        newly = [s for s, a, w in census
+                 if s not in sat and a <= (rem * w) // wsum]
+        if not newly:
+            break
+        sat.update(newly)
+    rem = budget - sum(a for s, a, _ in census if s in sat)
+    wsum = sum(w for s, _, w in census if s not in sat)
+    out = []
+    for s, a, w in census:
+        if s in sat:
+            out.append((s, a, w, a, True))
+        else:
+            share = 0 if wsum <= 0 or rem <= 0 else (rem * w) // wsum
+            out.append((s, a, w, min(a, max(share, 0)), False))
+    return out

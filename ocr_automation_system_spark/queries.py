@@ -678,6 +678,86 @@ FROM c2
 SQL_PII_CHECKSUM_SCRUB = _sql_pii_checksum()
 
 
+def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X157 — data-mixing recipe solver: exact integer waterfilling of a
+    global token budget (here 30% of the corpus) across sources
+    proportional to per-source weights, capped by availability, surplus
+    redistributed until fixed point. The allocation a mixing config
+    ("60% web / 30% code / 10% books") actually resolves to once real
+    source sizes are known.
+
+    Scale shape: the corpus is touched ONCE (map-side-combined
+    groupBy(source) token census); the solver runs driver-side on the
+    n_sources-row census (the k-means bounded-collect discipline) and
+    the result IS the tiny artifact. Weights derive deterministically
+    from the source id (1 + n % 5) so both engines see the same recipe."""
+    from .functions.curation import mixture_waterfill
+    from .functions.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    census = (docs.groupBy("source")
+              .agg(F.sum(bpe_token_count(F.col("text"))).alias("a"))
+              .select("source", "a",
+                      (F.coalesce(F.regexp_extract("source", "([0-9]+)", 1)
+                                  .cast("long"), F.lit(0)) % 5 + 1)
+                      .alias("w")))
+    rows = census.collect()  # bounded: one row per source
+    triples = [(r["source"], int(r["a"]), int(r["w"])) for r in rows]
+    budget = (3 * sum(a for _, a, _ in triples)) // 10
+    out = mixture_waterfill(triples, budget)
+    return spark.createDataFrame(
+        out, schema="source string, available_tokens long, weight long, "
+                    "alloc_tokens long, saturated boolean")
+
+
+def _sql_mixture_waterfill(n_rounds: int = 32) -> str:
+    """Twin of q_mixture_waterfill: the waterfilling rounds unroll into
+    chained MATERIALIZED CTEs (the probe lesson — default inlining is
+    exponential), one per potential saturation round; extra rounds are
+    idempotent at the fixed point. All-integer arithmetic (``//``), so
+    the twin is bit-identical to the python solver by construction."""
+    from .functions.text import BPE_TOKEN_RE
+
+    ctes = [
+        f"c0 AS MATERIALIZED (SELECT source, "
+        f"CAST(sum(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))) "
+        f"AS BIGINT) AS a, "
+        f"CAST(coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) "
+        f"AS BIGINT), 0) % 5 + 1 AS BIGINT) AS w "
+        f"FROM documents GROUP BY source)",
+        "b0 AS MATERIALIZED (SELECT (3 * sum(a)) // 10 AS budget FROM c0)",
+        "s0 AS MATERIALIZED (SELECT source, a, w, FALSE AS sat FROM c0)",
+    ]
+
+    def rem_w(prev: str) -> tuple:
+        rem = (f"((SELECT budget FROM b0) - (SELECT coalesce(sum(CASE "
+               f"WHEN sat THEN a END), 0) FROM {prev}))")
+        wsum = f"(SELECT sum(CASE WHEN NOT sat THEN w END) FROM {prev})"
+        return rem, wsum
+
+    for k in range(1, n_rounds + 1):
+        prev = f"s{k - 1}"
+        rem, wsum = rem_w(prev)
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT source, a, w, sat OR "
+            f"({rem} > 0 AND a <= coalesce(({rem} * w) // "
+            f"NULLIF({wsum}, 0), -1)) AS sat FROM {prev})")
+    last = f"s{n_rounds}"
+    rem, wsum = rem_w(last)
+    share = (f"CASE WHEN {rem} > 0 THEN greatest(coalesce(({rem} * w) // "
+             f"NULLIF({wsum}, 0), 0), 0) ELSE 0 END")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT source, a AS available_tokens, w AS weight,\n"
+            # sum() promotes to HUGEINT, which the pandas bridge floats
+            # — pin the contract column back to BIGINT
+            f"  CAST(CASE WHEN sat THEN a ELSE least(a, {share}) END "
+            f"AS BIGINT) AS alloc_tokens,\n"
+            f"  sat AS saturated\nFROM {last}")
+
+
+SQL_MIXTURE_WATERFILL = _sql_mixture_waterfill()
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality: word-2-gram duplication fraction
     + duplicate-line fraction + keep flag, all within-row JVM array ops."""
@@ -7809,6 +7889,7 @@ REGISTRY: dict = {
     "winnow_shared_extents": (q_winnow_shared_extents,
                               SQL_WINNOW_SHARED_EXTENTS),
     "alpha_mixture_rates": (q_alpha_mixture_rates, SQL_ALPHA_MIXTURE_RATES),
+    "mixture_waterfill": (q_mixture_waterfill, SQL_MIXTURE_WATERFILL),
     "alpha_sample": (q_alpha_sample, SQL_ALPHA_SAMPLE),
     "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
     "dedup_span_strip": (q_dedup_span_strip, SQL_DEDUP_SPAN_STRIP),
