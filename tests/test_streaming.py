@@ -851,3 +851,41 @@ def test_stateless_gopher_c4_encoding_ops_stream_unchanged(spark, tmp_path):
             for r in fn(spark.createDataFrame(rows, ["doc_id", "text"]))
             .collect())
         assert got == want, name
+
+
+def test_stateless_pii_and_script_ops_stream_unchanged(spark, tmp_path):
+    """pii_checksum_scrub and mixed_script_words are pure column
+    expressions, so the SAME function bodies must run on a readStream
+    DataFrame and produce the batch rows — extends the
+    one-definition/two-modes property to the X153/X155 tier.
+    (registrable_domain broadcast-joins a static dimension; that is the
+    stream-static join Structured Streaming supports natively, covered
+    by the shape of test_streaming_incremental_dedup_against_static_index.)"""
+    from ocr_automation_system_spark.functions.pii import pii_checksum_scrub
+    from ocr_automation_system_spark.functions.text import mixed_script_words
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    rows = [(0, "pay 4111 1111 1111 1111 into GB82WEST12345698765432"),
+            (1, "invalid 4111111111111112 and DE89370400440532013001"),
+            (2, "login to pаypal or vοte now"),
+            (3, ""), (4, "обычный текст beside plain words")]
+    spark.createDataFrame(rows, ["doc_id", "text"]) \
+        .write.parquet(os.path.join(d, "drop1"))
+
+    stream_in = (spark.readStream.schema("doc_id long, text string")
+                 .parquet(os.path.join(d, "*")))
+    for fn, name in ((pii_checksum_scrub, "pii"),
+                     (mixed_script_words, "script")):
+        out = str(tmp_path / f"out_{name}")
+        q = (fn(stream_in).writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(
+            tuple(r)
+            for r in fn(spark.createDataFrame(rows, ["doc_id", "text"]))
+            .collect())
+        assert got == want, name
