@@ -73,7 +73,8 @@ HEADLINE = (
     "robots_parse_lines", "robots_effective_rules",
     "robots_corpus_verdicts", "robots_crawl_delays",
     "robots_blocked_rate", "redirect_resolved",
-    "pipeline_line_dedup", "pipeline_paragraph_dedup",
+    "pipeline_line_dedup", "pipeline_host_boilerplate",
+    "pipeline_paragraph_dedup",
     "pipeline_encoding_damage", "pipeline_mojibake_repair",
     "pipeline_span_dedup",
     "link_edges", "host_link_graph", "anchor_text_profile", "anchor_bm25",

@@ -312,6 +312,73 @@ def boilerplate_line_removal(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def host_boilerplate_removal(df: DataFrame, id_col: str = "url",
+                             host_col: str = "host",
+                             text_col: str = "text",
+                             min_host_docs: int = 5,
+                             num: int = 1, den: int = 2) -> DataFrame:
+    """Host-templated boilerplate removal (X158): within each host, drop
+    every non-blank line appearing in >= num/den of THAT host's
+    documents (hosts under ``min_host_docs`` docs are exempt — a 1-doc
+    host would drop its whole body). This is the per-site refinement of
+    ``boilerplate_line_removal``: a footer unique to one small site
+    never reaches the global >=10-docs census, yet covers 100% of that
+    site's pages — the classic template leak per-document heuristics
+    and global thresholds both miss.
+
+    The threshold compares exact integers (``nd * den >= docs * num``)
+    — no float ratio, so engines agree bit-for-bit at the boundary.
+
+    Returns one row per input doc: (id, host, n_lines_kept,
+    n_lines_dropped, kept_text), kept lines rejoined in original order.
+
+    Scale shape: the line census is ONE groupBy on (host, line)
+    (map-side combinable); the drop dimension is host-template
+    vocabulary — NOT broadcastable in general (it grows with host
+    count), so the removal is a hash-partitioned LEFT ANTI join on the
+    same (host, line) key (AQE still broadcasts it when tiny);
+    reassembly groups on the uniform doc id. No window, no self-join,
+    no per-host collect."""
+    lines = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), F.col(host_col).alias("_h"),
+                F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                     "\n")).alias("pos", "line"))
+        .filter(F.length(F.trim(F.col("line"))) > 0)
+    )
+    host_docs = (df.groupBy(F.col(host_col).alias("_h"))
+                 .agg(F.count(F.lit(1)).alias("_docs")))
+    drop = (lines.groupBy("_h", "line")
+            .agg(F.countDistinct("_id").alias("_nd"))
+            .join(host_docs, "_h")
+            .filter((F.col("_nd") * den >= F.col("_docs") * num)
+                    & (F.col("_docs") >= min_host_docs))
+            .select("_h", "line"))
+    kept = lines.join(drop, ["_h", "line"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                        lambda x: x["line"]),
+            "\n").alias("kept_text"),
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_lines"))
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(host_col).alias("host"))
+        .join(rebuilt, "_id", "left")
+        .join(totals, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col), "host",
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long")
+            .alias("n_lines_kept"),
+            (F.coalesce(F.col("_n_lines"), F.lit(0))
+             - F.coalesce(F.col("n_lines_kept"), F.lit(0))).cast("long")
+            .alias("n_lines_dropped"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+    )
+
+
 def keep_first_line_dedup(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
     """Corpus-wide keep-FIRST line dedup (CCNet paragraph-dedup

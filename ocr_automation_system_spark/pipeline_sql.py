@@ -880,6 +880,36 @@ SELECT d.url,
 FROM d LEFT JOIN agg a ON d.url = a.url LEFT JOIN tot t ON d.url = t.url
 """
 
+#: twin of curation.host_boilerplate_removal (X158) over the extraction
+#: twin: within each host (>= 5 docs), lines in >= half of the host's
+#: docs drop (exact-integer threshold nd*2 >= docs), survivors rebuilt
+#: in original order and hashed.
+SQL_PIPELINE_HOST_BOILERPLATE = f"""
+WITH d AS (SELECT url, regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+                  coalesce(extracted_text, '') AS t FROM {TWIN}),
+hd AS (SELECT host, count(*) AS docs FROM d GROUP BY host),
+s AS (SELECT url, host, string_split(t, chr(10)) AS ls FROM d),
+l0 AS (SELECT url, host, unnest(ls) AS line,
+              unnest(range(1, len(ls) + 1)) AS pos FROM s),
+l AS (SELECT url, host, pos, line FROM l0 WHERE trim(line) <> ''),
+census AS (SELECT host, line, count(DISTINCT url) AS nd
+           FROM l GROUP BY host, line),
+drop0 AS (SELECT census.host, line FROM census
+          JOIN hd ON census.host = hd.host
+          WHERE nd * 2 >= docs AND docs >= 5),
+kept AS (SELECT l.url, l.pos, l.line FROM l
+         ANTI JOIN drop0 ON l.host = drop0.host AND l.line = drop0.line),
+agg AS (SELECT url, count(*) AS k,
+               md5(string_agg(line, chr(10) ORDER BY pos)) AS h
+        FROM kept GROUP BY url),
+tot AS (SELECT url, count(*) AS n FROM l GROUP BY url)
+SELECT d.url, d.host,
+  CAST(coalesce(a.k, 0) AS BIGINT) AS n_lines_kept,
+  CAST(coalesce(t.n, 0) - coalesce(a.k, 0) AS BIGINT) AS n_lines_dropped,
+  coalesce(a.h, md5('')) AS kept_text_hash
+FROM d LEFT JOIN agg a ON d.url = a.url LEFT JOIN tot t ON d.url = t.url
+"""
+
 #: twin of curation.keep_first_line_dedup (X144) over the extraction twin:
 #: each distinct non-blank line is owned by its first (url, pos) occurrence
 #: (row_number over the same total order Spark's min(struct(url, pos))

@@ -5753,6 +5753,24 @@ def q_pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "n_lines_kept", "n_lines_dropped",
                       F.md5("kept_text").alias("kept_text_hash"))
 
+def q_pipeline_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X158 — host-templated boilerplate removal over the extraction
+    output: within each host (>= 5 docs), lines covering >= half of the
+    host's documents are dropped — the per-site footer/nav template the
+    global >= 10-docs census (X20) misses on small hosts. Exact-integer
+    threshold; kept text rebuilt in original order, hashed at the
+    contract surface."""
+    from .functions import curation as C
+
+    res = extractions_for(spark, sf_dir).select(
+        "url", F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+        "extracted_text")
+    out = C.host_boilerplate_removal(res, id_col="url", host_col="host",
+                                     text_col="extracted_text")
+    return out.select("url", "host", "n_lines_kept", "n_lines_dropped",
+                      F.md5("kept_text").alias("kept_text_hash"))
+
+
 def q_pipeline_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide keep-FIRST line dedup over the extraction output
     (X144, CCNet paragraph-dedup semantics): every distinct non-blank
@@ -8105,6 +8123,8 @@ REGISTRY: dict = {
     "pipeline_mojibake_repair": (q_pipeline_mojibake_repair,
                                  PSQL.SQL_PIPELINE_MOJIBAKE_REPAIR),
     "pipeline_line_dedup": (q_pipeline_line_dedup, PSQL.SQL_PIPELINE_LINE_DEDUP),
+    "pipeline_host_boilerplate": (q_pipeline_host_boilerplate,
+                                  PSQL.SQL_PIPELINE_HOST_BOILERPLATE),
     "pipeline_paragraph_dedup": (q_pipeline_paragraph_dedup,
                                  PSQL.SQL_PIPELINE_PARAGRAPH_DEDUP),
     "pipeline_span_dedup": (q_pipeline_span_dedup,
