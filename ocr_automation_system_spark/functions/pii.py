@@ -35,9 +35,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Payment-card candidate: 13-19 digits allowing a single space or dash
-#: between adjacent digits (the common presentation groupings). RE2-safe.
-CARD_RE = r"[0-9](?:[ -]?[0-9]){12,18}"
+#: Payment-card candidate: a bare 13-19-digit run, or the two real
+#: presentation groupings (4-4-4-4 and Amex 4-6-5) with space/dash at
+#: the GROUP boundaries only. A per-digit-separator pattern
+#: (``[0-9](?:[ -]?[0-9]){12,18}``) is a false-positive machine: any
+#: two adjacent numeric tokens totalling 13-19 digits ("0012361
+#: 209965308330" from an IFSC+account line) become one candidate, and
+#: 10% of random runs pass Luhn. The three alternatives are mutually
+#: exclusive at any start position (13+ straight digits vs a separator
+#: at offset 4 vs a digit there), so Java's leftmost-FIRST and RE2's
+#: leftmost-LONGEST alternation semantics provably agree. RE2-safe.
+CARD_RE = (r"[0-9]{13,19}"
+           r"|[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}"
+           r"|[0-9]{4}[ -][0-9]{6}[ -][0-9]{5}")
 
 #: IBAN candidate: country code + 2 check digits + 11-30 alphanumerics
 #: (ISO 13616 BBAN length bounds). Uppercase-only by spec. RE2-safe.
@@ -108,6 +118,18 @@ def _scrub_fold(text: Column, cands: Column, token: str) -> Column:
     text rows with no candidates pass through unchanged."""
     return F.aggregate(
         cands, text, lambda acc, c: F.replace(acc, c, F.lit(token)))
+
+
+def checksum_scrub_expr(t: Column) -> Column:
+    """The scrubbed-text column alone (IBANs first, then Luhn-valid
+    cards) — for callers that redact in place without the count
+    columns (the ``--scrub-pii`` curate stage)."""
+    iban_ok = F.filter(
+        F.regexp_extract_all(t, F.lit(IBAN_RE), F.lit(0)), iban_valid)
+    t1 = _scrub_fold(t, iban_ok, "<IBAN>")
+    card_ok = F.filter(
+        F.regexp_extract_all(t1, F.lit(CARD_RE), F.lit(0)), luhn_valid)
+    return _scrub_fold(t1, card_ok, "<CARD>")
 
 
 def pii_checksum_scrub(df: DataFrame, id_col: str = "doc_id",

@@ -76,6 +76,11 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "extracted text before any content heuristic "
                         "or dedup hash sees it (curation.fix_encoding, "
                         "JVM table chain — zero Python, zero shuffle)")
+    p.add_argument("--scrub-pii", action="store_true",
+                   help="--curate only: redact checksum-validated PII "
+                        "(Luhn cards, mod-97 IBANs) from the curated "
+                        "text as the LAST stage before the split — "
+                        "dedup hashes keep seeing original bytes")
     p.add_argument("--policy", action="store_true",
                    help="--curate only: apply the composite filter "
                         "policy (repetition/quality/PII gates) before "
@@ -258,6 +263,7 @@ def main(argv=None, stop_session: bool = True) -> int:
         curate(spark, results, args.output, quota=args.domain_quota,
                url_drops=url_drops,
                fix_encoding=args.fix_encoding,
+               scrub_pii=args.scrub_pii,
                chunk_tokens=args.chunk_tokens, policy=args.policy,
                gopher=args.gopher,
                semdedup=args.semdedup, wet_files=args.wet_export,
@@ -437,7 +443,7 @@ def compliance_drops(documents, honor_noindex: bool = False,
 
 
 def curate(spark, results, output: str, quota: int = 1000,
-           fix_encoding: bool = False,
+           fix_encoding: bool = False, scrub_pii: bool = False,
            chunk_tokens: int = 0, policy: bool = False,
            gopher: bool = False,
            semdedup: bool = False, wet_files: int = 0,
@@ -665,6 +671,21 @@ def curate(spark, results, output: str, quota: int = 1000,
         curated = curated.join(sel.select("doc_id"), "doc_id",
                                "left_semi")
         counts["after_token_budget"] = curated.count()
+
+    if scrub_pii:
+        # checksum-gated redaction LAST: dedup/near-dup hashes above
+        # saw the original bytes (a scrub token must never merge two
+        # distinct pages), and only Luhn/mod-97-validated instruments
+        # are replaced — random digit runs survive. Narrow in-place
+        # projection, zero extra shuffle.
+        from ocr_automation_system_spark.functions.pii import (
+            checksum_scrub_expr,
+        )
+
+        scrubbed = checksum_scrub_expr(F.col("text"))
+        counts["pii_redacted_docs"] = (
+            curated.filter(scrubbed != F.col("text")).count())
+        curated = curated.withColumn("text", scrubbed)
 
     curated = C.train_val_split(curated, id_col="doc_id")
     out = os.path.join(output, "curated")

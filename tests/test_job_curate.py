@@ -514,3 +514,23 @@ def test_curate_error_page_and_redirect_drops(spark, tmp_path):
         meta_refresh_targets(docs).filter(F.col("is_redirect"))
         .select("url"), "url", "left_semi").count()
     assert counts["after_error_pages"] - counts["after_redirects"] == n_red
+
+
+def test_curate_scrub_pii_stage(spark, tmp_path):
+    """--scrub-pii wires the checksum-gated redaction as the last
+    pre-split stage. The synthetic corpus carries NO Luhn/mod-97-valid
+    instruments, so the strong claim here is zero FALSE redactions on
+    400 organic documents (mobile numbers, bank accounts, GST/PAN/IFSC
+    codes all pattern-near but checksum-fail or length-fail) — the
+    redaction path itself is pinned by tests/test_pii_checksum.py."""
+    out = str(tmp_path / "jobpii")
+    args = ["--synthetic", "400", "--output", out, "--curate",
+            "--scrub-pii"]
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert counts["pii_redacted_docs"] == 0
+    cur = spark.read.parquet(os.path.join(out, "curated"))
+    assert cur.filter(cur.text.contains("<CARD>")
+                      | cur.text.contains("<IBAN>")).count() == 0
+    assert cur.count() == counts["after_domain_quota"]

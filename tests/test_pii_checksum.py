@@ -118,6 +118,30 @@ def test_scrub_clean_text_unchanged(spark):
     assert rows[2]["n_card_candidates"] == 0
 
 
+def test_adjacent_numeric_tokens_are_not_candidates(spark):
+    # the false-positive machine the group-anchored CARD_RE kills: an
+    # IFSC-code digit tail beside a bank-account number totals 19
+    # digits with one interior space — under a per-digit-separator
+    # pattern that was a candidate (and Luhn-valid 10% of the time)
+    texts = [
+        (1, "IFS CODE BANK ACCOUNT NUMBER NEXUS BANK "
+            "EXYZ0012361 209965308330"),
+        (2, "EMPLOYMENT DETAILS MALE FEMALE OTHER TOTAL 29 13 0 24"),
+        (3, "order 12345 total 123456789 ref 1234"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in pii_checksum_scrub(df).collect()}
+    for i, t in texts:
+        assert rows[i]["n_card_candidates"] == 0, i
+        assert rows[i]["scrubbed"] == t, i
+    # real groupings still detected
+    df2 = spark.createDataFrame(
+        [(1, "pay 4111 1111 1111 1111 or 3782 822463 10005 now")],
+        ["doc_id", "text"])
+    r = pii_checksum_scrub(df2).collect()[0]
+    assert r["n_card_candidates"] == 2 and r["n_cards_valid"] == 2
+
+
 # ---------------------------------------------------------------------------
 # Plan law: one narrow projection, zero shuffle
 # ---------------------------------------------------------------------------
