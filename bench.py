@@ -77,7 +77,8 @@ HEADLINE = (
     "pipeline_paragraph_dedup",
     "pipeline_encoding_damage", "pipeline_mojibake_repair",
     "pipeline_span_dedup",
-    "link_edges", "host_link_graph", "anchor_text_profile", "anchor_bm25",
+    "link_edges", "host_link_graph", "host_template_census",
+    "anchor_text_profile", "anchor_bm25",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",
     "host_reciprocity", "seed_distance", "host_hyperball", "host_harmonic",
     "host_communities", "community_modularity",

@@ -1013,3 +1013,34 @@ def robots_verdicts(urls: DataFrame, rules: DataFrame,
                     F.lit(True)).alias("allow"),
                 F.coalesce(F.expr("substring(_k, 8)"), F.lit(""))
                 .alias("matched_prefix")))
+
+
+# ---------------------------------------------------------------------------
+# DOM tag-skeleton templates (X159)
+# ---------------------------------------------------------------------------
+
+#: open/close tag NAME at a tag boundary (attributes/text ignored).
+TAG_RE = r"<(/?[a-z][a-z0-9]*)"
+
+
+def dom_skeletons(df: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """(url, host, skeleton, n_tags): the page's tag-sequence
+    fingerprint — every open/close tag name in document order, text and
+    attributes stripped, md5-hashed. Pages sharing a skeleton render
+    from one template; the per-host skeleton census is the
+    wrapper-induction / layout-clustering signal scrapers and
+    boilerplate models key on (a host serving 10^6 urls from 3
+    skeletons is a database frontend, not 10^6 authored pages).
+
+    Narrow zero-shuffle projection: sniff-gated decode (``page_html``)
+    -> one regexp_extract_all -> lower/join/md5. Non-HTML payloads
+    (PDF, junk, poison) contribute no rows."""
+    t = page_html(F.col(html_col))
+    tags = F.regexp_extract_all(F.lower(t), F.lit(TAG_RE), F.lit(1))
+    return (df.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(url_col, r"https://([^/]+)/", 1).alias("host"),
+        F.md5(F.array_join(tags, ">")).alias("skeleton"),
+        F.size(tags).cast("long").alias("n_tags"))
+        .filter(F.col("n_tags") > 0))

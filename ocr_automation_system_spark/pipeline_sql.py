@@ -984,6 +984,33 @@ WITH {_SQL_LINK_BASE}
 SELECT src_url, dst_url, anchor_text FROM links_t
 """
 
+#: twin of queries.q_host_template_census (X159): tag-skeleton census
+#: from the sniff-gated decode; dominant-template tie -> min(skeleton).
+SQL_HOST_TEMPLATE_CENSUS = f"""
+WITH p0 AS (SELECT url, regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+                   {_SQL_PAGE} AS page FROM {CORPUS}),
+sk AS (SELECT host,
+        md5(array_to_string(
+          regexp_extract_all(lower(page), '<(/?[a-z][a-z0-9]*)', 1),
+          '>')) AS skeleton,
+        len(regexp_extract_all(lower(page), '<(/?[a-z][a-z0-9]*)', 1))
+          AS n_tags
+       FROM p0),
+d AS (SELECT host, skeleton FROM sk WHERE n_tags > 0),
+cen AS (SELECT host, skeleton, count(*) AS n_pages
+        FROM d GROUP BY host, skeleton),
+a1 AS (SELECT host, CAST(count(*) AS BIGINT) AS n_templates,
+              CAST(sum(n_pages) AS BIGINT) AS n_html_pages,
+              max(n_pages) AS top
+       FROM cen GROUP BY host),
+tp AS (SELECT cen.host, min(skeleton) AS top_skeleton
+       FROM cen JOIN a1 ON cen.host = a1.host AND cen.n_pages = a1.top
+       GROUP BY cen.host)
+SELECT a1.host, n_html_pages, n_templates,
+       CAST(top AS BIGINT) AS top_pages, top_skeleton
+FROM a1 JOIN tp ON a1.host = tp.host
+"""
+
 SQL_HOST_LINK_GRAPH = f"""
 WITH {_SQL_LINK_BASE}
 SELECT {_SQL_URL_PRE % 'src_url'} AS src_site,

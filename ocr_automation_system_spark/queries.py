@@ -5459,6 +5459,36 @@ def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.extract_links(corpus_for(spark, sf_dir).select("url", "html"))
 
 
+def q_host_template_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X159 — per-host DOM-template census over the raw html: distinct
+    tag-skeleton count, html page count, the dominant template's page
+    count and its skeleton hash (ties -> lexicographic min, a total
+    rule both engines share). A host serving many pages from few
+    skeletons is a database frontend — the layout-clustering signal
+    wrapper induction and template-aware boilerplate removal start
+    from.
+
+    Scale shape: zero-shuffle skeleton projection -> ONE
+    map-side-combined groupBy on (host, skeleton) -> per-host rollups
+    of the ALREADY-TINY census (broadcast joins, no corpus re-scan)."""
+    from .functions import links as L
+
+    d = L.dom_skeletons(corpus_for(spark, sf_dir).select("url", "html"))
+    cen = (d.groupBy("host", "skeleton")
+           .agg(F.count(F.lit(1)).alias("n_pages")))
+    agg1 = cen.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_templates"),
+        F.sum("n_pages").cast("long").alias("n_html_pages"),
+        F.max("n_pages").alias("_top"))
+    top = (cen.join(F.broadcast(agg1.select("host", "_top")), "host")
+           .filter(F.col("n_pages") == F.col("_top"))
+           .groupBy("host").agg(F.min("skeleton").alias("top_skeleton")))
+    return (agg1.join(F.broadcast(top), "host")
+            .select("host", "n_html_pages", "n_templates",
+                    F.col("_top").cast("long").alias("top_pages"),
+                    "top_skeleton"))
+
+
 def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Site-level link graph over the real extracted anchors (one
     groupBy; the corpus' hrefs are same-site, so this is the self-loop
@@ -8191,6 +8221,8 @@ REGISTRY: dict = {
     # link graph: anchors from raw html, host graph, iterative PageRank
     "link_edges": (q_link_edges, PSQL.SQL_LINK_EDGES),
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
+    "host_template_census": (q_host_template_census,
+                             PSQL.SQL_HOST_TEMPLATE_CENSUS),
     "host_reciprocity": (q_host_reciprocity, PSQL.SQL_HOST_RECIPROCITY),
     "seed_distance": (q_seed_distance, PSQL.SQL_SEED_DISTANCE),
     "anchor_text_profile": (q_anchor_text_profile, PSQL.SQL_ANCHOR_TEXT_PROFILE),
