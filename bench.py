@@ -47,6 +47,7 @@ HEADLINE = (
     "embedding_pq_codes", "embedding_pq_topk", "embedding_ivfpq_topk",
     "embedding_pq_recall", "embedding_pca_power",
     "pack_bins", "packing_efficiency", "benchmark_contamination",
+    "decontaminate_spans",
     "zorder_keys", "zorder_prune_audit",
     "domain_quota", "host_disjoint_split", "knn_label_eval",
     "pii_scrub", "pii_checksum_scrub", "repetition_scores",

@@ -160,6 +160,74 @@ def benchmark_contamination(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def decontaminate_spans(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5,
+                        benchmark_mod: int = 97) -> DataFrame:
+    """Span-level decontamination (X160, the GPT-3 appendix-C
+    discipline): instead of DROPPING every document sharing an n-gram
+    with the benchmark set (X12's census), excise exactly the tokens
+    covered by a colliding n-gram and keep the rest of the document —
+    at web scale whole-doc dropping throws away real data for one
+    quoted test question. Operates on the cleaned token stream (the
+    same stream the gram keys derive from); excised docs are rebuilt
+    space-joined.
+
+    Returns one row per NON-benchmark doc: (doc_id, n_tokens, n_spans,
+    n_tokens_removed, kept_text) — n_spans counts colliding grams
+    (overlaps counted individually; their token coverage is unioned).
+
+    Scale shape: the benchmark key side is tiny and BROADCAST; the
+    corpus gram stream joins it map-side, so only MATCHED (doc, pos)
+    rows reach the one doc-keyed aggregate; reassembly is a filter over
+    the already-bound token array — no window, no self-join, no corpus
+    shuffle beyond the matched rows."""
+    from .text import (
+        bind_array, clean_text, positional_grams, ws_tokens,
+    )
+
+    toks = ws_tokens(clean_text(F.col(text_col)))
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("doc_id"), toks.alias("_toks")))
+    is_bench = F.pmod(F.col("doc_id"), F.lit(benchmark_mod)) == 0
+    key = F.pmod(
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long"),
+        F.lit(2147483647))
+    grams = (base.filter(~is_bench)
+             .select("doc_id", F.posexplode(
+                 bind_array(F.col("_toks"),
+                            lambda tk: positional_grams(
+                                tk, n, lambda s: F.concat_ws(" ", s))))
+                 .alias("pos", "s"))
+             .select("doc_id", "pos", key.alias("k")))
+    bench = (base.filter(is_bench)
+             .select(F.explode(bind_array(
+                 F.col("_toks"),
+                 lambda tk: positional_grams(
+                     tk, n, lambda s: F.concat_ws(" ", s)))).alias("s"))
+             .select(key.alias("k")).distinct())
+    matched = (grams.join(F.broadcast(bench), "k")
+               .groupBy("doc_id")
+               .agg(F.collect_set("pos").alias("_hits")))
+    hits = F.coalesce(F.col("_hits"), F.array().cast("array<int>"))
+    covered = F.array_distinct(F.flatten(
+        F.transform(hits, lambda p: F.sequence(p, p + (n - 1)))))
+    # bind the coverage set ONCE per row — a lambda closing over the
+    # covered EXPRESSION would rebuild it per token (bind_array lesson)
+    kept = bind_array(
+        covered,
+        lambda cov: F.filter(F.col("_toks"),
+                             lambda x, i: ~F.array_contains(cov, i)))
+    return (base.filter(~is_bench)
+            .join(matched, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.size("_toks").cast("long").alias("n_tokens"),
+                F.size(hits).cast("long").alias("n_spans"),
+                (F.size("_toks") - F.size(kept)).cast("long")
+                .alias("n_tokens_removed"),
+                F.array_join(kept, " ").alias("kept_text")))
+
+
 # -- PII scrubbing ------------------------------------------------------------
 # Web-corpus redaction pass. Patterns are deliberately RE2-compatible (no
 # lookaround) so the DuckDB oracle twin runs the SAME pattern strings —

@@ -518,6 +518,57 @@ GROUP BY c.doc_id
 """
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X160 — span-level decontamination (GPT-3 appendix-C): excise
+    exactly the tokens covered by a benchmark-colliding 5-gram instead
+    of dropping the whole document (X12's census); kept text hashed at
+    the contract surface."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = C.decontaminate_spans(docs)
+    return out.select("doc_id", "n_tokens", "n_spans", "n_tokens_removed",
+                      F.md5("kept_text").alias("kept_text_hash"))
+
+
+SQL_DECONTAMINATE_SPANS = f"""
+WITH tk AS (SELECT doc_id, {_sql_toks(_sql_clean('text'))} AS toks
+            FROM documents),
+g0 AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))
+        ELSE CAST([] AS VARCHAR[]) END AS grams FROM tk),
+g AS (SELECT doc_id, unnest(grams) AS s,
+             unnest(range(1, len(grams) + 1)) AS pos FROM g0),
+k0 AS (SELECT doc_id, pos,
+        CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+          % 2147483647 AS k FROM g),
+bench AS (SELECT DISTINCT k FROM k0 WHERE doc_id % 97 = 0),
+matched AS (SELECT k0.doc_id, pos FROM k0
+            JOIN bench ON k0.k = bench.k WHERE doc_id % 97 <> 0),
+cov AS (SELECT DISTINCT doc_id, cp FROM
+        (SELECT doc_id, unnest(range(pos, pos + 5)) AS cp FROM matched)),
+spans AS (SELECT doc_id, count(*) AS n_spans FROM matched GROUP BY doc_id),
+l AS (SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(1, len(toks) + 1)) AS tpos
+      FROM tk WHERE doc_id % 97 <> 0),
+kept AS (SELECT l.doc_id, tok, tpos FROM l
+         ANTI JOIN cov ON l.doc_id = cov.doc_id AND l.tpos = cov.cp),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY tpos) AS t
+        FROM kept GROUP BY doc_id)
+SELECT tk.doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(len(toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+  md5(coalesce(a.t, '')) AS kept_text_hash
+FROM tk LEFT JOIN spans s ON tk.doc_id = s.doc_id
+        LEFT JOIN agg a ON tk.doc_id = a.doc_id
+WHERE tk.doc_id % 97 <> 0
+"""
+
+
 def _with_injected_pii(docs: DataFrame) -> DataFrame:
     """Deterministically append synthetic PII to every doc so the scrub
     patterns do real work at test scale (the corpus text itself carries
@@ -7959,6 +8010,7 @@ REGISTRY: dict = {
     "source_blocklist": (q_source_blocklist, SQL_SOURCE_BLOCKLIST),
     "benchmark_contamination": (q_benchmark_contamination,
                                 SQL_BENCHMARK_CONTAMINATION),
+    "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "lang_mismatch_census": (q_lang_mismatch_census,
                              SQL_LANG_MISMATCH_CENSUS),
