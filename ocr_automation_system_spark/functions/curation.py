@@ -162,7 +162,9 @@ def benchmark_contamination(df: DataFrame, id_col: str = "doc_id",
 
 def decontaminate_spans(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
-                        benchmark_mod: int = 97) -> DataFrame:
+                        benchmark_mod: int = 97,
+                        bench_df: DataFrame | None = None,
+                        bench_text_col: str = "text") -> DataFrame:
     """Span-level decontamination (X160, the GPT-3 appendix-C
     discipline): instead of DROPPING every document sharing an n-gram
     with the benchmark set (X12's census), excise exactly the tokens
@@ -176,6 +178,10 @@ def decontaminate_spans(df: DataFrame, id_col: str = "doc_id",
     n_tokens_removed, kept_text) — n_spans counts colliding grams
     (overlaps counted individually; their token coverage is unioned).
 
+    The benchmark side is ``bench_df[bench_text_col]`` when given (the
+    production form: a real eval-set table); otherwise the synthetic
+    in-corpus rule ``id % benchmark_mod == 0`` (requires numeric ids).
+
     Scale shape: the benchmark key side is tiny and BROADCAST; the
     corpus gram stream joins it map-side, so only MATCHED (doc, pos)
     rows reach the one doc-keyed aggregate; reassembly is a filter over
@@ -185,25 +191,30 @@ def decontaminate_spans(df: DataFrame, id_col: str = "doc_id",
         bind_array, clean_text, positional_grams, ws_tokens,
     )
 
+    def pgrams(col: Column) -> Column:
+        return bind_array(col, lambda tk: positional_grams(
+            tk, n, lambda s: F.concat_ws(" ", s)))
+
     toks = ws_tokens(clean_text(F.col(text_col)))
     base = (ensure_parallelism(df)
             .select(F.col(id_col).alias("doc_id"), toks.alias("_toks")))
-    is_bench = F.pmod(F.col("doc_id"), F.lit(benchmark_mod)) == 0
     key = F.pmod(
         F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long"),
         F.lit(2147483647))
-    grams = (base.filter(~is_bench)
-             .select("doc_id", F.posexplode(
-                 bind_array(F.col("_toks"),
-                            lambda tk: positional_grams(
-                                tk, n, lambda s: F.concat_ws(" ", s))))
-                 .alias("pos", "s"))
+    if bench_df is None:
+        is_bench = F.pmod(F.col("doc_id"), F.lit(benchmark_mod)) == 0
+        corpus = base.filter(~is_bench)
+        bench_toks = base.filter(is_bench).select(F.col("_toks").alias("_bt"))
+    else:
+        corpus = base
+        bench_toks = bench_df.select(
+            ws_tokens(clean_text(F.col(bench_text_col))).alias("_bt"))
+    grams = (corpus
+             .select("doc_id", F.posexplode(pgrams(F.col("_toks")))
+                     .alias("pos", "s"))
              .select("doc_id", "pos", key.alias("k")))
-    bench = (base.filter(is_bench)
-             .select(F.explode(bind_array(
-                 F.col("_toks"),
-                 lambda tk: positional_grams(
-                     tk, n, lambda s: F.concat_ws(" ", s)))).alias("s"))
+    bench = (bench_toks
+             .select(F.explode(pgrams(F.col("_bt"))).alias("s"))
              .select(key.alias("k")).distinct())
     matched = (grams.join(F.broadcast(bench), "k")
                .groupBy("doc_id")
@@ -217,7 +228,7 @@ def decontaminate_spans(df: DataFrame, id_col: str = "doc_id",
         covered,
         lambda cov: F.filter(F.col("_toks"),
                              lambda x, i: ~F.array_contains(cov, i)))
-    return (base.filter(~is_bench)
+    return (corpus
             .join(matched, "doc_id", "left")
             .select(
                 "doc_id",

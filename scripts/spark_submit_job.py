@@ -81,6 +81,11 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "(Luhn cards, mod-97 IBANs) from the curated "
                         "text as the LAST stage before the split — "
                         "dedup hashes keep seeing original bytes")
+    p.add_argument("--decontaminate", default="", metavar="PARQUET",
+                   help="--curate only: eval-set parquet (text column); "
+                        "5-gram collisions with it are EXCISED span-"
+                        "level (GPT-3 appendix C) after near-dedup — "
+                        "only contaminated docs are rewritten")
     p.add_argument("--policy", action="store_true",
                    help="--curate only: apply the composite filter "
                         "policy (repetition/quality/PII gates) before "
@@ -264,6 +269,7 @@ def main(argv=None, stop_session: bool = True) -> int:
                url_drops=url_drops,
                fix_encoding=args.fix_encoding,
                scrub_pii=args.scrub_pii,
+               decontaminate=args.decontaminate,
                chunk_tokens=args.chunk_tokens, policy=args.policy,
                gopher=args.gopher,
                semdedup=args.semdedup, wet_files=args.wet_export,
@@ -444,6 +450,7 @@ def compliance_drops(documents, honor_noindex: bool = False,
 
 def curate(spark, results, output: str, quota: int = 1000,
            fix_encoding: bool = False, scrub_pii: bool = False,
+           decontaminate: str = "",
            chunk_tokens: int = 0, policy: bool = False,
            gopher: bool = False,
            semdedup: bool = False, wet_files: int = 0,
@@ -586,6 +593,26 @@ def curate(spark, results, output: str, quota: int = 1000,
     deduped = exact.join(keep_ids, "doc_id", "left_semi").persist()
     counts["after_exact_dedup"] = exact.count()
     counts["after_near_dedup"] = deduped.count()
+
+    if decontaminate:
+        # span-level eval-set decontamination AFTER dedup (the excision
+        # runs on survivors only): 5-gram collisions with the supplied
+        # eval parquet are cut out token-exact; only docs that actually
+        # collided are rewritten (reassembled from the cleaned token
+        # stream), clean docs keep their original bytes
+        bench = spark.read.parquet(decontaminate)
+        dec = C.decontaminate_spans(deduped, id_col="doc_id",
+                                    text_col="text", bench_df=bench)
+        hit = dec.filter(F.col("n_spans") > 0).select(
+            "doc_id", F.col("kept_text").alias("_newtext"),
+            "n_tokens_removed")
+        counts["decontaminated_docs"] = hit.count()
+        counts["decontaminated_tokens"] = (
+            hit.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0)
+        deduped = (deduped.join(F.broadcast(hit.select(
+            "doc_id", "_newtext")), "doc_id", "left")
+            .withColumn("text", F.coalesce("_newtext", "text"))
+            .drop("_newtext").persist())
 
     if semdedup:
         # semantic pass AFTER near-dedup: hashed-BoW k-means cells,

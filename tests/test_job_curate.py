@@ -534,3 +534,26 @@ def test_curate_scrub_pii_stage(spark, tmp_path):
     assert cur.filter(cur.text.contains("<CARD>")
                       | cur.text.contains("<IBAN>")).count() == 0
     assert cur.count() == counts["after_domain_quota"]
+
+
+def test_curate_decontaminate_stage(spark, tmp_path):
+    """--decontaminate <eval parquet> excises 5-gram collisions span-
+    level after near-dedup: every UNKNOWN-doctype doc carries the
+    planted header line, so all of them rewrite with the colliding
+    tokens gone; non-colliding docs keep their original bytes."""
+    phrase = "CONSENT ORDER UNDER THE WATER ACT"
+    eval_p = str(tmp_path / "evalset")
+    spark.createDataFrame([(phrase,)], ["text"]).write.parquet(eval_p)
+    out = str(tmp_path / "jobdec")
+    args = ["--synthetic", "400", "--output", out, "--curate",
+            "--decontaminate", eval_p]
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    assert counts["decontaminated_docs"] > 0
+    assert counts["decontaminated_tokens"] >= counts["decontaminated_docs"]
+    cur = spark.read.parquet(os.path.join(out, "curated"))
+    from pyspark.sql import functions as F
+    leftover = cur.filter(
+        F.lower(F.col("text")).contains("consent order under the water"))
+    assert leftover.count() == 0
