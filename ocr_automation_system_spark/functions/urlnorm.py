@@ -252,7 +252,9 @@ def registrable_domain(df: DataFrame, spark, host_col: str = "host"):
                                 "suffix2 string")
     one = spark.createDataFrame([(s,) for s in PSL_ONE_LEVEL],
                                 "suffix1 string")
-    h = F.col(host_col)
+    # DNS names are case-insensitive; fold before matching the
+    # (lowercase) suffix table and return the canonical lowercase form
+    h = F.lower(F.col(host_col))
     d = (df.withColumn("_l1", F.substring_index(h, ".", -1))
            .withColumn("_l2", F.substring_index(h, ".", -2)))
     d = d.join(F.broadcast(two), d["_l2"] == F.col("suffix2"), "left")

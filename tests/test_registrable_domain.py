@@ -37,6 +37,13 @@ def test_longest_match_semantics(spark):
         assert rows[host]["reg_domain"] == reg, host
 
 
+def test_case_insensitive_matching(spark):
+    rows = _run(spark, ["Shop.CO.UK", "x.GitHub.IO"])
+    assert rows["Shop.CO.UK"]["public_suffix"] == "co.uk"
+    assert rows["Shop.CO.UK"]["reg_domain"] == "shop.co.uk"
+    assert rows["x.GitHub.IO"]["reg_domain"] == "x.github.io"
+
+
 def test_same_vs_different_registrant_buckets(spark):
     rows = _run(spark, ["a.shop.co.uk", "b.shop.co.uk",
                         "x.github.io", "y.github.io"])
