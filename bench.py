@@ -44,6 +44,7 @@ HEADLINE = (
     "embedding_ivf_topk", "embedding_lsh_topk_multiprobe",
     "embedding_batch_topk",
     "embedding_kmeans_cells", "embedding_semdedup_keep",
+    "embedding_prune_easy",
     "embedding_pq_codes", "embedding_pq_topk", "embedding_ivfpq_topk",
     "embedding_pq_recall", "embedding_pca_power",
     "pack_bins", "packing_efficiency", "benchmark_contamination",

@@ -570,3 +570,73 @@ def pca_power_loadings(df: DataFrame, vec_col: str = "embedding",
             mx = max(mx, abs(x))
         v = [x / mx for x in w] if mx > 0 else w
     return v
+
+
+# ---------------------------------------------------------------------------
+# SSL-prototype data pruning (X161)
+# ---------------------------------------------------------------------------
+
+def prototype_prune(df: DataFrame, centroids: list, drop_pct: int = 25,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    scale: int = QUANT_SCALE) -> DataFrame:
+    """Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): score every vector by its exact int64 squared
+    distance to its ASSIGNED k-means centroid — close to the prototype
+    = easy/redundant, far = hard/informative — and DROP the easiest
+    ``drop_pct`` percent of each cell, keeping the hard examples the
+    paper shows beat random subsets at scale.
+
+    The per-cell threshold comes from the (cell, octave, sub) HDR
+    histogram (``sketch.hist_buckets``), NOT a per-cell sort: threshold
+    = bucket_lo of the first bucket whose cumulative count crosses the
+    drop target (integer compare ``100·cum > pct·total``), and rows
+    with dist >= threshold keep. Bucket granularity under-drops by at
+    most one bucket (the X79 1/8-relative bound) and never overshoots
+    the target; ties at the boundary keep — deterministic.
+
+    Returns (id, cell, sqdist, keep).
+
+    Scale shape: assignment + distance is the O(1)-in-k codegen
+    projection ``kmeans_assign`` uses; the histogram is ONE map-side
+    combined groupBy over <= k·64·8 bucket keys at ANY corpus size;
+    thresholds fold over the bounded per-cell bucket list and broadcast
+    back — no window, no per-cell sort, parallelism never pinned at k
+    (the round-3 SemDedup lesson)."""
+    from .sketch import hist_buckets
+
+    if not centroids:
+        raise ValueError("prototype_prune needs fitted centroids")
+    cents = (F.lit([[int(v) for v in c] for c in centroids])
+             .cast("array<array<long>>"))
+    base = df.select(F.col(id_col).alias("vec_id"),
+                     quantize(F.col(vec_col), scale).alias("_q"))
+    base = base.withColumn(
+        "cell", kmeans_assign(F.col("_q"), centroids, pre_quantized=True))
+    own = F.element_at(cents, (F.col("cell") + 1).cast("int"))
+    dist = bind_array(
+        F.col("_q"),
+        lambda qv: bind_array(own, lambda c: _sq_dist(qv, c)))
+    scored = base.select("vec_id", "cell", dist.alias("sqdist"))
+    hist = (hist_buckets(scored, F.col("sqdist"))
+            .groupBy("cell", "octave", "sub", "bucket_lo")
+            .agg(F.count(F.lit(1)).alias("n")))
+    per = hist.groupBy("cell").agg(
+        F.sum("n").alias("_tot"),
+        F.sort_array(F.collect_list(
+            F.struct("octave", "sub", "bucket_lo", "n"))).alias("_bk"))
+    zero = F.struct(F.lit(0).cast("long").alias("cum"),
+                    F.lit(-1).cast("long").alias("thr"))
+
+    def _step(acc, x):
+        newcum = acc["cum"] + x["n"]
+        crossed = F.lit(100) * newcum > F.lit(drop_pct) * F.col("_tot")
+        thr = (F.when(acc["thr"] >= 0, acc["thr"])
+               .otherwise(F.when(crossed, x["bucket_lo"])
+                          .otherwise(F.lit(-1).cast("long"))))
+        return F.struct(newcum.alias("cum"), thr.alias("thr"))
+
+    thresholds = per.select(
+        "cell", F.aggregate("_bk", zero, _step)["thr"].alias("_thr"))
+    return (scored.join(F.broadcast(thresholds), "cell")
+            .select("vec_id", "cell", "sqdist",
+                    (F.col("sqdist") >= F.col("_thr")).alias("keep")))

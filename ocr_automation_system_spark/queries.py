@@ -4043,6 +4043,54 @@ FROM afin a JOIN c{_KM_ITERS} c ON a.cell = c.cid
 GROUP BY a.cell
 """
 
+def q_embedding_prune_easy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X161 — SSL-prototype data pruning (Sorscher et al. 2022): drop
+    the 25% of each k-means cell CLOSEST to its centroid (the
+    easy/redundant prototypes), keep the hard examples. Per-cell
+    threshold from the HDR distance histogram — no per-cell sort or
+    window, parallelism never pinned at k."""
+    from .functions import clustering as KM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = KM.kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    if not cents:
+        return (emb.select(
+            F.col("vec_id"), F.lit(0).cast("long").alias("cell"),
+            F.lit(0).cast("long").alias("sqdist"),
+            F.lit(True).alias("keep")).limit(0))
+    return KM.prototype_prune(emb, cents, drop_pct=25)
+
+
+SQL_EMBEDDING_PRUNE_EASY = f"""
+WITH {_sql_kmeans_ctes()},
+dd AS (SELECT a.vec_id, a.cell,
+        CAST(list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+          i -> (a.q[i]-c.cv[i])*(a.q[i]-c.cv[i]))) AS BIGINT) AS sqdist
+       FROM afin a JOIN c{_KM_ITERS} c ON a.cell = c.cid),
+h1 AS (SELECT *, CASE WHEN sqdist > 0
+         THEN CAST(length(bin(sqdist)) AS INTEGER) ELSE 0 END AS octave
+       FROM dd),
+h2 AS (SELECT *, CASE WHEN octave > 0
+         THEN (CAST(1 AS BIGINT) << (octave - 1))
+         ELSE CAST(1 AS BIGINT) END AS hbase FROM h1),
+h3 AS (SELECT *, CASE WHEN sqdist > 0
+         THEN CAST(((sqdist - hbase) * 8) // hbase AS INTEGER)
+         ELSE 0 END AS sub FROM h2),
+h4 AS (SELECT vec_id, cell, sqdist, octave, sub,
+        CASE WHEN sqdist > 0 THEN hbase + (sub * hbase) // 8
+             ELSE CAST(0 AS BIGINT) END AS bucket_lo FROM h3),
+hist AS (SELECT cell, octave, sub, bucket_lo, count(*) AS n
+         FROM h4 GROUP BY cell, octave, sub, bucket_lo),
+cum0 AS (SELECT cell, bucket_lo,
+          sum(n) OVER (PARTITION BY cell ORDER BY octave, sub) AS cum,
+          sum(n) OVER (PARTITION BY cell) AS total FROM hist),
+thr AS (SELECT cell, min(bucket_lo) AS t FROM cum0
+        WHERE 100 * cum > 25 * total GROUP BY cell)
+SELECT d.vec_id, d.cell, d.sqdist, (d.sqdist >= t.t) AS keep
+FROM h4 d JOIN thr t ON d.cell = t.cell
+"""
+
+
 SQL_EMBEDDING_SEMDEDUP_KEEP = f"""
 WITH {_sql_kmeans_ctes()},
 mem AS (SELECT a.vec_id, a.cell, e.embedding AS vec
@@ -8136,6 +8184,8 @@ REGISTRY: dict = {
                             SQL_EMBEDDING_PQ_RECALL),
     "embedding_semdedup_keep": (q_embedding_semdedup_keep,
                                 SQL_EMBEDDING_SEMDEDUP_KEEP),
+    "embedding_prune_easy": (q_embedding_prune_easy,
+                             SQL_EMBEDDING_PRUNE_EASY),
     "embedding_multitable_topk": (q_embedding_multitable_topk,
                                   SQL_EMBEDDING_MULTITABLE_TOPK),
     "embedding_multitable_topk_demo8": (q_embedding_multitable_topk_demo8,
