@@ -761,23 +761,18 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "alloc_tokens long, saturated boolean")
 
 
-def _sql_mixture_waterfill(n_rounds: int = 32) -> str:
-    """Twin of q_mixture_waterfill: the waterfilling rounds unroll into
-    chained MATERIALIZED CTEs (the probe lesson — default inlining is
-    exponential), one per potential saturation round; extra rounds are
-    idempotent at the fixed point. All-integer arithmetic (``//``), so
-    the twin is bit-identical to the python solver by construction."""
-    from .functions.text import BPE_TOKEN_RE
-
+def _sql_waterfill_tail(idc: str, budget_expr: str, avail_name: str,
+                        alloc_name: str, n_rounds: int = 32) -> str:
+    """The waterfilling fixed-point rendered as chained MATERIALIZED
+    CTEs (the probe lesson — default inlining is exponential), one per
+    potential saturation round; extra rounds are idempotent. Expects a
+    CTE ``c0(<idc>, a, w)`` from the caller; all-integer ``//``
+    arithmetic, bit-identical to ``curation.mixture_waterfill``. The
+    final select pins sum-promoted HUGEINT back to BIGINT (the pandas
+    bridge floats HUGEINT)."""
     ctes = [
-        f"c0 AS MATERIALIZED (SELECT source, "
-        f"CAST(sum(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))) "
-        f"AS BIGINT) AS a, "
-        f"CAST(coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) "
-        f"AS BIGINT), 0) % 5 + 1 AS BIGINT) AS w "
-        f"FROM documents GROUP BY source)",
-        "b0 AS MATERIALIZED (SELECT (3 * sum(a)) // 10 AS budget FROM c0)",
-        "s0 AS MATERIALIZED (SELECT source, a, w, FALSE AS sat FROM c0)",
+        f"b0 AS MATERIALIZED (SELECT {budget_expr} AS budget FROM c0)",
+        f"s0 AS MATERIALIZED (SELECT {idc}, a, w, FALSE AS sat FROM c0)",
     ]
 
     def rem_w(prev: str) -> tuple:
@@ -790,20 +785,35 @@ def _sql_mixture_waterfill(n_rounds: int = 32) -> str:
         prev = f"s{k - 1}"
         rem, wsum = rem_w(prev)
         ctes.append(
-            f"s{k} AS MATERIALIZED (SELECT source, a, w, sat OR "
+            f"s{k} AS MATERIALIZED (SELECT {idc}, a, w, sat OR "
             f"({rem} > 0 AND a <= coalesce(({rem} * w) // "
             f"NULLIF({wsum}, 0), -1)) AS sat FROM {prev})")
     last = f"s{n_rounds}"
     rem, wsum = rem_w(last)
     share = (f"CASE WHEN {rem} > 0 THEN greatest(coalesce(({rem} * w) // "
              f"NULLIF({wsum}, 0), 0), 0) ELSE 0 END")
-    return (f"WITH {', '.join(ctes)}\n"
-            f"SELECT source, a AS available_tokens, w AS weight,\n"
-            # sum() promotes to HUGEINT, which the pandas bridge floats
-            # — pin the contract column back to BIGINT
+    return (f"{', '.join(ctes)}\n"
+            f"SELECT {idc}, a AS {avail_name}, w AS weight,\n"
             f"  CAST(CASE WHEN sat THEN a ELSE least(a, {share}) END "
-            f"AS BIGINT) AS alloc_tokens,\n"
+            f"AS BIGINT) AS {alloc_name},\n"
             f"  sat AS saturated\nFROM {last}")
+
+
+def _sql_mixture_waterfill() -> str:
+    """Twin of q_mixture_waterfill — census from the documents table,
+    budget = 30% of total tokens, rounds via _sql_waterfill_tail."""
+    from .functions.text import BPE_TOKEN_RE
+
+    c0 = (
+        f"c0 AS MATERIALIZED (SELECT source, "
+        f"CAST(sum(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))) "
+        f"AS BIGINT) AS a, "
+        f"CAST(coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) "
+        f"AS BIGINT), 0) % 5 + 1 AS BIGINT) AS w "
+        f"FROM documents GROUP BY source)")
+    return (f"WITH {c0}, "
+            + _sql_waterfill_tail("source", "(3 * sum(a)) // 10",
+                                  "available_tokens", "alloc_tokens"))
 
 
 SQL_MIXTURE_WATERFILL = _sql_mixture_waterfill()
@@ -6212,6 +6222,46 @@ def q_frontier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_crawl_priorities(spark, sf_dir))
 
 
+def q_crawl_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X162 — daily fetch-budget allocation: the X157 waterfilling
+    solver applied to the crawl frontier — budget = half the total
+    frontier, weights = the host recrawl priority (PageRank x
+    change-rate, floor-scaled to exact ints), availability = each
+    host's phantom-loc count. High-priority hosts get fetch share
+    proportional to importance; a tiny high-priority frontier saturates
+    and its surplus flows down the priority list — the scheduler's
+    answer to "which hosts get today's crawler capacity".
+
+    Scale shape: the frontier census is ONE groupBy(host); the solver
+    runs driver-side on the n_hosts-row census (bounded-collect
+    discipline). Priorities are the bit-exact doubles of the pinned
+    crawl_priorities tier, so the scaled weights agree cross-engine."""
+    from .functions.curation import mixture_waterfill
+
+    fc = q_frontier_candidates(spark, sf_dir)
+    cen = (fc.groupBy("host")
+           .agg(F.count(F.lit(1)).cast("long").alias("a"),
+                (F.floor(F.max("priority") * F.lit(1000000000.0))
+                 .cast("long") + 1).alias("w")))
+    rows = cen.collect()  # bounded: one row per frontier host
+    triples = [(r["host"], int(r["a"]), int(r["w"])) for r in rows]
+    budget = sum(a for _, a, _ in triples) // 2
+    out = mixture_waterfill(triples, budget)
+    return spark.createDataFrame(
+        out, schema="host string, frontier_size long, weight long, "
+                    "alloc_fetches long, saturated boolean")
+
+
+SQL_CRAWL_BUDGET_WATERFILL = f"""
+WITH fc AS ({{frontier}}),
+c0 AS MATERIALIZED (SELECT host, CAST(count(*) AS BIGINT) AS a,
+  CAST(floor(max(priority) * 1000000000.0) AS BIGINT) + 1 AS w
+  FROM fc GROUP BY host),
+{_sql_waterfill_tail("host", "sum(a) // 2",
+                     "frontier_size", "alloc_fetches")}
+""".format(frontier=PSQL.SQL_FRONTIER_CANDIDATES)
+
+
 def q_table_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-inference census per (host, field): how many extracted
     table values look integer / ISO-date / empty, with exact-division
@@ -8306,6 +8356,8 @@ REGISTRY: dict = {
     "table_markdown": (q_table_markdown, PSQL.SQL_TABLE_MARKDOWN),
     "frontier_candidates": (q_frontier_candidates,
                             PSQL.SQL_FRONTIER_CANDIDATES),
+    "crawl_budget_waterfill": (q_crawl_budget_waterfill,
+                               SQL_CRAWL_BUDGET_WATERFILL),
     "table_column_profile": (q_table_column_profile,
                              PSQL.SQL_TABLE_COLUMN_PROFILE),
     "hreflang_bitext_pairs": (q_hreflang_bitext_pairs,
