@@ -1983,3 +1983,63 @@ def mixture_waterfill(census: list, budget: int) -> list:
             share = 0 if wsum <= 0 or rem <= 0 else (rem * w) // wsum
             out.append((s, a, w, min(a, max(share, 0)), False))
     return out
+
+
+def neyman_allocation(df: DataFrame, total_samples: int = 1000,
+                      strat_col: str = "source",
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Neyman-optimal eval-sample allocation (X163): size each
+    stratum's draw proportional to ``n_h * sigma_h`` — the allocation
+    minimizing the variance of the estimated corpus mean (here: of the
+    BPE token count, the metric eval slices usually report averages
+    of). A uniform or proportional draw over-samples homogeneous strata
+    and starves noisy ones; Neyman is the statistically-correct fix,
+    run before the md5-gate draw (`stratified_sample`) executes it.
+
+    Exactness discipline: per-stratum (n, Σx, Σx²) are EXACT integers
+    (DECIMAL(38,0) sums — x² can overflow int64 under summation at
+    corpus scale); population variance is computed from them with ONE
+    decimal→double cast and ONE division; sigma is one sqrt; the
+    allocation denominator folds the per-stratum weights in sorted
+    stratum order (the chi2/bigram-LM ordered-fold discipline), so
+    every float is a correctly-rounded function of exact integers and
+    the result is bit-identical cross-engine. ``alloc`` caps at the
+    stratum size (no redistribution — chain X157's waterfill when the
+    caps bind).
+
+    Returns (stratum, n_docs, sigma, alloc, capped).
+
+    Scale shape: ONE map-side-combined groupBy over the stratum key;
+    the weight fold and allocation run on the strata-count-sized
+    census. Zero corpus shuffles beyond the census exchange."""
+    from .text import bpe_token_count
+
+    x = bpe_token_count(F.col(text_col))
+    cen = (df.groupBy(F.col(strat_col).alias("stratum"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(x.cast("decimal(38,0)")).alias("s1"),
+                F.sum((x * x).cast("decimal(38,0)")).alias("s2")))
+    nd = F.col("n").cast("decimal(38,0)")
+    nv = (nd * F.col("s2") - F.col("s1") * F.col("s1"))
+    var = nv.cast("double") / (F.col("n").cast("double")
+                               * F.col("n").cast("double"))
+    sig = F.sqrt(var)
+    w0 = cen.select("stratum", "n", sig.alias("sigma"),
+                    (F.col("n").cast("double") * sig).alias("_w"))
+    tot = w0.agg(F.sort_array(F.collect_list(
+        F.struct("stratum", "_w"))).alias("_ws")).select(
+        F.aggregate("_ws", F.lit(0.0),
+                    lambda a, s: a + s["_w"]).alias("_tw"))
+    return (w0.crossJoin(F.broadcast(tot))
+            .select(
+                "stratum",
+                F.col("n").alias("n_docs"),
+                "sigma",
+                F.least(
+                    F.col("n"),
+                    F.floor(F.lit(float(total_samples)) * F.col("_w")
+                            / F.col("_tw")).cast("long")).alias("alloc"),
+                (F.floor(F.lit(float(total_samples)) * F.col("_w")
+                         / F.col("_tw")).cast("long") >= F.col("n"))
+                .alias("capped")))

@@ -2156,6 +2156,48 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X163 — Neyman-optimal eval-sample allocation per source: draw
+    sizes proportional to n_h*sigma_h of the BPE token count (the
+    minimum-variance allocation for estimating the corpus mean),
+    capped at stratum size. Exact-integer moments; ordered float
+    fold for the denominator."""
+    from .functions import curation as C
+
+    return C.neyman_allocation(load_table(spark, sf_dir, "documents"),
+                               total_samples=1000)
+
+
+def _sql_neyman() -> str:
+    from .functions.text import BPE_TOKEN_RE
+
+    return f"""
+WITH x0 AS (SELECT source AS stratum,
+        CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))
+             AS BIGINT) AS x FROM documents),
+c AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+        CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+          AS s2
+      FROM x0 GROUP BY stratum),
+v AS (SELECT stratum, n,
+        sqrt(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sigma
+      FROM c),
+w0 AS (SELECT stratum, n, sigma, CAST(n AS DOUBLE) * sigma AS w FROM v),
+tot AS (SELECT list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY stratum)),
+          (a, b) -> a + b) AS tw FROM w0)
+SELECT stratum, n AS n_docs, sigma,
+  least(n, CAST(floor((1000.0 * w) / tw) AS BIGINT)) AS alloc,
+  (CAST(floor((1000.0 * w) / tw) AS BIGINT) >= n) AS capped
+FROM w0 CROSS JOIN tot
+"""
+
+
+SQL_NEYMAN_ALLOCATION = _sql_neyman()
+
+
 def _sql_rate_case() -> str:
     whens = " ".join(f"WHEN '{k}' THEN {v}"
                      for k, v in sorted(STRATA_RATES.items()))
@@ -8076,6 +8118,7 @@ REGISTRY: dict = {
                             SQL_HOST_QUALITY_SHRUNK),
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "cdc_dup_pairs": (q_cdc_dup_pairs, SQL_CDC_DUP_PAIRS),
