@@ -95,7 +95,8 @@ HEADLINE = (
     "chunk_documents",
     "chunk_dup_stats", "cdc_chunks", "cdc_dup_pairs", "cdc_novelty",
     "alpha_mixture_rates", "alpha_sample", "mixture_waterfill",
-    "crawl_budget_waterfill", "neyman_allocation",
+    "crawl_budget_waterfill", "neyman_allocation", "vocab_coverage",
+    "source_dup_matrix",
     "hll_source_cardinality", "hll_merge", "kmv_content_overlap",
     "kmv_merge",
     "bloom_dedup_census",

@@ -2156,6 +2156,48 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X164 — Good-Turing vocabulary coverage per source: the Turing
+    estimator puts the probability of the NEXT token being unseen at
+    N1/N (hapax count over token count) — the classic "is this source
+    exhausted or still yielding new vocabulary" crawl-more signal.
+    Exact integer census; one division per source.
+
+    Scale shape: ONE groupBy(source, token) census (map-side
+    combinable, uniform-ish keys) -> ONE rollup over the
+    vocabulary-sized census. No window, no self-join."""
+    from .functions.text import clean_text, ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select("source", F.explode(
+        ws_tokens(clean_text(F.col("text")))).alias("tok")))
+    cen = (toks.groupBy("source", "tok")
+           .agg(F.count(F.lit(1)).alias("c")))
+    return (cen.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long")
+        .alias("n_hapax"))
+        .select("source", "n_tokens", "vocab", "n_hapax",
+                (F.col("n_hapax").cast("double")
+                 / F.col("n_tokens").cast("double"))
+                .alias("missing_mass")))
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH t0 AS (SELECT source, unnest({_sql_toks(_sql_clean('text'))}) AS tok
+            FROM documents),
+cen AS (SELECT source, tok, count(*) AS c FROM t0 GROUP BY source, tok)
+SELECT source,
+  CAST(sum(c) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS vocab,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(sum(c) AS DOUBLE) AS missing_mass
+FROM cen GROUP BY source
+"""
+
+
 def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X163 — Neyman-optimal eval-sample allocation per source: draw
     sizes proportional to n_h*sigma_h of the BPE token count (the
@@ -2882,6 +2924,46 @@ jp AS (
 SQL_MINHASH_LSH_PAIRS = f"""
 WITH {_SQL_MINHASH_CTES}
 SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jp
+"""
+
+
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X165 — cross-source duplication matrix: the verified near-dup
+    pairs (X2's LSH + exact-Jaccard stream) projected onto source
+    labels — which sources copy from which (mirror/syndication
+    detection, the provenance question a quota policy asks before
+    trusting per-source counts). Pair endpoints are ordered doc ids;
+    the matrix key is the SORTED source pair so (a, b) and (b, a)
+    collapse; within = same-source duplication.
+
+    Scale shape: the pair stream is the already-capped LSH output (its
+    volume is near-dup count, not corpus size); two uniform-key joins
+    attach sources; ONE groupBy over the tiny source-pair space."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, bands=4, rows_per_band=2)
+    src = docs.select(F.col("doc_id"), F.col("source"))
+    j = (pairs
+         .join(src.select(F.col("doc_id").alias("doc_a"),
+                          F.col("source").alias("_sa")), "doc_a")
+         .join(src.select(F.col("doc_id").alias("doc_b"),
+                          F.col("source").alias("_sb")), "doc_b"))
+    return (j.select(
+        F.least("_sa", "_sb").alias("source_a"),
+        F.greatest("_sa", "_sb").alias("source_b"),
+        (F.col("_sa") == F.col("_sb")).alias("within"))
+        .groupBy("source_a", "source_b", "within")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+
+SQL_SOURCE_DUP_MATRIX = "WITH " + _SQL_MINHASH_CTES + """,
+sj AS (SELECT p.doc_a, p.doc_b, da.source AS sa, db.source AS sb
+       FROM jp p
+       JOIN documents da ON p.doc_a = da.doc_id
+       JOIN documents db ON p.doc_b = db.doc_id)
+SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+       (sa = sb) AS within,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM sj GROUP BY least(sa, sb), greatest(sa, sb), (sa = sb)
 """
 
 
@@ -8119,6 +8201,7 @@ REGISTRY: dict = {
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "cdc_dup_pairs": (q_cdc_dup_pairs, SQL_CDC_DUP_PAIRS),
@@ -8226,6 +8309,7 @@ REGISTRY: dict = {
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "source_dup_matrix": (q_source_dup_matrix, SQL_SOURCE_DUP_MATRIX),
     "split_leakage": (q_split_leakage, SQL_SPLIT_LEAKAGE),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
