@@ -50,6 +50,11 @@ def main(argv=None, stop_session: bool = True) -> int:
                    help="directory of WARC files to ingest instead of a "
                         "documents table (Common-Crawl wire format; "
                         "poison records are dropped with a count)")
+    p.add_argument("--input-jsonl",
+                   help="directory of gzip/plain JSONL files to ingest "
+                        "({url, warc_ts, html_b64} per line, payload "
+                        "base64; corrupt/keyless lines are dropped "
+                        "with a count)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate an N-row synthetic corpus instead of --input")
     p.add_argument("--output", required=True)
@@ -81,6 +86,10 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "(Luhn cards, mod-97 IBANs) from the curated "
                         "text as the LAST stage before the split — "
                         "dedup hashes keep seeing original bytes")
+    p.add_argument("--jsonl-export", type=int, default=0, metavar="N",
+                   help="--curate only: also export the train split as "
+                        "N gzip JSONL files under <output>/jsonl "
+                        "(url/text/host/n_tokens per line; 0 = off)")
     p.add_argument("--decontaminate", default="", metavar="PARQUET",
                    help="--curate only: eval-set parquet (text column); "
                         "5-gram collisions with it are EXCISED span-"
@@ -227,6 +236,28 @@ def main(argv=None, stop_session: bool = True) -> int:
             print(f"warc ingest: dropped {n_poison} poison records")
         documents = recs.filter(F.col("status") == "ok").select(
             "url", "warc_ts", "html")
+    elif args.input_jsonl:
+        # JSONL wire format: {"url", "warc_ts", "html_b64"} per line,
+        # payload base64 (JSON cannot carry raw bytes). PERMISSIVE
+        # parse with a corrupt-record column — a malformed line or a
+        # keyless record drops with a count, never a task failure (the
+        # WARC poison discipline).
+        from pyspark.sql import functions as F
+
+        schema = ("url string, warc_ts timestamp, html_b64 string, "
+                  "_corrupt string")
+        raw = (spark.read.schema(schema)
+               .option("mode", "PERMISSIVE")
+               .option("columnNameOfCorruptRecord", "_corrupt")
+               .json(args.input_jsonl))
+        bad = F.col("_corrupt").isNotNull() | F.col("url").isNull()
+        n_bad = raw.filter(bad).count()
+        if n_bad:
+            print(f"jsonl ingest: dropped {n_bad} corrupt/keyless lines")
+        documents = (raw.filter(~bad)
+                     .select("url", "warc_ts",
+                             F.unbase64(F.coalesce("html_b64", F.lit("")))
+                             .alias("html")))
     elif args.input:
         documents = spark.read.parquet(args.input)
     else:
@@ -273,6 +304,7 @@ def main(argv=None, stop_session: bool = True) -> int:
                chunk_tokens=args.chunk_tokens, policy=args.policy,
                gopher=args.gopher,
                semdedup=args.semdedup, wet_files=args.wet_export,
+               jsonl_files=args.jsonl_export,
                token_budget=args.token_budget,
                probe_drop_pct=args.probe_drop_pct,
                probe_per_source=args.probe_per_source,
@@ -454,6 +486,7 @@ def curate(spark, results, output: str, quota: int = 1000,
            chunk_tokens: int = 0, policy: bool = False,
            gopher: bool = False,
            semdedup: bool = False, wet_files: int = 0,
+           jsonl_files: int = 0,
            token_budget: int = 0, probe_drop_pct: int = 0,
            probe_per_source: bool = False,
            probe_weights_path: str = "",
@@ -778,6 +811,25 @@ def curate(spark, results, output: str, quota: int = 1000,
          .write.mode("overwrite").parquet(os.path.join(output, "cdx")))
         counts["cdx_rows"] = spark.read.parquet(
             os.path.join(output, "cdx")).count()
+    if jsonl_files:
+        # gzip JSONL of the train split — the default trainer wire
+        # format (one {"url", "text", "host", "n_tokens"} object per
+        # line). Native Spark json writer: distributed, splittable at
+        # the file level, no driver round-trip; deterministic file
+        # count via repartition on the url hash.
+        from ocr_automation_system_spark.functions.text import (
+            bpe_token_count,
+        )
+
+        jl_out = os.path.join(output, "jsonl")
+        (written.filter(F.col("split") == "train")
+         .select(F.col("doc_id").alias("url"), "text",
+                 F.col("host"),
+                 bpe_token_count(F.col("text")).alias("n_tokens"))
+         .repartition(jsonl_files, F.col("url"))
+         .write.mode("overwrite").option("compression", "gzip")
+         .json(jl_out))
+        counts["jsonl_rows"] = spark.read.json(jl_out).count()
     docs.unpersist()
     deduped.unpersist()
 

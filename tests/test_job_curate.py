@@ -557,3 +557,25 @@ def test_curate_decontaminate_stage(spark, tmp_path):
     leftover = cur.filter(
         F.lower(F.col("text")).contains("consent order under the water"))
     assert leftover.count() == 0
+
+
+def test_curate_jsonl_export(spark, tmp_path):
+    """--jsonl-export N writes the train split as N gzip JSONL files;
+    read-back rows equal the train count, every line carries
+    url/text/host/n_tokens, and n_tokens matches the text."""
+    out = str(tmp_path / "jobjsonl")
+    args = ["--synthetic", "400", "--output", out, "--curate",
+            "--jsonl-export", "3"]
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    back = spark.read.json(os.path.join(out, "jsonl"))
+    assert counts["jsonl_rows"] == counts["train"] == back.count()
+    assert sorted(back.columns) == ["host", "n_tokens", "text", "url"]
+    import glob as _g
+    files = _g.glob(os.path.join(out, "jsonl", "part-*.json.gz"))
+    assert len(files) == 3
+    from pyspark.sql import functions as F
+    from ocr_automation_system_spark.functions.text import bpe_token_count
+    bad = back.filter(bpe_token_count(F.col("text")) != F.col("n_tokens"))
+    assert bad.count() == 0

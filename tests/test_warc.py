@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime as dt
 import hashlib
+import json
 import os
 
 import pytest
@@ -252,3 +253,41 @@ def test_rec_length_and_cdx_ranged_read_law(spark, tmp_path):
         assert rec["rec_length"] == c["rec_length"]
     # SURT urlkey sorts subdomain-adjacent
     assert by_url[rows[0][0]]["urlkey"].startswith("example,h0)")
+
+
+def test_job_ingests_jsonl_input(spark, tmp_path):
+    """spark_submit_job --input-jsonl: base64-payload JSONL straight
+    into the resumable extraction pipeline; corrupt and keyless lines
+    dropped with a count, good records extracted."""
+    import base64
+    import gzip
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import spark_submit_job
+
+    from ocr_automation_system_spark.corpus import write_corpus
+
+    cp = str(tmp_path / "docs.parquet")
+    write_corpus(cp, 80)
+    rows = spark.read.parquet(cp).select("url", "warc_ts", "html").collect()
+    jl_dir = str(tmp_path / "jsonl_in")
+    os.makedirs(jl_dir)
+    with gzip.open(os.path.join(jl_dir, "part0.jsonl.gz"), "wt") as fh:
+        for r in rows:
+            fh.write(json.dumps({
+                "url": r["url"],
+                "warc_ts": str(r["warc_ts"]),
+                "html_b64": base64.b64encode(bytes(r["html"])).decode(),
+            }) + "\n")
+        fh.write("{ this line is not json }\n")
+        fh.write(json.dumps({"warc_ts": "2025-01-01 00:00:00",
+                             "html_b64": ""}) + "\n")  # keyless
+    out = str(tmp_path / "job")
+    rc = spark_submit_job.main(
+        ["--input-jsonl", jl_dir, "--output", out, "--n-buckets", "4"],
+        stop_session=False)
+    assert rc == 0
+    res = spark.read.parquet(os.path.join(out, "extractions"))
+    assert res.count() == 80  # every good line extracted, junk dropped
