@@ -90,6 +90,7 @@ HEADLINE = (
     "bpe_merge_candidates", "bpe_merges", "bpe_fertility",
     "lm_perplexity_buckets", "bigram_backoff_scores", "doc_length_profile",
     "duplicate_spans", "winnow_fingerprints", "winnow_dup_pairs",
+    "memorization_attribution",
     "winnow_shared_extents", "incremental_winnow",
     "stratified_sample", "priority_sample",
     "chunk_documents",

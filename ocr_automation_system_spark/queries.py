@@ -2706,6 +2706,66 @@ HAVING count(*) >= 2
 """
 
 
+def q_memorization_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X167 — training-data attribution (memorization audit): for each
+    held-out "generation" (doc_id % 173 == 0 plays the model output),
+    rank the corpus documents that could have produced it by shared
+    winnowing fingerprints — the MOSS guarantee makes this exact for
+    verbatim reuse: any shared run of >= k+w-1 tokens MUST collide, so
+    a memorized passage cannot hide from the audit (minhash could miss
+    it). Common-phrase fingerprints (> 64 corpus docs) are dropped by
+    the aggregate->anti-join cap law before the join, so boilerplate
+    attributes nothing. Top-3 sources per generation, >= 2 shared
+    prints (one print is a 7-token window — quotation noise).
+
+    Scale shape: fingerprints are ~2/(w+1) of the gram stream; the
+    probe join is keyed on the 40-bit fp with the hot keys pre-dropped;
+    the per-generation top-3 is a WindowGroupLimit-pushed rank over the
+    (generation, candidate) pair stream — pair volume is shared-content
+    volume, not corpus size."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = (C.winnow_fingerprints(docs)
+           .select("doc_id", "fp").distinct())
+    is_gen = F.pmod(F.col("doc_id"), F.lit(173)) == 0
+    gf = fps.filter(is_gen).select(F.col("doc_id").alias("gen_id"), "fp")
+    cf0 = fps.filter(~is_gen)
+    hot = (cf0.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > 64).select("fp"))
+    cf = cf0.join(F.broadcast(hot), "fp", "left_anti")
+    sh = (gf.join(cf, "fp")
+          .groupBy("gen_id", "doc_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+          .filter(F.col("n_shared") >= 2))
+    w = Window.partitionBy("gen_id").orderBy(F.desc("n_shared"),
+                                             F.asc("doc_id"))
+    return (sh.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 3)
+            .select("gen_id", "rank", "doc_id", "n_shared"))
+
+
+SQL_MEMORIZATION_ATTRIBUTION = f"""
+WITH {_sql_winnow_sel(_sql_toks(_sql_clean('text')))},
+fps AS (SELECT DISTINCT doc_id, u.key // {_SQL_WINNOW_SHIFT} AS fp
+        FROM sel, unnest(sl) AS u(key)),
+gf AS (SELECT doc_id AS gen_id, fp FROM fps WHERE doc_id % 173 = 0),
+cf0 AS (SELECT doc_id, fp FROM fps WHERE doc_id % 173 <> 0),
+cf AS (SELECT doc_id, fp FROM cf0
+       WHERE fp NOT IN (SELECT fp FROM cf0 GROUP BY fp
+                        HAVING count(*) > 64)),
+sh AS (SELECT gen_id, cf.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       FROM gf JOIN cf USING (fp) GROUP BY gen_id, cf.doc_id
+       HAVING count(*) >= 2)
+SELECT gen_id, CAST(rank AS BIGINT) AS rank, doc_id, n_shared FROM (
+  SELECT gen_id, doc_id, n_shared,
+         row_number() OVER (PARTITION BY gen_id
+                            ORDER BY n_shared DESC, doc_id ASC) AS rank
+  FROM sh)
+WHERE rank <= 3
+"""
+
+
 def q_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The monthly-crawl pattern with GUARANTEED recall: even doc_ids
     play the indexed corpus (per-doc distinct winnow fingerprints,
@@ -8209,6 +8269,8 @@ REGISTRY: dict = {
     "winnow_fingerprints": (q_winnow_fingerprints,
                             SQL_WINNOW_FINGERPRINTS),
     "winnow_dup_pairs": (q_winnow_dup_pairs, SQL_WINNOW_DUP_PAIRS),
+    "memorization_attribution": (q_memorization_attribution,
+                                 SQL_MEMORIZATION_ATTRIBUTION),
     "winnow_shared_extents": (q_winnow_shared_extents,
                               SQL_WINNOW_SHARED_EXTENTS),
     "alpha_mixture_rates": (q_alpha_mixture_rates, SQL_ALPHA_MIXTURE_RATES),
