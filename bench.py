@@ -97,7 +97,7 @@ HEADLINE = (
     "chunk_dup_stats", "cdc_chunks", "cdc_dup_pairs", "cdc_novelty",
     "alpha_mixture_rates", "alpha_sample", "mixture_waterfill",
     "crawl_budget_waterfill", "neyman_allocation", "vocab_coverage",
-    "source_dup_matrix",
+    "source_dup_matrix", "readability_scores", "slop_lexicon_scores",
     "hll_source_cardinality", "hll_merge", "kmv_content_overlap",
     "kmv_merge",
     "bloom_dedup_census",

@@ -2156,6 +2156,115 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X168 — Flesch reading-ease census: words (whitespace tokens),
+    sentences (maximal [.!?]+ runs, the C4 convention, min 1), syllable
+    proxy (vowel-group runs — the standard cheap estimator), the Flesch
+    score 206.835 - 1.015·(W/S) - 84.6·(Syl/W), and the conventional
+    band. Education-quality filters (the FineWeb-Edu precursor
+    heuristics) gate on exactly this family. Fixed float op order on
+    integer inputs -> bit-identical cross-engine. Zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    words = F.size(T.ws_tokens(T.clean_text(t)))
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syl = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (words.cast("double")
+                                / sents.cast("double"))
+              - F.lit(84.6) * (syl.cast("double")
+                               / F.greatest(words, F.lit(1))
+                               .cast("double")))
+    band = (F.when(flesch >= 60.0, F.lit("easy"))
+            .when(flesch >= 30.0, F.lit("standard"))
+            .otherwise(F.lit("difficult")))
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+        band.alias("band"))
+
+
+SQL_READABILITY_SCORES = f"""
+WITH b AS (SELECT doc_id, coalesce(text, '') AS t,
+        CAST(len({_sql_toks(_sql_clean("coalesce(text, '')"))}) AS BIGINT)
+          AS w,
+        CAST(greatest(len(regexp_extract_all(coalesce(text, ''),
+          '[.!?]+')), 1) AS BIGINT) AS s,
+        CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+          '[aeiouy]+')) AS BIGINT) AS syl
+       FROM documents),
+f AS (SELECT doc_id, w, s, syl,
+        206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        - 84.6 * (CAST(syl AS DOUBLE)
+                  / CAST(greatest(w, 1) AS DOUBLE)) AS fl
+      FROM b)
+SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
+  round(fl, 6) AS flesch,
+  CASE WHEN fl >= 60.0 THEN 'easy'
+       WHEN fl >= 30.0 THEN 'standard'
+       ELSE 'difficult' END AS band
+FROM f
+"""
+
+
+#: LLM-overuse lexicon (the published "slop words" analyses: words
+#: whose post-2023 frequency jump marks machine-generated text).
+#: Demo subset; deployments pass their own.
+SLOP_WORDS = ("delve", "delves", "tapestry", "testament", "multifaceted",
+              "intricate", "pivotal", "foster", "showcasing", "realm",
+              "vibrant", "crucial", "landscape", "underscore",
+              "underscores", "seamlessly", "boasts", "embark",
+              "unwavering", "meticulously")
+
+
+def q_slop_lexicon_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X169 — synthetic-text contamination signal: occurrence census of
+    the LLM-overuse lexicon over the token stream, distinct hits, and
+    the per-1k-token rate — the cheap first-pass filter against model
+    output leaking back into training crawls (frequency-jump word
+    analyses, 2023+). Same constant-folded membership shape as the C4
+    blocklist gate (X150); zero shuffle, zero Python."""
+    from .functions.curation import word_blocklist_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = word_blocklist_scores(docs, words=SLOP_WORDS)
+    toks = F.size(T.ws_tokens(T.clean_text(
+        F.coalesce(F.col("text"), F.lit("")))))
+    d = docs.select("doc_id", toks.cast("long").alias("_n"))
+    return (base.join(d, "doc_id")
+            .select("doc_id",
+                    F.col("n_blocked").alias("n_slop"),
+                    F.col("n_blocked_distinct").alias("n_slop_distinct"),
+                    F.round(F.when(F.col("_n") > 0,
+                                   F.col("n_blocked").cast("double")
+                                   * 1000.0 / F.col("_n").cast("double"))
+                            .otherwise(F.lit(0.0)), 6)
+                    .alias("slop_per_1k")))
+
+
+def _sql_slop() -> str:
+    wl = ", ".join(f"'{w}'" for w in SLOP_WORDS)
+    toks = _sql_toks(_sql_clean("coalesce(text, '')"))
+    return f"""
+WITH t0 AS (SELECT doc_id, {toks} AS toks FROM documents),
+h AS (SELECT doc_id, len(toks) AS n,
+        list_filter(toks, x -> x IN ({wl})) AS hits FROM t0)
+SELECT doc_id,
+  CAST(len(hits) AS INTEGER) AS n_slop,
+  CAST(len(list_distinct(hits)) AS INTEGER) AS n_slop_distinct,
+  round(CASE WHEN n > 0
+        THEN CAST(len(hits) AS DOUBLE) * 1000.0 / CAST(n AS DOUBLE)
+        ELSE 0.0 END, 6) AS slop_per_1k
+FROM h
+"""
+
+
+SQL_SLOP_LEXICON_SCORES = _sql_slop()
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X164 — Good-Turing vocabulary coverage per source: the Turing
     estimator puts the probability of the NEXT token being unseen at
@@ -8262,6 +8371,9 @@ REGISTRY: dict = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "readability_scores": (q_readability_scores, SQL_READABILITY_SCORES),
+    "slop_lexicon_scores": (q_slop_lexicon_scores,
+                            SQL_SLOP_LEXICON_SCORES),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "cdc_dup_pairs": (q_cdc_dup_pairs, SQL_CDC_DUP_PAIRS),
