@@ -65,6 +65,10 @@ def main(argv=None, stop_session: bool = True) -> int:
                    help="also build the curated training corpus artifact")
     p.add_argument("--domain-quota", type=int, default=1000,
                    help="max docs kept per host in --curate mode")
+    p.add_argument("--quota-etld1", action="store_true",
+                   help="--curate only: apply the quota at registrable-"
+                        "domain (eTLD+1) granularity instead of "
+                        "hostname — subdomain minting can't evade it")
     p.add_argument("--chunk-tokens", type=int, default=0,
                    help="--curate only: also export fixed-size token "
                         "chunks of the train split (0 = off)")
@@ -148,6 +152,12 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "K train-split docs under <output>/sample — the "
                         "deterministic eval-slice draw (sample_rows "
                         "lineage count)")
+    p.add_argument("--neyman-sample", type=int, default=0, metavar="M",
+                   help="export a variance-optimal eval sample of ~M "
+                        "train docs under <output>/neyman_sample: "
+                        "per-host sizes from the Neyman allocation "
+                        "(n_h*sigma_h of token counts), rows picked by "
+                        "the md5 total order (neyman_rows lineage)")
     p.add_argument("--zorder", action="store_true",
                    help="lay the curated corpus out in Z-order: sort "
                         "each split's files by the Morton interleave "
@@ -297,6 +307,7 @@ def main(argv=None, stop_session: bool = True) -> int:
             drop_error_pages=args.drop_error_pages,
             drop_redirects=args.drop_redirects)
         curate(spark, results, args.output, quota=args.domain_quota,
+               quota_etld1=args.quota_etld1,
                url_drops=url_drops,
                fix_encoding=args.fix_encoding,
                scrub_pii=args.scrub_pii,
@@ -311,7 +322,8 @@ def main(argv=None, stop_session: bool = True) -> int:
                probe_weights_path=args.probe_weights,
                alpha=args.alpha, keep_best=args.keep_best,
                near_dup=args.near_dup,
-               zorder=args.zorder, sample_k=args.sample_k)
+               zorder=args.zorder, sample_k=args.sample_k,
+               neyman_sample=args.neyman_sample)
 
     if args.frontier_export:
         n_frontier = frontier_export(spark, documents, args.output)
@@ -481,6 +493,7 @@ def compliance_drops(documents, honor_noindex: bool = False,
 
 
 def curate(spark, results, output: str, quota: int = 1000,
+           quota_etld1: bool = False,
            fix_encoding: bool = False, scrub_pii: bool = False,
            decontaminate: str = "",
            chunk_tokens: int = 0, policy: bool = False,
@@ -493,6 +506,7 @@ def curate(spark, results, output: str, quota: int = 1000,
            alpha: float | None = None, keep_best: bool = False,
            near_dup: str = "lsh",
            zorder: bool = False, sample_k: int = 0,
+           neyman_sample: int = 0,
            url_drops: dict | None = None) -> None:
     """Committed extractions -> curated training corpus.
 
@@ -705,9 +719,24 @@ def curate(spark, results, output: str, quota: int = 1000,
         deduped.unpersist()
         deduped = pf
 
-    quota_kept = C.domain_quota(deduped, domain_col="host",
-                                text_col="text", id_col="doc_id",
-                                quota=quota)
+    if quota_etld1:
+        # quota at REGISTRABLE-domain granularity: a.shop.example and
+        # b.shop.example are one registrant — per-hostname quotas are
+        # evadable by minting subdomains (the PSL longest-match tier,
+        # X154). Two broadcast joins attach reg_domain; the quota op
+        # itself is unchanged.
+        from ocr_automation_system_spark.functions.urlnorm import (
+            registrable_domain,
+        )
+
+        with_dom = registrable_domain(deduped, spark, host_col="host")
+        quota_kept = C.domain_quota(with_dom, domain_col="reg_domain",
+                                    text_col="text", id_col="doc_id",
+                                    quota=quota)
+    else:
+        quota_kept = C.domain_quota(deduped, domain_col="host",
+                                    text_col="text", id_col="doc_id",
+                                    quota=quota)
     curated = (
         deduped.join(quota_kept.select("doc_id", "quality"), "doc_id")
     )
@@ -783,6 +812,31 @@ def curate(spark, results, output: str, quota: int = 1000,
                            source_col="host")
          .write.mode("overwrite").parquet(samp_out))
         counts["sample_rows"] = spark.read.parquet(samp_out).count()
+    if neyman_sample:
+        # variance-optimal eval draw (X163): per-host sample sizes from
+        # the Neyman allocation over the train split, then the md5
+        # total order picks each host's rows — deterministic, no RNG.
+        # The per-host top-k is a WindowGroupLimit-pushed rank (the
+        # anchor-profile shape): bounded buffers, not a per-host sort
+        # spill.
+        from pyspark.sql.window import Window
+
+        from ocr_automation_system_spark.functions.curation import (
+            neyman_allocation,
+        )
+
+        train = written.filter(F.col("split") == "train")
+        alloc = neyman_allocation(train, total_samples=neyman_sample,
+                                  strat_col="host", id_col="doc_id")
+        w = Window.partitionBy("host").orderBy(F.md5("doc_id"))
+        ney_out = os.path.join(output, "neyman_sample")
+        (train.join(F.broadcast(alloc.select(
+            F.col("stratum").alias("host"), "alloc")), "host")
+         .withColumn("_rk", F.row_number().over(w))
+         .filter(F.col("_rk") <= F.col("alloc"))
+         .drop("_rk", "alloc")
+         .write.mode("overwrite").parquet(ney_out))
+        counts["neyman_rows"] = spark.read.parquet(ney_out).count()
     if wet_files:
         # WET conversion records of the train split — the corpus format
         # a downstream trainer ingests. Deterministic conversion date

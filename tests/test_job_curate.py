@@ -579,3 +579,46 @@ def test_curate_jsonl_export(spark, tmp_path):
     from ocr_automation_system_spark.functions.text import bpe_token_count
     bad = back.filter(bpe_token_count(F.col("text")) != F.col("n_tokens"))
     assert bad.count() == 0
+
+
+def test_curate_quota_etld1(spark, tmp_path):
+    """--quota-etld1: the per-registrant quota binds where per-hostname
+    quotas can't — all corpus hosts share the example.com registrable
+    domain, so a quota of 40 caps the WHOLE corpus at 40 docs, while
+    the hostname quota would keep everything."""
+    out = str(tmp_path / "jobq1")
+    args = ["--synthetic", "300", "--output", out, "--curate",
+            "--domain-quota", "40", "--quota-etld1"]
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    # registry.example.org contributes a handful too: <= 40 per eTLD+1
+    assert counts["after_domain_quota"] <= 80
+    out2 = str(tmp_path / "jobq2")
+    args2 = ["--synthetic", "300", "--output", out2, "--curate",
+             "--domain-quota", "40"]
+    assert spark_submit_job.main(args2, stop_session=False) == 0
+    with open(os.path.join(out2, "curation_lineage.json")) as fh:
+        counts2 = json.load(fh)
+    # hostname quota never binds at 40/host on this corpus
+    assert counts2["after_domain_quota"] > counts["after_domain_quota"]
+
+
+def test_curate_neyman_sample(spark, tmp_path):
+    """--neyman-sample M: per-host draw sizes follow the Neyman
+    allocation over the train split; total <= M; rerun draws the same
+    rows (md5 order, no RNG)."""
+    out = str(tmp_path / "jobney")
+    args = ["--synthetic", "400", "--output", out, "--curate",
+            "--neyman-sample", "60"]
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    samp = spark.read.parquet(os.path.join(out, "neyman_sample"))
+    assert 0 < counts["neyman_rows"] <= 60
+    assert samp.count() == counts["neyman_rows"]
+    first = sorted(r["doc_id"] for r in samp.select("doc_id").collect())
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    again = spark.read.parquet(os.path.join(out, "neyman_sample"))
+    assert sorted(r["doc_id"] for r in again.select("doc_id").collect()) \
+        == first
