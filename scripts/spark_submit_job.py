@@ -152,6 +152,11 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "K train-split docs under <output>/sample — the "
                         "deterministic eval-slice draw (sample_rows "
                         "lineage count)")
+    p.add_argument("--audit-report", action="store_true",
+                   help="write <output>/REPORT.md: run config, the "
+                        "extraction bucket summary, the curation "
+                        "funnel (stage counts + deltas) and an output "
+                        "artifact inventory — the human audit surface")
     p.add_argument("--neyman-sample", type=int, default=0, metavar="M",
                    help="export a variance-optimal eval sample of ~M "
                         "train docs under <output>/neyman_sample: "
@@ -336,11 +341,63 @@ def main(argv=None, stop_session: bool = True) -> int:
     summary = lineage_summary(args.output, args.n_buckets)
     print(f"done: {summary['total_rows']} docs across "
           f"{len(summary['buckets'])} committed buckets")
+
+    if args.audit_report:
+        write_audit_report(args, summary)
     if stop_session:
         # spark-submit owns the session; in-process callers (tests) share
         # a getOrCreate session and pass stop_session=False.
         spark.stop()
     return 0
+
+
+def write_audit_report(args, summary: dict) -> None:
+    """<output>/REPORT.md — the run's human audit surface: config echo,
+    extraction bucket summary, the curation funnel with per-stage
+    deltas, and an artifact inventory (path, files, bytes). Pure
+    driver-side rendering of already-computed lineage; no Spark work."""
+    import json
+
+    out = args.output
+    lines = ["# Job audit report", "", "## Configuration", ""]
+    for k, v in sorted(vars(args).items()):
+        if v not in (None, "", 0, False):
+            lines.append(f"- `--{k.replace('_', '-')}` = `{v}`")
+    lines += ["", "## Extraction", "",
+              f"- committed buckets: {len(summary['buckets'])}",
+              f"- extracted rows: {summary['total_rows']}", ""]
+    lineage_path = os.path.join(out, "curation_lineage.json")
+    if os.path.exists(lineage_path):
+        with open(lineage_path) as fh:
+            counts = json.load(fh)
+        lines += ["## Curation funnel", "",
+                  "| stage | rows | delta |", "|---|---|---|"]
+        prev = None
+        for k, v in counts.items():
+            delta = "" if prev is None or not isinstance(v, int) \
+                else f"{v - prev:+d}"
+            lines.append(f"| {k} | {v} | {delta} |")
+            if isinstance(v, int) and (k.startswith(("usable", "after_"))
+                                       or k in ("train", "val")):
+                prev = v
+        lines.append("")
+    lines += ["## Artifacts", "", "| path | files | bytes |",
+              "|---|---|---|"]
+    for name in sorted(os.listdir(out)):
+        p = os.path.join(out, name)
+        if os.path.isdir(p):
+            n_files = n_bytes = 0
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+            lines.append(f"| {name}/ | {n_files} | {n_bytes} |")
+        else:
+            lines.append(f"| {name} | 1 | {os.path.getsize(p)} |")
+    lines.append("")
+    with open(os.path.join(out, "REPORT.md"), "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"audit report: {os.path.join(out, 'REPORT.md')}")
 
 
 def _host_priorities(documents):

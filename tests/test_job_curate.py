@@ -622,3 +622,18 @@ def test_curate_neyman_sample(spark, tmp_path):
     again = spark.read.parquet(os.path.join(out, "neyman_sample"))
     assert sorted(r["doc_id"] for r in again.select("doc_id").collect()) \
         == first
+
+
+def test_curate_audit_report(spark, tmp_path):
+    """--audit-report renders <output>/REPORT.md with the config echo,
+    the curation funnel and the artifact inventory."""
+    out = str(tmp_path / "jobrep")
+    args = ["--synthetic", "300", "--output", out, "--curate",
+            "--audit-report"]
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    with open(os.path.join(out, "REPORT.md")) as fh:
+        rep = fh.read()
+    assert "## Curation funnel" in rep
+    assert "| after_exact_dedup |" in rep
+    assert "| curated/ |" in rep
+    assert "`--synthetic` = `300`" in rep
