@@ -47,6 +47,7 @@ HEADLINE = (
     "embedding_prune_easy",
     "embedding_pq_codes", "embedding_pq_topk", "embedding_ivfpq_topk",
     "embedding_pq_recall", "embedding_pca_power",
+    "embedding_sq8_codes", "embedding_sq8_topk", "embedding_sq8_recall",
     "pack_bins", "packing_efficiency", "benchmark_contamination",
     "decontaminate_spans",
     "zorder_keys", "zorder_prune_audit",

@@ -640,3 +640,75 @@ def prototype_prune(df: DataFrame, centroids: list, drop_pct: int = 25,
     return (scored.join(F.broadcast(thresholds), "cell")
             .select("vec_id", "cell", "sqdist",
                     (F.col("sqdist") >= F.col("_thr")).alias("keep")))
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (X171) — the production-default compression
+# ---------------------------------------------------------------------------
+
+def sq8_bounds(df: DataFrame, vec_col: str = "embedding") -> tuple:
+    """Per-dimension (min, max) of the corpus, as python lists (2·dim
+    doubles to the driver — bounded). min/max are EXACT over doubles,
+    so the driver-side literals equal what any engine computes from
+    the same bytes."""
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+    rows = (ex.groupBy("i")
+            .agg(F.min(F.col("x").cast("double")).alias("mn"),
+                 F.max(F.col("x").cast("double")).alias("mx"))
+            .orderBy("i").collect())
+    return ([float(r["mn"]) for r in rows],
+            [float(r["mx"]) for r in rows])
+
+
+def sq8_code_expr(vec: Column, mins: list, maxs: list) -> Column:
+    """array<float> -> array<int> 8-bit codes: per dim,
+    floor(((x - mn) * 255.0) / (mx - mn)) clamped to [0, 255]
+    (degenerate dims -> 0). The float op ORDER is part of the contract
+    — the twin and the driver-side query encoder run the identical
+    sequence, so codes are bit-identical everywhere."""
+    mn = F.lit(mins)
+    mx = F.lit(maxs)
+
+    def _code(x: Column, i: Column) -> Column:
+        a = F.element_at(mn, i + 1)
+        b = F.element_at(mx, i + 1)
+        raw = F.floor(((x.cast("double") - a) * F.lit(255.0)) / (b - a))
+        return (F.when(b == a, F.lit(0))
+                .otherwise(F.least(F.lit(255),
+                                   F.greatest(F.lit(0),
+                                              raw.cast("int")))).cast("int"))
+
+    return F.transform(vec, _code)
+
+
+def sq8_encode_py(vec: list, mins: list, maxs: list) -> list:
+    """Driver-side twin of sq8_code_expr (query-vector encoding)."""
+    out = []
+    for x, a, b in zip(vec, mins, maxs):
+        if b == a:
+            out.append(0)
+        else:
+            out.append(max(0, min(255, math.floor(
+                ((float(x) - a) * 255.0) / (b - a)))))
+    return out
+
+
+def sq8_topk(df: DataFrame, mins: list, maxs: list, qvec: list,
+             k_results: int = 10, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Brute-force top-k over SQ8 codes: exact int64 squared L2 between
+    8-bit codes (max dim·255² ≈ 4.2M·dim — overflow-free for any real
+    dim), TakeOrdered(k) on (dist, id) so ties are total. Codes are
+    1/4 the float32 bytes; at 10^12 vectors this is the scan-side
+    memory story (the IVF/PQ tiers are the pruning story)."""
+    qcodes = sq8_encode_py(qvec, mins, maxs)
+    codes = sq8_code_expr(F.col(vec_col), mins, maxs)
+    d = df.select(F.col(id_col),
+                  bind_array(
+                      codes,
+                      lambda c: _sq_dist(
+                          F.transform(c, lambda x: x.cast("long")),
+                          F.lit([int(v) for v in qcodes])
+                          .cast("array<long>"))).alias("sq_dist"))
+    return (d.orderBy(F.col("sq_dist").asc(), F.col(id_col).asc())
+            .limit(k_results))

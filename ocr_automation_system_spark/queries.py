@@ -4570,6 +4570,111 @@ JOIN ({SQL_EMBEDDING_TOPK}) b USING (vec_id)
 """
 
 
+def _sq8_bounds(spark: SparkSession, sf_dir: str):
+    from .functions import clustering as KM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, KM.sq8_bounds(emb)
+
+
+def _sql_sq8_ctes(dim: int = _EMB_DIM) -> str:
+    """Shared SQ8 CTEs: per-dim exact min/max bounds + 8-bit codes with
+    the SAME float op order as clustering.sq8_code_expr."""
+    return f"""
+bx AS (SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+       FROM (SELECT unnest(embedding) AS x,
+                    unnest(range(1, len(embedding) + 1)) AS i
+             FROM embeddings) GROUP BY i),
+bounds AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+           FROM bx),
+sq8 AS (SELECT vec_id, list_transform(range(1, {dim + 1}), i ->
+          CASE WHEN mxs[i] = mns[i] THEN 0
+               ELSE least(255, greatest(0,
+                 CAST(floor(((CAST(embedding[i] AS DOUBLE) - mns[i])
+                   * 255.0) / (mxs[i] - mns[i])) AS BIGINT))) END) AS c
+        FROM embeddings CROSS JOIN bounds)"""
+
+
+def q_embedding_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X171 — SQ8 scalar-quantization encoding (the production-default
+    vector compression: 1 byte/dim, 4x under float32): per-dim
+    min/max bounds -> floor-scaled 8-bit codes, hashed at the contract
+    surface so byte-exact code parity is what the driver checks."""
+    from .functions import clustering as KM
+
+    emb, (mins, maxs) = _sq8_bounds(spark, sf_dir)
+    if not mins:
+        return emb.select(F.col("vec_id"),
+                          F.lit("").alias("code_hash")).limit(0)
+    codes = KM.sq8_code_expr(F.col("embedding"), mins, maxs)
+    return emb.select(
+        "vec_id",
+        F.md5(F.array_join(
+            F.transform(codes, lambda x: x.cast("string")), ","))
+        .alias("code_hash"))
+
+
+SQL_EMBEDDING_SQ8_CODES = f"""
+WITH {_sql_sq8_ctes()}
+SELECT vec_id,
+  md5(array_to_string(list_transform(c, v -> CAST(v AS VARCHAR)), ','))
+    AS code_hash
+FROM sq8
+"""
+
+
+def q_embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X171 — brute-force top-10 over SQ8 codes for the vec_id=0 query:
+    exact int64 code distances, TakeOrdered on (dist, id)."""
+    from .functions import clustering as KM
+
+    emb, (mins, maxs) = _sq8_bounds(spark, sf_dir)
+    qvec = _query_vec(spark, sf_dir)
+    if not mins or qvec is None:
+        return emb.select(F.col("vec_id"),
+                          F.lit(0).cast("long").alias("sq_dist")).limit(0)
+    return KM.sq8_topk(emb, mins, maxs, qvec, k_results=10)
+
+
+SQL_EMBEDDING_SQ8_TOPK = f"""
+WITH {_sql_sq8_ctes()},
+qc AS (SELECT c AS q FROM sq8 WHERE vec_id = 0)
+SELECT vec_id,
+  CAST(list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+    i -> (c[i] - q[i]) * (c[i] - q[i]))) AS BIGINT) AS sq_dist
+FROM sq8 CROSS JOIN qc
+ORDER BY sq_dist ASC, vec_id ASC LIMIT 10
+"""
+
+
+def q_embedding_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X171 — SQ8 quality diagnostic: overlap@10 vs the exact float
+    brute-force top-10 (the pq_recall role). SQ8 preserves geometry far
+    better than PQ at the same table (per-dim affine map, no codebook
+    distortion), so overlap is HIGH even on near-uniform synthetic
+    embeddings — the two recall gauges bracket the compression
+    spectrum."""
+    topk = q_embedding_sq8_topk(spark, sf_dir).select("vec_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec_df(spark, sf_dir)
+    brute = (emb.crossJoin(F.broadcast(q))
+             .select("vec_id",
+                     F.round(S.cosine(F.col("embedding"), F.col("qe")), 6)
+                     .alias("cos_sim"))
+             .orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+             .select("vec_id"))
+    return (topk.join(brute, "vec_id")
+            .agg(F.lit(10).cast("long").alias("k"),
+                 F.count(F.lit(1)).alias("n_overlap")))
+
+
+SQL_EMBEDDING_SQ8_RECALL = f"""
+SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_overlap
+FROM ({SQL_EMBEDDING_SQ8_TOPK}) p
+JOIN ({SQL_EMBEDDING_TOPK}) b USING (vec_id)
+"""
+
+
 _IVFPQ_NPROBE = 2
 
 
@@ -8533,6 +8638,11 @@ REGISTRY: dict = {
                              SQL_EMBEDDING_IVFPQ_TOPK),
     "embedding_pq_recall": (q_embedding_pq_recall,
                             SQL_EMBEDDING_PQ_RECALL),
+    "embedding_sq8_codes": (q_embedding_sq8_codes,
+                            SQL_EMBEDDING_SQ8_CODES),
+    "embedding_sq8_topk": (q_embedding_sq8_topk, SQL_EMBEDDING_SQ8_TOPK),
+    "embedding_sq8_recall": (q_embedding_sq8_recall,
+                             SQL_EMBEDDING_SQ8_RECALL),
     "embedding_semdedup_keep": (q_embedding_semdedup_keep,
                                 SQL_EMBEDDING_SEMDEDUP_KEEP),
     "embedding_prune_easy": (q_embedding_prune_easy,
