@@ -61,7 +61,8 @@ HEADLINE = (
     "url_dup_groups", "url_canonicalize", "url_features",
     "registrable_domains",
     "url_pattern_census",
-    "latest_capture", "snapshot_delta", "revisit_stats", "content_drift",
+    "latest_capture", "corpus_upsert_merge", "snapshot_delta",
+    "revisit_stats", "content_drift",
     "crawl_activity",
     "crawl_priorities", "crawl_schedule", "schedule_load",
     "page_metadata", "page_directives", "canonical_dup_groups",

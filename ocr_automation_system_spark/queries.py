@@ -2265,6 +2265,51 @@ FROM h
 SQL_SLOP_LEXICON_SCORES = _sql_slop()
 
 
+def q_corpus_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X172 — the corpus maintenance MERGE (Iceberg
+    ``MERGE INTO``/``overwritePartitions`` semantics expressed on plain
+    tables): a new crawl's updates overwrite matching keys, tombstones
+    delete, everything else survives. Updates = the md5-gated
+    doc_id%7==3 slice re-captured with revised text; tombstones =
+    doc_id%41==0 (takedowns). Output: every surviving key with which
+    side won and the winning text hash — the driver checks the MERGE
+    decision per row, not just counts.
+
+    Scale shape: ONE union + ONE groupBy(key) with max_by(side) (newest
+    wins — no window), then a broadcast anti-join of the (tiny)
+    tombstone set. On Iceberg the same plan lands behind MERGE INTO;
+    the decision logic is engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", F.lit(0).alias("_side"))
+    upd = (docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 3)
+           .select("doc_id",
+                   F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+                   F.lit(1).alias("_side")))
+    tomb = docs.filter(F.pmod(F.col("doc_id"), F.lit(41)) == 0) \
+        .select("doc_id")
+    merged = (base.unionByName(upd)
+              .groupBy("doc_id")
+              .agg(F.max(F.struct("_side", "text")).alias("_w")))
+    return (merged.join(F.broadcast(tomb), "doc_id", "left_anti")
+            .select("doc_id",
+                    F.col("_w._side").cast("int").alias("side_kept"),
+                    F.md5(F.col("_w.text")).alias("text_hash")))
+
+
+SQL_CORPUS_UPSERT_MERGE = """
+WITH u AS (
+  SELECT doc_id, text, 0 AS side FROM documents
+  UNION ALL
+  SELECT doc_id, text || ' [rev2]', 1 FROM documents WHERE doc_id % 7 = 3),
+m AS (SELECT doc_id, arg_max(side, side) AS side_kept,
+             arg_max(text, side) AS t
+      FROM u GROUP BY doc_id)
+SELECT doc_id, CAST(side_kept AS INTEGER) AS side_kept,
+       md5(t) AS text_hash
+FROM m WHERE doc_id % 41 <> 0
+"""
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X164 — Good-Turing vocabulary coverage per source: the Turing
     estimator puts the probability of the NEXT token being unseen at
@@ -8476,6 +8521,8 @@ REGISTRY: dict = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "corpus_upsert_merge": (q_corpus_upsert_merge,
+                            SQL_CORPUS_UPSERT_MERGE),
     "readability_scores": (q_readability_scores, SQL_READABILITY_SCORES),
     "slop_lexicon_scores": (q_slop_lexicon_scores,
                             SQL_SLOP_LEXICON_SCORES),

@@ -889,3 +889,36 @@ def test_stateless_pii_and_script_ops_stream_unchanged(spark, tmp_path):
             for r in fn(spark.createDataFrame(rows, ["doc_id", "text"]))
             .collect())
         assert got == want, name
+
+
+def test_stateless_readability_slop_stream_unchanged(spark, tmp_path):
+    """The X168/X169 censuses are pure column expressions — identical
+    rows under readStream (one-definition/two-modes)."""
+    from ocr_automation_system_spark.functions.curation import (
+        word_blocklist_scores,
+    )
+    from ocr_automation_system_spark.queries import SLOP_WORDS
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    rows = [(0, "The cat sat. We delve into the vibrant realm now."),
+            (1, ""), (2, "plain words only here")]
+    spark.createDataFrame(rows, ["doc_id", "text"]) \
+        .write.parquet(os.path.join(d, "drop1"))
+    stream_in = (spark.readStream.schema("doc_id long, text string")
+                 .parquet(os.path.join(d, "*")))
+
+    def slop(df):
+        return word_blocklist_scores(df, words=SLOP_WORDS)
+
+    out = str(tmp_path / "out_slop")
+    q = (slop(stream_in).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck_slop"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in
+                  slop(spark.createDataFrame(rows, ["doc_id", "text"]))
+                  .collect())
+    assert got == want
