@@ -374,11 +374,15 @@ def write_audit_report(args, summary: dict) -> None:
                   "| stage | rows | delta |", "|---|---|---|"]
         prev = None
         for k, v in counts.items():
-            delta = "" if prev is None or not isinstance(v, int) \
-                else f"{v - prev:+d}"
+            # delta only for FUNNEL stages (survivor counts); detail
+            # counters (encoding_repaired, gopher_dropped_*, ...) are
+            # not points on the survivor curve
+            funnel = isinstance(v, int) and k.startswith(
+                ("usable", "after_"))
+            show = funnel or k == "train"  # train's delta = -val rows
+            delta = f"{v - prev:+d}" if show and prev is not None else ""
             lines.append(f"| {k} | {v} | {delta} |")
-            if isinstance(v, int) and (k.startswith(("usable", "after_"))
-                                       or k in ("train", "val")):
+            if funnel:
                 prev = v
         lines.append("")
     lines += ["## Artifacts", "", "| path | files | bytes |",
