@@ -717,10 +717,13 @@ def curate(spark, results, output: str, quota: int = 1000,
         counts["decontaminated_docs"] = hit.count()
         counts["decontaminated_tokens"] = (
             hit.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0)
-        deduped = (deduped.join(F.broadcast(hit.select(
-            "doc_id", "_newtext")), "doc_id", "left")
-            .withColumn("text", F.coalesce("_newtext", "text"))
-            .drop("_newtext").persist())
+        # no broadcast hint: the rewrite set is contamination-sized —
+        # usually tiny (AQE broadcasts it), but a heavily-overlapping
+        # eval suite must not be forced into every executor's memory
+        deduped = (deduped.join(hit.select("doc_id", "_newtext"),
+                                "doc_id", "left")
+                   .withColumn("text", F.coalesce("_newtext", "text"))
+                   .drop("_newtext").persist())
 
     if semdedup:
         # semantic pass AFTER near-dedup: hashed-BoW k-means cells,
