@@ -1271,33 +1271,34 @@ def q_lang_mismatch_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair's share of its declared label, and the agreement flag.
 
     Scale shape: ONE map-side-combined groupBy over the tiny lang-pair
-    key space; the share denominator is a second agg over the
-    ALREADY-AGGREGATED (tiny) matrix + a broadcast join — the corpus is
-    touched exactly once."""
+    key space — the corpus is scanned exactly once; the share
+    denominator is a window over the ALREADY-AGGREGATED matrix
+    (bounded by |langs|², the X79 histogram-readout discipline — a
+    second aggregate subtree would re-scan the corpus unless AQE
+    happens to reuse the exchange)."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(F.col("lang").alias("declared"),
                     T.lang_id(F.col("text")).alias("detected"))
     cm = (d.groupBy("declared", "detected")
           .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
-    tot = cm.groupBy("declared").agg(F.sum("n_docs").alias("_tot"))
-    return (cm.join(F.broadcast(tot), "declared")
-            .select("declared", "detected", "n_docs",
-                    F.round(F.col("n_docs") / F.col("_tot"), 6)
-                    .alias("frac_of_declared"),
-                    (F.col("declared") == F.col("detected"))
-                    .alias("agree")))
+    w = Window.partitionBy("declared")
+    return cm.select(
+        "declared", "detected", "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6)
+        .alias("frac_of_declared"),
+        (F.col("declared") == F.col("detected")).alias("agree"))
 
 
 SQL_LANG_MISMATCH_CENSUS = f"""
 WITH d AS (SELECT lang AS declared,
         CASE {_LANG_CASES} ELSE 'und' END AS detected FROM documents),
 cm AS (SELECT declared, detected, CAST(count(*) AS BIGINT) AS n_docs
-       FROM d GROUP BY declared, detected),
-tot AS (SELECT declared, sum(n_docs) AS tot FROM cm GROUP BY declared)
-SELECT cm.declared, detected, n_docs,
-       round(n_docs * 1.0 / tot, 6) AS frac_of_declared,
-       (cm.declared = detected) AS agree
-FROM cm JOIN tot ON cm.declared = tot.declared
+       FROM d GROUP BY declared, detected)
+SELECT declared, detected, n_docs,
+       round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY declared), 6)
+         AS frac_of_declared,
+       (declared = detected) AS agree
+FROM cm
 """
 
 

@@ -8,21 +8,19 @@ from ocr_automation_system_spark.functions.text import lang_id
 
 
 def _census(spark, rows):
-    from ocr_automation_system_spark.queries import q_lang_mismatch_census
+    from pyspark.sql.window import Window
 
     df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
-    # reuse the query body shape without the sf loader
     d = df.select(F.col("lang").alias("declared"),
                   lang_id(F.col("text")).alias("detected"))
     cm = (d.groupBy("declared", "detected")
           .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
-    tot = cm.groupBy("declared").agg(F.sum("n_docs").alias("_tot"))
-    return (cm.join(F.broadcast(tot), "declared")
-            .select("declared", "detected", "n_docs",
-                    F.round(F.col("n_docs") / F.col("_tot"), 6)
-                    .alias("frac_of_declared"),
-                    (F.col("declared") == F.col("detected")).alias("agree"))
-            ).collect()
+    w = Window.partitionBy("declared")
+    return cm.select(
+        "declared", "detected", "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6)
+        .alias("frac_of_declared"),
+        (F.col("declared") == F.col("detected")).alias("agree")).collect()
 
 
 def test_confusion_census_semantics(spark):
@@ -43,21 +41,12 @@ def test_confusion_census_semantics(spark):
 
 
 def test_single_pass_plan(spark):
-    # plan shape on a synthetic frame: corpus side aggregated once,
-    # denominator joined broadcast (no second scan of the input)
-    src = spark.range(100).select(
-        F.col("id").alias("doc_id"),
-        F.lit("the cat and the dog").alias("text"),
-        # non-constant label: a literal would constant-fold the join key
-        # away and degrade the assert to a BroadcastNestedLoopJoin
-        F.when(F.col("id") % 2 == 0, F.lit("en"))
-        .otherwise(F.lit("de")).alias("lang"))
-    d = src.select(F.col("lang").alias("declared"),
-                   lang_id(F.col("text")).alias("detected"))
-    cm = (d.groupBy("declared", "detected")
-          .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
-    tot = cm.groupBy("declared").agg(F.sum("n_docs").alias("_tot"))
-    plan = (cm.join(F.broadcast(tot), "declared")
+    """The census query must scan its input exactly once: the share
+    denominator is a window over the aggregated (bounded) matrix, not
+    a second aggregate subtree re-reading the corpus."""
+    from ocr_automation_system_spark.queries import q_lang_mismatch_census
+
+    plan = (q_lang_mismatch_census(spark, "/root/testdata/sf0.001")
             ._jdf.queryExecution().executedPlan().toString())
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
