@@ -152,6 +152,11 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "K train-split docs under <output>/sample — the "
                         "deterministic eval-slice draw (sample_rows "
                         "lineage count)")
+    p.add_argument("--token-lineage", action="store_true",
+                   help="--curate only: also record per-stage TOKEN "
+                        "totals (usable / after_near_dedup / "
+                        "after_domain_quota / train) in the lineage "
+                        "file — mixture math reads in tokens")
     p.add_argument("--audit-report", action="store_true",
                    help="write <output>/REPORT.md: run config, the "
                         "extraction bucket summary, the curation "
@@ -313,6 +318,7 @@ def main(argv=None, stop_session: bool = True) -> int:
             drop_redirects=args.drop_redirects)
         curate(spark, results, args.output, quota=args.domain_quota,
                quota_etld1=args.quota_etld1,
+               token_lineage=args.token_lineage,
                url_drops=url_drops,
                fix_encoding=args.fix_encoding,
                scrub_pii=args.scrub_pii,
@@ -554,7 +560,7 @@ def compliance_drops(documents, honor_noindex: bool = False,
 
 
 def curate(spark, results, output: str, quota: int = 1000,
-           quota_etld1: bool = False,
+           quota_etld1: bool = False, token_lineage: bool = False,
            fix_encoding: bool = False, scrub_pii: bool = False,
            decontaminate: str = "",
            chunk_tokens: int = 0, policy: bool = False,
@@ -602,6 +608,20 @@ def curate(spark, results, output: str, quota: int = 1000,
                 F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"))
     ).persist()
     counts = {"usable": docs.count()}
+
+    def _tok_sum(frame) -> int:
+        from ocr_automation_system_spark.functions.text import (
+            bpe_token_count,
+        )
+
+        return int(frame.agg(
+            F.sum(bpe_token_count(F.col("text")))).collect()[0][0] or 0)
+
+    if token_lineage:
+        # mixtures and budgets are measured in TOKENS, not documents —
+        # per-stage token totals let the recipe math read straight off
+        # the lineage file (one map-side agg per recorded stage)
+        counts["tokens_usable"] = _tok_sum(docs)
 
     for name, drop in (url_drops or {}).items():
         # compliance first: publisher directives outrank every content
@@ -701,6 +721,8 @@ def curate(spark, results, output: str, quota: int = 1000,
     deduped = exact.join(keep_ids, "doc_id", "left_semi").persist()
     counts["after_exact_dedup"] = exact.count()
     counts["after_near_dedup"] = deduped.count()
+    if token_lineage:
+        counts["tokens_after_near_dedup"] = _tok_sum(deduped)
 
     if decontaminate:
         # span-level eval-set decontamination AFTER dedup (the excision
@@ -805,6 +827,8 @@ def curate(spark, results, output: str, quota: int = 1000,
         deduped.join(quota_kept.select("doc_id", "quality"), "doc_id")
     )
     counts["after_domain_quota"] = curated.count()
+    if token_lineage:
+        counts["tokens_after_domain_quota"] = _tok_sum(curated)
 
     if alpha is not None:
         # temperature-based host-mixture rebalancing (mT5/XLM-R alpha
@@ -858,6 +882,9 @@ def curate(spark, results, output: str, quota: int = 1000,
     (w.write.mode("overwrite").partitionBy("split").parquet(out))
     written = spark.read.parquet(out)
     counts["train"] = written.filter(F.col("split") == "train").count()
+    if token_lineage:
+        counts["tokens_train"] = _tok_sum(
+            written.filter(F.col("split") == "train"))
     counts["val"] = written.filter(F.col("split") == "val").count()
     if chunk_tokens:
         ch_out = os.path.join(output, "chunks")

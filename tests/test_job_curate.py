@@ -637,3 +637,18 @@ def test_curate_audit_report(spark, tmp_path):
     assert "| after_exact_dedup |" in rep
     assert "| curated/ |" in rep
     assert "`--synthetic` = `300`" in rep
+
+
+def test_curate_token_lineage(spark, tmp_path):
+    """--token-lineage records per-stage token totals; the funnel is
+    monotone non-increasing and train <= the quota stage."""
+    out = str(tmp_path / "jobtok")
+    args = ["--synthetic", "300", "--output", out, "--curate",
+            "--token-lineage"]
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    with open(os.path.join(out, "curation_lineage.json")) as fh:
+        counts = json.load(fh)
+    seq = [counts["tokens_usable"], counts["tokens_after_near_dedup"],
+           counts["tokens_after_domain_quota"], counts["tokens_train"]]
+    assert all(isinstance(v, int) and v > 0 for v in seq)
+    assert seq == sorted(seq, reverse=True)
