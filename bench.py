@@ -82,6 +82,7 @@ HEADLINE = (
     "pipeline_encoding_damage", "pipeline_mojibake_repair",
     "pipeline_span_dedup",
     "link_edges", "host_link_graph", "host_template_census",
+    "img_alt_pairs",
     "anchor_text_profile", "anchor_bm25",
     "host_pagerank", "host_trustrank", "host_hits", "host_components",
     "host_reciprocity", "seed_distance", "host_hyperball", "host_harmonic",

@@ -6012,6 +6012,102 @@ def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.extract_links(corpus_for(spark, sf_dir).select("url", "html"))
 
 
+#: img tag + attribute extractors (RE2-safe, attribute-order-tolerant
+#: within the two orders the injection emits).
+_IMG_TAG_RE = r"<img\b[^>]*>"
+_IMG_SRC_RE = r'src="([^"]*)"'
+_IMG_ALT_RE = r'alt="([^"]*)"'
+
+
+def _with_injected_imgs(page: Column, url: Column) -> Column:
+    """Deterministically append <img> tags to every decoded html page
+    (the corpus markup carries none): md5-gated classes — none / one
+    captioned / empty-alt (must filter out) / absolute + relative pair.
+    Both engines apply the identical injection AFTER the sniff-gated
+    decode, so non-html payloads stay img-free."""
+    k = F.conv(F.substring(F.md5(url), 1, 2), 16, 10).cast("long") % 4
+    h6 = F.substring(F.md5(url), 3, 6)
+    tag1 = F.concat(F.lit('<img src="/i/'), h6,
+                    F.lit('.jpg" alt="photo of item '), h6, F.lit('">'))
+    tag2 = F.concat(F.lit('<img alt="" src="https://cdn.example.net/'),
+                    h6, F.lit('.png">'))
+    tag3 = F.concat(F.lit('<img src="https://img.example.net/'), h6,
+                    F.lit('.gif" alt="diagram for '), h6, F.lit('">'))
+    extra = (F.when(k == 1, tag1)
+             .when(k == 2, F.concat(tag1, tag2))
+             .when(k == 3, F.concat(tag2, tag3))
+             .otherwise(F.lit("")))
+    return F.when(page == "", page).otherwise(F.concat(page, extra))
+
+
+def q_img_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X173 — image-caption pair mining (the LAION/alt-text recipe's
+    first step): every <img> with a non-trivial alt attribute yields a
+    (page_url, img_url, alt) training pair; relative srcs resolve
+    against the page's scheme://authority; empty alts (decorative
+    images) are filtered — the quality gate that separates captions
+    from markup noise.
+
+    Zero shuffle: sniff-gated decode -> ONE regexp_extract_all ->
+    explode -> two attribute extracts + resolution, all row-local."""
+    from .functions.links import page_html
+    from .functions.urlnorm import URL_PREFIX_RE
+
+    c = corpus_for(spark, sf_dir).select("url", "html")
+    page = _with_injected_imgs(page_html(F.col("html")), F.col("url"))
+    tags = F.regexp_extract_all(page, F.lit(_IMG_TAG_RE), F.lit(0))
+    d = (c.select("url", F.explode(tags).alias("tag"))
+         .select("url",
+                 F.regexp_extract("tag", _IMG_SRC_RE, 1).alias("src"),
+                 F.regexp_extract("tag", _IMG_ALT_RE, 1).alias("alt")))
+    pre = F.regexp_extract("url", URL_PREFIX_RE, 1)
+    img_url = (F.when(F.col("src").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+                      F.col("src"))
+               .when(F.col("src").startswith("/"),
+                     F.concat(pre, F.col("src")))
+               .otherwise(F.concat(pre, F.lit("/"), F.col("src"))))
+    return (d.filter(F.length(F.trim(F.col("alt"))) >= 5)
+            .select(F.col("url").alias("page_url"),
+                    img_url.alias("img_url"), "alt"))
+
+
+def _sql_img_alt_pairs() -> str:
+    from .functions.urlnorm import URL_PREFIX_RE
+
+    k = "CAST(concat('0x', substr(md5(url), 1, 2)) AS BIGINT) % 4"
+    h6 = "substr(md5(url), 3, 6)"
+    tag1 = (f"'<img src=\"/i/' || {h6} || '.jpg\" alt=\"photo of item '"
+            f" || {h6} || '\">'")
+    tag2 = (f"'<img alt=\"\" src=\"https://cdn.example.net/' || {h6}"
+            f" || '.png\">'")
+    tag3 = (f"'<img src=\"https://img.example.net/' || {h6}"
+            f" || '.gif\" alt=\"diagram for ' || {h6} || '\">'")
+    return f"""
+WITH p0 AS (SELECT url, {PSQL._SQL_PAGE} AS page FROM {PSQL.CORPUS}),
+pi AS (SELECT url, CASE WHEN page = '' THEN page ELSE page ||
+         CASE {k} WHEN 1 THEN {tag1}
+                  WHEN 2 THEN {tag1} || {tag2}
+                  WHEN 3 THEN {tag2} || {tag3} ELSE '' END END AS page
+       FROM p0),
+t0 AS (SELECT url, unnest(regexp_extract_all(page, '{_IMG_TAG_RE}', 0))
+         AS tag FROM pi),
+a0 AS (SELECT url,
+         regexp_extract(tag, '{_IMG_SRC_RE}', 1) AS src,
+         regexp_extract(tag, '{_IMG_ALT_RE}', 1) AS alt,
+         regexp_extract(url, '{URL_PREFIX_RE}', 1) AS pre
+       FROM t0)
+SELECT url AS page_url,
+  CASE WHEN regexp_matches(src, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN src
+       WHEN src LIKE '/%' THEN pre || src
+       ELSE pre || '/' || src END AS img_url,
+  alt
+FROM a0 WHERE len(trim(alt)) >= 5
+"""
+
+
+SQL_IMG_ALT_PAIRS = _sql_img_alt_pairs()
+
+
 def q_host_template_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X159 — per-host DOM-template census over the raw html: distinct
     tag-skeleton count, html page count, the dominant template's page
@@ -8836,6 +8932,7 @@ REGISTRY: dict = {
     "host_link_graph": (q_host_link_graph, PSQL.SQL_HOST_LINK_GRAPH),
     "host_template_census": (q_host_template_census,
                              PSQL.SQL_HOST_TEMPLATE_CENSUS),
+    "img_alt_pairs": (q_img_alt_pairs, SQL_IMG_ALT_PAIRS),
     "host_reciprocity": (q_host_reciprocity, PSQL.SQL_HOST_RECIPROCITY),
     "seed_distance": (q_seed_distance, PSQL.SQL_SEED_DISTANCE),
     "anchor_text_profile": (q_anchor_text_profile, PSQL.SQL_ANCHOR_TEXT_PROFILE),
