@@ -101,6 +101,7 @@ HEADLINE = (
     "alpha_mixture_rates", "alpha_sample", "mixture_waterfill",
     "crawl_budget_waterfill", "neyman_allocation", "vocab_coverage",
     "source_dup_matrix", "readability_scores", "slop_lexicon_scores",
+    "source_scorecard",
     "hll_source_cardinality", "hll_merge", "kmv_content_overlap",
     "kmv_merge",
     "bloom_dedup_census",

@@ -2311,6 +2311,115 @@ FROM m WHERE doc_id % 41 <> 0
 """
 
 
+def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X174 — the per-source data-quality scorecard: ONE corpus pass
+    computing every per-doc signal as an integer-summable feature
+    (float SUMS are order-dependent, so no mean-of-doubles ever enters
+    an aggregate — the readability signal lands as band COUNTS), then
+    one groupBy(source): doc/token volume, exact-dup rate (distinct
+    content hashes), slop and badword exposure, declared-vs-detected
+    language disagreement, readability mix. The dashboard a curation
+    team reads before re-weighting a source.
+
+    Scale shape: one scan projection -> ONE map-side-combined
+    groupBy(source) (countDistinct adds the standard two-phase
+    expand); every rate is one division of exact integers, rounded at
+    the surface."""
+    from .functions.curation import DEMO_BADWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    toks = T.ws_tokens(T.clean_text(t))
+    words = F.size(toks)
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syl = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (words.cast("double")
+                                / sents.cast("double"))
+              - F.lit(84.6) * (syl.cast("double")
+                               / F.greatest(words, F.lit(1))
+                               .cast("double")))
+    slop = [w.lower() for w in SLOP_WORDS]
+    bad = [w.lower() for w in DEMO_BADWORDS]
+    n_slop = F.size(F.filter(toks, lambda x: x.isin(*slop)))
+    n_bad = F.size(F.filter(toks, lambda x: x.isin(*bad)))
+    mismatch = (F.col("lang") != T.lang_id(t)).cast("long")
+    d = docs.select(
+        "source",
+        T.bpe_token_count(t).alias("_tk"),
+        F.md5(T.clean_text(t)).alias("_h"),
+        n_slop.cast("long").alias("_slop"),
+        (n_slop > 0).cast("long").alias("_slopdoc"),
+        (n_bad > 0).cast("long").alias("_baddoc"),
+        mismatch.alias("_mis"),
+        (flesch >= 60.0).cast("long").alias("_easy"),
+        ((flesch < 60.0) & (flesch >= 30.0)).cast("long").alias("_std"))
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_tk").cast("long").alias("n_tokens"),
+        F.countDistinct("_h").cast("long").alias("n_distinct"),
+        F.sum("_slop").cast("long").alias("n_slop_hits"),
+        F.sum("_slopdoc").alias("_sd"),
+        F.sum("_baddoc").alias("_bd"),
+        F.sum("_mis").alias("_md"),
+        F.sum("_easy").cast("long").alias("n_easy"),
+        F.sum("_std").cast("long").alias("n_standard"))
+    n = F.col("n_docs").cast("double")
+    return g.select(
+        "source", "n_docs", "n_tokens", "n_slop_hits",
+        "n_easy", "n_standard",
+        F.round(F.lit(1.0) - F.col("n_distinct").cast("double") / n, 6)
+        .alias("dup_rate"),
+        F.round(F.col("_sd").cast("double") / n, 6).alias("slop_doc_rate"),
+        F.round(F.col("_bd").cast("double") / n, 6).alias("badword_doc_rate"),
+        F.round(F.col("_md").cast("double") / n, 6).alias("lang_mismatch_rate"))
+
+
+def _sql_source_scorecard() -> str:
+    from .functions.curation import DEMO_BADWORDS
+
+    slop = ", ".join(f"'{w.lower()}'" for w in SLOP_WORDS)
+    bad = ", ".join(f"'{w.lower()}'" for w in DEMO_BADWORDS)
+    toks = _sql_toks(_sql_clean("coalesce(text, '')"))
+    t = "coalesce(text, '')"
+    fl = (f"206.835 - 1.015 * (CAST(len({toks}) AS DOUBLE)"
+          f" / CAST(greatest(len(regexp_extract_all({t}, '[.!?]+')), 1)"
+          f" AS DOUBLE))"
+          f" - 84.6 * (CAST(len(regexp_extract_all(lower({t}),"
+          f" '[aeiouy]+')) AS DOUBLE)"
+          f" / CAST(greatest(len({toks}), 1) AS DOUBLE))")
+    return f"""
+WITH d AS (SELECT source,
+    CAST(len(regexp_extract_all({t},
+      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS BIGINT) AS tk,
+    md5({_sql_clean(t)}) AS h,
+    CAST(len(list_filter({toks}, x -> x IN ({slop}))) AS BIGINT) AS slop,
+    CAST(len(list_filter({toks}, x -> x IN ({bad}))) AS BIGINT) AS bad,
+    (lang <> (CASE {_LANG_CASES} ELSE 'und' END)) AS mis,
+    ({fl}) AS fl
+  FROM documents)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(tk) AS BIGINT) AS n_tokens,
+  CAST(sum(slop) AS BIGINT) AS n_slop_hits,
+  CAST(sum(CASE WHEN fl >= 60.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+  CAST(sum(CASE WHEN fl < 60.0 AND fl >= 30.0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_standard,
+  round(1.0 - CAST(count(DISTINCT h) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+  round(CAST(sum(CASE WHEN slop > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS slop_doc_rate,
+  round(CAST(sum(CASE WHEN bad > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS badword_doc_rate,
+  round(CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS lang_mismatch_rate
+FROM d GROUP BY source
+"""
+
+
+SQL_SOURCE_SCORECARD = _sql_source_scorecard()
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X164 — Good-Turing vocabulary coverage per source: the Turing
     estimator puts the probability of the NEXT token being unseen at
@@ -8618,6 +8727,7 @@ REGISTRY: dict = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "source_scorecard": (q_source_scorecard, SQL_SOURCE_SCORECARD),
     "corpus_upsert_merge": (q_corpus_upsert_merge,
                             SQL_CORPUS_UPSERT_MERGE),
     "readability_scores": (q_readability_scores, SQL_READABILITY_SCORES),
