@@ -30,7 +30,7 @@ from ocr_automation_system_spark.session import build_session  # noqa: E402
 #: Headline queries: one per operator family, the shuffle-heavy ones included.
 HEADLINE = (
     "usability_gate", "field_extract_chain", "quality_scores", "lang_id",
-    "lang_mismatch_census",
+    "lang_mismatch_census", "code_switch_census",
     "script_census", "mixed_script_spoof", "host_quality_shrunk",
     "lang_id_margin",
     "dedup_exact_groups", "minhash_lsh_pairs", "containment_pairs",

@@ -1302,6 +1302,89 @@ FROM cm
 """
 
 
+def q_code_switch_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X175 — paragraph-level code-switching census: run the stopword
+    language ID per NON-BLANK LINE (the paragraph unit every other
+    line-wise op uses) and report, per doc, how many paragraphs carry a
+    confident language, how many DISTINCT languages appear, whether the
+    doc code-switches (>= 2), and the dominant paragraph language under
+    the fixed profile priority — the signal that separates genuinely
+    multilingual pages (parallel text, forums) from mislabeled
+    monolingual ones, which doc-level ID (X8/X156) cannot see.
+
+    Row-local: one split + a per-paragraph lang CASE inside transform —
+    zero shuffle, zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    paras = F.filter(F.split(t, "\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    langs = F.transform(paras, lambda p: T.lang_id(p))
+
+    def _stats(ls: Column) -> Column:
+        nonund = F.filter(ls, lambda x: x != "und")
+        counts = {lang: F.size(F.filter(ls, lambda x: x == lang))
+                  for lang, _ in T.LANG_PROFILES}
+        best = F.greatest(*counts.values())
+        dom = F.lit("none")
+        for lang, _ in reversed(T.LANG_PROFILES):
+            dom = F.when((counts[lang] > 0) & (counts[lang] == best),
+                         F.lit(lang)).otherwise(dom)
+        return F.struct(
+            F.size(ls).alias("n_paras"),
+            F.size(nonund).alias("n_lang_paras"),
+            F.size(F.array_distinct(nonund)).alias("n_distinct"),
+            dom.alias("dom"))
+
+    s = T.bind_array(langs, _stats)
+    return docs.select(
+        "doc_id",
+        s["n_paras"].cast("long").alias("n_paras"),
+        s["n_lang_paras"].cast("long").alias("n_lang_paras"),
+        s["n_distinct"].cast("long").alias("n_distinct_langs"),
+        (s["n_distinct"] >= 2).alias("code_switching"),
+        s["dom"].alias("dominant_para_lang"))
+
+
+def _sql_code_switch() -> str:
+    def score(words, expr) -> str:
+        lst = ",".join(f"'{w}'" for w in words)
+        return f"len(list_filter({_sql_toks(expr)}, t -> t IN ({lst})))"
+
+    cases = " ".join(
+        f"WHEN {score(w, 'p')} > 0 AND {score(w, 'p')} = "
+        f"greatest({', '.join(score(w2, 'p') for _, w2 in T.LANG_PROFILES)}) "
+        f"THEN '{lang}'"
+        for lang, w in T.LANG_PROFILES)
+    dom_cases = " ".join(
+        f"WHEN len(list_filter(langs, x -> x = '{lang}')) > 0 AND "
+        f"len(list_filter(langs, x -> x = '{lang}')) = greatest("
+        + ", ".join(f"len(list_filter(langs, x -> x = '{l2}'))"
+                    for l2, _ in T.LANG_PROFILES)
+        + f") THEN '{lang}'"
+        for lang, _ in T.LANG_PROFILES)
+    return f"""
+WITH p0 AS (SELECT doc_id,
+        list_filter(string_split(coalesce(text, ''), chr(10)),
+                    x -> trim(x) <> '') AS paras FROM documents),
+l0 AS (SELECT doc_id,
+        list_transform(paras, p -> CASE {cases} ELSE 'und' END) AS langs
+       FROM p0)
+SELECT doc_id,
+  CAST(len(langs) AS BIGINT) AS n_paras,
+  CAST(len(list_filter(langs, x -> x <> 'und')) AS BIGINT)
+    AS n_lang_paras,
+  CAST(len(list_distinct(list_filter(langs, x -> x <> 'und')))
+    AS BIGINT) AS n_distinct_langs,
+  (len(list_distinct(list_filter(langs, x -> x <> 'und'))) >= 2)
+    AS code_switching,
+  CASE {dom_cases} ELSE 'none' END AS dominant_para_lang
+FROM l0
+"""
+
+
+SQL_CODE_SWITCH_CENSUS = _sql_code_switch()
+
+
 def q_script_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode script census per document (X78): exact per-script letter
     counts (Latin/Cyrillic/Greek/Arabic/Devanagari/CJK/Hangul), the
@@ -8771,6 +8854,7 @@ REGISTRY: dict = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "lang_mismatch_census": (q_lang_mismatch_census,
                              SQL_LANG_MISMATCH_CENSUS),
+    "code_switch_census": (q_code_switch_census, SQL_CODE_SWITCH_CENSUS),
     "script_census": (q_script_census, SQL_SCRIPT_CENSUS),
     "mixed_script_spoof": (q_mixed_script_spoof, SQL_MIXED_SCRIPT_SPOOF),
     "lang_id_margin": (q_lang_id_margin, SQL_LANG_ID_MARGIN),
