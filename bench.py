@@ -108,6 +108,7 @@ HEADLINE = (
     "minhash_sig_merge", "bloom_bits_merge", "host_mirror_pairs",
     "cms_source_counts", "cms_merge",
     "doclen_histogram", "doclen_quantiles", "doclen_hist_merge",
+    "page_weight_histogram",
     "length_drift_chi2", "quality_drift_chi2",
     "source_vocab_divergence",
     "source_checksums", "source_delta_skiplist",

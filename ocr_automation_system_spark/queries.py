@@ -6300,6 +6300,43 @@ FROM a0 WHERE len(trim(alt)) >= 5
 SQL_IMG_ALT_PAIRS = _sql_img_alt_pairs()
 
 
+def q_page_weight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X176 — per-host page-WEIGHT histogram (raw html bytes, not
+    extracted chars): the X79 HDR bucket artifact keyed by host — the
+    crawl-ops gauge for fetch-budget and rendering-cost planning
+    (a host whose weight histogram fattens is serving heavier pages;
+    read next to revisit_stats before re-budgeting). Mergeable by SUM
+    across days like every sketch-family artifact."""
+    from .functions.sketch import hist_buckets
+
+    c = corpus_for(spark, sf_dir).select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+        F.length(F.col("html")).cast("long").alias("_w"))
+    b = hist_buckets(c, F.col("_w"))
+    return (b.groupBy("host", "octave", "sub", "bucket_lo")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+SQL_PAGE_WEIGHT_HISTOGRAM = f"""
+WITH w0 AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+                   CAST(octet_length(html) AS BIGINT) AS v FROM {PSQL.CORPUS}),
+h1 AS (SELECT host, v, CASE WHEN v > 0
+         THEN CAST(length(bin(v)) AS INTEGER) ELSE 0 END AS octave
+       FROM w0),
+h2 AS (SELECT *, CASE WHEN octave > 0
+         THEN (CAST(1 AS BIGINT) << (octave - 1))
+         ELSE CAST(1 AS BIGINT) END AS hbase FROM h1),
+h3 AS (SELECT *, CASE WHEN v > 0
+         THEN CAST(((v - hbase) * 8) // hbase AS INTEGER)
+         ELSE 0 END AS sub FROM h2),
+h4 AS (SELECT host, octave, sub,
+        CASE WHEN v > 0 THEN hbase + (sub * hbase) // 8
+             ELSE CAST(0 AS BIGINT) END AS bucket_lo FROM h3)
+SELECT host, octave, sub, bucket_lo, CAST(count(*) AS BIGINT) AS n
+FROM h4 GROUP BY host, octave, sub, bucket_lo
+"""
+
+
 def q_host_template_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X159 — per-host DOM-template census over the raw html: distinct
     tag-skeleton count, html page count, the dominant template's page
@@ -9127,6 +9164,8 @@ REGISTRY: dict = {
     "host_template_census": (q_host_template_census,
                              PSQL.SQL_HOST_TEMPLATE_CENSUS),
     "img_alt_pairs": (q_img_alt_pairs, SQL_IMG_ALT_PAIRS),
+    "page_weight_histogram": (q_page_weight_histogram,
+                              SQL_PAGE_WEIGHT_HISTOGRAM),
     "host_reciprocity": (q_host_reciprocity, PSQL.SQL_HOST_RECIPROCITY),
     "seed_distance": (q_seed_distance, PSQL.SQL_SEED_DISTANCE),
     "anchor_text_profile": (q_anchor_text_profile, PSQL.SQL_ANCHOR_TEXT_PROFILE),
