@@ -848,6 +848,79 @@ FROM m0 GROUP BY reg_domain, public_suffix
 
 SQL_REGISTRABLE_DOMAINS = _sql_registrable_domains()
 
+
+def _sql_psl_domains() -> str:
+    """Twin of queries.q_psl_domains — full PSL wildcard/exception
+    longest-match. The rule sets and the md5 host-rewrite gate render
+    from functions.urlnorm.psl_rules (single source); the matching
+    logic is re-derived independently over DuckDB list ops."""
+    from .functions.urlnorm import psl_rules
+
+    rows = psl_rules()
+    max_l = max(r[1] for r in rows)
+    need = max_l + 2
+
+    def inlist(kind: str, nlab: int) -> str:
+        vals = [r[0] for r in rows if r[2] == kind and r[1] == nlab]
+        return ", ".join(f"'{v}'" for v in vals)
+
+    tails = ",\n        ".join(
+        f"CASE WHEN nlab >= {L} THEN "
+        f"array_to_string(parts[nlab-{L}+1:nlab], '.') END AS t{L}"
+        for L in range(1, need + 1))
+    clauses = []
+    for L in range(max_l, 1, -1):
+        lst = inlist("e", L)
+        if lst:
+            clauses.append(f"WHEN t{L} IN ({lst}) THEN {L - 1}")
+    for eff in range(max_l + 1, 0, -1):
+        wl = inlist("w", eff - 1)
+        if wl:
+            clauses.append(
+                f"WHEN t{eff - 1} IN ({wl}) AND nlab >= {eff} "
+                f"THEN {eff}")
+        nl = inlist("n", eff)
+        if nl:
+            clauses.append(f"WHEN t{eff} IN ({nl}) THEN {eff}")
+    ps_lab = "CASE " + " ".join(clauses) + " ELSE 1 END"
+    pick = lambda v: ("CASE " + v + " " + " ".join(
+        f"WHEN {L} THEN t{L}" for L in range(1, need + 1)) + " END")
+    return f"""
+WITH h0 AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS h
+            FROM {CORPUS}),
+k0 AS (SELECT h,
+        CAST(concat('0x', substr(md5(h), 1, 4)) AS BIGINT) % 8 AS k
+       FROM h0),
+s0 AS (SELECT CASE k
+          WHEN 0 THEN h
+          WHEN 1 THEN replace(h, '.example.com', '.ck')
+          WHEN 2 THEN 'a.' || replace(h, '.example.com', '.ck')
+          WHEN 3 THEN 'www.ck'
+          WHEN 4 THEN replace(h, '.example.com', '.kawasaki.jp')
+          WHEN 5 THEN 'x.' || replace(h, '.example.com', '.kawasaki.jp')
+          WHEN 6 THEN 'city.kawasaki.jp'
+          ELSE replace(h, '.example.com', '.co.uk') END AS host
+       FROM k0),
+p0 AS (SELECT host, str_split(host, '.') AS parts,
+              len(str_split(host, '.')) AS nlab FROM s0),
+t0 AS (SELECT host, nlab,
+        {tails}
+       FROM p0),
+m0 AS (SELECT host, nlab, {ps_lab} AS ps_lab,
+        * EXCLUDE (host, nlab) FROM t0),
+r0 AS (SELECT host,
+        {pick('ps_lab')} AS public_suffix,
+        CASE WHEN nlab > ps_lab THEN {pick('ps_lab + 1')} END AS reg_domain
+       FROM m0)
+SELECT reg_domain, public_suffix,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM r0 GROUP BY reg_domain, public_suffix
+"""
+
+
+SQL_PSL_DOMAINS = _sql_psl_domains()
+
 SQL_URL_DUP_GROUPS = f"""
 WITH u0 AS (SELECT url AS raw FROM {CORPUS}
             UNION ALL SELECT {_sql_messy_url('url')} FROM {CORPUS}),

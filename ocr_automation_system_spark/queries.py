@@ -4901,15 +4901,18 @@ def q_embedding_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("cos_sim"))
              .orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
              .select("vec_id"))
+    # groupBy on the constant (not a global agg) so empty input yields
+    # an empty result — the empty-corpus law every query obeys.
     return (topk.join(brute, "vec_id")
-            .agg(F.lit(10).cast("long").alias("k"),
-                 F.count(F.lit(1)).alias("n_overlap")))
+            .groupBy(F.lit(10).cast("long").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n_overlap")))
 
 
 SQL_EMBEDDING_SQ8_RECALL = f"""
 SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_overlap
 FROM ({SQL_EMBEDDING_SQ8_TOPK}) p
 JOIN ({SQL_EMBEDDING_TOPK}) b USING (vec_id)
+GROUP BY 1
 """
 
 
@@ -6189,6 +6192,45 @@ def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
              .otherwise(F.replace(host, ex, F.lit(".unlistedtld"))))
     d = c.select(synth.alias("host"))
     rd = U.registrable_domain(d, spark)
+    return (rd.groupBy("reg_domain", "public_suffix")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct("host").cast("long").alias("n_hosts")))
+
+
+def q_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X177 — FULL public-suffix-list semantics: wildcard (``*.ck``,
+    ``*.kawasaki.jp``) and exception (``!www.ck``, ``!city.kawasaki.jp``)
+    rules with longest-match precedence, exceptions winning, and
+    ``reg_domain IS NULL`` for hosts that ARE public suffixes. Corpus
+    hosts are rewritten (md5-gated class, identical in both engines)
+    into every shape the matcher must separate: a wildcard child that
+    is itself a suffix, its registrable grandchild, both exception
+    hosts, a deep kawasaki subdomain, and the plain two-level/default
+    classes as regression anchors against the fast-path matcher.
+
+    Scale shape: zero-shuffle label census -> one broadcast LEFT join
+    per stored rule length (map-side; the full 9k-rule list stays
+    broadcastable) -> pure coalesce precedence -> ONE map-side
+    aggregate on the tiny (reg_domain, suffix) key space."""
+    from .functions import urlnorm as U
+
+    c = corpus_for(spark, sf_dir).select("url")
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    k = F.conv(F.substring(F.md5(host), 1, 4), 16, 10).cast("long") % 8
+    ex = F.lit(".example.com")
+    synth = (F.when(k == 0, host)
+             .when(k == 1, F.replace(host, ex, F.lit(".ck")))
+             .when(k == 2, F.concat(F.lit("a."),
+                                    F.replace(host, ex, F.lit(".ck"))))
+             .when(k == 3, F.lit("www.ck"))
+             .when(k == 4, F.replace(host, ex, F.lit(".kawasaki.jp")))
+             .when(k == 5, F.concat(F.lit("x."),
+                                    F.replace(host, ex,
+                                              F.lit(".kawasaki.jp"))))
+             .when(k == 6, F.lit("city.kawasaki.jp"))
+             .otherwise(F.replace(host, ex, F.lit(".co.uk"))))
+    d = c.select(synth.alias("host"))
+    rd = U.registrable_domain_psl(d, spark)
     return (rd.groupBy("reg_domain", "public_suffix")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.countDistinct("host").cast("long").alias("n_hosts")))
@@ -9103,6 +9145,7 @@ REGISTRY: dict = {
     "url_canonicalize": (q_url_canonicalize, PSQL.SQL_URL_CANONICALIZE),
     "registrable_domains": (q_registrable_domains,
                             PSQL.SQL_REGISTRABLE_DOMAINS),
+    "psl_domains": (q_psl_domains, PSQL.SQL_PSL_DOMAINS),
     "url_pattern_census": (q_url_pattern_census,
                            PSQL.SQL_URL_PATTERN_CENSUS),
     "compression_ratios": (q_compression_ratios, SQL_COMPRESSION_RATIOS),
@@ -9199,6 +9242,8 @@ CORPUS_QUERIES: frozenset = frozenset(
     name for name in REGISTRY
     if name.startswith(("pipeline_", "media_"))
 ) | frozenset({
+    "registrable_domains", "psl_domains", "crawl_budget_waterfill",
+    "host_template_census", "img_alt_pairs", "page_weight_histogram",
     "url_canonicalize", "url_dup_groups", "url_pattern_census",
     "compression_ratios", "latest_capture",
     "snapshot_delta", "revisit_stats", "crawl_activity",

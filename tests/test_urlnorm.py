@@ -186,3 +186,70 @@ def test_url_path_skeleton_and_trap_census(spark):
     assert census["/page/N"]["n_urls"] == 25 and census["/page/N"]["trap"]
     assert not census["/about"]["trap"]
     assert census["/page/N"]["example_url"] == "https://t.com/page/0"
+
+
+# ---------------------------------------------------------------------------
+# Full PSL semantics (X177): wildcard + exception rules
+# ---------------------------------------------------------------------------
+
+# (host, expected_public_suffix, expected_reg_domain) — the published
+# PSL algorithm's own worked examples plus the suffix-is-the-host edge.
+PSL_CASES = [
+    # plain one-level + implicit-* default
+    ("example.com", "com", "example.com"),
+    ("a.b.example.com", "com", "example.com"),
+    ("host.unlistedtld", "unlistedtld", "host.unlistedtld"),
+    # two-level + private-section suffixes
+    ("shop.example.co.uk", "co.uk", "example.co.uk"),
+    ("x.github.io", "github.io", "x.github.io"),
+    # a host that IS a suffix has no registrable domain
+    ("github.io", "github.io", None),
+    ("com", "com", None),
+    # wildcard *.ck: every child of ck is itself a suffix
+    ("foo.ck", "foo.ck", None),
+    ("a.foo.ck", "foo.ck", "a.foo.ck"),
+    ("deep.a.foo.ck", "foo.ck", "a.foo.ck"),
+    # exception !www.ck carves www.ck back out
+    ("www.ck", "ck", "www.ck"),
+    ("sub.www.ck", "ck", "www.ck"),
+    # wildcard *.kawasaki.jp (3-label suffixes) + its exception
+    ("host.kawasaki.jp", "host.kawasaki.jp", None),
+    ("x.host.kawasaki.jp", "host.kawasaki.jp", "x.host.kawasaki.jp"),
+    ("city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp"),
+    ("w.city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp"),
+    # DNS case-insensitivity folds before matching
+    ("WWW.CK", "ck", "www.ck"),
+]
+
+
+def test_registrable_domain_psl_cases(spark):
+    from ocr_automation_system_spark.functions.urlnorm import (
+        registrable_domain_psl,
+    )
+
+    df = spark.createDataFrame([(h,) for h, _, _ in PSL_CASES],
+                               "host string")
+    out = {r["host"]: (r["public_suffix"], r["reg_domain"])
+           for r in registrable_domain_psl(df, spark).collect()}
+    # hosts are returned as given; only the MATCHING folds case
+    got = {h: out[h] for h, _, _ in PSL_CASES}
+    want = {h: (s, r) for h, s, r in PSL_CASES}
+    assert got == want
+
+
+def test_registrable_domain_psl_no_shuffle(spark):
+    """The matcher must stay a scan-fused narrow plan: broadcast joins
+    only, no Exchange on the corpus side."""
+    from ocr_automation_system_spark.functions.urlnorm import (
+        registrable_domain_psl,
+    )
+
+    df = spark.range(100).select(
+        F.concat(F.lit("h"), F.col("id")).alias("host"))
+    plan = (registrable_domain_psl(df, spark)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges allowed are the broadcast ones
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "BroadcastExchange" in line, line
