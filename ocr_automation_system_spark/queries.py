@@ -2349,6 +2349,107 @@ FROM h
 SQL_SLOP_LEXICON_SCORES = _sql_slop()
 
 
+#: Per-language LLM-overuse lexicons (X178). Demo subsets — the en list
+#: is the published frequency-jump set above; the others are the same
+#: analysis run per language (deployments pass their own, typically a
+#: few hundred words per language). A lang with no lexicon is reported
+#: honestly (has_lexicon = false, zero counts) rather than silently
+#: scored against the wrong language's list.
+SLOP_LEXICONS = {
+    "en": SLOP_WORDS,
+    "de": ("eintauchen", "vielschichtig", "entscheidend", "nahtlos",
+           "lebendig", "unterstreicht", "facettenreich", "wegweisend",
+           "beeindruckend", "massgeschneidert"),
+    "fr": ("plonger", "crucial", "incontournable", "dynamique",
+           "souligne", "essentiel", "harmonieusement", "novateur",
+           "emblematique", "fascinant"),
+    "es": ("sumergirse", "crucial", "imprescindible", "vibrante",
+           "subraya", "fundamental", "perfectamente", "innovador",
+           "emblematico", "fascinante"),
+}
+
+
+def q_slop_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X178 — per-language slop scoring: each document's token stream is
+    scored against ITS OWN language's overuse lexicon, selected by a
+    broadcast join on the (tiny) lang -> lexicon dimension; languages
+    without a lexicon surface ``has_lexicon = false`` instead of fake
+    zeros-that-mean-clean. The multilingual form of X169 — an English
+    slop list scored over French text systematically under-reports
+    contamination in every non-English slice of the corpus.
+
+    The corpus text carries no slop naturally, so both engines plant
+    an md5-gated suffix — en/de/fr/es slop words and a cross-language
+    mix — making the hash check discriminate: planted French words in
+    a German document must NOT count toward the German score.
+
+    Scale shape: ONE broadcast LEFT join on lang attaches the lexicon
+    array; membership is a row-local array filter (JVM HOF, the lexicon
+    is a plain joined column so the lambda re-evaluation cliff does not
+    apply); zero shuffle, zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(
+        [(lang, list(words)) for lang, words in sorted(SLOP_LEXICONS.items())],
+        "lang string, lex array<string>")
+    k = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("long") % 6)
+    planted = (F.when(k == 0, F.lit(" delve tapestry delve"))
+               .when(k == 1, F.lit(" eintauchen nahtlos"))
+               .when(k == 2, F.lit(" plonger incontournable"))
+               .when(k == 3, F.lit(" sumergirse vibrante"))
+               .when(k == 4, F.lit(" delve plonger"))
+               .otherwise(F.lit("")))
+    text = F.concat(F.coalesce(F.col("text"), F.lit("")), planted)
+    toks = T.ws_tokens(T.clean_text(text))
+    d = (docs.select("doc_id", "lang", toks.alias("_toks"))
+         .join(F.broadcast(dim), "lang", "left"))
+    hits = F.filter(F.col("_toks"),
+                    lambda x: F.array_contains(F.col("lex"), x))
+    n = F.size(F.col("_toks"))
+    n_slop = F.coalesce(F.size(hits), F.lit(0))
+    return d.select(
+        "doc_id", "lang",
+        F.col("lex").isNotNull().alias("has_lexicon"),
+        F.when(F.col("lex").isNotNull(), n_slop).otherwise(F.lit(0))
+        .cast("int").alias("n_slop"),
+        F.round(F.when(F.col("lex").isNotNull() & (n > 0),
+                       n_slop.cast("double") * 1000.0 / n.cast("double"))
+                .otherwise(F.lit(0.0)), 6).alias("slop_per_1k"))
+
+
+def _sql_slop_by_lang() -> str:
+    planted = ("CASE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),"
+               " 1, 4)) AS BIGINT) % 6"
+               " WHEN 0 THEN ' delve tapestry delve'"
+               " WHEN 1 THEN ' eintauchen nahtlos'"
+               " WHEN 2 THEN ' plonger incontournable'"
+               " WHEN 3 THEN ' sumergirse vibrante'"
+               " WHEN 4 THEN ' delve plonger'"
+               " ELSE '' END")
+    toks = _sql_toks(_sql_clean(f"coalesce(text, '') || {planted}"))
+    arms = " ".join(
+        "WHEN '{0}' THEN len(list_filter(toks, x -> x IN ({1})))".format(
+            lang, ", ".join(f"'{w.lower()}'" for w in words))
+        for lang, words in sorted(SLOP_LEXICONS.items()))
+    known = ", ".join(f"'{lang}'" for lang in sorted(SLOP_LEXICONS))
+    return f"""
+WITH t0 AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+h AS (SELECT doc_id, lang, len(toks) AS n,
+        CASE lang {arms} ELSE 0 END AS nh,
+        lang IN ({known}) AS has_lexicon
+      FROM t0)
+SELECT doc_id, lang, has_lexicon,
+  CAST(CASE WHEN has_lexicon THEN nh ELSE 0 END AS INTEGER) AS n_slop,
+  round(CASE WHEN has_lexicon AND n > 0
+        THEN CAST(nh AS DOUBLE) * 1000.0 / CAST(n AS DOUBLE)
+        ELSE 0.0 END, 6) AS slop_per_1k
+FROM h
+"""
+
+
+SQL_SLOP_BY_LANG = _sql_slop_by_lang()
+
+
 def q_corpus_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X172 — the corpus maintenance MERGE (Iceberg
     ``MERGE INTO``/``overwritePartitions`` semantics expressed on plain
@@ -9146,6 +9247,7 @@ REGISTRY: dict = {
     "registrable_domains": (q_registrable_domains,
                             PSQL.SQL_REGISTRABLE_DOMAINS),
     "psl_domains": (q_psl_domains, PSQL.SQL_PSL_DOMAINS),
+    "slop_by_lang": (q_slop_by_lang, SQL_SLOP_BY_LANG),
     "url_pattern_census": (q_url_pattern_census,
                            PSQL.SQL_URL_PATTERN_CENSUS),
     "compression_ratios": (q_compression_ratios, SQL_COMPRESSION_RATIOS),

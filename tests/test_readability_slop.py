@@ -45,3 +45,33 @@ def test_slop_rate_arithmetic(spark):
 def test_slop_list_lowercase_distinct():
     assert all(w == w.lower() for w in SLOP_WORDS)
     assert len(set(SLOP_WORDS)) == len(SLOP_WORDS)
+
+
+def test_slop_by_lang_cross_language(spark):
+    """X178: a document is scored only against ITS language's lexicon —
+    English slop words inside a French doc must not count, and a lang
+    with no lexicon reports has_lexicon=false, never fake-clean zeros."""
+    from ocr_automation_system_spark.queries import SLOP_LEXICONS
+
+    dim = spark.createDataFrame(
+        [(lang, list(ws)) for lang, ws in sorted(SLOP_LEXICONS.items())],
+        "lang string, lex array<string>")
+    rows = [
+        (1, "en", "we delve into the tapestry of delve"),     # 3 en hits
+        (2, "fr", "delve tapestry pivotal"),                  # en words, fr doc
+        (3, "fr", "plonger dans un univers incontournable"),  # 2 fr hits
+        (4, "zh", "delve plonger eintauchen"),                # no zh lexicon
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    toks = ws_tokens(clean_text(F.coalesce(F.col("text"), F.lit(""))))
+    d = (df.select("doc_id", "lang", toks.alias("_toks"))
+         .join(F.broadcast(dim), "lang", "left"))
+    hits = F.filter(F.col("_toks"),
+                    lambda x: F.array_contains(F.col("lex"), x))
+    out = {r["doc_id"]: r for r in d.select(
+        "doc_id", F.col("lex").isNotNull().alias("has_lexicon"),
+        F.coalesce(F.size(hits), F.lit(0)).alias("n_slop")).collect()}
+    assert out[1]["n_slop"] == 3
+    assert out[2]["n_slop"] == 0          # cross-language words don't count
+    assert out[3]["n_slop"] == 2
+    assert not out[4]["has_lexicon"] and out[4]["n_slop"] == 0
