@@ -693,6 +693,46 @@ def sq8_encode_py(vec: list, mins: list, maxs: list) -> list:
     return out
 
 
+def sq16_encode_py(vec: list, mins: list, maxs: list) -> list:
+    """16-bit query-side encoding for the ASYMMETRIC distance (X180):
+    same affine map as sq8_encode_py at 65535 steps — the query-side
+    quantization error becomes negligible (1/257 of a corpus step)
+    while the arithmetic stays on an exact integer grid."""
+    out = []
+    for x, a, b in zip(vec, mins, maxs):
+        if b == a:
+            out.append(0)
+        else:
+            out.append(max(0, min(65535, math.floor(
+                ((float(x) - a) * 65535.0) / (b - a)))))
+    return out
+
+
+def sq8_asym_topk(df: DataFrame, mins: list, maxs: list, qvec: list,
+                  k_results: int = 10, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """X180 — asymmetric SQ top-k (the FAISS SQ ADC idea): the CORPUS
+    stays 8-bit, only it pays quantization error; the query is encoded
+    at 16-bit on the same per-dim affine grid and corpus codes are
+    lifted onto it exactly (c*257, since 255*257 = 65535) — so the
+    distance is float-query-fidelity up to 1/257 of a corpus step yet
+    every arithmetic op is exact int64 (per-dim diff <= 65535, squared
+    4.3e9, far under the _sq_dist bound), bit-identical across engines
+    and partitionings. Same scan shape as sq8_topk: narrow codegen
+    projection + TakeOrdered(k) on (dist, id)."""
+    q16 = sq16_encode_py(qvec, mins, maxs)
+    codes = sq8_code_expr(F.col(vec_col), mins, maxs)
+    d = df.select(F.col(id_col),
+                  bind_array(
+                      codes,
+                      lambda c: _sq_dist(
+                          F.transform(c, lambda x: (x * 257).cast("long")),
+                          F.lit([int(v) for v in q16])
+                          .cast("array<long>"))).alias("asq_dist"))
+    return (d.orderBy(F.col("asq_dist").asc(), F.col(id_col).asc())
+            .limit(k_results))
+
+
 def sq8_topk(df: DataFrame, mins: list, maxs: list, qvec: list,
              k_results: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

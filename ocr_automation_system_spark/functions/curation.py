@@ -1903,7 +1903,7 @@ REPAIR_SCHEMA = "url string, text string"
 
 def fix_encoding(df: DataFrame, url_col: str = "url",
                  text_col: str = "text",
-                 mode: str = "jvm") -> DataFrame:
+                 mode: str = "jvm", depth: int = 1) -> DataFrame:
     """Mojibake repair as a curation stage: returns (url, text) with
     classic UTF-8-read-as-cp1252 double-encoding reversed.
 
@@ -1917,13 +1917,22 @@ def fix_encoding(df: DataFrame, url_col: str = "url",
     price of a Python stage. Both are map-only (zero shuffle) and
     deterministic; on text whose non-ASCII damage is within the table's
     alphabet the two modes are bit-identical (parity-pinned in
-    tests/test_encoding_repair.py)."""
-    from .text import repair_mojibake, repair_mojibake_text_py
+    tests/test_encoding_repair.py).
+
+    ``depth`` (X179) handles multiply-mangled text (damaged upstream,
+    republished through another mislabelled-charset hop): jvm mode
+    composes the closed-table chain ``depth`` times (one layer unwound
+    per application — exact because the alphabet is mangle-closed);
+    codec mode iterates the per-line kernel to a fixpoint bounded by
+    ``depth``. Over-estimating depth is safe in both modes (repair of
+    clean alias-free text is the identity)."""
+    from .text import (repair_mojibake_deep, repair_mojibake_text_fix_py,
+                       repair_mojibake_text_py)
 
     if mode == "jvm":
         return df.select(
             F.col(url_col).alias("url"),
-            repair_mojibake(F.col(text_col)).alias("text"))
+            repair_mojibake_deep(F.col(text_col), depth).alias("text"))
     if mode != "codec":
         raise ValueError(f"unknown fix_encoding mode: {mode!r}")
 
@@ -1935,7 +1944,9 @@ def fix_encoding(df: DataFrame, url_col: str = "url",
         for pdf in it:
             yield pd.DataFrame({
                 "url": pdf[url_col],
-                "text": [None if t is None else repair_mojibake_text_py(t)
+                "text": [None if t is None
+                         else (repair_mojibake_text_py(t) if depth == 1
+                               else repair_mojibake_text_fix_py(t, depth))
                          for t in pdf[text_col]],
             })
 

@@ -182,9 +182,9 @@ def encoding_damage(df, id_col: str = "doc_id",
 #: canonical exclusion: its cp1252 byte 0x9D is undefined, so its
 #: mangled form only exists under ftfy's sloppy-windows-1252 codec —
 #: that class is the pandas kernel's job (``repair_mojibake_pandas``).
-_MOJIBAKE_CHARS = ("éèêëàáâäãåçíîïñóôöõúùûüøæß"
-                   "ÀÂÃÄÅÆÇÈÉÊËÎÑÖÜØÙÚÛ"
-                   "°«»·ºª¿¡§£‘’“–—…•€™")
+_MOJIBAKE_SEED = ("éèêëàáâäãåçíîïñóôöõúùûüøæß"
+                  "ÀÂÃÄÅÆÇÈÉÊËÎÑÖÜØÙÚÛ"
+                  "°«»·ºª¿¡§£‘’“–—…•€™")
 
 
 def _mangled_form(c: str) -> str | None:
@@ -193,6 +193,36 @@ def _mangled_form(c: str) -> str | None:
         return c.encode("utf-8").decode("cp1252")
     except UnicodeDecodeError:
         return None
+
+
+def _closure(chars: str) -> str:
+    """Close the alphabet under mangling (X179): every non-ASCII char
+    appearing in any member's mangled form joins the set (if itself
+    repairable). Closure is what makes the table chain unwind DOUBLE
+    mojibake exactly: the outer layer of ``mangle(mangle(s))`` consists
+    of the mangled forms of the chars of ``mangle(s)`` — chars like
+    ``Ã``/``Â``/``ƒ``/``©`` that a seed-only table would leave behind,
+    stranding the text one layer deep forever. The orbit stays inside
+    latin-1 + the cp1252 0x80–0xBF block, so this terminates in 2
+    rounds; ``”`` (byte 0x9D, undefined in cp1252) is the one orbit
+    member with no decodable form and stays out — the documented
+    sloppy-codec-kernel-only exclusion."""
+    seen, frontier = set(chars), set(chars)
+    while frontier:
+        new = set()
+        for c in frontier:
+            m = _mangled_form(c)
+            if not m:
+                continue
+            for ch in m:
+                if ord(ch) > 127 and ch not in seen:
+                    new.add(ch)
+        seen |= new
+        frontier = new
+    return "".join(sorted(c for c in seen if _mangled_form(c)))
+
+
+_MOJIBAKE_CHARS = _closure(_MOJIBAKE_SEED)
 
 
 #: (mangled_form, original_char), longest mangled form first so the
@@ -226,6 +256,40 @@ def repair_mojibake_py(s: str) -> str:
     for mangled, orig in MOJIBAKE_MAP:
         s = s.replace(mangled, orig)
     return s
+
+
+def repair_mojibake_deep(text: Column, depth: int = 2) -> Column:
+    """X179 — the table chain composed ``depth`` times: because the
+    alphabet is CLOSED under mangling (``_closure``), one application
+    unwinds exactly one encoding layer on alias-free text (text whose
+    clean form contains no mangled-form substring — the inherent
+    ambiguity of all mojibake repair), so ``depth`` applications
+    recover text damaged up to ``depth`` times. Still one codegen
+    projection, zero Python, zero shuffle; once clean, further
+    applications are the identity, so over-estimating depth is safe."""
+    out = text
+    for _ in range(depth):
+        out = repair_mojibake(out)
+    return out
+
+
+def mangle_mojibake_expr(text: Column) -> Column:
+    """Forward mangle as a JVM expression (query planting / fixtures):
+    per-char parallel map through the mangled-form table via a
+    split->transform->join — NOT a sequential replace chain, which
+    would re-mangle the lead/continuation chars an earlier replacement
+    just introduced (a closed table makes sequential forward mangling
+    impossible by construction). Exactly ``corpus.mangle_mojibake``."""
+    mapping = {c: m for m, c in MOJIBAKE_MAP}
+
+    def _map_char(x):
+        cond = None
+        for c, m in sorted(mapping.items()):
+            cond = (F.when(x == c, F.lit(m)) if cond is None
+                    else cond.when(x == c, F.lit(m)))
+        return F.coalesce(cond, x)
+
+    return F.array_join(F.transform(F.split(text, ""), _map_char), "")
 
 
 def _sloppy_cp1252_encode(s: str) -> bytes | None:
@@ -277,6 +341,30 @@ def repair_mojibake_line(line: str) -> str:
 def repair_mojibake_text_py(s: str) -> str:
     """Whole-document production repair: per-line kernel, '\\n' joined."""
     return "\n".join(repair_mojibake_line(ln) for ln in s.split("\n"))
+
+
+def repair_mojibake_line_fix(line: str, max_depth: int = 3) -> str:
+    """X179 — codec kernel iterated to a fixpoint: TWICE-mangled crawl
+    text (damaged upstream, stored, re-served through another
+    mislabelled-charset hop — common when an already-broken page is
+    scraped and republished) unwinds one layer per pass. Each pass
+    keeps the single-pass kernel's safety proof (strict UTF-8 re-decode
+    must round-trip exactly), so iterating cannot introduce repairs the
+    single pass would refuse; ``max_depth`` bounds pathological inputs
+    that keep round-tripping (depth 3 covers every damage shape seen in
+    published crawl audits)."""
+    for _ in range(max_depth):
+        fixed = repair_mojibake_line(line)
+        if fixed == line:
+            return line
+        line = fixed
+    return line
+
+
+def repair_mojibake_text_fix_py(s: str, max_depth: int = 3) -> str:
+    """Whole-document fixpoint repair: per-line kernel to fixpoint."""
+    return "\n".join(repair_mojibake_line_fix(ln, max_depth)
+                     for ln in s.split("\n"))
 
 
 # ---------------------------------------------------------------------------

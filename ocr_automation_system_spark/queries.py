@@ -2450,6 +2450,118 @@ FROM h
 SQL_SLOP_BY_LANG = _sql_slop_by_lang()
 
 
+#: X179 planted suffix: alias-free (contains no mangled-form substring)
+#: and drawn entirely from the CLOSED repair alphabet, so depth-k
+#: damage is exactly k-unwindable. Audited by tests/test_encoding_repair.
+MOJIBAKE_FIX_SEED = " café naïve — «München» €99 ™"
+
+
+def q_mojibake_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X179 — DOUBLE-mojibake fixpoint census: each document gets an
+    md5-gated damage depth k in {0,1,2} planted (true per-char forward
+    mangle applied k times to text + an in-alphabet seed suffix), then
+    the closed-table repair chain runs to a bounded fixpoint. Detected
+    depth is the first j with repair^j == repair^(j+1) — no ground
+    truth consulted — and the result pins the diagonal: detected ==
+    planted, all texts restored byte-exactly (n_restored == n_docs),
+    plus the additive md5 attestation of the fixpoint texts so the
+    driver hashes repaired bytes, not just counts. Closure of the
+    repair alphabet (text._closure) is the load-bearing fact: a
+    seed-only table strands twice-mangled text one layer deep forever.
+
+    Scale shape: pure codegen projections (per-char transform + chained
+    literal replaces), zero Python, zero shuffle before the final tiny
+    (3x4-key) aggregate; at production scale the stage gates on the
+    cheap MOJIBAKE_RE detector first so the chain runs only on flagged
+    documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("long") % 3)
+    b = F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.lit(MOJIBAKE_FIX_SEED))
+    d = (docs.select("doc_id", k.alias("k"), b.alias("b"))
+         .withColumn("m1", T.mangle_mojibake_expr(F.col("b")))
+         .withColumn("m2", T.mangle_mojibake_expr(F.col("m1")))
+         .withColumn("dam", F.when(F.col("k") == 0, F.col("b"))
+                             .when(F.col("k") == 1, F.col("m1"))
+                             .otherwise(F.col("m2")))
+         .withColumn("r1", T.repair_mojibake(F.col("dam")))
+         .withColumn("r2", T.repair_mojibake(F.col("r1")))
+         .withColumn("r3", T.repair_mojibake(F.col("r2"))))
+    depth = (F.when(F.col("dam") == F.col("r1"), F.lit(0))
+             .when(F.col("r1") == F.col("r2"), F.lit(1))
+             .when(F.col("r2") == F.col("r3"), F.lit(2))
+             .otherwise(F.lit(-1)))
+    fixv = (F.when(F.col("dam") == F.col("r1"), F.col("dam"))
+            .when(F.col("r1") == F.col("r2"), F.col("r1"))
+            .when(F.col("r2") == F.col("r3"), F.col("r2"))
+            .otherwise(F.col("r3")))
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"), F.md5(fixv))), 1, 15),
+        16, 10).cast("long")
+    return (d.select(F.col("k").cast("int").alias("planted_depth"),
+                     depth.cast("int").alias("detected_depth"),
+                     (fixv == F.col("b")).cast("int").alias("_rest"),
+                     h.cast("decimal(38,0)").alias("_h"))
+            .groupBy("planted_depth", "detected_depth")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_rest").cast("long").alias("n_restored"),
+                 F.sum("_h").cast("decimal(38,0)").cast("string")
+                 .alias("sum_h")))
+
+
+def _sql_mojibake_fixpoint() -> str:
+    """Twin of q_mojibake_fixpoint: the mangle CASE and repair chain
+    render from the same MOJIBAKE_MAP; every stage is a MATERIALIZED
+    CTE (default inlining would re-expand the chain once per reference
+    — the X46 exponential-CTE lesson)."""
+    from .functions.text import MOJIBAKE_MAP
+
+    mapping = {c: m for m, c in MOJIBAKE_MAP}
+    arms = " ".join(f"WHEN '{c}' THEN '{m}'"
+                    for c, m in sorted(mapping.items()))
+    mangle = lambda v: (f"array_to_string(list_transform("
+                        f"string_split({v}, ''), x -> CASE x {arms} "
+                        f"ELSE x END), '')")
+
+    def repair(v: str) -> str:
+        for m, c in MOJIBAKE_MAP:
+            v = f"replace({v}, '{m}', '{c}')"
+        return v
+
+    seed = MOJIBAKE_FIX_SEED
+    return f"""
+WITH d0 AS MATERIALIZED (SELECT doc_id,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+      AS BIGINT) % 3 AS k,
+    coalesce(text, '') || '{seed}' AS b FROM documents),
+t1 AS MATERIALIZED (SELECT *, {mangle('b')} AS m1 FROM d0),
+t2 AS MATERIALIZED (SELECT *, {mangle('m1')} AS m2 FROM t1),
+t3 AS MATERIALIZED (SELECT *,
+    CASE k WHEN 0 THEN b WHEN 1 THEN m1 ELSE m2 END AS dam FROM t2),
+t4 AS MATERIALIZED (SELECT *, {repair('dam')} AS r1 FROM t3),
+t5 AS MATERIALIZED (SELECT *, {repair('r1')} AS r2 FROM t4),
+t6 AS MATERIALIZED (SELECT *, {repair('r2')} AS r3 FROM t5),
+f AS (SELECT doc_id, k, b,
+    CASE WHEN dam = r1 THEN 0 WHEN r1 = r2 THEN 1
+         WHEN r2 = r3 THEN 2 ELSE -1 END AS depth,
+    CASE WHEN dam = r1 THEN dam WHEN r1 = r2 THEN r1
+         WHEN r2 = r3 THEN r2 ELSE r3 END AS fx
+  FROM t6)
+SELECT CAST(k AS INTEGER) AS planted_depth,
+  CAST(depth AS INTEGER) AS detected_depth,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN fx = b THEN 1 ELSE 0 END) AS BIGINT) AS n_restored,
+  CAST(CAST(sum(CAST(concat('0x', substr(md5(concat(
+    CAST(doc_id AS VARCHAR), ':', md5(fx))), 1, 15)) AS BIGINT))
+    AS DECIMAL(38, 0)) AS VARCHAR) AS sum_h
+FROM f GROUP BY 1, 2
+"""
+
+
+SQL_MOJIBAKE_FIXPOINT = _sql_mojibake_fixpoint()
+
+
 def q_corpus_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X172 — the corpus maintenance MERGE (Iceberg
     ``MERGE INTO``/``overwritePartitions`` semantics expressed on plain
@@ -4983,6 +5095,71 @@ SELECT vec_id,
     i -> (c[i] - q[i]) * (c[i] - q[i]))) AS BIGINT) AS sq_dist
 FROM sq8 CROSS JOIN qc
 ORDER BY sq_dist ASC, vec_id ASC LIMIT 10
+"""
+
+
+def q_embedding_sq8_atopk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X180 — ASYMMETRIC SQ8 top-10 (the float-query variant): corpus
+    codes stay 8-bit, the query is encoded at 16-bit on the same
+    per-dim grid and corpus codes lift onto it exactly (c*257) — the
+    FAISS-SQ asymmetric-distance idea with the query-side error pushed
+    to 1/257 of a corpus step while every op remains exact int64
+    (bit-identical across engines, partitionings, reruns). At 10^12
+    vectors the corpus memory story is unchanged (1 byte/dim); only
+    the one broadcast query pays the wider grid."""
+    from .functions import clustering as KM
+
+    emb, (mins, maxs) = _sq8_bounds(spark, sf_dir)
+    qvec = _query_vec(spark, sf_dir)
+    if not mins or qvec is None:
+        return emb.select(F.col("vec_id"),
+                          F.lit(0).cast("long").alias("asq_dist")).limit(0)
+    return KM.sq8_asym_topk(emb, mins, maxs, qvec, k_results=10)
+
+
+SQL_EMBEDDING_SQ8_ATOPK = f"""
+WITH {_sql_sq8_ctes()},
+qc AS (SELECT list_transform(range(1, {_EMB_DIM + 1}), i ->
+         CASE WHEN mxs[i] = mns[i] THEN 0
+              ELSE least(65535, greatest(0,
+                CAST(floor(((CAST(embedding[i] AS DOUBLE) - mns[i])
+                  * 65535.0) / (mxs[i] - mns[i])) AS BIGINT))) END) AS q
+       FROM embeddings CROSS JOIN bounds WHERE vec_id = 0)
+SELECT vec_id,
+  CAST(list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+    i -> (257 * c[i] - q[i]) * (257 * c[i] - q[i]))) AS BIGINT)
+    AS asq_dist
+FROM sq8 CROSS JOIN qc
+ORDER BY asq_dist ASC, vec_id ASC LIMIT 10
+"""
+
+
+def q_embedding_sq8_arecall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X180 — asymmetric-vs-float recall gauge: overlap@10 against the
+    exact float brute-force top-10. Asymmetric >= symmetric overlap by
+    construction (only one side quantized); the pair of gauges is the
+    evidence for preferring ADC-style scoring at the same storage
+    cost. Empty-corpus law: groupBy on the constant, not a global
+    agg."""
+    topk = q_embedding_sq8_atopk(spark, sf_dir).select("vec_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec_df(spark, sf_dir)
+    brute = (emb.crossJoin(F.broadcast(q))
+             .select("vec_id",
+                     F.round(S.cosine(F.col("embedding"), F.col("qe")), 6)
+                     .alias("cos_sim"))
+             .orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+             .select("vec_id"))
+    return (topk.join(brute, "vec_id")
+            .groupBy(F.lit(10).cast("long").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n_overlap")))
+
+
+SQL_EMBEDDING_SQ8_ARECALL = f"""
+SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_overlap
+FROM ({SQL_EMBEDDING_SQ8_ATOPK}) p
+JOIN ({SQL_EMBEDDING_TOPK}) b USING (vec_id)
+GROUP BY 1
 """
 
 
@@ -9159,6 +9336,10 @@ REGISTRY: dict = {
     "embedding_sq8_codes": (q_embedding_sq8_codes,
                             SQL_EMBEDDING_SQ8_CODES),
     "embedding_sq8_topk": (q_embedding_sq8_topk, SQL_EMBEDDING_SQ8_TOPK),
+    "embedding_sq8_atopk": (q_embedding_sq8_atopk,
+                            SQL_EMBEDDING_SQ8_ATOPK),
+    "embedding_sq8_arecall": (q_embedding_sq8_arecall,
+                              SQL_EMBEDDING_SQ8_ARECALL),
     "embedding_sq8_recall": (q_embedding_sq8_recall,
                              SQL_EMBEDDING_SQ8_RECALL),
     "embedding_semdedup_keep": (q_embedding_semdedup_keep,
@@ -9248,6 +9429,7 @@ REGISTRY: dict = {
                             PSQL.SQL_REGISTRABLE_DOMAINS),
     "psl_domains": (q_psl_domains, PSQL.SQL_PSL_DOMAINS),
     "slop_by_lang": (q_slop_by_lang, SQL_SLOP_BY_LANG),
+    "mojibake_fixpoint": (q_mojibake_fixpoint, SQL_MOJIBAKE_FIXPOINT),
     "url_pattern_census": (q_url_pattern_census,
                            PSQL.SQL_URL_PATTERN_CENSUS),
     "compression_ratios": (q_compression_ratios, SQL_COMPRESSION_RATIOS),

@@ -85,6 +85,11 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "extracted text before any content heuristic "
                         "or dedup hash sees it (curation.fix_encoding, "
                         "JVM table chain — zero Python, zero shuffle)")
+    p.add_argument("--fix-encoding-depth", type=int, default=1,
+                   help="with --fix-encoding: unwind up to N layers of "
+                        "mojibake (X179 closed-table chain composed N "
+                        "times; 2 catches damaged-then-republished "
+                        "pages; over-estimating is safe/identity)")
     p.add_argument("--scrub-pii", action="store_true",
                    help="--curate only: redact checksum-validated PII "
                         "(Luhn cards, mod-97 IBANs) from the curated "
@@ -321,6 +326,7 @@ def main(argv=None, stop_session: bool = True) -> int:
                token_lineage=args.token_lineage,
                url_drops=url_drops,
                fix_encoding=args.fix_encoding,
+               fix_encoding_depth=args.fix_encoding_depth,
                scrub_pii=args.scrub_pii,
                decontaminate=args.decontaminate,
                chunk_tokens=args.chunk_tokens, policy=args.policy,
@@ -561,7 +567,8 @@ def compliance_drops(documents, honor_noindex: bool = False,
 
 def curate(spark, results, output: str, quota: int = 1000,
            quota_etld1: bool = False, token_lineage: bool = False,
-           fix_encoding: bool = False, scrub_pii: bool = False,
+           fix_encoding: bool = False, fix_encoding_depth: int = 1,
+           scrub_pii: bool = False,
            decontaminate: str = "",
            chunk_tokens: int = 0, policy: bool = False,
            gopher: bool = False,
@@ -638,10 +645,11 @@ def curate(spark, results, output: str, quota: int = 1000,
         # repaired bytes. Narrow in-place projection — the 64-entry
         # chained replace rides the same scan, zero extra shuffle.
         from ocr_automation_system_spark.functions.text import (
-            repair_mojibake,
+            repair_mojibake_deep,
         )
 
-        repaired = repair_mojibake(F.col("text"))
+        repaired = repair_mojibake_deep(F.col("text"),
+                                        fix_encoding_depth)
         counts["encoding_repaired"] = (
             docs.filter(repaired != F.col("text")).count())
         docs = docs.withColumn("text", repaired).persist()

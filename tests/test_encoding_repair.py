@@ -210,3 +210,128 @@ def test_fix_encoding_streams_unchanged(spark, tmp_path):
             spark.createDataFrame(rows, ["url", "text"]),
             mode=mode).collect())
         assert got == want and len(got) == 4, mode
+
+
+# ---------------------------------------------------------------------------
+# X179: closed alphabet + double-mojibake fixpoint
+# ---------------------------------------------------------------------------
+
+def test_alphabet_is_mangle_closed():
+    """Every non-ASCII char in any mangled form is itself in the table
+    (the property that makes depth-k unwinding exact) — except ” whose
+    cp1252 byte 0x9D is undefined (documented codec-kernel-only)."""
+    chars = {c for _, c in MOJIBAKE_MAP}
+    for m, _ in MOJIBAKE_MAP:
+        for ch in m:
+            if ch.isascii():
+                continue
+            assert ch in chars or ch == "”", repr(ch)
+
+
+def test_fix_seed_alias_free_and_in_alphabet():
+    from ocr_automation_system_spark.queries import MOJIBAKE_FIX_SEED
+
+    chars = {c for _, c in MOJIBAKE_MAP}
+    for ch in MOJIBAKE_FIX_SEED:
+        assert ch.isascii() or ch in chars, repr(ch)
+    for m, _ in MOJIBAKE_MAP:
+        assert m not in MOJIBAKE_FIX_SEED, repr(m)
+
+
+def _true_mangle(s: str) -> str:
+    out = []
+    for ch in s:
+        try:
+            out.append(ch.encode("utf-8").decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(ch)
+    return "".join(out)
+
+
+def test_table_chain_unwinds_double_mangle_exactly():
+    """repair^k == identity on true k-fold mangles of alias-free text
+    over the closed alphabet, k = 1, 2, 3."""
+    s = "café naïve — «München» €99 ™ reçu …fin ±3° º1ª"
+    d = s
+    for k in range(1, 4):
+        d = _true_mangle(d)
+        r = d
+        for _ in range(k):
+            r = repair_mojibake_py(r)
+        assert r == s, f"depth {k}"
+        # one extra application is the identity (safe over-estimate)
+        assert repair_mojibake_py(r) == s
+
+
+def _sloppy_mangle(s: str) -> str:
+    """The REAL wire bug at byte level: every UTF-8 byte read back as
+    cp1252, the five undefined bytes surviving as U+0081-style controls
+    (what sloppy-windows-1252 decoders emit). Unlike the corpus's
+    per-char strict mangle this also damages ``”`` — the class only the
+    codec kernel can reverse."""
+    out = []
+    for byte in s.encode("utf-8"):
+        try:
+            out.append(bytes([byte]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(byte))
+    return "".join(out)
+
+
+def test_codec_kernel_fixpoint():
+    from ocr_automation_system_spark.functions.text import (
+        repair_mojibake_line_fix,
+    )
+
+    s = "voilà l'été — «fin» et ”done”"   # includes the 0x9D-byte char
+    d2 = _sloppy_mangle(_sloppy_mangle(s))
+    assert repair_mojibake_line_fix(d2) == s
+    # single-pass kernel stops one layer deep on the same input
+    assert repair_mojibake_line(d2) == _sloppy_mangle(s) != s
+    # clean lines (even with legit accents) are untouched
+    assert repair_mojibake_line_fix(s) == s
+    assert repair_mojibake_line_fix("ascii only") == "ascii only"
+    # strict-passthrough double-mangle orphans the 0x9D byte mid-line:
+    # the kernel must REFUSE (identity), never corrupt
+    dstrict = _true_mangle(_true_mangle(s))
+    assert repair_mojibake_line_fix(dstrict) == dstrict
+
+
+def test_mangle_expr_matches_python(spark):
+    """The per-char JVM forward-mangle used for query planting equals
+    corpus.mangle_mojibake byte-for-byte, including twice applied."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.corpus import mangle_mojibake
+    from ocr_automation_system_spark.functions.text import (
+        mangle_mojibake_expr, repair_mojibake,
+    )
+
+    texts = ["café — «São» €9 ™", "plain ascii", "", "±½¾ ŸŽž ƒˆ˜"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["i", "t"])
+    out = {r["i"]: (r["m1"], r["m2"], r["r2"]) for r in df.select(
+        "i", mangle_mojibake_expr(F.col("t")).alias("m1"),
+        mangle_mojibake_expr(mangle_mojibake_expr(F.col("t"))).alias("m2"),
+        repair_mojibake(repair_mojibake(
+            mangle_mojibake_expr(mangle_mojibake_expr(F.col("t")))))
+        .alias("r2")).collect()}
+    for i, t in enumerate(texts):
+        assert out[i][0] == mangle_mojibake(t)
+        assert out[i][1] == mangle_mojibake(mangle_mojibake(t))
+        assert out[i][2] == t
+
+
+def test_fix_encoding_depth_modes(spark):
+    from ocr_automation_system_spark.functions.curation import fix_encoding
+
+    s = "Größe: 25µm · ©2024 ®™"
+    d2 = _true_mangle(_true_mangle(s))
+    df = spark.createDataFrame([("u1", d2), ("u2", s), ("u3", None)],
+                               ["url", "text"])
+    for mode in ("jvm", "codec"):
+        got = {r["url"]: r["text"]
+               for r in fix_encoding(df, mode=mode, depth=2).collect()}
+        assert got["u1"] == s, mode
+        assert got["u2"] == s, mode
+        assert got["u3"] is None, mode
