@@ -1827,6 +1827,58 @@ def winnow_shared_extents(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("n_shared_fps") >= min_shared))
 
 
+def winnow_aligned_spans(df: DataFrame, gen_pred: Column,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         k: int = WINNOW_K, min_run: int = 2,
+                         max_docs_per_fp: int = 64,
+                         max_pos_per_fp: int = 8) -> DataFrame:
+    """X181 — attribution at TOKEN-POSITION granularity: for each
+    (generation, source) candidate pair, the aligned verbatim spans.
+    The key is the offset DELTA: a verbatim run reused from a source
+    places every shared fingerprint at a constant ``gen_pos - src_pos``
+    (the plagiarism-alignment diagonal), so grouping matches by
+    (gen, src, delta) and keeping groups with >= ``min_run`` matches
+    separates a memorized passage (one delta, many matches, tight
+    extent) from scattered phrase reuse (many deltas, one match each) —
+    which a count-only attribution (X167) cannot tell apart. Emits
+    (gen_id, doc_id, delta, n_matches, gen_start, gen_end, src_start,
+    src_end); ``*_end`` is the last token of the last matched k-gram.
+
+    Scale shape: the positional fingerprint stream is ~2/(w+1) of the
+    gram stream; hot fingerprints die by the aggregate + broadcast
+    anti-join cap law BEFORE the probe join; repetition-degenerate
+    (doc, fp) position lists are capped to ``max_pos_per_fp`` by a
+    rank the optimizer pushes map-side as WindowGroupLimit (the
+    posting-heads idiom — a limit, not a count-over-window buffer);
+    the delta groupBy keys on content overlap volume, not corpus
+    size."""
+    fps = winnow_fingerprints(df, id_col=id_col, text_col=text_col)
+    pw = Window.partitionBy(id_col, "fp").orderBy(F.asc("pos"))
+    fps = (fps.withColumn("_r", F.row_number().over(pw))
+           .filter(F.col("_r") <= max_pos_per_fp).drop("_r"))
+    gen = df.select(F.col(id_col), gen_pred.alias("_g"))
+    fps = fps.join(gen, id_col)
+    gf = (fps.filter(F.col("_g"))
+          .select(F.col(id_col).alias("gen_id"), "fp",
+                  F.col("pos").alias("gpos")))
+    cf0 = fps.filter(~F.col("_g")).select(id_col, "fp", "pos")
+    hot = (cf0.select(id_col, "fp").distinct()
+           .groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > max_docs_per_fp).select("fp"))
+    cf = cf0.join(F.broadcast(hot), "fp", "left_anti")
+    pairs = gf.join(cf, "fp").select(
+        "gen_id", F.col(id_col).alias("doc_id"),
+        (F.col("gpos") - F.col("pos")).cast("long").alias("delta"),
+        "gpos", F.col("pos").alias("spos"))
+    return (pairs.groupBy("gen_id", "doc_id", "delta")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
+                 F.min("gpos").cast("long").alias("gen_start"),
+                 (F.max("gpos") + (k - 1)).cast("long").alias("gen_end"),
+                 F.min("spos").cast("long").alias("src_start"),
+                 (F.max("spos") + (k - 1)).cast("long").alias("src_end"))
+            .filter(F.col("n_matches") >= min_run))
+
+
 def write_winnow_index(df: DataFrame, path: str, id_col: str = "doc_id",
                        text_col: str = "text",
                        max_docs_per_fp: int = 64) -> None:

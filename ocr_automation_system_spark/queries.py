@@ -3326,6 +3326,59 @@ WHERE rank <= 3
 """
 
 
+def q_memorization_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X181 — X167's attribution sharpened to TOKEN-POSITION
+    granularity: per (generation, source, offset-delta) the aligned
+    verbatim span in BOTH documents. A memorized passage shows up as
+    one delta with many matches and a tight extent; scattered phrase
+    reuse as many single-match deltas — the distinction that decides
+    "remove this source" vs "common phrasing". Same cap discipline as
+    X167 (hot fingerprints anti-joined away; per-(doc,fp) position
+    lists bounded by the map-side WindowGroupLimit posting-heads
+    idiom); see functions.curation.winnow_aligned_spans."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.winnow_aligned_spans(
+        docs, F.pmod(F.col("doc_id"), F.lit(173)) == 0)
+
+
+def _sql_memorization_spans() -> str:
+    from .functions.curation import WINNOW_K as K
+
+    return f"""
+WITH {_sql_winnow_sel(_sql_toks(_sql_clean('text')))},
+fps0 AS (SELECT DISTINCT doc_id,
+          CAST(u.key // {_SQL_WINNOW_SHIFT} AS BIGINT) AS fp,
+          CAST(u.key % {_SQL_WINNOW_SHIFT} AS INT) AS pos
+         FROM sel, unnest(sl) AS u(key)),
+fps AS (SELECT doc_id, fp, pos FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id, fp
+                                       ORDER BY pos) AS r FROM fps0)
+        WHERE r <= 8),
+gf AS (SELECT doc_id AS gen_id, fp, pos AS gpos FROM fps
+       WHERE doc_id % 173 = 0),
+cf0 AS (SELECT doc_id, fp, pos FROM fps WHERE doc_id % 173 <> 0),
+cf AS (SELECT doc_id, fp, pos FROM cf0
+       WHERE fp NOT IN (SELECT fp FROM (SELECT DISTINCT doc_id, fp
+                                        FROM cf0) GROUP BY fp
+                        HAVING count(*) > 64))
+SELECT gen_id, cf.doc_id,
+  CAST(gpos - cf.pos AS BIGINT) AS delta,
+  CAST(count(*) AS BIGINT) AS n_matches,
+  CAST(min(gpos) AS BIGINT) AS gen_start,
+  CAST(max(gpos) + {K - 1} AS BIGINT) AS gen_end,
+  CAST(min(cf.pos) AS BIGINT) AS src_start,
+  CAST(max(cf.pos) + {K - 1} AS BIGINT) AS src_end
+FROM gf JOIN cf USING (fp)
+GROUP BY gen_id, cf.doc_id, gpos - cf.pos
+HAVING count(*) >= 2
+"""
+
+
+SQL_MEMORIZATION_SPANS = _sql_memorization_spans()
+
+
 def q_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The monthly-crawl pattern with GUARANTEED recall: even doc_ids
     play the indexed corpus (per-doc distinct winnow fingerprints,
@@ -9180,6 +9233,7 @@ REGISTRY: dict = {
     "winnow_fingerprints": (q_winnow_fingerprints,
                             SQL_WINNOW_FINGERPRINTS),
     "winnow_dup_pairs": (q_winnow_dup_pairs, SQL_WINNOW_DUP_PAIRS),
+    "memorization_spans": (q_memorization_spans, SQL_MEMORIZATION_SPANS),
     "memorization_attribution": (q_memorization_attribution,
                                  SQL_MEMORIZATION_ATTRIBUTION),
     "winnow_shared_extents": (q_winnow_shared_extents,

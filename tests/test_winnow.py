@@ -221,3 +221,37 @@ def test_incremental_winnow_empty_index(spark, tmp_path):
     got = incremental_winnow_dedup(
         new, spark, str(tmp_path / "absent")).collect()
     assert [tuple(r) for r in got] == [(1, 0, -1, True)]
+
+
+def test_winnow_aligned_spans_memorized_vs_scattered(spark):
+    """X181: a verbatim 20-token reuse shows as ONE delta group with a
+    tight extent in both docs; two short reuses at inconsistent offsets
+    never form a >= 2-match delta group and are filtered out."""
+    from ocr_automation_system_spark.functions.curation import (
+        WINNOW_K, winnow_aligned_spans,
+    )
+
+    src_a = [f"a{i}" for i in range(40)]           # source A
+    src_b = [f"b{i}" for i in range(40)]           # source B
+    filler = [f"f{i}" for i in range(10)]
+    run = src_a[5:25]                              # 20-token passage
+    # gen 100: memorized run from A at gen offset 10 (delta = 5)
+    gen_mem = filler + run + [f"g{i}" for i in range(8)]
+    # gen 101: two 7-token runs from B at INCONSISTENT deltas
+    gen_scatter = (src_b[0:7] + [f"h{i}" for i in range(9)]
+                   + src_b[20:27])
+    rows = [(1, " ".join(src_a)), (2, " ".join(src_b)),
+            (100, " ".join(gen_mem)), (101, " ".join(gen_scatter))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = winnow_aligned_spans(df, F.col("doc_id") >= 100).collect()
+    by_pair = {(r["gen_id"], r["doc_id"]): r for r in out}
+    assert set(by_pair) == {(100, 1)}
+    r = by_pair[(100, 1)]
+    assert r["delta"] == 5 and r["n_matches"] >= 2
+    # extents bound the reused passage (token-position granularity)
+    assert 10 <= r["gen_start"] <= r["gen_end"] <= 10 + 20 - 1 + 0
+    assert 5 <= r["src_start"] <= r["src_end"] <= 5 + 20 - 1
+    assert r["gen_start"] - r["src_start"] == 5
+    assert r["gen_end"] - r["src_end"] == 5
+    # the end columns include the k-gram tail
+    assert r["gen_end"] - r["gen_start"] >= WINNOW_K
