@@ -1459,3 +1459,46 @@ def test_encoding_damage_fixtures(spark):
     assert not got[5]["damaged"] and not got[6]["damaged"]
     plan = encoding_damage(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_incremental_cc_update_matches_full_recompute(spark):
+    """X182: stored labels + new edges == global CC over the union
+    graph, on a graph mixing chain merges, a shrunken minimum (a new
+    smaller id joins an old cluster), captured singletons, and
+    brand-new nodes — across both CC executions (driver union-find and
+    distributed pointer doubling)."""
+    import random
+
+    from ocr_automation_system_spark.functions import dedup as D
+
+    rng = random.Random(11)
+    nodes = list(range(1, 61))
+    old = [(a, a + 1) for a in nodes[:20] if rng.random() < 0.5]
+    old += [(30, 32), (32, 34), (40, 41)]
+    new = [(5, 15), (34, 40),      # chain + cluster merges
+           (0, 30),                # new smaller id -> minimum shrinks
+           (55, 56), (100, 101)]   # singleton capture + brand-new nodes
+    op = spark.createDataFrame(old, ["doc_a", "doc_b"])
+    np_ = spark.createDataFrame(new, ["doc_a", "doc_b"])
+    ids = spark.createDataFrame([(n,) for n in nodes], ["node"])
+    cc0 = D.connected_components(op)
+    stored = (ids.join(cc0, "node", "left")
+              .select("node", F.coalesce("cluster_id", "node")
+                      .alias("cluster_id")))
+    full = {r["node"]: r["cluster_id"] for r in D.connected_components(
+        op.unionByName(np_)).collect()}
+    for thresh in (1_000_000, 0):       # driver path and distributed path
+        upd = {r["node"]: r["cluster_id"]
+               for r in D.incremental_cc_update(
+                   stored, np_, collect_threshold=thresh).collect()}
+        for n in upd:
+            expect = full.get(n, n)
+            assert upd[n] == expect, (thresh, n, upd[n], expect)
+        assert upd[0] == 0 and upd[30] == 0 and upd[40] == 0  # shrunk min
+        assert upd[100] == 100 and upd[101] == 100            # new nodes
+        # untouched components keep their labels verbatim
+        st = {r["node"]: r["cluster_id"] for r in stored.collect()}
+        touched_labels = {st[e] for pair in new for e in pair if e in st}
+        for n, lab in st.items():
+            if lab not in touched_labels:
+                assert upd[n] == lab
