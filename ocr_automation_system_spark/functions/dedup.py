@@ -619,6 +619,58 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         f"connected_components did not converge in {max_iter} rounds")
 
 
+def incremental_cc_update(labels: DataFrame, new_edges: DataFrame,
+                          node_col: str = "node",
+                          label_col: str = "cluster_id",
+                          a_col: str = "doc_a", b_col: str = "doc_b",
+                          **cc_kwargs) -> DataFrame:
+    """X182 — maintain a stored connected-components labeling under a
+    NEW edge set without a global recompute (the monthly-crawl cluster
+    bookkeeping: last month's dedup clusters are a (node, cluster_id)
+    parquet; this month's near-dup pass emits new↔new and new↔corpus
+    pairs; clusters must merge accordingly). The old EDGES are gone —
+    deliberately: the labels table alone is sufficient state, because
+    within a component the star edges (member — cluster_id) preserve
+    exactly its connectivity.
+
+    Plan, in corpus-scale order of magnitude:
+
+    1. endpoints of the new edges (|E'| rows, not corpus rows);
+    2. AFFECTED cluster ids = stored labels of those endpoints — a
+       semi-join, then a distinct over a set bounded by |E'|;
+    3. members of affected components via a broadcast semi-join on the
+       tiny affected-id set — every other component's rows are never
+       read past the scan filter;
+    4. :func:`connected_components` over E' ∪ affected-star-edges (the
+       hybrid driver/pointer-doubling machinery, checkpoints and all);
+    5. untouched labels pass through by broadcast ANTI-join.
+
+    So the recompute volume is (new edges + members of clusters they
+    touch), not corpus size — the labels of 10^12 untouched docs are
+    never shuffled. Min-label semantics are preserved: the sub-CC sees
+    every member of every merged component, so the new cluster_id is
+    the true component minimum (it may shrink when a smaller new id
+    joins). Nodes appearing in neither ``labels`` nor ``new_edges``
+    are the caller's to self-label, mirroring connected_components'
+    contract."""
+    l0 = labels.select(F.col(node_col).alias("node"),
+                       F.col(label_col).alias("cluster_id"))
+    ends = (new_edges.select(F.col(a_col).alias("node"))
+            .unionByName(new_edges.select(F.col(b_col).alias("node")))
+            .distinct())
+    touched = (l0.join(ends, "node", "left_semi")
+               .select("cluster_id").distinct())
+    affected = l0.join(F.broadcast(touched), "cluster_id", "left_semi")
+    star = (affected.filter(F.col("node") != F.col("cluster_id"))
+            .select(F.col("node").alias(a_col),
+                    F.col("cluster_id").alias(b_col)))
+    sub = connected_components(
+        new_edges.select(a_col, b_col).unionByName(star),
+        a_col=a_col, b_col=b_col, **cc_kwargs)
+    kept = l0.join(F.broadcast(touched), "cluster_id", "left_anti")
+    return kept.unionByName(sub)
+
+
 def dedup_cluster_keep(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        jaccard_threshold: float = 0.6,

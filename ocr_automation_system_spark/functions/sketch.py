@@ -368,6 +368,71 @@ def doclen_histogram(df: DataFrame, text_col: str = "text",
     return b.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
 
 
+def shard_range_bounds(hist: DataFrame, n_shards: int) -> list:
+    """X183 — deterministic range-partition split points from the
+    bounded histogram artifact: bound_j = min bucket_lo whose
+    cumulative count reaches rank ceil(j·total/S), j = 1..S-1 (the
+    integer-rank rule the quantile readout uses). Spark's built-in
+    RangePartitioner derives bounds by RESERVOIR SAMPLING — a rerun,
+    resume, or different partitioning samples differently and writes a
+    different layout; these bounds are a pure function of the
+    SUM-mergeable histogram, so daily crawls update them incrementally
+    and every rerun lays files out identically. Driver-side work is a
+    bounded collect (<= 64·HIST_SUBS rows), never a corpus pass when
+    the artifact already exists."""
+    rows = (hist.groupBy("octave", "sub", "bucket_lo")
+            .agg(F.sum("n").alias("n"))
+            .orderBy("octave", "sub").collect())
+    total = sum(r["n"] for r in rows)
+    if total == 0 or n_shards <= 1:
+        return []
+    bounds, cum, j = [], 0, 1
+    it = iter(rows)
+    r = next(it, None)
+    while r is not None and j < n_shards:
+        cum += r["n"]
+        rank = -(-j * total // n_shards)      # ceil without floats
+        while j < n_shards and cum >= rank:
+            bounds.append(int(r["bucket_lo"]))
+            j += 1
+            rank = -(-j * total // n_shards)
+        r = next(it, None)
+    return bounds
+
+
+def assign_range_shard(value: Column, bounds: list) -> Column:
+    """Shard id = how many split points are <= value — one codegen
+    array filter over S-1 literals, zero shuffle, zero Python; feed it
+    to write-time ``partitionBy`` (or ``repartition(n, shard)``) for a
+    reproducible globally-range-clustered layout."""
+    if not bounds:
+        return F.lit(0).cast("int")
+    arr = F.lit([int(b) for b in bounds]).cast("array<long>")
+    v = value.cast("long")
+    return F.size(F.filter(arr, lambda b: b <= v)).cast("int")
+
+
+def shard_range_plan(df: DataFrame, value: Column,
+                     n_shards: int) -> DataFrame:
+    """The range-layout audit: per shard, (n_docs, min_v, max_v) under
+    the histogram-derived bounds — the skew a scheduler would see.
+    Balance is bounded by bucket granularity (one sub-bucket can't be
+    split, so a shard is off by at most the mass of one bucket — 1/8
+    relative width); the audit makes that residual skew measurable
+    instead of assumed."""
+    hist = (hist_buckets(df.select(value.alias("_v")), F.col("_v"))
+            .groupBy("octave", "sub", "bucket_lo")
+            .agg(F.count(F.lit(1)).alias("n")))
+    bounds = shard_range_bounds(hist, n_shards)
+    v = value.cast("long")
+    return (df.select(assign_range_shard(v, bounds).alias("shard"),
+                      v.alias("_v"))
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("_v").cast("long").alias("min_v"),
+                 F.max("_v").cast("long").alias("max_v")))
+
+
 def histogram_drift_chi2(ha: DataFrame, hb: DataFrame,
                          group_col: str = "source") -> DataFrame:
     """Distribution-drift monitor between two crawl snapshots' per-group

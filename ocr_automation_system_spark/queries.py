@@ -3326,6 +3326,72 @@ WHERE rank <= 3
 """
 
 
+def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X182 — incremental cluster bookkeeping: stored dedup-cluster
+    labels (CC over last snapshot's pair set; isolated docs
+    self-labeled) are UPDATED under a new sparse edge set by
+    ``dedup.incremental_cc_update`` — recompute volume is (new edges +
+    members of touched clusters), never corpus size, and the old edges
+    are not needed at all (the labels table is sufficient state). The
+    planted graph: md5-gated chains (i — i+1) as the stored snapshot,
+    md5-gated skips (i — i+3) as the new edges, which both merge
+    existing chains and capture previously-isolated docs. Oracle: an
+    independent GLOBAL min-label fixpoint (recursive CTE) over the
+    union graph — the incremental path must land on the exact same
+    labeling, shrunken minima and all."""
+    from .functions import dedup as D
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gate(c, m):
+        return (F.conv(F.substring(F.md5(c.cast("string")), 1, 4),
+                       16, 10).cast("long") % m) == 0
+
+    x, y = ids.alias("x"), ids.alias("y")
+    eo = (x.join(y, F.col("y.doc_id") == F.col("x.doc_id") + 1)
+          .where(gate(F.col("x.doc_id"), 4))
+          .select(F.col("x.doc_id").alias("doc_a"),
+                  F.col("y.doc_id").alias("doc_b")))
+    en = (x.join(y, F.col("y.doc_id") == F.col("x.doc_id") + 3)
+          .where(gate(F.col("x.doc_id"), 17))
+          .select(F.col("x.doc_id").alias("doc_a"),
+                  F.col("y.doc_id").alias("doc_b")))
+    cc0 = D.connected_components(eo)
+    stored = (ids.join(cc0, ids.doc_id == cc0.node, "left")
+              .select(ids.doc_id.alias("node"),
+                      F.coalesce("cluster_id", "doc_id")
+                      .alias("cluster_id")))
+    upd = D.incremental_cc_update(stored, en)
+    return upd.select(F.col("node").cast("long"),
+                      F.col("cluster_id").cast("long"),
+                      (F.col("node") == F.col("cluster_id"))
+                      .alias("is_root"))
+
+
+SQL_INCREMENTAL_CC = """
+WITH RECURSIVE
+eo AS (SELECT x.doc_id AS a, y.doc_id AS b
+       FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+       WHERE CAST(concat('0x', substr(md5(CAST(x.doc_id AS VARCHAR)),
+                         1, 4)) AS BIGINT) % 4 = 0),
+en AS (SELECT x.doc_id AS a, y.doc_id AS b
+       FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 3
+       WHERE CAST(concat('0x', substr(md5(CAST(x.doc_id AS VARCHAR)),
+                         1, 4)) AS BIGINT) % 17 = 0),
+e0 AS (SELECT a, b FROM eo UNION SELECT a, b FROM en),
+edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+reach(src, node) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+cc AS (SELECT src, min(node) AS comp FROM reach GROUP BY src)
+SELECT CAST(d.doc_id AS BIGINT) AS node,
+       CAST(coalesce(cc.comp, d.doc_id) AS BIGINT) AS cluster_id,
+       (coalesce(cc.comp, d.doc_id) = d.doc_id) AS is_root
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.src
+"""
+
+
 def q_memorization_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X181 — X167's attribution sharpened to TOKEN-POSITION
     granularity: per (generation, source, offset-delta) the aligned
@@ -8233,6 +8299,49 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_shard_range_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X183 — deterministic range-partition plan: S-1 split points
+    derived from the X79 length-histogram artifact by the integer-rank
+    rule, document shard = count of split points <= length (one codegen
+    array filter), audited as per-shard (n_docs, min_v, max_v). The
+    write-time global-sort story WITHOUT Spark's RangePartitioner
+    reservoir sampling: sampling makes every rerun lay files out
+    differently, the histogram makes bounds a pure function of
+    mergeable state — resumable, rerun-identical, incrementally
+    maintainable across crawls. Residual skew is bounded by one
+    histogram bucket's mass and the audit measures it instead of
+    assuming it."""
+    from .functions import sketch as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SK.shard_range_plan(
+        docs, F.length(F.coalesce(F.col("text"), F.lit(""))), 8)
+
+
+SQL_SHARD_RANGE_PLAN = f"""
+WITH hist AS ({_SQL_DOCLEN_HIST}),
+cum AS (SELECT octave, sub, bucket_lo,
+               CAST(sum(n) OVER (ORDER BY octave, sub
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum,
+               CAST(sum(n) OVER () AS BIGINT) AS total
+        FROM hist),
+bset AS (SELECT j, min(bucket_lo) AS b
+         FROM cum CROSS JOIN range(1, 8) t(j)
+         WHERE cum >= (j * total + 7) // 8
+         GROUP BY j),
+bl AS (SELECT coalesce(list(b ORDER BY j), CAST([] AS BIGINT[])) AS bs
+       FROM bset),
+v AS (SELECT CAST(length(coalesce(text, '')) AS BIGINT) AS v
+      FROM documents)
+SELECT CAST(len(list_filter(bs, b -> b <= v)) AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v
+FROM v CROSS JOIN bl GROUP BY 1
+"""
+
+
 def q_doclen_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram maintenance: build the length histogram over the even-
     and odd-doc_id halves independently, SUM-merge the ARTIFACTS, and
@@ -9234,6 +9343,7 @@ REGISTRY: dict = {
                             SQL_WINNOW_FINGERPRINTS),
     "winnow_dup_pairs": (q_winnow_dup_pairs, SQL_WINNOW_DUP_PAIRS),
     "memorization_spans": (q_memorization_spans, SQL_MEMORIZATION_SPANS),
+    "incremental_cc": (q_incremental_cc, SQL_INCREMENTAL_CC),
     "memorization_attribution": (q_memorization_attribution,
                                  SQL_MEMORIZATION_ATTRIBUTION),
     "winnow_shared_extents": (q_winnow_shared_extents,
@@ -9295,6 +9405,7 @@ REGISTRY: dict = {
     "doclen_histogram": (q_doclen_histogram, SQL_DOCLEN_HISTOGRAM),
     "doclen_quantiles": (q_doclen_quantiles, SQL_DOCLEN_QUANTILES),
     "doclen_hist_merge": (q_doclen_hist_merge, SQL_DOCLEN_HIST_MERGE),
+    "shard_range_plan": (q_shard_range_plan, SQL_SHARD_RANGE_PLAN),
     "length_drift_chi2": (q_length_drift_chi2, SQL_LENGTH_DRIFT_CHI2),
     "quality_drift_chi2": (q_quality_drift_chi2, SQL_QUALITY_DRIFT_CHI2),
     "source_vocab_divergence": (q_source_vocab_divergence,
