@@ -48,6 +48,7 @@ HEADLINE = (
     "embedding_pq_codes", "embedding_pq_topk", "embedding_ivfpq_topk",
     "embedding_pq_recall", "embedding_pca_power",
     "embedding_sq8_codes", "embedding_sq8_topk", "embedding_sq8_recall",
+    "embedding_sq8_atopk", "embedding_sq8_arecall",
     "pack_bins", "packing_efficiency", "benchmark_contamination",
     "decontaminate_spans",
     "zorder_keys", "zorder_prune_audit",
@@ -59,7 +60,7 @@ HEADLINE = (
     "dedup_span_strip",
     "compression_ratios",
     "url_dup_groups", "url_canonicalize", "url_features",
-    "registrable_domains",
+    "registrable_domains", "psl_domains",
     "url_pattern_census",
     "latest_capture", "corpus_upsert_merge", "snapshot_delta",
     "revisit_stats", "content_drift",
@@ -87,14 +88,15 @@ HEADLINE = (
     "host_pagerank", "host_trustrank", "host_hits", "host_components",
     "host_reciprocity", "seed_distance", "host_hyperball", "host_harmonic",
     "host_communities", "community_modularity",
-    "lm_quality_scores", "lexical_diversity",
+    "lm_quality_scores", "lexical_diversity", "slop_by_lang",
+    "mojibake_fixpoint",
     "media_metadata", "media_resize", "media_frame_census", "media_census",
     "warc_roundtrip", "cdx_index",
     "bpe_merge_candidates", "bpe_merges", "bpe_fertility",
     "lm_perplexity_buckets", "bigram_backoff_scores", "doc_length_profile",
     "duplicate_spans", "winnow_fingerprints", "winnow_dup_pairs",
-    "memorization_attribution",
-    "winnow_shared_extents", "incremental_winnow",
+    "memorization_attribution", "memorization_spans",
+    "winnow_shared_extents", "incremental_winnow", "incremental_cc",
     "stratified_sample", "priority_sample",
     "chunk_documents",
     "chunk_dup_stats", "cdc_chunks", "cdc_dup_pairs", "cdc_novelty",
@@ -108,7 +110,7 @@ HEADLINE = (
     "minhash_sig_merge", "bloom_bits_merge", "host_mirror_pairs",
     "cms_source_counts", "cms_merge",
     "doclen_histogram", "doclen_quantiles", "doclen_hist_merge",
-    "page_weight_histogram",
+    "page_weight_histogram", "shard_range_plan",
     "length_drift_chi2", "quality_drift_chi2",
     "source_vocab_divergence",
     "source_checksums", "source_delta_skiplist",
