@@ -1953,6 +1953,53 @@ def incremental_winnow_dedup(new_df: DataFrame, spark, path: str,
 REPAIR_SCHEMA = "url string, text string"
 
 
+def nfc_stage(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """X184 — Unicode NFC normalization as a curation stage: returns
+    (doc_id, text, changed) with every text in canonical composed form.
+    Decomposed sequences ('e' + COMBINING ACUTE vs the precomposed 'é')
+    are byte-different but render identically — unnormalized, the same
+    page crawled from two origins never collides in exact dedup, token
+    counts disagree with the tokenizer's composed vocabulary, and PII /
+    blocklist regexes silently miss. Normalize BEFORE any hash or
+    content heuristic, the same slot as ``fix_encoding``.
+
+    Scale shape: row-local Arrow-batched kernel (mapInPandas) — zero
+    shuffle, stateless (streams unchanged under readStream). Python is
+    genuinely unavoidable here (no JVM-side normalizer in Spark's
+    function library), but the kernel short-circuits on ``isascii`` so
+    the dominant all-ASCII mass pays a C-speed check, not a normalize
+    call. NULL in, NULL out."""
+    cols = [id_col, text_col]
+    # id type follows the caller (long doc_ids in the table queries,
+    # string url-derived ids in the curate job)
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"doc_id {id_type}, text string, changed boolean"
+
+    def _batches(it):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in it:
+            out_t, out_c = [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    out_t.append(None)
+                    out_c.append(False)
+                elif t.isascii():
+                    out_t.append(t)
+                    out_c.append(False)
+                else:
+                    n = unicodedata.normalize("NFC", t)
+                    out_t.append(n)
+                    out_c.append(n != t)
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                "text": out_t, "changed": out_c})
+
+    return df.select(*cols).mapInPandas(_batches, schema)
+
+
 def fix_encoding(df: DataFrame, url_col: str = "url",
                  text_col: str = "text",
                  mode: str = "jvm", depth: int = 1) -> DataFrame:

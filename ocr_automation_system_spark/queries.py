@@ -2456,6 +2456,69 @@ SQL_SLOP_BY_LANG = _sql_slop_by_lang()
 MOJIBAKE_FIX_SEED = " café naïve — «München» €99 ™"
 
 
+#: X184 planted suffixes: NFD-decomposed sequences (base + combining
+#: mark) that render identically to their composed forms but differ
+#: byte-wise — exactly what breaks exact dedup across crawl origins.
+NFC_SUFFIXES = (
+    "",                                   # already-NFC ASCII
+    " Café",                        # e + COMBINING ACUTE
+    " Ångström ño",     # ring, diaeresis, tilde
+    " déjà vu",               # acute + grave
+)
+
+
+def q_nfc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X184 — Unicode NFC normalization census over the curation
+    stage's kernel: per document, whether normalization changed the
+    bytes, the char-length delta (each composed pair shrinks by one),
+    and the md5 of the normalized text so the driver hash-checks the
+    normalized BYTES across engines (Python unicodedata vs DuckDB's
+    utf8proc — both implement UAX #15, and the hash proves they agree
+    on the planted alphabet). Corpus text is ASCII, so both engines
+    plant the same md5-gated decomposed suffixes.
+
+    Scale shape: one row-local Arrow-batched kernel (mapInPandas, the
+    honest Python-unavoidable path — Spark ships no JVM normalizer),
+    ASCII rows short-circuited C-side; zero shuffle."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("long") % 4)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    planted = F.when(k == 1, F.lit(NFC_SUFFIXES[1])) \
+        .when(k == 2, F.lit(NFC_SUFFIXES[2])) \
+        .when(k == 3, F.lit(NFC_SUFFIXES[3])).otherwise(F.lit(""))
+    d = docs.select("doc_id", F.concat(t, planted).alias("text"))
+    n = C.nfc_stage(d)
+    raw = d.select("doc_id", F.length("text").alias("len_raw"))
+    return (n.join(raw, "doc_id")
+            .select("doc_id", "changed",
+                    (F.col("len_raw") - F.length("text")).cast("long")
+                    .alias("chars_composed"),
+                    F.md5(F.col("text")).alias("nfc_hash")))
+
+
+def _sql_nfc_census() -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(NFC_SUFFIXES) if s)
+    return f"""
+WITH d AS (SELECT doc_id,
+    coalesce(text, '') ||
+      CASE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+             AS BIGINT) % 4 {arms} ELSE '' END AS text
+  FROM documents),
+n AS (SELECT doc_id, text, nfc_normalize(text) AS nt FROM d)
+SELECT doc_id, (nt <> text) AS changed,
+  CAST(length(text) - length(nt) AS BIGINT) AS chars_composed,
+  md5(nt) AS nfc_hash
+FROM n
+"""
+
+
+SQL_NFC_CENSUS = _sql_nfc_census()
+
+
 def q_mojibake_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X179 — DOUBLE-mojibake fixpoint census: each document gets an
     md5-gated damage depth k in {0,1,2} planted (true per-char forward
@@ -9600,6 +9663,7 @@ REGISTRY: dict = {
     "psl_domains": (q_psl_domains, PSQL.SQL_PSL_DOMAINS),
     "slop_by_lang": (q_slop_by_lang, SQL_SLOP_BY_LANG),
     "mojibake_fixpoint": (q_mojibake_fixpoint, SQL_MOJIBAKE_FIXPOINT),
+    "nfc_census": (q_nfc_census, SQL_NFC_CENSUS),
     "url_pattern_census": (q_url_pattern_census,
                            PSQL.SQL_URL_PATTERN_CENSUS),
     "compression_ratios": (q_compression_ratios, SQL_COMPRESSION_RATIOS),

@@ -90,6 +90,11 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "mojibake (X179 closed-table chain composed N "
                         "times; 2 catches damaged-then-republished "
                         "pages; over-estimating is safe/identity)")
+    p.add_argument("--nfc", action="store_true",
+                   help="--curate only: Unicode NFC normalization before "
+                        "any hash or content heuristic (curation."
+                        "nfc_stage) — decomposed crawl variants of the "
+                        "same page must collide in exact dedup")
     p.add_argument("--scrub-pii", action="store_true",
                    help="--curate only: redact checksum-validated PII "
                         "(Luhn cards, mod-97 IBANs) from the curated "
@@ -327,6 +332,7 @@ def main(argv=None, stop_session: bool = True) -> int:
                url_drops=url_drops,
                fix_encoding=args.fix_encoding,
                fix_encoding_depth=args.fix_encoding_depth,
+               nfc=args.nfc,
                scrub_pii=args.scrub_pii,
                decontaminate=args.decontaminate,
                chunk_tokens=args.chunk_tokens, policy=args.policy,
@@ -568,7 +574,7 @@ def compliance_drops(documents, honor_noindex: bool = False,
 def curate(spark, results, output: str, quota: int = 1000,
            quota_etld1: bool = False, token_lineage: bool = False,
            fix_encoding: bool = False, fix_encoding_depth: int = 1,
-           scrub_pii: bool = False,
+           nfc: bool = False, scrub_pii: bool = False,
            decontaminate: str = "",
            chunk_tokens: int = 0, policy: bool = False,
            gopher: bool = False,
@@ -653,6 +659,20 @@ def curate(spark, results, output: str, quota: int = 1000,
         counts["encoding_repaired"] = (
             docs.filter(repaired != F.col("text")).count())
         docs = docs.withColumn("text", repaired).persist()
+
+    if nfc:
+        # NFC before dedup hashes, after mojibake repair (repair acts on
+        # the raw byte shapes; normalization then canonicalizes what
+        # remains) — row-local Arrow kernel, zero shuffle
+        from ocr_automation_system_spark.functions.curation import (
+            nfc_stage,
+        )
+
+        nn = nfc_stage(docs).persist()
+        counts["nfc_changed"] = nn.filter(F.col("changed")).count()
+        docs = (docs.drop("text")
+                .join(nn.select("doc_id", "text"), "doc_id")
+                .persist())
 
     if policy:
         # composite filter policy BEFORE dedup (cheapest stage first:

@@ -335,3 +335,30 @@ def test_fix_encoding_depth_modes(spark):
         assert got["u1"] == s, mode
         assert got["u2"] == s, mode
         assert got["u3"] is None, mode
+
+
+# ---------------------------------------------------------------------------
+# X184: Unicode NFC normalization stage
+# ---------------------------------------------------------------------------
+
+def test_nfc_stage_composes_and_collides(spark):
+    """Decomposed and composed spellings of the same text normalize to
+    identical bytes (the exact-dedup collision the stage exists for);
+    ASCII and NULL rows pass through; string ids work (the job path)."""
+    from ocr_automation_system_spark.functions.curation import nfc_stage
+
+    comp = " Café déjà"
+    decomp = " Café déjà"
+    assert comp != decomp
+    rows = [(1, "plain ascii"), (2, comp), (3, decomp), (4, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in nfc_stage(df).collect()}
+    assert out[1]["text"] == "plain ascii" and not out[1]["changed"]
+    assert out[2]["text"] == comp and not out[2]["changed"]
+    assert out[3]["text"] == comp and out[3]["changed"]
+    assert out[2]["text"] == out[3]["text"]        # dedup collision
+    assert out[4]["text"] is None and not out[4]["changed"]
+    # string-id schema follows the caller
+    sdf = spark.createDataFrame([("u1", decomp)], ["doc_id", "text"])
+    r = nfc_stage(sdf).collect()[0]
+    assert r["doc_id"] == "u1" and r["text"] == comp
