@@ -484,6 +484,35 @@ def mixed_script_words(df, id_col: str = "doc_id",
     )
 
 
+#: X185 — 1:1 confusable -> Latin skeleton map (UTS #39 restricted to
+#: the single-codepoint Cyrillic/Greek homoglyphs that matter for web
+#: text; the full confusables table has multi-char targets and drops in
+#: as a parquet dimension + chained replace when needed). Lower+upper
+#: Cyrillic lookalikes, then the Greek ones.
+CONFUSABLE_MAP = {
+    "а": "a", "е": "e", "о": "o", "р": "p", "с": "c", "у": "y",
+    "х": "x", "і": "i", "ѕ": "s", "ј": "j", "ԛ": "q", "ԝ": "w",
+    "А": "A", "В": "B", "Е": "E", "К": "K", "М": "M", "Н": "H",
+    "О": "O", "Р": "P", "С": "C", "Т": "T", "Х": "X", "Ѕ": "S",
+    "І": "I", "Ј": "J",
+    "ο": "o", "ν": "v", "Α": "A", "Β": "B", "Ε": "E", "Ζ": "Z",
+    "Η": "H", "Ι": "I", "Κ": "K", "Μ": "M", "Ν": "N", "Ο": "O",
+    "Ρ": "P", "Τ": "T", "Υ": "Y", "Χ": "X",
+}
+_CONF_FROM = "".join(CONFUSABLE_MAP)
+_CONF_TO = "".join(CONFUSABLE_MAP.values())
+
+
+def confusable_skeleton(text: Column) -> Column:
+    """Collapse single-codepoint Cyrillic/Greek homoglyphs onto their
+    Latin skeleton (``translate`` — one codegen pass, zero Python): the
+    dedup KEY that catches spam evading exact dedup by swapping а→a.
+    Key use only — candidates grouped by skeleton still byte-compare
+    in the verify stage, so a genuine Russian document colliding with
+    a Latin one costs a verify, never a false merge."""
+    return F.translate(text, _CONF_FROM, _CONF_TO)
+
+
 # ---------------------------------------------------------------------------
 # Fingerprinting
 # ---------------------------------------------------------------------------

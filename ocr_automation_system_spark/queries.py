@@ -2467,6 +2467,71 @@ NFC_SUFFIXES = (
 )
 
 
+def q_confusable_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X185 — homoglyph-evasion dedup: both engines spoof an md5-gated
+    third of the corpus (Latin a/e/o swapped for Cyrillic а/е/о — the
+    SEO-spam trick that makes byte-identical copies hash differently),
+    then group by the confusable-SKELETON hash. Groups whose members
+    span >1 raw hash are exactly the duplicates plain exact dedup lost
+    to the spoof and the skeleton key restores; the skeleton is a
+    candidate KEY (byte verify still runs downstream), so a genuine
+    Cyrillic text colliding with Latin costs a verify, never a merge.
+
+    Scale shape: two codegen ``translate`` passes + md5 in the scan
+    projection, ONE map-side-combined groupBy on the skeleton hash —
+    the exact-dedup plan shape with a different key."""
+    from .functions import text as T2
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("long") % 6)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    # the table holds no exact duplicates, so the gate PLANTS shared
+    # passages (classes 4/5, seven groups each) — class 5 being the
+    # homoglyph-spoofed copy of class 4's text
+    shared = F.concat(F.lit("Duplicate press release edition "),
+                      (F.col("doc_id") % 7).cast("string"))
+    spoofed = (F.when(k == 4, shared)
+               .when(k == 5, F.translate(shared, "aeo", "аео"))
+               .otherwise(t))
+    raw_h = F.md5(T.clean_text(spoofed))
+    skel_h = F.md5(T.clean_text(T2.confusable_skeleton(spoofed)))
+    return (docs.select(skel_h.alias("skeleton_hash"),
+                        raw_h.alias("_raw"))
+            .groupBy("skeleton_hash")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct("_raw").cast("long").alias("n_raw_variants"))
+            .filter(F.col("n_docs") >= 2)
+            .withColumn("spoof_restored", F.col("n_raw_variants") > 1))
+
+
+def _sql_confusable_dups() -> str:
+    from .functions.text import _CONF_FROM, _CONF_TO
+    clean = _sql_clean
+    return f"""
+WITH d AS (SELECT
+    CASE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+              1, 4)) AS BIGINT) % 6
+      WHEN 4 THEN 'Duplicate press release edition '
+                  || CAST(doc_id % 7 AS VARCHAR)
+      WHEN 5 THEN translate('Duplicate press release edition '
+                  || CAST(doc_id % 7 AS VARCHAR), 'aeo', 'аео')
+      ELSE coalesce(text, '') END AS t
+  FROM documents),
+h AS (SELECT md5({clean('t')}) AS raw_h,
+             md5({clean(f"translate(t, '{_CONF_FROM}', '{_CONF_TO}')")})
+               AS skeleton_hash
+      FROM d)
+SELECT skeleton_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT raw_h) AS BIGINT) AS n_raw_variants,
+       (count(DISTINCT raw_h) > 1) AS spoof_restored
+FROM h GROUP BY skeleton_hash HAVING count(*) >= 2
+"""
+
+
+SQL_CONFUSABLE_DUP_GROUPS = _sql_confusable_dups()
+
+
 def q_nfc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X184 — Unicode NFC normalization census over the curation
     stage's kernel: per document, whether normalization changed the
@@ -9664,6 +9729,8 @@ REGISTRY: dict = {
     "slop_by_lang": (q_slop_by_lang, SQL_SLOP_BY_LANG),
     "mojibake_fixpoint": (q_mojibake_fixpoint, SQL_MOJIBAKE_FIXPOINT),
     "nfc_census": (q_nfc_census, SQL_NFC_CENSUS),
+    "confusable_dup_groups": (q_confusable_dup_groups,
+                              SQL_CONFUSABLE_DUP_GROUPS),
     "url_pattern_census": (q_url_pattern_census,
                            PSQL.SQL_URL_PATTERN_CENSUS),
     "compression_ratios": (q_compression_ratios, SQL_COMPRESSION_RATIOS),

@@ -1502,3 +1502,23 @@ def test_incremental_cc_update_matches_full_recompute(spark):
         for n, lab in st.items():
             if lab not in touched_labels:
                 assert upd[n] == lab
+
+
+def test_confusable_skeleton_restores_spoofed_dups(spark):
+    """X185: Cyrillic/Greek homoglyph swaps collapse onto the Latin
+    skeleton; genuinely different texts stay apart."""
+    from ocr_automation_system_spark.functions.text import (
+        confusable_skeleton,
+    )
+
+    latin = "Apple sells apps"
+    spoofed = "Аррlе sells аррs"        # А/р/е are Cyrillic
+    greek = "Αpple sells apps"           # Greek capital Alpha
+    other = "Banana sells apps"
+    assert latin != spoofed and latin != greek
+    df = spark.createDataFrame(
+        [(1, latin), (2, spoofed), (3, greek), (4, other)], ["i", "t"])
+    out = {r["i"]: r["s"] for r in df.select(
+        "i", confusable_skeleton(F.col("t")).alias("s")).collect()}
+    assert out[1] == out[2] == out[3] == latin
+    assert out[4] == other != out[1]
