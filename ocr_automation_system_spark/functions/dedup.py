@@ -63,10 +63,18 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                skeleton: bool = False) -> DataFrame:
     """Keep the min-id representative of every exact-dup group (min_by —
-    no window needed, one aggregation)."""
-    h = df.withColumn("_h", content_hash(F.col(text_col)))
+    no window needed, one aggregation). ``skeleton=True`` (X185) keys
+    the group on the confusable-skeleton hash instead of the raw hash,
+    so homoglyph-spoofed copies (Cyrillic а for Latin a) land in one
+    group — same plan, one extra codegen ``translate`` in the key."""
+    from .text import confusable_skeleton
+
+    t = F.col(text_col)
+    key = content_hash(confusable_skeleton(t) if skeleton else t)
+    h = df.withColumn("_h", key)
     keep = h.groupBy("_h").agg(F.min(F.col(id_col)).alias(id_col)).drop("_h")
     return df.join(keep, id_col, "left_semi")
 

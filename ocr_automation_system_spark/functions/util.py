@@ -145,3 +145,49 @@ def salted_agg(df: DataFrame, group_col: str, aggs: dict[str, Column],
     )
     return phase1.groupBy(group_col).agg(
         *[F.sum(name).alias(name) for name in aggs])
+
+
+def key_skew_audit(df: DataFrame, keys: dict,
+                   n_partitions: int = 32) -> DataFrame:
+    """X186 — pre-shuffle skew survey: for each named key expression,
+    (n_rows, n_keys, top1/top10 mass, an integer salt-factor hint =
+    ceil(top1_count · P / n_rows), i.e. how many ways the hottest key
+    must split so its share fits one of P reducer slots). The audit
+    that decides, from data, whether a groupBy/join needs ``with_salt``
+    / AQE skew handling BEFORE the job hits the straggler — the manual
+    counterpart of AQE's runtime detection, runnable on yesterday's
+    snapshot to plan today's job.
+
+    Scale shape per key: ONE map-side-combined groupBy(key).count()
+    (the thing being audited is cheap to survey because partial
+    aggregation absorbs the skew the full job would suffer), then a
+    bounded TakeOrdered(10) and a 2-value global fold — no collect of
+    the key distribution, so a 10^9-key host column audits fine.
+    ``keys`` maps audit name -> Column expression."""
+    parts = []
+    for name, col in keys.items():
+        c = df.groupBy(col.alias("_k")).agg(F.count(F.lit(1)).alias("_n"))
+        tot = c.agg(F.sum("_n").alias("n_rows"),
+                    F.count(F.lit(1)).alias("n_keys"))
+        top = (c.orderBy(F.desc("_n"), F.asc("_k")).limit(10)
+               .agg(F.max("_n").alias("_t1"), F.sum("_n").alias("_t10")))
+        parts.append(
+            tot.crossJoin(top)
+            .filter(F.col("n_keys") > 0)
+            .select(
+                F.lit(name).alias("key_col"),
+                F.col("n_rows").cast("long"),
+                F.col("n_keys").cast("long"),
+                F.col("_t1").cast("long").alias("top1_count"),
+                F.round(F.col("_t1").cast("double")
+                        / F.col("n_rows").cast("double"), 6)
+                .alias("top1_frac"),
+                F.round(F.col("_t10").cast("double")
+                        / F.col("n_rows").cast("double"), 6)
+                .alias("top10_frac"),
+                F.expr(f"CAST((_t1 * {n_partitions} + n_rows - 1) "
+                       f"div n_rows AS BIGINT)").alias("salt_factor")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2467,6 +2467,54 @@ NFC_SUFFIXES = (
 )
 
 
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X186 — pre-shuffle skew survey over the partitioning keys the
+    pipeline actually shuffles on (source, lang, and a numeric length
+    bucket): per key, total rows, distinct keys, top-1/top-10 mass and
+    the integer salt-factor hint ceil(top1·P/n_rows) — the data-driven
+    decision for ``with_salt``/AQE skew handling BEFORE a straggler
+    appears, runnable on yesterday's snapshot to plan today's job.
+    See functions.util.key_skew_audit for the per-key plan shape."""
+    from .functions.util import key_skew_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return key_skew_audit(docs, {
+        "source": F.col("source"),
+        "lang": F.col("lang"),
+        "len_bucket": F.floor(F.col("n_chars") / F.lit(100)).cast("long"),
+    })
+
+
+def _sql_key_skew() -> str:
+    def leg(name: str, expr: str) -> str:
+        return f"""
+SELECT '{name}' AS key_col,
+  CAST((SELECT sum(n) FROM c_{name}) AS BIGINT) AS n_rows,
+  CAST((SELECT count(*) FROM c_{name}) AS BIGINT) AS n_keys,
+  CAST(max(n) AS BIGINT) AS top1_count,
+  round(CAST(max(n) AS DOUBLE)
+        / (SELECT sum(n) FROM c_{name}), 6) AS top1_frac,
+  round(CAST(sum(n) AS DOUBLE)
+        / (SELECT sum(n) FROM c_{name}), 6) AS top10_frac,
+  CAST((max(n) * 32 + (SELECT sum(n) FROM c_{name}) - 1)
+       // (SELECT sum(n) FROM c_{name}) AS BIGINT) AS salt_factor
+FROM (SELECT n FROM c_{name} ORDER BY n DESC, k ASC LIMIT 10)
+HAVING count(*) > 0"""
+
+    return f"""
+WITH c_source AS (SELECT source AS k, count(*) AS n FROM documents
+                  GROUP BY 1),
+c_lang AS (SELECT lang AS k, count(*) AS n FROM documents GROUP BY 1),
+c_len_bucket AS (SELECT CAST(floor(n_chars / 100) AS BIGINT) AS k,
+                        count(*) AS n FROM documents GROUP BY 1)
+{leg('source', '')} UNION ALL {leg('lang', '')}
+UNION ALL {leg('len_bucket', '')}
+"""
+
+
+SQL_KEY_SKEW_AUDIT = _sql_key_skew()
+
+
 def q_confusable_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X185 — homoglyph-evasion dedup: both engines spoof an md5-gated
     third of the corpus (Latin a/e/o swapped for Cyrillic а/е/о — the
@@ -9731,6 +9779,7 @@ REGISTRY: dict = {
     "nfc_census": (q_nfc_census, SQL_NFC_CENSUS),
     "confusable_dup_groups": (q_confusable_dup_groups,
                               SQL_CONFUSABLE_DUP_GROUPS),
+    "key_skew_audit": (q_key_skew_audit, SQL_KEY_SKEW_AUDIT),
     "url_pattern_census": (q_url_pattern_census,
                            PSQL.SQL_URL_PATTERN_CENSUS),
     "compression_ratios": (q_compression_ratios, SQL_COMPRESSION_RATIOS),

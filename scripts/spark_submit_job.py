@@ -90,6 +90,11 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "mojibake (X179 closed-table chain composed N "
                         "times; 2 catches damaged-then-republished "
                         "pages; over-estimating is safe/identity)")
+    p.add_argument("--skeleton-dedup", action="store_true",
+                   help="--curate only: key the exact-dedup stage on the "
+                        "confusable-skeleton hash (X185) so homoglyph-"
+                        "spoofed copies collide; one extra codegen "
+                        "translate in the key, same plan")
     p.add_argument("--nfc", action="store_true",
                    help="--curate only: Unicode NFC normalization before "
                         "any hash or content heuristic (curation."
@@ -333,6 +338,7 @@ def main(argv=None, stop_session: bool = True) -> int:
                fix_encoding=args.fix_encoding,
                fix_encoding_depth=args.fix_encoding_depth,
                nfc=args.nfc,
+               skeleton_dedup=args.skeleton_dedup,
                scrub_pii=args.scrub_pii,
                decontaminate=args.decontaminate,
                chunk_tokens=args.chunk_tokens, policy=args.policy,
@@ -574,7 +580,8 @@ def compliance_drops(documents, honor_noindex: bool = False,
 def curate(spark, results, output: str, quota: int = 1000,
            quota_etld1: bool = False, token_lineage: bool = False,
            fix_encoding: bool = False, fix_encoding_depth: int = 1,
-           nfc: bool = False, scrub_pii: bool = False,
+           nfc: bool = False, skeleton_dedup: bool = False,
+           scrub_pii: bool = False,
            decontaminate: str = "",
            chunk_tokens: int = 0, policy: bool = False,
            gopher: bool = False,
@@ -713,7 +720,8 @@ def curate(spark, results, output: str, quota: int = 1000,
         docs.unpersist()
         docs = kept
 
-    exact = D.dedup_exact(docs, id_col="doc_id", text_col="text")
+    exact = D.dedup_exact(docs, id_col="doc_id", text_col="text",
+                          skeleton=skeleton_dedup)
     # reliable per-round CC commits under the job's output dir: an
     # interrupted dedup ladder resumes instead of restarting (the toy
     # corpus takes the driver union-find path; production edge sets above

@@ -1522,3 +1522,21 @@ def test_confusable_skeleton_restores_spoofed_dups(spark):
         "i", confusable_skeleton(F.col("t")).alias("s")).collect()}
     assert out[1] == out[2] == out[3] == latin
     assert out[4] == other != out[1]
+
+
+def test_key_skew_audit_math_and_empty(spark):
+    """X186: exact salt arithmetic on a crafted skew, empty-input law."""
+    from ocr_automation_system_spark.functions.util import key_skew_audit
+
+    rows = [(i, "hot" if i < 80 else f"k{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["i", "k"])
+    out = {r["key_col"]: r for r in key_skew_audit(
+        df, {"k": F.col("k")}, n_partitions=10).collect()}
+    r = out["k"]
+    assert r["n_rows"] == 100 and r["n_keys"] == 21
+    assert r["top1_count"] == 80 and r["top1_frac"] == 0.8
+    # hottest key holds 80% of rows; 10 reducer slots of 10 rows each
+    # -> split it ceil(80*10/100) = 8 ways
+    assert r["salt_factor"] == 8
+    empty = spark.createDataFrame([], "i long, k string")
+    assert key_skew_audit(empty, {"k": F.col("k")}).count() == 0

@@ -922,3 +922,42 @@ def test_stateless_readability_slop_stream_unchanged(spark, tmp_path):
                   slop(spark.createDataFrame(rows, ["doc_id", "text"]))
                   .collect())
     assert got == want
+
+
+def test_stateless_normalization_ops_stream_unchanged(spark, tmp_path):
+    """nfc_stage (Arrow kernel) and fix_encoding depth=2 (codec kernel)
+    are row-local, so the SAME bodies must run under readStream and
+    produce the batch rows — extends the one-definition/two-modes
+    property to the session-7 normalization tier."""
+    from ocr_automation_system_spark.functions import curation as C
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    rows = [(0, "plain ascii"),
+            (1, "Café decomposed"),          # NFC target
+            (2, "cafÃ© once-mangled"),
+            (3, "cafÃƒÂ© twice-mangled"),
+            (4, None)]
+    spark.createDataFrame(rows, ["doc_id", "text"]) \
+        .write.parquet(os.path.join(d, "drop1"))
+    stream_in = (spark.readStream.schema("doc_id long, text string")
+                 .parquet(os.path.join(d, "*")))
+
+    cases = (
+        (lambda df: C.nfc_stage(df), "nfc"),
+        (lambda df: C.fix_encoding(df, url_col="doc_id", mode="jvm",
+                                   depth=2), "fx2"),
+    )
+    for fn, name in cases:
+        out = str(tmp_path / f"out_{name}")
+        q = (fn(stream_in).writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        want = sorted(
+            tuple(r)
+            for r in fn(spark.createDataFrame(rows, ["doc_id", "text"]))
+            .collect())
+        assert got == want, name
