@@ -399,6 +399,73 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return j
 
 
+def bag_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      bands: int = 4, rows_per_band: int = 2,
+                      threshold: float = 0.0) -> DataFrame:
+    """X187 — MULTISET (bag) Jaccard verify over LSH candidates:
+    J_bag = Σ_g min(c_a, c_b) / Σ_g max(c_a, c_b) over gram COUNTS.
+    Set-Jaccard is blind to repetition — a page padded with 50 copies
+    of one paragraph has the same shingle SET as the single-copy page
+    (J_set = 1.0) although 98% of its mass is the padding; the bag form
+    scores it c_min/c_max and exposes the difference. Returned pairs
+    carry both scores, so the divergence (set high, bag low) is itself
+    the repetition-spam signal.
+
+    Exactness: gram counts are integers, Σmin is an integer,
+    Σmax = |bag_a| + |bag_b| − Σmin — so J_bag is ONE correctly-rounded
+    division of exact integers (bit-identical cross-engine).
+
+    Scale shape: candidates from the banded self-join (never
+    all-pairs); the gram-count table is one map-side-combined
+    groupBy(doc, gram) — the postings shape; Σmin is a pair-keyed
+    aggregate over shared grams only. No windows, no arrays collected
+    per pair."""
+    from .text import clean_text, positional_grams, ws_tokens
+
+    cand = lsh_candidate_pairs(df, id_col, text_col, n, bands,
+                               rows_per_band)
+    grams = positional_grams(
+        ws_tokens(clean_text(F.col(text_col))), n,
+        lambda s: F.concat_ws(" ", s))
+    tc = (ensure_parallelism(df)
+          .select(F.col(id_col).alias("doc_id"),
+                  F.explode(grams).alias("g"))
+          .groupBy("doc_id", "g")
+          .agg(F.count(F.lit(1)).alias("c"))
+          .persist())
+    sizes = tc.groupBy("doc_id").agg(F.sum("c").alias("bag"),
+                                     F.count(F.lit(1)).alias("set"))
+    a = tc.select(F.col("doc_id").alias("doc_a"), "g",
+                  F.col("c").alias("ca"))
+    b = tc.select(F.col("doc_id").alias("doc_b"), "g",
+                  F.col("c").alias("cb"))
+    shared = (cand.join(a, "doc_a").join(b, ["doc_b", "g"])
+              .groupBy("doc_a", "doc_b")
+              .agg(F.sum(F.least("ca", "cb")).alias("inter_bag"),
+                   F.count(F.lit(1)).alias("inter_set")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("bag").alias("bag_a"),
+                      F.col("set").alias("set_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("bag").alias("bag_b"),
+                      F.col("set").alias("set_b"))
+    out = (shared.join(sa, "doc_a").join(sb, "doc_b")
+           .select("doc_a", "doc_b",
+                   F.col("inter_bag").cast("long"),
+                   (F.col("bag_a") + F.col("bag_b")
+                    - F.col("inter_bag")).cast("long").alias("union_bag"),
+                   F.round(F.col("inter_bag").cast("double")
+                           / (F.col("bag_a") + F.col("bag_b")
+                              - F.col("inter_bag")).cast("double"), 6)
+                   .alias("bag_jaccard"),
+                   F.round(F.col("inter_set").cast("double")
+                           / (F.col("set_a") + F.col("set_b")
+                              - F.col("inter_set")).cast("double"), 6)
+                   .alias("set_jaccard")))
+    return out.filter(F.col("bag_jaccard") >= threshold)
+
+
 def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       threshold: float = 0.5,

@@ -3847,6 +3847,64 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jp
 """
 
 
+def q_bag_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X187 — multiset (bag) Jaccard verify over the LSH candidates,
+    reported beside set-Jaccard. Both engines pad an md5-gated quarter
+    of the corpus with a full copy of its own text — set-identical,
+    bag-halved — so the (set high, bag low) divergence the operator
+    exists to expose is planted and hash-checked. See
+    functions.dedup.bag_jaccard_pairs for the exact-integer shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("long") % 4)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    padded = F.when(k == 0, F.concat_ws(" ", t, t)).otherwise(t)
+    d2 = docs.select("doc_id", padded.alias("text"))
+    return D.bag_jaccard_pairs(d2)
+
+
+def _sql_bag_jaccard() -> str:
+    toks = _SQL_CLEAN_TOKS
+    grams = (f"CASE WHEN len({toks}) >= 3 THEN "
+             f"list_transform(range(1, len({toks}) - 1), "
+             f"i -> array_to_string(({toks})[i:i+2], ' ')) "
+             f"ELSE CAST([] AS VARCHAR[]) END")
+    ctes = _SQL_MINHASH_CTES.replace("FROM documents", "FROM docs2")
+    return f"""
+WITH docs2 AS MATERIALIZED (SELECT doc_id,
+    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 4)) AS BIGINT) % 4 = 0
+         THEN coalesce(text, '') || ' ' || coalesce(text, '')
+         ELSE coalesce(text, '') END AS text
+  FROM documents),
+{ctes},
+gc AS MATERIALIZED (
+  SELECT doc_id, u.g, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, {grams} AS gs FROM docs2), unnest(gs) AS u(g)
+  GROUP BY doc_id, u.g),
+sz AS (SELECT doc_id, sum(c) AS bag, count(*) AS st FROM gc
+       GROUP BY doc_id),
+sh2 AS (SELECT c.doc_a, c.doc_b,
+          sum(least(x.c, y.c)) AS inter_bag,
+          count(*) AS inter_set
+        FROM cand c JOIN gc x ON c.doc_a = x.doc_id
+        JOIN gc y ON c.doc_b = y.doc_id AND x.g = y.g
+        GROUP BY c.doc_a, c.doc_b)
+SELECT s.doc_a, s.doc_b,
+  CAST(inter_bag AS BIGINT) AS inter_bag,
+  CAST(a.bag + b.bag - inter_bag AS BIGINT) AS union_bag,
+  round(CAST(inter_bag AS DOUBLE)
+        / CAST(a.bag + b.bag - inter_bag AS DOUBLE), 6) AS bag_jaccard,
+  round(CAST(inter_set AS DOUBLE)
+        / CAST(a.st + b.st - inter_set AS DOUBLE), 6) AS set_jaccard
+FROM sh2 s JOIN sz a ON s.doc_a = a.doc_id
+JOIN sz b ON s.doc_b = b.doc_id
+"""
+
+
+SQL_BAG_JACCARD_PAIRS = _sql_bag_jaccard()
+
+
 def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X165 — cross-source duplication matrix: the verified near-dup
     pairs (X2's LSH + exact-Jaccard stream) projected onto source
@@ -4725,6 +4783,50 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_sql_cosine('a.vec', 'b.vec')}, 6) AS cos_sim
 FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round({_sql_cosine('a.vec', 'b.vec')}, 6) >= 0.3
+"""
+
+
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X189 — SEMANTIC decontamination: eval-set vectors (vec_id % 7
+    == 0 plays the benchmark — a wide gate so the contract carries
+    real pairs at test scale) against the corpus through the LSH-bucket
+    near-dup machinery, keeping cross-side pairs with cosine >= 0.3 —
+    the paraphrase-level leak the n-gram tiers (X12 exact-collision,
+    X160 span excision) can NOT see: a reworded benchmark answer shares
+    no 5-gram but sits next to the eval vector in embedding space.
+    Completes the decontamination family: exact grams -> excised spans
+    -> semantic neighborhood.
+
+    Scale shape: the same bucketed candidate generation as
+    embedding_near_dup_pairs (8-bit here for bucket company at test
+    scale; production uses 16-bit/multi-table exactly as the ANN tier
+    documents) — the eval side is a tiny fraction, so at 10^12 the
+    right physical form is the SAME join with the eval side broadcast;
+    the contract pins the semantics either way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_near_dup_pairs(emb, threshold=0.2, n_bits=8)
+    ea = F.pmod(F.col("vec_a"), F.lit(7)) == 0
+    eb = F.pmod(F.col("vec_b"), F.lit(7)) == 0
+    return (pairs.filter(ea != eb)
+            .select(F.when(ea, F.col("vec_a")).otherwise(F.col("vec_b"))
+                    .alias("eval_id"),
+                    F.when(ea, F.col("vec_b")).otherwise(F.col("vec_a"))
+                    .alias("corpus_id"),
+                    "cos_sim"))
+
+
+SQL_SEMANTIC_CONTAMINATION = f"""
+WITH t AS (SELECT vec_id, embedding AS vec,
+                  {_sql_sign_bucket('embedding', 8)} AS bucket
+           FROM embeddings),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round({_sql_cosine('a.vec', 'b.vec')}, 6) AS cos_sim
+      FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round({_sql_cosine('a.vec', 'b.vec')}, 6) >= 0.2)
+SELECT CASE WHEN vec_a % 7 = 0 THEN vec_a ELSE vec_b END AS eval_id,
+       CASE WHEN vec_a % 7 = 0 THEN vec_b ELSE vec_a END AS corpus_id,
+       cos_sim
+FROM p WHERE (vec_a % 7 = 0) <> (vec_b % 7 = 0)
 """
 
 
@@ -9629,6 +9731,7 @@ REGISTRY: dict = {
     # dedup
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "bag_jaccard_pairs": (q_bag_jaccard_pairs, SQL_BAG_JACCARD_PAIRS),
     "source_dup_matrix": (q_source_dup_matrix, SQL_SOURCE_DUP_MATRIX),
     "split_leakage": (q_split_leakage, SQL_SPLIT_LEAKAGE),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
@@ -9658,6 +9761,8 @@ REGISTRY: dict = {
     "bitext_candidates_demo8": (q_bitext_candidates_demo8,
                                 SQL_BITEXT_CANDIDATES_DEMO8),
     "embedding_near_dup_pairs": (q_embedding_near_dup_pairs, SQL_EMBEDDING_NEAR_DUP_PAIRS),
+    "semantic_contamination": (q_semantic_contamination,
+                               SQL_SEMANTIC_CONTAMINATION),
     "embedding_near_dup_pairs_demo8": (q_embedding_near_dup_pairs_demo8,
                                        SQL_EMBEDDING_NEAR_DUP_PAIRS_DEMO8),
     "embedding_lsh_topk_multiprobe_demo8": (q_embedding_lsh_topk_multiprobe_demo8,
