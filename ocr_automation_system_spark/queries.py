@@ -8732,6 +8732,62 @@ def q_epoch_write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_curriculum_write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X188 — quality-warmup curriculum layout: epoch 0 orders the
+    corpus best-quality-band-first (band from the row-local rule-based
+    quality score — floor(q·4), no window, no percentile pass), later
+    epochs fall back to the X90 uniform md5 order — the "clean warmup,
+    then shuffle" schedule curriculum-training recipes use, with zero
+    RNG so every rerun writes byte-identical epoch files. The sort key
+    packs (inverted band << 55 | md5_55) for epoch 0 and the plain
+    md5 fold otherwise; file_id stays the top-7-bit prefix range so a
+    range-partitioned sorted write yields balanced files WITHIN each
+    band run.
+
+    Scale shape: one narrow projection per epoch, zero shuffle — the
+    actual write is ``repartitionByRange(sort_key)`` exactly as X90."""
+    docs = load_table(spark, sf_dir, "documents")
+    band = F.least(F.lit(3), F.floor(
+        T.quality_score(F.col("text")) * 4).cast("long"))
+    parts = []
+    for ep in (0, 1, 2):
+        h = F.conv(F.substring(F.md5(F.concat(
+            F.lit(str(ep)), F.lit(":"),
+            F.col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        h55 = F.pmod(h, F.lit(1 << 55).cast("long"))
+        key = (F.when(F.lit(ep == 0),
+                      (F.lit(3) - band) * F.lit(1 << 55).cast("long") + h55)
+               .otherwise(h))
+        parts.append(docs.select(
+            F.lit(ep).alias("epoch"), "doc_id",
+            band.cast("long").alias("band"), key.alias("sort_key"),
+            F.shiftright(key, 49).alias("file_id")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _sql_curriculum() -> str:
+    q = _SQL_QUALITY
+    h = ("CAST(concat('0x', substr(md5(concat(CAST(e.epoch AS VARCHAR), "
+         "':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)")
+    band = f"least(3, CAST(floor(({q}) * 4) AS BIGINT))"
+    return f"""
+SELECT e.epoch, doc_id,
+  {band} AS band,
+  CASE WHEN e.epoch = 0
+       THEN (3 - {band}) * (CAST(1 AS BIGINT) << 55)
+            + ({h} % (CAST(1 AS BIGINT) << 55))
+       ELSE {h} END AS sort_key,
+  CASE WHEN e.epoch = 0
+       THEN ((3 - {band}) * (CAST(1 AS BIGINT) << 55)
+            + ({h} % (CAST(1 AS BIGINT) << 55))) >> 49
+       ELSE {h} >> 49 END AS file_id
+FROM documents CROSS JOIN (VALUES (0), (1), (2)) e(epoch)
+"""
+
+
 SQL_EPOCH_WRITE_PLAN = """
 SELECT e.epoch, doc_id,
        CAST(concat('0x', substr(md5(concat(CAST(e.epoch AS VARCHAR), ':',
@@ -9698,6 +9754,8 @@ REGISTRY: dict = {
     "source_delta_skiplist": (q_source_delta_skiplist,
                               SQL_SOURCE_DELTA_SKIPLIST),
     "epoch_write_plan": (q_epoch_write_plan, SQL_EPOCH_WRITE_PLAN),
+    "curriculum_write_plan": (q_curriculum_write_plan,
+                              _sql_curriculum()),
     "crawl_schedule": (q_crawl_schedule, SQL_CRAWL_SCHEDULE),
     "schedule_load": (q_schedule_load, SQL_SCHEDULE_LOAD),
     "hll_merge": (q_hll_merge, SQL_HLL_MERGE),

@@ -1540,3 +1540,29 @@ def test_key_skew_audit_math_and_empty(spark):
     assert r["salt_factor"] == 8
     empty = spark.createDataFrame([], "i long, k string")
     assert key_skew_audit(empty, {"k": F.col("k")}).count() == 0
+
+
+def test_curriculum_write_plan_ordering(spark):
+    """X188: epoch 0 is band-monotone (every high-quality doc sorts
+    before every lower-band doc); later epochs are band-independent
+    uniform orders; the doc multiset is identical across epochs."""
+    from ocr_automation_system_spark.queries import q_curriculum_write_plan
+
+    rows = q_curriculum_write_plan(spark, "/root/testdata/sf0.001").collect()
+    by_ep = {}
+    for r in rows:
+        by_ep.setdefault(r["epoch"], []).append(r)
+    assert set(by_ep) == {0, 1, 2}
+    docs0 = sorted(r["doc_id"] for r in by_ep[0])
+    assert docs0 == sorted(r["doc_id"] for r in by_ep[1])
+    # epoch 0: sort by key -> bands descend monotonically (3,3,...,0)
+    e0 = sorted(by_ep[0], key=lambda r: r["sort_key"])
+    bands = [r["band"] for r in e0]
+    assert bands == sorted(bands, reverse=True)
+    assert bands[0] == 3 and bands[-1] < 3     # both ends populated
+    # epoch 1: order uncorrelated with band (first 50 mix bands)
+    e1 = sorted(by_ep[1], key=lambda r: r["sort_key"])
+    assert len({r["band"] for r in e1[:50]}) > 1
+    # epochs 1 and 2 are DIFFERENT orders of the same multiset
+    assert [r["doc_id"] for r in e1] != [
+        r["doc_id"] for r in sorted(by_ep[2], key=lambda r: r["sort_key"])]
