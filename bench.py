@@ -126,6 +126,7 @@ HEADLINE = (
     "doc_feature_table", "quality_probe_weights", "quality_probe_scores",
     "quality_probe_calibrated",
     "token_budget_sample", "train_val_split", "epoch_write_plan",
+    "curriculum_write_plan",
     "entity_join_shape", "report_summary", "duplicate_id_groups",
     "checksum_existence_join", "topk_per_group",
     "pricing_summary", "top_revenue_orders", "region_nation_rollup",
