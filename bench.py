@@ -35,7 +35,7 @@ HEADLINE = (
     "lang_id_margin",
     "dedup_exact_groups", "minhash_lsh_pairs", "containment_pairs",
     "bag_jaccard_pairs", "confusable_dup_groups", "nfc_census",
-    "key_skew_audit", "semantic_contamination",
+    "key_skew_audit", "semantic_contamination", "nfkc_census",
     "lsh_tuning_table", "lsh_precision_hist",
     "dedup_cluster_keep", "dedup_cluster_keep_best", "host_dup_rate",
     "dedup_cluster_sizes",

@@ -1954,7 +1954,7 @@ REPAIR_SCHEMA = "url string, text string"
 
 
 def nfc_stage(df: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text", form: str = "NFC") -> DataFrame:
     """X184 — Unicode NFC normalization as a curation stage: returns
     (doc_id, text, changed) with every text in canonical composed form.
     Decomposed sequences ('e' + COMBINING ACUTE vs the precomposed 'é')
@@ -1969,7 +1969,16 @@ def nfc_stage(df: DataFrame, id_col: str = "doc_id",
     genuinely unavoidable here (no JVM-side normalizer in Spark's
     function library), but the kernel short-circuits on ``isascii`` so
     the dominant all-ASCII mass pays a C-speed check, not a normalize
-    call. NULL in, NULL out."""
+    call. NULL in, NULL out.
+
+    ``form="NFKC"`` (X190) additionally folds COMPATIBILITY variants —
+    ligatures (ﬁ -> fi), full-width forms (Ａ -> A), superscripts and
+    circled digits (² -> 2), unit glyphs (㎏ -> kg): the aggressive
+    canonicalization tokenizer pipelines apply so ﬁle and file share a
+    token, at the cost of erasing distinctions NFC preserves — which
+    is why it is a separate opt-in form, not the default."""
+    if form not in ("NFC", "NFKC"):
+        raise ValueError(f"unknown normalization form: {form!r}")
     cols = [id_col, text_col]
     # id type follows the caller (long doc_ids in the table queries,
     # string url-derived ids in the curate job)
@@ -1991,7 +2000,7 @@ def nfc_stage(df: DataFrame, id_col: str = "doc_id",
                     out_t.append(t)
                     out_c.append(False)
                 else:
-                    n = unicodedata.normalize("NFC", t)
+                    n = unicodedata.normalize(form, t)
                     out_t.append(n)
                     out_c.append(n != t)
             yield pd.DataFrame({"doc_id": pdf[id_col],

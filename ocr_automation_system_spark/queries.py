@@ -2632,6 +2632,81 @@ FROM n
 SQL_NFC_CENSUS = _sql_nfc_census()
 
 
+#: X190 planted suffixes: compatibility variants NFC preserves but
+#: NFKC folds — ligature, full-width, circled digit, vulgar fraction,
+#: superscript, unit glyph, numero, Roman numeral.
+NFKC_SUFFIXES = ("", " ﬁle Ａ ②", " ½ x²", " ﬂow ㎏", " №5 Ⅷ")
+
+
+def q_nfkc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X190 — NFKC compatibility-fold census: the aggressive
+    canonicalization tokenizer pipelines apply (ﬁle/file one token,
+    full-width ASCII folded, ² -> 2) run as the X184 kernel with
+    ``form="NFKC"``. DuckDB ships no NFKC function, so the twin folds
+    the PLANTED suffixes through literals precomputed by the same
+    Python unicodedata call at SQL-build time — sound because the
+    corpus text is ASCII (NFKC identity) and every suffix starts with
+    a space (no composition can cross the concat boundary), making
+    NFKC(text || suffix) == text || NFKC(suffix) exactly. The contract
+    additionally reports where NFC and NFKC DISAGREE (changed_nfkc
+    and not changed_nfc) — the compatibility-only class."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("long") % len(NFKC_SUFFIXES))
+    t = F.coalesce(F.col("text"), F.lit(""))
+    planted = F.lit("")
+    for i, s in enumerate(NFKC_SUFFIXES):
+        if s:
+            planted = F.when(k == i, F.lit(s)).otherwise(planted)
+    d = docs.select("doc_id", F.concat(t, planted).alias("text"))
+    nk = (C.nfc_stage(d, form="NFKC")
+          .select("doc_id", F.col("text").alias("t_nfkc"),
+                  F.col("changed").alias("changed_nfkc")))
+    nc = (C.nfc_stage(d, form="NFC")
+          .select("doc_id", F.col("changed").alias("changed_nfc")))
+    return (nk.join(nc, "doc_id")
+            .select("doc_id", "changed_nfkc", "changed_nfc",
+                    (F.col("changed_nfkc") & ~F.col("changed_nfc"))
+                    .alias("compat_only"),
+                    F.md5(F.col("t_nfkc")).alias("nfkc_hash")))
+
+
+def _sql_nfkc_census() -> str:
+    import unicodedata
+
+    n = len(NFKC_SUFFIXES)
+    arms_raw = " ".join(f"WHEN {i} THEN '{s}'"
+                        for i, s in enumerate(NFKC_SUFFIXES) if s)
+    arms_fold = " ".join(
+        f"WHEN {i} THEN '{unicodedata.normalize('NFKC', s)}'"
+        for i, s in enumerate(NFKC_SUFFIXES) if s)
+    arms_nfc = " ".join(
+        f"WHEN {i} THEN '{unicodedata.normalize('NFC', s)}'"
+        for i, s in enumerate(NFKC_SUFFIXES) if s)
+    gate = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), "
+            f"1, 4)) AS BIGINT) % {n}")
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t, {gate} AS k
+           FROM documents),
+f AS (SELECT doc_id,
+        t || CASE k {arms_raw} ELSE '' END AS raw,
+        t || CASE k {arms_fold} ELSE '' END AS folded,
+        t || CASE k {arms_nfc} ELSE '' END AS nfc
+      FROM d)
+SELECT doc_id,
+  (folded <> raw) AS changed_nfkc,
+  (nfc <> raw) AS changed_nfc,
+  (folded <> raw AND nfc = raw) AS compat_only,
+  md5(folded) AS nfkc_hash
+FROM f
+"""
+
+
+SQL_NFKC_CENSUS = _sql_nfkc_census()
+
+
 def q_mojibake_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X179 — DOUBLE-mojibake fixpoint census: each document gets an
     md5-gated damage depth k in {0,1,2} planted (true per-char forward
@@ -9940,6 +10015,7 @@ REGISTRY: dict = {
     "slop_by_lang": (q_slop_by_lang, SQL_SLOP_BY_LANG),
     "mojibake_fixpoint": (q_mojibake_fixpoint, SQL_MOJIBAKE_FIXPOINT),
     "nfc_census": (q_nfc_census, SQL_NFC_CENSUS),
+    "nfkc_census": (q_nfkc_census, SQL_NFKC_CENSUS),
     "confusable_dup_groups": (q_confusable_dup_groups,
                               SQL_CONFUSABLE_DUP_GROUPS),
     "key_skew_audit": (q_key_skew_audit, SQL_KEY_SKEW_AUDIT),

@@ -362,3 +362,21 @@ def test_nfc_stage_composes_and_collides(spark):
     sdf = spark.createDataFrame([("u1", decomp)], ["doc_id", "text"])
     r = nfc_stage(sdf).collect()[0]
     assert r["doc_id"] == "u1" and r["text"] == comp
+
+
+def test_nfkc_form_folds_compat_variants(spark):
+    """X190: NFKC folds ligature/width/superscript variants NFC keeps;
+    NFC output is unchanged on them; unknown form raises."""
+    import pytest as _pytest
+
+    from ocr_automation_system_spark.functions.curation import nfc_stage
+
+    rows = [(1, "ﬁle Ａ ②"), (2, "plain"), (3, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k = {r["doc_id"]: r for r in nfc_stage(df, form="NFKC").collect()}
+    c = {r["doc_id"]: r for r in nfc_stage(df, form="NFC").collect()}
+    assert k[1]["text"] == "file A 2" and k[1]["changed"]
+    assert c[1]["text"] == "ﬁle Ａ ②" and not c[1]["changed"]
+    assert k[2]["text"] == "plain" and k[3]["text"] is None
+    with _pytest.raises(ValueError):
+        nfc_stage(df, form="NFD")
