@@ -161,6 +161,15 @@ def main(argv=None, stop_session: bool = True) -> int:
                         "q_h ~ n_h^A (mT5/XLM-R alpha sampling; the "
                         "smallest host keeps everything). Deterministic "
                         "md5 gate - reruns keep the same rows")
+    p.add_argument("--epochs", type=int, default=0, metavar="N",
+                   help="--curate only: export <output>/epochs/epoch=K "
+                        "parquet of the train split, each epoch a "
+                        "DIFFERENT deterministic md5 order (X90), "
+                        "files range-partitioned + sorted by the key")
+    p.add_argument("--curriculum", action="store_true",
+                   help="with --epochs: epoch 0 orders best-quality-"
+                        "band first (X188 quality-warmup), later "
+                        "epochs stay uniform")
     p.add_argument("--sample-k", type=int, default=0, metavar="K",
                    help="export a token-count-weighted priority sample "
                         "(Efraimidis-Spirakis, without replacement) of "
@@ -352,6 +361,7 @@ def main(argv=None, stop_session: bool = True) -> int:
                alpha=args.alpha, keep_best=args.keep_best,
                near_dup=args.near_dup,
                zorder=args.zorder, sample_k=args.sample_k,
+               epochs=args.epochs, curriculum=args.curriculum,
                neyman_sample=args.neyman_sample)
 
     if args.frontier_export:
@@ -593,6 +603,7 @@ def curate(spark, results, output: str, quota: int = 1000,
            alpha: float | None = None, keep_best: bool = False,
            near_dup: str = "lsh",
            zorder: bool = False, sample_k: int = 0,
+           epochs: int = 0, curriculum: bool = False,
            neyman_sample: int = 0,
            url_drops: dict | None = None) -> None:
     """Committed extractions -> curated training corpus.
@@ -929,6 +940,40 @@ def curate(spark, results, output: str, quota: int = 1000,
                            overlap=max(1, chunk_tokens // 8))
          .write.mode("overwrite").parquet(ch_out))
         counts["train_chunks"] = spark.read.parquet(ch_out).count()
+    if epochs:
+        # per-epoch training-order export: every epoch a DIFFERENT
+        # deterministic md5 order (X90); --curriculum swaps epoch 0 for
+        # the X188 quality-warmup key (band-monotone, best first). The
+        # write is range-partitioned + sorted on the key, so a trainer
+        # streaming files in name order reads each epoch in ITS order —
+        # and a rerun writes byte-identical files (no RNG anywhere).
+        from ocr_automation_system_spark.functions.text import (
+            quality_score,
+        )
+
+        ep_out = os.path.join(output, "epochs")
+        train = written.filter(F.col("split") == "train")
+        band = F.least(F.lit(3), F.floor(
+            quality_score(F.col("text")) * 4).cast("long"))
+        shift = F.lit(1 << 55).cast("long")
+        parts = []
+        for ep in range(epochs):
+            h = F.conv(F.substring(F.md5(F.concat(
+                F.lit(str(ep)), F.lit(":"),
+                F.col("doc_id").cast("string"))), 1, 15), 16, 10)                 .cast("long")
+            key = ((F.lit(3) - band) * shift + F.pmod(h, shift)
+                   if curriculum and ep == 0 else h)
+            parts.append(train.select(
+                F.lit(ep).alias("epoch"), "doc_id", "text",
+                key.alias("sort_key")))
+        allp = parts[0]
+        for pp in parts[1:]:
+            allp = allp.unionByName(pp)
+        (allp.repartitionByRange(max(epochs * 2, 4), "epoch", "sort_key")
+         .sortWithinPartitions("epoch", "sort_key")
+         .write.mode("overwrite").partitionBy("epoch").parquet(ep_out))
+        counts["epoch_rows"] = spark.read.parquet(ep_out).count()
+
     if sample_k:
         # weighted eval-slice draw: Efraimidis-Spirakis priority sample
         # of the train split, token-count-weighted, no RNG — the same

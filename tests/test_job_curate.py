@@ -652,3 +652,40 @@ def test_curate_token_lineage(spark, tmp_path):
            counts["tokens_after_domain_quota"], counts["tokens_train"]]
     assert all(isinstance(v, int) and v > 0 for v in seq)
     assert seq == sorted(seq, reverse=True)
+
+
+def test_epochs_export_curriculum_and_rerun_identical(spark, tmp_path):
+    """--epochs N --curriculum: each epoch carries the train multiset;
+    epoch 0 is band-monotone in sort order under the curriculum; orders
+    differ between epochs; a rerun reproduces epoch 0 exactly."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.text import quality_score
+
+    out = str(tmp_path / "job")
+    args = ["--synthetic", "300", "--output", out, "--curate",
+            "--epochs", "2", "--curriculum"]
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    ep = spark.read.parquet(os.path.join(out, "epochs"))
+    tr = spark.read.parquet(os.path.join(out, "curated")) \
+        .filter("split = 'train'")
+    ids = sorted(r["doc_id"] for r in tr.collect())
+    for k in (0, 1):
+        got = sorted(r["doc_id"] for r in
+                     ep.filter(F.col("epoch") == k).collect())
+        assert got == ids
+    e0 = (ep.filter(F.col("epoch") == 0)
+          .withColumn("band", F.least(F.lit(3), F.floor(
+              quality_score(F.col("text")) * 4).cast("long")))
+          .orderBy("sort_key").collect())
+    bands = [r["band"] for r in e0]
+    assert bands == sorted(bands, reverse=True)
+    o0 = [r["doc_id"] for r in e0]
+    o1 = [r["doc_id"] for r in ep.filter(F.col("epoch") == 1)
+          .orderBy("sort_key").collect()]
+    assert o0 != o1 and len(o0) == len(ids)
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    e0b = [r["doc_id"] for r in spark.read.parquet(
+        os.path.join(out, "epochs")).filter(F.col("epoch") == 0)
+        .orderBy("sort_key").collect()]
+    assert e0b == o0
