@@ -298,6 +298,18 @@ def psl_rules(wildcard=PSL_WILDCARD, exception=PSL_EXCEPTION,
     return rows
 
 
+def psl_rules_from_parquet(spark, path: str) -> list:
+    """Load a PSL rule dimension from parquet (columns: rule string,
+    nlab int, kind string — the `psl_rules` schema; a full Mozilla
+    list parses to ~9k such rows). The dimension is collected
+    driver-side because the matcher broadcasts per-length slices
+    anyway — 9k rows is far under any broadcast threshold, and the
+    collect keeps `registrable_domain_psl` a pure function of plain
+    tuples (testable without Spark)."""
+    return [(r["rule"], int(r["nlab"]), r["kind"])
+            for r in spark.read.parquet(path).collect()]
+
+
 def registrable_domain_psl(df: DataFrame, spark, host_col: str = "host",
                            rules=None):
     """Full public-suffix-list match: normal, wildcard (``*.ck``) and
