@@ -1983,7 +1983,9 @@ def nfc_stage(df: DataFrame, id_col: str = "doc_id",
     # id type follows the caller (long doc_ids in the table queries,
     # string url-derived ids in the curate job)
     id_type = dict(df.dtypes)[id_col]
-    schema = f"doc_id {id_type}, text string, changed boolean"
+    # the output id rides under the CALLER's id column name — a
+    # non-default id_col must not come back silently renamed to doc_id
+    schema = f"`{id_col}` {id_type}, text string, changed boolean"
 
     def _batches(it):
         import unicodedata
@@ -2003,7 +2005,7 @@ def nfc_stage(df: DataFrame, id_col: str = "doc_id",
                     n = unicodedata.normalize(form, t)
                     out_t.append(n)
                     out_c.append(n != t)
-            yield pd.DataFrame({"doc_id": pdf[id_col],
+            yield pd.DataFrame({id_col: pdf[id_col],
                                 "text": out_t, "changed": out_c})
 
     return df.select(*cols).mapInPandas(_batches, schema)

@@ -420,7 +420,15 @@ def bag_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     all-pairs); the gram-count table is one map-side-combined
     groupBy(doc, gram) — the postings shape; Σmin is a pair-keyed
     aggregate over shared grams only. No windows, no arrays collected
-    per pair."""
+    per pair.
+
+    Cache lifetime: the gram-count table is ``persist()``-ed because
+    three legs of the returned plan read it (sizes + both join sides);
+    the result is lazy, so the CALLER owns the cache — in a long-lived
+    session, unpersist via the ``cached`` handle attached to the
+    returned frame (``out.cached.unpersist()``) once the result is
+    materialized, the same contract as the persisted chunk/fingerprint
+    tables in ``cdc_dup_pairs`` / ``winnow_dup_pairs``."""
     from .text import clean_text, positional_grams, ws_tokens
 
     cand = lsh_candidate_pairs(df, id_col, text_col, n, bands,
@@ -463,7 +471,9 @@ def bag_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                            / (F.col("set_a") + F.col("set_b")
                               - F.col("inter_set")).cast("double"), 6)
                    .alias("set_jaccard")))
-    return out.filter(F.col("bag_jaccard") >= threshold)
+    res = out.filter(F.col("bag_jaccard") >= threshold)
+    res.cached = tc  # caller-owned cache handle (see docstring)
+    return res
 
 
 def containment_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -36,6 +36,9 @@ Canonicalization steps, in order (each step's engine parity is pinned by
 
 from __future__ import annotations
 
+import functools
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -232,7 +235,8 @@ PSL_ONE_LEVEL = (
 )
 
 
-def registrable_domain(df: DataFrame, spark, host_col: str = "host"):
+def registrable_domain(df: DataFrame, spark, host_col: str = "host",
+                       two_level=None, one_level=None):
     """Attach (public_suffix, reg_domain) to every row by PSL longest
     match: the last TWO labels win if they are a listed two-level
     suffix (``foo.co.uk`` -> ``foo.co.uk`` is wrong — the registrable
@@ -244,13 +248,25 @@ def registrable_domain(df: DataFrame, spark, host_col: str = "host"):
     in one bucket, while ``x.github.io`` and ``y.github.io`` (a
     PRIVATE-section suffix) must not.
 
+    The default dimension is the REAL bundled Mozilla list's normal
+    rules at depths 1 and 2 (:func:`psl_full_levels` — ~7k of the
+    9.5k rules); this fast path by construction cannot express the
+    residue (3-to-5-label rules, wildcards, exceptions) — quota
+    rollup that needs those uses :func:`registrable_domain_psl` with
+    :func:`psl_full_rules`. Pass ``two_level``/``one_level`` to pin a
+    smaller dimension (the demo tuples above) in tests.
+
     Scale shape: two broadcast LEFT joins (candidate suffix lengths 2
     and 1) against the suffix dimension — map-side, zero shuffle, zero
-    Python; longest match is a coalesce, never a groupBy. A full PSL
-    replaces the inline dimension with a parquet read, same plan."""
-    two = spark.createDataFrame([(s,) for s in PSL_TWO_LEVEL],
+    Python; longest match is a coalesce, never a groupBy; the full
+    list's slices stay trivially broadcastable (~7k rows)."""
+    if two_level is None or one_level is None:
+        full_two, full_one = psl_full_levels()
+        two_level = full_two if two_level is None else two_level
+        one_level = full_one if one_level is None else one_level
+    two = spark.createDataFrame([(s,) for s in two_level],
                                 "suffix2 string")
-    one = spark.createDataFrame([(s,) for s in PSL_ONE_LEVEL],
+    one = spark.createDataFrame([(s,) for s in one_level],
                                 "suffix1 string")
     # DNS names are case-insensitive; fold before matching the
     # (lowercase) suffix table and return the canonical lowercase form
@@ -298,16 +314,122 @@ def psl_rules(wildcard=PSL_WILDCARD, exception=PSL_EXCEPTION,
     return rows
 
 
+def validate_psl_rules(rows) -> list:
+    """Shape-check a PSL rule dimension and return it as a list —
+    malformed dimensions must FAIL LOUDLY here, not be silently
+    skipped by the matcher's structural guards (the ``L >= 2``
+    exception guard in :func:`registrable_domain_psl` exists because a
+    1-label exception rule like ``!com`` is meaningless under the
+    published algorithm — its public suffix would be the empty
+    string); a parquet file carrying one would otherwise just never
+    match. Checks per row: kind ∈ {n,w,e}; ``nlab`` equals the rule's
+    actual label count; labels non-empty (no leading/trailing/double
+    dots); exception rules carry >= 2 labels."""
+    out = []
+    for rule, nlab, kind in rows:
+        if kind not in ("n", "w", "e"):
+            raise ValueError(f"PSL rule {rule!r}: unknown kind {kind!r}")
+        labels = str(rule).split(".")
+        if not rule or any(not lab for lab in labels):
+            raise ValueError(f"PSL rule {rule!r}: empty label")
+        if int(nlab) != len(labels):
+            raise ValueError(
+                f"PSL rule {rule!r}: nlab={nlab} but rule has "
+                f"{len(labels)} labels")
+        if kind == "e" and len(labels) < 2:
+            raise ValueError(
+                f"PSL rule {rule!r}: exception rules must carry >= 2 "
+                "labels (the public suffix is the rule minus its "
+                "leftmost label, which would be empty)")
+        out.append((str(rule), int(nlab), str(kind)))
+    return out
+
+
 def psl_rules_from_parquet(spark, path: str) -> list:
     """Load a PSL rule dimension from parquet (columns: rule string,
     nlab int, kind string — the `psl_rules` schema; a full Mozilla
-    list parses to ~9k such rows). The dimension is collected
+    list parses to ~9.5k such rows). The dimension is collected
     driver-side because the matcher broadcasts per-length slices
     anyway — 9k rows is far under any broadcast threshold, and the
     collect keeps `registrable_domain_psl` a pure function of plain
-    tuples (testable without Spark)."""
-    return [(r["rule"], int(r["nlab"]), r["kind"])
-            for r in spark.read.parquet(path).collect()]
+    tuples (testable without Spark). Rule shapes are validated
+    loudly (:func:`validate_psl_rules`) — a malformed dimension is a
+    data bug, not a silent no-match."""
+    return validate_psl_rules(
+        (r["rule"], int(r["nlab"]), r["kind"])
+        for r in spark.read.parquet(path).collect())
+
+
+#: The REAL Mozilla Public Suffix List (MPL-2.0), bundled verbatim as
+#: shipped by the Debian ``publicsuffix`` package — ~9.5k rules, 107
+#: wildcards, 8 exceptions, ICANN + PRIVATE sections.
+PSL_DAT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "public_suffix_list.dat")
+
+
+def psl_rules_from_dat(path: str = PSL_DAT, section: str | None = None
+                       ) -> list:
+    """Parse a Mozilla ``public_suffix_list.dat`` text into the
+    ``(rule, nlab, kind)`` dimension the matcher broadcasts. The
+    published format (publicsuffix.org/list): one rule per line up to
+    the first whitespace; ``//`` lines are comments; ``!`` prefixes an
+    exception, ``*.`` a wildcard; rules are already lowercase and the
+    Unicode (not punycode) form is canonical. ``section`` filters to
+    ``"icann"`` or ``"private"`` via the ``===BEGIN ICANN/PRIVATE
+    DOMAINS===`` sentinels — eTLD+1 quota rollup conventionally wants
+    BOTH (a ``github.io`` registrant is a quota unit), which is the
+    ``None`` default."""
+    rows, cur = [], None
+    with open(path, encoding="utf-8") as fh:
+        for raw in fh:
+            line = raw.strip()
+            if not line:
+                continue
+            if line.startswith("//"):
+                if "===BEGIN ICANN DOMAINS===" in line:
+                    cur = "icann"
+                elif "===BEGIN PRIVATE DOMAINS===" in line:
+                    cur = "private"
+                elif "===END" in line:
+                    cur = None
+                continue
+            if section is not None and cur != section:
+                continue
+            rule = line.split()[0]
+            if rule.startswith("!"):
+                kind, rule = "e", rule[1:]
+            elif rule.startswith("*."):
+                kind, rule = "w", rule[2:]
+            elif rule == "*":
+                # a bare-star rule is the implicit default the matcher
+                # already applies; nothing to store
+                continue
+            else:
+                kind = "n"
+            rows.append((rule, rule.count(".") + 1, kind))
+    return validate_psl_rules(rows)
+
+
+@functools.lru_cache(maxsize=4)
+def psl_full_rules(section: str | None = None) -> tuple:
+    """The bundled real Mozilla list as the ``(rule, nlab, kind)``
+    dimension, parsed once per process (the parse is ~10 ms; every
+    query call and twin render reads this memo)."""
+    return tuple(psl_rules_from_dat(section=section))
+
+
+@functools.lru_cache(maxsize=1)
+def psl_full_levels() -> tuple:
+    """The real list's NORMAL rules sliced at one and two labels —
+    the dimension pair the fast-path :func:`registrable_domain`
+    broadcasts (7k of the 9.5k rules; the residue — 3-to-5-label
+    normal rules, wildcards, exceptions — needs
+    :func:`registrable_domain_psl`). Returns ``(two_level,
+    one_level)`` sorted tuples."""
+    rows = psl_full_rules()
+    two = tuple(sorted(r for r, n, k in rows if k == "n" and n == 2))
+    one = tuple(sorted(r for r, n, k in rows if k == "n" and n == 1))
+    return two, one
 
 
 def registrable_domain_psl(df: DataFrame, spark, host_col: str = "host",
@@ -336,7 +458,9 @@ def registrable_domain_psl(df: DataFrame, spark, host_col: str = "host",
     chain (`/root/reference/project/core/gst_certi.py` authority
     fallbacks) is the same first-match-wins cascade, here over suffix
     rules instead of extraction methods."""
-    rows = psl_rules() if rules is None else list(rules)
+    # default dimension: the REAL bundled Mozilla list (9.5k rules) —
+    # the demo psl_rules() tuples remain for pinned unit fixtures
+    rows = list(psl_full_rules()) if rules is None else list(rules)
     max_l = max(r[1] for r in rows)
     # tails are needed one label past the deepest stored rule (wildcard
     # suffixes) plus one more for the registrable domain itself.

@@ -808,12 +808,14 @@ FROM canon_t
 
 def _sql_registrable_domains() -> str:
     """Twin of queries.q_registrable_domains — the host rewrite classes
-    and BOTH suffix tables render from functions.urlnorm's PSL tuples
-    (single source)."""
-    from .functions.urlnorm import PSL_ONE_LEVEL, PSL_TWO_LEVEL
+    and BOTH suffix tables render from functions.urlnorm's bundled
+    REAL Mozilla list slices, psl_full_levels() (single source: the
+    same slices the Spark fast path broadcasts)."""
+    from .functions.urlnorm import psl_full_levels
 
-    two = ", ".join(f"'{s}'" for s in PSL_TWO_LEVEL)
-    one = ", ".join(f"'{s}'" for s in PSL_ONE_LEVEL)
+    full_two, full_one = psl_full_levels()
+    two = ", ".join("'" + s + "'" for s in full_two)
+    one = ", ".join("'" + s + "'" for s in full_one)
     return f"""
 WITH h0 AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS h
             FROM {CORPUS}),
@@ -851,12 +853,16 @@ SQL_REGISTRABLE_DOMAINS = _sql_registrable_domains()
 
 def _sql_psl_domains() -> str:
     """Twin of queries.q_psl_domains — full PSL wildcard/exception
-    longest-match. The rule sets and the md5 host-rewrite gate render
-    from functions.urlnorm.psl_rules (single source); the matching
-    logic is re-derived independently over DuckDB list ops."""
-    from .functions.urlnorm import psl_rules
+    longest-match over the REAL bundled Mozilla list (9,506 rules).
+    The rule sets and the md5 host-rewrite gate render from
+    functions.urlnorm.psl_full_rules (single source — the same parse
+    the Spark matcher broadcasts); the matching logic is re-derived
+    independently over DuckDB list ops. The rendered IN-lists carry
+    the full cardinality (~140 KB of SQL) — DuckDB folds each into a
+    hash filter, so the twin stays sub-second at oracle scale."""
+    from .functions.urlnorm import psl_full_rules
 
-    rows = psl_rules()
+    rows = list(psl_full_rules())
     max_l = max(r[1] for r in rows)
     need = max_l + 2
 
@@ -889,7 +895,7 @@ def _sql_psl_domains() -> str:
 WITH h0 AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS h
             FROM {CORPUS}),
 k0 AS (SELECT h,
-        CAST(concat('0x', substr(md5(h), 1, 4)) AS BIGINT) % 8 AS k
+        CAST(concat('0x', substr(md5(h), 1, 4)) AS BIGINT) % 10 AS k
        FROM h0),
 s0 AS (SELECT CASE k
           WHEN 0 THEN h
@@ -899,6 +905,8 @@ s0 AS (SELECT CASE k
           WHEN 4 THEN replace(h, '.example.com', '.kawasaki.jp')
           WHEN 5 THEN 'x.' || replace(h, '.example.com', '.kawasaki.jp')
           WHEN 6 THEN 'city.kawasaki.jp'
+          WHEN 7 THEN 'w.city.kobe.jp'
+          WHEN 8 THEN replace(h, '.example.com', '.github.io')
           ELSE replace(h, '.example.com', '.co.uk') END AS host
        FROM k0),
 p0 AS (SELECT host, str_split(host, '.') AS parts,

@@ -4865,7 +4865,7 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X189 — SEMANTIC decontamination: eval-set vectors (vec_id % 7
     == 0 plays the benchmark — a wide gate so the contract carries
     real pairs at test scale) against the corpus through the LSH-bucket
-    near-dup machinery, keeping cross-side pairs with cosine >= 0.3 —
+    near-dup machinery, keeping cross-side pairs with cosine >= 0.2 —
     the paraphrase-level leak the n-gram tiers (X12 exact-collision,
     X160 span excision) can NOT see: a reworded benchmark answer shares
     no 5-gram but sits next to the eval vector in embedding space.
@@ -6953,25 +6953,31 @@ def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X177 — FULL public-suffix-list semantics: wildcard (``*.ck``,
-    ``*.kawasaki.jp``) and exception (``!www.ck``, ``!city.kawasaki.jp``)
+    """X177 — FULL public-suffix-list semantics over the REAL bundled
+    Mozilla list (9,506 rules: 9,391 normal to depth 5, 107 wildcards,
+    8 exceptions, ICANN + PRIVATE sections — ``data/
+    public_suffix_list.dat``, MPL-2.0): wildcard (``*.ck``,
+    ``*.kawasaki.jp``) and exception (``!www.ck``, ``!city.kobe.jp``)
     rules with longest-match precedence, exceptions winning, and
     ``reg_domain IS NULL`` for hosts that ARE public suffixes. Corpus
     hosts are rewritten (md5-gated class, identical in both engines)
     into every shape the matcher must separate: a wildcard child that
-    is itself a suffix, its registrable grandchild, both exception
-    hosts, a deep kawasaki subdomain, and the plain two-level/default
-    classes as regression anchors against the fast-path matcher.
+    is itself a suffix, its registrable grandchild, both ck exception
+    hosts, a deep kawasaki subdomain, the ``!city.kobe.jp`` exception,
+    a PRIVATE-section suffix child (``github.io``), and the plain
+    two-level/default classes as regression anchors against the
+    fast-path matcher.
 
     Scale shape: zero-shuffle label census -> one broadcast LEFT join
-    per stored rule length (map-side; the full 9k-rule list stays
-    broadcastable) -> pure coalesce precedence -> ONE map-side
-    aggregate on the tiny (reg_domain, suffix) key space."""
+    per stored rule length (map-side; the full 9.5k-rule list stays
+    broadcastable — the largest per-length slice is 5.5k rows) -> pure
+    coalesce precedence -> ONE map-side aggregate on the tiny
+    (reg_domain, suffix) key space."""
     from .functions import urlnorm as U
 
     c = corpus_for(spark, sf_dir).select("url")
     host = F.regexp_extract("url", r"https://([^/]+)/", 1)
-    k = F.conv(F.substring(F.md5(host), 1, 4), 16, 10).cast("long") % 8
+    k = F.conv(F.substring(F.md5(host), 1, 4), 16, 10).cast("long") % 10
     ex = F.lit(".example.com")
     synth = (F.when(k == 0, host)
              .when(k == 1, F.replace(host, ex, F.lit(".ck")))
@@ -6983,6 +6989,8 @@ def q_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.replace(host, ex,
                                               F.lit(".kawasaki.jp"))))
              .when(k == 6, F.lit("city.kawasaki.jp"))
+             .when(k == 7, F.lit("w.city.kobe.jp"))
+             .when(k == 8, F.replace(host, ex, F.lit(".github.io")))
              .otherwise(F.replace(host, ex, F.lit(".co.uk"))))
     d = c.select(synth.alias("host"))
     rd = U.registrable_domain_psl(d, spark)

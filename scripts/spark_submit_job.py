@@ -856,13 +856,21 @@ def curate(spark, results, output: str, quota: int = 1000,
         # quota at REGISTRABLE-domain granularity: a.shop.example and
         # b.shop.example are one registrant — per-hostname quotas are
         # evadable by minting subdomains (the PSL longest-match tier,
-        # X154). Two broadcast joins attach reg_domain; the quota op
-        # itself is unchanged.
+        # X154/X177). The FULL bundled Mozilla list (9.5k rules,
+        # wildcard + exception semantics) drives the rollup — a
+        # registrant under *.kawasaki.jp or a private-section suffix
+        # like github.io quotas at the right unit; hosts that ARE
+        # public suffixes (reg_domain NULL) fall back to the host
+        # itself so they still quota rather than merging into one NULL
+        # bucket. Broadcast joins only; the quota op is unchanged.
         from ocr_automation_system_spark.functions.urlnorm import (
-            registrable_domain,
+            registrable_domain_psl,
         )
 
-        with_dom = registrable_domain(deduped, spark, host_col="host")
+        with_dom = (registrable_domain_psl(deduped, spark,
+                                           host_col="host")
+                    .withColumn("reg_domain",
+                                F.coalesce("reg_domain", "host")))
         quota_kept = C.domain_quota(with_dom, domain_col="reg_domain",
                                     text_col="text", id_col="doc_id",
                                     quota=quota)

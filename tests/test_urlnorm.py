@@ -256,21 +256,102 @@ def test_registrable_domain_psl_no_shuffle(spark):
 
 
 def test_psl_rules_parquet_swap_identical(spark, tmp_path):
-    """The documented full-PSL drop-in: the same rules written to and
-    read back from a parquet dimension produce byte-identical matcher
-    output — the swap point is real, not a docstring claim."""
+    """The documented full-PSL drop-in, now at FULL cardinality: the
+    real bundled 9.5k-rule Mozilla list written to and read back from
+    a parquet dimension produces byte-identical matcher output vs the
+    in-process default (which is the same list) — the swap point is
+    real, not a docstring claim."""
     from ocr_automation_system_spark.functions.urlnorm import (
-        psl_rules, psl_rules_from_parquet, registrable_domain_psl,
+        psl_full_rules, psl_rules_from_parquet, registrable_domain_psl,
     )
 
     path = str(tmp_path / "psl")
-    spark.createDataFrame(psl_rules(), "rule string, nlab int, kind string") \
+    spark.createDataFrame(list(psl_full_rules()),
+                          "rule string, nlab int, kind string") \
         .write.parquet(path)
     loaded = psl_rules_from_parquet(spark, path)
-    assert sorted(loaded) == sorted(psl_rules())
+    assert sorted(loaded) == sorted(psl_full_rules())
     df = spark.createDataFrame([(h,) for h, _, _ in PSL_CASES],
                                "host string")
     base = sorted(map(tuple, registrable_domain_psl(df, spark).collect()))
     swap = sorted(map(tuple, registrable_domain_psl(
         df, spark, rules=loaded).collect()))
     assert base == swap
+
+
+# ---------------------------------------------------------------------------
+# The REAL bundled Mozilla list (round-5: the literal full dimension)
+# ---------------------------------------------------------------------------
+
+
+def test_psl_full_list_shape():
+    """The bundled data file is the real list: full cardinality, all
+    three rule kinds at their published counts, and every row passes
+    the loud shape validation (validate_psl_rules runs inside the
+    parser)."""
+    from collections import Counter
+
+    from ocr_automation_system_spark.functions.urlnorm import (
+        psl_full_rules, psl_rules_from_dat,
+    )
+
+    rows = psl_full_rules()
+    kinds = Counter(k for _, _, k in rows)
+    assert len(rows) > 9000, len(rows)
+    assert kinds["w"] > 100          # *.ck, *.kawasaki.jp, *.nom.br, ...
+    assert kinds["e"] == 8           # !www.ck + the seven !city.*.jp
+    assert max(n for _, n, _ in rows) == 5
+    icann = psl_rules_from_dat(section="icann")
+    private = psl_rules_from_dat(section="private")
+    assert len(icann) + len(private) == len(rows)
+    assert ("github.io", 2, "n") in private
+    assert ("co.uk", 2, "n") in icann
+
+
+def test_psl_full_list_exception_rule_end_to_end(spark):
+    """A known exception rule the DEMO dimension never carried
+    (!city.kobe.jp) resolves end-to-end through the default matcher:
+    the wildcard *.kobe.jp makes host.kobe.jp its own suffix, while
+    the exception carves city.kobe.jp back out as a registrable name
+    under kobe.jp."""
+    from ocr_automation_system_spark.functions.urlnorm import (
+        registrable_domain_psl,
+    )
+
+    cases = [
+        ("city.kobe.jp", "kobe.jp", "city.kobe.jp"),
+        ("w.city.kobe.jp", "kobe.jp", "city.kobe.jp"),
+        ("host.kobe.jp", "host.kobe.jp", None),
+        ("x.host.kobe.jp", "host.kobe.jp", "x.host.kobe.jp"),
+        # depth-3 and depth-4 NORMAL rules only the full list carries
+        ("a.b.kasai.hyogo.jp", "kasai.hyogo.jp", "b.kasai.hyogo.jp"),
+        # private-section multi-label suffix
+        ("s3.amazonaws.com", "s3.amazonaws.com", None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in cases],
+                               "host string")
+    out = {r["host"]: (r["public_suffix"], r["reg_domain"])
+           for r in registrable_domain_psl(df, spark).collect()}
+    for h, s, r in cases:
+        assert out[h] == (s, r), h
+
+
+def test_psl_validation_fails_loudly():
+    """Malformed dimensions raise instead of silently never matching:
+    unknown kind, nlab out of sync with the rule text, empty labels,
+    and the 1-label exception rule the matcher's L >= 2 guard would
+    otherwise skip."""
+    import pytest
+
+    from ocr_automation_system_spark.functions.urlnorm import (
+        validate_psl_rules,
+    )
+
+    assert validate_psl_rules([("co.uk", 2, "n")]) == [("co.uk", 2, "n")]
+    for bad in ([("co.uk", 2, "x")],
+                [("co.uk", 3, "n")],
+                [("co..uk", 3, "n")],
+                [(".uk", 2, "n")],
+                [("com", 1, "e")]):
+        with pytest.raises(ValueError):
+            validate_psl_rules(bad)
