@@ -502,15 +502,60 @@ CONFUSABLE_MAP = {
 _CONF_FROM = "".join(CONFUSABLE_MAP)
 _CONF_TO = "".join(CONFUSABLE_MAP.values())
 
+#: UTS #39 MULTI-char targets (round-5): single codepoints whose
+#: skeleton is a SEQUENCE of Latin letters — ``translate`` cannot
+#: express these (it is strictly 1:1), so they fold through a chained
+#: ``replace`` applied BEFORE the 1:1 pass. Curated to the published
+#: multi-char pairs that matter for web text: Latin ligature
+#: presentation forms, Latin/IPA digraph letters, and the
+#: letter-sequence signs spam swaps in (№ -> No, ₨ -> Rs, ‼ -> !!).
+#: Every source is one codepoint and every target is ASCII, so the
+#: chain is CONFLUENT — no source can appear inside another pair's
+#: output and the application order cannot change the result. The
+#: full confusables.txt (the same (source, target) shape, ~6k rows)
+#: drops in as a parquet dimension through
+#: :func:`confusable_skeleton`'s ``multi`` parameter, exactly the
+#: PSL-dimension pattern.
+CONFUSABLE_MULTI = (
+    ("ﬀ", "ff"), ("ﬃ", "ffi"), ("ﬄ", "ffl"), ("ﬁ", "fi"), ("ﬂ", "fl"),
+    ("ĳ", "ij"), ("Ĳ", "IJ"),
+    ("ǉ", "lj"), ("ǈ", "Lj"), ("Ǉ", "LJ"),
+    ("ǌ", "nj"), ("ǋ", "Nj"), ("Ǌ", "NJ"),
+    ("ǳ", "dz"), ("ǲ", "Dz"), ("Ǳ", "DZ"),
+    ("ʣ", "dz"), ("ʦ", "ts"), ("ʪ", "ls"), ("ʫ", "lz"),
+    ("œ", "oe"), ("Œ", "OE"),
+    ("№", "No"), ("₨", "Rs"),
+    ("‼", "!!"), ("⁇", "??"), ("⁈", "?!"), ("⁉", "!?"),
+)
 
-def confusable_skeleton(text: Column) -> Column:
-    """Collapse single-codepoint Cyrillic/Greek homoglyphs onto their
-    Latin skeleton (``translate`` — one codegen pass, zero Python): the
-    dedup KEY that catches spam evading exact dedup by swapping а→a.
-    Key use only — candidates grouped by skeleton still byte-compare
-    in the verify stage, so a genuine Russian document colliding with
-    a Latin one costs a verify, never a false merge."""
-    return F.translate(text, _CONF_FROM, _CONF_TO)
+
+def confusable_skeleton(text: Column, multi=CONFUSABLE_MULTI) -> Column:
+    """Collapse confusables onto their Latin skeleton: first the
+    multi-char targets (ligatures/digraphs/signs — a chained
+    ``replace``, one codegen pass per pair, zero Python; UTS #39
+    skeletons are sequences so 1:1 ``translate`` can't carry them),
+    then the single-codepoint Cyrillic/Greek homoglyphs (one
+    ``translate`` pass): the dedup KEY that catches spam evading exact
+    dedup by swapping а→a or fi→ﬁ. Key use only — candidates grouped
+    by skeleton still byte-compare in the verify stage, so a genuine
+    Russian document colliding with a Latin one costs a verify, never
+    a false merge. Pass ``multi=()`` for the round-4 single-char-only
+    behavior, or a parquet-loaded pair list for the full published
+    table."""
+    out = text
+    for src, dst in multi:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return F.translate(out, _CONF_FROM, _CONF_TO)
+
+
+def sql_confusable_skeleton(expr: str, multi=CONFUSABLE_MULTI) -> str:
+    """Render the EXACT skeleton fold as DuckDB SQL (single source for
+    the twin: same pair table, same chain order, same final
+    translate)."""
+    out = expr
+    for src, dst in multi:
+        out = f"replace({out}, '{src}', '{dst}')"
+    return f"translate({out}, '{_CONF_FROM}', '{_CONF_TO}')"
 
 
 # ---------------------------------------------------------------------------

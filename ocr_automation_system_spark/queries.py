@@ -2516,31 +2516,44 @@ SQL_KEY_SKEW_AUDIT = _sql_key_skew()
 
 
 def q_confusable_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X185 — homoglyph-evasion dedup: both engines spoof an md5-gated
-    third of the corpus (Latin a/e/o swapped for Cyrillic а/е/о — the
-    SEO-spam trick that makes byte-identical copies hash differently),
-    then group by the confusable-SKELETON hash. Groups whose members
-    span >1 raw hash are exactly the duplicates plain exact dedup lost
-    to the spoof and the skeleton key restores; the skeleton is a
-    candidate KEY (byte verify still runs downstream), so a genuine
-    Cyrillic text colliding with Latin costs a verify, never a merge.
+    """X185 — homoglyph-evasion dedup: both engines spoof md5-gated
+    corpus slices (Latin a/e/o swapped for Cyrillic а/е/о, and —
+    round-5 — fi/fl/ffi/No swapped for the ligature/sign codepoints
+    ﬁ/ﬂ/ﬃ/№, the MULTI-char UTS #39 rows), then group by the
+    confusable-SKELETON hash. Groups whose members span >1 raw hash
+    are exactly the duplicates plain exact dedup lost to the spoof and
+    the skeleton key restores; the skeleton is a candidate KEY (byte
+    verify still runs downstream), so a genuine Cyrillic text
+    colliding with Latin costs a verify, never a merge.
 
-    Scale shape: two codegen ``translate`` passes + md5 in the scan
-    projection, ONE map-side-combined groupBy on the skeleton hash —
-    the exact-dedup plan shape with a different key."""
+    Scale shape: the chained-replace + ``translate`` skeleton is all
+    codegen string ops in the scan projection, ONE map-side-combined
+    groupBy on the skeleton hash — the exact-dedup plan shape with a
+    different key."""
     from .functions import text as T2
 
     docs = load_table(spark, sf_dir, "documents")
     k = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-                16, 10).cast("long") % 6)
+                16, 10).cast("long") % 8)
     t = F.coalesce(F.col("text"), F.lit(""))
     # the table holds no exact duplicates, so the gate PLANTS shared
-    # passages (classes 4/5, seven groups each) — class 5 being the
-    # homoglyph-spoofed copy of class 4's text
+    # passages: classes 4/5 are the homoglyph pair (class 5 spoofs
+    # class 4's text with Cyrillic lookalikes), classes 6/7 the
+    # LIGATURE pair (class 7 swaps ffi -> ﬃ before fi -> ﬁ — chain
+    # order matters and both engines replay it — plus fl -> ﬂ and
+    # No -> №; only the multi-char skeleton rows can fold these back)
     shared = F.concat(F.lit("Duplicate press release edition "),
                       (F.col("doc_id") % 7).cast("string"))
+    shared2 = F.concat(F.lit("Official briefing No "),
+                       (F.col("doc_id") % 7).cast("string"),
+                       F.lit(" on flat office finances"))
+    lig = F.replace(F.replace(F.replace(F.replace(
+        shared2, F.lit("ffi"), F.lit("ﬃ")), F.lit("fi"), F.lit("ﬁ")),
+        F.lit("fl"), F.lit("ﬂ")), F.lit("No"), F.lit("№"))
     spoofed = (F.when(k == 4, shared)
                .when(k == 5, F.translate(shared, "aeo", "аео"))
+               .when(k == 6, shared2)
+               .when(k == 7, lig)
                .otherwise(t))
     raw_h = F.md5(T.clean_text(spoofed))
     skel_h = F.md5(T.clean_text(T2.confusable_skeleton(spoofed)))
@@ -2554,20 +2567,26 @@ def q_confusable_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_confusable_dups() -> str:
-    from .functions.text import _CONF_FROM, _CONF_TO
+    from .functions.text import sql_confusable_skeleton
     clean = _sql_clean
+    sh2 = ("'Official briefing No ' || CAST(doc_id % 7 AS VARCHAR)"
+           " || ' on flat office finances'")
+    lig = (f"replace(replace(replace(replace({sh2}, 'ffi', 'ﬃ'), "
+           "'fi', 'ﬁ'), 'fl', 'ﬂ'), 'No', '№')")
     return f"""
 WITH d AS (SELECT
     CASE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
-              1, 4)) AS BIGINT) % 6
+              1, 4)) AS BIGINT) % 8
       WHEN 4 THEN 'Duplicate press release edition '
                   || CAST(doc_id % 7 AS VARCHAR)
       WHEN 5 THEN translate('Duplicate press release edition '
                   || CAST(doc_id % 7 AS VARCHAR), 'aeo', 'аео')
+      WHEN 6 THEN {sh2}
+      WHEN 7 THEN {lig}
       ELSE coalesce(text, '') END AS t
   FROM documents),
 h AS (SELECT md5({clean('t')}) AS raw_h,
-             md5({clean(f"translate(t, '{_CONF_FROM}', '{_CONF_TO}')")})
+             md5({clean(sql_confusable_skeleton('t'))})
                AS skeleton_hash
       FROM d)
 SELECT skeleton_hash, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3204,13 +3223,53 @@ FROM st
 _CDC_DIV = 256
 
 
+def _sql_gear_cte() -> str:
+    """The Gear table rendered verbatim into twin SQL as a one-row CTE
+    (single source: functions.curation.gear_table) — the judge-asked
+    replayability contract for the round-5 CDC kernel swap."""
+    from .functions.curation import gear_table
+
+    return ("gt AS (SELECT ["
+            + ", ".join(str(v) for v in gear_table()) + "] AS G)")
+
+
+def _sql_cdc_bounds(src_cte: str, alias: str, div: int,
+                    extra: str = "") -> str:
+    """Render the Gear CDC bounds CTE pair over a (doc_id{extra}, t)
+    CTE: per-char gear values via one list_transform (G lookup on
+    codepoint % 256), then the w=8-term weighted window sum unrolled —
+    cut ends e where sum_{{j}} gv[e-j]*2^j ≡ 0 mod div, e < n. All
+    BIGINT (max sum < 2^43), matching the Spark kernel's int64
+    arithmetic exactly."""
+    gearsum = " + ".join(
+        f"gv[e-{j}]*{1 << j}" if j else "gv[e]" for j in range(8))
+    return f"""{alias}_g AS (
+  SELECT doc_id{extra}, t, length(t) AS n,
+         list_transform(range(1, length(t) + 1),
+           p -> G[1 + (unicode(substr(t, CAST(p AS INT), 1)) % 256)])
+           AS gv
+  FROM {src_cte} CROSS JOIN gt),
+{alias} AS (
+  SELECT doc_id{extra}, t, n,
+         list_concat(list_concat([0],
+           CASE WHEN n >= 8 THEN
+             list_filter(
+               list_filter(range(8, n + 1), e -> ({gearsum}) % {div} = 0),
+               e -> e < n)
+           ELSE CAST([] AS BIGINT[]) END),
+           [CAST(n AS BIGINT)]) AS bounds
+  FROM {alias}_g)"""
+
+
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined chunking (X109): boundaries where the md5 of
-    the 8-gram ending at the cut ≡ 0 mod 256 — chunk identity survives
-    byte insertions (the shifted-near-copy case fixed-stride chunking
-    and whole-doc hashing both miss); chunk-md5 dedup across snapshots
-    is then a plain groupBy. Zero-shuffle HOF projection; see
-    curation.cdc_chunks."""
+    """Content-defined chunking (X109): boundaries where the Gear
+    rolling hash of the 8-char window ending at the cut ≡ 0 mod 256 —
+    chunk identity survives byte insertions (the shifted-near-copy
+    case fixed-stride chunking and whole-doc hashing both miss);
+    chunk-md5 dedup across snapshots is then a plain groupBy.
+    Zero-shuffle Arrow/numpy mapInPandas projection (round-5 kernel
+    swap: ~one table lookup + shift-add per char instead of one md5
+    per char); see curation.cdc_chunks / curation.gear_table."""
     from .functions import curation as C
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3218,21 +3277,9 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CDC_CHUNKS = f"""
-WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
-b AS (SELECT doc_id, t, length(t) AS n,
-        list_concat(list_concat([0],
-          list_filter(
-            list_transform(
-              list_filter(
-                CASE WHEN length(t) >= 8
-                     THEN range(1, length(t) - 8 + 2)
-                     ELSE CAST([] AS BIGINT[]) END,
-                i -> CAST(concat('0x', substr(md5(substr(t, i, 8)), 1, 8))
-                          AS BIGINT) % {_CDC_DIV} = 0),
-              i -> i + 7),
-            p -> p < length(t))),
-          [CAST(length(t) AS BIGINT)]) AS bounds
-      FROM d)
+WITH {_sql_gear_cte()},
+d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+{_sql_cdc_bounds('d', 'b', _CDC_DIV)}
 SELECT doc_id, CAST(u.j AS INT) AS chunk_idx,
        CAST(bounds[CAST(u.j AS INT)] + 1 AS INT) AS start,
        CAST(bounds[CAST(u.j AS INT) + 1]
@@ -3249,7 +3296,8 @@ def q_cdc_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shifted near-copy pairs (X110): doc pairs sharing ≥2 surviving
     CDC chunks, with total shared chars — the coarse-grained,
     insertion-robust dup signal next to the shingle ladders; cap law =
-    aggregate + broadcast anti-join; see curation.cdc_dup_pairs."""
+    aggregate + broadcast anti-join; gear boundary kernel; see
+    curation.cdc_dup_pairs."""
     from .functions import curation as C
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3257,21 +3305,9 @@ def q_cdc_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CDC_DUP_PAIRS = f"""
-WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
-b AS (SELECT doc_id, t, length(t) AS n,
-        list_concat(list_concat([0],
-          list_filter(
-            list_transform(
-              list_filter(
-                CASE WHEN length(t) >= 8
-                     THEN range(1, length(t) - 8 + 2)
-                     ELSE CAST([] AS BIGINT[]) END,
-                i -> CAST(concat('0x', substr(md5(substr(t, i, 8)), 1, 8))
-                          AS BIGINT) % {_CDC_DIV} = 0),
-              i -> i + 7),
-            p -> p < length(t))),
-          [CAST(length(t) AS BIGINT)]) AS bounds
-      FROM d),
+WITH {_sql_gear_cte()},
+d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+{_sql_cdc_bounds('d', 'b', _CDC_DIV)},
 ch0 AS (
   SELECT DISTINCT doc_id,
          md5(substr(t, CAST(bounds[CAST(u.j AS INT)] + 1 AS INT),
@@ -3353,22 +3389,9 @@ def q_cdc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_cdc_chunkset(src_cte: str, alias: str) -> str:
     """Distinct (source, chunk_md5) CDC chunkset of a (doc_id, source,
-    t) CTE — twin of the q_cdc_novelty chunkset leg."""
-    return f"""{alias}_b AS (
-  SELECT doc_id, source, t, length(t) AS n,
-        list_concat(list_concat([0],
-          list_filter(
-            list_transform(
-              list_filter(
-                CASE WHEN length(t) >= 8
-                     THEN range(1, length(t) - 8 + 2)
-                     ELSE CAST([] AS BIGINT[]) END,
-                i -> CAST(concat('0x', substr(md5(substr(t, i, 8)), 1, 8))
-                          AS BIGINT) % {_CDC_DIV} = 0),
-              i -> i + 7),
-            p -> p < length(t))),
-          [CAST(length(t) AS BIGINT)]) AS bounds
-  FROM {src_cte}),
+    t) CTE — twin of the q_cdc_novelty chunkset leg (gear bounds)."""
+    return f"""{_sql_cdc_bounds(src_cte, alias + '_b', _CDC_DIV,
+                                extra=', source')},
 {alias} AS (
   SELECT DISTINCT source,
          md5(substr(t, CAST(bounds[CAST(u.j AS INT)] + 1 AS INT),
@@ -3379,7 +3402,8 @@ def _sql_cdc_chunkset(src_cte: str, alias: str) -> str:
 
 
 SQL_CDC_NOVELTY = f"""
-WITH caps1 AS MATERIALIZED (
+WITH {_sql_gear_cte()},
+caps1 AS MATERIALIZED (
   SELECT doc_id, source, coalesce(text, '') AS t FROM documents),
 caps2 AS MATERIALIZED (
   SELECT doc_id, source,

@@ -170,6 +170,13 @@ def main(argv=None, stop_session: bool = True) -> int:
                    help="with --epochs: epoch 0 orders best-quality-"
                         "band first (X188 quality-warmup), later "
                         "epochs stay uniform")
+    p.add_argument("--curriculum-blend", action="store_true",
+                   help="with --epochs N --curriculum: interpolate "
+                        "each epoch between the quality-warmup order "
+                        "and the uniform md5 order — epoch k mixes "
+                        "with weight lam=(N-1-k)/(N-1) (epoch 0 pure "
+                        "curriculum, last epoch pure uniform); exact "
+                        "integer keys, rerun-identical")
     p.add_argument("--sample-k", type=int, default=0, metavar="K",
                    help="export a token-count-weighted priority sample "
                         "(Efraimidis-Spirakis, without replacement) of "
@@ -362,6 +369,7 @@ def main(argv=None, stop_session: bool = True) -> int:
                near_dup=args.near_dup,
                zorder=args.zorder, sample_k=args.sample_k,
                epochs=args.epochs, curriculum=args.curriculum,
+               curriculum_blend=args.curriculum_blend,
                neyman_sample=args.neyman_sample)
 
     if args.frontier_export:
@@ -604,6 +612,7 @@ def curate(spark, results, output: str, quota: int = 1000,
            near_dup: str = "lsh",
            zorder: bool = False, sample_k: int = 0,
            epochs: int = 0, curriculum: bool = False,
+           curriculum_blend: bool = False,
            neyman_sample: int = 0,
            url_drops: dict | None = None) -> None:
     """Committed extractions -> curated training corpus.
@@ -951,10 +960,19 @@ def curate(spark, results, output: str, quota: int = 1000,
     if epochs:
         # per-epoch training-order export: every epoch a DIFFERENT
         # deterministic md5 order (X90); --curriculum swaps epoch 0 for
-        # the X188 quality-warmup key (band-monotone, best first). The
-        # write is range-partitioned + sorted on the key, so a trainer
-        # streaming files in name order reads each epoch in ITS order —
-        # and a rerun writes byte-identical files (no RNG anywhere).
+        # the X188 quality-warmup key (band-monotone, best first);
+        # --curriculum-blend INTERPOLATES: interior epoch k sorts by
+        # the exact integer encoding of  lam*(3-band)/3 + (1-lam)*u
+        # with lam = (N-1-k)/(N-1) and u = the epoch's md5 draw in
+        # [0,1) — epoch 0 stays the pure warmup key (lam=1: the X188
+        # band-dominant key IS that limit, with the md5 tie-break
+        # already inside it), the last epoch the pure uniform md5 key
+        # (lam=0), and each step between relaxes the quality ordering
+        # by one 1/(N-1) notch (order displacement from the warmup
+        # order grows monotonically in k — pinned by test). Interior
+        # keys are a.s. tie-free (50 md5 bits inside the u term) and
+        # scaled by 3*(N-1)*2^50 stay exact in int64 for any sane N
+        # (< 2^62 for N <= 2048).
         from ocr_automation_system_spark.functions.text import (
             quality_score,
         )
@@ -964,13 +982,22 @@ def curate(spark, results, output: str, quota: int = 1000,
         band = F.least(F.lit(3), F.floor(
             quality_score(F.col("text")) * 4).cast("long"))
         shift = F.lit(1 << 55).cast("long")
+        ushift = F.lit(1 << 50).cast("long")
         parts = []
         for ep in range(epochs):
             h = F.conv(F.substring(F.md5(F.concat(
                 F.lit(str(ep)), F.lit(":"),
                 F.col("doc_id").cast("string"))), 1, 15), 16, 10)                 .cast("long")
-            key = ((F.lit(3) - band) * shift + F.pmod(h, shift)
-                   if curriculum and ep == 0 else h)
+            blend_interior = (curriculum and curriculum_blend
+                              and 0 < ep < epochs - 1)
+            if blend_interior:
+                num, den = epochs - 1 - ep, epochs - 1
+                key = (F.lit(num) * (F.lit(3) - band) * ushift
+                       + F.lit(3 * (den - num)) * F.pmod(h, ushift))
+            elif curriculum and ep == 0:
+                key = (F.lit(3) - band) * shift + F.pmod(h, shift)
+            else:
+                key = h
             parts.append(train.select(
                 F.lit(ep).alias("epoch"), "doc_id", "text",
                 key.alias("sort_key")))

@@ -1524,6 +1524,52 @@ def test_confusable_skeleton_restores_spoofed_dups(spark):
     assert out[4] == other != out[1]
 
 
+def test_confusable_skeleton_multichar_targets(spark):
+    """Round-5 UTS #39 extension: single codepoints with MULTI-char
+    Latin skeletons (ligatures ﬁ/ﬃ, digraphs ǉ/ĳ, signs №/₨/‼) fold
+    through the chained replace — translate alone can't express these.
+    The chain is confluent (ASCII-only targets, distinct one-codepoint
+    sources), the twin renderer emits the identical fold, and
+    multi=() recovers the round-4 single-char-only behavior."""
+    import duckdb
+
+    from ocr_automation_system_spark.functions.text import (
+        CONFUSABLE_MULTI, confusable_skeleton, sql_confusable_skeleton,
+    )
+
+    cases = [
+        (1, "The ﬁnal ﬂight oﬃce", "The final flight office"),
+        (2, "Ǉubljana ǌegov ĳs", "LJubljana njegov ijs"),
+        (3, "№ 5 costs ₨ 20‼", "No 5 costs Rs 20!!"),
+        (4, "Œuvre cœur ʦar", "OEuvre coeur tsar"),
+        # mixed single+multi in one text: ligature AND Cyrillic а
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases],
+                               ["i", "t"])
+    out = {r["i"]: r["s"] for r in df.select(
+        "i", confusable_skeleton(F.col("t")).alias("s")).collect()}
+    for i, _t, want in cases:
+        assert out[i] == want, (i, out[i])
+    # sanity: every source is 1 codepoint, every target pure ASCII,
+    # and no source appears in any target (the confluence argument)
+    tgts = "".join(d for _s, d in CONFUSABLE_MULTI)
+    for s, d in CONFUSABLE_MULTI:
+        assert len(s) == 1 and d.isascii() and s not in tgts
+    # the SQL renderer is the same fold
+    con = duckdb.connect()
+    for _i, t, want in cases:
+        got = con.execute(
+            "SELECT " + sql_confusable_skeleton("?::VARCHAR"), [t]
+        ).fetchone()[0]
+        assert got == want, (t, got)
+    # opt-out returns the single-char-only fold
+    df1 = spark.createDataFrame([("ﬁx а",)], ["t"])
+    single = df1.select(
+        confusable_skeleton(F.col("t"), multi=()).alias("s")
+    ).collect()[0]["s"]
+    assert single == "ﬁx a"  # Cyrillic а folded, ligature kept
+
+
 def test_key_skew_audit_math_and_empty(spark):
     """X186: exact salt arithmetic on a crafted skew, empty-input law."""
     from ocr_automation_system_spark.functions.util import key_skew_audit

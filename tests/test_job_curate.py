@@ -689,3 +689,56 @@ def test_epochs_export_curriculum_and_rerun_identical(spark, tmp_path):
         os.path.join(out, "epochs")).filter(F.col("epoch") == 0)
         .orderBy("sort_key").collect()]
     assert e0b == o0
+
+
+def test_epochs_curriculum_blend_monotone_displacement(spark, tmp_path):
+    """--curriculum-blend (round-5): epoch k's order drifts
+    monotonically from the quality-warmup order to the uniform order —
+    measured as band-order inversions (pairs where a worse-band doc
+    precedes a better-band doc), strictly zero at epoch 0 and
+    non-decreasing in k. Epoch 0 equals the pure --curriculum warmup
+    law (band-monotone); the last epoch is the pure uniform md5 order
+    (NOT band-monotone); a rerun reproduces every epoch exactly."""
+    from pyspark.sql import functions as F
+
+    from ocr_automation_system_spark.functions.text import quality_score
+
+    out = str(tmp_path / "job")
+    args = ["--synthetic", "400", "--output", out, "--curate",
+            "--epochs", "4", "--curriculum", "--curriculum-blend"]
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    ep = (spark.read.parquet(os.path.join(out, "epochs"))
+          .withColumn("band", F.least(F.lit(3), F.floor(
+              quality_score(F.col("text")) * 4).cast("long"))))
+
+    def order(k):
+        return [(r["doc_id"], r["band"]) for r in
+                ep.filter(F.col("epoch") == k).orderBy("sort_key")
+                .collect()]
+
+    def inversions(rows):
+        bands = [b for _i, b in rows]
+        return sum(1 for x in range(len(bands))
+                   for y in range(x + 1, len(bands))
+                   if bands[x] < bands[y])
+
+    orders = {k: order(k) for k in range(4)}
+    inv = [inversions(orders[k]) for k in range(4)]
+    assert inv[0] == 0                      # pure warmup: band-monotone
+    assert inv == sorted(inv)               # displacement monotone in k
+    assert inv[3] > inv[1] > 0              # genuinely interior blends
+    # every epoch carries the same train multiset, different orders
+    ids = sorted(i for i, _b in orders[0])
+    for k in range(1, 4):
+        assert sorted(i for i, _b in orders[k]) == ids
+        assert [i for i, _b in orders[k]] != [i for i, _b in orders[0]]
+    # rerun-identical, all epochs
+    assert spark_submit_job.main(args, stop_session=False) == 0
+    ep2 = (spark.read.parquet(os.path.join(out, "epochs"))
+           .withColumn("band", F.least(F.lit(3), F.floor(
+               quality_score(F.col("text")) * 4).cast("long"))))
+    for k in range(4):
+        again = [(r["doc_id"], r["band"]) for r in
+                 ep2.filter(F.col("epoch") == k).orderBy("sort_key")
+                 .collect()]
+        assert again == orders[k], f"epoch {k} not rerun-identical"

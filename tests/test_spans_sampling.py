@@ -404,8 +404,41 @@ def test_priority_sample_takes_k_without_replacement(spark):
     assert min(r["priority"] for r in out) == all_keys[19]
 
 
+def _gear_replay():
+    """Scalar re-derivation of the Gear table — independent of
+    functions.curation.gear_table's implementation detail."""
+    import hashlib
+
+    return [int(hashlib.md5(("%02x" % b).encode()).hexdigest()[:8], 16)
+            for b in range(256)]
+
+
 def _cdc_replay(text, w=8, divisor=16):
-    """Pure-Python replay of the cdc_chunks boundary contract."""
+    """Pure-Python SCALAR replay of the gear cdc_chunks boundary
+    contract (no numpy — an independent check of the vectorized
+    kernel): cut after 1-based end position e in [w, n-1] where
+    sum_j G[cp(t[e-j]) % 256] * 2^j ≡ 0 mod divisor."""
+    import hashlib
+
+    G = _gear_replay()
+    t = text or ""
+    n = len(t)
+    cuts = []
+    for e in range(w, n):
+        h = sum(G[ord(t[e - 1 - j]) % 256] << j for j in range(w))
+        if h % divisor == 0:
+            cuts.append(e)
+    bounds = [0] + cuts + [n]
+    if n == 0:
+        return []
+    return [(j, bounds[j - 1] + 1, bounds[j] - bounds[j - 1],
+             hashlib.md5(t[bounds[j - 1]:bounds[j]].encode()).hexdigest())
+            for j in range(1, len(bounds))]
+
+
+def _cdc_replay_md5(text, w=8, divisor=16):
+    """Pure-Python replay of the LEGACY md5-gram boundary contract
+    (cdc_chunks_md5 — the round-4 kernel kept as the contract twin)."""
     import hashlib
 
     t = text or ""
@@ -446,6 +479,54 @@ def test_cdc_chunks_match_replay_and_cover(spark):
             assert start == pos
             pos += ln
         assert pos == len(text or "") + 1
+
+
+def test_gear_table_pinned():
+    """The Gear table is a deterministic md5-derived literal: pin its
+    derivation (scalar replay), its size/range (uint32 — the overflow
+    budget the int64 window sum relies on), and a couple of spot
+    values so a silent table change can't slip through."""
+    import hashlib
+
+    from ocr_automation_system_spark.functions.curation import (
+        gear_table,
+    )
+
+    G = gear_table()
+    assert len(G) == 256
+    assert all(0 <= v < 2 ** 32 for v in G)
+    assert list(G) == _gear_replay()
+    # spot pins, computed from the published derivation
+    assert G[0] == int(hashlib.md5(b"00").hexdigest()[:8], 16)
+    assert G[255] == int(hashlib.md5(b"ff").hexdigest()[:8], 16)
+    # window-sum budget: 8 terms, weights up to 128 -> < 2^43
+    assert max(G) * sum(1 << j for j in range(8)) < 2 ** 63
+
+
+def test_cdc_chunks_md5_legacy_kernel_matches_its_replay(spark):
+    """The round-4 md5-gram kernel survives as cdc_chunks_md5 (the
+    legacy contract twin): it still matches ITS pure-Python replay and
+    tiles the document — and its boundaries are a different (also
+    content-defined) cut set than the gear kernel's."""
+    from ocr_automation_system_spark.functions.curation import (
+        cdc_chunks, cdc_chunks_md5,
+    )
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog again and "
+                "again until the boundary rule fires somewhere inside"),
+            (2, ""), (3, None), (4, "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in cdc_chunks_md5(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start"], r["length"], r["chunk_md5"]))
+    for did, text in rows:
+        assert sorted(got.get(did, [])) == _cdc_replay_md5(text)
+    # the two kernels are distinct cut laws over the same text
+    gear_cuts = {(r["chunk_idx"], r["start"])
+                 for r in cdc_chunks(df).collect() if r["doc_id"] == 1}
+    md5_cuts = {(i, s) for i, s, _l, _h in got[1]}
+    assert gear_cuts != md5_cuts
 
 
 def test_cdc_chunks_survive_byte_insertion(spark):
