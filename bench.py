@@ -101,7 +101,8 @@ HEADLINE = (
     "winnow_shared_extents", "incremental_winnow", "incremental_cc",
     "stratified_sample", "priority_sample",
     "chunk_documents",
-    "chunk_dup_stats", "cdc_chunks", "cdc_dup_pairs", "cdc_novelty",
+    "chunk_dup_stats", "cdc_chunks", "cdc_chunks_clamped",
+    "cdc_dup_pairs", "cdc_novelty",
     "alpha_mixture_rates", "alpha_sample", "mixture_waterfill",
     "crawl_budget_waterfill", "neyman_allocation", "vocab_coverage",
     "source_dup_matrix", "readability_scores", "slop_lexicon_scores",

@@ -1695,6 +1695,102 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
             .mapInPandas(_batches, schema))
 
 
+def cdc_cuts_clamped(boundaries: list, n: int, min_len: int,
+                     max_len: int) -> list:
+    """FastCDC normalization over a candidate boundary list: greedy
+    left-to-right selection where each accepted cut must land in
+    ``(last + min_len - 1, last + max_len]`` — candidates closer than
+    ``min_len`` to the previous cut are skipped (kills the tiny-chunk
+    tail a bare divisor rule produces), and if NO candidate lands
+    within the window a cut is FORCED at ``last + max_len`` (bounds
+    the chunk an adversarial or low-entropy page could otherwise grow
+    without limit — the two clamps every production CDC ships). The
+    final chunk may be shorter than ``min_len`` (it ends at the
+    document, not at a rule). Pure function of (boundaries, n) so the
+    DuckDB twin replays it as a recursive CTE over the same candidate
+    list."""
+    import bisect
+
+    cuts, last = [], 0
+    while True:
+        lo = bisect.bisect_left(boundaries, last + min_len)
+        nxt = None
+        if lo < len(boundaries) and boundaries[lo] <= last + max_len:
+            nxt = boundaries[lo]
+        elif last + max_len < n:
+            nxt = last + max_len
+        if nxt is None:
+            return cuts
+        cuts.append(nxt)
+        last = nxt
+
+
+def cdc_chunks_clamped(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", w: int = CDC_W,
+                       divisor: int = CDC_DIVISOR,
+                       min_len: int | None = None,
+                       max_len: int | None = None) -> DataFrame:
+    """:func:`cdc_chunks` with the PRODUCTION min/max clamps
+    (:func:`cdc_cuts_clamped`): non-final chunks are guaranteed inside
+    ``[min_len, max_len]`` whatever the content does — a run of
+    boundary-dense text can't shred into confetti (tiny chunks bloat
+    the chunk table and carry no dedup signal) and a boundary-free
+    run (binary blobs, base64, repeated low-entropy filler) can't
+    produce an unbounded chunk. Defaults: ``min_len = 4·divisor``,
+    ``max_len = 16·divisor`` (the FastCDC-shaped bracket around the
+    expected ``divisor``-char chunk).
+
+    Same schema, same zero-shuffle Arrow kernel, same gear boundary
+    law underneath — the clamp only filters/forces CUT POSITIONS, so
+    the insertion-robustness property re-synchronizes at the first
+    shared post-edit cut exactly like the unclamped form (pinned by
+    test)."""
+    min_len = (4 * divisor) if min_len is None else int(min_len)
+    max_len = (16 * divisor) if max_len is None else int(max_len)
+    if not (0 < min_len <= max_len):
+        raise ValueError(f"need 0 < min_len <= max_len, got "
+                         f"{min_len}, {max_len}")
+    id_type = dict(df.dtypes)[id_col]
+    schema = (f"`{id_col}` {id_type}, chunk_idx int, start int, "
+              f"length int, chunk_md5 string")
+    gear = gear_table()
+
+    def _batches(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, starts, lens, hs = [], [], [], [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                t = t if isinstance(t, str) else ""
+                n = len(t)
+                if n == 0:
+                    continue
+                cand = cdc_boundaries(t, w=w, divisor=divisor,
+                                      gear=gear)
+                bounds = ([0]
+                          + cdc_cuts_clamped(cand, n, min_len, max_len)
+                          + [n])
+                for ci in range(len(bounds) - 1):
+                    s, e = bounds[ci], bounds[ci + 1]
+                    ids.append(did)
+                    idxs.append(ci + 1)
+                    starts.append(s + 1)
+                    lens.append(e - s)
+                    hs.append(hashlib.md5(
+                        t[s:e].encode("utf-8")).hexdigest())
+            yield pd.DataFrame({id_col: pd.Series(ids,
+                                                  dtype=pdf[id_col].dtype),
+                                "chunk_idx": pd.Series(idxs, dtype="int32"),
+                                "start": pd.Series(starts, dtype="int32"),
+                                "length": pd.Series(lens, dtype="int32"),
+                                "chunk_md5": pd.Series(hs, dtype="object")})
+
+    return (ensure_parallelism(df.select(id_col, text_col))
+            .mapInPandas(_batches, schema))
+
+
 def cdc_chunks_md5(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", w: int = CDC_W,
                    divisor: int = CDC_DIVISOR) -> DataFrame:

@@ -3292,6 +3292,69 @@ FROM b, unnest(CASE WHEN n > 0 THEN range(1, len(bounds))
 """
 
 
+#: clamped-CDC contract geometry: divisor 64 with a [48, 192] bracket
+#: so BOTH clamps demonstrably fire on the ~550-char corpus docs
+#: (min-skip merges boundary-dense runs, max forces cuts in boundary
+#: droughts). Production: divisor 2048, bracket [8 KiB? no — 4·D, 16·D]
+#: — parameters, not structure.
+_CDC_CLAMP_DIV = 64
+_CDC_MIN = 48
+_CDC_MAX = 192
+
+
+def q_cdc_chunks_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109 production form — FastCDC min/max normalization over the
+    gear boundary stream: non-final chunks guaranteed inside
+    [48, 192] chars at divisor 64 (candidates closer than min to the
+    previous cut are SKIPPED; a boundary drought FORCES a cut at
+    last+max) — boundary-dense text can't shred into confetti and
+    low-entropy/binary runs can't grow an unbounded chunk. Same
+    zero-shuffle Arrow kernel; the greedy cut selection is a pure
+    function of (candidate list, n), replayed by the twin as a
+    per-doc recursive CTE over the SAME gear candidates."""
+    from .functions import curation as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.cdc_chunks_clamped(docs, divisor=_CDC_CLAMP_DIV,
+                                min_len=_CDC_MIN, max_len=_CDC_MAX)
+
+
+SQL_CDC_CHUNKS_CLAMPED = f"""
+WITH RECURSIVE {_sql_gear_cte()},
+d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+{_sql_cdc_bounds('d', 'cb', _CDC_CLAMP_DIV)},
+c AS (SELECT doc_id, t, n,
+             bounds[2:len(bounds) - 1] AS cand
+      FROM cb),
+cuts AS (
+  SELECT doc_id, t, n, cand, CAST(0 AS BIGINT) AS cut
+  FROM c
+  UNION ALL
+  SELECT doc_id, t, n, cand, nxt FROM (
+    SELECT doc_id, t, n, cand,
+           coalesce(
+             list_min(list_filter(cand,
+               e -> e >= cut + {_CDC_MIN} AND e <= cut + {_CDC_MAX})),
+             CASE WHEN cut + {_CDC_MAX} < n
+                  THEN cut + {_CDC_MAX} END) AS nxt
+    FROM cuts) WHERE nxt IS NOT NULL
+),
+b AS (SELECT doc_id, any_value(t) AS t, any_value(n) AS n,
+             list_sort(list(cut)) || [CAST(any_value(n) AS BIGINT)]
+               AS bounds
+      FROM cuts GROUP BY doc_id)
+SELECT doc_id, CAST(u.j AS INT) AS chunk_idx,
+       CAST(bounds[CAST(u.j AS INT)] + 1 AS INT) AS start,
+       CAST(bounds[CAST(u.j AS INT) + 1]
+            - bounds[CAST(u.j AS INT)] AS INT) AS length,
+       md5(substr(t, CAST(bounds[CAST(u.j AS INT)] + 1 AS INT),
+                  CAST(bounds[CAST(u.j AS INT) + 1]
+                       - bounds[CAST(u.j AS INT)] AS INT))) AS chunk_md5
+FROM b, unnest(CASE WHEN n > 0 THEN range(1, len(bounds))
+               ELSE CAST([] AS BIGINT[]) END) AS u(j)
+"""
+
+
 def q_cdc_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shifted near-copy pairs (X110): doc pairs sharing ≥2 surviving
     CDC chunks, with total shared chars — the coarse-grained,
@@ -9783,6 +9846,7 @@ REGISTRY: dict = {
                             SQL_SLOP_LEXICON_SCORES),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
+    "cdc_chunks_clamped": (q_cdc_chunks_clamped, SQL_CDC_CHUNKS_CLAMPED),
     "cdc_dup_pairs": (q_cdc_dup_pairs, SQL_CDC_DUP_PAIRS),
     "cdc_novelty": (q_cdc_novelty, SQL_CDC_NOVELTY),
     "winnow_fingerprints": (q_winnow_fingerprints,

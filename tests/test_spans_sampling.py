@@ -561,6 +561,87 @@ def test_cdc_chunks_survive_byte_insertion(spark):
     assert len(f1 & f2) <= 1  # at most an accidental tail collision
 
 
+def test_cdc_chunks_clamped_law_and_replay(spark):
+    """FastCDC min/max normalization (round-5 production form): every
+    NON-final chunk lands in [min_len, max_len] whatever the content
+    does — boundary-dense text is merged up to min_len (skip rule),
+    boundary droughts are cut at exactly max_len (forced rule, fired
+    by the low-entropy filler fixture) — and the Spark kernel equals
+    the pure-Python greedy replay chunk for chunk."""
+    import hashlib
+
+    from ocr_automation_system_spark.functions.curation import (
+        cdc_boundaries, cdc_chunks_clamped, cdc_cuts_clamped,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and "
+            "again until the boundary rule fires somewhere inside "
+            "this much longer paragraph about crawling and parsing "
+            "and deduplicating the entire web corpus at scale"),
+        (2, "z" * 300),          # low-entropy drought -> forced cuts
+        (3, ""), (4, None), (5, "tiny"),
+    ]
+    MINL, MAXL = 24, 96
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in cdc_chunks_clamped(df, divisor=16, min_len=MINL,
+                                max_len=MAXL).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start"], r["length"], r["chunk_md5"]))
+    forced = 0
+    for did, text in rows:
+        t = text or ""
+        n = len(t)
+        cand = cdc_boundaries(t, divisor=16)
+        cuts = cdc_cuts_clamped(cand, n, MINL, MAXL)
+        forced += sum(1 for c in cuts if c not in set(cand))
+        bounds = [0] + cuts + [n]
+        want = [(j, bounds[j - 1] + 1, bounds[j] - bounds[j - 1],
+                 hashlib.md5(t[bounds[j - 1]:bounds[j]].encode())
+                 .hexdigest())
+                for j in range(1, len(bounds))] if n else []
+        assert sorted(got.get(did, [])) == want, did
+        # the clamp law itself
+        lens = [ln for _j, _s, ln, _h in want]
+        for ln in lens[:-1]:
+            assert MINL <= ln <= MAXL, (did, ln)
+    assert forced > 0, "fixture must exercise the forced-max rule"
+    # the drought doc is cut at exactly max_len strides
+    zlens = [ln for _j, _s, ln, _h in sorted(got[2])]
+    assert zlens[:-1] == [MAXL] * (len(zlens) - 1)
+
+
+def test_cdc_chunks_clamped_resyncs_after_insertion(spark):
+    """The CDC promise survives the clamps: after an inserted prefix,
+    the two chunkings re-synchronize at the first shared cut and all
+    later chunk hashes agree."""
+    from ocr_automation_system_spark.functions.curation import (
+        cdc_chunks_clamped,
+    )
+
+    base = ("paragraph one talks about crawling. paragraph two talks "
+            "about parsing html. paragraph three talks about dedup. "
+            "paragraph four talks about sampling and sketches. "
+            "paragraph five talks about shipping the corpus. "
+            "paragraph six talks about lineage and resume.")
+    edited = "XY" + base
+    df = spark.createDataFrame([(1, base), (2, edited)],
+                               ["doc_id", "text"])
+    got = {1: [], 2: []}
+    for r in cdc_chunks_clamped(df, divisor=16, min_len=24,
+                                max_len=96).collect():
+        got[r["doc_id"]].append((r["chunk_idx"], r["chunk_md5"]))
+    h1 = [h for _i, h in sorted(got[1])]
+    h2 = [h for _i, h in sorted(got[2])]
+    assert len(h1) >= 3
+    # suffix agreement: the tails beyond the resync point are equal
+    k = 0
+    while k < min(len(h1), len(h2)) and h1[-1 - k] == h2[-1 - k]:
+        k += 1
+    assert k >= len(h1) - 2, (k, len(h1))
+
+
 def test_cdc_dup_pairs_find_shifted_near_copy(spark):
     """A re-crawl with an ad block inserted mid-page must pair with the
     original via shared CDC chunks; an unrelated doc must not."""
