@@ -1628,6 +1628,68 @@ def cdc_boundaries(text: str, w: int = CDC_W,
     return ends[ends < n].tolist()
 
 
+def cdc_chunk_set(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", w: int = CDC_W,
+                  divisor: int = CDC_DIVISOR,
+                  extra_cols: tuple = ()) -> DataFrame:
+    """Per-document DISTINCT chunk set (id{, extra...}, chunk_md5,
+    length) straight out of the Arrow kernel — the input every CDC
+    dedup consumer actually wants. Two plan savings over
+    ``cdc_chunks(...).distinct()``:
+
+    * duplicate chunk hashes can only ever be WITHIN one document (a
+      chunk's md5 determines its content, hence its length), so the
+      per-doc set() in the kernel IS the global distinct — the
+      distinct Exchange+HashAggregate disappears entirely;
+    * ``extra_cols`` (e.g. ``("source",)``) ride through the kernel
+      row-locally, so consumers grouping by a doc attribute skip the
+      (id -> attribute) join as well.
+
+    Chunk geometry/identity is exactly :func:`cdc_chunks`' — pinned by
+    test against it."""
+    cols = [id_col, *extra_cols, text_col]
+    id_type = dict(df.dtypes)
+    head = ", ".join(f"`{c}` {id_type[c]}" for c in [id_col, *extra_cols])
+    schema = f"{head}, chunk_md5 string, length int"
+    gear = gear_table()
+
+    def _batches(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            out = {c: [] for c in [id_col, *extra_cols]}
+            md5s, lens = [], []
+            for row in zip(*(pdf[c] for c in cols)):
+                *keys, t = row
+                t = t if isinstance(t, str) else ""
+                n = len(t)
+                if n == 0:
+                    continue
+                bounds = [0] + cdc_boundaries(t, w=w, divisor=divisor,
+                                              gear=gear) + [n]
+                seen = set()
+                for ci in range(len(bounds) - 1):
+                    s, e = bounds[ci], bounds[ci + 1]
+                    h = hashlib.md5(t[s:e].encode("utf-8")).hexdigest()
+                    if h in seen:
+                        continue
+                    seen.add(h)
+                    for c, v in zip([id_col, *extra_cols], keys):
+                        out[c].append(v)
+                    md5s.append(h)
+                    lens.append(e - s)
+            data = {c: pd.Series(out[c], dtype=pdf[c].dtype)
+                    for c in [id_col, *extra_cols]}
+            data["chunk_md5"] = pd.Series(md5s, dtype="object")
+            data["length"] = pd.Series(lens, dtype="int32")
+            yield pd.DataFrame(data)
+
+    return (ensure_parallelism(df.select(*cols))
+            .mapInPandas(_batches, schema))
+
+
 def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", w: int = CDC_W,
                divisor: int = CDC_DIVISOR) -> DataFrame:
@@ -1875,10 +1937,10 @@ def cdc_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     # re-runs the whole projection). The result is lazy, so the CALLER
     # owns the cache in long-lived sessions — unpersist via the
     # `cached` handle on the returned frame (bag_jaccard contract).
-    cached = (cdc_chunks(df, id_col=id_col, text_col=text_col, w=w,
-                         divisor=divisor)
-              .select(id_col, "chunk_md5", "length").distinct()
-              .persist())
+    # cdc_chunk_set dedups per doc INSIDE the kernel (same-md5 implies
+    # same doc — see its docstring), so no distinct Exchange here.
+    cached = cdc_chunk_set(df, id_col=id_col, text_col=text_col, w=w,
+                           divisor=divisor).persist()
     over = (cached.groupBy("chunk_md5")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > max_docs_per_chunk)

@@ -3421,9 +3421,11 @@ def q_cdc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")).alias("text"))
 
     def _chunkset(df: DataFrame) -> DataFrame:
-        src = df.select("doc_id", "source")
-        return (C.cdc_chunks(df, divisor=_CDC_DIV)
-                .join(src, "doc_id")
+        # source rides through the Arrow kernel (cdc_chunk_set
+        # extra_cols), so no (doc_id -> source) join; the per-doc
+        # kernel dedup leaves only the cross-DOC distinct per source
+        return (C.cdc_chunk_set(df, divisor=_CDC_DIV,
+                                extra_cols=("source",))
                 .select("source", "chunk_md5").distinct())
 
     old = _chunkset(docs).persist()

@@ -561,6 +561,32 @@ def test_cdc_chunks_survive_byte_insertion(spark):
     assert len(f1 & f2) <= 1  # at most an accidental tail collision
 
 
+def test_cdc_chunk_set_equals_distinct_chunks(spark):
+    """cdc_chunk_set's in-kernel per-doc dedup IS the global distinct
+    (same-md5 chunks have the same content, hence appear only within
+    one doc's emission): exact set equality with
+    cdc_chunks(...).distinct(), extra_cols riding through row-locally
+    — and the consumer plan has no distinct Exchange left."""
+    from ocr_automation_system_spark.functions.curation import (
+        cdc_chunk_set, cdc_chunks,
+    )
+
+    rep = ("repeat me twice or thrice across this document body. " * 3
+           + "and a unique tail sentence for good measure.")
+    rows = [(1, "s1", rep), (2, "s1", rep), (3, "s2", "tiny"),
+            (4, "s2", ""), (5, "s1", None)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    want = {(r["doc_id"], r["chunk_md5"], r["length"])
+            for r in cdc_chunks(df).select(
+                "doc_id", "chunk_md5", "length").distinct().collect()}
+    got_rows = cdc_chunk_set(df, extra_cols=("source",)).collect()
+    got = {(r["doc_id"], r["chunk_md5"], r["length"])
+           for r in got_rows}
+    assert got == want and len(got) == len(got_rows)  # already distinct
+    src = {i: s for i, s, _t in rows}
+    assert all(r["source"] == src[r["doc_id"]] for r in got_rows)
+
+
 def test_cdc_chunks_clamped_law_and_replay(spark):
     """FastCDC min/max normalization (round-5 production form): every
     NON-final chunk lands in [min_len, max_len] whatever the content
