@@ -476,21 +476,28 @@ def registrable_domain_psl(df: DataFrame, spark, host_col: str = "host",
     # one broadcast join per stored rule length; each carries the kinds
     # present at that length as boolean flags so a single join answers
     # normal/wildcard/exception membership together.
-    for L in range(1, max_l + 1):
-        sl = [r for r in rows if r[1] == L]
-        if not sl:
-            continue
-        # fold duplicate rule texts driver-side (the dim is tiny) so the
-        # dim side needs no aggregate exchange — the whole matcher stays
-        # broadcast-joins-only.
-        merged: dict = {}
-        for r in sl:
-            k = merged.setdefault(r[0], {"n": False, "w": False,
-                                         "e": False})
-            k[r[2]] = True
-        dim = spark.createDataFrame(
-            [(t, f["n"], f["w"], f["e"]) for t, f in sorted(merged.items())],
-            f"_r{L} string, _n{L} boolean, _w{L} boolean, _e{L} boolean")
+    # fold duplicate rule texts driver-side (the dim is tiny) so the
+    # dim side needs no aggregate exchange — the whole matcher stays
+    # broadcast-joins-only. ONE createDataFrame carries every length
+    # (a 9.5k-row dimension costs one Py4J round-trip, not one per
+    # length); each join's side is a pruned filter of it, still a
+    # tiny broadcast.
+    merged: dict = {}
+    for r in rows:
+        k = merged.setdefault((r[1], r[0]), {"n": False, "w": False,
+                                             "e": False})
+        k[r[2]] = True
+    all_dim = spark.createDataFrame(
+        [(L, t, f["n"], f["w"], f["e"])
+         for (L, t), f in sorted(merged.items())],
+        "_rl int, _rt string, _fn boolean, _fw boolean, _fe boolean")
+    lengths = sorted({r[1] for r in rows})
+    for L in lengths:
+        dim = (all_dim.filter(F.col("_rl") == L)
+               .select(F.col("_rt").alias(f"_r{L}"),
+                       F.col("_fn").alias(f"_n{L}"),
+                       F.col("_fw").alias(f"_w{L}"),
+                       F.col("_fe").alias(f"_e{L}")))
         d = d.join(F.broadcast(dim),
                    d[f"_t{L}"] == F.col(f"_r{L}"), "left")
 
