@@ -34,6 +34,27 @@ DEFAULT_SEED = 42
 CORPUS_VERSION = 10
 
 
+def _read_source_bytes(path: str) -> bytes:
+    """Read a module source file's bytes, ZIP-SAFELY: under the
+    production ``--py-files`` deployment ``__file__`` points INSIDE
+    the shipped zip (``.../pkg.zip/pkg/corpus.py``) where ``open()``
+    raises NotADirectoryError — fall back to reading the member out of
+    the archive so the fingerprint (and hence every cache filename) is
+    identical across deployment modes."""
+    try:
+        with open(path, "rb") as fh:
+            return fh.read()
+    except OSError:
+        import re
+        import zipfile
+
+        m = re.match(r"(.*?\.zip)[/\\](.*)", path)
+        if not m:
+            raise
+        with zipfile.ZipFile(m.group(1)) as zf:
+            return zf.read(m.group(2).replace(os.sep, "/"))
+
+
 def source_fingerprint(*module_files: str) -> str:
     """md5 over the given source files' bytes, 8 hex chars.
 
@@ -44,8 +65,7 @@ def source_fingerprint(*module_files: str) -> str:
     trick the dedup-index cache uses for its input files."""
     h = hashlib.md5()
     for f in module_files:
-        with open(f, "rb") as fh:
-            h.update(fh.read())
+        h.update(_read_source_bytes(f))
     return h.hexdigest()[:8]
 
 

@@ -1628,6 +1628,79 @@ def cdc_boundaries(text: str, w: int = CDC_W,
     return ends[ends < n].tolist()
 
 
+def _cdc_map(df: DataFrame, id_col: str, text_col: str, w: int,
+             divisor: int, cut_fn=None, extra_cols: tuple = (),
+             distinct: bool = False) -> DataFrame:
+    """The ONE Arrow kernel behind all three CDC chunkers (review
+    finding: three drifting copies -> one parameterized body).
+    ``cut_fn(candidates, n) -> cuts`` post-processes the gear boundary
+    candidates (None = take them verbatim; the clamped form passes
+    :func:`cdc_cuts_clamped`); ``distinct`` switches the emission to
+    the per-doc-deduped (keys, chunk_md5, length) set; ``extra_cols``
+    ride through row-locally. The gear table converts to an int64
+    ndarray ONCE per executor batch iterator, so the per-document cost
+    is the vectorized scan alone."""
+    types = dict(df.dtypes)
+    keys = [id_col, *extra_cols]
+    cols = [*keys, text_col]
+    head = ", ".join(f"`{c}` {types[c]}" for c in keys)
+    if distinct:
+        schema = f"{head}, chunk_md5 string, length int"
+    else:
+        schema = (f"{head}, chunk_idx int, start int, length int, "
+                  f"chunk_md5 string")
+    gear = gear_table()
+
+    def _batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        G = np.asarray(gear, dtype=np.int64)
+        for pdf in it:
+            out = {c: [] for c in keys}
+            idxs, starts, lens, hs = [], [], [], []
+            for row in zip(*(pdf[c] for c in cols)):
+                *kv, t = row
+                t = t if isinstance(t, str) else ""
+                n = len(t)
+                if n == 0:
+                    continue
+                cand = cdc_boundaries(t, w=w, divisor=divisor, gear=G)
+                cuts = cand if cut_fn is None else cut_fn(cand, n)
+                bounds = [0] + cuts + [n]
+                seen = set()
+                for ci in range(len(bounds) - 1):
+                    s, e = bounds[ci], bounds[ci + 1]
+                    h = hashlib.md5(t[s:e].encode("utf-8")).hexdigest()
+                    if distinct:
+                        if h in seen:
+                            continue
+                        seen.add(h)
+                    else:
+                        idxs.append(ci + 1)
+                        starts.append(s + 1)
+                    for c, v in zip(keys, kv):
+                        out[c].append(v)
+                    hs.append(h)
+                    lens.append(e - s)
+            data = {c: pd.Series(out[c], dtype=pdf[c].dtype)
+                    for c in keys}
+            if distinct:
+                data["chunk_md5"] = pd.Series(hs, dtype="object")
+                data["length"] = pd.Series(lens, dtype="int32")
+            else:
+                data["chunk_idx"] = pd.Series(idxs, dtype="int32")
+                data["start"] = pd.Series(starts, dtype="int32")
+                data["length"] = pd.Series(lens, dtype="int32")
+                data["chunk_md5"] = pd.Series(hs, dtype="object")
+            yield pd.DataFrame(data)
+
+    return (ensure_parallelism(df.select(*cols))
+            .mapInPandas(_batches, schema))
+
+
 def cdc_chunk_set(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", w: int = CDC_W,
                   divisor: int = CDC_DIVISOR,
@@ -1637,57 +1710,24 @@ def cdc_chunk_set(df: DataFrame, id_col: str = "doc_id",
     dedup consumer actually wants. Two plan savings over
     ``cdc_chunks(...).distinct()``:
 
-    * duplicate chunk hashes can only ever be WITHIN one document (a
-      chunk's md5 determines its content, hence its length), so the
-      per-doc set() in the kernel IS the global distinct — the
-      distinct Exchange+HashAggregate disappears entirely;
+    * duplicate chunk hashes can only ever be WITHIN one document's
+      emission (a chunk's md5 determines its content, hence its
+      length), so PROVIDED each document id appears in exactly one
+      input row — true for every in-repo caller: the documents table
+      and the curate ladder key rows by id — the per-doc set() in the
+      kernel IS the global distinct and the distinct
+      Exchange+HashAggregate disappears entirely. A caller whose
+      input may REPEAT an id (a snapshot union, a fanned-out join)
+      must add its own ``dropDuplicates`` (see
+      :func:`cdc_dup_pairs`'s ``ids_unique=False``);
     * ``extra_cols`` (e.g. ``("source",)``) ride through the kernel
       row-locally, so consumers grouping by a doc attribute skip the
       (id -> attribute) join as well.
 
     Chunk geometry/identity is exactly :func:`cdc_chunks`' — pinned by
     test against it."""
-    cols = [id_col, *extra_cols, text_col]
-    id_type = dict(df.dtypes)
-    head = ", ".join(f"`{c}` {id_type[c]}" for c in [id_col, *extra_cols])
-    schema = f"{head}, chunk_md5 string, length int"
-    gear = gear_table()
-
-    def _batches(it):
-        import hashlib
-
-        import pandas as pd
-
-        for pdf in it:
-            out = {c: [] for c in [id_col, *extra_cols]}
-            md5s, lens = [], []
-            for row in zip(*(pdf[c] for c in cols)):
-                *keys, t = row
-                t = t if isinstance(t, str) else ""
-                n = len(t)
-                if n == 0:
-                    continue
-                bounds = [0] + cdc_boundaries(t, w=w, divisor=divisor,
-                                              gear=gear) + [n]
-                seen = set()
-                for ci in range(len(bounds) - 1):
-                    s, e = bounds[ci], bounds[ci + 1]
-                    h = hashlib.md5(t[s:e].encode("utf-8")).hexdigest()
-                    if h in seen:
-                        continue
-                    seen.add(h)
-                    for c, v in zip([id_col, *extra_cols], keys):
-                        out[c].append(v)
-                    md5s.append(h)
-                    lens.append(e - s)
-            data = {c: pd.Series(out[c], dtype=pdf[c].dtype)
-                    for c in [id_col, *extra_cols]}
-            data["chunk_md5"] = pd.Series(md5s, dtype="object")
-            data["length"] = pd.Series(lens, dtype="int32")
-            yield pd.DataFrame(data)
-
-    return (ensure_parallelism(df.select(*cols))
-            .mapInPandas(_batches, schema))
+    return _cdc_map(df, id_col, text_col, w, divisor,
+                    extra_cols=tuple(extra_cols), distinct=True)
 
 
 def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
@@ -1719,42 +1759,7 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
     gear kernel runs the same scan in < 0.1 s kernel time). The
     md5-gram form survives as :func:`cdc_chunks_md5` (legacy contract
     kernel, cross-checked by tests)."""
-    id_type = dict(df.dtypes)[id_col]
-    schema = (f"`{id_col}` {id_type}, chunk_idx int, start int, "
-              f"length int, chunk_md5 string")
-    gear = gear_table()
-
-    def _batches(it):
-        import hashlib
-
-        import pandas as pd
-
-        for pdf in it:
-            ids, idxs, starts, lens, hs = [], [], [], [], []
-            for did, t in zip(pdf[id_col], pdf[text_col]):
-                t = t if isinstance(t, str) else ""
-                n = len(t)
-                if n == 0:
-                    continue
-                bounds = [0] + cdc_boundaries(t, w=w, divisor=divisor,
-                                              gear=gear) + [n]
-                for ci in range(len(bounds) - 1):
-                    s, e = bounds[ci], bounds[ci + 1]
-                    ids.append(did)
-                    idxs.append(ci + 1)
-                    starts.append(s + 1)
-                    lens.append(e - s)
-                    hs.append(hashlib.md5(
-                        t[s:e].encode("utf-8")).hexdigest())
-            yield pd.DataFrame({id_col: pd.Series(ids,
-                                                  dtype=pdf[id_col].dtype),
-                                "chunk_idx": pd.Series(idxs, dtype="int32"),
-                                "start": pd.Series(starts, dtype="int32"),
-                                "length": pd.Series(lens, dtype="int32"),
-                                "chunk_md5": pd.Series(hs, dtype="object")})
-
-    return (ensure_parallelism(df.select(id_col, text_col))
-            .mapInPandas(_batches, schema))
+    return _cdc_map(df, id_col, text_col, w, divisor)
 
 
 def cdc_cuts_clamped(boundaries: list, n: int, min_len: int,
@@ -1812,45 +1817,11 @@ def cdc_chunks_clamped(df: DataFrame, id_col: str = "doc_id",
     if not (0 < min_len <= max_len):
         raise ValueError(f"need 0 < min_len <= max_len, got "
                          f"{min_len}, {max_len}")
-    id_type = dict(df.dtypes)[id_col]
-    schema = (f"`{id_col}` {id_type}, chunk_idx int, start int, "
-              f"length int, chunk_md5 string")
-    gear = gear_table()
 
-    def _batches(it):
-        import hashlib
+    def _clamp(cand, n):
+        return cdc_cuts_clamped(cand, n, min_len, max_len)
 
-        import pandas as pd
-
-        for pdf in it:
-            ids, idxs, starts, lens, hs = [], [], [], [], []
-            for did, t in zip(pdf[id_col], pdf[text_col]):
-                t = t if isinstance(t, str) else ""
-                n = len(t)
-                if n == 0:
-                    continue
-                cand = cdc_boundaries(t, w=w, divisor=divisor,
-                                      gear=gear)
-                bounds = ([0]
-                          + cdc_cuts_clamped(cand, n, min_len, max_len)
-                          + [n])
-                for ci in range(len(bounds) - 1):
-                    s, e = bounds[ci], bounds[ci + 1]
-                    ids.append(did)
-                    idxs.append(ci + 1)
-                    starts.append(s + 1)
-                    lens.append(e - s)
-                    hs.append(hashlib.md5(
-                        t[s:e].encode("utf-8")).hexdigest())
-            yield pd.DataFrame({id_col: pd.Series(ids,
-                                                  dtype=pdf[id_col].dtype),
-                                "chunk_idx": pd.Series(idxs, dtype="int32"),
-                                "start": pd.Series(starts, dtype="int32"),
-                                "length": pd.Series(lens, dtype="int32"),
-                                "chunk_md5": pd.Series(hs, dtype="object")})
-
-    return (ensure_parallelism(df.select(id_col, text_col))
-            .mapInPandas(_batches, schema))
+    return _cdc_map(df, id_col, text_col, w, divisor, cut_fn=_clamp)
 
 
 def cdc_chunks_md5(df: DataFrame, id_col: str = "doc_id",
@@ -1914,7 +1885,8 @@ def cdc_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", w: int = CDC_W,
                   divisor: int = CDC_DIVISOR,
                   min_shared: int = 2,
-                  max_docs_per_chunk: int = 64) -> DataFrame:
+                  max_docs_per_chunk: int = 64,
+                  ids_unique: bool = True) -> DataFrame:
     """Shifted near-copy pairs via shared content-defined chunks:
     (doc_a, doc_b, n_shared_chunks, shared_chars). Because ``cdc_chunks``
     boundaries are content-keyed, a re-crawled page with an inserted ad
@@ -1937,10 +1909,18 @@ def cdc_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     # re-runs the whole projection). The result is lazy, so the CALLER
     # owns the cache in long-lived sessions — unpersist via the
     # `cached` handle on the returned frame (bag_jaccard contract).
-    # cdc_chunk_set dedups per doc INSIDE the kernel (same-md5 implies
-    # same doc — see its docstring), so no distinct Exchange here.
+    # cdc_chunk_set dedups per doc INSIDE the kernel, which equals the
+    # global distinct only while each id appears in ONE input row (see
+    # its docstring). ids_unique=True (every in-repo caller: the
+    # documents table and the curate ladder key rows by id) skips the
+    # distinct Exchange; pass ids_unique=False for snapshot unions /
+    # fanned-out joins, where duplicate rows would otherwise double
+    # n_shared_chunks and mis-fire the occupancy cap.
     cached = cdc_chunk_set(df, id_col=id_col, text_col=text_col, w=w,
-                           divisor=divisor).persist()
+                           divisor=divisor)
+    if not ids_unique:
+        cached = cached.dropDuplicates([id_col, "chunk_md5"])
+    cached = cached.persist()
     over = (cached.groupBy("chunk_md5")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > max_docs_per_chunk)

@@ -428,7 +428,11 @@ def bag_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     session, unpersist via the ``cached`` handle attached to the
     returned frame (``out.cached.unpersist()``) once the result is
     materialized, the same contract as the persisted chunk/fingerprint
-    tables in ``cdc_dup_pairs`` / ``winnow_dup_pairs``."""
+    tables in ``cdc_dup_pairs`` / ``winnow_dup_pairs``. The handle is
+    a plain attribute on THIS frame only — any further transformation
+    returns a new frame without it, so grab it before chaining (or use
+    ``spark.catalog.clearCache()`` between queries, which is what the
+    repo's own bench/compare entry points do)."""
     from .text import clean_text, positional_grams, ws_tokens
 
     cand = lsh_candidate_pairs(df, id_col, text_col, n, bands,

@@ -367,8 +367,25 @@ PSL_DAT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "data", "public_suffix_list.dat")
 
 
-def psl_rules_from_dat(path: str = PSL_DAT, section: str | None = None
-                       ) -> list:
+def _bundled_psl_text() -> str:
+    """Read the bundled list ZIP-SAFELY: the production invocation
+    ships the package as a ``--py-files`` zip (``session.package_zip``
+    includes the .dat), where a filesystem ``open()`` on a
+    ``__file__``-relative path raises — ``importlib.resources``
+    resolves through the zip importer. The plain-path fallback covers
+    editable/source checkouts on old loaders."""
+    try:
+        from importlib.resources import files
+
+        return (files("ocr_automation_system_spark") / "data"
+                / "public_suffix_list.dat").read_text("utf-8")
+    except Exception:
+        with open(PSL_DAT, encoding="utf-8") as fh:
+            return fh.read()
+
+
+def psl_rules_from_dat(path: str | None = None,
+                       section: str | None = None) -> list:
     """Parse a Mozilla ``public_suffix_list.dat`` text into the
     ``(rule, nlab, kind)`` dimension the matcher broadcasts. The
     published format (publicsuffix.org/list): one rule per line up to
@@ -378,35 +395,41 @@ def psl_rules_from_dat(path: str = PSL_DAT, section: str | None = None
     ``"icann"`` or ``"private"`` via the ``===BEGIN ICANN/PRIVATE
     DOMAINS===`` sentinels — eTLD+1 quota rollup conventionally wants
     BOTH (a ``github.io`` registrant is a quota unit), which is the
-    ``None`` default."""
+    ``None`` default. ``path=None`` reads the BUNDLED list zip-safely
+    (:func:`_bundled_psl_text`); pass a filesystem path to load a
+    newer snapshot."""
+    if path is None:
+        text = _bundled_psl_text()
+    else:
+        with open(path, encoding="utf-8") as fh:
+            text = fh.read()
     rows, cur = [], None
-    with open(path, encoding="utf-8") as fh:
-        for raw in fh:
-            line = raw.strip()
-            if not line:
-                continue
-            if line.startswith("//"):
-                if "===BEGIN ICANN DOMAINS===" in line:
-                    cur = "icann"
-                elif "===BEGIN PRIVATE DOMAINS===" in line:
-                    cur = "private"
-                elif "===END" in line:
-                    cur = None
-                continue
-            if section is not None and cur != section:
-                continue
-            rule = line.split()[0]
-            if rule.startswith("!"):
-                kind, rule = "e", rule[1:]
-            elif rule.startswith("*."):
-                kind, rule = "w", rule[2:]
-            elif rule == "*":
-                # a bare-star rule is the implicit default the matcher
-                # already applies; nothing to store
-                continue
-            else:
-                kind = "n"
-            rows.append((rule, rule.count(".") + 1, kind))
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("//"):
+            if "===BEGIN ICANN DOMAINS===" in line:
+                cur = "icann"
+            elif "===BEGIN PRIVATE DOMAINS===" in line:
+                cur = "private"
+            elif "===END" in line:
+                cur = None
+            continue
+        if section is not None and cur != section:
+            continue
+        rule = line.split()[0]
+        if rule.startswith("!"):
+            kind, rule = "e", rule[1:]
+        elif rule.startswith("*."):
+            kind, rule = "w", rule[2:]
+        elif rule == "*":
+            # a bare-star rule is the implicit default the matcher
+            # already applies; nothing to store
+            continue
+        else:
+            kind = "n"
+        rows.append((rule, rule.count(".") + 1, kind))
     return validate_psl_rules(rows)
 
 

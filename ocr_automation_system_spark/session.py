@@ -39,7 +39,12 @@ def package_zip() -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in filenames:
-                if fn.endswith(".py"):
+                # ship package DATA files too (data/public_suffix_list
+                # .dat — read zip-safely via importlib.resources in
+                # urlnorm), not just code: a --py-files deployment that
+                # silently lacked the rule dimension would fail at
+                # import, not at first use
+                if fn.endswith((".py", ".dat")):
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, root))
     return out
